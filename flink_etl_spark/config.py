@@ -1,0 +1,94 @@
+"""Typed pipeline configuration.
+
+Replaces the reference's Typesafe-Config loader (Utility.java:19-23) and
+``kafkaConfig.conf`` with plain dataclasses + environment overrides —
+idiomatic for a Python engine, and serializable into Spark reader/writer
+options.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class KafkaSourceConfig:
+    """Kafka ingest endpoint (reference: kafkaConfig.conf:1-11, HdfsSink.java:47-54)."""
+
+    bootstrap_servers: str = "localhost:9092"
+    topic: str = "binlog"
+    group_id: str = "flink-etl-spark"
+    starting_offsets: str = "earliest"  # HdfsSink.java:54 setStartFromEarliest
+
+    def reader_options(self) -> dict[str, str]:
+        return {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "subscribe": self.topic,
+            "startingOffsets": self.starting_offsets,
+            "kafka.group.id": self.group_id,
+        }
+
+
+@dataclass
+class JdbcConfig:
+    """Snapshot-bootstrap JDBC endpoint (reference: kafkaConfig.conf:13-16, README.md:31)."""
+
+    url: str = "jdbc:mysql://localhost:3306/db"
+    table: str = ""
+    user: str = ""
+    password: str = ""
+    partition_column: str | None = None
+    num_partitions: int = 8
+
+
+@dataclass
+class SinkConfig:
+    """Partitioned file sink (reference: HdfsSink.java:110-125).
+
+    Spark's micro-batch file sink replaces Flink's rolling policy: the
+    trigger interval plays the 60s rollover role (HdfsSink.java:112) and
+    ``max_records_per_file`` bounds part-file size (:113). File
+    *boundaries* differ from the reference; file *contents* don't.
+    """
+
+    path: str = "out"
+    checkpoint_location: str = "chk"
+    format: str = "parquet"  # reference wrote delimited text; parquet is our native batch format
+    partition_by: tuple[str, ...] = ("dt",)
+    trigger_seconds: int = 60
+    max_records_per_file: int = 1_000_000
+
+
+@dataclass
+class PipelineConfig:
+    kafka: KafkaSourceConfig = field(default_factory=KafkaSourceConfig)
+    jdbc: JdbcConfig = field(default_factory=JdbcConfig)
+    sink: SinkConfig = field(default_factory=SinkConfig)
+
+    @classmethod
+    def from_env(cls, prefix: str = "FLINK_ETL_SPARK_") -> "PipelineConfig":
+        """Hydrate from a JSON blob in ``$<prefix>CONFIG`` plus per-field
+        ``$<prefix>KAFKA_TOPIC``-style overrides."""
+        cfg = cls()
+        blob = os.environ.get(prefix + "CONFIG")
+        if blob:
+            data = json.loads(blob)
+            for section, values in data.items():
+                obj = getattr(cfg, section, None)
+                if obj is not None:
+                    for k, v in values.items():
+                        if hasattr(obj, k):
+                            setattr(obj, k, v)
+        for section in ("kafka", "jdbc", "sink"):
+            obj = getattr(cfg, section)
+            for k in vars(obj):
+                env_key = f"{prefix}{section.upper()}_{k.upper()}"
+                if env_key in os.environ:
+                    cur = getattr(obj, k)
+                    val: object = os.environ[env_key]
+                    if isinstance(cur, int) and not isinstance(cur, bool):
+                        val = int(val)  # type: ignore[arg-type]
+                    setattr(obj, k, val)
+        return cfg

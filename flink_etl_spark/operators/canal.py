@@ -1,0 +1,150 @@
+"""Canal binlog envelope operators — the reference's streaming transform chain.
+
+Reference behavior (all column expressions here, no UDFs):
+
+* parse the Canal JSON envelope          (HdfsSink.java:63,73   -> parse_canal)
+* drop DDL records                       (HdfsSink.java:58-66   -> filter_ddl)
+* explode the `data` row-image array     (HdfsSink.java:76-100  -> explode_rows)
+* project envelope metadata + payload    (HdfsSink.java:86-101  -> flatten / flatten_csv)
+* derive the dt=yyyyMMdd partition value (EventTimeBucketAssigner.java:17-45 -> with_dt)
+
+The reference keeps records as raw strings end-to-end and re-parses the
+event time by splitting the CSV (EventTimeBucketAssigner.java:40); we
+keep typed columns through the whole plan — the CSV encoding
+(`flatten_csv`) exists only for faithful-output mode.
+
+Deviations (documented in SURVEY.md §7):
+* timezone pinned UTC (reference used JVM-default TZ — nondeterministic)
+* `isDdl` accepted as boolean or string ("false"/"true")
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canal envelope (HdfsSink.java:63-92). `data` is schemaless in the
+#: reference (fastjson ordered maps); MAP<STRING,STRING> is the dynamic
+#: default, a registered per-table payload schema gives typed columns.
+CANAL_SCHEMA = StructType(
+    [
+        StructField("isDdl", StringType()),  # "false"/"true"; booleans coerce on parse
+        StructField("id", LongType()),
+        StructField("es", LongType()),  # business/event time, epoch millis
+        StructField("ts", LongType()),  # log time, epoch millis
+        StructField("type", StringType()),  # INSERT | UPDATE | DELETE
+        StructField("data", ArrayType(MapType(StringType(), StringType()))),
+    ]
+)
+
+#: sentinel partition for unparseable event time (EventTimeBucketAssigner.java:25-26)
+DT_FALLBACK = "00000000"
+
+
+def parse_canal(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """value: raw Canal JSON string -> typed envelope columns.
+
+    Malformed JSON yields an all-null envelope row (from_json PERMISSIVE
+    mode); `filter_ddl` drops those, matching the reference where a parse
+    failure inside the filter function would drop the record.
+    """
+    parsed = df.withColumn("_env", F.from_json(F.col(value_col), CANAL_SCHEMA))
+    return parsed.select(
+        F.col(value_col).alias("raw"),
+        F.col("_env.isDdl").alias("isDdl"),
+        F.col("_env.id").alias("id"),
+        F.col("_env.es").alias("es"),
+        F.col("_env.ts").alias("ts"),
+        F.col("_env.type").alias("type"),
+        F.col("_env.data").alias("data"),
+    )
+
+
+def filter_ddl(df: DataFrame) -> DataFrame:
+    """Keep DML only: isDdl == "false" (HdfsSink.java:64).
+
+    Records whose envelope failed to parse (null isDdl) are dropped, as
+    the reference's filter would.
+    """
+    return df.filter(F.lower(F.col("isDdl")) == "false")
+
+
+def explode_rows(df: DataFrame, out_col: str = "row") -> DataFrame:
+    """One output record per element of `data` (HdfsSink.java:76-100).
+
+    Plain `explode` drops null/empty arrays — matching the reference,
+    which emits nothing when `data` is missing; the inner null-guard
+    (HdfsSink.java:84) maps to the isNotNull filter.
+    """
+    out = df.select(
+        "id", "es", "ts", "type", F.explode(F.col("data")).alias(out_col)
+    )
+    return out.filter(F.col(out_col).isNotNull())
+
+
+def flatten(df: DataFrame, payload_cols: Sequence[str], row_col: str = "row") -> DataFrame:
+    """Typed flatten: envelope metadata + payload columns, in registered
+    source-column order (HdfsSink.java:86-101).
+
+    The reference preserved source column order via fastjson's
+    OrderedField; `from_json` to a MAP doesn't guarantee order, so
+    faithful ordering requires the per-table registered column list
+    (SURVEY.md §7 "dynamic payload schema").
+    """
+    cols = [F.col("id"), F.col("es"), F.col("ts"), F.col("type")]
+    cols += [F.col(row_col).getItem(c).alias(c) for c in payload_cols]
+    return df.select(*cols)
+
+
+def flatten_csv(
+    df: DataFrame, payload_cols: Sequence[str], row_col: str = "row", sep: str = ","
+) -> DataFrame:
+    """Faithful-output mode: one delimited string per record, layout
+    `id,es,ts,type,<payload...>` (HdfsSink.java:35,93-101)."""
+    parts: list[Column] = [
+        F.col("id").cast("string"),
+        F.col("es").cast("string"),
+        F.col("ts").cast("string"),
+        F.col("type"),
+    ]
+    parts += [F.col(row_col).getItem(c).cast("string") for c in payload_cols]
+    return df.select(F.concat_ws(sep, *parts).alias("line"))
+
+
+def dt_expr(es: Column | str, fmt: str = "yyyyMMdd") -> Column:
+    """Event-time epoch-millis -> partition value, with the reference's
+    `00000000` fallback on unparseable input
+    (EventTimeBucketAssigner.java:21-29,37-43).
+
+    The whole custom BucketAssigner collapses to this one expression.
+    """
+    es_col = F.col(es) if isinstance(es, str) else es
+    return F.coalesce(
+        F.date_format(F.timestamp_millis(es_col.cast("long")), fmt),
+        F.lit(DT_FALLBACK),
+    )
+
+
+def with_dt(df: DataFrame, es_col: str = "es", out_col: str = "dt") -> DataFrame:
+    return df.withColumn(out_col, dt_expr(es_col))
+
+
+def ingest_pipeline(raw: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
+    """The reference's full streaming transform chain, batch or stream:
+    parse -> DDL filter -> explode -> typed flatten -> dt.
+
+    Works identically on a batch DataFrame (tests) and a streaming one
+    (readStream) — the plan is stateless record-at-a-time, so no
+    watermark is needed (SURVEY.md §2.9 T2/T3).
+    """
+    return with_dt(flatten(explode_rows(filter_ddl(parse_canal(raw))), payload_cols))
