@@ -1,0 +1,67 @@
+"""Query catalog: every engine capability exposed as a
+(Spark implementation, DuckDB oracle SQL) pair for the correctness gate.
+
+Determinism rules (so order-insensitive value-hash comparison works):
+* no raw nano-precision timestamps in outputs — truncate to ms or emit
+  epoch-millis longs
+* doubles either pass through untouched (bit-identical in both engines)
+  or are rounded AFTER aggregation with matching `round(x, n)`
+* every window/rank has a total ordering (explicit tie-breakers)
+* column names aliased identically in Spark and SQL
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_etl_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None)
+CATALOG: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def query(name: str, oracle: str | None):
+    """Register a catalog entry. `oracle=None` -> rows-only check (for
+    genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        CATALOG[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ts_ms(col: str = "ts") -> F.Column:
+    """Epoch millis from an NTZ timestamp (session tz pinned UTC by loader)."""
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+def load_all() -> None:
+    """Import every catalog module for its registration side effects."""
+    from flink_etl_spark.catalog import (  # noqa: F401
+        cdc,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return {name: fn for name, (fn, _) in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return {name: sql.strip() for name, (_, sql) in CATALOG.items() if sql is not None}

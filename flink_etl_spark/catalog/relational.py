@@ -1,0 +1,444 @@
+"""Relational operator coverage — aggregation, joins, windows, set ops.
+
+The reference itself uses only full-outer join + row_number (SURVEY.md
+§2.7: "our engine gets all of these free from Spark SQL"); this module
+exercises that inherited surface explicitly so every operator class has
+a correctness gate and a bench presence.
+
+Scale notes are attached per query; the common themes:
+* dimension joins are `broadcast()`ed — no shuffle of the fact table
+* aggregations are partial (map-side combine) by construction in Spark
+* rank-filter windows compile to WindowGroupLimit (Spark >= 3.5), so
+  the shuffle carries per-group top-k, not the whole table
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_etl_spark.catalog import _t, query
+
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregation: filter -> partial agg map-side
+    -> final agg on 6 groups. The scan reads only the 7 needed columns
+    (column pruning) and the shipdate predicate is pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_star",
+    """
+    SELECT p.p_brand AS p_brand, s.s_name AS s_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size >= 25
+    GROUP BY p.p_brand, s.s_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrich: fact scans once, both dims broadcast — zero
+    fact-table shuffles before aggregation. At 100 TB the dims (part,
+    supplier) stay broadcast-able far longer than the fact grows; the
+    explicit broadcast() hint makes the plan deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_multiway_region_revenue",
+    """
+    SELECT n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multiway join: two big tables shuffle on their
+    join keys once each; nation/region broadcast; the region filter
+    prunes before the join. Catalyst + AQE handle join ordering."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Spark ships only the distinct keys of
+    the filtered orders side; with the selective predicate it usually
+    broadcasts. Absent from the reference (SURVEY.md §2.11) — engine
+    surface."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) t WHERE rnk <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank-filter compiles to WindowGroupLimit
+    (Spark >= 3.5), pushing top-3 selection below the shuffle — the
+    exchange carries at most 3 rows per customer, not the table."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_value,
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM events
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window (running frame) — the analytic surface the
+    reference lacks entirely (SURVEY.md §2.6)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@query(
+    "window_lag_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) AS gap_ms
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(coalesce(gap_ms, -1) AS BIGINT) AS gap_ms,
+           sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM gaps
+    """,
+)
+def window_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + conditional cumulative sum = classic sessionization
+    (30-minute inactivity gap). Two stacked windows over the same
+    partitioning -> a single shuffle in the physical plan."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    lag_ms = F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(w))
+    gap = (ms - lag_ms).alias("gap_ms")
+    return (
+        e.select("user_id", "event_id", "ts", gap)
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.col("gap_ms"), F.lit(-1)).cast("long").alias("gap_ms"),
+            F.sum(
+                F.when(
+                    F.col("gap_ms").isNull() | (F.col("gap_ms") > 1800000), 1
+                ).otherwise(0)
+            )
+            .over(wrun)
+            .alias("session_id"),
+        )
+    )
+
+
+@query(
+    "set_ops_customer_keys",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (all distinct variants), composed with
+    SQL's left-to-right precedence: ((A INTERSECT B) UNION C) EXCEPT D."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = o.select(F.col("o_custkey").alias("c_custkey"))
+    cc = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    d = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b).union(cc).distinct().exceptAll(d.distinct())
+
+
+@query(
+    "rollup_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals incl. grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "cube_lineitem_stats",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+@query(
+    "order_limit_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def order_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT -> TakeOrderedAndProject: per-partition
+    top-100 then a single-driver merge of 100-row heaps, never a full
+    sort at scale. Deterministic via the orderkey tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "scalar_functions_showcase",
+    """
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 3)) AS priority_name,
+           length(o_orderpriority) AS prio_len,
+           abs(o_totalprice - 200000.0) AS dist_from_200k,
+           round(o_totalprice / 1000.0, 3) AS price_k,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CASE WHEN o_totalprice >= 300000 THEN 'big'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           concat_ws('#', o_orderstatus, o_orderpriority) AS status_tag
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: string (substr/upper/length/concat_ws),
+    math (abs/round/modulo), date part extraction, CASE WHEN — all
+    whole-stage-codegen JVM expressions, no UDFs."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.upper(F.expr("substr(o_orderpriority, 3)")).alias("priority_name"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.abs(F.col("o_totalprice") - 200000.0).alias("dist_from_200k"),
+        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.when(F.col("o_totalprice") >= 300000, "big")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+    )
+
+
+@query(
+    "agg_distinct_users_by_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation (expand + two-phase agg) plus min/max."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@query("approx_distinct_users", None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — inherently engine-specific
+    sketch values, so rows-only check (SURVEY.md §2.12). At 100 TB this
+    replaces exact countDistinct wherever 2% error is acceptable: one
+    pass, constant memory, no expand."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

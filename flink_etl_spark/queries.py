@@ -1,276 +1,9 @@
-"""Query catalog: every operator exposed as a (Spark fn, DuckDB oracle SQL) pair.
-
-This is the correctness surface consumed by `__spark_entry__.py`: each
-entry's Spark implementation and ANSI-SQL oracle must return identical
-rows (column names aliased identically on both sides; the driver's
-compare sorts columns by name and hashes values).
-
-Determinism rules applied throughout (so hash-matching is possible):
-* no raw nano-precision timestamps in outputs — truncate to ms or emit
-  epoch-millis longs
-* doubles either pass through untouched (bit-identical in both engines)
-  or are rounded AFTER aggregation with matching `round(x, n)`
-* every window/rank has a total ordering (explicit tie-breakers)
-"""
+"""Public query catalog surface (back-compat shim over
+`flink_etl_spark.catalog`)."""
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from flink_etl_spark.catalog import CATALOG, load_all, oracle_sql, queries  # noqa: F401
+from flink_etl_spark.catalog.cdc import cdc_merge_day  # noqa: F401
 
-import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
-
-from flink_etl_spark.operators import canal, merge
-from flink_etl_spark.sources.tables import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-#: name -> (spark_fn, oracle_sql | None)
-CATALOG: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def query(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        CATALOG[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-# epoch millis from the events NTZ timestamp (session tz pinned UTC by loader)
-def _ts_ms(col: str = "ts") -> F.Column:
-    return F.unix_millis(F.col(col).cast("timestamp"))
-
-
-# ---------------------------------------------------------------------------
-# CDC core — reference parity (SURVEY.md §2.4-2.6, §3.2)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "cdc_latest_by_key",
-    """
-    SELECT user_id, event_id, event_type, value, props,
-           epoch_ms(ts) AS ts_ms
-    FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    ) t WHERE rn = 1
-    """,
-)
-def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1+F3 (README.md:244,250-251): latest change per key via
-    row_number window + rank=1 filter, deterministic tie-break."""
-    events = _t(spark, sf_dir, "events")
-    latest = merge.dedup_latest(events, keys=["user_id"], order_by=["ts", "event_id"])
-    return latest.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        "props",
-        _ts_ms().alias("ts_ms"),
-    )
-
-
-@query(
-    "cdc_merge_full_outer",
-    """
-    WITH delta AS (
-        SELECT user_id AS c_custkey, value AS c_acctbal
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-            FROM events
-        ) t WHERE rn = 1
-    )
-    SELECT COALESCE(d.c_custkey, s.c_custkey) AS c_custkey,
-           s.c_name AS c_name,
-           s.c_nationkey AS c_nationkey,
-           COALESCE(d.c_acctbal, s.c_acctbal) AS c_acctbal,
-           s.c_mktsegment AS c_mktsegment
-    FROM customer s FULL OUTER JOIN delta d ON s.c_custkey = d.c_custkey
-    """,
-)
-def cdc_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1+P5 (README.md:221-253): snapshot/delta full-outer merge with
-    per-column COALESCE, delta wins. Snapshot = customer, delta = latest
-    event per user_id applied as an account-balance update."""
-    snapshot = _t(spark, sf_dir, "customer")
-    events = _t(spark, sf_dir, "events")
-    delta = (
-        merge.dedup_latest(events, keys=["user_id"], order_by=["ts", "event_id"])
-        .select(
-            F.col("user_id").alias("c_custkey"),
-            F.col("value").alias("c_acctbal"),
-        )
-    )
-    return merge.cdc_merge(
-        snapshot,
-        delta,
-        keys=["c_custkey"],
-        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
-    )
-
-
-@query(
-    "canal_ingest_flatten",
-    """
-    SELECT event_id AS id,
-           epoch_ms(ts) AS es,
-           epoch_ms(ts) + 1 AS ts,
-           upper(event_type) AS type,
-           CAST(user_id AS VARCHAR) AS user_id,
-           json_extract_string(props, '$.k') AS k,
-           strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y%m%d') AS dt
-    FROM events
-    WHERE event_type <> 'error'
-    """,
-)
-def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's whole streaming transform chain (F1,P1-P4,P7,K2;
-    HdfsSink.java:55-125 + EventTimeBucketAssigner.java) run end-to-end:
-    events are wrapped into Canal JSON envelopes ('error' events as DDL
-    markers so the filter has real work), then parse -> filter ->
-    explode -> flatten -> dt. The oracle computes the same result
-    directly from events, verifying the round-trip."""
-    events = _t(spark, sf_dir, "events")
-    raw = events.select(
-        F.to_json(
-            F.struct(
-                F.when(F.col("event_type") == "error", F.lit("true"))
-                .otherwise(F.lit("false"))
-                .alias("isDdl"),
-                F.col("event_id").alias("id"),
-                _ts_ms().alias("es"),
-                (_ts_ms() + F.lit(1)).alias("ts"),
-                F.upper(F.col("event_type")).alias("type"),
-                F.array(
-                    F.create_map(
-                        F.lit("user_id"),
-                        F.col("user_id").cast("string"),
-                        F.lit("k"),
-                        F.get_json_object(F.col("props"), "$.k"),
-                    )
-                ).alias("data"),
-            )
-        ).alias("value")
-    )
-    return canal.ingest_pipeline(raw, payload_cols=["user_id", "k"])
-
-
-@query(
-    "dt_partition_counts",
-    """
-    SELECT strftime(ts, '%Y%m%d') AS dt,
-           count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1
-    """,
-)
-def dt_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2/P7 bucketing as a group-by: events per dt partition — what the
-    partitioned sink's directory layout holds (EventTimeBucketAssigner)."""
-    events = _t(spark, sf_dir, "events")
-    return (
-        events.withColumn("dt", F.date_format(F.col("ts").cast("timestamp"), "yyyyMMdd"))
-        .groupBy("dt")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-    )
-
-
-@query(
-    "csv_faithful_lines",
-    """
-    SELECT concat_ws(',',
-           CAST(event_id AS VARCHAR),
-           CAST(epoch_ms(ts) AS VARCHAR),
-           upper(event_type),
-           CAST(user_id AS VARCHAR),
-           json_extract_string(props, '$.k')) AS line
-    FROM events
-    WHERE event_type <> 'error'
-    """,
-)
-def csv_faithful_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 faithful-output mode (HdfsSink.java:35,93-101): the delimited
-    string encoding of the flattened record."""
-    events = _t(spark, sf_dir, "events")
-    return events.filter(F.col("event_type") != "error").select(
-        F.concat_ws(
-            ",",
-            F.col("event_id").cast("string"),
-            _ts_ms().cast("string"),
-            F.upper(F.col("event_type")),
-            F.col("user_id").cast("string"),
-            F.get_json_object(F.col("props"), "$.k"),
-        ).alias("line")
-    )
-
-
-@query(
-    "cdc_merge_day",
-    """
-    WITH delta AS (
-        SELECT user_id, value, ts, event_id
-        FROM events
-        WHERE strftime(ts, '%Y%m%d') = '20240101'
-    ), latest AS (
-        SELECT user_id AS c_custkey, value AS c_acctbal
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-            FROM delta
-        ) t WHERE rn = 1
-    )
-    SELECT COALESCE(d.c_custkey, s.c_custkey) AS c_custkey,
-           s.c_name AS c_name,
-           COALESCE(d.c_acctbal, s.c_acctbal) AS c_acctbal
-    FROM customer s FULL OUTER JOIN latest d ON s.c_custkey = d.c_custkey
-    """,
-)
-def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.2 end-to-end daily job: dt partition pruning (F2) -> compact to
-    latest (W1+F3) -> full-outer merge (J1+P5), day pinned '20240101'."""
-    snapshot = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    events = _t(spark, sf_dir, "events")
-    delta = canal.with_dt(
-        events.withColumn("es", _ts_ms()), es_col="es"
-    ).select(
-        F.col("user_id").alias("c_custkey"),
-        F.col("value").alias("c_acctbal"),
-        "ts",
-        "event_id",
-        "dt",
-    )
-    return merge.merge_day(
-        snapshot,
-        delta,
-        day="20240101",
-        keys=["c_custkey"],
-        order_by=["ts", "event_id"],
-        columns=["c_custkey", "c_name", "c_acctbal"],
-    )
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in CATALOG.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        name: sql.strip()
-        for name, (_, sql) in CATALOG.items()
-        if sql is not None
-    }
+load_all()
