@@ -1,1 +1,165 @@
-"""Placeholder — filled in a later milestone."""
+"""Dedup catalog queries over `documents` / `embeddings`.
+
+The MinHash/SimHash oracle SQL is generated programmatically from the
+same coefficient tables the Spark operators use
+(functions/hashing.py) — one source of truth for the hash math.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_etl_spark.catalog import _t, query
+from flink_etl_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS, SIMHASH_COEFFS
+from flink_etl_spark.functions.vectors import duckdb_cosine
+from flink_etl_spark.operators import dedup as D
+
+# shared oracle CTE fragments ------------------------------------------------
+
+#: distinct (doc_id, shingle) postings from token 3-shingles
+SHINGLE_CTES = """
+toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s
+    FROM toks, UNNEST(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE [] END) AS u(s)
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+)
+"""
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           length(text) AS text_len
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full content hash-groupBy; canonical row = min id."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select(
+        "keep_id", "n_copies", F.length("text").alias("text_len")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"WITH {SHINGLE_CTES} SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard similarity join, threshold 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.8)
+
+
+def _minhash_oracle() -> str:
+    perms = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS))
+    return f"""
+    WITH {SHINGLE_CTES},
+    vocab AS (
+        SELECT s AS term, dense_rank() OVER (ORDER BY s) AS term_id
+        FROM (SELECT DISTINCT s FROM sh)
+    ),
+    wid AS (SELECT sh.doc_id, v.term_id FROM sh JOIN vocab v ON sh.s = v.term),
+    perms(perm_id, a, b) AS (VALUES {perms}),
+    sigs AS (
+        SELECT doc_id, perm_id,
+               min((term_id * a + b) % {MERSENNE_P}) AS minhash
+        FROM wid CROSS JOIN perms
+        GROUP BY 1, 2
+    ),
+    banded AS (
+        SELECT doc_id, CAST(floor(perm_id / 2) AS INT) AS band_id,
+               array_to_string(list_sort(list(concat(CAST(perm_id AS VARCHAR), '=',
+                                                     CAST(minhash AS VARCHAR)))), ':')
+                   AS band_key
+        FROM sigs
+        GROUP BY 1, 2
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.8
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(8 bands x 2 rows) candidates, verified
+    with exact Jaccard >= 0.8. The oracle replicates the entire sketch
+    pipeline — identical coefficients, dictionary, banding."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ((term_id * {a} + {b}) % {MERSENNE_P}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j, (a, b) in enumerate(SIMHASH_COEFFS[:bits])
+    )
+    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    return f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+    tok AS (SELECT doc_id, tk AS token FROM toks, UNNEST(t) AS u(tk)),
+    vocab AS (
+        SELECT token AS term, dense_rank() OVER (ORDER BY token) AS term_id
+        FROM (SELECT DISTINCT token FROM tok)
+    ),
+    wid AS (SELECT tok.doc_id, v.term_id FROM tok JOIN vocab v ON tok.token = v.term),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM wid GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 fingerprints (bit votes over hashed token occurrences)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_signatures(docs, bits=16)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+         b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+    SELECT id_a, id_b, round({duckdb_cosine('va', 'vb')}, 6) AS cos_sim
+    FROM a JOIN b ON id_a < id_b
+    WHERE round({duckdb_cosine('va', 'vb')}, 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exactness baseline;
+    sign-LSH in similarity.py is the bucketed scale path)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(embs, threshold=0.35)

@@ -1,1 +1,81 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity-search catalog queries over `embeddings`."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_etl_spark.catalog import _t, query
+from flink_etl_spark.functions.vectors import duckdb_cosine, duckdb_dot
+from flink_etl_spark.operators import similarity as S
+
+#: deterministic query subset: every 50th vector
+QUERY_PRED = "vec_id % 50 = 0"
+
+
+@query(
+    "knn_bruteforce_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE {QUERY_PRED}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({duckdb_cosine('qv', 'cv')}, 6) AS cos_sim
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= 10
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (every 50th vec as query).
+    Broadcast query set, corpus never shuffles, WindowGroupLimit top-k."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.expr(QUERY_PRED))
+    return S.cosine_topk(embs, queries, k=10)
+
+
+@query(
+    "ann_signlsh_topk",
+    f"""
+    WITH planes AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
+               embedding AS plane
+        FROM embeddings ORDER BY vec_id LIMIT 4
+    ),
+    buckets AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN {duckdb_dot('e.embedding', 'p.plane')} > 0
+                             THEN 1 << p.plane_id ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+          FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+          WHERE e.vec_id % 50 = 0),
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+          FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               round({duckdb_cosine('q.qv', 'c.cv')}, 6) AS cos_sim
+        FROM c JOIN q ON c.bucket = q.bucket AND q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5: 4 data-derived hyperplanes -> 16
+    buckets; search only the query's bucket. The 100 TB path — corpus
+    shuffles once by bucket instead of cross-joining."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.expr(QUERY_PRED))
+    return S.signlsh_topk(embs, queries, k=5, n_planes=4)

@@ -1,1 +1,116 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis catalog queries over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_etl_spark.catalog import _t, query
+from flink_etl_spark.functions.hashing import MERSENNE_P
+from flink_etl_spark.operators import text as T
+from flink_etl_spark.operators.text import STOPWORDS
+
+
+@query(
+    "text_token_stats",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_ratio,
+           round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6)
+               AS avg_token_len
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + vocabulary richness per document."""
+    return T.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    hit_cols = ",\n           ".join(
+        "len(list_filter(t, x -> x IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in STOPWORDS.items()
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS l, hits_{lang} AS s FROM base"
+        for lang in STOPWORDS
+    )
+    hits_out = ", ".join(f"base.hits_{lang}" for lang in STOPWORDS)
+    return f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+    base AS (
+        SELECT doc_id,
+           {hit_cols}
+        FROM toks
+    ),
+    scores AS (
+        {unions}
+    ),
+    guess AS (
+        SELECT doc_id, l AS lang_guess
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY s DESC, l DESC) AS rn
+              FROM scores) t
+        WHERE rn = 1
+    )
+    SELECT base.doc_id, {hits_out}, guess.lang_guess
+    FROM base JOIN guess ON base.doc_id = guess.doc_id
+    """
+
+
+@query("text_lang_id", _lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax (max score,
+    tie -> lexicographically larger code)."""
+    return T.lang_scores(_t(spark, sf_dir, "documents")).drop("_toks")
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH toks AS (SELECT doc_id, n_chars, regexp_split_to_array(text, ' +') AS t
+                  FROM documents),
+    m AS (
+        SELECT doc_id, n_chars,
+               len(t) AS n_tokens,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+               CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it')))
+                    AS DOUBLE) / len(t) AS stop_ratio
+        FROM toks
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(0.4 * least(1.0, n_tokens / 100.0)
+                 + 0.3 * distinct_ratio
+                 + 0.3 * least(1.0, 4.0 * stop_ratio), 6) AS quality,
+           CASE WHEN round(0.4 * least(1.0, n_tokens / 100.0)
+                           + 0.3 * distinct_ratio
+                           + 0.3 * least(1.0, 4.0 * stop_ratio), 6) >= 0.5
+                THEN 'keep' ELSE 'flag' END AS verdict
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length/richness/stopword-density)."""
+    return T.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents)
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(t, tok -> CAST(ascii(tok) * 131 + length(tok) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {MERSENNE_P}) AS fingerprint
+    FROM toks
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over the token sequence."""
+    return T.fingerprints(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,54 @@
+"""Vector column expressions over ARRAY<FLOAT> embedding columns.
+
+All math is forced to DOUBLE and summed sequentially (left-to-right
+array order) inside the JVM via higher-order functions — no Python UDFs
+in the hot path, and deterministic enough to hash-match an oracle that
+does the same (rounding applied at the query edge, never mid-pipeline).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def to_double(col: Column | str) -> Column:
+    """ARRAY<FLOAT> -> ARRAY<DOUBLE>, so all downstream arithmetic is
+    double-precision (float accumulation drifts too much to oracle)."""
+    return F.transform(_c(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential dot product: aggregate(zip_with(a,b,*), 0.0, +)."""
+    prods = F.zip_with(
+        to_double(a), to_double(b), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity in double precision; caller rounds at the edge."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def duckdb_dot(a: str, b: str) -> str:
+    """The oracle-side twin of `dot` (same order, same precision)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+        f" p -> p[1] * p[2]))"
+    )
+
+
+def duckdb_cosine(a: str, b: str) -> str:
+    return (
+        f"({duckdb_dot(a, b)} / "
+        f"(sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)})))"
+    )

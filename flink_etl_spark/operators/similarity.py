@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two tiers (extension surface, SURVEY.md §2.12):
+
+* brute-force cosine top-k — the exactness baseline; O(|Q| * N) via a
+  broadcast of the query set against the corpus
+* sign-LSH (random-hyperplane) bucketed ANN — the 100 TB path: corpus
+  hashed once into 2^H buckets, search touches only the query's bucket
+
+Hyperplanes are data-derived (the embeddings of the H smallest vec_ids)
+instead of RNG-generated — deterministic, oracle-replicable, and a
+public technique (Charikar '02 sign-LSH with any fixed hyperplane set).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from flink_etl_spark.functions.vectors import cosine, dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    The query set is broadcast (it's the small side by construction);
+    the corpus never shuffles — each partition scores its slice and the
+    per-query top-k is a WindowGroupLimit, so only k rows per query
+    cross the final exchange. Scores are rounded BEFORE ranking so rank
+    order is reproducible across engines (ties then break on id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def hyperplanes(embs: DataFrame, n_planes: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic hyperplane set: embeddings of the n smallest ids,
+    re-indexed 0..n-1 (bit positions must be dense regardless of the
+    actual id values)."""
+    w = Window.orderBy(F.col(id_col))
+    return (
+        embs.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_planes)
+        .select(
+            (F.col("_rn") - 1).cast("int").alias("plane_id"),
+            F.col(vec_col).alias("plane"),
+        )
+    )
+
+
+def signlsh_buckets(
+    embs: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its 2^H bucket: broadcast-join the H planes,
+    one bit per plane by dot-product sign, sum bit<<plane_id."""
+    joined = embs.join(F.broadcast(planes))
+    bit = (
+        F.when(dot(vec_col, "plane") > 0, F.expr("shiftleft(1, plane_id)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.sum(bit).cast("long").alias("bucket"))
+    )
+
+
+def signlsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors in the query's bucket.
+
+    Approximate by design (neighbors across a hyperplane are missed —
+    recall tunes with n_planes and multi-probe); the candidate join is
+    bucket-equi so Catalyst shuffles corpus once by bucket instead of
+    cross-joining. Bucket boundaries are deterministic: dot products are
+    double-precision and compared to 0, with plane vectors taken from
+    the data itself."""
+    planes = hyperplanes(corpus, n_planes, id_col, vec_col)
+    cb = signlsh_buckets(corpus, planes, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qb = signlsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        cb, "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        qb, "query_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id"))
+               & (c.bucket == q.bucket))
+        .withColumn("cos_sim", F.round(cosine("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

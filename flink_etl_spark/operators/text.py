@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword n-gram heuristic), quality scoring, token
+counting, and document fingerprinting over the `documents` table
+(extension surface, SURVEY.md §2.12). All pure column expressions —
+tokenization, lambda higher-order functions, and integer hashing stay
+inside whole-stage codegen; nothing drops to Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_etl_spark.functions.hashing import MERSENNE_P, tokens_expr
+
+#: tiny embedded stopword lists per language — heuristic scoring tables
+#: (public-knowledge closed-class words). Order of dict = tie-break order.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting + vocabulary-richness stats per document."""
+    toks = tokens_expr(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def lang_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-language stopword hit counts + argmax guess.
+
+    greatest-of-structs trick for a deterministic argmax: pack
+    (score, lang) structs and take `greatest(...)`, so ties break on the
+    lexicographically LARGEST language code — replicated exactly in the
+    oracle. Heuristic n-gram language ID per the public fastText/CLD
+    lineage, reduced to closed-class word hits."""
+    toks = tokens_expr(text_col)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        *[
+            _count_in(toks, ws).alias(f"hits_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    packed = [
+        F.struct(F.col(f"hits_{lang}").alias("s"), F.lit(lang).alias("l"))
+        for lang in STOPWORDS
+    ]
+    return base.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lang}") for lang in STOPWORDS],
+        F.greatest(*packed).getField("l").alias("lang_guess"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   chars_col: str = "n_chars") -> DataFrame:
+    """Composite quality score from length / vocabulary richness /
+    stopword-density signals (public Gopher/C4-style filter heuristics,
+    reduced to what the synthetic corpus exercises):
+
+        0.4*min(1, n_tokens/100) + 0.3*distinct_ratio
+      + 0.3*min(1, 4*stopword_ratio)
+
+    plus a keep/flag verdict at 0.5."""
+    toks = tokens_expr(text_col)
+    en = STOPWORDS["en"]
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    stop_ratio = _count_in(toks, en) / n_tokens.cast("double")
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(chars_col),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+        F.when(F.round(score, 6) >= 0.5, F.lit("keep")).otherwise(F.lit("flag")).alias(
+            "verdict"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+
+        acc = (acc*31 + ascii(token[0])*131 + len(token)) mod P
+
+    folded left-to-right over the token sequence — a polynomial rolling
+    hash (Rabin-Karp family) computable in any engine with a sequential
+    list fold; detects exact-content duplicates without shipping text."""
+    toks = tokens_expr(text_col)
+    # two-step (map token -> contribution, then fold) so the fold lambda
+    # is (long, long) -> long — replicable by engines whose list-fold
+    # lacks an explicit init (DuckDB list_reduce seeds with element 0)
+    contribs = F.transform(
+        toks, lambda t: (F.ascii(t) * F.lit(131) + F.length(t)).cast("long")
+    )
+    fp = F.aggregate(
+        contribs,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(MERSENNE_P),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
