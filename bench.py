@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is forced through the `noop` sink — full plan execution
+(scan -> shuffle -> agg/join/window) without materializing results to
+the driver, so timings measure the engine, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_etl_spark.session import get_spark  # noqa: E402
+from flink_etl_spark import queries as Q  # noqa: E402
+
+#: headline set — one per operator family (CDC, ingest, agg, join,
+#: window, near-dup, ANN, text)
+HEADLINE = [
+    "cdc_merge_day",
+    "canal_ingest_flatten",
+    "agg_pricing_summary",
+    "join_multiway_region_revenue",
+    "window_topk_orders_per_customer",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="flink-etl-spark-bench")
+    catalog = Q.queries()
+
+    # warm the JVM/codegen path so per-query timings exclude session spin-up
+    catalog["agg_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        catalog[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -224,3 +224,83 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["ts", "event_id"],
         columns=["c_custkey", "c_name", "c_acctbal"],
     )
+
+
+@query(
+    "cdc_merge_sql_literal",
+    """
+    SELECT COALESCE(t2.id, t1.id) AS id,
+           COALESCE(t2.acct, t1.acct) AS acct,
+           COALESCE(t2.event_time, t1.event_time) AS event_time
+    FROM (SELECT c_custkey AS id, c_acctbal AS acct,
+                 CAST(NULL AS BIGINT) AS event_time
+          FROM customer) t1
+    FULL OUTER JOIN (
+        SELECT id, acct, event_time
+        FROM (
+            SELECT user_id AS id, value AS acct,
+                   epoch_ms(ts) AS event_time,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM events
+        ) temp WHERE rn = 1
+    ) t2 ON t1.id = t2.id
+    """,
+)
+def cdc_merge_sql_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's merge SQL (README.md:221-253) run essentially
+    verbatim through `spark.sql` over registered views — demonstrating
+    the SQL entry path produces the same plan as the DataFrame chain
+    (`rank` aliased `rn`: reserved-ish in Spark, SURVEY.md §3.2)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_v_customer")
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_v_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(t2.id, t1.id) AS id,
+               COALESCE(t2.acct, t1.acct) AS acct,
+               COALESCE(t2.event_time, t1.event_time) AS event_time
+        FROM (SELECT c_custkey AS id, c_acctbal AS acct,
+                     CAST(NULL AS BIGINT) AS event_time
+              FROM _v_customer) t1
+        FULL OUTER JOIN (
+            SELECT id, acct, event_time
+            FROM (
+                SELECT user_id AS id, value AS acct,
+                       unix_millis(CAST(ts AS TIMESTAMP)) AS event_time,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY unix_millis(CAST(ts AS TIMESTAMP)) DESC,
+                                                   event_id DESC) AS rn
+                FROM _v_events
+            ) temp WHERE rn = 1
+        ) t2 ON t1.id = t2.id
+        """
+    )
+
+
+@query(
+    "tumbling_window_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation — the streaming-native
+    operator family the reference lacks entirely (SURVEY.md §2.9 T3).
+    Identical code runs under readStream with a watermark
+    (tests/test_streaming.py exercises that mode)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour").getField("start").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

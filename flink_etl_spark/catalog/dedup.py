@@ -11,7 +11,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_etl_spark.catalog import _t, query
-from flink_etl_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS, SIMHASH_COEFFS
+from flink_etl_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_COEFFS,
+    SIMHASH_COEFFS,
+    duckdb_char_fold_hash,
+)
 from flink_etl_spark.functions.vectors import duckdb_cosine
 from flink_etl_spark.operators import dedup as D
 
@@ -76,11 +81,7 @@ def _minhash_oracle() -> str:
     perms = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS))
     return f"""
     WITH {SHINGLE_CTES},
-    vocab AS (
-        SELECT s AS term, dense_rank() OVER (ORDER BY s) AS term_id
-        FROM (SELECT DISTINCT s FROM sh)
-    ),
-    wid AS (SELECT sh.doc_id, v.term_id FROM sh JOIN vocab v ON sh.s = v.term),
+    wid AS (SELECT doc_id, {duckdb_char_fold_hash('s')} AS term_id FROM sh),
     perms(perm_id, a, b) AS (VALUES {perms}),
     sigs AS (
         SELECT doc_id, perm_id,
@@ -127,11 +128,7 @@ def _simhash_oracle(bits: int = 16) -> str:
     return f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
     tok AS (SELECT doc_id, tk AS token FROM toks, UNNEST(t) AS u(tk)),
-    vocab AS (
-        SELECT token AS term, dense_rank() OVER (ORDER BY token) AS term_id
-        FROM (SELECT DISTINCT token FROM tok)
-    ),
-    wid AS (SELECT tok.doc_id, v.term_id FROM tok JOIN vocab v ON tok.token = v.term),
+    wid AS (SELECT doc_id, {duckdb_char_fold_hash('token')} AS term_id FROM tok),
     votes AS (
         SELECT doc_id,
                {votes}

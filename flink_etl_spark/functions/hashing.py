@@ -43,17 +43,25 @@ def tokens_expr(text: Column | str) -> Column:
 
 
 def shingles_expr(tokens: Column, k: int = 3) -> Column:
-    """Token k-shingles via a sliding window over the token array:
-    transform(sequence(0, n-k), i -> concat_ws(' ', t[i..i+k-1])).
-    Empty when the document has < k tokens."""
+    """Token k-shingles via shifted-slice zips:
+    zip(slice(t,1,n-k+1), slice(t,2,n-k+1), ..., slice(t,k,n-k+1)),
+    concatenating element-wise. Empty when the document has < k tokens.
+
+    Deliberately avoids per-index `element_at(tokens, i+j)` lambdas:
+    CollapseProject re-inlines the tokens expression (e.g. a regex
+    split) into EVERY element_at reference — measured ~10x slowdown on
+    the shingling scan. The slice form references the token array only
+    k+1 times per row regardless of document length."""
     n = F.size(tokens)
-    idx = F.sequence(F.lit(0), n - F.lit(k))
-    return F.when(n >= k, F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    width = n - F.lit(k - 1)
+    acc = F.slice(tokens, 1, width)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(tokens, 1 + j, width),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(n >= k, acc).otherwise(F.array().cast("array<string>"))
 
 
 def duckdb_shingles(tokens: str, k: int = 3) -> str:
@@ -66,14 +74,45 @@ def duckdb_shingles(tokens: str, k: int = 3) -> str:
     )
 
 
+def char_fold_hash(col: Column | str, mult: int = 131, p: int = MERSENNE_P) -> Column:
+    """Portable string hash: left-to-right polynomial fold over character
+    code points, acc = (acc*mult + code) % p, seed 0.
+
+    Fully parallel (no dictionary, no global sort — unlike a dense_rank
+    vocabulary) and replicable in any engine with a list fold, so
+    minhash/simhash stay oracle-checkable at unbounded vocabulary.
+    Collision rate ~ n^2/2p (birthday) — immaterial for sketching, and
+    identical in every engine that replicates the fold. Non-ASCII chars
+    hash by code point (consistent across engines)."""
+    name = col if isinstance(col, str) else None
+    c = F.col(col) if isinstance(col, str) else col
+    if name is None:
+        raise ValueError("char_fold_hash needs a column name (used in SQL expr)")
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({name})), "
+        f"i -> CAST(ascii(substring({name}, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * {mult} + c) % {p})"
+    )
+
+
+def duckdb_char_fold_hash(col: str, mult: int = 131, p: int = MERSENNE_P) -> str:
+    """Oracle twin of `char_fold_hash` (DuckDB list_reduce seeds with the
+    first element, so prepend the 0 seed)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ascii(substr({col}, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {mult} + c) % {p})"
+    )
+
+
 def vocab_ids(terms: DataFrame, term_col: str = "term") -> DataFrame:
     """Assign dense integer ids to distinct terms by lexicographic rank.
 
-    Deterministic and replicable in SQL (`dense_rank() OVER (ORDER BY
-    term)`), which is what makes minhash/simhash oracle-checkable. The
-    global window is a single-partition sort over the *vocabulary* (not
-    the corpus) — acceptable up to ~100M distinct terms; beyond that use
-    xxhash64 ids (see module docstring).
+    Kept for callers that need *dense* ids (e.g. matrix-style exports);
+    the sketching operators use `char_fold_hash` instead — this global
+    window is a single-partition sort over the vocabulary and becomes
+    the bottleneck long before 100 TB.
     """
     w = Window.orderBy(F.col(term_col))
     return terms.select(term_col).distinct().withColumn(

@@ -29,9 +29,9 @@ from flink_etl_spark.functions.hashing import (
     MINHASH_COEFFS,
     SIMHASH_COEFFS,
     affine_hash,
+    char_fold_hash,
     shingles_expr,
     tokens_expr,
-    vocab_ids,
 )
 
 
@@ -52,13 +52,40 @@ def exact_dedup(
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  k: int = 3) -> DataFrame:
-    """(doc, shingle) inverted-index postings, distinct per doc."""
-    toks = docs.select(
-        F.col(id_col), shingles_expr(tokens_expr(text_col), k).alias("shingles")
+    """(doc, shingle) inverted-index postings, distinct per doc.
+
+    The token array is materialized as its own projection first:
+    inlining `split()` into the shingle lambda re-evaluates the regex
+    split for every element_at inside the transform (no common
+    subexpression elimination under lambdas) — a measured ~30x slowdown.
+    """
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
+    sh = toks.select(
+        F.col(id_col), shingles_expr(F.col("_t"), k).alias("shingles")
     )
-    return toks.select(
+    return sh.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).distinct()
+
+
+def _jaccard_of(shared: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, shared) + per-doc set sizes -> thresholded Jaccard."""
+    sa = sizes.select(F.col(sizes.columns[0]).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(sizes.columns[0]).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def jaccard_pairs(
@@ -75,7 +102,9 @@ def jaccard_pairs(
     The self-join shuffles on the shingle — hot shingles (stopword
     n-grams) are the skew risk; AQE skew-join handles moderate skew, and
     df-frequency pruning (drop shingles appearing in >0.1% of docs)
-    is the standard mitigation at corpus scale."""
+    is the standard mitigation at corpus scale. This is the exactness
+    baseline: quadratic in posting-list length — use
+    `minhash_near_dups` as the corpus-scale path."""
     sh = shingle_sets(docs, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -87,21 +116,7 @@ def jaccard_pairs(
                  F.col(f"b.{id_col}").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (
-        shared.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return jac.select("doc_a", "doc_b", "jaccard")
+    return _jaccard_of(shared, sizes, threshold)
 
 
 def minhash_signatures(
@@ -111,55 +126,51 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """MinHash sketch: sig[i] = min over shingles of (a_i*sid + b_i) % P.
+    """MinHash sketch, wide format: one row per doc with columns
+    m0..m{n-1}, sig[i] = min over shingles of (a_i*sid + b_i) % P.
 
-    Long format (doc, perm_id, minhash) — one narrow shuffle, arbitrary
-    n_hashes without wide schemas. `sid` comes from the lexicographic
-    vocab dictionary so oracles can reproduce values exactly."""
+    All n mins are computed as aggregates of ONE groupBy over the
+    postings — partial (map-side) aggregation shrinks the shuffle to one
+    row per (doc, partition) instead of exploding postings n_hashes
+    times. `sid` is the portable char-fold hash of the shingle — fully
+    parallel, no dictionary, reproducible by the oracle."""
     sh = shingle_sets(docs, id_col, text_col, k)
-    vocab = vocab_ids(sh.select(F.col("shingle").alias("term")), "term")
-    with_ids = sh.join(
-        vocab, sh.shingle == vocab.term, "inner"
-    ).select(F.col(id_col), F.col("term_id"))
-    perms = [(i, a, b) for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])]
-    perm_df = with_ids.sparkSession.createDataFrame(perms, ["perm_id", "a", "b"])
-    crossed = with_ids.join(F.broadcast(perm_df))
-    return (
-        crossed.withColumn(
-            "h",
-            (F.col("term_id").cast("long") * F.col("a") + F.col("b"))
-            % F.lit(MERSENNE_P),
-        )
-        .groupBy(id_col, "perm_id")
-        .agg(F.min("h").alias("minhash"))
+    with_ids = sh.select(
+        F.col(id_col), char_fold_hash("shingle").alias("term_id")
     )
+    mins = [
+        F.min(
+            (F.col("term_id").cast("long") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    ]
+    return with_ids.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidates(
     sigs: DataFrame, bands: int = 8, rows_per_band: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Band the signature: band_key = concat of the band's minhash
-    values; docs sharing any (band_id, band_key) bucket are candidates.
-    Returns distinct (doc_a < doc_b) pairs."""
-    banded = (
-        sigs.withColumn("band_id", (F.col("perm_id") / rows_per_band).cast("int"))
-        .filter(F.col("band_id") < bands)
-        .groupBy(id_col, "band_id")
-        .agg(
+    """Band the wide signature: band j covers perms [j*r, (j+1)*r);
+    band_key = ':'-joined 'perm=minhash' fragments (ascending perm —
+    identical to sorting the fragments lexicographically, since both
+    perms in a band share digit count). Docs sharing any (band_id,
+    band_key) bucket are candidates; returns distinct doc_a < doc_b."""
+    band_structs = []
+    for j in range(bands):
+        frags = [
             F.concat_ws(
-                ":",
-                F.array_sort(
-                    F.collect_list(
-                        F.concat_ws(
-                            "=",
-                            F.col("perm_id").cast("string"),
-                            F.col("minhash").cast("string"),
-                        )
-                    )
-                ),
-            ).alias("band_key")
+                "=", F.lit(str(p)), F.col(f"m{p}").cast("string")
+            )
+            for p in range(j * rows_per_band, (j + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(j).alias("band_id"), F.concat_ws(":", *frags).alias("band_key")
+            )
         )
-    )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -186,18 +197,27 @@ def minhash_near_dups(
     k: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: sketch -> band-bucket candidates ->
-    exact-Jaccard verification of candidates only.
+    exact-Jaccard verification of the CANDIDATES ONLY (never the full
+    pair space — that would defeat LSH).
 
     With 16 hashes / 8 bands / 2 rows, P(candidate) = 1-(1-j^2)^8:
-    j=0.8 -> 0.9998 recall; j=0.3 -> 0.5 — the classic S-curve. The
-    verification join touches only candidate pairs, so corpus-scale cost
-    is bands * corpus (sketching) + bucket collisions (candidates)."""
+    j=0.8 -> 0.9998 recall; j=0.3 -> 0.5 — the classic S-curve.
+    Corpus-scale cost = sketching (one groupBy) + banding (bands rows
+    per doc) + shingle joins restricted to candidate docs."""
+    sh = shingle_sets(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sigs = minhash_signatures(docs, n_hashes, id_col, text_col, k)
     cand = lsh_candidates(sigs, bands, n_hashes // bands, id_col)
-    exact = jaccard_pairs(docs, threshold, id_col, text_col, k)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    # intersect shingle sets only for candidate pairs
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    shared = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
     )
+    return _jaccard_of(shared, sizes, threshold)
 
 
 def simhash_signatures(
@@ -212,9 +232,8 @@ def simhash_signatures(
     toks = docs.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
     )
-    vocab = vocab_ids(toks.select(F.col("token").alias("term")), "term")
-    with_ids = toks.join(vocab, toks.token == vocab.term).select(
-        F.col(id_col), F.col("term_id")
+    with_ids = toks.select(
+        F.col(id_col), char_fold_hash("token").alias("term_id")
     )
     bit_votes = [
         F.sum(
@@ -240,13 +259,21 @@ def embedding_near_dups(
     join, the exactness baseline. The scale path is the sign-LSH
     bucketing in operators/similarity.py (same scores, bucketed
     candidate generation)."""
-    from flink_etl_spark.functions.vectors import cosine
+    from flink_etl_spark.functions.vectors import dot, norm
 
-    a = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
+    )
+    b = embs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .withColumn(
+            "cos_sim", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

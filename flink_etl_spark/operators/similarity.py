@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from flink_etl_spark.functions.vectors import cosine, dot
+from flink_etl_spark.functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -34,15 +34,23 @@ def cosine_topk(
     per-query top-k is a WindowGroupLimit, so only k rows per query
     cross the final exchange. Scores are rounded BEFORE ranking so rank
     order is reproducible across engines (ties then break on id)."""
+    # norms precomputed once per vector (not 3 dots per pair) — same
+    # double-precision values, ~3x fewer array traversals in the join
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine("qv", "cv"), 6))
+        .withColumn(
+            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -114,16 +122,22 @@ def signlsh_topk(
     qb = signlsh_buckets(queries, planes, id_col, vec_col).withColumnRenamed(
         id_col, "query_id"
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
-        cb, "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
-        qb, "query_id"
-    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+    ).join(cb, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+    ).join(qb, "query_id")
     scored = (
         c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id"))
                & (c.bucket == q.bucket))
-        .withColumn("cos_sim", F.round(cosine("qv", "cv"), 6))
+        .withColumn(
+            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -31,9 +31,13 @@ def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Token counting + vocabulary-richness stats per document."""
-    toks = tokens_expr(text_col)
-    return docs.select(
+    """Token counting + vocabulary-richness stats per document.
+
+    Tokens are projected once (`_t`) — inlining the split into every
+    stat expression re-runs the regex per use (see dedup.shingle_sets).
+    """
+    toks = F.col("_t")
+    return docs.select(F.col(id_col), tokens_expr(text_col).alias("_t")).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
@@ -56,10 +60,12 @@ def lang_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     lexicographically LARGEST language code — replicated exactly in the
     oracle. Heuristic n-gram language ID per the public fastText/CLD
     lineage, reduced to closed-class word hits."""
-    toks = tokens_expr(text_col)
+    toks = F.col("_toks")
     base = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).select(
         F.col(id_col),
-        toks.alias("_toks"),
+        F.col("_toks"),
         *[
             _count_in(toks, ws).alias(f"hits_{lang}")
             for lang, ws in STOPWORDS.items()
@@ -86,7 +92,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
       + 0.3*min(1, 4*stopword_ratio)
 
     plus a keep/flag verdict at 0.5."""
-    toks = tokens_expr(text_col)
+    toks = F.col("_t")
     en = STOPWORDS["en"]
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
@@ -97,6 +103,8 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
     )
     return docs.select(
+        F.col(id_col), F.col(chars_col), tokens_expr(text_col).alias("_t")
+    ).select(
         F.col(id_col),
         F.col(chars_col),
         n_tokens.alias("n_tokens"),

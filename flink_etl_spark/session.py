@@ -30,6 +30,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # INSERT OVERWRITE a single dt= partition without nuking the table
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # dt partitions are STRINGS ("dt=00000000" sentinel included); type
+    # inference would read them back as ints and turn the sentinel into 0
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

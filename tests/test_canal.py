@@ -1,0 +1,97 @@
+"""Unit tests for the Canal envelope operators (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from flink_etl_spark.operators import canal
+
+
+def _raw(spark, records):
+    return spark.createDataFrame([(json.dumps(r) if isinstance(r, dict) else r,) for r in records], ["value"])
+
+
+def _rec(id=1, es=1704067200000, ts=2, type="INSERT", data=None, isDdl="false", **kw):
+    r = {"isDdl": isDdl, "id": id, "es": es, "ts": ts, "type": type,
+         "data": [{"city": "sh", "province": "x"}] if data is None else data}
+    r.update(kw)
+    return r
+
+
+def test_ddl_filter_drops_ddl_and_malformed(spark):
+    raw = _raw(spark, [_rec(id=1), _rec(id=2, isDdl="true"), "not json", _rec(id=3, isDdl=True)])
+    out = canal.filter_ddl(canal.parse_canal(raw))
+    # boolean True coerces to string "true" and is dropped too
+    assert sorted(r.id for r in out.collect()) == [1]
+
+
+def test_boolean_false_isddl_kept(spark):
+    raw = _raw(spark, [_rec(id=5, isDdl=False)])
+    assert canal.filter_ddl(canal.parse_canal(raw)).count() == 1
+
+
+def test_explode_empty_null_and_multi(spark):
+    raw = _raw(spark, [
+        _rec(id=1, data=[]),
+        _rec(id=2, data=[None]),
+        _rec(id=3, data=[{"city": "a", "province": "p"}, {"city": "b", "province": "q"}]),
+    ])
+    rows = canal.explode_rows(canal.filter_ddl(canal.parse_canal(raw))).collect()
+    assert sorted((r.id, r.row["city"]) for r in rows) == [(3, "a"), (3, "b")]
+
+
+def test_flatten_preserves_registered_column_order(spark):
+    raw = _raw(spark, [_rec(id=1, data=[{"city": "sh", "province": "x", "extra": "z"}])])
+    flat = canal.flatten(
+        canal.explode_rows(canal.filter_ddl(canal.parse_canal(raw))),
+        payload_cols=["province", "city"],
+    )
+    assert flat.columns == ["id", "es", "ts", "type", "province", "city"]
+    row = flat.first()
+    assert (row.province, row.city) == ("x", "sh")
+
+
+def test_flatten_csv_layout(spark):
+    raw = _raw(spark, [_rec(id=7, es=5, ts=6, type="UPDATE")])
+    line = canal.flatten_csv(
+        canal.explode_rows(canal.filter_ddl(canal.parse_canal(raw))),
+        payload_cols=["city", "province"],
+    ).first().line
+    assert line == "7,5,6,UPDATE,sh,x"
+
+
+def test_dt_fallback_on_missing_and_bad_es(spark):
+    raw = _raw(spark, [
+        _rec(id=1, es=1704067200000),          # 2024-01-01 UTC
+        json.dumps({"isDdl": "false", "id": 2, "ts": 1, "type": "INSERT",
+                    "data": [{"city": "a", "province": "b"}]}),  # missing es
+    ])
+    out = canal.ingest_pipeline(raw, ["city", "province"])
+    got = {r.id: r.dt for r in out.collect()}
+    assert got == {1: "20240101", 2: canal.DT_FALLBACK}
+
+
+def test_missing_payload_key_yields_null(spark):
+    raw = _raw(spark, [_rec(id=1, data=[{"city": "only"}])])
+    out = canal.ingest_pipeline(raw, ["city", "province"])
+    row = out.first()
+    assert row.city == "only" and row.province is None
+
+
+def test_pipeline_runs_under_streaming(spark, tmp_path):
+    """Same transform chain must be streaming-legal (no batch-only ops)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(json.dumps(_rec(id=i, es=1704067200000 + i)) for i in range(5)))
+    raw = spark.readStream.format("text").schema("value string").load(str(src))
+    out = canal.ingest_pipeline(raw, ["city", "province"])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("canal_stream_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT count(*) AS n FROM canal_stream_test").first().n
+    assert got == 5

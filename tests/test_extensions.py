@@ -1,0 +1,103 @@
+"""Unit tests for dedup / similarity / text operators on synthetic data
+with planted structure (SURVEY.md §5 + FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from flink_etl_spark.operators import dedup, multimodal, similarity, text
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    far = "completely different words that share nothing with other texts here"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = dedup.exact_dedup(_docs(spark), ["text"], "doc_id")
+    got = {r.keep_id: r.n_copies for r in out.collect()}
+    assert got == {0: 2, 2: 1, 3: 1}
+
+
+def test_jaccard_pairs_finds_planted_near_dup(spark):
+    pairs = dedup.jaccard_pairs(_docs(spark), threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0            # exact dup
+    assert 0.5 <= got[(2, 0)] if (2, 0) in got else got[(0, 2)] < 1.0
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_recalls_exact_dup(spark):
+    out = dedup.minhash_near_dups(_docs(spark), threshold=0.5)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert (0, 1) in pairs
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_cosine_topk_exact_neighbors(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(embs, embs.filter(F.col("vec_id") == 0), k=3)
+    ranked = [r.neighbor_id for r in out.orderBy("rnk").collect()]
+    assert ranked == [1, 2, 3]
+    top = out.filter(F.col("rnk") == 1).first()
+    assert math.isclose(top.cos_sim, 0.9 / math.sqrt(0.82), rel_tol=1e-4)
+
+
+def test_signlsh_bucket_excludes_opposite_vectors(spark):
+    vecs = [(i, [1.0 + 0.01 * i, 0.5, 0.25]) for i in range(4)] + [
+        (10, [1.0, 0.4, 0.3]),
+        (11, [-1.0, -0.4, -0.3]),
+    ]
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity.signlsh_topk(embs, embs.filter(F.col("vec_id") == 10), k=5)
+    neighbors = {r.neighbor_id for r in out.collect()}
+    assert 11 not in neighbors  # opposite sign pattern -> different bucket
+    assert neighbors  # same-direction vectors found
+
+
+def test_lang_id_and_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a test of the system"),
+            (2, "el perro y el gato en la casa es de un amigo"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("n_chars", F.length("text"))
+    langs = {r.doc_id: r.lang_guess for r in text.lang_scores(docs).collect()}
+    assert langs == {1: "en", 2: "es"}
+    q = {r.doc_id: r.verdict for r in text.quality_scores(docs).collect()}
+    assert set(q.values()) <= {"keep", "flag"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprints(docs).collect()}
+    assert fps[1] == fps[3] != fps[2]
+
+
+def test_media_decode_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "")], ["doc_id", "text"])
+    out = multimodal.decode_media(multimodal.make_media_table(docs), fake=True)
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].n_bytes == 11 and len(rows[1].features) == 8
+    assert rows[2].features == [0.0] * 8
