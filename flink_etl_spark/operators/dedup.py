@@ -203,11 +203,32 @@ def minhash_near_dups(
     With 16 hashes / 8 bands / 2 rows, P(candidate) = 1-(1-j^2)^8:
     j=0.8 -> 0.9998 recall; j=0.3 -> 0.5 — the classic S-curve.
     Corpus-scale cost = sketching (one groupBy) + banding (bands rows
-    per doc) + shingle joins restricted to candidate docs."""
+    per doc) + shingle joins restricted to candidate docs.
+
+    Tokenization is the dominant cost at corpus scale, so the sketch is
+    built in as few passes as possible: shingle-set size AND all n
+    minhash signatures come out of a SINGLE groupBy over the postings —
+    the naive DAG (separate sizes / sigs aggregations) re-scans and
+    re-tokenizes the corpus six times; this shape scans three (profile,
+    verify-a, verify-b; measured via .explain). At true corpus scale,
+    stage the postings to parquet once and feed all three consumers —
+    deliberately NOT .persist(): measured slower at bench SF (cache
+    materialization + lost codegen fusion outweigh rescans)."""
     sh = shingle_sets(docs, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, k)
-    cand = lsh_candidates(sigs, bands, n_hashes // bands, id_col)
+    with_ids = sh.select(
+        F.col(id_col), F.col("shingle"), char_fold_hash("shingle").alias("term_id")
+    )
+    mins = [
+        F.min(
+            (F.col("term_id").cast("long") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    ]
+    profile = with_ids.groupBy(id_col).agg(
+        F.count("*").alias("n_sh"), *mins
+    )
+    sizes = profile.select(id_col, "n_sh")
+    cand = lsh_candidates(profile, bands, n_hashes // bands, id_col)
     # intersect shingle sets only for candidate pairs
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
