@@ -1,0 +1,99 @@
+"""Temporal join catalog queries over `events`.
+
+The as-of oracle uses DuckDB's native `ASOF LEFT JOIN`; the Spark side
+is the union-marker window implementation (operators/joins.py) — two
+entirely independent formulations that must agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_etl_spark.catalog import _t, query
+from flink_etl_spark.operators.joins import asof_join, interval_join
+
+
+@query(
+    "asof_join_purchase_click",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           c.click_id, c.click_ts, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for every purchase, the user's latest click
+    at-or-before it (feature-backfill shape). (user_id, ts) is unique in
+    the data, so no tie-break is needed; it is still passed for
+    determinism under replays."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        p, c, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts",
+        tie_break="click_id",
+    )
+
+
+@query(
+    "interval_join_purchase_errors",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, ts AS err_ts, value AS err_value
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, p.user_id,
+           count(e.err_ts) AS n_errors,
+           round(coalesce(sum(e.err_value), 0), 6) AS err_value_sum
+    FROM p LEFT JOIN e
+      ON e.user_id = p.user_id
+     AND e.err_ts >  p.purchase_ts - INTERVAL 1 HOUR
+     AND e.err_ts <= p.purchase_ts
+    GROUP BY 1, 2
+    """,
+)
+def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed enrichment: errors seen by the user in the hour leading
+    up to each purchase (count + value sum)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    joined = interval_join(
+        p, e, on=["user_id"], left_ts="purchase_ts", right_ts="err_ts",
+        lower="1 HOUR", upper="0 SECONDS",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("err_ts").alias("n_errors"),
+        F.round(F.coalesce(F.sum("err_value"), F.lit(0.0)), 6).alias("err_value_sum"),
+    )

@@ -1,0 +1,105 @@
+"""Unit tests for temporal/skew joins (operators/joins.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+import pyspark.sql.functions as F
+
+from flink_etl_spark.operators.joins import asof_join, interval_join, salted_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:03"), 100.0),
+            ("A", _ts("2024-01-01T10:00:10"), 101.0),
+            ("B", _ts("2024-01-01T10:00:05"), 50.0),
+            ("C", _ts("2024-01-01T10:00:01"), 7.0),  # no quote ever
+        ],
+        "sym string, t_ts timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:01"), 99.5),
+            ("A", _ts("2024-01-01T10:00:03"), 99.9),  # == trade ts
+            ("A", _ts("2024-01-01T10:00:08"), 100.5),
+            ("B", _ts("2024-01-01T10:00:09"), 49.0),  # after B's only trade
+        ],
+        "sym string, q_ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts"
+    )
+    rows = {(r.sym, r.px): (r.bid, r.q_ts) for r in out.collect()}
+    assert len(rows) == 4  # every left row survives (LEFT semantics)
+    assert rows[("A", 100.0)][0] == 99.9  # equal-ts quote IS visible
+    assert rows[("A", 101.0)][0] == 100.5  # latest at-or-before 10:00:10
+    assert rows[("B", 50.0)] == (None, None)  # only later quotes exist
+    assert rows[("C", 7.0)] == (None, None)  # key absent on right
+
+
+def test_asof_strict_excludes_equal_ts(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts", strict=True
+    )
+    rows = {(r.sym, r.px): r.bid for r in out.collect()}
+    assert rows[("A", 100.0)] == 99.5  # 10:00:03 quote now hidden
+
+
+def test_asof_rejects_column_overlap(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="rename overlapping"):
+        asof_join(
+            trades.withColumnRenamed("px", "bid"), quotes,
+            on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        )
+
+
+def test_interval_join_window_bounds(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = interval_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        lower="5 SECONDS", upper="0 SECONDS",
+    )
+    got = {
+        (r.sym, r.px, r.bid)
+        for r in out.collect()
+    }
+    # A@3s window (-5s,0]: quotes at 1s,3s; A@10s: quotes at 8s (5s is
+    # outside: 10-5=5 exclusive lower bound)
+    assert got == {
+        ("A", 100.0, 99.5),
+        ("A", 100.0, 99.9),
+        ("A", 101.0, 100.5),
+        ("B", 50.0, None),
+        ("C", 7.0, None),
+    }
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "z")], "k long, name string"
+    )
+    plain = big.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(big, dim, on=["k"], salt_buckets=8).groupBy(
+        "k", "name"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
