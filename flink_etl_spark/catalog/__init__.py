@@ -53,6 +53,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        streaming,
         temporal,
         text,
     )

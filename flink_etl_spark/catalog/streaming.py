@@ -1,0 +1,86 @@
+"""Streaming catalog queries: custom stateful operators run to
+completion (availableNow) over the testdata, checked against full
+DuckDB oracles — a batch SQL engine independently reproduces what the
+stateful streaming operator computed incrementally.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_etl_spark.catalog import query
+from flink_etl_spark.session import apply_runtime_confs
+from flink_etl_spark.streaming.stateful import sessionize_stream
+
+#: raw parquet schema of events.parquet (ts is INT64 TIMESTAMP(NANOS),
+#: surfaced as a LONG under nanosAsLong — same seam as sources/tables.py)
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+_SINK_SEQ = itertools.count()
+
+
+@query(
+    "stream_sessionize_closed",
+    """
+    WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM agg
+    WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    """,
+)
+def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) as a CUSTOM STATEFUL STREAMING
+    operator (applyInPandasWithState), drained with availableNow; emits
+    every CLOSED session (the open tail session per user stays in
+    state). The oracle rebuilds the same sessions in pure SQL — an
+    independent batch formulation of the incremental computation."""
+    apply_runtime_confs(spark)
+    # glob, not a bare file path: FileStreamSource derives basePath from
+    # the glob's parent and requires it to be a directory
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque*")
+    )
+    ev = raw.select(
+        "user_id",
+        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias("ts"),
+        "value",
+    )
+    sessions = sessionize_stream(ev, gap_minutes=30)
+    name = f"_sessionize_sink_{next(_SINK_SEQ)}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,165 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's streaming job is stateless record-at-a-time
+(HdfsSink.java:55-125); its only stateful logic — latest-record-per-key
+compaction — runs as a daily BATCH job (README.md:221-253). These
+operators close that gap: the same semantics maintained CONTINUOUSLY on
+the stream, plus the sessionization primitive every event pipeline
+needs.
+
+Scale design (100 TB / unbounded streams):
+* state is partitioned by key across executors (hash shuffle on the
+  groupBy key) — per-key state is O(1) for compaction (one row) and
+  O(1) for sessions (five scalars), so total state = #distinct keys,
+  independent of stream length
+* Arrow batches in/out (applyInPandasWithState), no per-row Python
+* `dropDuplicatesWithinWatermark` bounds dedup state by event-time
+  horizon instead of growing forever (the exact-dedup-on-stream
+  tradeoff: dups further apart than the watermark delay can reappear)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: first record per key
+    wins; state for a key is dropped once the watermark passes its
+    event time + delay. Batch equivalent: `dropDuplicates(keys)`."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+#: output schema of `sessionize_stream` (closed sessions)
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+#: per-key state: open session accumulator
+_SESSION_STATE_SCHEMA = (
+    "start long, last long, n int, total double"
+)
+
+
+# NOTE: the state functions below must stay fully self-contained
+# (no references to module-level helpers): cloudpickle then ships them
+# by value, so executors never need this package importable — the
+# driver contract runs with the repo on the driver's sys.path only.
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator: events of
+    one user belong to one session while consecutive gaps stay under
+    `gap_minutes`; a longer gap CLOSES the session, which is emitted
+    downstream. The still-open tail session stays in state (it would
+    close on a later batch).
+
+    This is deliberately applyInPandasWithState, not the built-in
+    `session_window` aggregation: custom state lets the operator emit
+    arbitrary per-session payloads and implement semantics the built-in
+    cannot (e.g. max-length session splits, carried session attributes).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        closed: list[tuple[int, int, int, int, float]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            # normalize datetime64[ns|us] -> epoch micros explicitly
+            micros = pdf[ts_col].astype("datetime64[us]").astype("int64")
+            for t, v in zip(micros, pdf[value_col]):
+                t = int(t)
+                if start is None:
+                    start, last, n, total = t, t, 1, float(v)
+                elif t - last > gap_us:
+                    closed.append((key[0], start, last, n, total))
+                    start, last, n, total = t, t, 1, float(v)
+                else:
+                    last, n, total = t, n + 1, total + float(v)
+        state.update((start, last, n, total))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[user_col, "session_start", "session_end", "n_events",
+                         "total_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            out["total_value"] = out["total_value"].round(6)
+            yield out
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: output schema of `cdc_compact_stream`
+COMPACT_SCHEMA = (
+    "id bigint, es bigint, ts bigint, type string, city string, province string"
+)
+_COMPACT_STATE_SCHEMA = COMPACT_SCHEMA
+
+
+def cdc_compact_stream(changes: DataFrame) -> DataFrame:
+    """The reference's daily latest-per-key compaction (row_number over
+    (id ORDER BY event_time DESC), README.md:244-251) as a CONTINUOUS
+    operator: per-key state holds the current latest record; each
+    micro-batch emits the keys whose latest record changed — a streaming
+    materialized view of the snapshot table.
+
+    Ordering matches operators/merge.dedup_latest: (es DESC, ts DESC).
+    Input schema: the flattened Canal row (id, es, ts, type, payload...).
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["id", "es", "ts", "type", "city", "province"]
+        prev = tuple(state.get) if state.exists else None
+        best = prev
+        for pdf in pdfs:
+            for row in pdf[cols].itertuples(index=False):
+                cand = tuple(row)
+                if best is None or (cand[1], cand[2]) > (best[1], best[2]):
+                    best = cand
+        if best is not None and best != prev:
+            state.update(best)
+            yield pd.DataFrame([best], columns=cols)
+
+    return changes.groupBy("id").applyInPandasWithState(
+        fn,
+        outputStructType=COMPACT_SCHEMA,
+        stateStructType=_COMPACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

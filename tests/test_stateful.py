@@ -1,0 +1,153 @@
+"""Stateful streaming operators (streaming/stateful.py): each checked
+against an independent batch formulation of the same semantics."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from flink_etl_spark.sources.tables import load_table
+from flink_etl_spark.streaming.stateful import (
+    cdc_compact_stream,
+    sessionize_stream,
+    stream_dedup,
+)
+
+
+def _drain(stream_df, name: str, spark, output_mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(src)
+    got = _drain(
+        sessionize_stream(stream, gap_minutes=30), "sess_test", spark, "append"
+    )
+    got_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 6))
+        for r in got.collect()
+    }
+
+    # independent batch formulation: lag-gap cumulative sum -> sessions;
+    # the stream only emits CLOSED sessions (a >gap successor exists),
+    # so drop each user's final session
+    w_u = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        events.withColumn("prev", F.lag("ts").over(w_u))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull())
+            | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800),
+        )
+        .withColumn("sid", F.sum(F.col("new_sess").cast("int")).over(w_u))
+    )
+    batch = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    last_sid = batch.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    closed = batch.join(last_sid, "user_id").filter(F.col("sid") < F.col("last_sid"))
+    exp_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.total_value, 6))
+        for r in closed.collect()
+    }
+    assert got_rows == exp_rows
+    assert len(got_rows) > 50  # non-trivial corpus
+
+
+def _canal_rows(ids, es_base, n_versions):
+    rows = []
+    seq = 0
+    for v in range(n_versions):
+        for i in ids:
+            rows.append(
+                (i, es_base + v * 1000 + (i % 3), seq, "UPDATE" if v else "INSERT",
+                 f"city{i}_v{v}", f"p{i % 5}")
+            )
+            seq += 1
+    return rows
+
+
+def test_cdc_compact_stream_matches_batch_dedup(spark, tmp_path):
+    """Continuous compaction across micro-batches == batch dedup_latest."""
+    from flink_etl_spark.operators.merge import dedup_latest
+
+    schema = "id bigint, es bigint, ts bigint, type string, city string, province string"
+    b1 = spark.createDataFrame(_canal_rows(range(10), 1_000_000, 2), schema)
+    b2 = spark.createDataFrame(
+        _canal_rows(range(5, 15), 2_000_000, 1)  # overlap keys 5-9, new 10-14
+        + [(3, 500, 99, "UPDATE", "stale", "p0")],  # late/out-of-order: loses
+        schema,
+    )
+    src = str(tmp_path / "cdc")
+    b1.write.parquet(f"{src}/f1")
+    b2.write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    got = _drain(cdc_compact_stream(stream), "cdc_compact_test", spark, "update")
+    # update-mode memory sink appends each emission; the LATEST emission
+    # per key is the operator's current answer
+    w = Window.partitionBy("id").orderBy(F.col("es").desc(), F.col("ts").desc())
+    final = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    expected = dedup_latest(b1.unionAll(b2), ["id"], order_by=["es", "ts"])
+    got_rows = sorted(map(tuple, final.collect()))
+    exp_rows = sorted(map(tuple, expected.collect()))
+    assert got_rows == exp_rows
+    assert len(got_rows) == 15
+    # the stale update for id=3 must NOT have won
+    assert [r for r in got_rows if r[0] == 3][0][4] == "city3_v1"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    recs = [
+        {"k": 1, "ts": "2024-01-01T10:00:00", "v": "a"},
+        {"k": 1, "ts": "2024-01-01T10:05:00", "v": "dup"},   # same key
+        {"k": 2, "ts": "2024-01-01T10:01:00", "v": "b"},
+        {"k": 2, "ts": "2024-01-01T10:01:00", "v": "b"},     # exact dup
+        {"k": 3, "ts": "2024-01-01T11:30:00", "v": "c"},
+    ]
+    src = tmp_path / "dups"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in recs))
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, v string")
+        .json(str(src))
+    )
+    got = _drain(
+        stream_dedup(stream, ["k"], "ts", delay="1 hour"),
+        "dedup_wm_test", spark, "append",
+    )
+    rows = sorted((r.k, r.v) for r in got.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
