@@ -51,6 +51,7 @@ def load_all() -> None:
         cdc,
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         streaming,

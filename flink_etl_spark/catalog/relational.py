@@ -442,3 +442,116 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "agg_percentiles_value",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(avg(value), 6) AS mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based agg). At 100 TB swap for
+    `approx_percentile` (t-digest-style sketch, one pass, mergeable
+    partials) wherever exactness is negotiable — same call shape."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+@query(
+    "grouping_sets_order_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def grouping_sets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube) —
+    one Expand + one aggregation, not three scans."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (o_orderstatus = 'P') AS status_P,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list (no extra distinct-values job —
+    at scale, always pin the pivot columns)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).alias("status_O"),
+        F.coalesce("F_n", F.lit(0)).alias("status_F"),
+        F.coalesce("P_n", F.lit(0)).alias("status_P"),
+        F.round(
+            F.coalesce("O_rev", F.lit(0.0))
+            + F.coalesce("F_rev", F.lit(0.0))
+            + F.coalesce("P_rev", F.lit(0.0)),
+            2,
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "correlated_above_avg_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (one shuffle on the correlation key), never a
+    per-row re-execution."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total
+        FROM orders o
+        WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

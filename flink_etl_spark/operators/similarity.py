@@ -99,6 +99,104 @@ def signlsh_buckets(
     )
 
 
+def ivf_centroids(
+    embs: DataFrame, n_cells: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the embeddings of the n_cells
+    smallest ids as cell centroids, re-labeled 0..n-1. A k-means pass
+    would improve cell balance but adds nondeterminism; the IVF
+    structure (assign -> probe -> rerank) is identical either way."""
+    w = Window.orderBy(F.col(id_col))
+    return (
+        embs.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cells)
+        .select(
+            (F.col("_rn") - 1).cast("int").alias("cell_id"),
+            F.col(vec_col).alias("centroid"),
+            norm("centroid").alias("centroid_norm"),
+        )
+    )
+
+
+def ivf_assign(
+    embs: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its nprobe nearest cells by cosine (broadcast
+    the centroid table — it is tiny by construction). Deterministic:
+    similarity rounded before ranking, ties break on cell_id."""
+    scored = embs.join(F.broadcast(centroids)).withColumn(
+        "_sim",
+        F.round(
+            dot(vec_col, "centroid") / (norm(vec_col) * F.col("centroid_norm")), 6
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select(F.col(id_col), "cell_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat ANN top-k: corpus vectors live in their nearest cell;
+    each query probes its `nprobe` nearest cells and scores only those
+    vectors. The scale shape: corpus shuffles ONCE by cell_id (then can
+    be written bucketed-by-cell and reused across query batches); per
+    query the work is |corpus|/n_cells * nprobe instead of |corpus|."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cc = ivf_assign(corpus, cents, 1, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qc = ivf_assign(queries, cents, nprobe, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+    ).join(cc, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+    ).join(qc, "query_id")
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id")) & (c.cell_id == q.cell_id),
+        )
+        .withColumn(
+            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+        )
+        # a neighbor can appear via several probed cells -> dedup pairs
+        .select("query_id", "neighbor_id", "cos_sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

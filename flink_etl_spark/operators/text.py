@@ -116,6 +116,62 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def doc_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """EVERY per-document text signal in ONE projection over ONE scan:
+    token stats, per-language stopword hits + argmax, quality score +
+    verdict, and the rolling fingerprint.
+
+    This is the operator a 100 TB prep pipeline actually runs: the
+    individual operators above exist as composable units, but chaining
+    them joins N single-signal scans; at corpus scale tokenization IS
+    the cost, so all signals must come off one tokenization. Everything
+    stays in whole-stage codegen (higher-order functions, no Python)."""
+    toks = F.col("_t")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    stop_ratio = _count_in(toks, STOPWORDS["en"]) / n_tokens.cast("double")
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
+    )
+    packed = [
+        F.struct(_count_in(toks, ws).alias("s"), F.lit(lang).alias("l"))
+        for lang, ws in STOPWORDS.items()
+    ]
+    contribs = F.transform(
+        toks, lambda t: (F.ascii(t) * F.lit(131) + F.length(t)).cast("long")
+    )
+    fp = F.aggregate(
+        contribs,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(MERSENNE_P),
+    )
+    return docs.select(
+        F.col(id_col), F.col(text_col), F.col(chars_col),
+        tokens_expr(text_col).alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(chars_col),
+        n_tokens.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        *[_count_in(toks, ws).alias(f"hits_{lang}") for lang, ws in STOPWORDS.items()],
+        F.greatest(*packed).getField("l").alias("lang_guess"),
+        F.round(score, 6).alias("quality"),
+        F.when(F.round(score, 6) >= 0.5, F.lit("keep")).otherwise(F.lit("flag")).alias(
+            "verdict"
+        ),
+        fp.alias("fingerprint"),
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling document fingerprint:
 
