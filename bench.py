@@ -24,16 +24,19 @@ from flink_etl_spark.session import get_spark  # noqa: E402
 from flink_etl_spark import queries as Q  # noqa: E402
 
 #: headline set — one per operator family (CDC, ingest, agg, join,
-#: window, near-dup, ANN, text)
+#: temporal join, window, near-dup, ANN, text, composite pipeline)
 HEADLINE = [
     "cdc_merge_day",
     "canal_ingest_flatten",
     "agg_pricing_summary",
     "join_multiway_region_revenue",
+    "asof_join_purchase_click",
     "window_topk_orders_per_customer",
     "dedup_minhash_lsh",
     "knn_bruteforce_cosine",
+    "ann_ivf_topk",
     "text_quality_score",
+    "pipeline_training_prep",
 ]
 
 
