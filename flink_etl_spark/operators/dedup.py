@@ -21,6 +21,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -148,13 +150,22 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 2, id_col: str = "doc_id"
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Band the wide signature: band j covers perms [j*r, (j+1)*r);
     band_key = ':'-joined 'perm=minhash' fragments (ascending perm —
     identical to sorting the fragments lexicographically, since both
     perms in a band share digit count). Docs sharing any (band_id,
-    band_key) bucket are candidates; returns distinct doc_a < doc_b."""
+    band_key) bucket are candidates; returns distinct doc_a < doc_b.
+
+    `carry_cols` ride along through the band self-join and come out as
+    `<col>_a` / `<col>_b` — carrying per-doc attributes here (e.g. the
+    shingle-set size) saves downstream re-aggregation joins, each of
+    which would re-scan and re-tokenize the corpus."""
     band_structs = []
     for j in range(bands):
         frags = [
@@ -169,8 +180,11 @@ def lsh_candidates(
             )
         )
     banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
-    ).select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+        F.col(id_col), *carry_cols, F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        id_col, *carry_cols,
+        F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -181,7 +195,10 @@ def lsh_candidates(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
         )
         .distinct()
     )
@@ -207,13 +224,16 @@ def minhash_near_dups(
 
     Tokenization is the dominant cost at corpus scale, so the sketch is
     built in as few passes as possible: shingle-set size AND all n
-    minhash signatures come out of a SINGLE groupBy over the postings —
-    the naive DAG (separate sizes / sigs aggregations) re-scans and
-    re-tokenizes the corpus six times; this shape scans three (profile,
-    verify-a, verify-b; measured via .explain). At true corpus scale,
-    stage the postings to parquet once and feed all three consumers —
-    deliberately NOT .persist(): measured slower at bench SF (cache
-    materialization + lost codegen fusion outweigh rescans)."""
+    minhash signatures come out of a SINGLE groupBy over the postings,
+    and the set sizes ride through the band self-join (carry_cols) so
+    the Jaccard denominator needs no re-aggregation. The naive DAG
+    (separate sizes/sigs aggregations + sizes joins) scans and
+    re-tokenizes the corpus SIX times; this shape scans four — the two
+    unavoidable self-join sides of banding and verification (measured
+    via .explain). At true corpus scale, stage the postings/profile to
+    parquet once and feed both sides — deliberately NOT .persist():
+    measured slower at bench SF (cache materialization + lost codegen
+    fusion outweigh rescans)."""
     sh = shingle_sets(docs, id_col, text_col, k)
     with_ids = sh.select(
         F.col(id_col), F.col("shingle"), char_fold_hash("shingle").alias("term_id")
@@ -227,18 +247,31 @@ def minhash_near_dups(
     profile = with_ids.groupBy(id_col).agg(
         F.count("*").alias("n_sh"), *mins
     )
-    sizes = profile.select(id_col, "n_sh")
-    cand = lsh_candidates(profile, bands, n_hashes // bands, id_col)
+    # n_sh rides through the band self-join (na/nb on every candidate
+    # pair) so no sizes re-aggregation — and no extra corpus scans —
+    # is needed for the Jaccard denominator
+    cand = lsh_candidates(
+        profile, bands, n_hashes // bands, id_col, carry_cols=("n_sh",)
+    )
     # intersect shingle sets only for candidate pairs
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
-    shared = (
+    return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
         .agg(F.count("*").alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return _jaccard_of(shared, sizes, threshold)
 
 
 def simhash_signatures(

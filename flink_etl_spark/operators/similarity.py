@@ -129,18 +129,25 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector its nprobe nearest cells by cosine (broadcast
     the centroid table — it is tiny by construction). Deterministic:
-    similarity rounded before ranking, ties break on cell_id."""
-    scored = embs.join(F.broadcast(centroids)).withColumn(
+    similarity rounded before ranking, ties break on cell_id.
+
+    The vector and its norm RIDE ALONG through the assignment
+    (`<vec_col>`, `vec_norm` in the output) — downstream scoring then
+    never joins back to the corpus, keeping the whole IVF search at one
+    scan per side."""
+    scored = embs.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("vec_norm")
+    ).join(F.broadcast(centroids)).withColumn(
         "_sim",
         F.round(
-            dot(vec_col, "centroid") / (norm(vec_col) * F.col("centroid_norm")), 6
+            dot(vec_col, "centroid") / (F.col("vec_norm") * F.col("centroid_norm")), 6
         ),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= nprobe)
-        .select(F.col(id_col), "cell_id")
+        .select(F.col(id_col), F.col(vec_col), F.col("vec_norm"), F.col("cell_id"))
     )
 
 
@@ -159,22 +166,18 @@ def ivf_topk(
     be written bucketed-by-cell and reused across query batches); per
     query the work is |corpus|/n_cells * nprobe instead of |corpus|."""
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
-    cc = ivf_assign(corpus, cents, 1, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
-    qc = ivf_assign(queries, cents, nprobe, id_col, vec_col).withColumnRenamed(
-        id_col, "query_id"
-    )
-    c = corpus.select(
+    c = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm(vec_col).alias("cn"),
-    ).join(cc, "neighbor_id")
-    q = queries.select(
+        F.col("vec_norm").alias("cn"),
+        "cell_id",
+    )
+    q = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm(vec_col).alias("qn"),
-    ).join(qc, "query_id")
+        F.col("vec_norm").alias("qn"),
+        "cell_id",
+    )
     scored = (
         c.join(
             F.broadcast(q),
