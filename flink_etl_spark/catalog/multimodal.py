@@ -37,3 +37,33 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     check: the decode output is not SQL-expressible by design."""
     docs = _t(spark, sf_dir, "documents")
     return M.decode_media(M.make_media_table(docs), fake=True)
+
+
+@query(
+    "media_sample_frames",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents
+    )
+    SELECT media_id,
+           i AS frame_idx,
+           i * 64 AS offset,
+           length(substring(text, i * 64 + 1, 64)) AS n_frame_bytes,
+           substring(text, i * 64 + 1, 64) AS frame_text
+    FROM m, UNNEST(range(0, greatest(CAST(ceil(n / 64.0) AS BIGINT), 1), 2))
+            AS u(i)
+    """,
+)
+def media_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM frame sampling (sequence+explode+binary substring): every
+    2nd 64-byte frame of each payload. The payload is utf-8 of ASCII
+    text, so the oracle's character substring equals the byte slice."""
+    import pyspark.sql.functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = M.sample_frames(M.make_media_table(docs), frame_size=64, stride=2)
+    return frames.select(
+        "media_id", "frame_idx", "offset", "n_frame_bytes",
+        F.decode("frame_bytes", "utf-8").alias("frame_text"),
+    )

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -132,3 +133,88 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
             yield out
 
     return media.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_size: int = 256,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling as PURE JVM column math — no Python at all: treat
+    the payload as fixed-size frames, emit every `stride`-th frame as a
+    (media_id, frame_idx, offset, frame_bytes) row via sequence+explode
+    and binary substring. The 1->N shape and partition behavior are
+    exactly what a real video sampler needs; only pixel DECODING of the
+    emitted frames would require a codec (see `decode_media`).
+
+    Scale: output rows = n_frames/stride per blob, produced inside
+    whole-stage codegen; no shuffle — sampling is embarrassingly
+    parallel per input partition."""
+    n_frames = F.greatest(
+        (F.length("payload") + F.lit(frame_size - 1)) / F.lit(frame_size), F.lit(1)
+    ).cast("long")
+    return (
+        media.select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(stride))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * frame_size).cast("long").alias("offset"),
+            F.expr(
+                f"substring(payload, frame_idx * {frame_size} + 1, {frame_size})"
+            ).alias("frame_bytes"),
+        )
+        .withColumn("n_frame_bytes", F.length("frame_bytes").cast("long"))
+    )
+
+
+#: schema of a resized-media record
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    decoded_media: DataFrame, max_w: int = 224, max_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Aspect-preserving downscale to fit (max_w, max_h) via Arrow
+    mapInPandas. Geometry math is real; pixel resampling is the codec
+    stub (`fake=True` passes the payload through; `fake=False` raises
+    where PIL's `Image.resize` would run). Upscaling never happens
+    (scale capped at 1.0) — the usual training-data convention."""
+
+    def resize_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        # self-contained closure: see decode_batches note
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real pixel resampling requires an image codec absent "
+                    "from this container; use fake=True for plumbing tests"
+                )
+            scale = (max_w / pdf["width"]).clip(upper=1.0).combine(
+                (max_h / pdf["height"]).clip(upper=1.0), min
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": (pdf["width"] * scale).astype("int64").clip(lower=1),
+                    "height": (pdf["height"] * scale).astype("int64").clip(lower=1),
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return decoded_media.mapInPandas(resize_batches, RESIZE_SCHEMA)

@@ -101,3 +101,41 @@ def test_media_decode_plumbing(spark):
     rows = {r.media_id: r for r in out.collect()}
     assert rows[1].n_bytes == 11 and len(rows[1].features) == 8
     assert rows[2].features == [0.0] * 8
+
+
+def test_media_sample_frames_slices(spark):
+    media = spark.createDataFrame(
+        [(1, b"abcdefghij"), (2, b"xy"), (3, b"")],
+        "media_id long, payload binary",
+    )
+    out = multimodal.sample_frames(media, frame_size=4, stride=1)
+    rows = {(r.media_id, r.frame_idx): r for r in out.collect()}
+    # 10 bytes -> 3 frames of 4/4/2; 2 bytes -> 1 frame; empty -> 1 empty frame
+    assert bytes(rows[(1, 0)].frame_bytes) == b"abcd"
+    assert bytes(rows[(1, 1)].frame_bytes) == b"efgh"
+    assert bytes(rows[(1, 2)].frame_bytes) == b"ij"
+    assert rows[(1, 2)].n_frame_bytes == 2
+    assert rows[(1, 1)].offset == 4
+    assert bytes(rows[(2, 0)].frame_bytes) == b"xy"
+    assert rows[(3, 0)].n_frame_bytes == 0
+    # stride sampling drops odd frames
+    strided = multimodal.sample_frames(media, frame_size=4, stride=2)
+    got = {(r.media_id, r.frame_idx) for r in strided.collect()}
+    assert got == {(1, 0), (1, 2), (2, 0), (3, 0)}
+
+
+def test_media_resize_geometry(spark):
+    decoded = spark.createDataFrame(
+        [(1, "text/plain", 640, 480, b"p1"), (2, "text/plain", 100, 200, b"p2"),
+         (3, "text/plain", 50, 40, b"p3")],
+        "media_id long, mime string, width long, height long, payload binary",
+    )
+    out = multimodal.resize_media(decoded, max_w=224, max_h=224, fake=True)
+    rows = {r.media_id: r for r in out.collect()}
+    # 640x480 -> scale 0.35 -> 224x168 (aspect preserved, fits box)
+    assert (rows[1].width, rows[1].height) == (224, 168)
+    # 100x200 -> scale 1.12 capped at... 224/200=1.12, but no upscaling
+    assert (rows[2].width, rows[2].height) == (100, 200)
+    # small image untouched
+    assert (rows[3].width, rows[3].height) == (50, 40)
+    assert bytes(rows[1].payload) == b"p1"
