@@ -51,11 +51,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # best of two runs per query: the second run re-executes the full
+    # plan (noop sink, nothing cached) but sheds scheduler/JIT jitter,
+    # which at this scale factor otherwise swamps real regressions
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        catalog[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            catalog[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     result = {
         "metric": "headline_total_sec",
