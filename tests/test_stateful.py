@@ -151,3 +151,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     rows = sorted((r.k, r.v) for r in got.collect())
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_streaming_cdc_end_to_end(spark, tmp_path):
+    """The reference's WHOLE system, continuously: Canal JSON stream ->
+    parse/filter/explode/flatten (ingest chain) -> stateful latest-per-
+    key compaction == the daily batch pipeline (ingest batch + merge)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flink_etl_spark.operators.canal import ingest_pipeline
+    from flink_etl_spark.operators.merge import dedup_latest
+
+    recs = []
+    for i in range(30):
+        key = i % 7
+        recs.append(json.dumps({
+            "isDdl": "false" if i % 6 else "true",  # some DDL noise
+            "id": key,
+            "es": 1704067200000 + i * 1000,
+            "ts": i,
+            "type": "INSERT" if i < 7 else "UPDATE",
+            "data": [{"city": f"c{i}", "province": f"p{key % 3}"}],
+        }))
+    src = tmp_path / "canal"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(recs[:15]))
+    (src / "b.jsonl").write_text("\n".join(recs[15:]))
+
+    raw_stream = (
+        spark.readStream.format("text").schema("value string")
+        .option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    flat = ingest_pipeline(raw_stream, ["city", "province"]).drop("dt")
+    got_df = _drain(cdc_compact_stream(flat), "cdc_e2e_test", spark, "update")
+    w = Window.partitionBy("id").orderBy(F.col("es").desc(), F.col("ts").desc())
+    got = sorted(
+        map(tuple,
+            got_df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").drop("rn").collect())
+    )
+
+    raw_batch = spark.read.text(str(src))
+    flat_batch = ingest_pipeline(raw_batch, ["city", "province"]).drop("dt")
+    expected = sorted(
+        map(tuple, dedup_latest(flat_batch, ["id"], order_by=["es", "ts"]).collect())
+    )
+    assert got == expected
+    assert len(got) == 7
