@@ -97,3 +97,38 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("err_ts").alias("n_errors"),
         F.round(F.coalesce(F.sum("err_value"), F.lit(0.0)), 6).alias("err_value_sum"),
     )
+
+
+@query(
+    "salted_join_type_deviation",
+    """
+    WITH dim AS (
+        SELECT event_type, round(avg(value), 6) AS type_avg
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value - d.type_avg), 2) AS total_deviation,
+           round(max(abs(e.value - d.type_avg)), 6) AS max_abs_deviation
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately pathological skew: the join key (event_type) has
+    only 5 distinct values, so an unsalted shuffle join lands the whole
+    table on 5 tasks. salted_join spreads each hot key over 8 salt
+    buckets; the oracle is the PLAIN join — salting must be invisible
+    in the results."""
+    from flink_etl_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    joined = salted_join(ev, dim, on=["event_type"], salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value") - F.col("type_avg")), 2).alias("total_deviation"),
+        F.round(F.max(F.abs(F.col("value") - F.col("type_avg"))), 6).alias(
+            "max_abs_deviation"
+        ),
+    )

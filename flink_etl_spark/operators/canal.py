@@ -119,6 +119,31 @@ def flatten_csv(
     return df.select(F.concat_ws(sep, *parts).alias("line"))
 
 
+def flatten_csv_dynamic(
+    df: DataFrame, row_col: str = "row", sep: str = ","
+) -> DataFrame:
+    """Faithful-output mode for tables with NO registered schema:
+    payload columns in SOURCE JSON ORDER, exactly the reference's
+    fastjson `Feature.OrderedField` behavior (HdfsSink.java:63,73,93-101).
+
+    Spark's `from_json` to MAP<STRING,STRING> preserves JSON document
+    key order (verified; map_values returns values in parse order), so
+    this stays a pure column expression — the pandas-UDF fallback
+    SURVEY.md §7 anticipated is unnecessary. Rows with differing key
+    sets simply emit their own order, as the reference would."""
+    parts: list[Column] = [
+        F.col("id").cast("string"),
+        F.col("es").cast("string"),
+        F.col("ts").cast("string"),
+        F.col("type"),
+    ]
+    return df.select(
+        F.concat_ws(
+            sep, *parts, F.concat_ws(sep, F.map_values(F.col(row_col)))
+        ).alias("line")
+    )
+
+
 def dt_expr(es: Column | str, fmt: str = "yyyyMMdd") -> Column:
     """Event-time epoch-millis -> partition value, with the reference's
     `00000000` fallback on unparseable input

@@ -95,3 +95,25 @@ def test_pipeline_runs_under_streaming(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT count(*) AS n FROM canal_stream_test").first().n
     assert got == 5
+
+
+def test_flatten_csv_dynamic_preserves_source_order(spark):
+    """Unknown-table faithful mode: payload columns come out in SOURCE
+    JSON key order (fastjson OrderedField parity), per row."""
+    from flink_etl_spark.operators.canal import (
+        explode_rows, filter_ddl, flatten_csv_dynamic, parse_canal,
+    )
+
+    recs = [
+        '{"isDdl":"false","id":1,"es":10,"ts":1,"type":"INSERT",'
+        '"data":[{"zeta":"z1","alpha":"a1"}]}',
+        '{"isDdl":"false","id":2,"es":20,"ts":2,"type":"UPDATE",'
+        '"data":[{"alpha":"a2","zeta":"z2","extra":"e2"}]}',
+    ]
+    raw = spark.createDataFrame([(r,) for r in recs], "value string")
+    out = flatten_csv_dynamic(explode_rows(filter_ddl(parse_canal(raw))))
+    lines = sorted(r.line for r in out.collect())
+    assert lines == [
+        "1,10,1,INSERT,z1,a1",        # zeta first, as in the source JSON
+        "2,20,2,UPDATE,a2,z2,e2",     # alpha first here — per-row order
+    ]
