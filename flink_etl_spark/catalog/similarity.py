@@ -131,3 +131,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.expr(QUERY_PRED))
     return S.ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2)
+
+
+@query(
+    "embedding_normalize_stats",
+    f"""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt({duckdb_dot('embedding', 'embedding')}) AS nrm,
+               len(embedding) AS dim
+        FROM embeddings
+    )
+    SELECT vec_id, dim,
+           round(nrm, 6) AS norm,
+           round(CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END, 6) AS unit_norm
+    FROM n
+    """,
+)
+def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization gate: per-vector dim + norm, and the norm OF the
+    normalized vector (must be exactly 1 for non-zero vectors) — proves
+    the normalize op without emitting float arrays into the hash."""
+    from flink_etl_spark.functions.vectors import l2_normalize, norm as vnorm
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return embs.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(vnorm("embedding"), 6).alias("norm"),
+        F.round(vnorm(l2_normalize("embedding")), 6).alias("unit_norm"),
+    )

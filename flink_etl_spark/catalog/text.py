@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_etl_spark.catalog import _t, query
@@ -114,3 +115,42 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial fingerprint over the token sequence."""
     return T.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_bpe_pretokens",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '\w+|[^\w\s]') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_pretokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^\w+$'))) AS n_word,
+           len(toks) - len(list_filter(toks, x -> regexp_matches(x, '^\w+$')))
+               AS n_punct,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS avg_pretoken_len
+    FROM t
+    """,
+)
+def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counting (GPT-2-family pre-tokenizer
+    reduced to its regex core: word runs and single punctuation marks).
+    The real BPE merge table is model-specific; the pre-token count is
+    the engine-side signal pipelines filter on."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    words = F.filter(F.col("_t"), lambda x: x.rlike("^\\w+$"))
+    return docs.select(F.col("doc_id"), toks.alias("_t")).select(
+        "doc_id",
+        F.size("_t").alias("n_pretokens"),
+        F.size(words).alias("n_word"),
+        (F.size("_t") - F.size(words)).alias("n_punct"),
+        F.round(
+            F.aggregate(F.col("_t"), F.lit(0), lambda a, x: a + F.length(x))
+            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_pretoken_len"),
+    )

@@ -39,6 +39,15 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize an embedding (zero vectors pass through unchanged
+    rather than dividing by zero)."""
+    n = norm(a)
+    return F.when(
+        n == 0, to_double(a)
+    ).otherwise(F.transform(to_double(a), lambda x: x / n))
+
+
 def duckdb_dot(a: str, b: str) -> str:
     """The oracle-side twin of `dot` (same order, same precision)."""
     return (
