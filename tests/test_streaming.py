@@ -110,3 +110,64 @@ def test_watermarked_window_agg_stream_equals_batch(spark, tmp_path):
         (r.w, r.n) for r in spark.sql("SELECT * FROM win_agg_test").collect()
     )
     assert got == expected
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range
+    condition must equal the batch interval join once drained."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.joins import interval_join
+    from flink_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    src = str(tmp_path / "ev_ss")
+    events.write.parquet(src)
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("pts"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("cts"),
+        )
+        return p, c
+
+    sp, sc = split(spark.readStream.schema(schema).parquet(src))
+    joined = (
+        sp.withWatermark("pts", "2 hours")
+        .join(
+            sc.withWatermark("cts", "2 hours"),
+            F.expr(
+                "user_id = c_user_id AND "
+                "cts > pts - INTERVAL 1 HOUR AND cts <= pts"
+            ),
+            "inner",
+        )
+        .select("purchase_id", "click_id")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM ss_join_test").collect())
+    )
+
+    bp, bc = split(spark.read.parquet(src))
+    batch = interval_join(
+        bp, bc.withColumnRenamed("c_user_id", "user_id"),
+        on=["user_id"], left_ts="pts", right_ts="cts",
+        lower="1 HOUR", upper="0 SECONDS",
+    ).filter(F.col("click_id").isNotNull())
+    expected = sorted(map(tuple, batch.select("purchase_id", "click_id").collect()))
+    assert got == expected
+    assert len(got) > 0
