@@ -304,3 +304,91 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "sliding_window_counts",
+    """
+    WITH e AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL '1 hour', ts) AS hour_bucket
+        FROM events
+    ),
+    expanded AS (
+        -- an event in hour H belongs to the 2h windows starting at H-1h and H
+        SELECT event_type, value,
+               hour_bucket - to_hours(off) AS window_start
+        FROM e, UNNEST([0, 1]) AS u(off)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h duration, 1h slide): each event
+    lands in two windows (Expand, then one aggregation — not two
+    scans). The oracle replicates the window assignment arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour")
+            .getField("start")
+            .alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "session_window_stats",
+    """
+    WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (30 min gap) — the built-in
+    complement of the custom stateful sessionizer
+    (streaming/stateful.py); the oracle rebuilds sessions with
+    lag/cumsum. session_window merges per partition then across the
+    shuffle — no per-key sort of the whole table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        # group by the session_window STRUCT — extracting .start before
+        # aggregation would defeat session merging (one group per event)
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
