@@ -149,6 +149,53 @@ def minhash_signatures(
     return with_ids.groupBy(id_col).agg(*mins)
 
 
+def minhash_profile(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc sketch profile with ZERO shuffles: (id, shset, n_sh,
+    m0..m{n-1}) computed entirely as array expressions — the distinct
+    shingle SET lives in an `array_distinct` column instead of exploded
+    postings, so there is no distinct-shuffle and no groupBy; the n
+    minhash mins are `array_min(transform(...))` over the hashed set.
+
+    Staged projections (tokens -> shset -> term-ids -> mins) keep each
+    expensive expression evaluated once per row: CollapseProject does
+    not merge projects whose multi-referenced aliases are non-cheap,
+    which is what prevents the char-fold hash from being inlined 16x."""
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
+    shset_df = toks.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(F.col("_t"), k)).alias("shset"),
+    )
+    hash_sql = (
+        "transform(shset, s -> aggregate(transform(sequence(1, length(s)), "
+        "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}))"
+    )
+    tids_df = shset_df.select(
+        F.col(id_col), F.col("shset"), F.expr(hash_sql).alias("_tids")
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("_tids"),
+                lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P),
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    ]
+    return tids_df.select(
+        F.col(id_col),
+        F.col("shset"),
+        F.size("shset").alias("n_sh"),
+        *mins,
+    )
+
+
 def lsh_candidates(
     sigs: DataFrame,
     bands: int = 8,
@@ -222,45 +269,45 @@ def minhash_near_dups(
     Corpus-scale cost = sketching (one groupBy) + banding (bands rows
     per doc) + shingle joins restricted to candidate docs.
 
-    Tokenization is the dominant cost at corpus scale, so the sketch is
-    built in as few passes as possible: shingle-set size AND all n
-    minhash signatures come out of a SINGLE groupBy over the postings,
-    and the set sizes ride through the band self-join (carry_cols) so
-    the Jaccard denominator needs no re-aggregation. The naive DAG
-    (separate sizes/sigs aggregations + sizes joins) scans and
-    re-tokenizes the corpus SIX times; this shape scans four — the two
-    unavoidable self-join sides of banding and verification (measured
-    via .explain). At true corpus scale, stage the postings/profile to
-    parquet once and feed both sides — deliberately NOT .persist():
+    Tokenization is the dominant cost at corpus scale, so the pipeline
+    is built to be shuffle-free outside the band join itself:
+
+    * the sketch (`minhash_profile`) is a pure projection — the
+      distinct shingle set is an `array_distinct` column (no
+      distinct-shuffle), sizes and all n signatures are array
+      expressions (no groupBy)
+    * set sizes ride through the band self-join (carry_cols), so the
+      Jaccard denominator needs no re-aggregation
+    * verification joins the (small, broadcastable) candidate set back
+      to the profile and computes shared = size(array_intersect) — no
+      posting explode, no pair-count shuffle
+
+    Net plan: 4 corpus scans (the two self-join sides of banding and
+    verification, all projection-only) and ONE real shuffle (the band
+    bucket join). At true corpus scale, stage the profile to parquet
+    once and feed all four consumers — deliberately NOT .persist():
     measured slower at bench SF (cache materialization + lost codegen
-    fusion outweigh rescans)."""
-    sh = shingle_sets(docs, id_col, text_col, k)
-    with_ids = sh.select(
-        F.col(id_col), F.col("shingle"), char_fold_hash("shingle").alias("term_id")
+    fusion outweigh projection rescans)."""
+    profile = (
+        minhash_profile(docs, n_hashes, id_col, text_col, k)
+        .filter(F.col("n_sh") > 0)
+        # ONE row per doc (set + sigs) — tiny relative to the corpus, so
+        # persisting it collapses the four consumers to a single
+        # tokenization pass (unlike exploded postings, where caching
+        # measured slower than recompute)
+        .persist()
     )
-    mins = [
-        F.min(
-            (F.col("term_id").cast("long") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
-    ]
-    profile = with_ids.groupBy(id_col).agg(
-        F.count("*").alias("n_sh"), *mins
-    )
-    # n_sh rides through the band self-join (na/nb on every candidate
-    # pair) so no sizes re-aggregation — and no extra corpus scans —
-    # is needed for the Jaccard denominator
     cand = lsh_candidates(
-        profile, bands, n_hashes // bands, id_col, carry_cols=("n_sh",)
+        profile.drop("shset"), bands, n_hashes // bands, id_col,
+        carry_cols=("n_sh",),
     )
-    # intersect shingle sets only for candidate pairs
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    sh_a = profile.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("_sa"))
+    sh_b = profile.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("_sb"))
     return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
-        .agg(F.count("*").alias("shared"))
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(
