@@ -30,7 +30,6 @@ from flink_etl_spark.functions.hashing import (
     MERSENNE_P,
     MINHASH_COEFFS,
     SIMHASH_COEFFS,
-    affine_hash,
     char_fold_hash,
     shingles_expr,
     tokens_expr,
@@ -329,20 +328,31 @@ def simhash_signatures(
 ) -> DataFrame:
     """SimHash: per token occurrence, each bit j votes +-1 by the parity
     of (a_j*tid + b_j) % P; bit j of the signature is 1 iff the vote sum
-    is positive. Identical signatures = near-identical token bags."""
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
+    is positive. Identical signatures = near-identical token bags.
+
+    ZERO shuffles: the token bag stays an array column, term-id hashing
+    is one transform, and each bit's vote sum is an `aggregate` fold
+    over that array — no explode, no groupBy. Staged projections keep
+    the char-fold hash evaluated once per token (see minhash_profile)."""
+    hash_sql = (
+        "transform(_t, s -> aggregate(transform(sequence(1, length(s)), "
+        "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}))"
     )
-    with_ids = toks.select(
-        F.col(id_col), char_fold_hash("token").alias("term_id")
-    )
+    tids_df = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("_t")
+    ).select(F.col(id_col), F.expr(hash_sql).alias("_tids"))
     bit_votes = [
-        F.sum(
-            F.when(affine_hash(F.col("term_id"), a, b) % 2 == 1, 1).otherwise(-1)
+        F.aggregate(
+            F.col("_tids"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(((x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)) % 2 == 1,
+                     F.lit(1)).otherwise(F.lit(-1)),
         ).alias(f"v{j}")
         for j, (a, b) in enumerate(SIMHASH_COEFFS[:bits])
     ]
-    votes = with_ids.groupBy(id_col).agg(*bit_votes)
+    votes = tids_df.select(F.col(id_col), *bit_votes)
     sig = None
     for j in range(bits):
         term = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
