@@ -555,3 +555,60 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@query(
+    "events_props_json_stats",
+    """
+    SELECT event_type,
+           count(json_extract_string(props, '$.k')) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+               AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling: extract a field from the
+    props JSON string per row (JVM Jackson path, no Python), aggregate.
+    At scale prefer parsing ONCE into a struct column (from_json) over
+    repeated get_json_object calls per field."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "orders_by_weekday",
+    """
+    SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage (dayofweek/year on NTZ timestamps,
+    range predicate pushed to the scan)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy(
+            # Spark dayofweek: 1=Sunday..7=Saturday — matches DuckDB's
+            # dayofweek(+1): DuckDB returns 0=Sunday..6=Saturday
+            (F.dayofweek("o_orderdate")).cast("int").alias("weekday"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
