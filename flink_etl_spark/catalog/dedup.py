@@ -160,3 +160,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH in similarity.py is the bucketed scale path)."""
     embs = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dups(embs, threshold=0.35)
+
+
+@query(
+    "dedup_exact_digest",
+    """
+    SELECT min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           digest
+    FROM (SELECT doc_id, sha256(text) AS digest FROM documents)
+    GROUP BY digest
+    """,
+)
+def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on a SHA-256 digest instead of full content —
+    the at-scale variant of `dedup_exact_docs`: the shuffle carries
+    64-byte keys, not documents. Collision probability (~n^2 / 2^257)
+    is below hardware error rates; both engines compute the identical
+    digest, so the oracle matches on the digest itself."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies", "digest")
+    )

@@ -1,0 +1,38 @@
+"""Config surface (replaces the reference's HOCON loader, Utility.java
++ kafkaConfig.conf)."""
+
+from __future__ import annotations
+
+import os
+from unittest import mock
+
+from flink_etl_spark.config import KafkaSourceConfig, PipelineConfig, SinkConfig
+
+
+def test_kafka_reader_options_shape():
+    cfg = KafkaSourceConfig(
+        bootstrap_servers="b1:9092,b2:9092", topic="qfbap_ods.code_city",
+        starting_offsets="earliest", group_id="test123",
+    )
+    opts = cfg.reader_options()
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "qfbap_ods.code_city"
+    # earliest replay is the reference's start position (HdfsSink.java:54)
+    assert opts["startingOffsets"] == "earliest"
+
+
+def test_pipeline_config_env_overrides():
+    with mock.patch.dict(os.environ, {
+        "FLINK_ETL_SPARK_KAFKA_TOPIC": "other.topic",
+        "FLINK_ETL_SPARK_SINK_PATH": "/data/out",
+    }):
+        cfg = PipelineConfig.from_env()
+    assert cfg.kafka.topic == "other.topic"
+    assert cfg.sink.path == "/data/out"
+
+
+def test_sink_defaults_match_reference_policy():
+    sink = SinkConfig(path="/p", checkpoint_location="/c")
+    # 60s trigger plays the rolling-interval role (HdfsSink.java:112)
+    assert sink.trigger_seconds == 60
+    assert sink.partition_by == ("dt",)
