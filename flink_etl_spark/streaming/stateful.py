@@ -63,25 +63,57 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    timeout_watermark_delay: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful operator: events of
     one user belong to one session while consecutive gaps stay under
     `gap_minutes`; a longer gap CLOSES the session, which is emitted
-    downstream. The still-open tail session stays in state (it would
-    close on a later batch).
+    downstream.
+
+    Two closing modes:
+    * default (NoTimeout): the open tail session stays in state until a
+      later event of the same user closes it — deterministic, drainable
+      with availableNow, oracle-checkable.
+    * `timeout_watermark_delay='10 minutes'`: a watermark is attached
+      and an EVENT-TIME TIMEOUT fires once the watermark passes
+      session_end + gap, so idle users' sessions close WITHOUT needing
+      a successor event — the production mode for unbounded streams
+      (also what bounds state size: closed state is removed).
 
     This is deliberately applyInPandasWithState, not the built-in
     `session_window` aggregation: custom state lets the operator emit
     arbitrary per-session payloads and implement semantics the built-in
-    cannot (e.g. max-length session splits, carried session attributes).
+    cannot (e.g. timeout flushes, max-length splits, carried session
+    attributes).
     """
     gap_us = gap_minutes * 60 * 1_000_000
+    use_timeout = timeout_watermark_delay is not None
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # self-contained: see module note
+
+        cols = [user_col, "session_start", "session_end", "n_events",
+                "total_value"]
+
+        def emit(rows):
+            out = pd.DataFrame(rows, columns=cols)
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            out["total_value"] = out["total_value"].round(6)
+            return out
+
+        if use_timeout and state.hasTimedOut:
+            # watermark passed session_end + gap with no new events:
+            # flush the open session and drop the state
+            start, last, n, total = state.get
+            state.remove()
+            yield emit([(key[0], start, last, n, total)])
+            return
+
         if state.exists:
             start, last, n, total = state.get
         else:
@@ -101,23 +133,24 @@ def sessionize_stream(
                 else:
                     last, n, total = t, n + 1, total + float(v)
         state.update((start, last, n, total))
+        if use_timeout:
+            # fire when the event-time watermark passes the gap horizon
+            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
         if closed:
-            out = pd.DataFrame(
-                closed,
-                columns=[user_col, "session_start", "session_end", "n_events",
-                         "total_value"],
-            )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-            out["total_value"] = out["total_value"].round(6)
-            yield out
+            yield emit(closed)
 
+    if use_timeout:
+        events = events.withWatermark(ts_col, timeout_watermark_delay)
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -199,3 +199,44 @@ def test_streaming_cdc_end_to_end(spark, tmp_path):
     )
     assert got == expected
     assert len(got) == 7
+
+
+def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
+    """EventTimeTimeout mode: a user with no later events still gets
+    their session emitted once the watermark (driven by OTHER users'
+    events in a later batch) passes session_end + gap."""
+    from datetime import datetime
+
+    def ts(m):
+        return datetime(2024, 1, 1, 10 + m // 60, m % 60)
+
+    schema = "user_id bigint, ts timestamp, value double"
+    # batch 1: user 1 has a burst then goes idle; user 2 active
+    b1 = spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(5), 2.0), (2, ts(0), 5.0)], schema
+    )
+    # batch 2: only user 2, far in the future -> watermark advances past
+    # user 1's (session_end + gap)
+    b2 = spark.createDataFrame([(2, ts(300), 6.0)], schema)
+    src = str(tmp_path / "sess_to")
+    # one part-file per batch: maxFilesPerTrigger=1 must see b1 as ONE
+    # micro-batch (multi-part writes would split it in arbitrary order)
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+    b2.coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    got = _drain(
+        sessionize_stream(stream, gap_minutes=30,
+                          timeout_watermark_delay="1 minute"),
+        "sess_timeout_test", spark, "append",
+    )
+    rows = {(r.user_id, r.n_events, round(r.total_value, 6))
+            for r in got.collect()}
+    # user 1's idle session flushed by timeout: 2 events, 3.0 total.
+    # user 2's batch-1 session closed by their own far-future event.
+    assert (1, 2, 3.0) in rows
+    assert (2, 1, 5.0) in rows
