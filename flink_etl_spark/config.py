@@ -90,5 +90,12 @@ class PipelineConfig:
                     val: object = os.environ[env_key]
                     if isinstance(cur, int) and not isinstance(cur, bool):
                         val = int(val)  # type: ignore[arg-type]
+                    elif isinstance(cur, tuple):
+                        # tuple fields (e.g. sink.partition_by) come in as
+                        # comma-separated lists; a raw string would later be
+                        # star-unpacked character by character
+                        val = tuple(
+                            p.strip() for p in str(val).split(",") if p.strip()
+                        )
                     setattr(obj, k, val)
         return cfg

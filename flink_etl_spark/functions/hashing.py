@@ -74,7 +74,7 @@ def duckdb_shingles(tokens: str, k: int = 3) -> str:
     )
 
 
-def char_fold_hash(col: Column | str, mult: int = 131, p: int = MERSENNE_P) -> Column:
+def char_fold_hash(col: str, mult: int = 131, p: int = MERSENNE_P) -> Column:
     """Portable string hash: left-to-right polynomial fold over character
     code points, acc = (acc*mult + code) % p, seed 0.
 
@@ -83,14 +83,14 @@ def char_fold_hash(col: Column | str, mult: int = 131, p: int = MERSENNE_P) -> C
     minhash/simhash stay oracle-checkable at unbounded vocabulary.
     Collision rate ~ n^2/2p (birthday) — immaterial for sketching, and
     identical in every engine that replicates the fold. Non-ASCII chars
-    hash by code point (consistent across engines)."""
-    name = col if isinstance(col, str) else None
-    c = F.col(col) if isinstance(col, str) else col
-    if name is None:
-        raise ValueError("char_fold_hash needs a column name (used in SQL expr)")
+    hash by code point (consistent across engines).
+
+    Takes a column NAME (the expression is built as SQL text); to hash
+    inside a lambda, inline the same fold over the lambda variable as
+    dedup.minhash_profile does."""
     return F.expr(
-        f"aggregate(transform(sequence(1, length({name})), "
-        f"i -> CAST(ascii(substring({name}, i, 1)) AS BIGINT)), "
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> CAST(ascii(substring({col}, i, 1)) AS BIGINT)), "
         f"CAST(0 AS BIGINT), (acc, c) -> (acc * {mult} + c) % {p})"
     )
 

@@ -137,11 +137,15 @@ def flatten_csv_dynamic(
         F.col("ts").cast("string"),
         F.col("type"),
     ]
-    return df.select(
-        F.concat_ws(
-            sep, *parts, F.concat_ws(sep, F.map_values(F.col(row_col)))
-        ).alias("line")
-    )
+    base = F.concat_ws(sep, *parts)
+    payload = F.concat_ws(sep, F.map_values(F.col(row_col)))
+    # empty payload map -> metadata only, no trailing separator (the
+    # reference's string join emits nothing for zero payload columns)
+    line = F.when(
+        F.size(F.map_values(F.col(row_col))) > 0,
+        F.concat_ws(sep, base, payload),
+    ).otherwise(base)
+    return df.select(line.alias("line"))
 
 
 def dt_expr(es: Column | str, fmt: str = "yyyyMMdd") -> Column:

@@ -293,7 +293,10 @@ def minhash_near_dups(
         # ONE row per doc (set + sigs) — tiny relative to the corpus, so
         # persisting it collapses the four consumers to a single
         # tokenization pass (unlike exploded postings, where caching
-        # measured slower than recompute)
+        # measured slower than recompute). The cache is keyed on the
+        # logical plan and lives until evicted; long-lived sessions
+        # calling this repeatedly should spark.catalog.clearCache()
+        # between corpora (bench.py does)
         .persist()
     )
     cand = lsh_candidates(

@@ -45,10 +45,15 @@ def asof_join(
     keep nulls (LEFT semantics, matching DuckDB `ASOF LEFT JOIN`).
 
     Implementation: tag both sides, union by name, then one window pass
-    ordered by (ts, side-marker) carrying the last non-null right
-    attributes forward — a single shuffle on `on` + sort, no range join,
-    no per-key explosion. At 100 TB this is the difference between a
-    window-shaped plan and a quadratic candidate join.
+    ordered by (ts, side-marker) carrying the last right ROW forward —
+    a single shuffle on `on` + sort, no range join, no per-key
+    explosion. At 100 TB this is the difference between a window-shaped
+    plan and a quadratic candidate join.
+
+    The right columns are packed into ONE struct before the window fill
+    so the match is atomic: filling each column independently with
+    last(ignorenulls) would stitch together attributes from DIFFERENT
+    right rows whenever the true match has a null column.
 
     Requirements: non-key column names must not overlap between sides
     (rename before calling); `tie_break` (a right-side column) makes the
@@ -63,26 +68,30 @@ def asof_join(
     l_kind, r_kind = (0, 1) if strict else (1, 0)
     right_cols = [c for c in right.columns if c not in on]
     lhs = left.withColumn("_ats", F.col(left_ts)).withColumn("_kind", F.lit(l_kind))
-    rhs = right.withColumn("_ats", F.col(right_ts)).withColumn("_kind", F.lit(r_kind))
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(r_kind).alias("_kind"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+    )
     combined = lhs.unionByName(rhs, allowMissingColumns=True)
 
     order: list[Column] = [F.col("_ats").asc(), F.col("_kind").asc()]
     if tie_break is not None:
-        order.append(F.col(tie_break).asc_nulls_first())
+        order.append(F.col("_rrow").getField(tie_break).asc_nulls_first())
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = combined.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_cols],
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_match")
     )
     return (
         filled.filter(F.col("_kind") == l_kind)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"_f_{c}").alias(c) for c in right_cols],
+            *[F.col("_match").getField(c).alias(c) for c in right_cols],
         )
     )
 

@@ -33,6 +33,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -136,10 +137,27 @@ def merge_day(
 
 
 def overwrite_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """Stage-then-swap replacement for `INSERT OVERWRITE` of a table that
-    is also a join input (README.md:222,229): write to the target path
-    with mode=overwrite only when the plan does not read the same path;
-    callers rotating daily snapshots should write dated directories
-    (snapshot/dt=YYYYMMDD) and repoint, which this helper does not hide.
-    """
-    df.write.mode("overwrite").format(fmt).save(path)
+    """Replace the snapshot at `path` with `df`, staging first so the
+    plan can READ the current snapshot while computing its replacement —
+    the reference's `INSERT OVERWRITE code_city ... FROM code_city`
+    (README.md:222,229), which a direct overwrite cannot do (Spark
+    refuses to overwrite a path it is reading, and bypassing the check
+    destroys input files mid-scan).
+
+    Stage-then-swap: materialize to `<path>__staging`, then delete the
+    old directory and rename (posix/local paths; object stores and HDFS
+    should swap via their FileSystem API). The swap itself is not
+    transactional (delete+rename window) — for atomic swaps keep DATED
+    snapshot directories and repoint the reader instead (the pattern
+    tests/test_sinks.py demonstrates)."""
+    import shutil
+
+    staging = path.rstrip("/") + "__staging"
+    df.write.mode("overwrite").format(fmt).save(staging)
+    target_uri = path
+    if target_uri.startswith("file:"):
+        target_uri = target_uri[len("file:"):]
+    if os.path.exists(target_uri):
+        shutil.rmtree(target_uri)
+    os.replace(staging if not staging.startswith("file:") else staging[5:],
+               target_uri)

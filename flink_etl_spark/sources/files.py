@@ -25,4 +25,4 @@ def read_day(spark: SparkSession, path: str, day: str, fmt: str = "parquet") -> 
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Canal dump as raw lines: one `value` string column, exactly what
     the Kafka source would deliver (batch test-double)."""
-    return spark.read.text(path).withColumnRenamed("value", "value")
+    return spark.read.text(path)

@@ -43,6 +43,11 @@ def read_snapshot(spark: SparkSession, cfg: JdbcConfig,
                 .first()
             )
             lower_bound, upper_bound = bounds["lo"], bounds["hi"]
+            if lower_bound is None or upper_bound is None:
+                # empty source table: bounds are NULL and Spark's JDBC
+                # options would receive the string "None" — fall back to
+                # an unpartitioned (trivially empty) read
+                return reader.load()
         reader = (
             reader.option("partitionColumn", cfg.partition_column)
             .option("lowerBound", str(lower_bound))

@@ -49,7 +49,7 @@ def read_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int 
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.load(path).withColumnRenamed("value", "value")
+    return reader.load(path)
 
 
 def start_ingest(

@@ -119,8 +119,13 @@ def sessionize_stream(
         else:
             start, last, n, total = None, None, 0, 0.0
         closed: list[tuple[int, int, int, int, float]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # materialize + sort the WHOLE group's batch before folding:
+        # Arrow hands the group as multiple chunks in arbitrary relative
+        # order, and sorting each chunk independently would corrupt
+        # session assignment whenever a later chunk holds earlier events
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(ts_col)
             # normalize datetime64[ns|us] -> epoch micros explicitly
             micros = pdf[ts_col].astype("datetime64[us]").astype("int64")
             for t, v in zip(micros, pdf[value_col]):
@@ -132,10 +137,11 @@ def sessionize_stream(
                     start, last, n, total = t, t, 1, float(v)
                 else:
                     last, n, total = t, n + 1, total + float(v)
-        state.update((start, last, n, total))
-        if use_timeout:
-            # fire when the event-time watermark passes the gap horizon
-            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        if start is not None:
+            state.update((start, last, n, total))
+            if use_timeout:
+                # fire when the event-time watermark passes the gap horizon
+                state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
         if closed:
             yield emit(closed)
 

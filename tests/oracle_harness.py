@@ -1,9 +1,9 @@
 """Local mimic of the driver's correctness gate.
 
 Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
-parquet tables, sorts columns by name, sorts rows, and compares values.
-Stricter than the driver (exact value compare with a tiny float
-tolerance knob) so that passing here implies hash-matching there.
+parquet tables, sorts columns by name, sorts rows, and compares values
+EXACTLY (floats included — the driver hashes values, so any drift
+fails there too; passing here implies hash-matching there).
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ def _sorted_table(cols, rows):
     return [cols[i] for i in order], out
 
 
-def compare_query(spark, name: str, fn, sql: str, sf_dir: str, float_rel=1e-9):
+def compare_query(spark, name: str, fn, sql: str, sf_dir: str):
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -63,26 +63,12 @@ def compare_query(spark, name: str, fn, sql: str, sf_dir: str, float_rel=1e-9):
     )
     _, s_sorted = _sorted_table(scols, srows)
     _, o_sorted = _sorted_table(ocols, orows)
+    # exact compare, floats included: close-but-not-equal floats would
+    # still break the driver's value hash, so no tolerance is allowed
     mismatches = []
     for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
         if sr != orow:
-            ok = True
-            for a, b in zip(sr, orow):
-                if a == b:
-                    continue
-                if (
-                    isinstance(a, float)
-                    and isinstance(b, float)
-                    and math.isclose(a, b, rel_tol=float_rel, abs_tol=1e-12)
-                ):
-                    # close-but-not-equal floats would still break the
-                    # driver's value hash — surface them as mismatches
-                    ok = False
-                    break
-                ok = False
-                break
-            if not ok:
-                mismatches.append((i, sr, orow))
+            mismatches.append((i, sr, orow))
         if len(mismatches) >= 5:
             break
     assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"

@@ -117,3 +117,16 @@ def test_flatten_csv_dynamic_preserves_source_order(spark):
         "1,10,1,INSERT,z1,a1",        # zeta first, as in the source JSON
         "2,20,2,UPDATE,a2,z2,e2",     # alpha first here — per-row order
     ]
+
+
+def test_flatten_csv_dynamic_empty_payload_no_trailing_sep(spark):
+    from flink_etl_spark.operators.canal import (
+        explode_rows, filter_ddl, flatten_csv_dynamic, parse_canal,
+    )
+
+    raw = spark.createDataFrame(
+        [('{"isDdl":"false","id":9,"es":10,"ts":1,"type":"DELETE","data":[{}]}',)],
+        "value string",
+    )
+    out = flatten_csv_dynamic(explode_rows(filter_ddl(parse_canal(raw))))
+    assert [r.line for r in out.collect()] == ["9,10,1,DELETE"]

@@ -103,3 +103,22 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_asof_null_attribute_not_mixed_across_rows(spark):
+    """Regression: when the true as-of match has a NULL attribute, the
+    output must keep that NULL — not stitch in the value from an older
+    right row (the per-column last(ignorenulls) bug)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:10"))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:01"), 5.0, 100),
+            (1, _ts("2024-01-01T00:00:02"), None, 200),  # the true match
+        ],
+        "k long, rts timestamp, val double, rid long",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts").first()
+    assert out.rid == 200
+    assert out.val is None  # NOT 5.0 from rid=100

@@ -80,3 +80,24 @@ def test_dedup_latest_strict_parity_mode(spark):
     assert strict.first().es == 100  # one of the es=100 rows (tie undefined)
     default = dedup_latest(df, ["id"])
     assert (default.first().es, default.first().ts, default.first().v) == (100, 2, "b")
+
+
+def test_overwrite_snapshot_reads_and_replaces_same_path(spark, tmp_path):
+    """The reference's self-overwrite (INSERT OVERWRITE code_city ...
+    FROM code_city) through the staging swap: the plan reads the
+    CURRENT snapshot while its replacement is written."""
+    from flink_etl_spark.operators.merge import cdc_merge
+
+    path = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "x", 100, 0), (2, "y", 100, 1)], "id long, v string, es long, ts long"
+    ).write.parquet(path)
+
+    delta = spark.createDataFrame(
+        [(2, "y2", 200, 2), (3, "z", 200, 3)], "id long, v string, es long, ts long"
+    )
+    merged = cdc_merge(spark.read.parquet(path), delta, ["id"])
+    overwrite_snapshot(merged, path)
+
+    got = sorted(map(tuple, spark.read.parquet(path).select("id", "v").collect()))
+    assert got == [(1, "x"), (2, "y2"), (3, "z")]
