@@ -240,3 +240,36 @@ def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
     # user 2's batch-1 session closed by their own far-future event.
     assert (1, 2, 3.0) in rows
     assert (2, 1, 5.0) in rows
+
+
+def test_continuous_merge_sink_equals_batch_merge(spark, tmp_path):
+    """foreachBatch merge across micro-batches: the rolling snapshot
+    after draining equals one batch dedup over all changes."""
+    from flink_etl_spark.operators.merge import dedup_latest
+    from flink_etl_spark.streaming.merge_sink import start_continuous_merge
+
+    schema = "id bigint, es bigint, ts bigint, type string, city string, province string"
+    b1 = spark.createDataFrame(_canal_rows(range(8), 1_000_000, 2), schema)
+    b2 = spark.createDataFrame(_canal_rows(range(4, 12), 2_000_000, 1), schema)
+    src = str(tmp_path / "chg")
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+    b2.coalesce(1).write.parquet(f"{src}/f2")
+
+    snap = str(tmp_path / "snapshot")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = start_continuous_merge(
+        stream, snap, ["id"], str(tmp_path / "chk"),
+        order_by=["es", "ts"], available_now=True,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    expected = sorted(
+        map(tuple, dedup_latest(b1.unionAll(b2), ["id"], order_by=["es", "ts"]).collect())
+    )
+    assert got == expected
+    assert len(got) == 12
