@@ -78,3 +78,61 @@ def start_continuous_merge(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_continuous_rollup(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint_location: str,
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    dims: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Hypertable-style CONTINUOUS ROLLUP: a time-bucketed aggregate
+    table maintained incrementally from the event stream (the public
+    TimescaleDB continuous-aggregate concept re-expressed on Structured
+    Streaming).
+
+    The windowed aggregation runs in update mode — each micro-batch
+    emits only the (bucket, dims) groups whose aggregates CHANGED — and
+    foreachBatch upserts those rows into the rollup parquet keyed on
+    (bucket_start, *dims). Late events inside the watermark update
+    their (old) bucket; buckets past the watermark are final.
+
+    Reading the rollup is a plain parquet scan — queries over
+    pre-aggregated buckets never touch raw events."""
+    import pyspark.sql.functions as F
+
+    keys = ["bucket_start", *dims]
+    agg = (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), bucket).getField("start").alias(
+            "bucket_start"), *dims)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if os.path.exists(rollup_path):
+            current = spark.read.parquet(rollup_path)
+            merged = cdc_merge(current, batch, keys)
+        else:
+            merged = batch
+        overwrite_snapshot(merged, rollup_path)
+
+    writer = (
+        agg.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -273,3 +273,42 @@ def test_continuous_merge_sink_equals_batch_merge(spark, tmp_path):
     )
     assert got == expected
     assert len(got) == 12
+
+
+def test_continuous_rollup_equals_batch_aggregate(spark, tmp_path):
+    """Hypertable rollup: the incrementally-maintained bucket table
+    equals the one-shot batch aggregation of all events."""
+    from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    src = str(tmp_path / "ru_ev")
+    # two micro-batches via two part-files
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(f"{src}/f1")
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1).write.parquet(f"{src}/f2")
+
+    rollup = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = start_continuous_rollup(
+        stream, rollup, str(tmp_path / "ru_chk"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(rollup).collect()))
+    expected = sorted(
+        map(tuple,
+            events.groupBy(
+                F.window("ts", "1 hour").getField("start").alias("bucket_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .collect())
+    )
+    assert got == expected
+    assert len(got) > 100
