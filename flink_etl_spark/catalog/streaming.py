@@ -84,3 +84,41 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "stream_hypertable_rollup",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous rollup gate: the INCREMENTALLY-maintained hourly
+    bucket table (update-mode windowed agg + foreachBatch upsert,
+    streaming/merge_sink.py) drained with availableNow must equal the
+    one-shot SQL aggregation of all events."""
+    import tempfile
+
+    from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
+
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque*")
+    )
+    ev = raw.select(
+        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias("ts"),
+        "event_type",
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="rollup_gate_")
+    q = start_continuous_rollup(
+        ev, f"{work}/rollup", f"{work}/chk", available_now=True
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{work}/rollup")
