@@ -132,3 +132,25 @@ def salted_join_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_deviation"
         ),
     )
+
+
+@query(
+    "grouped_linear_fit_per_user",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,
+           round(regr_intercept(value, epoch(ts) / 86400.0), 6) AS intercept
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def grouped_linear_fit_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map gate: per-user least-squares trend of
+    value over time (pandas closed form) must match SQL's
+    regr_slope/regr_intercept — a custom Python operator checked by a
+    SQL aggregate."""
+    from flink_etl_spark.operators.grouped import per_group_linear_fit
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return per_group_linear_fit(ev)

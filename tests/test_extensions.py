@@ -139,3 +139,22 @@ def test_media_resize_geometry(spark):
     # small image untouched
     assert (rows[3].width, rows[3].height) == (50, 40)
     assert bytes(rows[1].payload) == b"p1"
+
+
+def test_grouped_linear_fit_degenerate_group_is_null(spark):
+    from datetime import datetime
+
+    from flink_etl_spark.operators.grouped import per_group_linear_fit
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 5.0),          # single event
+            (2, datetime(2024, 1, 1), 1.0),
+            (2, datetime(2024, 1, 2), 3.0),          # perfect slope 2/day
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = {r.user_id: r for r in per_group_linear_fit(ev).collect()}
+    assert rows[1].slope is None and rows[1].intercept is None
+    assert rows[1].n == 1
+    assert abs(rows[2].slope - 2.0) < 1e-9
