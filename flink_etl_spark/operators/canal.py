@@ -44,6 +44,11 @@ CANAL_SCHEMA = StructType(
         StructField("ts", LongType()),  # log time, epoch millis
         StructField("type", StringType()),  # INSERT | UPDATE | DELETE
         StructField("data", ArrayType(MapType(StringType(), StringType()))),
+        # real Canal envelopes also carry the source table identity; the
+        # reference consumes a single-table topic and ignores them —
+        # they parse as null there and enable multi-table routing here
+        StructField("database", StringType()),
+        StructField("table", StringType()),
     ]
 )
 
@@ -77,15 +82,19 @@ def filter_ddl(df: DataFrame) -> DataFrame:
     return df.filter(F.lower(F.col("isDdl")) == "false")
 
 
-def explode_rows(df: DataFrame, out_col: str = "row") -> DataFrame:
+def explode_rows(
+    df: DataFrame, out_col: str = "row", keep_cols: Sequence[str] = ()
+) -> DataFrame:
     """One output record per element of `data` (HdfsSink.java:76-100).
 
     Plain `explode` drops null/empty arrays — matching the reference,
     which emits nothing when `data` is missing; the inner null-guard
-    (HdfsSink.java:84) maps to the isNotNull filter.
+    (HdfsSink.java:84) maps to the isNotNull filter. `keep_cols` carries
+    extra envelope columns (e.g. `table` for routing) through.
     """
     out = df.select(
-        "id", "es", "ts", "type", F.explode(F.col("data")).alias(out_col)
+        *keep_cols, "id", "es", "ts", "type",
+        F.explode(F.col("data")).alias(out_col),
     )
     return out.filter(F.col(out_col).isNotNull())
 
@@ -175,3 +184,24 @@ def ingest_pipeline(raw: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
     watermark is needed (SURVEY.md §2.9 T2/T3).
     """
     return with_dt(flatten(explode_rows(filter_ddl(parse_canal(raw))), payload_cols))
+
+
+def route_tables(
+    raw: DataFrame, table_payloads: dict[str, Sequence[str]]
+) -> dict[str, DataFrame]:
+    """Multi-table Canal routing: one flattened, dt-partitioned stream
+    PER SOURCE TABLE, each with its registered payload schema. The
+    reference consumes a single-table topic (`qfbap_ods.code_city`);
+    real Canal topics multiplex a whole database — this is the fan-out.
+
+    Each returned DataFrame is independently sink-able
+    (`writeStream.partitionBy("dt")` per table path). Under streaming,
+    N sinks = N queries re-reading the source; for one-pass fan-out
+    wrap the dict in a single foreachBatch that writes each filter —
+    same DataFrames, one read."""
+    parsed = filter_ddl(parse_canal(raw))
+    routed: dict[str, DataFrame] = {}
+    for tbl, cols in table_payloads.items():
+        sub = parsed.filter(F.col("table") == tbl)
+        routed[tbl] = with_dt(flatten(explode_rows(sub), cols))
+    return routed

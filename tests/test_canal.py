@@ -130,3 +130,30 @@ def test_flatten_csv_dynamic_empty_payload_no_trailing_sep(spark):
     )
     out = flatten_csv_dynamic(explode_rows(filter_ddl(parse_canal(raw))))
     assert [r.line for r in out.collect()] == ["9,10,1,DELETE"]
+
+
+def test_route_tables_multiplexed_topic(spark):
+    """One Canal topic carrying two tables routes into per-table flat
+    streams, each with its own payload schema."""
+    from flink_etl_spark.operators.canal import route_tables
+
+    recs = [
+        '{"isDdl":"false","id":1,"es":1704067200000,"ts":1,"type":"INSERT",'
+        '"database":"qfbap_ods","table":"code_city",'
+        '"data":[{"city":"ham","province":"p1"}]}',
+        '{"isDdl":"false","id":2,"es":1704067200000,"ts":2,"type":"INSERT",'
+        '"database":"qfbap_ods","table":"users",'
+        '"data":[{"name":"ada","email":"a@x"}]}',
+        '{"isDdl":"true","id":3,"es":1704067200000,"ts":3,"type":"CREATE",'
+        '"database":"qfbap_ods","table":"code_city","data":null}',
+    ]
+    raw = spark.createDataFrame([(r,) for r in recs], "value string")
+    routed = route_tables(
+        raw, {"code_city": ["city", "province"], "users": ["name", "email"]}
+    )
+    cc = routed["code_city"].collect()
+    us = routed["users"].collect()
+    assert [(r.id, r.city, r.province, r.dt) for r in cc] == [
+        (1, "ham", "p1", "20240101")
+    ]
+    assert [(r.id, r.name, r.email) for r in us] == [(2, "ada", "a@x")]
