@@ -612,3 +612,19 @@ def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query("approx_percentiles_value", None)
+def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch): one pass, constant
+    memory per group — the 100 TB replacement for the exact sort-based
+    percentile wherever bounded error is acceptable. Rows-only check
+    (sketch results are engine-specific); accuracy vs the exact
+    percentile is asserted in tests/test_extensions.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias(
+            "approx_p"
+        ),
+        F.count("*").alias("n_events"),
+    )

@@ -158,3 +158,19 @@ def test_grouped_linear_fit_degenerate_group_is_null(spark):
     assert rows[1].slope is None and rows[1].intercept is None
     assert rows[1].n == 1
     assert abs(rows[2].slope - 2.0) < 1e-9
+
+
+def test_approx_percentile_within_tolerance(spark):
+    from flink_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    row = (
+        e.agg(
+            F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("ap"),
+            F.expr("percentile(value, array(0.5, 0.9))").alias("ex"),
+        ).first()
+    )
+    for approx, exact in zip(row.ap, row.ex):
+        # accuracy parameter 10000 -> rank error <= n/10000; values are
+        # densely spread so the value gap stays tiny
+        assert abs(approx - exact) <= max(0.05, abs(exact) * 0.01)

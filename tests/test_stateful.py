@@ -284,9 +284,13 @@ def test_continuous_rollup_equals_batch_aggregate(spark, tmp_path):
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     src = str(tmp_path / "ru_ev")
-    # two micro-batches via two part-files
-    events.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(f"{src}/f1")
-    events.filter(F.dayofmonth("ts") > 15).coalesce(1).write.parquet(f"{src}/f2")
+    # split at a MID-BUCKET boundary: the 23:00 bucket of Jan 15 has
+    # events in BOTH batches, so batch 2 must UPDATE it (upsert path),
+    # while staying inside the watermark (a parity split would feed
+    # late-beyond-watermark events, which the agg drops by design)
+    cut = "2024-01-15 23:30:00"
+    events.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/f1")
+    events.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/f2")
 
     rollup = str(tmp_path / "rollup")
     stream = (
