@@ -157,6 +157,45 @@ def flatten_csv_dynamic(
     return df.select(line.alias("line"))
 
 
+def dt_from_line(line: Column | str, sep: str = ",", fmt: str = "yyyyMMdd") -> Column:
+    """Faithful-mode partition derivation: recover `es` by SPLITTING the
+    CSV line (field 2) exactly as the reference's bucket assigner does
+    (EventTimeBucketAssigner.java:40 `element.split(",")[1]`), including
+    the `00000000` fallback when the field doesn't parse as a long.
+
+    Typed mode (`dt_expr` on the es column) is preferred; this exists so
+    the faithful string pipeline reproduces the reference end-to-end."""
+    c = F.col(line) if isinstance(line, str) else line
+    # try_cast, not cast: ANSI mode throws on malformed input, but the
+    # reference catches the parse failure and routes to the sentinel
+    es = F.split(c, sep).getItem(1).try_cast("long")
+    return F.coalesce(
+        F.date_format(F.timestamp_millis(es), fmt), F.lit(DT_FALLBACK)
+    )
+
+
+def audit_ingest(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Data-quality accounting for an ingest batch: how many records
+    arrived, parsed, were DDL, were DML, and how many payload rows the
+    DML carried. The pipeline itself silently drops malformed + DDL
+    records (reference behavior, HdfsSink.java:58-66); this is the
+    side-channel that makes the drops observable. One aggregation —
+    run it per micro-batch via foreachBatch or on a batch backfill."""
+    env = parse_canal(raw, value_col)
+    return env.agg(
+        F.count("*").alias("n_records"),
+        F.count(F.col("isDdl")).alias("n_parsed"),
+        (F.count("*") - F.count(F.col("isDdl"))).alias("n_malformed"),
+        F.sum(
+            F.when(F.lower(F.col("isDdl")) == "true", 1).otherwise(0)
+        ).alias("n_ddl"),
+        F.sum(
+            F.when(F.lower(F.col("isDdl")) == "false", F.size(F.col("data")))
+            .otherwise(0)
+        ).alias("n_payload_rows"),
+    )
+
+
 def dt_expr(es: Column | str, fmt: str = "yyyyMMdd") -> Column:
     """Event-time epoch-millis -> partition value, with the reference's
     `00000000` fallback on unparseable input

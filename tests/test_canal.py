@@ -157,3 +157,37 @@ def test_route_tables_multiplexed_topic(spark):
         (1, "ham", "p1", "20240101")
     ]
     assert [(r.id, r.name, r.email) for r in us] == [(2, "ada", "a@x")]
+
+
+def test_audit_ingest_accounts_for_every_record(spark):
+    from flink_etl_spark.operators.canal import audit_ingest
+
+    recs = [
+        '{"isDdl":"false","id":1,"es":1,"ts":1,"type":"INSERT","data":[{"a":"1"},{"a":"2"}]}',
+        '{"isDdl":"true","id":2,"es":2,"ts":2,"type":"CREATE","data":null}',
+        "not json at all",
+        '{"isDdl":"false","id":3,"es":3,"ts":3,"type":"DELETE","data":[{"a":"3"}]}',
+    ]
+    raw = spark.createDataFrame([(r,) for r in recs], "value string")
+    row = audit_ingest(raw).first()
+    assert row.n_records == 4
+    assert row.n_parsed == 3
+    assert row.n_malformed == 1
+    assert row.n_ddl == 1
+    assert row.n_payload_rows == 3  # 2 + 1 from the two DML records
+
+
+def test_dt_from_line_matches_typed_dt(spark):
+    """Faithful-mode round trip: deriving dt by splitting the CSV line
+    (EventTimeBucketAssigner.java:40) equals the typed derivation, and
+    unparseable es falls back to 00000000."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.canal import dt_from_line
+
+    lines = spark.createDataFrame(
+        [("1,1704067200000,7,INSERT,x",), ("2,notanumber,8,INSERT,y",)],
+        "line string",
+    )
+    out = lines.select(dt_from_line("line").alias("dt")).collect()
+    assert [r.dt for r in out] == ["20240101", "00000000"]

@@ -101,3 +101,28 @@ def test_overwrite_snapshot_reads_and_replaces_same_path(spark, tmp_path):
 
     got = sorted(map(tuple, spark.read.parquet(path).select("id", "v").collect()))
     assert got == [(1, "x"), (2, "y2"), (3, "z")]
+
+
+def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path):
+    import glob
+
+    from flink_etl_spark.sources.compact import compact_partitions
+
+    path = str(tmp_path / "t")
+    rows = [(i, f"v{i}", "20200323" if i % 2 else "20200324") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v string, dt string")
+    # simulate many micro-batch writes -> many small files per partition
+    for chunk in range(4):
+        df.filter((F.col("id") % 4) == chunk).repartition(4).write.mode(
+            "append"
+        ).partitionBy("dt").parquet(path)
+    before = glob.glob(f"{path}/dt=*/part-*")
+    assert len(before) > 8
+    expected = sorted(map(tuple, spark.read.option("basePath", path).parquet(path).collect()))
+
+    compact_partitions(spark, path, target_files_per_dt=1)
+
+    after = glob.glob(f"{path}/dt=*/part-*")
+    assert len(after) <= 2  # one file per dt partition
+    got = sorted(map(tuple, spark.read.option("basePath", path).parquet(path).collect()))
+    assert got == expected
