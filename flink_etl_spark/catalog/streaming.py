@@ -95,13 +95,20 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value), 6) AS sum_value
     FROM events
     GROUP BY 1, 2
+    -- append-mode rollup emits only FINALIZED buckets: bucket end at or
+    -- below the final watermark (max event time - 2h delay)
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+           <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
     """,
 )
 def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous rollup gate: the INCREMENTALLY-maintained hourly
-    bucket table (update-mode windowed agg + foreachBatch upsert,
-    streaming/merge_sink.py) drained with availableNow must equal the
-    one-shot SQL aggregation of all events."""
+    bucket table (append-mode windowed agg + foreachBatch insert of
+    finalized buckets, streaming/merge_sink.py) drained with
+    availableNow must equal the one-shot SQL aggregation of all events
+    restricted to buckets past the final watermark."""
+    import atexit
+    import shutil
     import tempfile
 
     from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
@@ -117,6 +124,7 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     work = tempfile.mkdtemp(prefix="rollup_gate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     q = start_continuous_rollup(
         ev, f"{work}/rollup", f"{work}/chk", available_now=True
     )

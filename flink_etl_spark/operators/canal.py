@@ -166,9 +166,11 @@ def dt_from_line(line: Column | str, sep: str = ",", fmt: str = "yyyyMMdd") -> C
     Typed mode (`dt_expr` on the es column) is preferred; this exists so
     the faithful string pipeline reproduces the reference end-to-end."""
     c = F.col(line) if isinstance(line, str) else line
+    # F.split takes a REGEX but the CSV writers treat sep literally —
+    # \Q...\E quoting keeps metachar separators ('|', '.') literal too.
     # try_cast, not cast: ANSI mode throws on malformed input, but the
     # reference catches the parse failure and routes to the sentinel
-    es = F.split(c, sep).getItem(1).try_cast("long")
+    es = F.split(c, "\\Q" + sep + "\\E").getItem(1).try_cast("long")
     return F.coalesce(
         F.date_format(F.timestamp_millis(es), fmt), F.lit(DT_FALLBACK)
     )
@@ -237,10 +239,14 @@ def route_tables(
     (`writeStream.partitionBy("dt")` per table path). Under streaming,
     N sinks = N queries re-reading the source; for one-pass fan-out
     wrap the dict in a single foreachBatch that writes each filter —
-    same DataFrames, one read."""
-    parsed = filter_ddl(parse_canal(raw))
+    same DataFrames, one read.
+
+    Parse + explode happen ONCE in the shared prefix (`table` rides
+    through explode_rows via keep_cols); per-table plans diverge only
+    at the final filter + typed flatten."""
+    base = explode_rows(filter_ddl(parse_canal(raw)), keep_cols=("table",))
     routed: dict[str, DataFrame] = {}
     for tbl, cols in table_payloads.items():
-        sub = parsed.filter(F.col("table") == tbl)
-        routed[tbl] = with_dt(flatten(explode_rows(sub), cols))
+        sub = base.filter(F.col("table") == tbl).drop("table")
+        routed[tbl] = with_dt(flatten(sub, cols))
     return routed

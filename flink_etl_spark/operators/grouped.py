@@ -40,8 +40,13 @@ def per_group_linear_fit(
         # self-contained closure (executor sys.path — see stateful.py)
         import pandas as pd
 
-        x = pdf[ts_col].astype("datetime64[us]").astype("int64") / 86_400_000_000.0
-        y = pdf[value_col].astype("float64")
+        # SQL regr_* excludes pairs where EITHER side is null; pandas
+        # skipna would drop them asymmetrically (y skips, x doesn't),
+        # corrupting the moments — drop the pairs up front. n stays
+        # count(*) over ALL rows, matching the oracle's count(*)
+        clean = pdf[[ts_col, value_col]].dropna()
+        x = clean[ts_col].astype("datetime64[us]").astype("int64") / 86_400_000_000.0
+        y = clean[value_col].astype("float64")
         mx, my = x.mean(), y.mean()
         var = ((x - mx) ** 2).sum()
         if var == 0.0:

@@ -161,3 +161,20 @@ def overwrite_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         shutil.rmtree(target_uri)
     os.replace(staging if not staging.startswith("file:") else staging[5:],
                target_uri)
+
+
+def recover_snapshot(path: str) -> bool:
+    """Crash recovery for `overwrite_snapshot`'s delete+rename window:
+    if the target is missing but a complete staging directory exists
+    (the process died between rmtree and rename), promote the staging
+    copy. Callers that READ the snapshot before merging (foreachBatch
+    sinks) must call this first, or a replayed batch would see an empty
+    snapshot and silently drop every key not in that batch.
+
+    Returns True when a recovery was performed."""
+    target = path[len("file:"):] if path.startswith("file:") else path
+    staging = target.rstrip("/") + "__staging"
+    if not os.path.exists(target) and os.path.exists(staging):
+        os.replace(staging, target)
+        return True
+    return False

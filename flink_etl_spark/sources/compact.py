@@ -35,11 +35,21 @@ def compact_partitions(
         df = df.filter(F.col(dt_col).isin(dt_values))
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                   F.lit(target_files_per_dt))
-    (
-        df.repartition(F.col(dt_col), salt)
-        .write.mode("overwrite")
-        .partitionBy(dt_col)
-        .option("maxRecordsPerFile", 0)  # size governed by repartition
-        .format(fmt)
-        .save(path)
-    )
+    # ENFORCE dynamic partition overwrite for the duration of the write:
+    # under the Spark default (static) this overwrite would silently
+    # DELETE every partition not selected in dt_values — the guarantee
+    # must not rest on an ambient session conf
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.repartition(F.col(dt_col), salt)
+            .write.mode("overwrite")
+            .partitionBy(dt_col)
+            .option("maxRecordsPerFile", 0)  # size governed by repartition
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)

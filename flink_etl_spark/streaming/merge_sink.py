@@ -28,7 +28,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from flink_etl_spark.operators.merge import cdc_merge, dedup_latest, overwrite_snapshot
+from flink_etl_spark.operators.merge import (
+    cdc_merge,
+    dedup_latest,
+    overwrite_snapshot,
+    recover_snapshot,
+)
 
 
 def merge_batch_into_snapshot(
@@ -39,7 +44,10 @@ def merge_batch_into_snapshot(
     order_by: Sequence[str] | None = None,
 ) -> None:
     """One merge step: compact the batch to latest-per-key, full-outer
-    merge with the current snapshot (empty on first batch), swap."""
+    merge with the current snapshot (empty on first batch), swap.
+    Recovers a half-swapped snapshot first, so a foreachBatch replay
+    after a crash converges instead of resetting to the batch's keys."""
+    recover_snapshot(snapshot_path)
     latest = dedup_latest(batch, keys, order_by=order_by)
     if os.path.exists(snapshot_path):
         snapshot = spark.read.parquet(snapshot_path)
@@ -96,24 +104,38 @@ def start_continuous_rollup(
     TimescaleDB continuous-aggregate concept re-expressed on Structured
     Streaming).
 
-    The windowed aggregation runs in update mode — each micro-batch
-    emits only the (bucket, dims) groups whose aggregates CHANGED — and
-    foreachBatch upserts those rows into the rollup parquet keyed on
-    (bucket_start, *dims). Late events inside the watermark update
-    their (old) bucket; buckets past the watermark are final.
+    The windowed aggregation runs in APPEND mode: a (bucket, dims) row
+    is emitted EXACTLY ONCE, when the watermark passes the bucket end —
+    final, never revised. Late events inside the watermark are absorbed
+    before finalization; later ones are deterministically dropped
+    (update mode was rejected: its late-drop is lazy, so a straggler
+    arriving after state eviction would re-create a bucket with partial
+    counts and the upsert would overwrite the final row). The price is
+    freshness: the open tail buckets (within watermark_delay of the max
+    event time) are not yet visible in the rollup.
 
     Reading the rollup is a plain parquet scan — queries over
     pre-aggregated buckets never touch raw events."""
     import pyspark.sql.functions as F
 
     keys = ["bucket_start", *dims]
+    # group by the window STRUCT and project .start afterwards:
+    # extracting the field inside the groupBy strips the event-time
+    # metadata, so the watermark would never evict state or drop late
+    # rows (verified — watermark_delay becomes a no-op and state grows
+    # forever)
     agg = (
         events.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), bucket).getField("start").alias(
-            "bucket_start"), *dims)
+        .groupBy(F.window(F.col(ts_col), bucket), *dims)
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            *dims,
+            "n_events",
+            "sum_value",
         )
     )
 
@@ -121,6 +143,7 @@ def start_continuous_rollup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        recover_snapshot(rollup_path)
         if os.path.exists(rollup_path):
             current = spark.read.parquet(rollup_path)
             merged = cdc_merge(current, batch, keys)
@@ -131,7 +154,7 @@ def start_continuous_rollup(
     writer = (
         agg.writeStream.foreachBatch(_upsert)
         .option("checkpointLocation", checkpoint_location)
-        .outputMode("update")
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -126,3 +126,45 @@ def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path):
     assert len(after) <= 2  # one file per dt partition
     got = sorted(map(tuple, spark.read.option("basePath", path).parquet(path).collect()))
     assert got == expected
+
+
+def test_compact_partitions_safe_under_static_overwrite_mode(spark, tmp_path):
+    """Regression: with the session in the Spark-default STATIC
+    partition-overwrite mode, compacting a subset of partitions must
+    not delete the unselected ones."""
+    from flink_etl_spark.sources.compact import compact_partitions
+
+    path = str(tmp_path / "t2")
+    rows = [(i, "20200323" if i % 2 else "20200324") for i in range(20)]
+    spark.createDataFrame(rows, "id long, dt string").write.partitionBy(
+        "dt"
+    ).parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        compact_partitions(spark, path, dt_values=["20200323"])
+        # the function must restore the caller's (static) conf...
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # ...and the unselected partition must survive
+    assert spark.read.option("basePath", path).parquet(path).count() == 20
+
+
+def test_recover_snapshot_promotes_staging(spark, tmp_path):
+    """Crash between rmtree and rename: target gone, staging complete —
+    recovery must promote staging instead of losing the snapshot."""
+    import shutil
+
+    from flink_etl_spark.operators.merge import recover_snapshot
+
+    path = str(tmp_path / "snap2")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    # simulate the crash window
+    shutil.move(path, path + "__staging")
+    assert recover_snapshot(path) is True
+    assert spark.read.parquet(path).count() == 1
+    assert recover_snapshot(path) is False  # idempotent

@@ -276,18 +276,17 @@ def test_continuous_merge_sink_equals_batch_merge(spark, tmp_path):
 
 
 def test_continuous_rollup_equals_batch_aggregate(spark, tmp_path):
-    """Hypertable rollup: the incrementally-maintained bucket table
-    equals the one-shot batch aggregation of all events."""
+    """Hypertable rollup (append mode): the incrementally-maintained
+    bucket table equals the batch aggregation restricted to FINALIZED
+    buckets (bucket end at or below the final watermark)."""
     from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
 
     events = load_table(spark, "/root/testdata/sf0.001", "events").select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     src = str(tmp_path / "ru_ev")
-    # split at a MID-BUCKET boundary: the 23:00 bucket of Jan 15 has
-    # events in BOTH batches, so batch 2 must UPDATE it (upsert path),
-    # while staying inside the watermark (a parity split would feed
-    # late-beyond-watermark events, which the agg drops by design)
+    # split at a MID-BUCKET boundary: the 23:00 bucket of Jan 15 gets
+    # events from BOTH batches, accumulated in state before it finalizes
     cut = "2024-01-15 23:30:00"
     events.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/f1")
     events.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/f2")
@@ -304,6 +303,7 @@ def test_continuous_rollup_equals_batch_aggregate(spark, tmp_path):
     q.awaitTermination(180)
 
     got = sorted(map(tuple, spark.read.parquet(rollup).collect()))
+    max_ts = events.agg(F.max("ts")).first()[0]
     expected = sorted(
         map(tuple,
             events.groupBy(
@@ -312,7 +312,64 @@ def test_continuous_rollup_equals_batch_aggregate(spark, tmp_path):
             )
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 6).alias("sum_value"))
+            # finalized = bucket END <= final watermark (max ts - 2h)
+            .filter(
+                F.col("bucket_start") + F.expr("INTERVAL 1 HOUR")
+                <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+            )
             .collect())
     )
     assert got == expected
     assert len(got) > 100
+
+
+def test_rollup_watermark_drops_late_and_bounds_state(spark, tmp_path):
+    """Regression: grouping must keep the event-time metadata (group by
+    the window STRUCT, not .getField) so the watermark finalizes and
+    evicts buckets; append mode then makes the late-drop deterministic —
+    a far-late event must NOT appear in its long-finalized bucket."""
+    from datetime import datetime
+
+    from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
+
+    import time
+
+    schema = "ts timestamp, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 10), "click", 1.0),
+         (datetime(2024, 1, 1, 10, 0), "click", 100.0)],
+        schema,
+    )
+    # advances the watermark to 08:30 and finalizes bucket 00:00
+    b2 = spark.createDataFrame([(datetime(2024, 1, 1, 10, 30), "click", 7.0)], schema)
+    # straggler arriving AFTER its bucket was finalized+evicted: must be
+    # dropped by the watermark predicate (a straggler in the SAME batch
+    # as finalization is still absorbed — engine semantics)
+    b3 = spark.createDataFrame([(datetime(2024, 1, 1, 0, 20), "click", 41.0)], schema)
+    src = str(tmp_path / "late_ev")
+    # distinct mtimes pin the file->batch order under maxFilesPerTrigger
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{src}/f2")
+    time.sleep(1.1)
+    b3.coalesce(1).write.parquet(f"{src}/f3")
+
+    rollup = str(tmp_path / "late_rollup")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = start_continuous_rollup(
+        stream, rollup, str(tmp_path / "late_chk"), available_now=True
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.bucket_start.hour, r.n_events, r.sum_value)
+        for r in spark.read.parquet(rollup).collect()
+    }
+    # bucket 00:00 finalized (batch 2) with ONLY the 00:10 event; the
+    # batch-3 straggler was dropped post-eviction. The 10:00 bucket
+    # never finalizes (its end exceeds the final watermark), so
+    # append-mode emits nothing for it.
+    assert rows == {(0, 1, 1.0)}
