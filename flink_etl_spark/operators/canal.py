@@ -99,7 +99,12 @@ def explode_rows(
     return out.filter(F.col(out_col).isNotNull())
 
 
-def flatten(df: DataFrame, payload_cols: Sequence[str], row_col: str = "row") -> DataFrame:
+def flatten(
+    df: DataFrame,
+    payload_cols: Sequence[str],
+    row_col: str = "row",
+    payload_types: dict[str, str] | None = None,
+) -> DataFrame:
     """Typed flatten: envelope metadata + payload columns, in registered
     source-column order (HdfsSink.java:86-101).
 
@@ -107,9 +112,21 @@ def flatten(df: DataFrame, payload_cols: Sequence[str], row_col: str = "row") ->
     OrderedField; `from_json` to a MAP doesn't guarantee order, so
     faithful ordering requires the per-table registered column list
     (SURVEY.md §7 "dynamic payload schema").
+
+    `payload_types` maps payload columns to Spark SQL type names
+    (e.g. {"population": "long"}) — the registered-schema TYPED mode:
+    values come out of Canal's string row image and are try_cast (a
+    malformed value yields null rather than failing the pipeline under
+    ANSI mode, mirroring how the reference would write the raw string
+    and let Hive's lazy cast null it out).
     """
     cols = [F.col("id"), F.col("es"), F.col("ts"), F.col("type")]
-    cols += [F.col(row_col).getItem(c).alias(c) for c in payload_cols]
+    types = payload_types or {}
+    for c in payload_cols:
+        v = F.col(row_col).getItem(c)
+        if c in types:
+            v = v.try_cast(types[c])
+        cols.append(v.alias(c))
     return df.select(*cols)
 
 

@@ -78,6 +78,7 @@ def cdc_merge(
     columns: Sequence[str] | None = None,
     drop_deletes: bool = False,
     delete_type_col: str = "type",
+    evolve: bool = False,
 ) -> DataFrame:
     """Full-outer merge: delta wins per column, snapshot fills the rest.
 
@@ -90,9 +91,20 @@ def cdc_merge(
     carried but never filtered — arguably an upstream bug, reproduced
     faithfully by default). `drop_deletes=True` is the extension that
     anti-joins deleted keys out.
+
+    `evolve=True` handles upstream SCHEMA EVOLUTION: the merged output
+    carries the UNION of both sides' columns (a column added to the
+    source table mid-stream is null for pre-existing snapshot rows; a
+    dropped column survives from the snapshot side). Default (False)
+    keeps the intersection — the reference's fixed-schema behavior.
     """
     if columns is None:
-        columns = [c for c in snapshot.columns if c in set(delta.columns)]
+        if evolve:
+            columns = list(
+                dict.fromkeys([*snapshot.columns, *delta.columns])
+            )
+        else:
+            columns = [c for c in snapshot.columns if c in set(delta.columns)]
     missing = [k for k in keys if k not in columns]
     if missing:
         raise ValueError(f"keys {missing} not in merge columns")
@@ -110,12 +122,15 @@ def cdc_merge(
         clause = F.col(f"s.{k}") == F.col(f"d.{k}")
         cond = clause if cond is None else (cond & clause)
     joined = s.join(d, cond, "full_outer")
-    projected = [
-        F.coalesce(F.col(f"d.{c}"), F.col(f"s.{c}")).alias(c)
-        if c in set(delta.columns)
-        else F.col(f"s.{c}").alias(c)
-        for c in columns
-    ]
+    s_cols, d_cols = set(snapshot.columns), set(delta.columns)
+    projected = []
+    for c in columns:
+        if c in d_cols and c in s_cols:
+            projected.append(F.coalesce(F.col(f"d.{c}"), F.col(f"s.{c}")).alias(c))
+        elif c in d_cols:  # evolve: column added upstream
+            projected.append(F.col(f"d.{c}").alias(c))
+        else:  # evolve: column dropped upstream, or intersection mode
+            projected.append(F.col(f"s.{c}").alias(c))
     return joined.select(*projected)
 
 

@@ -191,3 +191,27 @@ def test_dt_from_line_matches_typed_dt(spark):
     )
     out = lines.select(dt_from_line("line").alias("dt")).collect()
     assert [r.dt for r in out] == ["20240101", "00000000"]
+
+
+def test_flatten_typed_payload_casting(spark):
+    from flink_etl_spark.operators.canal import (
+        explode_rows, filter_ddl, flatten, parse_canal,
+    )
+
+    recs = [
+        '{"isDdl":"false","id":1,"es":10,"ts":1,"type":"INSERT",'
+        '"data":[{"city":"ham","population":"1841000","area_km2":"755.2"}]}',
+        '{"isDdl":"false","id":2,"es":20,"ts":2,"type":"INSERT",'
+        '"data":[{"city":"muc","population":"notanumber","area_km2":"310.7"}]}',
+    ]
+    raw = spark.createDataFrame([(r,) for r in recs], "value string")
+    out = flatten(
+        explode_rows(filter_ddl(parse_canal(raw))),
+        ["city", "population", "area_km2"],
+        payload_types={"population": "long", "area_km2": "double"},
+    )
+    assert dict(out.dtypes)["population"] == "bigint"
+    assert dict(out.dtypes)["area_km2"] == "double"
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].population == 1841000 and abs(rows[1].area_km2 - 755.2) < 1e-9
+    assert rows[2].population is None  # malformed -> null, not a crash

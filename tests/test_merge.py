@@ -117,3 +117,27 @@ def test_merge_replays_history_property(spark):
     full = spark.createDataFrame(history, ["id", "city", "province", "event_time", "type", "ts"])
     replayed = merge.dedup_latest(full, keys=["id"]).select("id", "city", "province", "event_time")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, replayed.collect()))
+
+
+def test_cdc_merge_schema_evolution(spark):
+    """evolve=True: a column added upstream appears (null for old
+    snapshot rows); a dropped column survives from the snapshot side."""
+    from flink_etl_spark.operators.merge import cdc_merge
+
+    snapshot = spark.createDataFrame(
+        [(1, "a", "legacy1"), (2, "b", "legacy2")],
+        "id long, v string, old_col string",
+    )
+    delta = spark.createDataFrame(
+        [(2, "b2", "new2"), (3, "c", "new3")],
+        "id long, v string, new_col string",
+    )
+    out = cdc_merge(snapshot, delta, ["id"], evolve=True)
+    assert out.columns == ["id", "v", "old_col", "new_col"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].old_col == "legacy1" and rows[1].new_col is None
+    assert rows[2].v == "b2" and rows[2].old_col == "legacy2" and rows[2].new_col == "new2"
+    assert rows[3].old_col is None and rows[3].new_col == "new3"
+    # default (intersection) mode unchanged
+    strict = cdc_merge(snapshot, delta, ["id"])
+    assert strict.columns == ["id", "v"]
