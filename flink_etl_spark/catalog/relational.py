@@ -628,3 +628,73 @@ def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "window_range_frame_trailing",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW), 2)
+               AS trailing_1d_value,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
+               AS trailing_1d_events
+    FROM events
+    """,
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a time-interval bound — the trailing-window
+    aggregate (per-entity 24h rolling sum) that ROWS frames cannot
+    express. (user_id, ts) is unique in the data, so RANGE vs ROWS
+    peer-group semantics cannot diverge here; the frame width is the
+    tested behavior. Same one-shuffle plan shape as any window."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW), 2)
+                   AS trailing_1d_value,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW)
+                   AS trailing_1d_events
+        FROM events
+        """
+    )
+
+
+@query(
+    "window_analytic_ranks",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic rank family over one window definition —
+    ntile/percent_rank/cume_dist/rank/dense_rank share a single sort
+    and shuffle (one Window node in the plan)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
