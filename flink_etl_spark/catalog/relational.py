@@ -698,3 +698,97 @@ def window_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
     )
+
+
+@query(
+    "set_ops_bag_semantics",
+    """
+    WITH m AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ),
+    e AS (
+        SELECT o_custkey FROM m
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_custkey, count(*) AS multiplicity
+    FROM e GROUP BY o_custkey
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, where
+    duplicate multiplicity carries through instead of collapsing; the
+    final count exposes the multiplicities so the gate verifies them."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    d = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        a.intersectAll(b)
+        .exceptAll(d)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+    )
+
+
+@query(
+    "posexplode_token_positions",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents
+    )
+    SELECT CAST(p AS INT) AS pos, t[p + 1] AS token,
+           count(*) AS n_docs
+    FROM toks, UNNEST([0, 1, 2]) AS u(p)
+    WHERE len(t) > p
+    GROUP BY 1, 2
+    """,
+)
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (explode WITH ORDINALITY): token frequency by POSITION
+    for the first 3 positions of each document — the positional flatten
+    the plain explode loses."""
+    docs = _t(spark, sf_dir, "documents")
+    from flink_etl_spark.functions.hashing import tokens_expr
+
+    return (
+        docs.select(
+            "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "token")
+        )
+        .filter(F.col("pos") < 3)
+        .groupBy("pos", "token")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "unpivot_order_metrics",
+    """
+    SELECT o_orderpriority, metric, round(sum(val), 2) AS total
+    FROM (
+        SELECT o_orderpriority, 'price' AS metric, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT o_orderpriority, 'shipdays' AS metric,
+               CAST(o_orderkey % 30 AS DOUBLE) AS val FROM orders
+    )
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide metric columns to (metric, value) rows — the
+    reshaping inverse of PIVOT; compiles to one Expand (not a
+    self-union double scan)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 30).cast("double").alias("shipdays"),
+    )
+    long = o.unpivot(
+        ids=["o_orderpriority"], values=["price", "shipdays"],
+        variableColumnName="metric", valueColumnName="val",
+    )
+    return long.groupBy("o_orderpriority", "metric").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )
