@@ -103,8 +103,10 @@ def test_cdc_compact_stream_matches_batch_dedup(spark, tmp_path):
         schema,
     )
     src = str(tmp_path / "cdc")
-    b1.write.parquet(f"{src}/f1")
-    b2.write.parquet(f"{src}/f2")
+    # one part-file per batch pins batch composition (multi-part writes
+    # split into micro-batches in nondeterministic file order)
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+    b2.coalesce(1).write.parquet(f"{src}/f2")
 
     stream = (
         spark.readStream.schema(schema)
