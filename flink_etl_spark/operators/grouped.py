@@ -70,3 +70,55 @@ def per_group_linear_fit(
         )
 
     return events.groupBy(group_col).applyInPandas(fit, FIT_SCHEMA)
+
+
+def cogroup_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of join via COGROUPED applyInPandas: both sides shuffle by the
+    key, each key's two pandas frames meet in one Python call, and
+    pandas' merge_asof does the backward lookup.
+
+    Exists as the cogroup reference implementation and a cross-check of
+    the native `operators.joins.asof_join` (union + window, pure JVM) —
+    the JVM path is the production one; this shape is for when per-key
+    logic genuinely needs pandas (model scoring against a feature
+    frame, per-entity resampling). Output schema: left columns + right
+    non-key columns (nulls where no match)."""
+    import pandas as pd
+
+    l_fields = [(c, left.schema[c].dataType.simpleString()) for c in left.columns]
+    r_fields = [
+        (c, right.schema[c].dataType.simpleString())
+        for c in right.columns
+        if c != on
+    ]
+    out_schema = ", ".join(f"{c} {t}" for c, t in [*l_fields, *r_fields])
+    r_cols = [c for c, _ in r_fields]
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd  # self-contained closure (executor sys.path)
+
+        if lpdf.empty:
+            return pd.DataFrame(columns=[*lpdf.columns, *r_cols])
+        lpdf = lpdf.sort_values(left_ts)
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in r_cols:
+                out[c] = None
+            return out
+        rpdf = rpdf.drop(columns=[on]).sort_values(right_ts)
+        return pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=right_ts,
+            direction="backward", allow_exact_matches=True,
+        )
+
+    return (
+        left.groupby(on)
+        .cogroup(right.groupby(on))
+        .applyInPandas(fn, out_schema)
+    )

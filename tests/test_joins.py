@@ -122,3 +122,30 @@ def test_asof_null_attribute_not_mixed_across_rows(spark):
     out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts").first()
     assert out.rid == 200
     assert out.val is None  # NOT 5.0 from rid=100
+
+
+def test_cogroup_asof_matches_native_asof(spark):
+    """Three-way agreement: the cogrouped pandas merge_asof must equal
+    the native union+window asof_join (itself DuckDB-ASOF-gated)."""
+    from flink_etl_spark.operators.grouped import cogroup_asof
+    from flink_etl_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("cts"), F.col("value").alias("click_value"),
+    )
+    native = asof_join(p, c, on=["user_id"], left_ts="pts", right_ts="cts",
+                       tie_break="click_id")
+    cg = cogroup_asof(p, c, on="user_id", left_ts="pts", right_ts="cts")
+    n_rows = sorted(map(tuple, native.select(
+        "purchase_id", "user_id", "click_id", "click_value").collect()))
+    c_rows = sorted(map(tuple, cg.select(
+        "purchase_id", "user_id", "click_id", "click_value").collect()))
+    assert n_rows == c_rows
+    assert len(n_rows) > 100
