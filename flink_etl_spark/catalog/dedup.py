@@ -185,3 +185,38 @@ def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies", "digest")
     )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, dst) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """
+
+
+@query("dedup_duplicate_clusters", _clusters_oracle())
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components via
+    iterative min-label propagation (a genuinely ITERATIVE distributed
+    algorithm — driver loop over shuffle joins, Pregel-style). The
+    oracle computes the same components with a recursive-CTE transitive
+    closure: two entirely different fixpoint formulations must agree."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8).select(
+        "doc_a", "doc_b"
+    )
+    return D.duplicate_clusters(pairs)

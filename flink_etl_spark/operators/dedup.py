@@ -391,3 +391,61 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document in a
+    pair gets the MINIMUM reachable doc id as its cluster_id — the
+    canonical "pick one canonical doc per duplicate group" step after
+    any pairwise dedup (minhash/simhash/cosine all emit pairs).
+
+    Iterative min-label propagation (the Pregel/GraphX pattern on plain
+    DataFrames): each round joins labels across edges and keeps the
+    elementwise min; converges in O(cluster diameter) rounds — near-dup
+    clusters are near-cliques, so 2-3 rounds in practice, `max_iters`
+    bounds adversarial chains. Each round is one shuffle join + one
+    aggregate; the driver only checks a convergence COUNT per round
+    (no data is collected).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # convergence: any label still above a neighbor's label?
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), F.col("u.node") == F.col("o.node"))
+            .filter(F.col("u.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -174,3 +174,20 @@ def test_approx_percentile_within_tolerance(spark):
         # accuracy parameter 10000 -> rank error <= n/10000; values are
         # densely spread so the value gap stays tiny
         assert abs(approx - exact) <= max(0.05, abs(exact) * 0.01)
+
+
+def test_duplicate_clusters_label_propagation(spark):
+    from flink_etl_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4),          # chain 1-2-3-4 -> cluster 1
+         (10, 11),                         # pair -> cluster 10
+         (20, 21), (21, 22), (20, 22)],    # triangle -> cluster 20
+        "doc_a long, doc_b long",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in duplicate_clusters(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
