@@ -154,3 +154,48 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_pretoken_len"),
     )
+
+
+@query(
+    "text_top_bigrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, b
+        FROM toks, UNNEST(
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                                     i -> concat_ws(' ', t[i], t[i+1]))
+                 ELSE [] END) AS u(b)
+    )
+    SELECT b AS bigram,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM bg
+    GROUP BY b
+    HAVING count(*) >= 10
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level n-gram statistics (the per-doc ops above are
+    row-local): bigram frequency + document frequency for bigrams with
+    >= 10 occurrences. One explode + one groupBy; at corpus scale the
+    HAVING threshold is what keeps the long tail from dominating the
+    shuffle (pre-aggregate partial counts do the rest)."""
+    from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(shingles_expr(tokens_expr("text"), 2)).alias("bigram"),
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 10)
+    )
