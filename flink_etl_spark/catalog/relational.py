@@ -792,3 +792,31 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("o_orderpriority", "metric").agg(
         F.round(F.sum("val"), 2).alias("total")
     )
+
+
+@query(
+    "scalar_subquery_above_global_avg",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_above,
+           round(min(o_totalprice), 2) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def scalar_subquery_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — planned as an independent
+    single-row subplan whose result folds into the filter (no join,
+    no per-row re-execution)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_above,
+               round(min(o_totalprice), 2) AS min_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )

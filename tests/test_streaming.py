@@ -171,3 +171,38 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     expected = sorted(map(tuple, batch.select("purchase_id", "click_id").collect()))
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_static_broadcast_join_equals_batch(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched by a static
+    dimension (no watermark needed — the static side is just a lookup)
+    must equal the batch join."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    customers = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = str(tmp_path / "ev_ss2")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    joined = stream.join(F.broadcast(customers), "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_static_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ss_static_test").collect()))
+
+    expected = sorted(
+        map(tuple,
+            events.join(F.broadcast(customers), "user_id")
+            .select("event_id", "user_id", "c_mktsegment").collect())
+    )
+    assert got == expected
+    assert len(got) >= 1000
