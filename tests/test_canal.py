@@ -215,3 +215,37 @@ def test_flatten_typed_payload_casting(spark):
     rows = {r.id: r for r in out.collect()}
     assert rows[1].population == 1841000 and abs(rows[1].area_km2 - 755.2) < 1e-9
     assert rows[2].population is None  # malformed -> null, not a crash
+
+
+def test_route_tables_under_streaming(spark, tmp_path):
+    """Multi-table routing works identically under readStream: each
+    routed table drains to its own sink."""
+    recs = [
+        '{"isDdl":"false","id":1,"es":1704067200000,"ts":1,"type":"INSERT",'
+        '"table":"code_city","data":[{"city":"ham","province":"p1"}]}',
+        '{"isDdl":"false","id":2,"es":1704067200000,"ts":2,"type":"INSERT",'
+        '"table":"users","data":[{"name":"ada","email":"a@x"}]}',
+    ]
+    src = tmp_path / "multi"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(recs))
+
+    from flink_etl_spark.operators.canal import route_tables
+
+    raw = spark.readStream.format("text").schema("value string").load(str(src))
+    routed = route_tables(
+        raw, {"code_city": ["city", "province"], "users": ["name", "email"]}
+    )
+    for tbl, df in routed.items():
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{tbl}"))
+            .option("checkpointLocation", str(tmp_path / f"chk_{tbl}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    cc = spark.read.parquet(str(tmp_path / "out_code_city")).collect()
+    us = spark.read.parquet(str(tmp_path / "out_users")).collect()
+    assert [(r.id, r.city) for r in cc] == [(1, "ham")]
+    assert [(r.id, r.name) for r in us] == [(2, "ada")]

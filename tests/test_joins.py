@@ -149,3 +149,38 @@ def test_cogroup_asof_matches_native_asof(spark):
         "purchase_id", "user_id", "click_id", "click_value").collect()))
     assert n_rows == c_rows
     assert len(n_rows) > 100
+
+
+def test_asof_multi_key_groups(spark):
+    """As-of with a composite key: matches never cross (sym, venue)."""
+    left = spark.createDataFrame(
+        [("A", "X", _ts("2024-01-01T10:00:05"), 1.0),
+         ("A", "Y", _ts("2024-01-01T10:00:05"), 2.0)],
+        "sym string, venue string, t_ts timestamp, px double",
+    )
+    right = spark.createDataFrame(
+        [("A", "X", _ts("2024-01-01T10:00:01"), 99.0),
+         ("A", "Y", _ts("2024-01-01T10:00:03"), 77.0)],
+        "sym string, venue string, q_ts timestamp, bid double",
+    )
+    out = asof_join(left, right, on=["sym", "venue"],
+                    left_ts="t_ts", right_ts="q_ts")
+    rows = {(r.sym, r.venue): r.bid for r in out.collect()}
+    assert rows == {("A", "X"): 99.0, ("A", "Y"): 77.0}
+
+
+def test_interval_join_forward_window(spark, trades_quotes):
+    """Forward-looking window: quotes within 5s AFTER each trade."""
+    trades, quotes = trades_quotes
+    out = interval_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        lower="0 SECONDS", upper="5 SECONDS",
+    )
+    got = {(r.sym, r.px, r.bid) for r in out.collect()}
+    # A@3s forward (3,8]: quote at 8s; A@10s: none; B@5s: quote at 9s
+    assert got == {
+        ("A", 100.0, 100.5),
+        ("A", 101.0, None),
+        ("B", 50.0, 49.0),
+        ("C", 7.0, None),
+    }
