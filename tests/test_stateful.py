@@ -375,3 +375,55 @@ def test_rollup_watermark_drops_late_and_bounds_state(spark, tmp_path):
     # never finalizes (its end exceeds the final watermark), so
     # append-mode emits nothing for it.
     assert rows == {(0, 1, 1.0)}
+
+
+def test_sessionize_state_survives_restart(spark, tmp_path):
+    """The sessionizer's per-key state must persist in the checkpoint
+    across query RESTARTS: a session spanning two separately-started
+    runs is not split, and a gap across runs closes it correctly."""
+    from datetime import datetime
+
+    schema = "user_id bigint, ts timestamp, value double"
+    src = tmp_path / "restart_ev"
+    src.mkdir()
+    sink = str(tmp_path / "restart_out")
+    chk = str(tmp_path / "restart_chk")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: user 1 opens a session (2 events, 10 min apart)
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 1.0),
+         (1, datetime(2024, 1, 1, 10, 10), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+
+    # run 2 (fresh query, same checkpoint): +20 min -> SAME session
+    # continues; then a 2h-later event closes it
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 30), 4.0),
+         (1, datetime(2024, 1, 1, 12, 40), 8.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+
+    rows = [
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(sink).collect()
+    ]
+    # exactly ONE closed session: 10:00-10:30 with all 3 events (state
+    # carried the open session across the restart); the 12:40 session
+    # is still open in state
+    assert rows == [
+        (1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 30), 3, 7.0)
+    ]
