@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_etl_spark.catalog import _t, query
@@ -30,13 +31,69 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_metadata(M.make_media_table(docs))
 
 
-@query("media_decode_features", None)
+@query(
+    "media_decode_features",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT media_id, n, i, CAST(ord(substr(text, i, 1)) AS BIGINT) AS v
+        FROM m, UNNEST(range(1, n + 1)) AS u(i)
+    ),
+    a AS (
+        SELECT media_id,
+               any_value(n) AS n,
+               CAST(sum(v) AS BIGINT) AS total,
+               avg(v) AS mean,
+               var_pop(v) AS var,
+               max(v) AS vmax,
+               min(v) AS vmin,
+               max(CASE WHEN i = 1 THEN v END) AS vfirst,
+               max(CASE WHEN i = n THEN v END) AS vlast
+        FROM b GROUP BY media_id
+    )
+    SELECT media_id,
+           'text/plain' AS mime,
+           n AS n_bytes,
+           (n % 640) + 1 AS width,
+           (n % 480) + 1 AS height,
+           n AS f_len,
+           round(mean, 6) AS f_mean,
+           round(var, 6) AS f_var,
+           vmax AS f_max,
+           vmin AS f_min,
+           vfirst AS f_first,
+           vlast AS f_last,
+           total % 997 AS f_mod
+    FROM a
+    """,
+)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode with the deterministic fake codec
-    (real codecs absent from this container — SURVEY.md §2.12). Rows-only
-    check: the decode output is not SQL-expressible by design."""
+    (real codecs absent from this container — SURVEY.md §2.12). The fake
+    decode is pure byte math over an ASCII payload, so the oracle
+    replicates it with ord()/unnest byte aggregation; the 8-dim feature
+    array is SCALARIZED to f_* columns so the driver's canonicalizer
+    never sees a list column (r1 gate was red on exactly that)."""
     docs = _t(spark, sf_dir, "documents")
-    return M.decode_media(M.make_media_table(docs), fake=True)
+    dec = M.decode_media(M.make_media_table(docs), fake=True)
+    return dec.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        F.col("features")[0].cast("long").alias("f_len"),
+        F.round(F.col("features")[1], 6).alias("f_mean"),
+        F.round(F.col("features")[2], 6).alias("f_var"),
+        F.col("features")[3].cast("long").alias("f_max"),
+        F.col("features")[4].cast("long").alias("f_min"),
+        F.col("features")[5].cast("long").alias("f_first"),
+        F.col("features")[6].cast("long").alias("f_last"),
+        F.col("features")[7].cast("long").alias("f_mod"),
+    )
 
 
 @query(

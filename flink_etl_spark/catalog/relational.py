@@ -251,9 +251,9 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id,
            CAST(coalesce(gap_ms, -1) AS BIGINT) AS gap_ms,
-           sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM gaps
     """,
 )
@@ -431,16 +431,44 @@ def agg_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", None)
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — inherently engine-specific
-    sketch values, so rows-only check (SURVEY.md §2.12). At 100 TB this
-    replaces exact countDistinct wherever 2% error is acceptable: one
-    pass, constant memory, no expand."""
+    """HyperLogLog++ approximate distinct. Sketch values are
+    engine-specific, so the gate asserts the sketch's ACCURACY CONTRACT:
+    Spark computes both the HLL estimate and the exact distinct and
+    emits `approx_ok = |approx - exact| <= 5 * rsd * exact`; the oracle
+    computes the exact count and emits literal TRUE (the
+    bounds-check-boolean pattern, see embedding_normalize_stats). At
+    100 TB the exact arm disappears and only the one-pass
+    constant-memory sketch runs."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    rsd = 0.02
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(5 * rsd) * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -614,19 +642,53 @@ def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles_value", None)
+@query(
+    "approx_percentiles_value",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok,
+           TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (mergeable quantile sketch): one pass, constant
     memory per group — the 100 TB replacement for the exact sort-based
-    percentile wherever bounded error is acceptable. Rows-only check
-    (sketch results are engine-specific); accuracy vs the exact
-    percentile is asserted in tests/test_extensions.py."""
+    percentile wherever bounded error is acceptable. Sketch values are
+    engine-specific, so the gate asserts the RANK-ERROR CONTRACT
+    (bounds-check-boolean pattern): with accuracy=10000 the Greenwald-
+    Khanna rank error is <= n/10000 ranks, far inside the +-1%% rank
+    envelope we check — each approx quantile must land between the exact
+    quantiles at q-0.01 and q+0.01. Array output is scalarized to p50/
+    p90/p99 so the driver's canonicalizer never sees a list column."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias(
-            "approx_p"
-        ),
+    qs = [0.5, 0.9, 0.99]
+    agg = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("ap"),
+        *[
+            F.expr(f"percentile(value, {max(q - 0.01, 0.0)})").alias(f"lo_{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(q + 0.01, 1.0)})").alias(f"hi_{i}")
+            for i, q in enumerate(qs)
+        ],
         F.count("*").alias("n_events"),
+    )
+    eps = 1e-9
+    return agg.select(
+        "event_type",
+        "n_events",
+        *[
+            (
+                (F.col("ap")[i] >= F.col(f"lo_{i}") - eps)
+                & (F.col("ap")[i] <= F.col(f"hi_{i}") + eps)
+            ).alias(f"p{int(q * 100)}_ok")
+            for i, q in enumerate(qs)
+        ],
     )
 
 

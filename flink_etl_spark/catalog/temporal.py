@@ -108,7 +108,7 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           round(sum(e.value - d.type_avg), 2) AS total_deviation,
+           round(sum(e.value - d.type_avg), 2) + 0.0 AS total_deviation,
            round(max(abs(e.value - d.type_avg)), 6) AS max_abs_deviation
     FROM events e JOIN dim d ON d.event_type = e.event_type
     GROUP BY e.event_type
@@ -127,7 +127,12 @@ def salted_join_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(ev, dim, on=["event_type"], salt_buckets=8)
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value") - F.col("type_avg")), 2).alias("total_deviation"),
+        # + 0.0 collapses IEEE -0.0 to 0.0 — DuckDB's sum can yield -0.0
+        # where Spark yields 0.0, and a value-hashing driver sees them as
+        # different reprs; applied on both sides.
+        (F.round(F.sum(F.col("value") - F.col("type_avg")), 2) + F.lit(0.0)).alias(
+            "total_deviation"
+        ),
         F.round(F.max(F.abs(F.col("value") - F.col("type_avg"))), 6).alias(
             "max_abs_deviation"
         ),
