@@ -107,16 +107,45 @@ def duckdb_char_fold_hash(col: str, mult: int = 131, p: int = MERSENNE_P) -> str
 
 
 def vocab_ids(terms: DataFrame, term_col: str = "term") -> DataFrame:
-    """Assign dense integer ids to distinct terms by lexicographic rank.
+    """Assign dense 1-based integer ids to distinct terms by
+    lexicographic rank — WITHOUT a global single-partition window.
 
-    Kept for callers that need *dense* ids (e.g. matrix-style exports);
-    the sketching operators use `char_fold_hash` instead — this global
-    window is a single-partition sort over the vocabulary and becomes
-    the bottleneck long before 100 TB.
+    Two-pass scale shape: bucket terms by first-character code point
+    (order-preserving across buckets), rank within each bucket with a
+    partitioned window, then add each bucket's global offset (the
+    cumulative count of all preceding buckets — a tiny per-bucket agg,
+    broadcast back). The vocabulary never converges on one task; the
+    only single-partition work is the window over the ~100-row bucket
+    count table. Kept for callers that need *dense* ids (matrix-style
+    exports); the sketching operators use `char_fold_hash` instead.
     """
-    w = Window.orderBy(F.col(term_col))
-    return terms.select(term_col).distinct().withColumn(
-        "term_id", F.dense_rank().over(w)
+    d = terms.select(term_col).distinct().withColumn(
+        "_bkt", F.coalesce(F.ascii(F.substring(F.col(term_col), 1, 1)), F.lit(-1))
+    )
+    counts = d.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    # running offsets without a window: pack the ~100 bucket counts into
+    # one sorted array, prefix-sum via transform+aggregate (O(B^2) on B
+    # buckets — trivial), posexplode back to rows
+    offsets = (
+        counts.agg(F.array_sort(F.collect_list(F.struct("_bkt", "_n"))).alias("_a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(_a, (x, i) -> struct(x._bkt AS _bkt, "
+                    "aggregate(slice(_a, 1, i), CAST(0 AS BIGINT), "
+                    "(acc, y) -> acc + y._n) AS _off))"
+                )
+            ).alias("_s")
+        )
+        .select(F.col("_s._bkt").alias("_bkt"), F.col("_s._off").alias("_off"))
+    )
+    w_rank = Window.partitionBy("_bkt").orderBy(F.col(term_col))
+    return (
+        d.join(F.broadcast(offsets), "_bkt")
+        .select(
+            term_col,
+            (F.row_number().over(w_rank) + F.col("_off")).cast("long").alias("term_id"),
+        )
     )
 
 

@@ -411,15 +411,29 @@ def duplicate_clusters(
     bounds adversarial chains. Each round is one shuffle join + one
     aggregate; the driver only checks a convergence COUNT per round
     (no data is collected).
+
+    Each generation of labels is `localCheckpoint`ed (eager) and the
+    previous generation unpersisted: without the lineage cut, the
+    logical plan doubles per round and at real corpus scale planning
+    time + recomputation explode long before the data does. The edge
+    table is persisted once — it is reused by every round's join.
+    (On a real cluster with executor churn, swap localCheckpoint for a
+    reliable `checkpoint()` to an HDFS dir — localCheckpoint blocks die
+    with their executor; the loop structure is unchanged.)
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
+        .persist()
     )
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # eager=True materializes now and truncates lineage; the plan fed to
+    # each round is a leaf scan of checkpointed blocks, constant-size
+    # across iterations (asserted in tests/test_extensions.py).
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -434,7 +448,7 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-        )
+        ).localCheckpoint(eager=True)
         # convergence: any label still above a neighbor's label?
         changed = (
             updated.alias("u")
@@ -443,9 +457,12 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
+        prev = labels
         labels = updated
+        prev.unpersist()
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -66,16 +66,25 @@ def hyperplanes(embs: DataFrame, n_planes: int = 4,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic hyperplane set: embeddings of the n smallest ids,
     re-indexed 0..n-1 (bit positions must be dense regardless of the
-    actual id values)."""
-    w = Window.orderBy(F.col(id_col))
-    return (
+    actual id values).
+
+    Scale: `orderBy(id).limit(n)` plans as TakeOrderedAndProject —
+    per-partition top-n, driver merges n rows — NOT a global sort (the
+    r1 version's empty-partition window moved the whole corpus to one
+    task). The dense 0..n-1 re-index is window-free: pack the n
+    (id, vec) structs into one sorted array and posexplode, so the only
+    "single partition" in the plan holds exactly n rows."""
+    packed = (
         embs.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_planes)
-        .select(
-            (F.col("_rn") - 1).cast("int").alias("plane_id"),
-            F.col(vec_col).alias("plane"),
-        )
+        .orderBy(id_col)
+        .limit(n_planes)
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, vec_col))).alias("_a"))
+    )
+    return packed.select(
+        F.posexplode("_a").alias("_pos", "_s")
+    ).select(
+        F.col("_pos").cast("int").alias("plane_id"),
+        F.col(f"_s.{vec_col}").alias("plane"),
     )
 
 
@@ -106,17 +115,23 @@ def ivf_centroids(
     """Deterministic coarse quantizer: the embeddings of the n_cells
     smallest ids as cell centroids, re-labeled 0..n-1. A k-means pass
     would improve cell balance but adds nondeterminism; the IVF
-    structure (assign -> probe -> rerank) is identical either way."""
-    w = Window.orderBy(F.col(id_col))
-    return (
+    structure (assign -> probe -> rerank) is identical either way.
+
+    Scale: same window-free TakeOrderedAndProject + posexplode pick as
+    `hyperplanes` — the n smallest ids come out of a per-partition
+    top-n merge, never a single-partition global sort of the corpus."""
+    packed = (
         embs.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_cells)
-        .select(
-            (F.col("_rn") - 1).cast("int").alias("cell_id"),
-            F.col(vec_col).alias("centroid"),
-            norm("centroid").alias("centroid_norm"),
-        )
+        .orderBy(id_col)
+        .limit(n_cells)
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, vec_col))).alias("_a"))
+    )
+    return packed.select(
+        F.posexplode("_a").alias("_pos", "_s")
+    ).select(
+        F.col("_pos").cast("int").alias("cell_id"),
+        F.col(f"_s.{vec_col}").alias("centroid"),
+        norm(f"_s.{vec_col}").alias("centroid_norm"),
     )
 
 
@@ -176,12 +191,17 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("vec_norm").alias("qn"),
-        "cell_id",
+        # renamed so the candidate join predicate is between two
+        # distinctly-named columns — the r1 `c.cell_id == q.cell_id`
+        # construction warned "trivially true equals predicate" and was
+        # one refactor away from a silently-degenerate self-join
+        F.col("cell_id").alias("q_cell_id"),
     )
     scored = (
         c.join(
             F.broadcast(q),
-            (F.col("query_id") != F.col("neighbor_id")) & (c.cell_id == q.cell_id),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("cell_id") == F.col("q_cell_id")),
         )
         .withColumn(
             "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
@@ -228,14 +248,19 @@ def signlsh_topk(
         F.col(vec_col).alias("cv"),
         norm(vec_col).alias("cn"),
     ).join(cb, "neighbor_id")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(vec_col).alias("qn"),
-    ).join(qb, "query_id")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(vec_col).alias("qn"),
+        )
+        .join(qb, "query_id")
+        # distinct name for the join key — see ivf_topk note
+        .withColumnRenamed("bucket", "q_bucket")
+    )
     scored = (
         c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id"))
-               & (c.bucket == q.bucket))
+               & (F.col("bucket") == F.col("q_bucket")))
         .withColumn(
             "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
         )

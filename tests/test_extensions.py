@@ -191,3 +191,23 @@ def test_duplicate_clusters_label_propagation(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_duplicate_clusters_plan_stays_constant(spark):
+    """The lineage cut (localCheckpoint per round) must keep the
+    iterative loop's plan size constant: a long chain forces many
+    rounds, and the returned DataFrame's plan should be a leaf scan of
+    checkpointed blocks, not max_iters nested joins."""
+    from flink_etl_spark.operators.dedup import duplicate_clusters
+
+    # path graph 0-1-2-...-15: min-label needs ~log-diameter rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    out = duplicate_clusters(pairs, max_iters=20)
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert got == {(i, 0) for i in range(16)}
+    # plan must not contain a tower of per-iteration joins: after the
+    # final checkpoint the optimized plan is a handful of nodes
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 1, plan
