@@ -131,10 +131,20 @@ def flatten(
 
 
 def flatten_csv(
-    df: DataFrame, payload_cols: Sequence[str], row_col: str = "row", sep: str = ","
+    df: DataFrame,
+    payload_cols: Sequence[str],
+    row_col: str = "row",
+    sep: str = ",",
+    null_token: str = "null",
 ) -> DataFrame:
     """Faithful-output mode: one delimited string per record, layout
-    `id,es,ts,type,<payload...>` (HdfsSink.java:35,93-101)."""
+    `id,es,ts,type,<payload...>` (HdfsSink.java:35,93-101).
+
+    Null fields emit `null_token` (default the literal "null" — Java's
+    StringBuilder.append(null) behavior the reference inherits), NOT
+    nothing: concat_ws silently drops nulls, which would shift every
+    later field left and break positional consumers like
+    dt_from_line's split[1]."""
     parts: list[Column] = [
         F.col("id").cast("string"),
         F.col("es").cast("string"),
@@ -142,11 +152,12 @@ def flatten_csv(
         F.col("type"),
     ]
     parts += [F.col(row_col).getItem(c).cast("string") for c in payload_cols]
-    return df.select(F.concat_ws(sep, *parts).alias("line"))
+    guarded = [F.coalesce(p, F.lit(null_token)) for p in parts]
+    return df.select(F.concat_ws(sep, *guarded).alias("line"))
 
 
 def flatten_csv_dynamic(
-    df: DataFrame, row_col: str = "row", sep: str = ","
+    df: DataFrame, row_col: str = "row", sep: str = ",", null_token: str = "null"
 ) -> DataFrame:
     """Faithful-output mode for tables with NO registered schema:
     payload columns in SOURCE JSON ORDER, exactly the reference's
@@ -163,8 +174,17 @@ def flatten_csv_dynamic(
         F.col("ts").cast("string"),
         F.col("type"),
     ]
-    base = F.concat_ws(sep, *parts)
-    payload = F.concat_ws(sep, F.map_values(F.col(row_col)))
+    # null -> literal token BEFORE concat_ws (which drops nulls and
+    # would shift later fields left); same for null map values
+    guarded = [F.coalesce(p, F.lit(null_token)) for p in parts]
+    base = F.concat_ws(sep, *guarded)
+    payload = F.concat_ws(
+        sep,
+        F.transform(
+            F.map_values(F.col(row_col)),
+            lambda v: F.coalesce(v, F.lit(null_token)),
+        ),
+    )
     # empty payload map -> metadata only, no trailing separator (the
     # reference's string join emits nothing for zero payload columns)
     line = F.when(

@@ -148,7 +148,20 @@ def salted_join(
 
     Use when AQE skew-splitting is not enough (a single key larger than
     an executor); salting trades `salt_buckets`-way duplication of the
-    small side for even task sizes on the big side."""
+    small side for even task sizes on the big side.
+
+    Only join types where an unmatched `other` row CANNOT surface are
+    supported: with right/full-outer, each unmatched `other` row would
+    appear once per salt bucket (it was exploded salt_buckets times),
+    silently multiplying the output."""
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated small "
+            f"side would duplicate unmatched rows {salt_buckets}x under "
+            f"right/full joins; use one of {sorted(supported)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
     s = skewed.withColumn("_salt", salt.cast("int"))
     o = other.withColumn(

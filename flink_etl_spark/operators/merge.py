@@ -33,11 +33,10 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 
 def dedup_latest(
@@ -160,36 +159,54 @@ def overwrite_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     destroys input files mid-scan).
 
     Stage-then-swap: materialize to `<path>__staging`, then delete the
-    old directory and rename (posix/local paths; object stores and HDFS
-    should swap via their FileSystem API). The swap itself is not
-    transactional (delete+rename window) — for atomic swaps keep DATED
-    snapshot directories and repoint the reader instead (the pattern
-    tests/test_sinks.py demonstrates)."""
-    import shutil
-
+    old directory and rename — all through the Hadoop FileSystem API,
+    so the same code path works for file:, hdfs:, s3a:, etc. (a posix
+    os.replace would only ever work driver-local). The swap itself is
+    not transactional (delete+rename window) — for atomic swaps keep
+    DATED snapshot directories and repoint the reader instead (the
+    pattern tests/test_sinks.py demonstrates)."""
     staging = path.rstrip("/") + "__staging"
     df.write.mode("overwrite").format(fmt).save(staging)
-    target_uri = path
-    if target_uri.startswith("file:"):
-        target_uri = target_uri[len("file:"):]
-    if os.path.exists(target_uri):
-        shutil.rmtree(target_uri)
-    os.replace(staging if not staging.startswith("file:") else staging[5:],
-               target_uri)
+    fs, target = _hadoop_fs(df.sparkSession, path)
+    _, src = _hadoop_fs(df.sparkSession, staging)
+    if fs.exists(target):
+        fs.delete(target, True)
+    if not fs.rename(src, target):
+        raise IOError(f"snapshot swap failed: rename {staging} -> {path}")
 
 
-def recover_snapshot(path: str) -> bool:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any URI the Hadoop conf can resolve —
+    the scheme-agnostic seam for every exists/delete/rename below."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def snapshot_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (NOT os.path.exists — wrong answer the
+    moment the default FS is not the driver's local disk)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def recover_snapshot(path: str, spark: SparkSession | None = None) -> bool:
     """Crash recovery for `overwrite_snapshot`'s delete+rename window:
     if the target is missing but a complete staging directory exists
-    (the process died between rmtree and rename), promote the staging
+    (the process died between delete and rename), promote the staging
     copy. Callers that READ the snapshot before merging (foreachBatch
     sinks) must call this first, or a replayed batch would see an empty
     snapshot and silently drop every key not in that batch.
 
     Returns True when a recovery was performed."""
-    target = path[len("file:"):] if path.startswith("file:") else path
-    staging = target.rstrip("/") + "__staging"
-    if not os.path.exists(target) and os.path.exists(staging):
-        os.replace(staging, target)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("recover_snapshot needs an active SparkSession")
+    fs, target = _hadoop_fs(spark, path)
+    _, staging = _hadoop_fs(spark, path.rstrip("/") + "__staging")
+    if not fs.exists(target) and fs.exists(staging):
+        if not fs.rename(staging, target):
+            raise IOError(f"snapshot recovery failed: rename to {path}")
         return True
     return False

@@ -22,7 +22,6 @@ state) or a table format with MERGE support.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +32,7 @@ from flink_etl_spark.operators.merge import (
     dedup_latest,
     overwrite_snapshot,
     recover_snapshot,
+    snapshot_exists,
 )
 
 
@@ -47,9 +47,10 @@ def merge_batch_into_snapshot(
     merge with the current snapshot (empty on first batch), swap.
     Recovers a half-swapped snapshot first, so a foreachBatch replay
     after a crash converges instead of resetting to the batch's keys."""
-    recover_snapshot(snapshot_path)
+    recover_snapshot(snapshot_path, spark)
     latest = dedup_latest(batch, keys, order_by=order_by)
-    if os.path.exists(snapshot_path):
+    # Hadoop-FS check, not os.path.exists: snapshot_path may be hdfs:/s3a:
+    if snapshot_exists(spark, snapshot_path):
         snapshot = spark.read.parquet(snapshot_path)
         merged = cdc_merge(snapshot, latest, keys)
     else:
@@ -143,8 +144,8 @@ def start_continuous_rollup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        recover_snapshot(rollup_path)
-        if os.path.exists(rollup_path):
+        recover_snapshot(rollup_path, spark)
+        if snapshot_exists(spark, rollup_path):
             current = spark.read.parquet(rollup_path)
             merged = cdc_merge(current, batch, keys)
         else:

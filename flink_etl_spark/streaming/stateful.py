@@ -184,12 +184,23 @@ def cdc_compact_stream(changes: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         cols = ["id", "es", "ts", "type", "city", "province"]
+
+        def order_key(rec: tuple) -> tuple:
+            # null es/ts (a missing Canal envelope field flattens to
+            # None/NaN) must not TypeError against ints: treat missing
+            # as -inf so any real timestamp wins, matching SQL's
+            # NULLS LAST under DESC ordering in the batch dedup
+            def k(v):
+                return float("-inf") if v is None or v != v else v
+
+            return (k(rec[1]), k(rec[2]))
+
         prev = tuple(state.get) if state.exists else None
         best = prev
         for pdf in pdfs:
             for row in pdf[cols].itertuples(index=False):
                 cand = tuple(row)
-                if best is None or (cand[1], cand[2]) > (best[1], best[2]):
+                if best is None or order_key(cand) > order_key(best):
                     best = cand
         if best is not None and best != prev:
             state.update(best)

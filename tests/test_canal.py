@@ -249,3 +249,21 @@ def test_route_tables_under_streaming(spark, tmp_path):
     us = spark.read.parquet(str(tmp_path / "out_users")).collect()
     assert [(r.id, r.city) for r in cc] == [(1, "ham")]
     assert [(r.id, r.name) for r in us] == [(2, "ada")]
+
+
+def test_flatten_csv_null_fields_keep_positions(spark):
+    """A null payload value (or null envelope field) must emit the
+    literal 'null' token, not vanish — concat_ws drops nulls, which
+    would shift every later field left and break positional consumers
+    (reference parity: Java StringBuilder.append(null) writes "null")."""
+    raw = _raw(spark, [
+        json.dumps({"isDdl": "false", "id": 7, "ts": 6, "type": "UPDATE",
+                    "data": [{"city": None, "province": "x"}]}),  # no es
+    ])
+    flat = canal.explode_rows(canal.filter_ddl(canal.parse_canal(raw)))
+    line = canal.flatten_csv(flat, payload_cols=["city", "province"]).first().line
+    assert line == "7,null,6,UPDATE,null,x"
+    # positional dt recovery still sees field [1]
+    assert line.split(",")[1] == "null"
+    dyn = canal.flatten_csv_dynamic(flat).first().line
+    assert dyn == "7,null,6,UPDATE,null,x"

@@ -184,3 +184,20 @@ def test_interval_join_forward_window(spark, trades_quotes):
         ("B", 50.0, 49.0),
         ("C", 7.0, None),
     }
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would surface each unmatched replicated row once per
+    salt bucket — the operator must refuse instead of silently
+    multiplying output."""
+    import pytest as _pytest
+
+    from flink_etl_spark.operators.joins import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with _pytest.raises(ValueError, match="unsupported"):
+            salted_join(a, b, on=["k"], how=how)
+    # supported paths still work
+    assert salted_join(a, b, on=["k"], how="left").count() == 10

@@ -427,3 +427,23 @@ def test_sessionize_state_survives_restart(spark, tmp_path):
     assert rows == [
         (1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 30), 3, 7.0)
     ]
+
+
+def test_cdc_compact_stream_null_es_does_not_crash(spark, tmp_path):
+    """A record with null es/ts (missing Canal envelope field) must not
+    TypeError inside the state function; null recency loses to any real
+    timestamp (NULLS-LAST-under-DESC, matching batch dedup_latest)."""
+    schema = (
+        "id bigint, es bigint, ts bigint, type string, city string, province string"
+    )
+    rows = [
+        (1, None, None, "INSERT", "first", "p"),
+        (1, 2_000_000, 5, "UPDATE", "real", "p"),
+        (2, None, 7, "INSERT", "only_null_es", "p"),
+    ]
+    src = str(tmp_path / "cdcnull")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    got = _drain(cdc_compact_stream(stream), "cdc_null_es", spark, "update")
+    latest = {r.id: r.city for r in got.collect()}
+    assert latest == {1: "real", 2: "only_null_es"}
