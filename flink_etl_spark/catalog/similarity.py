@@ -9,8 +9,12 @@ from flink_etl_spark.catalog import _t, query
 from flink_etl_spark.functions.vectors import duckdb_cosine, duckdb_dot
 from flink_etl_spark.operators import similarity as S
 
-#: deterministic query subset: every 50th vector
-QUERY_PRED = "vec_id % 50 = 0"
+#: deterministic FIXED-SIZE query set: the 32 smallest vec_ids. A
+#: corpus-proportional predicate (the r1 `vec_id % 50 = 0`) makes the
+#: exact-kNN baseline O(N^2/50) — at 100 TB the query set of any
+#: brute-force scoring pass must be O(1)-sized; the gates enforce that
+#: shape by construction now.
+QUERY_PRED = "vec_id < 32"
 
 
 @query(
@@ -33,7 +37,7 @@ QUERY_PRED = "vec_id % 50 = 0"
     """,
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 per query vector (every 50th vec as query).
+    """Exact cosine top-10 per query vector (fixed 32-query set).
     Broadcast query set, corpus never shuffles, WindowGroupLimit top-k."""
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.expr(QUERY_PRED))
@@ -57,7 +61,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
           FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
-          WHERE e.vec_id % 50 = 0),
+          WHERE e.vec_id < 32),
     c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
           FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id),
     scored AS (
@@ -79,6 +83,65 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.expr(QUERY_PRED))
     return S.signlsh_topk(embs, queries, k=5, n_planes=4)
+
+
+@query(
+    "ann_signlsh_multiprobe",
+    f"""
+    WITH planes AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
+               embedding AS plane
+        FROM embeddings ORDER BY vec_id LIMIT 4
+    ),
+    buckets AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN {duckdb_dot('e.embedding', 'p.plane')} > 0
+                             THEN 1 << p.plane_id ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    flip AS (
+        SELECT vec_id, plane_id AS flip_p
+        FROM (SELECT e.vec_id, p.plane_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(abs({duckdb_dot('e.embedding', 'p.plane')}), 6),
+                                  p.plane_id) AS r
+              FROM embeddings e CROSS JOIN planes p
+              WHERE e.vec_id < 32) t
+        WHERE r = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, bucket AS q_bucket
+        FROM buckets WHERE vec_id < 32
+        UNION
+        SELECT f.vec_id, xor(b.bucket, CAST(1 << f.flip_p AS BIGINT))
+        FROM flip f JOIN buckets b ON b.vec_id = f.vec_id
+    ),
+    q AS (SELECT qp.query_id, qp.q_bucket, e.embedding AS qv
+          FROM qprobe qp JOIN embeddings e ON e.vec_id = qp.query_id),
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+          FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id),
+    scored AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id,
+               round({duckdb_cosine('q.qv', 'c.cv')}, 6) AS cos_sim
+        FROM c JOIN q ON c.bucket = q.q_bucket AND q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def ann_signlsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN top-5 at n_probe=1: each query also
+    searches the bucket across its lowest-margin hyperplane — the
+    recall knob single-bucket LSH lacks. Deterministic probe choice
+    (rounded margins, plane-id tie-break) keeps the gate exact."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.expr(QUERY_PRED))
+    return S.signlsh_topk_multiprobe(embs, queries, k=5, n_planes=4, n_probe=1)
 
 
 @query(
@@ -107,7 +170,7 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
                                   DESC, p.cell_id) AS r
               FROM embeddings e CROSS JOIN cents p
-              WHERE e.vec_id % 50 = 0) t
+              WHERE e.vec_id < 32) t
         WHERE r <= 2
     ),
     scored AS (

@@ -95,18 +95,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: explode shingles, self-join
     the inverted index, count shared shingles per pair, Jaccard =
     |A∩B| / (|A|+|B|-|A∩B|), keep pairs >= threshold.
 
     The self-join shuffles on the shingle — hot shingles (stopword
-    n-grams) are the skew risk; AQE skew-join handles moderate skew, and
-    df-frequency pruning (drop shingles appearing in >0.1% of docs)
-    is the standard mitigation at corpus scale. This is the exactness
-    baseline: quadratic in posting-list length — use
+    n-grams) are the skew risk: the pair-count is quadratic in each
+    posting list, so ONE shingle shared by every doc makes the whole
+    join O(n^2). `max_df` is the standard mitigation: shingles occurring
+    in more than `max_df` docs are dropped BEFORE the join (an anti-join
+    against the small hot-shingle set, which is broadcastable by
+    construction), capping every posting list. Set sizes are computed
+    AFTER pruning, so the result is the exact Jaccard over the pruned
+    shingle space — document-frequency-weighted dedup semantics, the
+    same trade MinHash-with-stopword-filtering makes. Default None
+    keeps full exactness; this remains the baseline — use
     `minhash_near_dups` as the corpus-scale path."""
     sh = shingle_sets(docs, id_col, text_col, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -258,6 +273,7 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    staged_path: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: sketch -> band-bucket candidates ->
     exact-Jaccard verification of the CANDIDATES ONLY (never the full
@@ -283,13 +299,23 @@ def minhash_near_dups(
 
     Net plan: 4 corpus scans (the two self-join sides of banding and
     verification, all projection-only) and ONE real shuffle (the band
-    bucket join). At true corpus scale, stage the profile to parquet
-    once and feed all four consumers — deliberately NOT .persist():
-    measured slower at bench SF (cache materialization + lost codegen
-    fusion outweigh projection rescans)."""
-    profile = (
-        minhash_profile(docs, n_hashes, id_col, text_col, k)
-        .filter(F.col("n_sh") > 0)
+    bucket join).
+
+    `staged_path` is the 100 TB pattern: materialize the profile to
+    parquet ONCE and feed all four consumers from that columnar scan —
+    exactly one tokenization pass over the corpus, column-pruned reads
+    per consumer (banding never reads `shset`; verification reads only
+    id + shset + n_sh), and the staged profile is reusable across runs
+    (incremental dedup against yesterday's corpus). Default (None)
+    keeps the in-memory persist, which is faster at bench SF where the
+    profile fits executor storage."""
+    prof_src = minhash_profile(docs, n_hashes, id_col, text_col, k).filter(
+        F.col("n_sh") > 0
+    )
+    if staged_path is not None:
+        prof_src.write.mode("overwrite").parquet(staged_path)
+        profile = docs.sparkSession.read.parquet(staged_path)
+    else:
         # ONE row per doc (set + sigs) — tiny relative to the corpus, so
         # persisting it collapses the four consumers to a single
         # tokenization pass (unlike exploded postings, where caching
@@ -297,8 +323,7 @@ def minhash_near_dups(
         # logical plan and lives until evicted; long-lived sessions
         # calling this repeatedly should spark.catalog.clearCache()
         # between corpora (bench.py does)
-        .persist()
-    )
+        profile = prof_src.persist()
     cand = lsh_candidates(
         profile.drop("shset"), bands, n_hashes // bands, id_col,
         carry_cols=("n_sh",),

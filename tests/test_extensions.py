@@ -211,3 +211,81 @@ def test_duplicate_clusters_plan_stays_constant(spark):
     # final checkpoint the optimized plan is a handful of nodes
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 1, plan
+
+
+def test_multiprobe_lsh_recall_improves(spark):
+    """n_probe=1 candidates strictly contain the n_probe=0 bucket, so
+    recall vs exact kNN must be >= single-bucket recall (and the probe=0
+    special case must equal plain signlsh_topk)."""
+    from flink_etl_spark.operators.similarity import (
+        cosine_topk,
+        signlsh_topk,
+        signlsh_topk_multiprobe,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = embs.filter("vec_id < 32")
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(embs, queries, k=5))
+    single = pairs(signlsh_topk(embs, queries, k=5, n_planes=4))
+    probe0 = pairs(signlsh_topk_multiprobe(embs, queries, k=5, n_planes=4, n_probe=0))
+    probe1 = pairs(signlsh_topk_multiprobe(embs, queries, k=5, n_planes=4, n_probe=1))
+    assert probe0 == single
+    r_single = len(single & exact) / len(exact)
+    r_probe1 = len(probe1 & exact) / len(exact)
+    assert r_probe1 >= r_single
+
+
+def test_jaccard_max_df_caps_posting_lists(spark):
+    """A stopword shingle shared by every doc must be prunable: with
+    max_df set, the hot shingle disappears from the join and the pair
+    count is driven by the rare shingles only."""
+    from flink_etl_spark.operators.dedup import jaccard_pairs, shingle_sets
+
+    # 6 docs all sharing one hot token-3-gram ('aa bb cc') and
+    # otherwise disjoint tails -> full Jaccard is low but nonzero for
+    # every pair via the hot shingle
+    rows = [(i, f"aa bb cc d{i} e{i} f{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingle_sets(docs)
+    hot_df = sh.groupBy("shingle").count().agg({"count": "max"}).first()[0]
+    assert hot_df == 6  # the construction really is skewed
+
+    full = jaccard_pairs(docs, threshold=0.01).count()
+    pruned = jaccard_pairs(docs, threshold=0.01, max_df=3).count()
+    assert full == 15        # every pair shares the hot shingle
+    assert pruned == 0       # pruning removes the only shared shingle
+
+    # pruning must NOT touch sub-threshold-df shingles: identical docs
+    # still pair at jaccard 1.0
+    dup = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "qq rr ss tt")],
+        "doc_id long, text string",
+    )
+    got = jaccard_pairs(dup, threshold=0.9, max_df=3).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_minhash_staged_profile_single_tokenization(spark, tmp_path):
+    """staged_path must (a) produce identical pairs to the in-memory
+    path and (b) rewire all four consumers onto the staged parquet —
+    the final plan then contains NO tokenization (split/transform over
+    text), only scans of the staged profile."""
+    from flink_etl_spark.operators.dedup import minhash_near_dups
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    staged = str(tmp_path / "profile")
+    mem = minhash_near_dups(docs, threshold=0.8)
+    stg = minhash_near_dups(docs, threshold=0.8, staged_path=staged)
+    a = {(r.doc_a, r.doc_b, r.jaccard) for r in mem.collect()}
+    b = {(r.doc_a, r.doc_b, r.jaccard) for r in stg.collect()}
+    assert a == b and len(a) > 0
+    plan = stg._jdf.queryExecution().optimizedPlan().toString()
+    # every Relation in the plan is the staged profile, not `documents`
+    assert "text#" not in plan, plan
