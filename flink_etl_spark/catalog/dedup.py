@@ -17,7 +17,7 @@ from flink_etl_spark.functions.hashing import (
     SIMHASH_COEFFS,
     duckdb_char_fold_hash,
 )
-from flink_etl_spark.functions.vectors import duckdb_cosine
+from flink_etl_spark.functions.vectors import duckdb_cosine, duckdb_dot
 from flink_etl_spark.operators import dedup as D
 
 # shared oracle CTE fragments ------------------------------------------------
@@ -75,6 +75,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard similarity join, threshold 0.8."""
     docs = _t(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs, threshold=0.8)
+
+
+@query(
+    "dedup_ngram_jaccard_pruned",
+    """
+    WITH
+    toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM toks, UNNEST(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [] END) AS u(s)
+    ),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 2),
+    shp AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS c FROM shp GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-pruned Jaccard join (max_df=2): hot shingles are anti-joined
+    out before the posting self-join, capping every posting list — the
+    documented stopword-shingle skew mitigation, gated. Jaccard is then
+    exact over the pruned shingle space."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.6, max_df=2)
 
 
 def _minhash_oracle() -> str:
@@ -160,6 +198,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH in similarity.py is the bucketed scale path)."""
     embs = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dups(embs, threshold=0.35)
+
+
+@query(
+    "dedup_embedding_lsh",
+    f"""
+    WITH planes AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
+               embedding AS plane
+        FROM embeddings ORDER BY vec_id LIMIT 4
+    ),
+    buckets AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN {duckdb_dot('e.embedding', 'p.plane')} > 0
+                             THEN 1 << p.plane_id ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    flip AS (
+        SELECT vec_id, plane_id AS flip_p
+        FROM (SELECT e.vec_id, p.plane_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(abs({duckdb_dot('e.embedding', 'p.plane')}), 6),
+                                  p.plane_id) AS r
+              FROM embeddings e CROSS JOIN planes p) t
+        WHERE r = 1
+    ),
+    probes AS (
+        SELECT vec_id, bucket AS probe FROM buckets
+        UNION
+        SELECT f.vec_id, xor(b.bucket, CAST(1 << f.flip_p AS BIGINT))
+        FROM flip f JOIN buckets b ON b.vec_id = f.vec_id
+    ),
+    cand AS (
+        SELECT DISTINCT pa.vec_id AS id_a, pb.vec_id AS id_b
+        FROM probes pa JOIN probes pb
+          ON pa.probe = pb.probe AND pa.vec_id < pb.vec_id
+    )
+    SELECT id_a, id_b,
+           round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via sign-LSH bucketing with one multi-probe
+    flip — the corpus-scale path for `dedup_embedding_cosine`: one
+    probe-bucket shuffle join generates candidates, cosine verifies
+    candidates only. Nothing in the plan is quadratic in the corpus."""
+    embs = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups_lsh(
+        embs, threshold=0.35, n_planes=4, n_probe=1
+    )
 
 
 @query(

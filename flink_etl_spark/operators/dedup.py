@@ -491,3 +491,72 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def embedding_near_dups_lsh(
+    embs: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs via sign-LSH bucketing — the 100 TB path
+    `embedding_near_dups` (the O(n^2) cross join) points at.
+
+    Each vector emits its own bucket plus `n_probe` multi-probe buckets
+    (lowest-|margin| bit flips, see similarity.signlsh_bucket_margins);
+    candidates are pairs sharing ANY probe bucket — so a pair is found
+    when their buckets agree OR differ by a bit that is either side's
+    nearest hyperplane. Cosine is verified on candidates only.
+
+    Scale shape: one probe-bucket shuffle join (posting lists are
+    (1+n_probe) x bucket occupancy, nothing quadratic in the corpus),
+    then candidate-only verification. Recall < 1 by design (pairs split
+    by a confidently-crossed hyperplane are missed); tune n_planes
+    down / n_probe up to raise it."""
+    from flink_etl_spark.functions.vectors import dot, norm
+    from flink_etl_spark.operators.similarity import (
+        hyperplanes,
+        signlsh_bucket_margins,
+    )
+
+    planes = hyperplanes(embs, n_planes, id_col, vec_col)
+    qm = signlsh_bucket_margins(embs, planes, id_col, vec_col)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"bucket ^ shiftleft(CAST(1 AS BIGINT), margins[{j}].p)")
+            for j in range(n_probe)
+        ],
+    )
+    probes = qm.select(
+        F.col(id_col).alias("_pid"), F.explode(probe_buckets).alias("_probe")
+    )
+    cand = (
+        probes.alias("pa")
+        .join(
+            probes.alias("pb"),
+            (F.col("pa._probe") == F.col("pb._probe"))
+            & (F.col("pa._pid") < F.col("pb._pid")),
+        )
+        .select(F.col("pa._pid").alias("id_a"), F.col("pb._pid").alias("id_b"))
+        .distinct()
+    )
+    a = embs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
+    )
+    b = embs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("nb"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos_sim", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -289,3 +289,25 @@ def test_minhash_staged_profile_single_tokenization(spark, tmp_path):
     plan = stg._jdf.queryExecution().optimizedPlan().toString()
     # every Relation in the plan is the staged profile, not `documents`
     assert "text#" not in plan, plan
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """LSH near-dup pairs must be a SUBSET of the exact cross-join pairs
+    (identical scores on the pairs it finds), with nonzero recall."""
+    from flink_etl_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dups(embs, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dups_lsh(embs, threshold=0.35).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) > 0
