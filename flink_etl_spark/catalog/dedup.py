@@ -156,6 +156,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8)
 
 
+@query(
+    "dedup_minhash_incremental",
+    f"""
+    SELECT doc_a, doc_b, jaccard FROM ({_minhash_oracle()}) mh
+    WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup shape: corpus profile (doc_id %% 5 != 0) staged
+    to parquet once, then the 'daily batch' (doc_id %% 5 = 0) deduped
+    against it without re-sketching the corpus. Equals the full run
+    restricted to pairs touching the batch (tests prove the identity;
+    the oracle IS that restriction)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from flink_etl_spark.operators.dedup import (
+        minhash_near_dups_incremental,
+        minhash_stage_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = tempfile.mkdtemp(prefix="mh_profile_")
+    atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    minhash_stage_profile(docs.filter("doc_id % 5 != 0"), staged, mode="overwrite")
+    return minhash_near_dups_incremental(docs.filter("doc_id % 5 = 0"), staged)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     votes = ",\n               ".join(
         f"sum(CASE WHEN ((term_id * {a} + {b}) % {MERSENNE_P}) % 2 = 1 "

@@ -560,3 +560,88 @@ def embedding_near_dups_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def minhash_stage_profile(
+    docs: DataFrame,
+    staged_path: str,
+    mode: str = "append",
+    n_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> None:
+    """Tokenize+sketch `docs` ONCE and add the profile rows to the
+    staged corpus profile at `staged_path` (parquet). `mode="append"`
+    is the daily-ingest pattern: the staged profile accretes one batch
+    at a time and no document is ever re-tokenized."""
+    minhash_profile(docs, n_hashes, id_col, text_col, k).filter(
+        F.col("n_sh") > 0
+    ).write.mode(mode).parquet(staged_path)
+
+
+def minhash_near_dups_incremental(
+    new_docs: DataFrame,
+    staged_path: str,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch
+    and the already-staged corpus profile (plus new-new pairs), without
+    re-sketching the corpus — the operating mode of a 100 TB training
+    pipeline, where yesterday's corpus is petabyte-scale and today's
+    batch is not.
+
+    Cost: sketch the new batch once, one band join of (corpus ∪ new)
+    banded keys restricted to pairs touching a new doc (the corpus-only
+    pair space — quadratic and already known — is never generated:
+    a semi-join on the new batch's ids prunes it before verification),
+    then candidate-only array_intersect verification. The staged
+    profile is column-pruned per consumer exactly as in
+    `minhash_near_dups(staged_path=...)`."""
+    spark = new_docs.sparkSession
+    old = spark.read.parquet(staged_path)
+    new = (
+        minhash_profile(new_docs, n_hashes, id_col, text_col, k)
+        .filter(F.col("n_sh") > 0)
+        .persist()
+    )
+    profile = old.unionByName(new)
+    cand = lsh_candidates(
+        profile.drop("shset"), bands, n_hashes // bands, id_col,
+        carry_cols=("n_sh",),
+    )
+    new_ids = new.select(F.col(id_col))
+    # keep pairs with at least one NEW member; new batches are small by
+    # construction, so both semi-probes broadcast
+    cand = cand.join(
+        F.broadcast(new_ids.select(F.col(id_col).alias("doc_a"))), "doc_a", "left_semi"
+    ).unionByName(
+        cand.join(
+            F.broadcast(new_ids.select(F.col(id_col).alias("doc_b"))),
+            "doc_b",
+            "left_semi",
+        )
+    ).distinct()
+    sh_a = profile.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("_sa"))
+    sh_b = profile.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("_sb"))
+    return (
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -311,3 +311,35 @@ def test_embedding_lsh_pairs_subset_of_exact(spark):
     }
     assert lsh <= exact
     assert len(lsh) > 0
+
+
+def test_minhash_incremental_matches_full_run(spark, tmp_path):
+    """Staging the corpus then deduping a new batch incrementally must
+    find exactly the full-run pairs that touch the new batch — the
+    corpus is never re-sketched and corpus-corpus pairs are never
+    re-emitted."""
+    from flink_etl_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+        minhash_stage_profile,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    staged = str(tmp_path / "corpus_profile")
+    minhash_stage_profile(corpus, staged, mode="overwrite")
+
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dups_incremental(batch, staged).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dups(docs, threshold=0.8).collect()
+    }
+    new_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    assert len(inc) > 0
