@@ -213,6 +213,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_hamming",
+    f"""
+    WITH sigs AS ({_simhash_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=2 near-dup pairs via lossless pigeonhole
+    banding; the oracle is the brute-force pair join the banding
+    provably equals."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=2, bits=16)
+
+
+@query(
     "dedup_embedding_cosine",
     f"""
     WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),

@@ -645,3 +645,68 @@ def minhash_near_dups_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: documents whose signatures differ in at
+    most `max_hamming` bits (Manku et al., WWW'07 — the web-crawl
+    near-dup detector).
+
+    Candidate generation is the PIGEONHOLE band trick and is LOSSLESS:
+    the signature splits into (max_hamming + 1) chunks, and any pair
+    within Hamming distance max_hamming must agree on at least one
+    whole chunk — so the chunk-equi self-join (one shuffle on the
+    chunk value, never all-pairs) provably contains every true pair,
+    and the bit_count(XOR) verification makes the result EXACT. Same
+    scale shape as MinHash banding: candidates per doc ~ chunk-bucket
+    occupancy, not corpus size."""
+    chunks = max_hamming + 1
+    if bits // chunks == 0:
+        raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")
+    cb = bits // chunks
+    sigs = simhash_signatures(docs, bits, id_col, text_col)
+    chunk_structs = []
+    for j in range(chunks):
+        lo = j * cb
+        width = (bits - lo) if j == chunks - 1 else cb
+        chunk_structs.append(
+            F.struct(
+                F.lit(j).alias("chunk_id"),
+                (
+                    F.shiftright(F.col("simhash"), lo)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                ).alias("chunk_val"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(
+        id_col, "simhash", F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
