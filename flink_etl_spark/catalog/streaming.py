@@ -130,3 +130,47 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(f"{work}/rollup")
+
+
+@query(
+    "stream_watermark_dedup",
+    """
+    SELECT user_id, event_type, count(*) AS n_keys
+    FROM (SELECT DISTINCT user_id, event_type FROM events) t
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark, 1 h horizon) drained with
+    availableNow: exactly one surviving row per (user_id, event_type).
+    Only the key columns are projected — WHICH record survives per key
+    is arrival-order-dependent by definition, the key set is not. The
+    oracle is batch DISTINCT over the same events."""
+    from flink_etl_spark.streaming.stateful import stream_dedup
+
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque*")
+    )
+    ev = raw.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias("ts"),
+    )
+    deduped = stream_dedup(ev, ["user_id", "event_type"], "ts", delay="1 hour")
+    name = f"_wmdedup_sink_{next(_SINK_SEQ)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_keys"))
+    )
