@@ -197,6 +197,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_staged",
+    f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+               embedding AS centroid
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    casgn AS (
+        SELECT vec_id AS neighbor_id, cell_id
+        FROM (SELECT e.vec_id, p.cell_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
+                                  DESC, p.cell_id) AS r
+              FROM embeddings e CROSS JOIN cents p) t
+        WHERE r <= 1
+    ),
+    qasgn AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT e.vec_id, p.cell_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
+                                  DESC, p.cell_id) AS r
+              FROM embeddings e CROSS JOIN cents p
+              WHERE e.vec_id < 32) t
+        WHERE r <= 2
+    ),
+    scored AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id,
+               round({duckdb_cosine('qe.embedding', 'ce.embedding')}, 6) AS cos_sim
+        FROM qasgn q
+        JOIN casgn c ON c.cell_id = q.cell_id AND q.query_id <> c.neighbor_id
+        JOIN embeddings qe ON qe.vec_id = q.query_id
+        JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def ann_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged-index IVF search: `ivf_build_index` writes centroids plus
+    the cell-assigned corpus as parquet partitioned by cell_id (build
+    once); `ivf_search_index` answers this query batch by reading ONLY
+    probed cell partitions. Must equal the in-memory ivf_topk — same
+    oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.expr(QUERY_PRED))
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    S.ivf_build_index(embs, idx, n_cells=8)
+    return S.ivf_search_index(spark, idx, queries, k=5, nprobe=2)
+
+
+@query(
     "embedding_normalize_stats",
     f"""
     WITH n AS (

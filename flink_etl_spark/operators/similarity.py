@@ -377,3 +377,79 @@ def signlsh_topk_multiprobe(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: centroids + the cell-assigned corpus
+    written as parquet PARTITIONED BY cell_id. Build once, search many
+    — the corpus is scanned and cell-assigned exactly once, and every
+    later query batch reads ONLY its probed cells' directories
+    (partition pruning on the `cell_id=` layout), i.e. nprobe/n_cells
+    of the index instead of the corpus."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    (
+        assigned.select(id_col, vec_col, "vec_norm", "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{index_path}/cells")
+    )
+
+
+def ivf_search_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a staged IVF index (`ivf_build_index`).
+    Queries are assigned to their nprobe nearest cells using the STAGED
+    centroids; the candidate join reads the staged cell partitions —
+    Catalyst prunes to the probed `cell_id=` directories (dynamic
+    partition pruning from the broadcast query side), so the scan cost
+    is the probed cells, not the corpus. Scores identically to
+    `ivf_topk` by construction."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cells = spark.read.parquet(f"{index_path}/cells")
+    q = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("vec_norm").alias("qn"),
+        F.col("cell_id").alias("q_cell_id"),
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("vec_norm").alias("cn"),
+        "cell_id",
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("cell_id") == F.col("q_cell_id")),
+        )
+        .withColumn(
+            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

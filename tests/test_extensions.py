@@ -343,3 +343,34 @@ def test_minhash_incremental_matches_full_run(spark, tmp_path):
     expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
     assert inc == expected
     assert len(inc) > 0
+
+
+def test_ivf_staged_index_partition_layout_and_equality(spark, tmp_path):
+    """The staged index must lay out cell_id= partition directories
+    (partition-pruned search reads probed cells only) and search
+    results must equal the in-memory ivf_topk."""
+    import os
+
+    from flink_etl_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = embs.filter("vec_id < 32")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(embs, idx, n_cells=8)
+    cell_dirs = [d for d in os.listdir(f"{idx}/cells") if d.startswith("cell_id=")]
+    assert len(cell_dirs) > 1
+
+    staged = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rnk)
+        for r in ivf_search_index(spark, idx, queries, k=5, nprobe=2).collect()
+    }
+    mem = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rnk)
+        for r in ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2).collect()
+    }
+    assert staged == mem and len(staged) > 0
