@@ -168,3 +168,32 @@ def test_recover_snapshot_promotes_staging(spark, tmp_path):
     assert recover_snapshot(path) is True
     assert spark.read.parquet(path).count() == 1
     assert recover_snapshot(path) is False  # idempotent
+
+
+def test_compact_partition_bounds_files_preserves_data(spark, tmp_path):
+    """Daily small-file compaction: a dt partition fragmented into many
+    files collapses to target_files with identical contents; other
+    partitions are untouched."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.maintenance import (
+        compact_partition,
+        partition_file_count,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "20240101").otherwise("20240102").alias("dt"),
+    )
+    df.repartition(16).write.partitionBy("dt").parquet(table)
+    assert partition_file_count(spark, f"{table}/dt=20240101") > 4
+
+    other_before = partition_file_count(spark, f"{table}/dt=20240102")
+    before, after = compact_partition(spark, table, "20240101", target_files=1)
+    assert before > 4 and after == 1
+    assert partition_file_count(spark, f"{table}/dt=20240102") == other_before
+
+    back = spark.read.parquet(table)
+    assert back.filter("dt = 20240101").count() == 5000
+    assert back.count() == 10_000
