@@ -392,3 +392,60 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "canal_route_tables",
+    """
+    SELECT CASE WHEN event_type IN ('click', 'view')
+                THEN 'tbl_clicks' ELSE 'tbl_other' END AS src_table,
+           strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y%m%d') AS dt,
+           count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_ids
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY 1, 2
+    """,
+)
+def canal_route_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table Canal routing gate: events wrapped into a MULTIPLEXED
+    topic (envelope `table` = tbl_clicks|tbl_other), fanned out with
+    route_tables (parse+explode once, per-table filter+flatten), then
+    per-(table, dt) counts — which the oracle reproduces straight from
+    events. 'error' events double as DDL markers, exercising the filter
+    in the shared prefix."""
+    events = _t(spark, sf_dir, "events")
+    raw = events.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("event_type") == "error", F.lit("true"))
+                .otherwise(F.lit("false"))
+                .alias("isDdl"),
+                F.when(
+                    F.col("event_type").isin("click", "view"), F.lit("tbl_clicks")
+                )
+                .otherwise(F.lit("tbl_other"))
+                .alias("table"),
+                F.col("event_id").alias("id"),
+                _ts_ms().alias("es"),
+                (_ts_ms() + F.lit(1)).alias("ts"),
+                F.upper(F.col("event_type")).alias("type"),
+                F.array(
+                    F.create_map(
+                        F.lit("user_id"), F.col("user_id").cast("string")
+                    )
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    routed = canal.route_tables(
+        raw, {"tbl_clicks": ["user_id"], "tbl_other": ["user_id"]}
+    )
+    labeled = None
+    for tbl, df in routed.items():
+        part = df.select(F.lit(tbl).alias("src_table"), "dt", "id")
+        labeled = part if labeled is None else labeled.unionByName(part)
+    return labeled.groupBy("src_table", "dt").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+    )
