@@ -32,8 +32,19 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
     (512927357, 533000389),
 ]
 
-#: fixed coefficients for simhash bit hashes (one per bit)
-SIMHASH_COEFFS = MINHASH_COEFFS
+#: fixed coefficients for simhash bit hashes (one per bit). The first
+#: 16 are MINHASH_COEFFS verbatim (gate results for bits<=16 are pinned
+#: to them); bits 16..62 extend deterministically — arithmetic
+#: progressions mod the Mersenne prime, forced odd — so a 25k+ doc
+#: corpus can use a 32/48/63-bit signature (16 bits birthday-collides
+#: around ~300 docs; see docs/SCALING.md stress notes). 63 not 64: bit
+#: 63 is the BIGINT sign bit, and the signature must stay a plain
+#: positive LONG in both Spark and the DuckDB oracle.
+SIMHASH_COEFFS = MINHASH_COEFFS + [
+    ((1299721 + 2000003 * j) % MERSENNE_P | 1,
+     (823117 + 3000017 * j) % MERSENNE_P | 1)
+    for j in range(16, 63)
+]
 
 
 def tokens_expr(text: Column | str) -> Column:

@@ -361,7 +361,14 @@ def simhash_signatures(
     ZERO shuffles: the token bag stays an array column, term-id hashing
     is one transform, and each bit's vote sum is an `aggregate` fold
     over that array — no explode, no groupBy. Staged projections keep
-    the char-fold hash evaluated once per token (see minhash_profile)."""
+    the char-fold hash evaluated once per token (see minhash_profile).
+
+    Size `bits` to the corpus: 16 bits birthday-collides unrelated docs
+    from ~300 docs up (measured: 25k docs -> 18M accidental Hamming<=2
+    pairs); up to 63 bits supported (bit 63 would be the LONG sign
+    bit)."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     hash_sql = (
         "transform(_t, s -> aggregate(transform(sequence(1, length(s)), "
         "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), "

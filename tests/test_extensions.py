@@ -374,3 +374,27 @@ def test_ivf_staged_index_partition_layout_and_equality(spark, tmp_path):
         for r in ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2).collect()
     }
     assert staged == mem and len(staged) > 0
+
+
+def test_simhash_wide_signature_separates_corpus(spark):
+    """63-bit signatures must keep exact dups identical while unrelated
+    docs no longer collide the way a 16-bit signature does at corpus
+    scale; Hamming pairs at 48 bits on sf0.001 documents = exact-dup
+    pairs only (plus genuinely-near token bags), a tiny fraction of the
+    16-bit accidental-collision count."""
+    from flink_etl_spark.operators.dedup import simhash_near_dups, simhash_signatures
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs, bits=48).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # identical text -> identical signature at any width
+    by_text = {}
+    for d, t in texts.items():
+        by_text.setdefault(t, []).append(d)
+    for ids in by_text.values():
+        assert len({sigs[i] for i in ids}) == 1
+
+    n16 = simhash_near_dups(docs, max_hamming=2, bits=16).count()
+    n48 = simhash_near_dups(docs, max_hamming=2, bits=48).count()
+    assert n48 < n16
