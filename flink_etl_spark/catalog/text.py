@@ -199,3 +199,33 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 10)
     )
+
+
+@query(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, tk AS term
+        FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+              FROM documents) d, UNNEST(t) AS u(tk)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored) t
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF (tf * ln(N/df)): two shuffles,
+    no vocabulary dictionary, WindowGroupLimit top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=3)

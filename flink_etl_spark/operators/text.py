@@ -10,7 +10,7 @@ inside whole-stage codegen; nothing drops to Python.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from flink_etl_spark.functions.hashing import MERSENNE_P, tokens_expr
 
@@ -193,3 +193,42 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         lambda acc, c: (acc * F.lit(31) + c) % F.lit(MERSENNE_P),
     )
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf * ln(N/df), no smoothing
+    — plain Robertson/Sparck-Jones idf so the SQL oracle is exact).
+
+    Plan shape at scale: one explode + (doc, term) count for TF, one
+    term-level aggregate for DF (map-side combined), N as a broadcast
+    1-row aggregate, top-k per doc via WindowGroupLimit — two shuffles
+    total (term counts, per-doc rank), nothing quadratic, no
+    vocabulary dictionary (terms stay strings end-to-end).
+    Deterministic: scores rounded before ranking, ties break on term."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
