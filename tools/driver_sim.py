@@ -63,8 +63,11 @@ def main(names: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
+    import os
+
+    master = f"local[{os.environ.get('SIM_CPUS', '8')}]"
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(master)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
