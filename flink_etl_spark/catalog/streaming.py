@@ -142,11 +142,20 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with bounded state
-    (dropDuplicatesWithinWatermark, 1 h horizon) drained with
-    availableNow: exactly one surviving row per (user_id, event_type).
-    Only the key columns are projected — WHICH record survives per key
-    is arrival-order-dependent by definition, the key set is not. The
-    oracle is batch DISTINCT over the same events."""
+    (dropDuplicatesWithinWatermark) drained with availableNow: exactly
+    one surviving row per (user_id, event_type). Only the key columns
+    are projected — WHICH record survives per key is
+    arrival-order-dependent by definition, the key set is not. The
+    oracle is batch DISTINCT over the same events.
+
+    The delay is set PAST the corpus's full event-time span on purpose:
+    dropDuplicatesWithinWatermark only guarantees dedup of recurrences
+    inside the watermark horizon, so "exactly one survivor per key" is
+    only a theorem when every recurrence is inside it. A production
+    delay (e.g. 1 h — bounded state at unbounded scale) is exercised in
+    tests/test_stateful.py; with a short delay here the gate would go
+    red the moment the source drained in >1 micro-batch and a key
+    recurred beyond the horizon."""
     from flink_etl_spark.streaming.stateful import stream_dedup
 
     apply_runtime_confs(spark)
@@ -159,7 +168,9 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias("ts"),
     )
-    deduped = stream_dedup(ev, ["user_id", "event_type"], "ts", delay="1 hour")
+    deduped = stream_dedup(
+        ev, ["user_id", "event_type"], "ts", delay="3650 days"
+    )
     name = f"_wmdedup_sink_{next(_SINK_SEQ)}"
     q = (
         deduped.writeStream.format("memory")

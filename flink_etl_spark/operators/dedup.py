@@ -528,6 +528,11 @@ def embedding_near_dups_lsh(
         signlsh_bucket_margins,
     )
 
+    if not 0 <= n_probe < n_planes:
+        # out-of-range margins[j] would be null -> null probe bucket ->
+        # probes silently never match and recall degrades with no error
+        raise ValueError(f"n_probe must be in [0, {n_planes}), got {n_probe}")
+
     planes = hyperplanes(embs, n_planes, id_col, vec_col)
     qm = signlsh_bucket_margins(embs, planes, id_col, vec_col)
     probe_buckets = F.array(
@@ -609,7 +614,13 @@ def minhash_near_dups_incremental(
     a semi-join on the new batch's ids prunes it before verification),
     then candidate-only array_intersect verification. The staged
     profile is column-pruned per consumer exactly as in
-    `minhash_near_dups(staged_path=...)`."""
+    `minhash_near_dups(staged_path=...)`.
+
+    The new-batch profile is persisted (it feeds the union, the id
+    probes, and both verification sides); the cache is keyed on the
+    logical plan and lives until evicted — sessions calling this daily
+    should `spark.catalog.clearCache()` between batches, same contract
+    as `minhash_near_dups`."""
     spark = new_docs.sparkSession
     old = spark.read.parquet(staged_path)
     new = (
@@ -637,8 +648,11 @@ def minhash_near_dups_incremental(
     sh_a = profile.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("_sa"))
     sh_b = profile.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("_sb"))
     return (
-        F.broadcast(cand)
-        .join(sh_a, "doc_a")
+        # no broadcast hint: a hot LSH bucket or an unexpectedly large
+        # batch makes the candidate set unbounded, and a forced broadcast
+        # would OOM the driver where a shuffle join succeeds. AQE still
+        # converts to broadcast at runtime when cand turns out small.
+        cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(

@@ -150,6 +150,22 @@ def merge_day(
     return cdc_merge(snapshot, latest, keys, **kwargs)
 
 
+def _staging_path(path: str) -> str:
+    """Staging location for `path`: `<parent>/_staging/<basename>`. The
+    `_staging` path COMPONENT is what makes it invisible: Spark's file
+    listing drops a name starting with `_` only when it contains no `=`
+    (`shouldFilterOutPathName` — partition dirs like `dt=x` must survive),
+    so a flat sibling `_staging__dt=x` would still be discovered and
+    raise CONFLICTING_PARTITION_COLUMN_NAMES, while anything under a
+    plain `_staging/` dir is pruned at that component and concurrent
+    table-root readers never double-count a partition mid-swap. A bare
+    `<path>__staging` suffix is worse still — it parses as a real
+    partition (dt='x__staging')."""
+    p = path.rstrip("/")
+    parent, _, base = p.rpartition("/")
+    return f"{parent}/_staging/{base}" if parent else f"_staging/{base}"
+
+
 def overwrite_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Replace the snapshot at `path` with `df`, staging first so the
     plan can READ the current snapshot while computing its replacement —
@@ -158,14 +174,15 @@ def overwrite_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     refuses to overwrite a path it is reading, and bypassing the check
     destroys input files mid-scan).
 
-    Stage-then-swap: materialize to `<path>__staging`, then delete the
-    old directory and rename — all through the Hadoop FileSystem API,
-    so the same code path works for file:, hdfs:, s3a:, etc. (a posix
-    os.replace would only ever work driver-local). The swap itself is
-    not transactional (delete+rename window) — for atomic swaps keep
+    Stage-then-swap: materialize to the underscore-prefixed staging
+    sibling (see `_staging_path` — invisible to readers), then delete
+    the old directory and rename — all through the Hadoop FileSystem
+    API, so the same code path works for file:, hdfs:, s3a:, etc. (a
+    posix os.replace would only ever work driver-local). The swap itself
+    is not transactional (delete+rename window) — for atomic swaps keep
     DATED snapshot directories and repoint the reader instead (the
     pattern tests/test_sinks.py demonstrates)."""
-    staging = path.rstrip("/") + "__staging"
+    staging = _staging_path(path)
     df.write.mode("overwrite").format(fmt).save(staging)
     fs, target = _hadoop_fs(df.sparkSession, path)
     _, src = _hadoop_fs(df.sparkSession, staging)
@@ -199,14 +216,21 @@ def recover_snapshot(path: str, spark: SparkSession | None = None) -> bool:
     sinks) must call this first, or a replayed batch would see an empty
     snapshot and silently drop every key not in that batch.
 
+    When the target is INTACT but a stale staging dir survives (crash
+    after the staging write, before the delete+rename), the stale copy
+    is deleted — left in place it would silently win the next recovery
+    and roll the snapshot back to the crashed run's output.
+
     Returns True when a recovery was performed."""
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("recover_snapshot needs an active SparkSession")
     fs, target = _hadoop_fs(spark, path)
-    _, staging = _hadoop_fs(spark, path.rstrip("/") + "__staging")
+    _, staging = _hadoop_fs(spark, _staging_path(path))
     if not fs.exists(target) and fs.exists(staging):
         if not fs.rename(staging, target):
             raise IOError(f"snapshot recovery failed: rename to {path}")
         return True
+    if fs.exists(target) and fs.exists(staging):
+        fs.delete(staging, True)  # stale: target survived the crash
     return False

@@ -159,15 +159,56 @@ def test_recover_snapshot_promotes_staging(spark, tmp_path):
     recovery must promote staging instead of losing the snapshot."""
     import shutil
 
-    from flink_etl_spark.operators.merge import recover_snapshot
+    from flink_etl_spark.operators.merge import _staging_path, recover_snapshot
 
     path = str(tmp_path / "snap2")
     spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
     # simulate the crash window
-    shutil.move(path, path + "__staging")
+    shutil.move(path, _staging_path(path))
     assert recover_snapshot(path) is True
     assert spark.read.parquet(path).count() == 1
     assert recover_snapshot(path) is False  # idempotent
+
+
+def test_recover_snapshot_cleans_stale_staging(spark, tmp_path):
+    """Crash after the staging write but before delete+rename: target
+    intact, staging stale. Recovery must delete the stale staging (else
+    a later crash would promote the wrong, older copy) and return False."""
+    import os
+
+    from flink_etl_spark.operators.merge import _staging_path, recover_snapshot
+
+    path = str(tmp_path / "snap3")
+    spark.createDataFrame([(1, "new")], "id long, v string").write.parquet(path)
+    stale = _staging_path(path)
+    spark.createDataFrame([(1, "old")], "id long, v string").write.parquet(stale)
+    assert recover_snapshot(path) is False
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(path).first().v == "new"
+
+
+def test_compact_partition_staging_invisible_to_table_readers(spark, tmp_path):
+    """The staging dir for a partition compaction must NOT parse as a
+    partition of the table: `_staging/dt=x` is skipped at the `_staging`
+    component by Spark's file listing, so a concurrent table-root reader
+    never double-counts the partition mid-compaction. (A flat
+    `_staging__dt=x` sibling would NOT be skipped — the `_`-prefix rule
+    exempts names containing `=` — and a `dt=x__staging` sibling would
+    be read as partition dt='x__staging'.)"""
+    from flink_etl_spark.operators.merge import _staging_path
+
+    table = str(tmp_path / "tbl2")
+    df = spark.createDataFrame(
+        [(1, "20240101"), (2, "20240102")], "id long, dt string"
+    )
+    df.write.partitionBy("dt").parquet(table)
+    # materialize a staging copy of one partition inside the table root,
+    # exactly where compact_partition stages it
+    part = f"{table}/dt=20240101"
+    spark.read.parquet(part).write.parquet(_staging_path(part))
+    assert _staging_path(part) == f"{table}/_staging/dt=20240101"
+    # a table-root reader must see only the two real partitions
+    assert spark.read.parquet(table).count() == 2
 
 
 def test_compact_partition_bounds_files_preserves_data(spark, tmp_path):
