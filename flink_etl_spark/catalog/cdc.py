@@ -51,18 +51,51 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ) t WHERE rn = 1
     )
-    SELECT COALESCE(d.c_custkey, s.c_custkey) AS c_custkey,
+    SELECT 'dataframe' AS variant,
+           COALESCE(d.c_custkey, s.c_custkey) AS c_custkey,
            s.c_name AS c_name,
            s.c_nationkey AS c_nationkey,
            COALESCE(d.c_acctbal, s.c_acctbal) AS c_acctbal,
-           s.c_mktsegment AS c_mktsegment
+           s.c_mktsegment AS c_mktsegment,
+           CAST(NULL AS BIGINT) AS event_time
     FROM customer s FULL OUTER JOIN delta d ON s.c_custkey = d.c_custkey
+    UNION ALL
+    SELECT 'sql_literal' AS variant,
+           COALESCE(t2.id, t1.id) AS c_custkey,
+           CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS BIGINT) AS c_nationkey,
+           COALESCE(t2.acct, t1.acct) AS c_acctbal,
+           CAST(NULL AS VARCHAR) AS c_mktsegment,
+           COALESCE(t2.event_time, t1.event_time) AS event_time
+    FROM (SELECT c_custkey AS id, c_acctbal AS acct,
+                 CAST(NULL AS BIGINT) AS event_time
+          FROM customer) t1
+    FULL OUTER JOIN (
+        SELECT id, acct, event_time
+        FROM (
+            SELECT user_id AS id, value AS acct,
+                   epoch_ms(ts) AS event_time,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            FROM events
+        ) temp WHERE rn = 1
+    ) t2 ON t1.id = t2.id
     """,
 )
 def cdc_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+P5 (README.md:221-253): snapshot/delta full-outer merge with
-    per-column COALESCE, delta wins. Snapshot = customer, delta = latest
-    event per user_id applied as an account-balance update."""
+    per-column COALESCE, delta wins. TWO independent entry paths of the
+    SAME merge, both verified (former gates `cdc_merge_full_outer` +
+    `cdc_merge_sql_literal`, folded so both keep a driver row):
+
+    * variant 'dataframe' — the merge.cdc_merge DataFrame chain
+      (snapshot = customer, delta = latest event per user_id applied as
+      an account-balance update);
+    * variant 'sql_literal' — the reference's merge SQL
+      (README.md:221-253) run essentially verbatim through `spark.sql`
+      over registered views (`rank` aliased `rn`, SURVEY.md §3.2),
+      demonstrating the SQL entry path plans the same computation.
+    """
     snapshot = _t(spark, sf_dir, "customer")
     events = _t(spark, sf_dir, "events")
     delta = (
@@ -72,12 +105,52 @@ def cdc_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("c_acctbal"),
         )
     )
-    return merge.cdc_merge(
+    df_path = merge.cdc_merge(
         snapshot,
         delta,
         keys=["c_custkey"],
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    ).select(
+        F.lit("dataframe").alias("variant"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(None).cast("long").alias("event_time"),
     )
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_v_customer")
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_v_events")
+    sql_path = spark.sql(
+        """
+        SELECT COALESCE(t2.id, t1.id) AS id,
+               COALESCE(t2.acct, t1.acct) AS acct,
+               COALESCE(t2.event_time, t1.event_time) AS event_time
+        FROM (SELECT c_custkey AS id, c_acctbal AS acct,
+                     CAST(NULL AS BIGINT) AS event_time
+              FROM _v_customer) t1
+        FULL OUTER JOIN (
+            SELECT id, acct, event_time
+            FROM (
+                SELECT user_id AS id, value AS acct,
+                       unix_millis(CAST(ts AS TIMESTAMP)) AS event_time,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY unix_millis(CAST(ts AS TIMESTAMP)) DESC,
+                                                   event_id DESC) AS rn
+                FROM _v_events
+            ) temp WHERE rn = 1
+        ) t2 ON t1.id = t2.id
+        """
+    ).select(
+        F.lit("sql_literal").alias("variant"),
+        F.col("id").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("long").alias("c_nationkey"),
+        F.col("acct").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        "event_time",
+    )
+    return df_path.unionByName(sql_path)
 
 
 @query(
@@ -89,6 +162,13 @@ def cdc_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(event_type) AS type,
            CAST(user_id AS VARCHAR) AS user_id,
            json_extract_string(props, '$.k') AS k,
+           concat_ws(',',
+               CAST(event_id AS VARCHAR),
+               CAST(epoch_ms(ts) AS VARCHAR),
+               CAST(epoch_ms(ts) + 1 AS VARCHAR),
+               upper(event_type),
+               CAST(user_id AS VARCHAR),
+               coalesce(json_extract_string(props, '$.k'), 'null')) AS line,
            strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y%m%d') AS dt
     FROM events
     WHERE event_type <> 'error'
@@ -99,8 +179,12 @@ def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     HdfsSink.java:55-125 + EventTimeBucketAssigner.java) run end-to-end:
     events are wrapped into Canal JSON envelopes ('error' events as DDL
     markers so the filter has real work), then parse -> filter ->
-    explode -> flatten -> dt. The oracle computes the same result
-    directly from events, verifying the round-trip."""
+    explode -> flatten -> dt. The `line` column is the FAITHFUL CSV
+    encoding (P4, HdfsSink.java:35,93-101 — former gate
+    `csv_faithful_lines`, folded in) computed in the same projection
+    via `csv_line_expr`, null payload fields emitting the literal
+    'null' token. The oracle computes the same result directly from
+    events, verifying the round-trip."""
     events = _t(spark, sf_dir, "events")
     raw = events.select(
         F.to_json(
@@ -123,7 +207,13 @@ def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
-    return canal.ingest_pipeline(raw, payload_cols=["user_id", "k"])
+    payload = ["user_id", "k"]
+    flat = canal.flatten(
+        canal.explode_rows(canal.filter_ddl(canal.parse_canal(raw))),
+        payload,
+        extra=[canal.csv_line_expr(payload).alias("line")],
+    )
+    return canal.with_dt(flat)
 
 
 @query(
@@ -149,35 +239,6 @@ def dt_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-    )
-
-
-@query(
-    "csv_faithful_lines",
-    """
-    SELECT concat_ws(',',
-           CAST(event_id AS VARCHAR),
-           CAST(epoch_ms(ts) AS VARCHAR),
-           upper(event_type),
-           CAST(user_id AS VARCHAR),
-           json_extract_string(props, '$.k')) AS line
-    FROM events
-    WHERE event_type <> 'error'
-    """,
-)
-def csv_faithful_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 faithful-output mode (HdfsSink.java:35,93-101): the delimited
-    string encoding of the flattened record."""
-    events = _t(spark, sf_dir, "events")
-    return events.filter(F.col("event_type") != "error").select(
-        F.concat_ws(
-            ",",
-            F.col("event_id").cast("string"),
-            _ts_ms().cast("string"),
-            F.upper(F.col("event_type")),
-            F.col("user_id").cast("string"),
-            F.get_json_object(F.col("props"), "$.k"),
-        ).alias("line")
     )
 
 
@@ -227,157 +288,97 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cdc_merge_sql_literal",
+    "time_windows_agg",
     """
-    SELECT COALESCE(t2.id, t1.id) AS id,
-           COALESCE(t2.acct, t1.acct) AS acct,
-           COALESCE(t2.event_time, t1.event_time) AS event_time
-    FROM (SELECT c_custkey AS id, c_acctbal AS acct,
-                 CAST(NULL AS BIGINT) AS event_time
-          FROM customer) t1
-    FULL OUTER JOIN (
-        SELECT id, acct, event_time
-        FROM (
-            SELECT user_id AS id, value AS acct,
-                   epoch_ms(ts) AS event_time,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
-            FROM events
-        ) temp WHERE rn = 1
-    ) t2 ON t1.id = t2.id
-    """,
-)
-def cdc_merge_sql_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's merge SQL (README.md:221-253) run essentially
-    verbatim through `spark.sql` over registered views — demonstrating
-    the SQL entry path produces the same plan as the DataFrame chain
-    (`rank` aliased `rn`: reserved-ish in Spark, SURVEY.md §3.2)."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("_v_customer")
-    _t(spark, sf_dir, "events").createOrReplaceTempView("_v_events")
-    return spark.sql(
-        """
-        SELECT COALESCE(t2.id, t1.id) AS id,
-               COALESCE(t2.acct, t1.acct) AS acct,
-               COALESCE(t2.event_time, t1.event_time) AS event_time
-        FROM (SELECT c_custkey AS id, c_acctbal AS acct,
-                     CAST(NULL AS BIGINT) AS event_time
-              FROM _v_customer) t1
-        FULL OUTER JOIN (
-            SELECT id, acct, event_time
-            FROM (
-                SELECT user_id AS id, value AS acct,
-                       unix_millis(CAST(ts AS TIMESTAMP)) AS event_time,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY unix_millis(CAST(ts AS TIMESTAMP)) DESC,
-                                                   event_id DESC) AS rn
-                FROM _v_events
-            ) temp WHERE rn = 1
-        ) t2 ON t1.id = t2.id
-        """
-    )
-
-
-@query(
-    "tumbling_window_hourly",
-    """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
+    SELECT 'tumbling' AS variant,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type AS grp,
            count(*) AS n_events,
            round(sum(value), 2) AS sum_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS variant, window_start, event_type AS grp,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+        -- an event in hour H belongs to the 2h windows starting at H-1h and H
+        SELECT event_type, value,
+               time_bucket(INTERVAL '1 hour', ts) - to_hours(off) AS window_start
+        FROM events, UNNEST([0, 1]) AS u(off)
+    )
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session' AS variant, window_start, grp, n_events, sum_value
+    FROM (
+        WITH s AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        g AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s
+        )
+        SELECT min(ts) AS window_start,
+               CAST(user_id AS VARCHAR) AS grp,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM g GROUP BY user_id, sid
+    )
     """,
 )
-def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling window aggregation — the streaming-native
-    operator family the reference lacks entirely (SURVEY.md §2.9 T3).
-    Identical code runs under readStream with a watermark
-    (tests/test_streaming.py exercises that mode)."""
+def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-time window family the reference lacks entirely
+    (SURVEY.md §2.9 T3) in one gated union (former gates
+    `tumbling_window_hourly` + `sliding_window_counts` +
+    `session_window_stats`, folded so each keeps a driver row):
+
+    * 'tumbling' — 1h tumbling windows per event_type. Identical code
+      runs under readStream with a watermark (tests/test_streaming.py).
+    * 'sliding' — 2h/1h sliding windows: each event lands in two
+      windows (one Expand + ONE aggregation, not two scans); the
+      oracle replicates the window-assignment arithmetic.
+    * 'session' — Spark's NATIVE session_window (30 min gap), the
+      built-in complement of the custom stateful sessionizer
+      (streaming/stateful.py); the oracle rebuilds sessions with
+      lag/cumsum. Grouping by the session_window STRUCT (not .start)
+      is what lets Spark merge sessions per partition then across the
+      shuffle — no per-key sort of the whole table.
+
+    `grp` is the per-variant group key (event_type / event_type /
+    user_id-as-string)."""
     e = _t(spark, sf_dir, "events")
-    return (
+    tumbling = (
         e.groupBy(
             F.window(F.col("ts"), "1 hour").getField("start").alias("window_start"),
-            F.col("event_type"),
+            F.col("event_type").alias("grp"),
         )
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+        .select(F.lit("tumbling").alias("variant"), "*")
     )
-
-
-@query(
-    "sliding_window_counts",
-    """
-    WITH e AS (
-        SELECT event_type, value,
-               time_bucket(INTERVAL '1 hour', ts) AS hour_bucket
-        FROM events
-    ),
-    expanded AS (
-        -- an event in hour H belongs to the 2h windows starting at H-1h and H
-        SELECT event_type, value,
-               hour_bucket - to_hours(off) AS window_start
-        FROM e, UNNEST([0, 1]) AS u(off)
-    )
-    SELECT window_start, event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM expanded
-    GROUP BY 1, 2
-    """,
-)
-def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows (2h duration, 1h slide): each event
-    lands in two windows (Expand, then one aggregation — not two
-    scans). The oracle replicates the window assignment arithmetic."""
-    e = _t(spark, sf_dir, "events")
-    return (
+    sliding = (
         e.groupBy(
             F.window(F.col("ts"), "2 hours", "1 hour")
             .getField("start")
             .alias("window_start"),
-            F.col("event_type"),
+            F.col("event_type").alias("grp"),
         )
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+        .select(F.lit("sliding").alias("variant"), "*")
     )
-
-
-@query(
-    "session_window_stats",
-    """
-    WITH s AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    g AS (
-        SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS sid
-        FROM s
-    )
-    SELECT user_id,
-           min(ts) AS session_start,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM g GROUP BY user_id, sid
-    """,
-)
-def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's NATIVE session_window (30 min gap) — the built-in
-    complement of the custom stateful sessionizer
-    (streaming/stateful.py); the oracle rebuilds sessions with
-    lag/cumsum. session_window merges per partition then across the
-    shuffle — no per-key sort of the whole table."""
-    e = _t(spark, sf_dir, "events")
-    return (
+    session = (
         # group by the session_window STRUCT — extracting .start before
         # aggregation would defeat session merging (one group per event)
         e.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
@@ -386,12 +387,14 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
+            F.lit("session").alias("variant"),
+            F.col("session_window.start").alias("window_start"),
+            F.col("user_id").cast("string").alias("grp"),
             "n_events",
             "sum_value",
         )
     )
+    return tumbling.unionByName(sliding).unionByName(session)
 
 
 @query(

@@ -52,67 +52,109 @@ jac AS (
 @query(
     "dedup_exact_docs",
     """
-    SELECT min(doc_id) AS keep_id,
+    SELECT 'content' AS variant,
+           min(doc_id) AS keep_id,
            count(*) AS n_copies,
-           length(text) AS text_len
+           CAST(length(text) AS VARCHAR) AS detail
     FROM documents
     GROUP BY text
+    UNION ALL
+    SELECT 'digest' AS variant,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           digest AS detail
+    FROM (SELECT doc_id, sha256(text) AS digest FROM documents)
+    GROUP BY digest
     """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by full content hash-groupBy; canonical row = min id."""
+    """Exact dedup, BOTH shuffle-key strategies gated (former gates
+    `dedup_exact_docs` + `dedup_exact_digest`, folded):
+
+    * variant 'content' — groupBy on the full text; canonical row =
+      min id; detail = text length.
+    * variant 'digest' — keyed on a SHA-256 digest: the at-scale
+      variant, where the shuffle carries 64-byte keys instead of
+      documents. Collision probability (~n^2 / 2^257) is below
+      hardware error rates; both engines compute the identical
+      digest, so the oracle matches on the digest itself (detail)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.exact_dedup(docs, ["text"], "doc_id").select(
-        "keep_id", "n_copies", F.length("text").alias("text_len")
+    content = D.exact_dedup(docs, ["text"], "doc_id").select(
+        F.lit("content").alias("variant"),
+        "keep_id",
+        "n_copies",
+        F.length("text").cast("string").alias("detail"),
     )
+    digest = (
+        docs.select("doc_id", F.sha2("text", 256).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(
+            F.lit("digest").alias("variant"),
+            "keep_id",
+            "n_copies",
+            F.col("digest").alias("detail"),
+        )
+    )
+    return content.unionByName(digest)
 
 
 @query(
     "dedup_ngram_jaccard",
-    f"WITH {SHINGLE_CTES} SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-shingle) Jaccard similarity join, threshold 0.8."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, threshold=0.8)
-
-
-@query(
-    "dedup_ngram_jaccard_pruned",
-    """
-    WITH
-    toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
-    sh AS (
-        SELECT DISTINCT doc_id, s
-        FROM toks, UNNEST(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
-                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                 ELSE [] END) AS u(s)
-    ),
-    hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 2),
-    shp AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
-    cnt AS (SELECT doc_id, count(*) AS c FROM shp GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+    f"""
+    WITH {SHINGLE_CTES}
+    SELECT 'exact' AS variant, doc_a, doc_b, jaccard
+    FROM jac WHERE jaccard >= 0.8
+    UNION ALL
+    SELECT 'df_pruned' AS variant, doc_a, doc_b, jaccard
+    FROM (
+        WITH
+        toksp AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+                  FROM documents),
+        shp0 AS (
+            SELECT DISTINCT doc_id, s
+            FROM toksp, UNNEST(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 1),
+                                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                     ELSE [] END) AS u(s)
+        ),
+        hot AS (SELECT s FROM shp0 GROUP BY s HAVING count(*) > 2),
+        shp AS (SELECT shp0.doc_id, shp0.s FROM shp0 ANTI JOIN hot USING (s)),
+        cntp AS (SELECT doc_id, count(*) AS c FROM shp GROUP BY doc_id),
+        pairsp AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) AS jaccard
+        FROM pairsp
+        JOIN cntp ca ON ca.doc_id = doc_a
+        JOIN cntp cb ON cb.doc_id = doc_b
+        WHERE round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) >= 0.6
     )
-    SELECT doc_a, doc_b,
-           round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) AS jaccard
-    FROM pairs
-    JOIN cnt ca ON ca.doc_id = doc_a
-    JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) >= 0.6
     """,
 )
-def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-pruned Jaccard join (max_df=2): hot shingles are anti-joined
-    out before the posting self-join, capping every posting list — the
-    documented stopword-shingle skew mitigation, gated. Jaccard is then
-    exact over the pruned shingle space."""
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-shingle) Jaccard similarity join, both modes gated
+    (former gates `dedup_ngram_jaccard` + `dedup_ngram_jaccard_pruned`,
+    folded):
+
+    * variant 'exact' — full posting-list self-join, threshold 0.8
+      (the labeled exactness baseline);
+    * variant 'df_pruned' — max_df=2: hot shingles anti-joined out
+      before the posting self-join, capping every posting list (the
+      documented stopword-shingle skew mitigation), threshold 0.6;
+      Jaccard is then exact over the pruned shingle space."""
     docs = _t(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, threshold=0.6, max_df=2)
+    exact = D.jaccard_pairs(docs, threshold=0.8).select(
+        F.lit("exact").alias("variant"), "doc_a", "doc_b", "jaccard"
+    )
+    pruned = D.jaccard_pairs(docs, threshold=0.6, max_df=2).select(
+        F.lit("df_pruned").alias("variant"), "doc_a", "doc_b", "jaccard"
+    )
+    return exact.unionByName(pruned)
 
 
 def _minhash_oracle() -> str:
@@ -147,28 +189,30 @@ def _minhash_oracle() -> str:
     """
 
 
-@query("dedup_minhash_lsh", _minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 perms) + LSH(8 bands x 2 rows) candidates, verified
-    with exact Jaccard >= 0.8. The oracle replicates the entire sketch
-    pipeline — identical coefficients, dictionary, banding."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8)
-
-
 @query(
-    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
     f"""
-    SELECT doc_a, doc_b, jaccard FROM ({_minhash_oracle()}) mh
+    SELECT 'full' AS variant, doc_a, doc_b, jaccard
+    FROM ({_minhash_oracle()}) mh_full
+    UNION ALL
+    SELECT 'incremental' AS variant, doc_a, doc_b, jaccard
+    FROM ({_minhash_oracle()}) mh_inc
     WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
     """,
 )
-def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup shape: corpus profile (doc_id %% 5 != 0) staged
-    to parquet once, then the 'daily batch' (doc_id %% 5 = 0) deduped
-    against it without re-sketching the corpus. Equals the full run
-    restricted to pairs touching the batch (tests prove the identity;
-    the oracle IS that restriction)."""
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(8 bands x 2 rows) candidates, verified
+    with exact Jaccard >= 0.8; the oracle replicates the entire sketch
+    pipeline — identical coefficients, dictionary, banding. Both run
+    shapes gated (former gates `dedup_minhash_lsh` +
+    `dedup_minhash_incremental`, folded):
+
+    * variant 'full' — one-shot dedup of the whole corpus;
+    * variant 'incremental' — the corpus profile (doc_id % 5 != 0)
+      staged to parquet once, then the 'daily batch' (doc_id % 5 = 0)
+      deduped against it WITHOUT re-sketching the corpus. Equals the
+      full run restricted to pairs touching the batch (tests prove the
+      identity; the oracle IS that restriction)."""
     import atexit
     import shutil
     import tempfile
@@ -179,10 +223,16 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    full = D.minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8).select(
+        F.lit("full").alias("variant"), "doc_a", "doc_b", "jaccard"
+    )
     staged = tempfile.mkdtemp(prefix="mh_profile_")
     atexit.register(shutil.rmtree, staged, ignore_errors=True)
     minhash_stage_profile(docs.filter("doc_id % 5 != 0"), staged, mode="overwrite")
-    return minhash_near_dups_incremental(docs.filter("doc_id % 5 = 0"), staged)
+    inc = minhash_near_dups_incremental(docs.filter("doc_id % 5 = 0"), staged).select(
+        F.lit("incremental").alias("variant"), "doc_a", "doc_b", "jaccard"
+    )
+    return full.unionByName(inc)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -205,29 +255,54 @@ def _simhash_oracle(bits: int = 16) -> str:
     """
 
 
-@query("dedup_simhash", _simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-16 fingerprints (bit votes over hashed token occurrences)."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.simhash_signatures(docs, bits=16)
-
-
 @query(
-    "dedup_simhash_hamming",
+    "dedup_simhash",
     f"""
     WITH sigs AS ({_simhash_oracle()})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT 'signature' AS variant,
+           doc_id, simhash,
+           CAST(NULL AS BIGINT) AS doc_a,
+           CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS BIGINT) AS hamming
+    FROM sigs
+    UNION ALL
+    SELECT 'hamming_pairs' AS variant,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS simhash,
+           a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
 )
-def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=2 near-dup pairs via lossless pigeonhole
-    banding; the oracle is the brute-force pair join the banding
-    provably equals."""
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16, both the fingerprints and the near-dup pair search
+    gated (former gates `dedup_simhash` + `dedup_simhash_hamming`,
+    folded):
+
+    * variant 'signature' — per-doc SimHash fingerprints (bit votes
+      over hashed token occurrences, zero shuffle);
+    * variant 'hamming_pairs' — Hamming<=2 near-dup pairs via lossless
+      pigeonhole banding; the oracle is the brute-force pair join the
+      banding provably equals."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_dups(docs, max_hamming=2, bits=16)
+    sigs = D.simhash_signatures(docs, bits=16).select(
+        F.lit("signature").alias("variant"),
+        "doc_id",
+        "simhash",
+        F.lit(None).cast("long").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    pairs = D.simhash_near_dups(docs, max_hamming=2, bits=16).select(
+        F.lit("hamming_pairs").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("simhash"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+    return sigs.unionByName(pairs)
 
 
 @query(
@@ -235,21 +310,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
          b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
-    SELECT id_a, id_b, round({duckdb_cosine('va', 'vb')}, 6) AS cos_sim
+    SELECT 'exact' AS variant, id_a, id_b,
+           round({duckdb_cosine('va', 'vb')}, 6) AS cos_sim
     FROM a JOIN b ON id_a < id_b
     WHERE round({duckdb_cosine('va', 'vb')}, 6) >= 0.35
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force exactness baseline;
-    sign-LSH in similarity.py is the bucketed scale path)."""
-    embs = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups(embs, threshold=0.35)
-
-
-@query(
-    "dedup_embedding_lsh",
-    f"""
+    UNION ALL
+    SELECT 'sign_lsh' AS variant, id_a, id_b, cos_sim
+    FROM (
     WITH planes AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
                embedding AS plane
@@ -289,42 +356,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN embeddings ea ON ea.vec_id = id_a
     JOIN embeddings eb ON eb.vec_id = id_b
     WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    )
     """,
 )
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via sign-LSH bucketing with one multi-probe
-    flip — the corpus-scale path for `dedup_embedding_cosine`: one
-    probe-bucket shuffle join generates candidates, cosine verifies
-    candidates only. Nothing in the plan is quadratic in the corpus."""
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, baseline AND scale path gated
+    (former gates `dedup_embedding_cosine` + `dedup_embedding_lsh`,
+    folded):
+
+    * variant 'exact' — brute-force all-pairs cosine (labeled O(n²)
+      exactness baseline);
+    * variant 'sign_lsh' — sign-LSH bucketing with one multi-probe
+      flip: one probe-bucket shuffle join generates candidates, cosine
+      verifies candidates only — nothing quadratic in the corpus."""
     embs = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups_lsh(
+    exact = D.embedding_near_dups(embs, threshold=0.35).select(
+        F.lit("exact").alias("variant"), "id_a", "id_b", "cos_sim"
+    )
+    lsh = D.embedding_near_dups_lsh(
         embs, threshold=0.35, n_planes=4, n_probe=1
-    )
-
-
-@query(
-    "dedup_exact_digest",
-    """
-    SELECT min(doc_id) AS keep_id,
-           count(*) AS n_copies,
-           digest
-    FROM (SELECT doc_id, sha256(text) AS digest FROM documents)
-    GROUP BY digest
-    """,
-)
-def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keyed on a SHA-256 digest instead of full content —
-    the at-scale variant of `dedup_exact_docs`: the shuffle carries
-    64-byte keys, not documents. Collision probability (~n^2 / 2^257)
-    is below hardware error rates; both engines compute the identical
-    digest, so the oracle matches on the digest itself."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.sha2("text", 256).alias("digest"))
-        .groupBy("digest")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
-        .select("keep_id", "n_copies", "digest")
-    )
+    ).select(F.lit("sign_lsh").alias("variant"), "id_a", "id_b", "cos_sim")
+    return exact.unionByName(lsh)
 
 
 def _clusters_oracle() -> str:

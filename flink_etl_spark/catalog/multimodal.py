@@ -10,32 +10,16 @@ from flink_etl_spark.operators import multimodal as M
 
 
 @query(
-    "media_metadata",
-    """
-    WITH media AS (
-        SELECT doc_id AS media_id, encode(text) AS payload,
-               'text/plain' AS mime
-        FROM documents
-    )
-    SELECT media_id, mime,
-           octet_length(payload) AS n_bytes,
-           substr(lower(hex(payload)), 1, 16) AS head_hex,
-           right(lower(hex(payload)), 8) AS tail_hex
-    FROM media
-    """,
-)
-def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM-only binary triage: byte sizes + hex fingerprint slices of the
-    payload column (the cheap pass that runs before any decode)."""
-    docs = _t(spark, sf_dir, "documents")
-    return M.media_metadata(M.make_media_table(docs))
-
-
-@query(
     "media_decode_features",
     """
     WITH m AS (
         SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id AS media_id,
+               substr(lower(hex(encode(text))), 1, 16) AS head_hex,
+               right(lower(hex(encode(text))), 8) AS tail_hex
         FROM documents
     ),
     b AS (
@@ -54,9 +38,11 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(CASE WHEN i = n THEN v END) AS vlast
         FROM b GROUP BY media_id
     )
-    SELECT media_id,
+    SELECT a.media_id,
            'text/plain' AS mime,
            n AS n_bytes,
+           meta.head_hex AS head_hex,
+           meta.tail_hex AS tail_hex,
            (n % 640) + 1 AS width,
            (n % 480) + 1 AS height,
            n AS f_len,
@@ -67,7 +53,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            vfirst AS f_first,
            vlast AS f_last,
            total % 997 AS f_mod
-    FROM a
+    FROM a JOIN meta ON meta.media_id = a.media_id
     """,
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,13 +62,22 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode is pure byte math over an ASCII payload, so the oracle
     replicates it with ord()/unnest byte aggregation; the 8-dim feature
     array is SCALARIZED to f_* columns so the driver's canonicalizer
-    never sees a list column (r1 gate was red on exactly that)."""
+    never sees a list column (r1 gate was red on exactly that).
+
+    head_hex/tail_hex come from the JVM-only binary TRIAGE operator
+    (`media_metadata` — byte sizes + hex fingerprint slices, the cheap
+    pass that runs before any decode; former standalone gate
+    `media_metadata`, folded here via a media_id join)."""
     docs = _t(spark, sf_dir, "documents")
-    dec = M.decode_media(M.make_media_table(docs), fake=True)
-    return dec.select(
+    media = M.make_media_table(docs)
+    meta = M.media_metadata(media).select("media_id", "head_hex", "tail_hex")
+    dec = M.decode_media(media, fake=True)
+    return dec.join(meta, "media_id").select(
         "media_id",
         "mime",
         "n_bytes",
+        "head_hex",
+        "tail_hex",
         "width",
         "height",
         F.col("features")[0].cast("long").alias("f_len"),

@@ -144,42 +144,42 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "semi_join_customers_with_orders",
+    "join_semi_anti_customers",
     """
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'semi' AS variant, c_custkey, c_name, c_mktsegment
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > 300000)
-    """,
-)
-def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS). Spark ships only the distinct keys of
-    the filtered orders side; with the selective predicate it usually
-    broadcasts. Absent from the reference (SURVEY.md §2.11) — engine
-    surface."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-@query(
-    "anti_join_customers_without_orders",
-    """
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS variant, c_custkey, c_name, CAST(NULL AS VARCHAR)
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS) — absent from
+    the reference (SURVEY.md §2.11), engine surface. Former gates
+    `semi_join_customers_with_orders` + `anti_join_customers_without_
+    orders`, folded:
+
+    * variant 'semi' — customers with a >300k order; Spark ships only
+      the distinct keys of the filtered orders side (usually
+      broadcast);
+    * variant 'anti' — customers with no orders at all."""
     c = _t(spark, sf_dir, "customer")
+    o_big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    semi = c.join(o_big, c.c_custkey == o_big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("variant"), "c_custkey", "c_name", "c_mktsegment"
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("variant"),
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -219,13 +219,31 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
                AS running_value,
            count(*) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW), 2)
+               AS trailing_1d_value,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
+               AS trailing_1d_events
     FROM events
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate-over-window (running frame) — the analytic surface the
-    reference lacks entirely (SURVEY.md §2.6)."""
+    """Aggregate-over-window — the analytic surface the reference lacks
+    entirely (SURVEY.md §2.6). BOTH frame kinds over one partitioning
+    (former gates `window_running_total` + `window_range_frame_trailing`,
+    folded — the physical plan still needs only ONE shuffle since all
+    four aggregates share PARTITION BY user_id):
+
+    * running_value / n_so_far — ROWS UNBOUNDED PRECEDING running frame;
+    * trailing_1d_value / trailing_1d_events — RANGE frame with a
+      time-interval bound (per-entity 24h rolling aggregate), which
+      ROWS frames cannot express. (user_id, ts) is unique in the data,
+      so RANGE vs ROWS peer-group semantics cannot diverge here; the
+      frame width is the tested behavior."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -237,6 +255,17 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 2).alias("running_value"),
         F.count("*").over(w).alias("n_so_far"),
+        F.round(
+            F.expr(
+                "sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW)"
+            ),
+            2,
+        ).alias("trailing_1d_value"),
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW)"
+        ).alias("trailing_1d_events"),
     )
 
 
@@ -287,18 +316,45 @@ def window_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_ops_customer_keys",
     """
-    SELECT c_custkey FROM customer WHERE c_acctbal > 0
-    INTERSECT
-    SELECT o_custkey AS c_custkey FROM orders
-    UNION
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    SELECT 'distinct_chain' AS variant, c_custkey AS key,
+           CAST(NULL AS BIGINT) AS multiplicity
+    FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'bag_chain' AS variant, o_custkey AS key, multiplicity
+    FROM (
+        WITH m AS (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        ),
+        e AS (
+            SELECT o_custkey FROM m
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT o_custkey, count(*) AS multiplicity
+        FROM e GROUP BY o_custkey
+    )
     """,
 )
 def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT (all distinct variants), composed with
-    SQL's left-to-right precedence: ((A INTERSECT B) UNION C) EXCEPT D."""
+    """Set operations, BOTH semantics gated (former gates
+    `set_ops_customer_keys` + `set_ops_bag_semantics`, folded):
+
+    * variant 'distinct_chain' — UNION / INTERSECT / EXCEPT (distinct
+      variants) composed with SQL's left-to-right precedence:
+      ((A INTERSECT B) UNION C) EXCEPT D;
+    * variant 'bag_chain' — INTERSECT ALL / EXCEPT ALL (multiset
+      semantics), duplicate multiplicity carried through and exposed
+      by the final count so the gate verifies it."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     a = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
@@ -307,45 +363,107 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return a.intersect(b).union(cc).distinct().exceptAll(d.distinct())
+    distinct_chain = (
+        a.intersect(b)
+        .union(cc)
+        .distinct()
+        .exceptAll(d.distinct())
+        .select(
+            F.lit("distinct_chain").alias("variant"),
+            F.col("c_custkey").alias("key"),
+            F.lit(None).cast("long").alias("multiplicity"),
+        )
+    )
+    ba = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    bb = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    bd = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    bag_chain = (
+        ba.intersectAll(bb)
+        .exceptAll(bd)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(
+            F.lit("bag_chain").alias("variant"),
+            F.col("o_custkey").alias("key"),
+            "multiplicity",
+        )
+    )
+    return distinct_chain.unionByName(bag_chain)
 
 
 @query(
-    "rollup_order_stats",
+    "rollup_cube_grouping_sets",
     """
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+    SELECT 'rollup_orders' AS variant,
+           o_orderstatus AS key1, o_orderpriority AS key2,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS measure
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
-def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP — hierarchical subtotals incl. grand total."""
-    o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-@query(
-    "cube_lineitem_stats",
-    """
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_items,
-           round(avg(l_quantity), 6) AS avg_qty
+    UNION ALL
+    SELECT 'cube_lineitem' AS variant,
+           l_returnflag AS key1, l_linestatus AS key2,
+           count(*) AS n_rows,
+           round(avg(l_quantity), 6) AS measure
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'grouping_sets_orders' AS variant,
+           o_orderstatus AS key1, o_orderpriority AS key2,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS measure
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
     """,
 )
-def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE — all grouping-set combinations."""
+def rollup_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation, all three forms gated (former
+    gates `rollup_order_stats` + `cube_lineitem_stats` +
+    `grouping_sets_order_revenue`, folded). Each compiles to ONE
+    Expand + ONE aggregation (never N scans):
+
+    * 'rollup_orders' — GROUP BY ROLLUP: hierarchical subtotals incl.
+      grand total (measure = revenue, 2dp);
+    * 'cube_lineitem' — GROUP BY CUBE: all grouping-set combinations
+      (measure = avg quantity, 6dp);
+    * 'grouping_sets_orders' — explicit GROUPING SETS, the general
+      form under rollup/cube, via the SQL entry path."""
+    o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    rollup = o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("measure"),
+    ).select(
+        F.lit("rollup_orders").alias("variant"),
+        F.col("o_orderstatus").alias("key1"),
+        F.col("o_orderpriority").alias("key2"),
+        "n_rows",
+        "measure",
     )
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("l_quantity"), 6).alias("measure"),
+    ).select(
+        F.lit("cube_lineitem").alias("variant"),
+        F.col("l_returnflag").alias("key1"),
+        F.col("l_linestatus").alias("key2"),
+        "n_rows",
+        "measure",
+    )
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    gsets = spark.sql(
+        """
+        SELECT 'grouping_sets_orders' AS variant,
+               o_orderstatus AS key1, o_orderpriority AS key2,
+               count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS measure
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @query(
@@ -415,38 +533,20 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
            round(min(value), 2) AS min_value,
-           round(max(value), 2) AS max_value
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def agg_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT aggregation (expand + two-phase agg) plus min/max."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count("*").alias("n_events"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
-    )
-
-
-@query(
-    "approx_distinct_users",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS exact_users,
-           count(*) AS n_events,
+           round(max(value), 2) AS max_value,
            TRUE AS approx_ok
     FROM events
     GROUP BY event_type
     """,
 )
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct. Sketch values are
-    engine-specific, so the gate asserts the sketch's ACCURACY CONTRACT:
-    Spark computes both the HLL estimate and the exact distinct and
-    emits `approx_ok = |approx - exact| <= 5 * rsd * exact`; the oracle
+def agg_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation (expand + two-phase agg) plus min/max, AND
+    the HyperLogLog++ approximate-distinct contract in the same group
+    (former gates `agg_distinct_users_by_type` + `approx_distinct_users`,
+    folded). HLL sketch values are engine-specific, so the gate asserts
+    the sketch's ACCURACY CONTRACT: Spark computes both the HLL
+    estimate and the exact distinct and emits
+    `approx_ok = |approx - exact| <= 5 * rsd * exact`; the oracle
     computes the exact count and emits literal TRUE (the
     bounds-check-boolean pattern, see embedding_normalize_stats). At
     100 TB the exact arm disappears and only the one-pass
@@ -456,17 +556,21 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(
+            F.countDistinct("user_id").alias("n_users"),
             F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
         )
         .select(
             "event_type",
-            "exact_users",
+            "n_users",
             "n_events",
+            "min_value",
+            "max_value",
             (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= F.lit(5 * rsd) * F.col("exact_users")
+                F.abs(F.col("approx_users") - F.col("n_users"))
+                <= F.lit(5 * rsd) * F.col("n_users")
             ).alias("approx_ok"),
         )
     )
@@ -479,73 +583,108 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90,
            round(quantile_cont(value, 0.99), 6) AS p99,
-           round(avg(value), 6) AS mean_value
+           round(avg(value), 6) AS mean_value,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok,
+           TRUE AS p99_ok
     FROM events
     GROUP BY event_type
     """,
 )
 def agg_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles (sort-based agg). At 100 TB swap for
-    `approx_percentile` (t-digest-style sketch, one pass, mergeable
-    partials) wherever exactness is negotiable — same call shape."""
+    """Exact continuous percentiles (sort-based agg) AND the
+    approx_percentile rank-error contract in the same group (former
+    gates `agg_percentiles_value` + `approx_percentiles_value`,
+    folded). approx_percentile is the mergeable Greenwald-Khanna
+    quantile sketch: one pass, constant memory per group — the 100 TB
+    replacement wherever bounded error is acceptable. Sketch values
+    are engine-specific, so the p*_ok columns assert the RANK-ERROR
+    CONTRACT (bounds-check-boolean pattern): with accuracy=10000 the
+    GK rank error is <= n/10000 ranks, far inside the ±1% rank
+    envelope checked — each approx quantile must land between the
+    exact quantiles at q-0.01 and q+0.01; the oracle emits literal
+    TRUE. Array output is scalarized so the driver's canonicalizer
+    never sees a list column."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    qs = [0.5, 0.9, 0.99]
+    eps = 1e-9
+    agg = e.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in qs
+        ],
         F.round(F.avg("value"), 6).alias("mean_value"),
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("ap"),
+        *[
+            F.expr(f"percentile(value, {max(q - 0.01, 0.0)})").alias(f"lo_{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(q + 0.01, 1.0)})").alias(f"hi_{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    return agg.select(
+        "event_type",
+        "p50",
+        "p90",
+        "p99",
+        "mean_value",
+        *[
+            (
+                (F.col("ap")[i] >= F.col(f"lo_{i}") - eps)
+                & (F.col("ap")[i] <= F.col(f"hi_{i}") + eps)
+            ).alias(f"p{int(q * 100)}_ok")
+            for i, q in enumerate(qs)
+        ],
     )
 
 
 @query(
-    "grouping_sets_order_revenue",
+    "pivot_unpivot_order_metrics",
     """
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                            (o_orderstatus, o_orderpriority))
-    """,
-)
-def grouping_sets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form under rollup/cube) —
-    one Expand + one aggregation, not three scans."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                                (o_orderstatus, o_orderpriority))
-        """
-    )
-
-
-@query(
-    "pivot_status_by_priority",
-    """
-    SELECT o_orderpriority,
+    SELECT 'pivot' AS variant, o_orderpriority,
            count(*) FILTER (o_orderstatus = 'O') AS status_O,
            count(*) FILTER (o_orderstatus = 'F') AS status_F,
            count(*) FILTER (o_orderstatus = 'P') AS status_P,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(NULL AS VARCHAR) AS metric,
+           CAST(NULL AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'unpivot' AS variant, o_orderpriority,
+           CAST(NULL AS BIGINT) AS status_O,
+           CAST(NULL AS BIGINT) AS status_F,
+           CAST(NULL AS BIGINT) AS status_P,
+           CAST(NULL AS DOUBLE) AS revenue,
+           metric, round(sum(val), 2) AS total
+    FROM (
+        SELECT o_orderpriority, 'price' AS metric, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT o_orderpriority, 'shipdays' AS metric,
+               CAST(o_orderkey % 30 AS DOUBLE) AS val FROM orders
+    )
+    GROUP BY o_orderpriority, metric
     """,
 )
-def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT with explicit value list (no extra distinct-values job —
-    at scale, always pin the pivot columns)."""
+def pivot_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshaping both directions (former gates `pivot_status_by_priority`
+    + `unpivot_order_metrics`, folded):
+
+    * variant 'pivot' — PIVOT with explicit value list (no extra
+      distinct-values job — at scale, always pin the pivot columns);
+    * variant 'unpivot' — unpivot/melt wide metric columns to
+      (metric, value) rows, the reshaping inverse; compiles to one
+      Expand (not a self-union double scan)."""
     o = _t(spark, sf_dir, "orders")
     wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
     )
-    return wide.select(
+    pivoted = wide.select(
+        F.lit("pivot").alias("variant"),
         "o_orderpriority",
         F.coalesce("O_n", F.lit(0)).alias("status_O"),
         F.coalesce("F_n", F.lit(0)).alias("status_F"),
@@ -556,33 +695,100 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce("P_rev", F.lit(0.0)),
             2,
         ).alias("revenue"),
+        F.lit(None).cast("string").alias("metric"),
+        F.lit(None).cast("double").alias("total"),
     )
+    narrow = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 30).cast("double").alias("shipdays"),
+    )
+    melted = narrow.unpivot(
+        ids=["o_orderpriority"], values=["price", "shipdays"],
+        variableColumnName="metric", valueColumnName="val",
+    )
+    unpivoted = (
+        melted.groupBy("o_orderpriority", "metric")
+        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .select(
+            F.lit("unpivot").alias("variant"),
+            "o_orderpriority",
+            F.lit(None).cast("long").alias("status_O"),
+            F.lit(None).cast("long").alias("status_F"),
+            F.lit(None).cast("long").alias("status_P"),
+            F.lit(None).cast("double").alias("revenue"),
+            "metric",
+            "total",
+        )
+    )
+    return pivoted.unionByName(unpivoted)
 
 
 @query(
     "correlated_above_avg_orders",
     """
-    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total
+    SELECT 'per_customer' AS variant,
+           o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total,
+           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(NULL AS BIGINT) AS n_above,
+           CAST(NULL AS DOUBLE) AS min_above
     FROM orders o
     WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
                             FROM orders o2
                             WHERE o2.o_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'global' AS variant,
+           CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS BIGINT) AS o_custkey,
+           CAST(NULL AS DOUBLE) AS total,
+           o_orderstatus,
+           count(*) AS n_above,
+           round(min(o_totalprice), 2) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
     """,
 )
 def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery — Catalyst decorrelates it into an
-    aggregate + join (one shuffle on the correlation key), never a
-    per-row re-execution."""
+    """Scalar subqueries, both flavors gated (former gates
+    `correlated_above_avg_orders` + `scalar_subquery_above_global_avg`,
+    folded):
+
+    * variant 'per_customer' — CORRELATED scalar subquery: Catalyst
+      decorrelates it into an aggregate + join (one shuffle on the
+      correlation key), never a per-row re-execution;
+    * variant 'global' — UNCORRELATED scalar subquery: planned as an
+      independent single-row subplan whose result folds into the
+      filter (no join)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
+    correlated = spark.sql(
         """
-        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total
+        SELECT 'per_customer' AS variant,
+               o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total,
+               CAST(NULL AS STRING) AS o_orderstatus,
+               CAST(NULL AS BIGINT) AS n_above,
+               CAST(NULL AS DOUBLE) AS min_above
         FROM orders o
         WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
                                 FROM orders o2
                                 WHERE o2.o_custkey = o.o_custkey)
         """
     )
+    global_ = spark.sql(
+        """
+        SELECT 'global' AS variant,
+               CAST(NULL AS BIGINT) AS o_orderkey,
+               CAST(NULL AS BIGINT) AS o_custkey,
+               CAST(NULL AS DOUBLE) AS total,
+               o_orderstatus,
+               count(*) AS n_above,
+               round(min(o_totalprice), 2) AS min_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+    return correlated.unionByName(global_)
 
 
 @query(
@@ -643,94 +849,6 @@ def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "approx_percentiles_value",
-    """
-    SELECT event_type,
-           count(*) AS n_events,
-           TRUE AS p50_ok,
-           TRUE AS p90_ok,
-           TRUE AS p99_ok
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (mergeable quantile sketch): one pass, constant
-    memory per group — the 100 TB replacement for the exact sort-based
-    percentile wherever bounded error is acceptable. Sketch values are
-    engine-specific, so the gate asserts the RANK-ERROR CONTRACT
-    (bounds-check-boolean pattern): with accuracy=10000 the Greenwald-
-    Khanna rank error is <= n/10000 ranks, far inside the +-1%% rank
-    envelope we check — each approx quantile must land between the exact
-    quantiles at q-0.01 and q+0.01. Array output is scalarized to p50/
-    p90/p99 so the driver's canonicalizer never sees a list column."""
-    e = _t(spark, sf_dir, "events")
-    qs = [0.5, 0.9, 0.99]
-    agg = e.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("ap"),
-        *[
-            F.expr(f"percentile(value, {max(q - 0.01, 0.0)})").alias(f"lo_{i}")
-            for i, q in enumerate(qs)
-        ],
-        *[
-            F.expr(f"percentile(value, {min(q + 0.01, 1.0)})").alias(f"hi_{i}")
-            for i, q in enumerate(qs)
-        ],
-        F.count("*").alias("n_events"),
-    )
-    eps = 1e-9
-    return agg.select(
-        "event_type",
-        "n_events",
-        *[
-            (
-                (F.col("ap")[i] >= F.col(f"lo_{i}") - eps)
-                & (F.col("ap")[i] <= F.col(f"hi_{i}") + eps)
-            ).alias(f"p{int(q * 100)}_ok")
-            for i, q in enumerate(qs)
-        ],
-    )
-
-
-@query(
-    "window_range_frame_trailing",
-    """
-    SELECT user_id, event_id,
-           round(sum(value) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW), 2)
-               AS trailing_1d_value,
-           count(*) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
-               AS trailing_1d_events
-    FROM events
-    """,
-)
-def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame with a time-interval bound — the trailing-window
-    aggregate (per-entity 24h rolling sum) that ROWS frames cannot
-    express. (user_id, ts) is unique in the data, so RANGE vs ROWS
-    peer-group semantics cannot diverge here; the frame width is the
-    tested behavior. Same one-shuffle plan shape as any window."""
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        SELECT user_id, event_id,
-               round(sum(value) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW), 2)
-                   AS trailing_1d_value,
-               count(*) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW)
-                   AS trailing_1d_events
-        FROM events
-        """
-    )
-
-
-@query(
     "window_analytic_ranks",
     """
     SELECT o_custkey, o_orderkey,
@@ -759,39 +877,6 @@ def window_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
-    )
-
-
-@query(
-    "set_ops_bag_semantics",
-    """
-    WITH m AS (
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        INTERSECT ALL
-        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
-    ),
-    e AS (
-        SELECT o_custkey FROM m
-        EXCEPT ALL
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    )
-    SELECT o_custkey, count(*) AS multiplicity
-    FROM e GROUP BY o_custkey
-    """,
-)
-def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, where
-    duplicate multiplicity carries through instead of collapsing; the
-    final count exposes the multiplicities so the gate verifies them."""
-    o = _t(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
-    d = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return (
-        a.intersectAll(b)
-        .exceptAll(d)
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("multiplicity"))
     )
 
 
@@ -825,60 +910,3 @@ def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "unpivot_order_metrics",
-    """
-    SELECT o_orderpriority, metric, round(sum(val), 2) AS total
-    FROM (
-        SELECT o_orderpriority, 'price' AS metric, o_totalprice AS val FROM orders
-        UNION ALL
-        SELECT o_orderpriority, 'shipdays' AS metric,
-               CAST(o_orderkey % 30 AS DOUBLE) AS val FROM orders
-    )
-    GROUP BY 1, 2
-    """,
-)
-def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unpivot/melt: wide metric columns to (metric, value) rows — the
-    reshaping inverse of PIVOT; compiles to one Expand (not a
-    self-union double scan)."""
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.col("o_totalprice").alias("price"),
-        (F.col("o_orderkey") % 30).cast("double").alias("shipdays"),
-    )
-    long = o.unpivot(
-        ids=["o_orderpriority"], values=["price", "shipdays"],
-        variableColumnName="metric", valueColumnName="val",
-    )
-    return long.groupBy("o_orderpriority", "metric").agg(
-        F.round(F.sum("val"), 2).alias("total")
-    )
-
-
-@query(
-    "scalar_subquery_above_global_avg",
-    """
-    SELECT o_orderstatus,
-           count(*) AS n_above,
-           round(min(o_totalprice), 2) AS min_above
-    FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-    GROUP BY o_orderstatus
-    """,
-)
-def scalar_subquery_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery — planned as an independent
-    single-row subplan whose result folds into the filter (no join,
-    no per-row re-execution)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus,
-               count(*) AS n_above,
-               round(min(o_totalprice), 2) AS min_above
-        FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-        GROUP BY o_orderstatus
-        """
-    )

@@ -44,9 +44,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(embs, queries, k=10)
 
 
-@query(
-    "ann_signlsh_topk",
-    f"""
+_SIGNLSH_SINGLE_SQL = f"""
     WITH planes AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
                embedding AS plane
@@ -74,20 +72,9 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY cos_sim DESC, neighbor_id) AS rnk
           FROM scored) t
     WHERE rnk <= 5
-    """,
-)
-def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-5: 4 data-derived hyperplanes -> 16
-    buckets; search only the query's bucket. The 100 TB path — corpus
-    shuffles once by bucket instead of cross-joining."""
-    embs = _t(spark, sf_dir, "embeddings")
-    queries = embs.filter(F.expr(QUERY_PRED))
-    return S.signlsh_topk(embs, queries, k=5, n_planes=4)
+"""
 
-
-@query(
-    "ann_signlsh_multiprobe",
-    f"""
+_SIGNLSH_MULTIPROBE_SQL = f"""
     WITH planes AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
                embedding AS plane
@@ -132,130 +119,121 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY cos_sim DESC, neighbor_id) AS rnk
           FROM scored) t
     WHERE rnk <= 5
+"""
+
+
+@query(
+    "ann_signlsh_topk",
+    f"""
+    SELECT 'single' AS variant, s.* FROM ({_SIGNLSH_SINGLE_SQL}) s
+    UNION ALL
+    SELECT 'multiprobe' AS variant, m.* FROM ({_SIGNLSH_MULTIPROBE_SQL}) m
     """,
 )
-def ann_signlsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe sign-LSH ANN top-5 at n_probe=1: each query also
-    searches the bucket across its lowest-margin hyperplane — the
-    recall knob single-bucket LSH lacks. Deterministic probe choice
-    (rounded margins, plane-id tie-break) keeps the gate exact."""
+def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5: 4 data-derived hyperplanes -> 16
+    buckets. The 100 TB path — corpus shuffles once by bucket instead
+    of cross-joining. Both probe strategies gated (former gates
+    `ann_signlsh_topk` + `ann_signlsh_multiprobe`, folded):
+
+    * variant 'single' — search only the query's own bucket;
+    * variant 'multiprobe' — n_probe=1: each query also searches the
+      bucket across its lowest-margin hyperplane (Lv et al. VLDB'07) —
+      the recall knob single-bucket LSH lacks. Deterministic probe
+      choice (rounded margins, plane-id tie-break) keeps the gate
+      exact."""
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.expr(QUERY_PRED))
-    return S.signlsh_topk_multiprobe(embs, queries, k=5, n_planes=4, n_probe=1)
+    single = S.signlsh_topk(embs, queries, k=5, n_planes=4).select(
+        F.lit("single").alias("variant"), "*"
+    )
+    multi = S.signlsh_topk_multiprobe(
+        embs, queries, k=5, n_planes=4, n_probe=1
+    ).select(F.lit("multiprobe").alias("variant"), "*")
+    return single.unionByName(multi)
+
+
+_IVF_SQL = f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+               embedding AS centroid
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    casgn AS (
+        SELECT vec_id AS neighbor_id, cell_id
+        FROM (SELECT e.vec_id, p.cell_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
+                                  DESC, p.cell_id) AS r
+              FROM embeddings e CROSS JOIN cents p) t
+        WHERE r <= 1
+    ),
+    qasgn AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT e.vec_id, p.cell_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
+                                  DESC, p.cell_id) AS r
+              FROM embeddings e CROSS JOIN cents p
+              WHERE e.vec_id < 32) t
+        WHERE r <= 2
+    ),
+    scored AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id,
+               round({duckdb_cosine('qe.embedding', 'ce.embedding')}, 6) AS cos_sim
+        FROM qasgn q
+        JOIN casgn c ON c.cell_id = q.cell_id AND q.query_id <> c.neighbor_id
+        JOIN embeddings qe ON qe.vec_id = q.query_id
+        JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored) t
+    WHERE rnk <= 5
+"""
 
 
 @query(
     "ann_ivf_topk",
     f"""
-    WITH cents AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
-               embedding AS centroid
-        FROM embeddings ORDER BY vec_id LIMIT 8
-    ),
-    casgn AS (
-        SELECT vec_id AS neighbor_id, cell_id
-        FROM (SELECT e.vec_id, p.cell_id,
-                     row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
-                                  DESC, p.cell_id) AS r
-              FROM embeddings e CROSS JOIN cents p) t
-        WHERE r <= 1
-    ),
-    qasgn AS (
-        SELECT vec_id AS query_id, cell_id
-        FROM (SELECT e.vec_id, p.cell_id,
-                     row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
-                                  DESC, p.cell_id) AS r
-              FROM embeddings e CROSS JOIN cents p
-              WHERE e.vec_id < 32) t
-        WHERE r <= 2
-    ),
-    scored AS (
-        SELECT DISTINCT q.query_id, c.neighbor_id,
-               round({duckdb_cosine('qe.embedding', 'ce.embedding')}, 6) AS cos_sim
-        FROM qasgn q
-        JOIN casgn c ON c.cell_id = q.cell_id AND q.query_id <> c.neighbor_id
-        JOIN embeddings qe ON qe.vec_id = q.query_id
-        JOIN embeddings ce ON ce.vec_id = c.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cos_sim, rnk
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
-          FROM scored) t
-    WHERE rnk <= 5
+    SELECT 'in_memory' AS variant, a.* FROM ({_IVF_SQL}) a
+    UNION ALL
+    SELECT 'staged_index' AS variant, b.* FROM ({_IVF_SQL}) b
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-5: 8 data-derived cells, nprobe=2. The corpus
-    shuffles once by cell; per-query work is |corpus|/cells * nprobe."""
-    embs = _t(spark, sf_dir, "embeddings")
-    queries = embs.filter(F.expr(QUERY_PRED))
-    return S.ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2)
+    shuffles once by cell; per-query work is |corpus|/cells * nprobe.
+    Both index lifecycles gated (former gates `ann_ivf_topk` +
+    `ann_ivf_staged`, folded; the two variants MUST be identical, and
+    both arms verify against the same oracle SQL):
 
-
-@query(
-    "ann_ivf_staged",
-    f"""
-    WITH cents AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
-               embedding AS centroid
-        FROM embeddings ORDER BY vec_id LIMIT 8
-    ),
-    casgn AS (
-        SELECT vec_id AS neighbor_id, cell_id
-        FROM (SELECT e.vec_id, p.cell_id,
-                     row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
-                                  DESC, p.cell_id) AS r
-              FROM embeddings e CROSS JOIN cents p) t
-        WHERE r <= 1
-    ),
-    qasgn AS (
-        SELECT vec_id AS query_id, cell_id
-        FROM (SELECT e.vec_id, p.cell_id,
-                     row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
-                                  DESC, p.cell_id) AS r
-              FROM embeddings e CROSS JOIN cents p
-              WHERE e.vec_id < 32) t
-        WHERE r <= 2
-    ),
-    scored AS (
-        SELECT DISTINCT q.query_id, c.neighbor_id,
-               round({duckdb_cosine('qe.embedding', 'ce.embedding')}, 6) AS cos_sim
-        FROM qasgn q
-        JOIN casgn c ON c.cell_id = q.cell_id AND q.query_id <> c.neighbor_id
-        JOIN embeddings qe ON qe.vec_id = q.query_id
-        JOIN embeddings ce ON ce.vec_id = c.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cos_sim, rnk
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
-          FROM scored) t
-    WHERE rnk <= 5
-    """,
-)
-def ann_ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged-index IVF search: `ivf_build_index` writes centroids plus
-    the cell-assigned corpus as parquet partitioned by cell_id (build
-    once); `ivf_search_index` answers this query batch by reading ONLY
-    probed cell partitions. Must equal the in-memory ivf_topk — same
-    oracle."""
+    * variant 'in_memory' — one-shot `ivf_topk`, centroids derived in
+      the same job;
+    * variant 'staged_index' — `ivf_build_index` writes centroids plus
+      the cell-assigned corpus as parquet partitioned by cell_id
+      (build once); `ivf_search_index` answers the query batch by
+      reading ONLY probed cell partitions (partition-pruned scan) —
+      the build-once/search-many 100 TB shape."""
     import atexit
     import shutil
     import tempfile
 
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.expr(QUERY_PRED))
+    mem = S.ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2).select(
+        F.lit("in_memory").alias("variant"), "*"
+    )
     idx = tempfile.mkdtemp(prefix="ivf_index_")
     atexit.register(shutil.rmtree, idx, ignore_errors=True)
     S.ivf_build_index(embs, idx, n_cells=8)
-    return S.ivf_search_index(spark, idx, queries, k=5, nprobe=2)
+    staged = S.ivf_search_index(spark, idx, queries, k=5, nprobe=2).select(
+        F.lit("staged_index").alias("variant"), "*"
+    )
+    return mem.unionByName(staged)
 
 
 @query(

@@ -15,14 +15,41 @@ from flink_etl_spark.catalog import query
 from flink_etl_spark.session import apply_runtime_confs
 from flink_etl_spark.streaming.stateful import sessionize_stream
 
-#: raw parquet schema of events.parquet (ts is INT64 TIMESTAMP(NANOS),
-#: surfaced as a LONG under nanosAsLong — same seam as sources/tables.py)
-_EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
 _SINK_SEQ = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of events.parquet with a normalized event-time
+    column `ts` (TIMESTAMP, µs precision, session-UTC instants).
+
+    The schema-on-read must match the file's PHYSICAL layout, which has
+    shipped in two flavors across driver testdata generations: INT64
+    TIMESTAMP(NANOS) (surfaces as a raw LONG under nanosAsLong — the
+    same seam sources/tables.py handles for batch) and plain
+    TIMESTAMP(MICROS). A hardcoded `ts bigint, … div 1000` schema reads
+    a µs file as µs-longs and silently produces 1970-era timestamps —
+    every event-time gap compresses 1000×, sessions never close, and
+    watermarks sit decades in the past. Probe the batch schema once and
+    adapt."""
+    from pyspark.sql.types import LongType
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(batch_schema["ts"].dataType, LongType)
+    ts_ddl = "bigint" if ts_is_long else "timestamp"
+    # glob, not a bare file path: FileStreamSource derives basePath from
+    # the glob's parent and requires it to be a directory
+    raw = spark.readStream.schema(
+        f"event_id bigint, ts {ts_ddl}, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(f"{sf_dir}/events.parque*")
+    ts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    return raw.select(
+        "event_id", ts.alias("ts"), "user_id", "event_type", "value", "props"
+    )
 
 
 @query(
@@ -62,17 +89,7 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state). The oracle rebuilds the same sessions in pure SQL — an
     independent batch formulation of the incremental computation."""
     apply_runtime_confs(spark)
-    # glob, not a bare file path: FileStreamSource derives basePath from
-    # the glob's parent and requires it to be a directory
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/events.parque*")
-    )
-    ev = raw.select(
-        "user_id",
-        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias("ts"),
-        "value",
-    )
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = sessionize_stream(ev, gap_minutes=30)
     name = f"_sessionize_sink_{next(_SINK_SEQ)}"
     q = (
@@ -114,15 +131,7 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
 
     apply_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/events.parque*")
-    )
-    ev = raw.select(
-        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias("ts"),
-        "event_type",
-        "value",
-    )
+    ev = _events_stream(spark, sf_dir).select("ts", "event_type", "value")
     work = tempfile.mkdtemp(prefix="rollup_gate_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     q = start_continuous_rollup(
@@ -159,15 +168,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_etl_spark.streaming.stateful import stream_dedup
 
     apply_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/events.parque*")
-    )
-    ev = raw.select(
-        "user_id",
-        "event_type",
-        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)").alias("ts"),
-    )
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
     deduped = stream_dedup(
         ev, ["user_id", "event_type"], "ts", delay="3650 days"
     )

@@ -11,26 +11,8 @@ from flink_etl_spark.operators import text as T
 from flink_etl_spark.operators.text import STOPWORDS
 
 
-@query(
-    "text_token_stats",
-    """
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents)
-    SELECT doc_id,
-           len(t) AS n_tokens,
-           len(list_distinct(t)) AS n_distinct,
-           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_ratio,
-           round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6)
-               AS avg_token_len
-    FROM toks
-    """,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + vocabulary richness per document."""
-    return T.token_stats(_t(spark, sf_dir, "documents"))
-
-
-def _lang_oracle() -> str:
-    hit_cols = ",\n           ".join(
+def _profile_oracle() -> str:
+    hit_cols = ",\n               ".join(
         "len(list_filter(t, x -> x IN ({}))) AS hits_{}".format(
             ", ".join(f"'{w}'" for w in ws), lang
         )
@@ -40,12 +22,26 @@ def _lang_oracle() -> str:
         f"SELECT doc_id, '{lang}' AS l, hits_{lang} AS s FROM base"
         for lang in STOPWORDS
     )
-    hits_out = ", ".join(f"base.hits_{lang}" for lang in STOPWORDS)
+    hits_out = ", ".join(f"b.hits_{lang}" for lang in STOPWORDS)
+    score = (
+        "0.4 * least(1.0, b.n_tokens / 100.0)"
+        " + 0.3 * (CAST(b.n_distinct AS DOUBLE) / b.n_tokens)"
+        " + 0.3 * least(1.0, 4.0 * (CAST(b.hits_en AS DOUBLE) / b.n_tokens))"
+    )
     return f"""
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+    WITH toks AS (SELECT doc_id, n_chars, regexp_split_to_array(text, ' +') AS t
+                  FROM documents),
     base AS (
-        SELECT doc_id,
-           {hit_cols}
+        SELECT doc_id, n_chars,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct,
+               list_sum(list_transform(t, x -> length(x))) AS tot_len,
+               {hit_cols},
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(t, tok ->
+                           CAST(ascii(tok) * 131 + length(tok) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % {MERSENNE_P}) AS fingerprint
         FROM toks
     ),
     scores AS (
@@ -58,63 +54,40 @@ def _lang_oracle() -> str:
               FROM scores) t
         WHERE rn = 1
     )
-    SELECT base.doc_id, {hits_out}, guess.lang_guess
-    FROM base JOIN guess ON base.doc_id = guess.doc_id
+    SELECT b.doc_id, b.n_chars, b.n_tokens, b.n_distinct,
+           round(CAST(b.tot_len AS DOUBLE) / b.n_tokens, 6) AS avg_token_len,
+           round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
+           round(CAST(b.hits_en AS DOUBLE) / b.n_tokens, 6) AS stopword_ratio,
+           {hits_out},
+           g.lang_guess,
+           round({score}, 6) AS quality,
+           CASE WHEN round({score}, 6) >= 0.5 THEN 'keep' ELSE 'flag' END AS verdict,
+           b.fingerprint
+    FROM base b JOIN guess g ON b.doc_id = g.doc_id
     """
 
 
-@query("text_lang_id", _lang_oracle())
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID with deterministic argmax (max score,
-    tie -> lexicographically larger code)."""
-    return T.lang_scores(_t(spark, sf_dir, "documents")).drop("_toks")
+@query("text_doc_profile", _profile_oracle())
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY per-document text signal off ONE tokenization pass
+    (operators/text.py doc_profile — former gates `text_token_stats`,
+    `text_lang_id`, `text_quality_score`, `text_fingerprint`, folded
+    into the one-scan operator a 100 TB prep pipeline actually runs):
 
+    * token counting + vocabulary richness (n_tokens, n_distinct,
+      avg_token_len, distinct_ratio);
+    * stopword-hit language ID with deterministic argmax (max score,
+      tie -> lexicographically larger code);
+    * composite quality heuristic (length/richness/stopword-density)
+      with keep/flag verdict;
+    * order-sensitive rolling polynomial fingerprint.
 
-@query(
-    "text_quality_score",
-    """
-    WITH toks AS (SELECT doc_id, n_chars, regexp_split_to_array(text, ' +') AS t
-                  FROM documents),
-    m AS (
-        SELECT doc_id, n_chars,
-               len(t) AS n_tokens,
-               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
-               CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it')))
-                    AS DOUBLE) / len(t) AS stop_ratio
-        FROM toks
-    )
-    SELECT doc_id, n_chars, n_tokens,
-           round(stop_ratio, 6) AS stopword_ratio,
-           round(0.4 * least(1.0, n_tokens / 100.0)
-                 + 0.3 * distinct_ratio
-                 + 0.3 * least(1.0, 4.0 * stop_ratio), 6) AS quality,
-           CASE WHEN round(0.4 * least(1.0, n_tokens / 100.0)
-                           + 0.3 * distinct_ratio
-                           + 0.3 * least(1.0, 4.0 * stop_ratio), 6) >= 0.5
-                THEN 'keep' ELSE 'flag' END AS verdict
-    FROM m
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality heuristic (length/richness/stopword-density)."""
-    return T.quality_scores(_t(spark, sf_dir, "documents"))
-
-
-@query(
-    "text_fingerprint",
-    f"""
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents)
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(t, tok -> CAST(ascii(tok) * 131 + length(tok) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % {MERSENNE_P}) AS fingerprint
-    FROM toks
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial fingerprint over the token sequence."""
-    return T.fingerprints(_t(spark, sf_dir, "documents"))
+    The individual operators remain available as composable units
+    (token_stats/lang_scores/quality_scores/fingerprints, each
+    unit-tested); chaining them would tokenize N times — at corpus
+    scale tokenization IS the cost, so the profile computes all
+    signals in one whole-stage-codegen projection."""
+    return T.doc_profile(_t(spark, sf_dir, "documents")).drop("text")
 
 
 @query(

@@ -104,6 +104,7 @@ def flatten(
     payload_cols: Sequence[str],
     row_col: str = "row",
     payload_types: dict[str, str] | None = None,
+    extra: Sequence[Column] = (),
 ) -> DataFrame:
     """Typed flatten: envelope metadata + payload columns, in registered
     source-column order (HdfsSink.java:86-101).
@@ -119,6 +120,9 @@ def flatten(
     malformed value yields null rather than failing the pipeline under
     ANSI mode, mirroring how the reference would write the raw string
     and let Hive's lazy cast null it out).
+
+    `extra` appends additional column expressions (e.g. `csv_line_expr`)
+    to the same projection — one pass, no re-select.
     """
     cols = [F.col("id"), F.col("es"), F.col("ts"), F.col("type")]
     types = payload_types or {}
@@ -127,7 +131,30 @@ def flatten(
         if c in types:
             v = v.try_cast(types[c])
         cols.append(v.alias(c))
+    cols.extend(extra)
     return df.select(*cols)
+
+
+def csv_line_expr(
+    payload_cols: Sequence[str],
+    row_col: str = "row",
+    sep: str = ",",
+    null_token: str = "null",
+) -> Column:
+    """The faithful CSV encoding as a single column expression over an
+    exploded envelope record: `id,es,ts,type,<payload...>`
+    (HdfsSink.java:35,93-101). Exposed separately from `flatten_csv` so
+    the typed flatten can carry the faithful line alongside its typed
+    columns in ONE projection (no second pass over the data)."""
+    parts: list[Column] = [
+        F.col("id").cast("string"),
+        F.col("es").cast("string"),
+        F.col("ts").cast("string"),
+        F.col("type"),
+    ]
+    parts += [F.col(row_col).getItem(c).cast("string") for c in payload_cols]
+    guarded = [F.coalesce(p, F.lit(null_token)) for p in parts]
+    return F.concat_ws(sep, *guarded)
 
 
 def flatten_csv(
@@ -145,15 +172,9 @@ def flatten_csv(
     nothing: concat_ws silently drops nulls, which would shift every
     later field left and break positional consumers like
     dt_from_line's split[1]."""
-    parts: list[Column] = [
-        F.col("id").cast("string"),
-        F.col("es").cast("string"),
-        F.col("ts").cast("string"),
-        F.col("type"),
-    ]
-    parts += [F.col(row_col).getItem(c).cast("string") for c in payload_cols]
-    guarded = [F.coalesce(p, F.lit(null_token)) for p in parts]
-    return df.select(F.concat_ws(sep, *guarded).alias("line"))
+    return df.select(
+        csv_line_expr(payload_cols, row_col, sep, null_token).alias("line")
+    )
 
 
 def flatten_csv_dynamic(

@@ -216,6 +216,7 @@ def lsh_candidates(
     rows_per_band: int = 2,
     id_col: str = "doc_id",
     carry_cols: Sequence[str] = (),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the wide signature: band j covers perms [j*r, (j+1)*r);
     band_key = ':'-joined 'perm=minhash' fragments (ascending perm —
@@ -226,7 +227,21 @@ def lsh_candidates(
     `carry_cols` ride along through the band self-join and come out as
     `<col>_a` / `<col>_b` — carrying per-doc attributes here (e.g. the
     shingle-set size) saves downstream re-aggregation joins, each of
-    which would re-scan and re-tokenize the corpus."""
+    which would re-scan and re-tokenize the corpus.
+
+    `max_bucket` is the band-join SKEW CAP (the analogue of
+    jaccard_pairs' max_df): a band bucket holding k docs contributes
+    k*(k-1)/2 candidate pairs, so one adversarial clique — a boilerplate
+    page duplicated 10^5 times — turns the join quadratic no matter how
+    good the banding is. Buckets larger than `max_bucket` are dropped
+    BEFORE the self-join via an anti-join against the (tiny by
+    construction) oversized-bucket set. Recall impact is bounded and
+    benign: a pair is lost only if EVERY band bucket containing both
+    docs was oversized — which means both docs sit in giant near-dup
+    cliques in every band, exactly the degenerate mass-duplicate case a
+    pipeline handles with exact dedup (the clique members are typically
+    byte-identical) rather than pairwise Jaccard. Default None keeps
+    the lossless behavior for oracle-exact gates."""
     band_structs = []
     for j in range(bands):
         frags = [
@@ -246,6 +261,16 @@ def lsh_candidates(
         id_col, *carry_cols,
         F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"),
     )
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_occ"))
+            .filter(F.col("_occ") > max_bucket)
+            .select("band_id", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(oversized), ["band_id", "band_key"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -269,11 +294,12 @@ def minhash_near_dups(
     docs: DataFrame,
     threshold: float = 0.8,
     n_hashes: int = 16,
-    bands: int = 8,
+    bands: int | str = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     staged_path: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: sketch -> band-bucket candidates ->
     exact-Jaccard verification of the CANDIDATES ONLY (never the full
@@ -308,7 +334,16 @@ def minhash_near_dups(
     id + shset + n_sh), and the staged profile is reusable across runs
     (incremental dedup against yesterday's corpus). Default (None)
     keeps the in-memory persist, which is faster at bench SF where the
-    profile fits executor storage."""
+    profile fits executor storage.
+
+    `bands` accepts "auto" — threshold-derived banding via
+    `knobs.minhash_auto_bands` (the S-curve midpoint sized to the
+    verify threshold) — and `max_bucket` caps band-bucket occupancy
+    against adversarial duplicate cliques (see `lsh_candidates`)."""
+    from flink_etl_spark.operators.knobs import minhash_auto_bands
+
+    if bands == "auto":
+        bands = minhash_auto_bands(threshold, n_hashes)
     prof_src = minhash_profile(docs, n_hashes, id_col, text_col, k).filter(
         F.col("n_sh") > 0
     )
@@ -326,7 +361,7 @@ def minhash_near_dups(
         profile = prof_src.persist()
     cand = lsh_candidates(
         profile.drop("shset"), bands, n_hashes // bands, id_col,
-        carry_cols=("n_sh",),
+        carry_cols=("n_sh",), max_bucket=max_bucket,
     )
     sh_a = profile.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("_sa"))
     sh_b = profile.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("_sb"))
@@ -350,9 +385,11 @@ def minhash_near_dups(
 
 def simhash_signatures(
     docs: DataFrame,
-    bits: int = 16,
+    bits: int | str = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
+    max_hamming: int = 2,
 ) -> DataFrame:
     """SimHash: per token occurrence, each bit j votes +-1 by the parity
     of (a_j*tid + b_j) % P; bit j of the signature is 1 iff the vote sum
@@ -366,7 +403,14 @@ def simhash_signatures(
     Size `bits` to the corpus: 16 bits birthday-collides unrelated docs
     from ~300 docs up (measured: 25k docs -> 18M accidental Hamming<=2
     pairs); up to 63 bits supported (bit 63 would be the LONG sign
-    bit)."""
+    bit). `bits="auto"` derives the width from the corpus count
+    (`knobs.simhash_auto_bits` — expected accidental pairs at
+    Hamming <= `max_hamming` bounded to 0.1% of the corpus); pass
+    `n_docs` to skip the count scan when the size is already known.
+    Explicit integer bits remain the deterministic oracle override."""
+    from flink_etl_spark.operators.knobs import resolve_knob, simhash_auto_bits
+
+    bits = resolve_knob(bits, simhash_auto_bits, docs, n_docs, max_hamming)
     if not 1 <= bits <= 63:
         raise ValueError(f"bits must be in [1, 63], got {bits}")
     hash_sql = (
@@ -503,10 +547,11 @@ def duplicate_clusters(
 def embedding_near_dups_lsh(
     embs: DataFrame,
     threshold: float,
-    n_planes: int = 4,
+    n_planes: int | str = 4,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via sign-LSH bucketing — the 100 TB path
     `embedding_near_dups` (the O(n^2) cross join) points at.
@@ -521,13 +566,20 @@ def embedding_near_dups_lsh(
     (1+n_probe) x bucket occupancy, nothing quadratic in the corpus),
     then candidate-only verification. Recall < 1 by design (pairs split
     by a confidently-crossed hyperplane are missed); tune n_planes
-    down / n_probe up to raise it."""
+    down / n_probe up to raise it.
+
+    `n_planes="auto"` sizes the bucket space to the corpus
+    (`knobs.signlsh_auto_planes`, ~32 vectors per bucket) — the knob
+    whose fixed default measurably collapses off-scale (4 planes at
+    10k vectors -> 139s posting-list blowup, docs/SCALING.md)."""
     from flink_etl_spark.functions.vectors import dot, norm
+    from flink_etl_spark.operators.knobs import resolve_knob, signlsh_auto_planes
     from flink_etl_spark.operators.similarity import (
         hyperplanes,
         signlsh_bucket_margins,
     )
 
+    n_planes = resolve_knob(n_planes, signlsh_auto_planes, embs, n_vecs)
     if not 0 <= n_probe < n_planes:
         # out-of-range margins[j] would be null -> null probe bucket ->
         # probes silently never match and recall degrades with no error
@@ -597,10 +649,11 @@ def minhash_near_dups_incremental(
     staged_path: str,
     threshold: float = 0.8,
     n_hashes: int = 16,
-    bands: int = 8,
+    bands: int | str = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch
     and the already-staged corpus profile (plus new-new pairs), without
@@ -620,7 +673,12 @@ def minhash_near_dups_incremental(
     probes, and both verification sides); the cache is keyed on the
     logical plan and lives until evicted — sessions calling this daily
     should `spark.catalog.clearCache()` between batches, same contract
-    as `minhash_near_dups`."""
+    as `minhash_near_dups`. `bands="auto"` / `max_bucket` as in
+    `minhash_near_dups`."""
+    from flink_etl_spark.operators.knobs import minhash_auto_bands
+
+    if bands == "auto":
+        bands = minhash_auto_bands(threshold, n_hashes)
     spark = new_docs.sparkSession
     old = spark.read.parquet(staged_path)
     new = (
@@ -631,7 +689,7 @@ def minhash_near_dups_incremental(
     profile = old.unionByName(new)
     cand = lsh_candidates(
         profile.drop("shset"), bands, n_hashes // bands, id_col,
-        carry_cols=("n_sh",),
+        carry_cols=("n_sh",), max_bucket=max_bucket,
     )
     new_ids = new.select(F.col(id_col))
     # keep pairs with at least one NEW member; new batches are small by
@@ -671,9 +729,10 @@ def minhash_near_dups_incremental(
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = 2,
-    bits: int = 16,
+    bits: int | str = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: documents whose signatures differ in at
     most `max_hamming` bits (Manku et al., WWW'07 — the web-crawl
@@ -686,7 +745,14 @@ def simhash_near_dups(
     chunk value, never all-pairs) provably contains every true pair,
     and the bit_count(XOR) verification makes the result EXACT. Same
     scale shape as MinHash banding: candidates per doc ~ chunk-bucket
-    occupancy, not corpus size."""
+    occupancy, not corpus size.
+
+    `bits="auto"` sizes the signature to the corpus (see
+    `simhash_signatures`) — the knob whose fixed default measurably
+    collapses off-scale (16 bits -> 18M accidental pairs at 25k docs)."""
+    from flink_etl_spark.operators.knobs import resolve_knob, simhash_auto_bits
+
+    bits = resolve_knob(bits, simhash_auto_bits, docs, n_docs, max_hamming)
     chunks = max_hamming + 1
     if bits // chunks == 0:
         raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")

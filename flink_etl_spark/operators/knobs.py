@@ -1,0 +1,114 @@
+"""Data-derived sizing for LSH-family knobs.
+
+The sketch operators (SimHash width, sign-LSH plane count, IVF cell
+count, MinHash banding) all have a corpus-size-dependent sweet spot,
+and a fixed default silently degrades off-scale: the 5x stress probe
+(docs/SCALING.md) measured a 16-bit SimHash birthday-colliding 18M
+accidental pairs at 25k docs, and a 4-plane LSH taking 139s at 10k
+vectors. These functions derive each knob from a cheap corpus count so
+no per-corpus hand tuning is needed; every operator still accepts an
+explicit integer (the deterministic override the oracle gates pin, and
+the escape hatch for callers who know better).
+
+All functions are pure and deterministic — same count in, same knob
+out — so a staged index or profile built with auto knobs is
+reproducible. The only runtime cost of "auto" is one column-pruned
+`count()` of the corpus (callers that already know the count pass it
+via `n_docs=`/`n_vecs=` and pay nothing).
+"""
+
+from __future__ import annotations
+
+from math import comb, log2, sqrt
+
+
+def simhash_auto_bits(
+    n_docs: int, max_hamming: int = 2, accident_rate: float = 0.001
+) -> int:
+    """Smallest signature width in [16, 63] whose EXPECTED accidental
+    pair count at Hamming <= max_hamming stays under
+    `accident_rate * n_docs` for unrelated documents.
+
+    Model: unrelated docs get independent uniform signatures, so
+    P(hamming <= h) = sum_{i<=h} C(bits, i) / 2^bits and the expected
+    accidental pairs are C(n, 2) * P. The birthday failure mode is
+    quadratic in n — width must grow ~2*log2(n), which is exactly what
+    solving the inequality produces. 63 is the hard ceiling (bit 63
+    would be the LONG sign bit)."""
+    n = max(int(n_docs), 2)
+    budget = accident_rate * n
+    for bits in range(16, 64):
+        ways = sum(comb(bits, i) for i in range(max_hamming + 1))
+        expected = (n * (n - 1) / 2) * (ways / float(1 << bits))
+        if expected <= budget:
+            return bits
+    return 63
+
+
+def signlsh_auto_planes(n_vecs: int, target_bucket: int = 32) -> int:
+    """Plane count giving ~`target_bucket` vectors per bucket:
+    ceil(log2(n / target_bucket)), clamped to [2, 24].
+
+    Too few planes -> buckets hold O(n) vectors and the bucket join
+    degenerates toward all-pairs (the measured 139s case); too many ->
+    buckets hold ~1 vector and recall collapses. n/2^planes ~ 32 keeps
+    candidate volume ~32 per probe independent of corpus size."""
+    from math import ceil
+
+    n = max(int(n_vecs), 2)
+    return max(2, min(24, ceil(log2(max(n / max(target_bucket, 1), 2.0)))))
+
+
+def ivf_auto_cells(n_vecs: int) -> int:
+    """Cell count ~ sqrt(n), clamped to [4, 65536] and to n — the
+    standard IVF balance: probe cost per query is
+    n/cells * nprobe + cells (centroid scan); sqrt(n) minimizes the
+    sum, giving O(sqrt(n)) work per query either side."""
+    n = max(int(n_vecs), 1)
+    return max(4, min(65536, n, round(sqrt(n))))
+
+
+def minhash_auto_bands(
+    threshold: float, n_hashes: int = 16, fp_weight: float = 0.2
+) -> int:
+    """Band count (a divisor of n_hashes) minimizing the weighted
+    false-positive + false-negative probability mass of the LSH S-curve
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b around `threshold` —
+    the public datasketch/MinHashLSH optimization, evaluated on a fixed
+    deterministic grid.
+
+    `fp_weight` defaults LOW (0.2): these pipelines always verify
+    candidates with exact Jaccard, so a false positive costs one
+    array_intersect while a false negative is a silently-missed
+    duplicate."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    divisors = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    steps = 200
+    best_b, best_err = divisors[0], float("inf")
+    for b in divisors:
+        r = n_hashes // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
+def resolve_knob(value: int | str, auto_fn, df, n_rows: int | None, *args) -> int:
+    """Resolve an `int | "auto"` knob: integers pass through untouched
+    (the deterministic override), "auto" derives from `n_rows` or — if
+    the caller didn't supply it — one column-pruned count() of `df`."""
+    if value == "auto":
+        n = n_rows if n_rows is not None else df.count()
+        return auto_fn(n, *args)
+    if not isinstance(value, int):
+        raise ValueError(f"knob must be an int or 'auto', got {value!r}")
+    return value

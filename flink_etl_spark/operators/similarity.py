@@ -170,16 +170,25 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN top-k: corpus vectors live in their nearest cell;
     each query probes its `nprobe` nearest cells and scores only those
     vectors. The scale shape: corpus shuffles ONCE by cell_id (then can
     be written bucketed-by-cell and reused across query batches); per
-    query the work is |corpus|/n_cells * nprobe instead of |corpus|."""
+    query the work is |corpus|/n_cells * nprobe instead of |corpus|.
+
+    `n_cells="auto"` sizes the quantizer to ~sqrt(corpus)
+    (`knobs.ivf_auto_cells` — balances per-query cell scan against
+    centroid scan); explicit integers stay the deterministic oracle
+    override."""
+    from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
+
+    n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -224,9 +233,10 @@ def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | str = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors in the query's bucket.
 
@@ -235,7 +245,14 @@ def signlsh_topk(
     bucket-equi so Catalyst shuffles corpus once by bucket instead of
     cross-joining. Bucket boundaries are deterministic: dot products are
     double-precision and compared to 0, with plane vectors taken from
-    the data itself."""
+    the data itself.
+
+    `n_planes="auto"` sizes the bucket space to ~32 vectors per bucket
+    from the corpus count (`knobs.signlsh_auto_planes`); explicit
+    integers stay the deterministic oracle override."""
+    from flink_etl_spark.operators.knobs import resolve_knob, signlsh_auto_planes
+
+    n_planes = resolve_knob(n_planes, signlsh_auto_planes, corpus, n_vecs)
     planes = hyperplanes(corpus, n_planes, id_col, vec_col)
     cb = signlsh_buckets(corpus, planes, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
@@ -311,10 +328,11 @@ def signlsh_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | str = 4,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Multi-probe sign-LSH ANN top-k: each query searches its own
     bucket PLUS `n_probe` neighboring buckets obtained by flipping its
@@ -327,7 +345,10 @@ def signlsh_topk_multiprobe(
     shuffles ONCE by bucket; only the (broadcast) query side fans out
     1 + n_probe probe rows per query before the bucket-equi join.
     Candidate pairs reached via several probes are deduped before
-    ranking."""
+    ranking. `n_planes="auto"` as in `signlsh_topk`."""
+    from flink_etl_spark.operators.knobs import resolve_knob, signlsh_auto_planes
+
+    n_planes = resolve_knob(n_planes, signlsh_auto_planes, corpus, n_vecs)
     if not 0 <= n_probe < n_planes:
         raise ValueError(f"n_probe must be in [0, {n_planes}), got {n_probe}")
     planes = hyperplanes(corpus, n_planes, id_col, vec_col)
@@ -382,16 +403,22 @@ def signlsh_topk_multiprobe(
 def ivf_build_index(
     corpus: DataFrame,
     index_path: str,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vecs: int | None = None,
 ) -> None:
     """Materialize an IVF index: centroids + the cell-assigned corpus
     written as parquet PARTITIONED BY cell_id. Build once, search many
     — the corpus is scanned and cell-assigned exactly once, and every
     later query batch reads ONLY its probed cells' directories
     (partition pruning on the `cell_id=` layout), i.e. nprobe/n_cells
-    of the index instead of the corpus."""
+    of the index instead of the corpus. `n_cells="auto"` as in
+    `ivf_topk` — the knob is resolved at BUILD time and baked into the
+    index layout, so searches need no knowledge of it."""
+    from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
+
+    n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)

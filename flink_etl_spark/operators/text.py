@@ -160,6 +160,12 @@ def doc_profile(
         F.col(text_col),
         F.col(chars_col),
         n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / n_tokens.cast("double"),
+            6,
+        ).alias("avg_token_len"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         *[_count_in(toks, ws).alias(f"hits_{lang}") for lang, ws in STOPWORDS.items()],
