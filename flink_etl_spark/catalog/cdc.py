@@ -209,7 +209,9 @@ def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payload = ["user_id", "k"]
     flat = canal.flatten(
-        canal.explode_rows(canal.filter_ddl(canal.parse_canal(raw))),
+        canal.explode_rows(
+            canal.filter_ddl(canal.parse_canal(canal.prefilter_ddl(raw)))
+        ),
         payload,
         extra=[canal.csv_line_expr(payload).alias("line")],
     )

@@ -32,6 +32,35 @@ def test_boolean_false_isddl_kept(spark):
     assert canal.filter_ddl(canal.parse_canal(raw)).count() == 1
 
 
+def test_prefilter_ddl_is_negative_only(spark):
+    """The raw-string fast path drops only POSITIVELY identified DDL;
+    everything it cannot classify flows through to the exact filter —
+    pipelines with and without the prefilter must agree exactly."""
+    compact = lambda r: json.dumps(r, separators=(",", ":"))  # noqa: E731
+    records = [
+        _rec(id=1),                          # DML, string "false"
+        compact(_rec(id=2, isDdl="true")),   # DDL, compact (Canal/to_json form) -> pre-dropped
+        compact(_rec(id=3, isDdl=True)),     # DDL, compact boolean -> pre-dropped
+        _rec(id=4, isDdl=False),             # DML, boolean
+        # DML whose PAYLOAD embeds the DDL marker as a string value —
+        # JSON escapes the inner quotes, so the substring must NOT match
+        compact(_rec(id=5, data=[{"city": '{"isDdl":true}'}])),
+        "not json",                          # malformed -> exact filter drops
+        # spaced serialization: unclassifiable by substring, dropped exactly
+        '{"isDdl": "true", "id": 6, "es": 1, "ts": 1, "type": "X", "data": [{}]}',
+    ]
+    raw = _raw(spark, records)
+    pre = canal.prefilter_ddl(raw)
+    kept_exact = canal.filter_ddl(canal.parse_canal(raw))
+    kept_fast = canal.filter_ddl(canal.parse_canal(pre))
+    assert sorted(r.id for r in kept_fast.collect()) == [1, 4, 5]
+    assert sorted(r.id for r in kept_exact.collect()) == sorted(
+        r.id for r in kept_fast.collect()
+    )
+    # the prefilter really did short-circuit the two classifiable DDLs
+    assert pre.count() == len(records) - 2
+
+
 def test_explode_empty_null_and_multi(spark):
     raw = _raw(spark, [
         _rec(id=1, data=[]),
