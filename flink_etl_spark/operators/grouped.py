@@ -78,6 +78,7 @@ def cogroup_asof(
     on: str,
     left_ts: str,
     right_ts: str,
+    max_group_rows: int = 5_000_000,
 ) -> DataFrame:
     """As-of join via COGROUPED applyInPandas: both sides shuffle by the
     key, each key's two pandas frames meet in one Python call, and
@@ -88,7 +89,17 @@ def cogroup_asof(
     the JVM path is the production one; this shape is for when per-key
     logic genuinely needs pandas (model scoring against a feature
     frame, per-entity resampling). Output schema: left columns + right
-    non-key columns (nulls where no match)."""
+    non-key columns (nulls where no match).
+
+    SCALE CONSTRAINT: cogrouped-map materializes BOTH sides of a key
+    as pandas frames in one worker's memory — a single hot key (one
+    user with hundreds of millions of events) OOMs that worker with no
+    useful diagnostic. `max_group_rows` turns that failure into a
+    clear, named error: any key whose combined frames exceed the cap
+    raises with the key and the sizes, telling the caller to route the
+    workload to the window-based `asof_join`, which handles hot keys
+    at whatever size the shuffle can (it never materializes a key's
+    rows in one process)."""
     import pandas as pd
 
     l_fields = [(c, left.schema[c].dataType.simpleString()) for c in left.columns]
@@ -103,6 +114,17 @@ def cogroup_asof(
     def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         import pandas as pd  # self-contained closure (executor sys.path)
 
+        if len(lpdf) + len(rpdf) > max_group_rows:
+            key_val = (
+                lpdf[on].iloc[0] if len(lpdf) else rpdf[on].iloc[0]
+            )
+            raise ValueError(
+                f"cogroup_asof: key {key_val!r} holds "
+                f"{len(lpdf)}+{len(rpdf)} rows > max_group_rows="
+                f"{max_group_rows}; a hot key this size OOMs the worker "
+                "under cogrouped-map — use the window-based "
+                "operators.joins.asof_join for this workload"
+            )
         if lpdf.empty:
             return pd.DataFrame(columns=[*lpdf.columns, *r_cols])
         lpdf = lpdf.sort_values(left_ts)

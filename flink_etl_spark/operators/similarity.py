@@ -111,28 +111,67 @@ def signlsh_buckets(
 def ivf_centroids(
     embs: DataFrame, n_cells: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Deterministic coarse quantizer: the embeddings of the n_cells
-    smallest ids as cell centroids, re-labeled 0..n-1. A k-means pass
-    would improve cell balance but adds nondeterminism; the IVF
-    structure (assign -> probe -> rerank) is identical either way.
+    smallest ids as cell centroids, re-labeled 0..n-1.
 
-    Scale: same window-free TakeOrderedAndProject + posexplode pick as
-    `hyperplanes` — the n smallest ids come out of a per-partition
-    top-n merge, never a single-partition global sort of the corpus."""
+    `refine_iters` runs that many Lloyd (k-means) refinement passes to
+    improve CELL BALANCE — data-picked seeds can land several seeds in
+    one dense region, leaving giant cells whose probe cost dominates.
+    Each pass is fully distributed: assign every vector to its nearest
+    centroid (broadcast), then the new centroid is the per-dimension
+    mean via posexplode + two groupBys — no driver-side data, no
+    per-cell pandas materialization. Determinism is preserved the same
+    way the rest of the family does it: FIXED iteration count (no
+    convergence RNG), means ROUNDED to 6 dp before reuse, ties in
+    assignment broken on cell_id; an empty cell keeps its previous
+    centroid. The oracle gates pin refine_iters=0 (seed centroids are
+    exactly replicable in SQL); refined mode is measured in the stress
+    probe's recall table (docs/SCALING.md).
+
+    Scale: the seed pick is the same window-free TakeOrderedAndProject
+    + posexplode as `hyperplanes` — the n smallest ids come out of a
+    per-partition top-n merge, never a single-partition global sort of
+    the corpus; each refinement pass costs one corpus scan + a
+    (cell, dim)-sized aggregate (tiny)."""
     packed = (
         embs.select(F.col(id_col), F.col(vec_col))
         .orderBy(id_col)
         .limit(n_cells)
         .agg(F.array_sort(F.collect_list(F.struct(id_col, vec_col))).alias("_a"))
     )
-    return packed.select(
+    cents = packed.select(
         F.posexplode("_a").alias("_pos", "_s")
     ).select(
         F.col("_pos").cast("int").alias("cell_id"),
         F.col(f"_s.{vec_col}").alias("centroid"),
         norm(f"_s.{vec_col}").alias("centroid_norm"),
     )
+    for _ in range(refine_iters):
+        assigned = ivf_assign(embs, cents, 1, id_col, vec_col)
+        means = (
+            assigned.select("cell_id", F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+            .groupBy("cell_id", "_d")
+            .agg(F.avg("_v").alias("_m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_a"))
+            .select(
+                F.col("cell_id").alias("_cid"),
+                F.transform(
+                    "_a", lambda s: F.round(s.getField("_m"), 6)
+                ).alias("_mean"),
+            )
+        )
+        cents = (
+            cents.join(means, cents.cell_id == means._cid, "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("_mean"), F.col("centroid")).alias("centroid"),
+            )
+            .withColumn("centroid_norm", norm("centroid"))
+        )
+    return cents
 
 
 def ivf_assign(
@@ -175,6 +214,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vecs: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat ANN top-k: corpus vectors live in their nearest cell;
     each query probes its `nprobe` nearest cells and scores only those
@@ -189,7 +229,7 @@ def ivf_topk(
     from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
 
     n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters)
     c = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -407,6 +447,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vecs: int | None = None,
+    refine_iters: int = 0,
 ) -> None:
     """Materialize an IVF index: centroids + the cell-assigned corpus
     written as parquet PARTITIONED BY cell_id. Build once, search many
@@ -419,7 +460,7 @@ def ivf_build_index(
     from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
 
     n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
     (

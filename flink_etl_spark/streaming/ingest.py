@@ -36,11 +36,15 @@ from flink_etl_spark.operators.canal import ingest_pipeline
 
 def read_kafka_stream(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
     """S1: Kafka topic as a stream of raw JSON strings
-    (HdfsSink.java:47-55; earliest offsets per :54)."""
+    (HdfsSink.java:47-55; earliest offsets per :54). Frame decoding is
+    shared with the batch reader and the recorded-frame contract tests
+    (sources/kafka.decode_kafka_frames)."""
+    from flink_etl_spark.sources.kafka import decode_kafka_frames
+
     reader = spark.readStream.format("kafka")
     for k, v in cfg.reader_options().items():
         reader = reader.option(k, v)
-    return reader.load().selectExpr("CAST(value AS STRING) AS value")
+    return decode_kafka_frames(reader.load())
 
 
 def read_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:

@@ -148,6 +148,76 @@ def test_flatten_csv_dynamic_preserves_source_order(spark):
     ]
 
 
+def test_flatten_csv_dynamic_key_order_property(spark):
+    """PROPERTY (hypothesis): for ANY permutation of payload keys, any
+    mix of key sets across rows, and null values anywhere,
+    flatten_csv_dynamic emits payload values in each document's OWN key
+    order with the null token holding positions.
+
+    This pins the assumption the dynamic faithful mode rests on —
+    `from_json` to MAP<STRING,STRING> preserving JSON document key
+    order (fastjson OrderedField parity) — so a Spark upgrade that
+    silently changed map ordering fails HERE, not in a downstream
+    positional consumer."""
+    import json as _json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_etl_spark.operators.canal import (
+        explode_rows, filter_ddl, flatten_csv_dynamic, parse_canal,
+    )
+
+    key_pool = ["alpha", "beta", "gamma", "delta", "zeta", "k1", "k2"]
+    value_st = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x24F
+            ),
+            max_size=8,
+        ),
+    )
+    payload_st = st.lists(
+        st.tuples(st.sampled_from(key_pool), value_st),
+        min_size=0,
+        max_size=5,
+        unique_by=lambda kv: kv[0],
+    )
+    batch_st = st.lists(payload_st, min_size=1, max_size=6)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(batch_st)
+    def check(batch):
+        recs, expected = [], []
+        for i, payload in enumerate(batch):
+            doc = dict(payload)  # python dicts preserve insertion order
+            recs.append(
+                _json.dumps(
+                    {
+                        "isDdl": "false", "id": i, "es": 10 + i, "ts": i,
+                        "type": "X", "data": [doc],
+                    },
+                    separators=(",", ":"),
+                    ensure_ascii=False,
+                )
+            )
+            base = f"{i},{10 + i},{i},X"
+            vals = [("null" if v is None else v) for _, v in payload]
+            expected.append(base + ("," + ",".join(vals) if vals else ""))
+        raw = spark.createDataFrame([(r,) for r in recs], "value string")
+        out = flatten_csv_dynamic(explode_rows(filter_ddl(parse_canal(raw))))
+        # id rides first in the line; sort both sides by that
+        got = sorted(r.line for r in out.collect())
+        assert got == sorted(expected)
+
+    check()
+
+
 def test_flatten_csv_dynamic_empty_payload_no_trailing_sep(spark):
     from flink_etl_spark.operators.canal import (
         explode_rows, filter_ddl, flatten_csv_dynamic, parse_canal,

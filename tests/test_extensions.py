@@ -398,3 +398,29 @@ def test_simhash_wide_signature_separates_corpus(spark):
     n16 = simhash_near_dups(docs, max_hamming=2, bits=16).count()
     n48 = simhash_near_dups(docs, max_hamming=2, bits=48).count()
     assert n48 < n16
+
+
+def test_ivf_refined_centroids_deterministic_and_valid(spark):
+    """k-means refinement must stay deterministic (fixed iterations,
+    rounded means) — two runs produce identical centroids and top-k —
+    and refined search must still return k well-formed neighbors per
+    query (a correct IVF structure, whatever the cell balance)."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.filter("vec_id < 8")
+    a = similarity.ivf_centroids(embs, n_cells=8, refine_iters=2)
+    b = similarity.ivf_centroids(embs, n_cells=8, refine_iters=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    t1 = similarity.ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2,
+                             refine_iters=2)
+    t2 = similarity.ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2,
+                             refine_iters=2)
+    r1 = sorted(map(tuple, t1.collect()))
+    assert r1 == sorted(map(tuple, t2.collect()))
+    per_q = {}
+    for q, n, s, rnk in r1:
+        per_q.setdefault(q, []).append(rnk)
+        assert q != n
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    # refinement actually moved centroids off the seed vectors
+    seed = similarity.ivf_centroids(embs, n_cells=8, refine_iters=0)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, seed.collect()))

@@ -151,6 +151,39 @@ def test_cogroup_asof_matches_native_asof(spark):
     assert len(n_rows) > 100
 
 
+def test_cogroup_asof_hot_key_raises_clear_error(spark):
+    """The cogrouped cross-check materializes a key's BOTH sides in one
+    worker — a hot key past max_group_rows must fail with a named,
+    actionable error (pointing at the window-based asof_join), never an
+    opaque executor OOM."""
+    import pytest
+
+    from flink_etl_spark.operators.grouped import cogroup_asof
+
+    left = spark.range(500).select(
+        F.lit(7).alias("k"),
+        F.col("id").alias("lid"),
+        F.col("id").cast("timestamp").alias("lts"),
+    )
+    right = spark.range(500).select(
+        F.lit(7).alias("k"),
+        F.col("id").cast("timestamp").alias("rts"),
+        F.col("id").cast("double").alias("val"),
+    )
+    out = cogroup_asof(
+        left, right, on="k", left_ts="lts", right_ts="rts", max_group_rows=100
+    )
+    with pytest.raises(Exception) as e:
+        out.collect()
+    msg = str(e.value)
+    assert "max_group_rows" in msg and "asof_join" in msg
+    # generous cap: same plan succeeds
+    ok = cogroup_asof(
+        left, right, on="k", left_ts="lts", right_ts="rts", max_group_rows=10_000
+    )
+    assert ok.count() == 500
+
+
 def test_asof_multi_key_groups(spark):
     """As-of with a composite key: matches never cross (sym, venue)."""
     left = spark.createDataFrame(

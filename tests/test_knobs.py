@@ -24,17 +24,17 @@ def test_simhash_auto_bits_monotone_and_clamped():
 
 def test_simhash_auto_bits_bounds_accidental_pairs():
     """The returned width must actually satisfy the collision budget the
-    docstring promises (expected accidental pairs <= 0.1% of corpus)."""
+    docstring promises (expected accidental pairs <= 1, absolute)."""
     from math import comb
 
     for n in (500, 25_000, 10**6):
         bits = simhash_auto_bits(n)
         ways = sum(comb(bits, i) for i in range(3))
         expected = n * (n - 1) / 2 * ways / float(1 << bits)
-        assert expected <= 0.001 * n
-    # the measured failure case: 16 bits at 25k docs blows the budget
+        assert expected <= 1.0
+    # the measured failure case: 16 bits at 25k docs blows any budget
     ways16 = sum(comb(16, i) for i in range(3))
-    assert 25_000 * 24_999 / 2 * ways16 / 2.0**16 > 0.001 * 25_000
+    assert 25_000 * 24_999 / 2 * ways16 / 2.0**16 > 1.0
 
 
 def test_signlsh_auto_planes_targets_bucket_occupancy():

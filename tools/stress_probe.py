@@ -54,23 +54,83 @@ def main(replicas: int = 5) -> None:
         spark.catalog.clearCache()
 
     queries32 = embs.filter("vec_id < 32")
+    n_docs_s = docs.count()
+    n_embs_s = embs.count()
     run("dedup_minhash_lsh", D.minhash_near_dups(docs, threshold=0.8))
     run(
         "dedup_minhash_staged",
         D.minhash_near_dups(docs, threshold=0.8, staged_path=f"{work}/profile"),
     )
-    # knobs sized to the corpus: 16-bit simhash / 4-plane LSH are gate
-    # defaults for sf0.01; at 25k docs / 10k vecs the signature and
-    # bucket spaces must grow with the data (docs/SCALING.md)
-    run("dedup_simhash_hamming_48b", D.simhash_near_dups(docs, max_hamming=2, bits=48))
-    run("dedup_embedding_lsh_8p",
-        D.embedding_near_dups_lsh(embs, threshold=0.35, n_planes=8, n_probe=1))
-    run("ann_ivf_topk", S.ivf_topk(embs, queries32, k=5, n_cells=8, nprobe=2))
-    run("ann_signlsh_multiprobe",
-        S.signlsh_topk_multiprobe(embs, queries32, k=5, n_planes=4, n_probe=1))
-    S.ivf_build_index(embs, f"{work}/ivf", n_cells=8)
+    # knobs derived from the corpus count (operators/knobs.py): the
+    # r2 probe hand-picked 48 bits / 8 planes here; auto sizing now
+    # reproduces corpus-appropriate knobs with no per-corpus tuning
+    # (docs/SCALING.md records what fixed gate defaults cost off-scale)
+    from flink_etl_spark.operators.knobs import (
+        ivf_auto_cells, signlsh_auto_planes, simhash_auto_bits,
+    )
+    print(f"  auto knobs: simhash_bits={simhash_auto_bits(n_docs_s)} "
+          f"signlsh_planes={signlsh_auto_planes(n_embs_s)} "
+          f"ivf_cells={ivf_auto_cells(n_embs_s)}")
+    run("dedup_simhash_hamming_auto",
+        D.simhash_near_dups(docs, max_hamming=2, bits="auto", n_docs=n_docs_s))
+    run("dedup_embedding_lsh_auto",
+        D.embedding_near_dups_lsh(embs, threshold=0.35, n_planes="auto",
+                                  n_probe=1, n_vecs=n_embs_s))
+    run("ann_ivf_topk_auto",
+        S.ivf_topk(embs, queries32, k=5, n_cells="auto", nprobe=2,
+                   n_vecs=n_embs_s))
+    run("ann_signlsh_multiprobe_auto",
+        S.signlsh_topk_multiprobe(embs, queries32, k=5, n_planes="auto",
+                                  n_probe=1, n_vecs=n_embs_s))
+    S.ivf_build_index(embs, f"{work}/ivf", n_cells="auto", n_vecs=n_embs_s)
     run("ann_ivf_staged_search",
         S.ivf_search_index(spark, f"{work}/ivf", queries32, k=5, nprobe=2))
+
+    # adversarial duplicate clique: ONE document replicated 1000x (a
+    # boilerplate page at crawl scale). Every band bucket it touches
+    # holds >=1000 docs -> ~500k candidate pairs per band unbounded;
+    # max_bucket drops those buckets and bounds candidate volume while
+    # ordinary pairs (small buckets) are untouched.
+    one = docs0.limit(1)
+    clique = None
+    for i in range(1000):
+        part = one.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000 + i))
+        clique = part if clique is None else clique.unionByName(part)
+    adv = docs.unionByName(clique)
+    adv.write.mode("overwrite").parquet(f"{work}/adv.parquet")
+    adv = spark.read.parquet(f"{work}/adv.parquet")
+    prof = D.minhash_profile(adv).filter(F.col("n_sh") > 0)
+    t0 = time.time()
+    n_capped = D.lsh_candidates(
+        prof.drop("shset"), max_bucket=200
+    ).count()
+    t_capped = time.time() - t0
+    print(f"  clique_1000_capped(max_bucket=200): {n_capped} candidate pairs "
+          f"/ {t_capped:.1f}s (uncapped lower bound: 499500 clique pairs alone)")
+    spark.catalog.clearCache()
+    run("dedup_minhash_lsh_capped_clique",
+        D.minhash_near_dups(adv, threshold=0.8, max_bucket=200))
+
+    # recall@5 vs nprobe, seed vs refined centroids: IVF recall against
+    # the exact brute-force baseline over the same 32-query set
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, queries32, k=5).collect()
+    }
+    print("  ivf recall@5 (32 queries, auto cells):")
+    for refine in (0, 2):
+        for nprobe in (1, 2, 4, 8):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in S.ivf_topk(
+                    embs, queries32, k=5, n_cells="auto", nprobe=nprobe,
+                    n_vecs=n_embs_s, refine_iters=refine,
+                ).collect()
+            }
+            rec = len(got & exact) / len(exact)
+            print(f"    refine_iters={refine} nprobe={nprobe}: "
+                  f"recall={rec:.3f}")
+            spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
