@@ -424,3 +424,32 @@ def test_ivf_refined_centroids_deterministic_and_valid(spark):
     # refinement actually moved centroids off the seed vectors
     seed = similarity.ivf_centroids(embs, n_cells=8, refine_iters=0)
     assert sorted(map(tuple, a.collect())) != sorted(map(tuple, seed.collect()))
+
+
+def test_minhash_hash_fn_choice_does_not_change_pairs(spark):
+    """hash_fn steers only LSH candidate generation (verification is
+    exact array_intersect over raw shingles), so the production
+    xxhash64 path must emit the same near-dup pairs as the
+    oracle-portable char-fold path."""
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    spark.catalog.clearCache()
+    a = sorted(map(tuple, dedup.minhash_near_dups(docs, threshold=0.8).collect()))
+    spark.catalog.clearCache()
+    b = sorted(
+        map(
+            tuple,
+            dedup.minhash_near_dups(
+                docs, threshold=0.8, hash_fn="xxhash64"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 10
+    # simhash: identical docs still collide under either hash; the
+    # signature VALUES differ (different hash), the structure holds
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(_docs(spark), hash_fn="xxhash64").collect()
+    }
+    assert sigs[0] == sigs[1] != sigs[3]
