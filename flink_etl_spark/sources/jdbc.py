@@ -42,7 +42,11 @@ def read_snapshot(spark: SparkSession, cfg: JdbcConfig,
                 .load()
                 .first()
             )
-            lower_bound, upper_bound = bounds["lo"], bounds["hi"]
+            # positional, not bounds["lo"]: identifier case folding is
+            # dialect-specific (Derby/Oracle uppercase unquoted aliases,
+            # MySQL preserves them) — found by the first live-database
+            # run of this path (tests/test_jdbc.py, embedded Derby)
+            lower_bound, upper_bound = bounds[0], bounds[1]
             if lower_bound is None or upper_bound is None:
                 # empty source table: bounds are NULL and Spark's JDBC
                 # options would receive the string "None" — fall back to
