@@ -1,0 +1,136 @@
+"""Job CLI — the reference's three operational entry points as
+subcommands, so a user of jiamx/flink-etl can run the SAME jobs here
+without writing driver code:
+
+    # the Flink streaming job (`flink run ... HdfsSink`):
+    python -m flink_etl_spark ingest --source kafka \\
+        --payload-cols city,province
+    python -m flink_etl_spark ingest --source file --path raw/ \\
+        --payload-cols city,province --available-now
+
+    # the daily Hive merge (README.md:221-253 of the reference):
+    python -m flink_etl_spark merge-day --snapshot warehouse/code_city \\
+        --delta warehouse/code_city_delta --day 20200324 --keys id \\
+        --out warehouse/code_city_next
+
+    # the Sqoop snapshot bootstrap (README.md:31):
+    python -m flink_etl_spark bootstrap --out warehouse/code_city
+
+Connection/sink settings come from `PipelineConfig.from_env`
+(`$FLINK_ETL_SPARK_CONFIG` JSON + per-field env overrides — the
+replacement for the reference's kafkaConfig.conf); flags override env.
+Each subcommand is a thin arg-parsing shell over the library operators
+the tests and correctness gates already exercise — no logic lives here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from flink_etl_spark.config import PipelineConfig
+
+
+def _spark(app: str):
+    from flink_etl_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from flink_etl_spark.streaming.ingest import (
+        read_file_stream,
+        read_kafka_stream,
+        start_ingest,
+    )
+
+    cfg = PipelineConfig.from_env()
+    if args.sink_path:
+        cfg.sink.path = args.sink_path
+    if args.checkpoint:
+        cfg.sink.checkpoint_location = args.checkpoint
+    spark = _spark("flink-etl-spark-ingest")
+    if args.source == "kafka":
+        raw = read_kafka_stream(spark, cfg.kafka)
+    else:
+        if not args.path:
+            print("--path is required with --source file", file=sys.stderr)
+            return 2
+        raw = read_file_stream(spark, args.path)
+    q = start_ingest(
+        raw,
+        payload_cols=[c for c in args.payload_cols.split(",") if c],
+        sink=cfg.sink,
+        available_now=args.available_now,
+    )
+    q.awaitTermination()
+    return 0
+
+
+def cmd_merge_day(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators.merge import merge_day, overwrite_snapshot
+
+    spark = _spark("flink-etl-spark-merge")
+    snapshot = spark.read.parquet(args.snapshot)
+    delta = spark.read.parquet(args.delta)
+    keys = [k for k in args.keys.split(",") if k]
+    order_by = [c for c in args.order_by.split(",") if c]
+    merged = merge_day(snapshot, delta, day=args.day, keys=keys, order_by=order_by)
+    out = args.out or args.snapshot
+    overwrite_snapshot(merged, out)
+    print(f"merged day {args.day} into {out}")
+    return 0
+
+
+def cmd_bootstrap(args: argparse.Namespace) -> int:
+    from flink_etl_spark.sources.jdbc import bootstrap_to_parquet
+
+    cfg = PipelineConfig.from_env()
+    if args.table:
+        cfg.jdbc.table = args.table
+    spark = _spark("flink-etl-spark-bootstrap")
+    bootstrap_to_parquet(spark, cfg.jdbc, args.out)
+    print(f"bootstrapped {cfg.jdbc.table} -> {args.out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="flink_etl_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="streaming Canal ingest -> dt-partitioned files")
+    ing.add_argument("--source", choices=("kafka", "file"), default="kafka")
+    ing.add_argument("--path", default=None, help="file-source input dir (JSONL)")
+    ing.add_argument("--payload-cols", required=True,
+                     help="comma-separated registered payload columns")
+    ing.add_argument("--sink-path", default=None)
+    ing.add_argument("--checkpoint", default=None)
+    ing.add_argument("--available-now", action="store_true",
+                     help="drain available input then stop (backfill mode)")
+    ing.set_defaults(fn=cmd_ingest)
+
+    mrg = sub.add_parser("merge-day", help="daily CDC merge (the reference's Hive SQL)")
+    mrg.add_argument("--snapshot", required=True)
+    mrg.add_argument("--delta", required=True)
+    mrg.add_argument("--day", required=True, help="dt partition value, yyyyMMdd")
+    mrg.add_argument("--keys", required=True, help="comma-separated primary key columns")
+    mrg.add_argument("--order-by", default="es,ts",
+                     help="recency columns for latest-per-key (default es,ts)")
+    mrg.add_argument("--out", default=None,
+                     help="output snapshot path (default: overwrite --snapshot)")
+    mrg.set_defaults(fn=cmd_merge_day)
+
+    bst = sub.add_parser("bootstrap", help="one-time JDBC snapshot -> parquet")
+    bst.add_argument("--table", default=None, help="override $FLINK_ETL_SPARK_JDBC_TABLE")
+    bst.add_argument("--out", required=True)
+    bst.set_defaults(fn=cmd_bootstrap)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

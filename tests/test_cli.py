@@ -1,0 +1,101 @@
+"""Job CLI (`python -m flink_etl_spark`): each subcommand runs the
+same library path the gates verify; these tests drive main() in-process
+over real files."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from flink_etl_spark.__main__ import build_parser, main
+
+
+def _canal_line(i, key, es):
+    return json.dumps(
+        {
+            "isDdl": "false", "id": key, "es": es, "ts": i, "type": "INSERT",
+            "data": [{"city": f"c{i}", "province": f"p{key % 3}"}],
+        },
+        separators=(",", ":"),
+    )
+
+
+def test_cli_ingest_file_source_writes_partitioned_output(spark, tmp_path, monkeypatch):
+    src = tmp_path / "raw"
+    src.mkdir()
+    lines = [_canal_line(i, i % 5, 1704067200000 + i * 1000) for i in range(20)]
+    (src / "a.jsonl").write_text("\n".join(lines))
+    out = tmp_path / "delta"
+    rc = main([
+        "ingest", "--source", "file", "--path", str(src),
+        "--payload-cols", "city,province",
+        "--sink-path", str(out),
+        "--checkpoint", str(tmp_path / "chk"),
+        "--available-now",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(out))
+    assert got.count() == 20
+    assert set(got.columns) == {"id", "es", "ts", "type", "city", "province", "dt"}
+    # dt partition directories exist (partitionBy layout)
+    assert got.select("dt").distinct().count() >= 1
+    assert (out / "dt=20240101").exists()
+
+
+def test_cli_merge_day_matches_library_merge(spark, tmp_path):
+    from flink_etl_spark.operators.canal import with_dt
+
+    snapshot = spark.createDataFrame(
+        [(k, f"old{k}", "p0") for k in range(8)], "id long, city string, province string"
+    )
+    delta = with_dt(
+        spark.createDataFrame(
+            [(k, 1704067200000 + k, k, f"new{k}", "p1") for k in range(4, 12)],
+            "id long, es long, ts long, city string, province string",
+        ),
+        es_col="es",
+    ).select("id", "es", "ts", "city", "province", "dt")
+    snap_path = tmp_path / "snap"
+    delta_path = tmp_path / "delta"
+    snapshot.write.parquet(str(snap_path))
+    delta.write.parquet(str(delta_path))
+    out = tmp_path / "next"
+    rc = main([
+        "merge-day", "--snapshot", str(snap_path), "--delta", str(delta_path),
+        "--day", "20240101", "--keys", "id", "--out", str(out),
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(out))
+    rows = {r.id: r.city for r in got.collect()}
+    assert len(rows) == 12           # 8 snapshot keys ∪ 8 delta keys
+    assert rows[2] == "old2"         # untouched snapshot row survives
+    assert rows[5] == "new5"         # delta wins on overlap
+    assert rows[11] == "new11"       # delta-only insert arrives
+
+
+def test_cli_bootstrap_uses_env_config(spark, tmp_path, monkeypatch):
+    # embedded Derby as in tests/test_jdbc.py
+    db = str(tmp_path / "db")
+    url = f"jdbc:derby:{db};create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE t1 (id BIGINT PRIMARY KEY, v VARCHAR(8))")
+    for i in range(25):
+        st.executeUpdate(f"INSERT INTO t1 VALUES ({i}, 'v{i}')")
+    conn.close()
+    monkeypatch.setenv("FLINK_ETL_SPARK_JDBC_URL", url)
+    monkeypatch.setenv("FLINK_ETL_SPARK_JDBC_PARTITION_COLUMN", "id")
+    out = tmp_path / "boot"
+    rc = main(["bootstrap", "--table", "t1", "--out", str(out)])
+    assert rc == 0
+    assert spark.read.parquet(str(out)).count() == 25
+
+
+def test_cli_parser_rejects_missing_required(capsys):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["merge-day", "--snapshot", "x"])
+    rc = main(["ingest", "--source", "file", "--payload-cols", "a"])
+    assert rc == 2  # file source without --path is a usage error
