@@ -68,9 +68,19 @@ def cmd_ingest(args: argparse.Namespace) -> int:
 
 
 def cmd_merge_day(args: argparse.Namespace) -> int:
-    from flink_etl_spark.operators.merge import merge_day, overwrite_snapshot
+    from flink_etl_spark.operators.merge import (
+        merge_day,
+        overwrite_snapshot,
+        recover_snapshot,
+    )
 
     spark = _spark("flink-etl-spark-merge")
+    # recover_snapshot's contract: every snapshot READER calls it first,
+    # or a crash inside overwrite_snapshot's delete+rename window leaves
+    # the next run failing on a missing path instead of self-healing.
+    recover_snapshot(args.snapshot, spark)
+    if args.out and args.out != args.snapshot:
+        recover_snapshot(args.out, spark)
     snapshot = spark.read.parquet(args.snapshot)
     delta = spark.read.parquet(args.delta)
     keys = [k for k in args.keys.split(",") if k]

@@ -87,10 +87,15 @@ def prefilter_ddl(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     SAFETY: the filter is negative-only — it drops a row only when the
     raw text contains the unescaped `"isDdl":true` / `"isDdl":"true"`
-    pattern, which valid JSON can only carry as the top-level DDL flag
-    (inside a payload string the quotes would be backslash-escaped and
-    not match). Any row it cannot positively classify — unusual
-    spacing, boolean variants, malformed JSON — passes through to the
+    pattern AND does not ALSO contain the DML marker
+    (`"isDdl":false` / `"isDdl":"false"`). The AND-side guard covers
+    the one place valid JSON can carry the true-pattern unescaped
+    without being DDL: a source table with a column literally named
+    `isDdl` serializes it as a KEY inside `data[]` (keys are not
+    backslash-escaped, unlike text inside a payload string), so a DML
+    row from such a table contains both patterns and must pass through.
+    Any row the scan cannot positively classify — unusual spacing,
+    ambiguous both-marker rows, malformed JSON — falls through to the
     exact post-parse `filter_ddl`, which remains the semantic anchor;
     the pre-filter can therefore only lose SAVINGS, never records."""
     v = F.col(value_col)
@@ -98,7 +103,11 @@ def prefilter_ddl(df: DataFrame, value_col: str = "value") -> DataFrame:
         v.contains('"isDdl":true')
         | v.contains('"isDdl":"true"')
     )
-    return df.filter(~is_ddl_text)
+    is_dml_text = (
+        v.contains('"isDdl":false')
+        | v.contains('"isDdl":"false"')
+    )
+    return df.filter(~(is_ddl_text & ~is_dml_text))
 
 
 def filter_ddl(df: DataFrame) -> DataFrame:

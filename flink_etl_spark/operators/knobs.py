@@ -71,9 +71,11 @@ def ivf_auto_cells(n_vecs: int) -> int:
     """Cell count ~ sqrt(n), clamped to [4, 65536] and to n — the
     standard IVF balance: probe cost per query is
     n/cells * nprobe + cells (centroid scan); sqrt(n) minimizes the
-    sum, giving O(sqrt(n)) work per query either side."""
+    sum, giving O(sqrt(n)) work per query either side. The floor is
+    min(4, n) so a degenerate corpus (n < 4) never asks for more cells
+    than vectors."""
     n = max(int(n_vecs), 1)
-    return max(4, min(65536, n, round(sqrt(n))))
+    return max(min(4, n), min(65536, n, round(sqrt(n))))
 
 
 def minhash_auto_bands(

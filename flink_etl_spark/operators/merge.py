@@ -221,16 +221,31 @@ def recover_snapshot(path: str, spark: SparkSession | None = None) -> bool:
     is deleted — left in place it would silently win the next recovery
     and roll the snapshot back to the crashed run's output.
 
+    Also probes the pre-r3 LEGACY staging layout `<path>__staging`
+    (replaced by `<parent>/_staging/<base>` — see `_staging_path`), so a
+    deployment that crashed mid-swap under the old layout still
+    self-recovers, and the stale legacy dir — which parses as a bogus
+    partition and breaks partition discovery — is always cleaned up.
+    The current layout wins when both exist (it is the newer write).
+
     Returns True when a recovery was performed."""
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("recover_snapshot needs an active SparkSession")
     fs, target = _hadoop_fs(spark, path)
     _, staging = _hadoop_fs(spark, _staging_path(path))
+    _, legacy = _hadoop_fs(spark, path.rstrip("/") + "__staging")
+    recovered = False
     if not fs.exists(target) and fs.exists(staging):
         if not fs.rename(staging, target):
             raise IOError(f"snapshot recovery failed: rename to {path}")
-        return True
-    if fs.exists(target) and fs.exists(staging):
-        fs.delete(staging, True)  # stale: target survived the crash
-    return False
+        recovered = True
+    if not fs.exists(target) and fs.exists(legacy):
+        if not fs.rename(legacy, target):
+            raise IOError(f"snapshot recovery failed: rename legacy to {path}")
+        recovered = True
+    if fs.exists(target):
+        for stale in (staging, legacy):
+            if fs.exists(stale):
+                fs.delete(stale, True)  # stale: target survived the crash
+    return recovered

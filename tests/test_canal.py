@@ -48,12 +48,17 @@ def test_prefilter_ddl_is_negative_only(spark):
         "not json",                          # malformed -> exact filter drops
         # spaced serialization: unclassifiable by substring, dropped exactly
         '{"isDdl": "true", "id": 6, "es": 1, "ts": 1, "type": "X", "data": [{}]}',
+        # KEY-COLLISION: source table has a column literally named isDdl
+        # holding 'true' — serialized UNESCAPED as a key/value inside
+        # data[]. The row carries both markers (top-level false + payload
+        # true); the prefilter must let it through to the exact filter.
+        compact(_rec(id=7, data=[{"isDdl": "true", "city": "bj"}])),
     ]
     raw = _raw(spark, records)
     pre = canal.prefilter_ddl(raw)
     kept_exact = canal.filter_ddl(canal.parse_canal(raw))
     kept_fast = canal.filter_ddl(canal.parse_canal(pre))
-    assert sorted(r.id for r in kept_fast.collect()) == [1, 4, 5]
+    assert sorted(r.id for r in kept_fast.collect()) == [1, 4, 5, 7]
     assert sorted(r.id for r in kept_exact.collect()) == sorted(
         r.id for r in kept_fast.collect()
     )

@@ -74,6 +74,41 @@ def test_cli_merge_day_matches_library_merge(spark, tmp_path):
     assert rows[11] == "new11"       # delta-only insert arrives
 
 
+def test_cli_merge_day_self_recovers_crashed_snapshot(spark, tmp_path):
+    """A crash inside overwrite_snapshot's delete+rename window leaves
+    the snapshot only in staging; the next CLI run must self-heal via
+    recover_snapshot instead of failing on the missing path."""
+    import shutil
+
+    from flink_etl_spark.operators.canal import with_dt
+    from flink_etl_spark.operators.merge import _staging_path
+
+    snap_path = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(k, f"old{k}", "p0") for k in range(4)],
+        "id long, city string, province string",
+    ).write.parquet(snap_path)
+    delta = with_dt(
+        spark.createDataFrame(
+            [(9, 1704067200000, 1, "new9", "p1")],
+            "id long, es long, ts long, city string, province string",
+        ),
+        es_col="es",
+    ).select("id", "es", "ts", "city", "province", "dt")
+    delta_path = str(tmp_path / "delta")
+    delta.write.parquet(delta_path)
+    # simulate the crash window: target gone, staging holds the snapshot
+    shutil.move(snap_path, _staging_path(snap_path))
+    out = str(tmp_path / "next")
+    rc = main([
+        "merge-day", "--snapshot", snap_path, "--delta", delta_path,
+        "--day", "20240101", "--keys", "id", "--out", out,
+    ])
+    assert rc == 0
+    rows = {r.id: r.city for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 5 and rows[1] == "old1" and rows[9] == "new9"
+
+
 def test_cli_bootstrap_uses_env_config(spark, tmp_path, monkeypatch):
     # embedded Derby as in tests/test_jdbc.py
     db = str(tmp_path / "db")

@@ -47,7 +47,9 @@ def test_signlsh_auto_planes_targets_bucket_occupancy():
 
 def test_ivf_auto_cells_sqrt_rule():
     assert ivf_auto_cells(10_000) == 100
-    assert ivf_auto_cells(1) == 4 or ivf_auto_cells(1) == 1  # clamped small
+    # never more cells than vectors, even for degenerate corpora
+    assert [ivf_auto_cells(n) for n in (1, 2, 3)] == [1, 2, 3]
+    assert ivf_auto_cells(16) == 4
     assert ivf_auto_cells(10**10) == 65_536  # ceiling
     cs = [ivf_auto_cells(n) for n in (100, 10_000, 10**6)]
     assert cs == sorted(cs)

@@ -187,6 +187,36 @@ def test_recover_snapshot_cleans_stale_staging(spark, tmp_path):
     assert spark.read.parquet(path).first().v == "new"
 
 
+def test_recover_snapshot_promotes_legacy_staging(spark, tmp_path):
+    """A deployment that crashed mid-swap under the pre-r3 staging layout
+    ('<path>__staging' sibling) must still self-recover after upgrading."""
+    import shutil
+
+    from flink_etl_spark.operators.merge import recover_snapshot
+
+    path = str(tmp_path / "snap4")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    shutil.move(path, path + "__staging")  # crash window, old layout
+    assert recover_snapshot(path) is True
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_recover_snapshot_cleans_stale_legacy_staging(spark, tmp_path):
+    """Target intact + stale legacy '<path>__staging' dir: the stale dir
+    parses as a bogus partition and must be deleted, not promoted."""
+    import os
+
+    from flink_etl_spark.operators.merge import recover_snapshot
+
+    path = str(tmp_path / "snap5")
+    spark.createDataFrame([(1, "new")], "id long, v string").write.parquet(path)
+    legacy = path + "__staging"
+    spark.createDataFrame([(1, "old")], "id long, v string").write.parquet(legacy)
+    assert recover_snapshot(path) is False
+    assert not os.path.exists(legacy)
+    assert spark.read.parquet(path).first().v == "new"
+
+
 def test_compact_partition_staging_invisible_to_table_readers(spark, tmp_path):
     """The staging dir for a partition compaction must NOT parse as a
     partition of the table: `_staging/dt=x` is skipped at the `_staging`
