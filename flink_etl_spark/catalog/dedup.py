@@ -223,15 +223,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    full = D.minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8).select(
-        F.lit("full").alias("variant"), "doc_a", "doc_b", "jaccard"
-    )
+    # hash_fn pinned to the portable char-fold the DuckDB oracle
+    # replicates; the OPERATOR default is the faster native xxhash64
+    full = D.minhash_near_dups(
+        docs, threshold=0.8, n_hashes=16, bands=8, hash_fn="charfold"
+    ).select(F.lit("full").alias("variant"), "doc_a", "doc_b", "jaccard")
     staged = tempfile.mkdtemp(prefix="mh_profile_")
     atexit.register(shutil.rmtree, staged, ignore_errors=True)
-    minhash_stage_profile(docs.filter("doc_id % 5 != 0"), staged, mode="overwrite")
-    inc = minhash_near_dups_incremental(docs.filter("doc_id % 5 = 0"), staged).select(
-        F.lit("incremental").alias("variant"), "doc_a", "doc_b", "jaccard"
+    minhash_stage_profile(
+        docs.filter("doc_id % 5 != 0"), staged, mode="overwrite", hash_fn="charfold"
     )
+    inc = minhash_near_dups_incremental(
+        docs.filter("doc_id % 5 = 0"), staged, hash_fn="charfold"
+    ).select(F.lit("incremental").alias("variant"), "doc_a", "doc_b", "jaccard")
     return full.unionByName(inc)
 
 
@@ -286,7 +290,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       pigeonhole banding; the oracle is the brute-force pair join the
       banding provably equals."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = D.simhash_signatures(docs, bits=16).select(
+    # charfold pinned: the oracle replicates the fold hash value-exactly
+    sigs = D.simhash_signatures(docs, bits=16, hash_fn="charfold").select(
         F.lit("signature").alias("variant"),
         "doc_id",
         "simhash",
@@ -294,7 +299,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_b"),
         F.lit(None).cast("long").alias("hamming"),
     )
-    pairs = D.simhash_near_dups(docs, max_hamming=2, bits=16).select(
+    pairs = D.simhash_near_dups(docs, max_hamming=2, bits=16, hash_fn="charfold").select(
         F.lit("hamming_pairs").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("simhash"),
@@ -408,7 +413,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same components with a recursive-CTE transitive
     closure: two entirely different fixpoint formulations must agree."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8).select(
-        "doc_a", "doc_b"
-    )
+    pairs = D.minhash_near_dups(
+        docs, threshold=0.8, n_hashes=16, bands=8, hash_fn="charfold"
+    ).select("doc_a", "doc_b")
     return D.duplicate_clusters(pairs)

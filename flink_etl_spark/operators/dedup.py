@@ -169,7 +169,7 @@ def minhash_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    hash_fn: str = "charfold",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc sketch profile with ZERO shuffles: (id, shset, n_sh,
     m0..m{n-1}) computed entirely as array expressions — the distinct
@@ -184,12 +184,14 @@ def minhash_profile(
 
     `hash_fn` picks the shingle -> term-id hash:
 
-    * "charfold" (default) — the per-character polynomial fold, O(len)
-      with a per-char lambda step. Portable: DuckDB replicates it
-      exactly, which is what makes the oracle gates value-exact.
-    * "xxhash64" — Spark's native 64-bit hash, ONE JVM call per
-      shingle: the production choice at corpus scale, where hashing a
-      shingle should not cost a codegen loop over its characters.
+    * "xxhash64" (default) — Spark's native 64-bit hash, ONE JVM call
+      per shingle: the production choice at corpus scale, where hashing
+      a shingle should not cost a codegen loop over its characters
+      (measured ~30% faster end-to-end at sf0.1).
+    * "charfold" — the per-character polynomial fold, O(len) with a
+      per-char lambda step. Portable: DuckDB replicates it exactly,
+      which is what makes the oracle gates value-exact; the gated
+      catalog entries pin it explicitly.
 
     The CHOICE does not change which near-dup pairs come out in
     practice: verification intersects the raw shingle SETS (exact
@@ -323,7 +325,7 @@ def minhash_near_dups(
     k: int = 3,
     staged_path: str | None = None,
     max_bucket: int | None = None,
-    hash_fn: str = "charfold",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: sketch -> band-bucket candidates ->
     exact-Jaccard verification of the CANDIDATES ONLY (never the full
@@ -364,11 +366,12 @@ def minhash_near_dups(
     `knobs.minhash_auto_bands` (the S-curve midpoint sized to the
     verify threshold) — `max_bucket` caps band-bucket occupancy
     against adversarial duplicate cliques (see `lsh_candidates`), and
-    `hash_fn="xxhash64"` swaps the portable char-fold shingle hash for
-    the native one-call hash (see `minhash_profile` — identical final
-    pairs at sf0.01 AND sf0.1, measured ~30% faster end-to-end at
-    sf0.1; "charfold" stays the default because it is what the DuckDB
-    oracle replicates)."""
+    `hash_fn` picks the shingle hash: "xxhash64" (default) is the
+    native one-call production hash, "charfold" the portable fold the
+    DuckDB oracle replicates, pinned by the gated catalog entries (see
+    `minhash_profile`). The choice does not change the output —
+    identical final pairs at sf0.01 AND sf0.1, xxhash64 measured ~30%
+    faster end-to-end at sf0.1."""
     from flink_etl_spark.operators.knobs import minhash_auto_bands
 
     if bands == "auto":
@@ -419,7 +422,7 @@ def simhash_signatures(
     text_col: str = "text",
     n_docs: int | None = None,
     max_hamming: int = 2,
-    hash_fn: str = "charfold",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash: per token occurrence, each bit j votes +-1 by the parity
     of (a_j*tid + b_j) % P; bit j of the signature is 1 iff the vote sum
@@ -438,9 +441,10 @@ def simhash_signatures(
     Hamming <= `max_hamming` bounded to 0.1% of the corpus); pass
     `n_docs` to skip the count scan when the size is already known.
     Explicit integer bits remain the deterministic oracle override.
-    `hash_fn="xxhash64"` swaps the portable char-fold token hash for
-    the native one-call hash (production path; "charfold" is what the
-    DuckDB oracle replicates — see minhash_profile)."""
+    `hash_fn` picks the token hash: "xxhash64" (default) is the native
+    one-call production hash; "charfold" is the portable fold the
+    DuckDB oracle replicates, pinned by the gated catalog entries (see
+    minhash_profile)."""
     from flink_etl_spark.operators.knobs import resolve_knob, simhash_auto_bits
 
     bits = resolve_knob(bits, simhash_auto_bits, docs, n_docs, max_hamming)
@@ -673,12 +677,17 @@ def minhash_stage_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> None:
     """Tokenize+sketch `docs` ONCE and add the profile rows to the
     staged corpus profile at `staged_path` (parquet). `mode="append"`
     is the daily-ingest pattern: the staged profile accretes one batch
-    at a time and no document is ever re-tokenized."""
-    minhash_profile(docs, n_hashes, id_col, text_col, k).filter(
+    at a time and no document is ever re-tokenized.
+
+    `hash_fn` must stay CONSISTENT across every batch staged to the
+    same path (and with later incremental lookups) — band keys from
+    different hashes never match."""
+    minhash_profile(docs, n_hashes, id_col, text_col, k, hash_fn).filter(
         F.col("n_sh") > 0
     ).write.mode(mode).parquet(staged_path)
 
@@ -693,6 +702,7 @@ def minhash_near_dups_incremental(
     text_col: str = "text",
     k: int = 3,
     max_bucket: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs between a NEW batch
     and the already-staged corpus profile (plus new-new pairs), without
@@ -713,7 +723,9 @@ def minhash_near_dups_incremental(
     logical plan and lives until evicted — sessions calling this daily
     should `spark.catalog.clearCache()` between batches, same contract
     as `minhash_near_dups`. `bands="auto"` / `max_bucket` as in
-    `minhash_near_dups`."""
+    `minhash_near_dups`. `hash_fn` MUST match the one the staged
+    profile was built with (`minhash_stage_profile`) — band keys from
+    different hashes never match, silently losing old-new pairs."""
     from flink_etl_spark.operators.knobs import minhash_auto_bands
 
     if bands == "auto":
@@ -721,7 +733,7 @@ def minhash_near_dups_incremental(
     spark = new_docs.sparkSession
     old = spark.read.parquet(staged_path)
     new = (
-        minhash_profile(new_docs, n_hashes, id_col, text_col, k)
+        minhash_profile(new_docs, n_hashes, id_col, text_col, k, hash_fn)
         .filter(F.col("n_sh") > 0)
         .persist()
     )
@@ -772,6 +784,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_docs: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: documents whose signatures differ in at
     most `max_hamming` bits (Manku et al., WWW'07 — the web-crawl
@@ -796,7 +809,7 @@ def simhash_near_dups(
     if bits // chunks == 0:
         raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")
     cb = bits // chunks
-    sigs = simhash_signatures(docs, bits, id_col, text_col)
+    sigs = simhash_signatures(docs, bits, id_col, text_col, hash_fn=hash_fn)
     chunk_structs = []
     for j in range(chunks):
         lo = j * cb

@@ -435,7 +435,14 @@ def test_minhash_hash_fn_choice_does_not_change_pairs(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     spark.catalog.clearCache()
-    a = sorted(map(tuple, dedup.minhash_near_dups(docs, threshold=0.8).collect()))
+    a = sorted(
+        map(
+            tuple,
+            dedup.minhash_near_dups(
+                docs, threshold=0.8, hash_fn="charfold"
+            ).collect(),
+        )
+    )
     spark.catalog.clearCache()
     b = sorted(
         map(
@@ -453,3 +460,23 @@ def test_minhash_hash_fn_choice_does_not_change_pairs(spark):
         for r in dedup.simhash_signatures(_docs(spark), hash_fn="xxhash64").collect()
     }
     assert sigs[0] == sigs[1] != sigs[3]
+
+
+def test_production_hash_default_is_xxhash64():
+    """The OPERATOR default is the native one-call hash; the portable
+    char-fold is opt-in for oracle parity (the catalog gates pin it).
+    A regression back to a charfold default would put a per-character
+    codegen loop on the hottest production path."""
+    import inspect
+
+    for fn in (
+        dedup.minhash_profile,
+        dedup.minhash_near_dups,
+        dedup.minhash_stage_profile,
+        dedup.minhash_near_dups_incremental,
+        dedup.simhash_signatures,
+        dedup.simhash_near_dups,
+    ):
+        assert (
+            inspect.signature(fn).parameters["hash_fn"].default == "xxhash64"
+        ), fn.__name__
