@@ -61,7 +61,7 @@ def _pipeline_oracle() -> str:
     ),
     dedup AS (
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM kept GROUP BY text
+        FROM kept GROUP BY sha256(text)
     )
     SELECT d.keep_id, d.n_copies, s.n_tokens, s.quality, s.fingerprint
     FROM dedup d JOIN kept s ON s.doc_id = d.keep_id
@@ -72,15 +72,25 @@ def _pipeline_oracle() -> str:
 def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile -> quality>=0.5 -> lang=en -> exact dedup -> keeper stats.
 
-    The plan is one parquet scan + one groupBy(text) shuffle + one
+    The plan is one parquet scan + one digest-keyed dedup shuffle + one
     self-join on the (small) survivor set — the profile costs are paid
-    exactly once regardless of how many signals the filter uses."""
+    exactly once regardless of how many signals the filter uses.
+
+    The dedup groups by sha2(text, 256), NOT raw text, so the exchange
+    carries 64-byte keys instead of full documents — the at-scale
+    shuffle-key prescription from `operators/dedup.exact_dedup`; the
+    digest is computed map-side and the text column is pruned before
+    the exchange. The oracle groups by the identical sha256, so the
+    groups (and every output value) are byte-for-byte the same."""
     profile = doc_profile(_t(spark, sf_dir, "documents"))
     kept = profile.filter(
         (F.col("verdict") == "keep") & (F.col("lang_guess") == "en")
     )
-    dedup = kept.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    dedup = (
+        kept.select(F.sha2("text", 256).alias("_digest"), "doc_id")
+        .groupBy("_digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .drop("_digest")
     )
     return dedup.join(
         kept.select(

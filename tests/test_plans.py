@@ -111,6 +111,19 @@ def test_minhash_profile_is_projection_only(spark):
     assert "Exchange" not in plan
 
 
+def test_pipeline_dedup_shuffle_carries_digest_not_text(spark):
+    """The composite pipeline's exact-dedup exchange must hash on the
+    sha2 digest — a 64-byte key — and must NOT carry the text column:
+    at 100 TB the raw-text groupBy shuffles the whole corpus body."""
+    plan = _executed(Q.queries()["pipeline_training_prep"](spark, SF))
+    digest_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "_digest" in line
+    ]
+    assert digest_exchanges, "dedup exchange no longer keyed on digest"
+    assert all("text" not in line for line in digest_exchanges)
+
+
 def test_knn_corpus_never_shuffles(spark):
     """Brute-force kNN: the query set broadcasts (BroadcastNestedLoop),
     the corpus is scanned in place — no hash/range repartition of the
