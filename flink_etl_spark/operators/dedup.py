@@ -487,12 +487,38 @@ def embedding_near_dups(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
+    force: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs above threshold — brute-force O(n^2) cross
     join, the exactness baseline. The scale path is the sign-LSH
     bucketing in operators/similarity.py (same scores, bucketed
-    candidate generation)."""
+    candidate generation).
+
+    GUARD: the docstring used to be the only thing stopping a caller
+    from pointing this baseline at a real corpus. Inputs larger than
+    `max_rows` (one column-pruned count) now raise, naming
+    `embedding_near_dups_lsh` as the scale path; `force=True`
+    downgrades the raise to a RuntimeWarning, `max_rows=None` disables
+    the check entirely (both deliberate, auditable opt-ins)."""
     from flink_etl_spark.functions.vectors import dot, norm
+
+    if max_rows is not None:
+        n = embs.count()
+        if n > max_rows:
+            msg = (
+                f"embedding_near_dups is the O(n^2) exactness baseline; the "
+                f"input has {n:,} rows (> max_rows={max_rows:,}), i.e. "
+                f"~{n * (n - 1) // 2:,} candidate pairs. Use "
+                "embedding_near_dups_lsh (bucketed sign-LSH, candidates-only "
+                "verify) for real corpora, or pass force=True / a larger "
+                "max_rows to run the baseline anyway."
+            )
+            if not force:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     a = embs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),

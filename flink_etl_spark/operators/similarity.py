@@ -26,6 +26,8 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: int | None = 100_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine.
 
@@ -33,7 +35,29 @@ def cosine_topk(
     the corpus never shuffles — each partition scores its slice and the
     per-query top-k is a WindowGroupLimit, so only k rows per query
     cross the final exchange. Scores are rounded BEFORE ranking so rank
-    order is reproducible across engines (ties then break on id)."""
+    order is reproducible across engines (ties then break on id).
+
+    GUARD: the scored pair space is O(|Q| * N) by design (the exactness
+    baseline); when |queries| * |corpus| exceeds `max_pairs` (two
+    column-pruned counts) this raises, naming `signlsh_topk` /
+    `ivf_topk` as the scale paths. `force=True` downgrades to a
+    RuntimeWarning, `max_pairs=None` disables the check."""
+    if max_pairs is not None:
+        nq, nc = queries.count(), corpus.count()
+        if nq * nc > max_pairs:
+            msg = (
+                f"cosine_topk scores every (query, corpus) pair: "
+                f"{nq:,} x {nc:,} = {nq * nc:,} pairs (> max_pairs="
+                f"{max_pairs:,}). Use signlsh_topk / signlsh_topk_multiprobe "
+                "or ivf_topk (bucketed ANN) at this scale, or pass "
+                "force=True / a larger max_pairs to run the exact baseline "
+                "anyway."
+            )
+            if not force:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # norms precomputed once per vector (not 3 dots per pair) — same
     # double-precision values, ~3x fewer array traversals in the join
     q = queries.select(

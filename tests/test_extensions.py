@@ -462,6 +462,37 @@ def test_minhash_hash_fn_choice_does_not_change_pairs(spark):
     assert sigs[0] == sigs[1] != sigs[3]
 
 
+def test_quadratic_baselines_guard_large_inputs(spark):
+    """The O(n^2)/O(|Q|*N) exactness baselines must refuse corpora past
+    their row guards (naming the bucketed scale path), run under
+    force=True with a RuntimeWarning, and stay silent below the guard."""
+    import warnings
+
+    import pytest
+
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        dedup.embedding_near_dups(embs, threshold=0.9, max_rows=5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.embedding_near_dups(embs, threshold=0.9, max_rows=5, force=True)
+        assert any(issubclass(x.category, RuntimeWarning) for x in w)
+    # below the guard: no exception, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.embedding_near_dups(embs, threshold=0.9, max_rows=100)
+        assert not w
+
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.cosine_topk(embs, embs, k=2, max_pairs=50)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.cosine_topk(embs, embs, k=2, max_pairs=50, force=True)
+        assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
 def test_production_hash_default_is_xxhash64():
     """The OPERATOR default is the native one-call hash; the portable
     char-fold is opt-in for oracle parity (the catalog gates pin it).
