@@ -75,6 +75,19 @@ def cmd_merge_day(args: argparse.Namespace) -> int:
     )
 
     spark = _spark("flink-etl-spark-merge")
+    keys = [k for k in args.keys.split(",") if k]
+    order_by = [c for c in args.order_by.split(",") if c]
+    if args.tables:
+        # metastore mode: --snapshot/--delta/--out are TABLE names; the
+        # recover + staged-swap contract lives inside merge_day_table
+        from flink_etl_spark.operators.merge import merge_day_table
+
+        merge_day_table(
+            spark, args.snapshot, args.delta, day=args.day, keys=keys,
+            out_table=args.out, order_by=order_by,
+        )
+        print(f"merged day {args.day} into table {args.out or args.snapshot}")
+        return 0
     # recover_snapshot's contract: every snapshot READER calls it first,
     # or a crash inside overwrite_snapshot's delete+rename window leaves
     # the next run failing on a missing path instead of self-healing.
@@ -83,8 +96,6 @@ def cmd_merge_day(args: argparse.Namespace) -> int:
         recover_snapshot(args.out, spark)
     snapshot = spark.read.parquet(args.snapshot)
     delta = spark.read.parquet(args.delta)
-    keys = [k for k in args.keys.split(",") if k]
-    order_by = [c for c in args.order_by.split(",") if c]
     merged = merge_day(snapshot, delta, day=args.day, keys=keys, order_by=order_by)
     out = args.out or args.snapshot
     overwrite_snapshot(merged, out)
@@ -128,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="recency columns for latest-per-key (default es,ts)")
     mrg.add_argument("--out", default=None,
                      help="output snapshot path (default: overwrite --snapshot)")
+    mrg.add_argument("--tables", action="store_true",
+                     help="treat --snapshot/--delta/--out as metastore TABLE "
+                          "names (spark.table in, staged saveAsTable swap out)")
     mrg.set_defaults(fn=cmd_merge_day)
 
     bst = sub.add_parser("bootstrap", help="one-time JDBC snapshot -> parquet")

@@ -150,6 +150,109 @@ def merge_day(
     return cdc_merge(snapshot, latest, keys, **kwargs)
 
 
+def merge_day_table(
+    spark: SparkSession,
+    snapshot_table: str,
+    delta_table: str,
+    day: str,
+    keys: Sequence[str],
+    out_table: str | None = None,
+    dt_col: str = "dt",
+    order_by: Sequence[Column | str] | None = None,
+    **kwargs,
+) -> None:
+    """The daily merge against METASTORE TABLES — the reference's actual
+    target surface (`INSERT OVERWRITE TABLE code_city ... FROM code_city
+    t1 JOIN code_city_delta`, README.md:221-253 — tables, not paths).
+    Reads both sides via `spark.table`, merges, and replaces
+    `out_table` (default: the snapshot table itself, the reference's
+    self-overwrite) through the staged table swap in
+    `overwrite_snapshot_table`.
+
+    Partition pruning on the delta works exactly as in the path
+    version: `spark.table` scans carry partition metadata from the
+    catalog, so the `dt = day` filter prunes at the metastore level."""
+    recover_snapshot_table(spark, snapshot_table)
+    snapshot = spark.table(snapshot_table)
+    delta = spark.table(delta_table)
+    merged = merge_day(
+        snapshot, delta, day=day, keys=keys, dt_col=dt_col,
+        order_by=order_by, **kwargs,
+    )
+    overwrite_snapshot_table(merged, out_table or snapshot_table)
+
+
+def _staging_table(table: str) -> str:
+    """Staging table name for `table`. Unlike paths there is no
+    listing-invisibility concern — a differently-NAMED table is never
+    scanned by readers of `table` — the name just has to be collision-
+    free and discoverable by `recover_snapshot_table`."""
+    if "." in table:
+        db, _, base = table.rpartition(".")
+        return f"{db}.{base}_staging_swap"
+    return f"{table}_staging_swap"
+
+
+def overwrite_snapshot_table(df: DataFrame, table: str) -> None:
+    """Replace the MANAGED TABLE `table` with `df` — the metastore
+    counterpart of `overwrite_snapshot`, covering the reference's
+    `INSERT OVERWRITE TABLE code_city ... FROM code_city`
+    (README.md:222,229): a direct `saveAsTable(mode="overwrite")` of a
+    table the plan is reading throws (Spark refuses the self-overwrite,
+    and bypassing it would drop the input mid-scan).
+
+    Stage-then-swap through the catalog: materialize to the staging
+    TABLE (the plan can still read the live one), then DROP the target
+    and `ALTER TABLE ... RENAME` the staging table over it — a pure
+    metastore pointer move; the data files are never rewritten in the
+    swap. Crash window (drop..rename) is recovered by
+    `recover_snapshot_table`, same contract as the path pair."""
+    spark = df.sparkSession
+    staging = _staging_table(table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+
+
+def recover_snapshot_table(spark: SparkSession, table: str) -> bool:
+    """Crash recovery for `overwrite_snapshot_table`'s drop..rename
+    window: target table missing + complete staging table present ->
+    promote the staging table. Target intact + stale staging -> drop
+    the stale copy (it would wrongly win a later recovery). Mirrors
+    `recover_snapshot`; every table-snapshot READER calls this first.
+    Returns True when a recovery was performed."""
+    staging = _staging_table(table)
+    have_target = spark.catalog.tableExists(table)
+    have_staging = spark.catalog.tableExists(staging)
+    if not have_target and have_staging:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        return True
+    if have_target and have_staging:
+        spark.sql(f"DROP TABLE {staging}")
+    return False
+
+
+def insert_overwrite_partitions(df: DataFrame, table: str) -> None:
+    """Dynamic-partition INSERT OVERWRITE into a PARTITIONED table:
+    replaces exactly the partitions present in `df`, leaves every other
+    partition untouched — Hive's `INSERT OVERWRITE TABLE ... PARTITION
+    (dt)` with nonstrict dynamic mode, the idiom the reference's delta
+    table is maintained with (K3, README.md:222,247). Forces
+    `partitionOverwriteMode=dynamic` for this write only (static mode
+    would wipe the whole table) and restores the caller's conf.
+
+    `df`'s column order must match the table schema with partition
+    columns LAST (`insertInto` is position-based)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _staging_path(path: str) -> str:
     """Staging location for `path`: `<parent>/_staging/<basename>`. The
     `_staging` path COMPONENT is what makes it invisible: Spark's file
