@@ -41,6 +41,9 @@ class JdbcConfig:
     password: str = ""
     partition_column: str | None = None
     num_partitions: int = 8
+    #: JDBC driver class (e.g. "com.mysql.cj.jdbc.Driver"); None lets
+    #: Spark resolve the driver from the URL scheme
+    driver: str | None = None
 
 
 @dataclass

@@ -27,9 +27,11 @@ def read_snapshot(spark: SparkSession, cfg: JdbcConfig,
         .option("user", cfg.user)
         .option("password", cfg.password)
     )
+    if cfg.driver:
+        reader = reader.option("driver", cfg.driver)
     if cfg.partition_column:
         if lower_bound is None or upper_bound is None:
-            bounds = (
+            probe = (
                 spark.read.format("jdbc")
                 .option("url", cfg.url)
                 .option(
@@ -39,9 +41,10 @@ def read_snapshot(spark: SparkSession, cfg: JdbcConfig,
                 )
                 .option("user", cfg.user)
                 .option("password", cfg.password)
-                .load()
-                .first()
             )
+            if cfg.driver:
+                probe = probe.option("driver", cfg.driver)
+            bounds = probe.load().first()
             # positional, not bounds["lo"]: identifier case folding is
             # dialect-specific (Derby/Oracle uppercase unquoted aliases,
             # MySQL preserves them) — found by the first live-database
