@@ -104,6 +104,7 @@ def interval_join(
     right_ts: str,
     lower: str,
     upper: str,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Left interval join: right rows with
     `left_ts - lower < right_ts <= left_ts + upper` in the same key
@@ -112,13 +113,41 @@ def interval_join(
 
     The equi-key dominates the plan: Catalyst shuffles both sides by
     `on` and applies the range predicate inside each key group, so cost
-    is per-key-group, not |L| x |R|."""
+    is per-key-group, not |L| x |R|.
+
+    SKEW: within one key group the range scan is O(|L_k| * |R_k|) —
+    standard for interval joins and fine at normal cardinalities, but a
+    single pathological key (one user producing millions of events)
+    concentrates quadratic work in one task, and AQE's skew splitting
+    cannot help: it splits by partition size BEFORE the range predicate
+    runs. `salt_buckets=B` applies the `salted_join` pre-split to this
+    join: the left side salts by row hash, the right side replicates B
+    ways, and the join key becomes (key, salt) — each hot-key task then
+    scans |L_k|/B x |R_k| with identical output (every left row still
+    sees its full right key group exactly once, and LEFT semantics are
+    preserved because unmatched rows can only surface from the
+    unsalted-in-effect left side)."""
+    out_left_cols = list(left.columns)
+    out_right_cols = [c for c in right.columns if c not in on]
+    join_keys = list(on)
+    if salt_buckets:
+        # deterministic row-hash salt (same recipe as salted_join); the
+        # replicated side is the RIGHT, so right/full joins would dup —
+        # this operator is left-only, which is exactly the safe case
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+        )
+        left = left.withColumn("_salt", salt.cast("int"))
+        right = right.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        join_keys.append("_salt")
     # explicit aliases: both sides often derive from the same scan
     # (self-join on an events table) — name-based resolution via the
     # aliases sidesteps ambiguous-lineage column references
     l, r = left.alias("_l"), right.alias("_r")
     cond = F.lit(True)
-    for c in on:
+    for c in join_keys:
         cond = cond & (F.col(f"_l.{c}") == F.col(f"_r.{c}"))
     lts = F.col(f"_l.{left_ts}")
     rts = F.col(f"_r.{right_ts}")
@@ -128,8 +157,8 @@ def interval_join(
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "left").select(
-        *[F.col(f"_l.{c}") for c in left.columns],
-        *[F.col(f"_r.{c}") for c in right.columns if c not in on],
+        *[F.col(f"_l.{c}") for c in out_left_cols],
+        *[F.col(f"_r.{c}") for c in out_right_cols],
     )
 
 

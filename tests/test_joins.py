@@ -105,6 +105,45 @@ def test_salted_join_matches_plain_join(spark):
     )
 
 
+def test_interval_join_salted_matches_unsalted_on_hot_key(spark):
+    """Pathological single-key skew: one key carries 2000 left rows (a
+    hot user's event burst). salt_buckets must (a) leave the output
+    byte-identical to the unsalted join and (b) split the hot key's
+    left rows into salt_buckets bounded groups — the unit of join-task
+    work — instead of one quadratic task."""
+    hot = [("hot", datetime(2024, 1, 1, 0, 0, i % 60, i)) for i in range(2000)]
+    cold = [("cold", datetime(2024, 1, 1, 0, 0, 5))]
+    left = spark.createDataFrame(hot + cold, "k string, l_ts timestamp")
+    right = spark.createDataFrame(
+        [("hot", datetime(2024, 1, 1, 0, 0, s), float(s)) for s in range(0, 60, 7)]
+        + [("cold", datetime(2024, 1, 1, 0, 0, 4), -1.0)],
+        "k string, r_ts timestamp, val double",
+    )
+    kwargs = dict(on=["k"], left_ts="l_ts", right_ts="r_ts",
+                  lower="2 SECONDS", upper="0 SECONDS")
+    plain = interval_join(left, right, **kwargs)
+    salted = interval_join(left, right, salt_buckets=8, **kwargs)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+    # bounded skew: re-derive the operator's salt on the hot key's rows —
+    # every (key, salt) group, the unit a join task range-scans, must be
+    # ~1/8 of the hot key, not all of it
+    buckets = (
+        left.filter(F.col("k") == "hot")
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
+        )
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(buckets) == 8
+    assert max(r["count"] for r in buckets) <= 2 * (2000 // 8)
+
+
 def test_asof_null_attribute_not_mixed_across_rows(spark):
     """Regression: when the true as-of match has a NULL attribute, the
     output must keep that NULL — not stitch in the value from an older
