@@ -115,12 +115,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # `value` totals every headline entry; `comparable_11_total_sec`
+    # restates the r1-r3 11-entry set so round-over-round deltas stay
+    # one-glance comparable after the staged minhash entry was added
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "comparable_11_total_sec": round(
+            sum(t for q, t in timings.items() if q != "dedup_minhash_lsh_staged"),
+            3,
+        ),
     }
     print(json.dumps(result))
     spark.stop()

@@ -56,12 +56,15 @@ COMMENTARY: dict[str, str] = {
         "the shuffle moves k rows per key maximum."
     ),
     "dedup_minhash_lsh": (
-        "One posting-build groupBy feeds sizes AND all 16 minhash "
-        "signatures (single-pass sketch); set sizes ride through the "
-        "band self-join so no re-aggregation joins exist. Four corpus "
-        "scans remain — the two unavoidable self-join sides (banding, "
-        "verification); at true corpus scale, stage postings to parquet "
-        "once. Candidate verification touches candidates only, never "
+        "The sketch is ZERO-shuffle (distinct shingle set + all 16 "
+        "signatures as array expressions — no posting explode, no "
+        "groupBy); set sizes ride through the band self-join so no "
+        "re-aggregation joins exist, and the one real shuffle is the "
+        "band bucket join. Term hash defaults to native xxhash64 (one "
+        "JVM call per shingle). At true corpus scale pass staged_path= "
+        "to materialize the profile parquet once (the gate's "
+        "incremental variant and the bench's _staged entry run that "
+        "mode). Candidate verification touches candidates only, never "
         "the full pair space."
     ),
     "knn_bruteforce_cosine": (
@@ -88,7 +91,10 @@ COMMENTARY: dict[str, str] = {
         "The whole prep pipeline (profile -> quality+lang filter -> "
         "exact dedup -> keeper join) is TWO scans and one groupBy "
         "shuffle; the deduped survivor set broadcasts back onto the "
-        "profile. Every text signal comes off a single tokenization "
+        "profile. The dedup exchange is keyed on a map-side "
+        "sha2(text, 256) digest — 64-byte shuffle keys, text pruned "
+        "before the exchange (plan-asserted in tests/test_plans.py). "
+        "Every text signal comes off a single tokenization "
         "(doc_profile)."
     ),
 }

@@ -1,0 +1,99 @@
+"""Build an N-x replica of a testdata sf directory with CONSISTENT key
+offsets — the scale-probe corpus generator.
+
+Unlike tools/stress_probe.py (which deliberately clones documents into
+exact duplicate cliques — an adversarial near-dup workload), this
+replica models "N times MORE data of the same shape":
+
+* fact tables replicate with per-copy key offsets that preserve join
+  relationships (lineitem.l_orderkey tracks orders.o_orderkey,
+  orders.o_custkey tracks customer.c_custkey, events offset both
+  event_id and user_id so PER-KEY density stays constant);
+* dimension tables (nation/region/supplier/part) stay single-copy —
+  at scale they are the broadcast side and do not grow with the fact;
+* document text is caesar-ROTATED per copy (translate over a-z), so
+  each copy keeps the original's internal near-dup structure while
+  sharing no shingles across copies — near-dup pairs scale linearly
+  with data, as they would with genuinely new data, instead of
+  quadratically as duplicate cliques;
+* embeddings offset vec_id only (duplicate vectors are fine for ANN
+  timing: candidate volume is bucket-occupancy-bound either way).
+
+Usage: python tools/replicate_testdata.py [replicas=10] [out_dir]
+"""
+
+from __future__ import annotations
+
+import string
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+#: key offset per copy — far above any real key in the generated data
+OFF = 1_000_000_000
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+#: per-table BIGINT key columns to offset per copy (join-consistent)
+KEY_OFFSETS = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+#: dimension tables: single copy (the broadcast side never scales with
+#: the fact side)
+DIMS = ("region", "nation", "supplier", "part")
+
+
+def _rotated_text(col, i: int):
+    """Caesar-rotate a-z by i so copy i shares no shingles with copy 0
+    while keeping token lengths, whitespace, and within-copy similarity
+    structure identical."""
+    if i == 0:
+        return col
+    az = string.ascii_lowercase
+    rot = az[i % 26:] + az[: i % 26]
+    return F.translate(col, az, rot)
+
+
+def build_replica(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """Write the N-x replica of `src_dir` into `out_dir` (same
+    `<table>.parquet` layout, so catalog queries run on it verbatim via
+    the sf_dir argument)."""
+    from flink_etl_spark.sources.tables import load_table
+
+    for table in TABLES:
+        df = load_table(spark, src_dir, table)
+        if table in DIMS or n <= 1:
+            out = df
+        else:
+            copies = []
+            for i in range(n):
+                c = df
+                for k in KEY_OFFSETS.get(table, ()):
+                    c = c.withColumn(k, F.col(k) + F.lit(i * OFF))
+                if table == "documents":
+                    c = c.withColumn("text", _rotated_text(F.col("text"), i))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+if __name__ == "__main__":
+    from flink_etl_spark.session import get_spark
+
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf0.1x{replicas}"
+    spark = get_spark(app_name="replicate-testdata")
+    build_replica(spark, "/root/testdata/sf0.1", out, replicas)
+    print(f"wrote {replicas}x replica of sf0.1 to {out}")
+    spark.stop()
