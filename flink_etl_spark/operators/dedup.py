@@ -182,32 +182,71 @@ def minhash_profile(
     not merge projects whose multi-referenced aliases are non-cheap,
     which is what prevents the char-fold hash from being inlined 16x.
 
-    `hash_fn` picks the shingle -> term-id hash:
+    `hash_fn` picks the shingle -> term-id hash, and with it the
+    REPRESENTATION of `shset`:
 
-    * "xxhash64" (default) — Spark's native 64-bit hash, ONE JVM call
-      per shingle: the production choice at corpus scale, where hashing
-      a shingle should not cost a codegen loop over its characters
-      (measured ~30% faster end-to-end at sf0.1).
-    * "charfold" — the per-character polynomial fold, O(len) with a
-      per-char lambda step. Portable: DuckDB replicates it exactly,
-      which is what makes the oracle gates value-exact; the gated
-      catalog entries pin it explicitly.
+    * "xxhash64" (default) — shingle STRINGS are never built: each
+      token is hashed ONCE (`pmod(xxhash64(token), P)`), and a
+      shingle's term-id is the polynomial combine of its k token
+      hashes ((acc*131 + h) % P via `zip_with` over shifted slices of
+      the token-hash array). `shset` is the distinct array<bigint> of
+      term-ids. The production choice at corpus scale: no concat_ws
+      allocation per shingle, one hash call per token instead of one
+      per (longer) shingle string, verification intersects longs, and
+      a staged profile stores 8-byte ids instead of full shingle text
+      (measured ~11% faster end-to-end at sf0.1 on top of the earlier
+      ~30% string-xxhash64 win; staged parquet ~3x smaller). Term-id
+      collisions (~|set|^2/2P per doc pair) can in principle perturb a
+      borderline Jaccard, which is why the oracle gates pin charfold;
+      end-to-end pairs measured identical at sf0.01 AND sf0.1.
+    * "charfold" — shingle strings with the per-character polynomial
+      fold, O(len) with a per-char lambda step; `shset` is the
+      array<string> of shingles and verification intersects the exact
+      string sets. Portable: DuckDB replicates it exactly, which is
+      what makes the oracle gates value-exact; the gated catalog
+      entries pin it explicitly.
+
+    Staged profiles are NOT portable across `hash_fn` values (band
+    keys and shset types both differ) — build and query with the same
+    setting, and rebuild profiles staged by versions that hashed
+    shingle strings.
 
     The CHOICE does not change which near-dup pairs come out in
-    practice: verification intersects the raw shingle SETS (exact
-    Jaccard, hash-free), so hashing only steers LSH candidate recall,
-    which is ~0.9998 at threshold-passing similarity for either hash
-    (tests assert end-to-end pair equality on the test corpora)."""
+    practice: hashing steers LSH candidate recall (~0.9998 at
+    threshold-passing similarity for either hash) and tests assert
+    end-to-end pair equality on the test corpora."""
     if hash_fn not in ("charfold", "xxhash64"):
         raise ValueError(f"hash_fn must be 'charfold' or 'xxhash64', got {hash_fn!r}")
     toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
-    shset_df = toks.select(
-        F.col(id_col),
-        F.array_distinct(shingles_expr(F.col("_t"), k)).alias("shset"),
-    )
     if hash_fn == "xxhash64":
-        hash_sql = f"transform(shset, s -> pmod(xxhash64(s), {MERSENNE_P}))"
+        # hash tokens once, combine k consecutive hashes per shingle —
+        # see the docstring; slice/zip_with form for the same
+        # CollapseProject reasons as shingles_expr
+        th_df = toks.select(
+            F.col(id_col),
+            F.expr(f"transform(_t, t -> pmod(xxhash64(t), {MERSENNE_P}))").alias("_th"),
+        )
+        n = F.size("_th")
+        width = n - F.lit(k - 1)
+        acc = F.slice("_th", 1, width)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc,
+                F.slice("_th", 1 + j, width),
+                lambda a, b: (a * F.lit(131) + b) % F.lit(MERSENNE_P),
+            )
+        sids = F.when(n >= k, acc).otherwise(F.array().cast("array<bigint>"))
+        shset_df = th_df.select(
+            F.col(id_col), F.array_distinct(sids).alias("shset")
+        )
+        tids_df = shset_df.select(
+            F.col(id_col), F.col("shset"), F.col("shset").alias("_tids")
+        )
     else:
+        shset_df = toks.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(F.col("_t"), k)).alias("shset"),
+        )
         # split-based char fold, not substring-per-index — see
         # functions/hashing.char_fold_hash (identical values, ~13% faster)
         hash_sql = (
@@ -215,9 +254,9 @@ def minhash_profile(
             "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
             f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}))"
         )
-    tids_df = shset_df.select(
-        F.col(id_col), F.col("shset"), F.expr(hash_sql).alias("_tids")
-    )
+        tids_df = shset_df.select(
+            F.col(id_col), F.col("shset"), F.expr(hash_sql).alias("_tids")
+        )
     mins = [
         F.array_min(
             F.transform(
