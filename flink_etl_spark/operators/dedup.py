@@ -52,18 +52,27 @@ def exact_dedup(
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 k: int = 3) -> DataFrame:
+                 k: int = 3, hash_terms: bool = False) -> DataFrame:
     """(doc, shingle) inverted-index postings, distinct per doc.
 
     The token array is materialized as its own projection first:
     inlining `split()` into the shingle lambda re-evaluates the regex
     split for every element_at inside the transform (no common
     subexpression elimination under lambdas) — a measured ~30x slowdown.
-    """
+
+    `hash_terms=True` replaces each shingle string with its FULL 64-bit
+    `xxhash64` before the distinct, so both the distinct-shuffle here
+    and any downstream shuffle keyed on the posting carry 8-byte longs
+    instead of shingle text — the same shrink-the-shuffle-key
+    prescription as digest-keyed `exact_dedup`. Full 64 bits (no mod):
+    expected colliding vocabulary pairs ~ |vocab|^2/2^65, i.e. ~3 at a
+    10^10-shingle corpus — immaterial for near-dup semantics, but NOT
+    oracle-portable, so gated entries keep the string default."""
     toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
-    sh = toks.select(
-        F.col(id_col), shingles_expr(F.col("_t"), k).alias("shingles")
-    )
+    shingles = shingles_expr(F.col("_t"), k)
+    if hash_terms:
+        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
+    sh = toks.select(F.col(id_col), shingles.alias("shingles"))
     return sh.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).distinct()
@@ -96,10 +105,19 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     max_df: int | None = None,
+    hash_terms: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: explode shingles, self-join
     the inverted index, count shared shingles per pair, Jaccard =
     |A∩B| / (|A|+|B|-|A∩B|), keep pairs >= threshold.
+
+    `hash_terms=True` keys the postings (and so the distinct-shuffle,
+    the `max_df` hot-set, and the self-join shuffle) on the 64-bit
+    `xxhash64` of each shingle instead of the shingle text — identical
+    pairs short of a 2^-64-scale hash collision, with the join shuffle
+    carrying 8-byte keys: the right setting at corpus scale, off by
+    default because the DuckDB oracle intersects the literal strings
+    (see `shingle_sets`).
 
     The self-join shuffles on the shingle — hot shingles (stopword
     n-grams) are the skew risk: the pair-count is quadratic in each
@@ -113,7 +131,7 @@ def jaccard_pairs(
     same trade MinHash-with-stopword-filtering makes. Default None
     keeps full exactness; this remains the baseline — use
     `minhash_near_dups` as the corpus-scale path."""
-    sh = shingle_sets(docs, id_col, text_col, k)
+    sh = shingle_sets(docs, id_col, text_col, k, hash_terms=hash_terms)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")

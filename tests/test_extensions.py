@@ -462,6 +462,38 @@ def test_minhash_hash_fn_choice_does_not_change_pairs(spark):
     assert sigs[0] == sigs[1] != sigs[3]
 
 
+def test_jaccard_hash_terms_matches_string_postings(spark):
+    """hash_terms=True keys the inverted-index shuffles on 64-bit
+    xxhash64 longs; pairs must match the exact string postings (a
+    divergence would need a 2^-64-scale collision) and the posting
+    column must actually be a LONG (the shuffle-key shrink is the
+    point)."""
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = sorted(map(tuple, dedup.jaccard_pairs(docs, threshold=0.8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs(docs, threshold=0.8, hash_terms=True).collect(),
+        )
+    )
+    assert a == b and len(a) > 10
+    sh = dedup.shingle_sets(docs, hash_terms=True)
+    assert dict(sh.dtypes)["shingle"] == "bigint"
+
+
+def test_production_minhash_profile_has_no_shingle_strings(spark):
+    """The production (xxhash64) profile must carry term-ids as longs —
+    shingle strings are never built, verification intersects 8-byte
+    ids, and a staged profile stores ids instead of shingle text. The
+    oracle-portable charfold profile keeps the literal string set."""
+    prod = dedup.minhash_profile(_docs(spark))
+    assert dict(prod.dtypes)["shset"] == "array<bigint>"
+    portable = dedup.minhash_profile(_docs(spark), hash_fn="charfold")
+    assert dict(portable.dtypes)["shset"] == "array<string>"
+
+
 def test_quadratic_baselines_guard_large_inputs(spark):
     """The O(n^2)/O(|Q|*N) exactness baselines must refuse corpora past
     their row guards (naming the bucketed scale path), run under
