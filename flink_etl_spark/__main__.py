@@ -84,7 +84,7 @@ def cmd_merge_day(args: argparse.Namespace) -> int:
 
         merge_day_table(
             spark, args.snapshot, args.delta, day=args.day, keys=keys,
-            out_table=args.out, order_by=order_by,
+            out_table=args.out, order_by=order_by, n_buckets=args.buckets,
         )
         print(f"merged day {args.day} into table {args.out or args.snapshot}")
         return 0
@@ -142,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
     mrg.add_argument("--tables", action="store_true",
                      help="treat --snapshot/--delta/--out as metastore TABLE "
                           "names (spark.table in, staged saveAsTable swap out)")
+    mrg.add_argument("--buckets", type=int, default=None,
+                     help="with --tables: write the snapshot bucketBy(N, keys) "
+                          "so the next day's merge never shuffles the snapshot "
+                          "side (pick N >= spark.sql.shuffle.partitions)")
     mrg.set_defaults(fn=cmd_merge_day)
 
     bst = sub.add_parser("bootstrap", help="one-time JDBC snapshot -> parquet")

@@ -159,6 +159,7 @@ def merge_day_table(
     out_table: str | None = None,
     dt_col: str = "dt",
     order_by: Sequence[Column | str] | None = None,
+    n_buckets: int | None = None,
     **kwargs,
 ) -> None:
     """The daily merge against METASTORE TABLES — the reference's actual
@@ -171,7 +172,25 @@ def merge_day_table(
 
     Partition pruning on the delta works exactly as in the path
     version: `spark.table` scans carry partition metadata from the
-    catalog, so the `dt = day` filter prunes at the metastore level."""
+    catalog, so the `dt = day` filter prunes at the metastore level.
+
+    `n_buckets` is the 100 TB knob for this job's dominant cost: the
+    daily merge full-outer-joins a HUGE snapshot with a small delta,
+    and an unbucketed snapshot re-shuffles its entire contents on
+    `keys` every single day. Store the snapshot `bucketBy(n_buckets,
+    *keys)` instead and the join reads the bucketed layout directly —
+    the only exchange left in the whole job is the delta's (which the
+    latest-per-key window already needed; the join reuses that same
+    hash partitioning). The merged output is written back bucketed
+    through the staged swap, so TOMORROW'S merge is shuffle-free on
+    the snapshot side too — the shuffle saved compounds daily. Spark
+    only substitutes the bucketed layout when the join's shuffle
+    target does not exceed the bucket count, so pick `n_buckets` >=
+    `spark.sql.shuffle.partitions` (plan-asserted in
+    tests/test_table_merge.py); size buckets so one bucket ~ one
+    executor-core task (e.g. 100 TB / 256 MB ~ 400k buckets is too
+    many — at that scale use ~32k buckets of ~3 GB with
+    `spark.sql.files.maxPartitionBytes`-sized splits within)."""
     recover_snapshot_table(spark, snapshot_table)
     snapshot = spark.table(snapshot_table)
     delta = spark.table(delta_table)
@@ -179,7 +198,10 @@ def merge_day_table(
         snapshot, delta, day=day, keys=keys, dt_col=dt_col,
         order_by=order_by, **kwargs,
     )
-    overwrite_snapshot_table(merged, out_table or snapshot_table)
+    overwrite_snapshot_table(
+        merged, out_table or snapshot_table,
+        n_buckets=n_buckets, bucket_keys=keys,
+    )
 
 
 def _staging_table(table: str) -> str:
@@ -193,7 +215,12 @@ def _staging_table(table: str) -> str:
     return f"{table}_staging_swap"
 
 
-def overwrite_snapshot_table(df: DataFrame, table: str) -> None:
+def overwrite_snapshot_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int | None = None,
+    bucket_keys: Sequence[str] | None = None,
+) -> None:
     """Replace the MANAGED TABLE `table` with `df` — the metastore
     counterpart of `overwrite_snapshot`, covering the reference's
     `INSERT OVERWRITE TABLE code_city ... FROM code_city`
@@ -206,10 +233,36 @@ def overwrite_snapshot_table(df: DataFrame, table: str) -> None:
     and `ALTER TABLE ... RENAME` the staging table over it — a pure
     metastore pointer move; the data files are never rewritten in the
     swap. Crash window (drop..rename) is recovered by
-    `recover_snapshot_table`, same contract as the path pair."""
+    `recover_snapshot_table`, same contract as the path pair.
+
+    With `n_buckets`/`bucket_keys` the staging table is written
+    `bucketBy(n_buckets, *bucket_keys)` (+ sortBy for bucket-local
+    ordering) and the swap preserves the bucket spec — the layout a
+    daily `merge_day_table` needs so the snapshot side of the join
+    never shuffles. Deliberately NO `repartition` before the write:
+    the merge output leaves the join hash-partitioned by the same
+    murmur3(key) % n the bucket assigner uses, so each task already
+    holds whole buckets and writes one file per bucket (verified: 32
+    buckets -> exactly 32 files, job-total shuffle = the delta only);
+    a repartition here would re-shuffle the full snapshot and negate
+    the entire point. Worst case (AQE coalesced the final stage, or
+    the caller passed an arbitrarily-partitioned df) is extra files
+    per bucket — bucket CONTENTS are computed per row at write time
+    and stay correct regardless of input partitioning."""
     spark = df.sparkSession
     staging = _staging_table(table)
-    df.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    if n_buckets is not None:
+        if not bucket_keys:
+            raise ValueError("bucket_keys required when n_buckets is set")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_keys)
+            .sortBy(*bucket_keys)
+            .saveAsTable(staging)
+        )
+    else:
+        df.write.mode("overwrite").format("parquet").saveAsTable(staging)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
 

@@ -166,3 +166,66 @@ def test_insert_overwrite_partitions_is_dynamic(spark, tables):
     assert out.filter(F.col("dt") == day).first().city == "rewritten"
     # every other partition untouched
     assert out.filter(F.col("dt") != day).count() == 5
+
+
+def test_merge_day_table_bucketed_snapshot_never_shuffles(spark, tables):
+    """The 100 TB shape of the daily job: snapshot stored bucketBy(keys),
+    so the full-outer merge reads the bucketed layout and the ONLY
+    exchange in the plan is the delta's (whose hash partitioning the
+    latest-per-key window already required). The merged output is
+    written back bucketed through the staged swap, so the spec — and
+    the shuffle-free property — survives into the next day's merge."""
+    import re
+
+    snap, delta = map(tables, ("tm_bk_snap", "tm_bk_delta"))
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        _snapshot_df(spark, n=64)
+        .write.bucketBy(nb, "id").sortBy("id").saveAsTable(snap)
+    )
+    _delta_df(spark).write.partitionBy("dt").saveAsTable(delta)
+
+    # plan shape BEFORE execution: bucketed scan on the snapshot side,
+    # exactly one Exchange (the delta), keyed on the merge key
+    merged = merge_day(
+        spark.table(snap), spark.table(delta), day="20240101", keys=["id"]
+    )
+    plan = merged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Bucketed: true" in plan
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 1 and "id" in exchanges[0]
+
+    # end-to-end through the swap, twice (day 2 re-reads the table the
+    # first merge wrote): results match the unbucketed path merge and
+    # the bucket spec survives the DROP + RENAME swap
+    merge_day_table(spark, snap, delta, day="20240101", keys=["id"],
+                    n_buckets=nb)
+    want = {
+        (r.id, r.city)
+        for r in merge_day(
+            _snapshot_df(spark, n=64), _delta_df(spark),
+            day="20240101", keys=["id"],
+        ).collect()
+    }
+    assert {(r.id, r.city) for r in spark.table(snap).collect()} == want
+
+    plan2 = merge_day(
+        spark.table(snap), spark.table(delta), day="20240101", keys=["id"]
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Bucketed: true" in plan2, "bucket spec lost in the staged swap"
+
+
+def test_overwrite_snapshot_table_bucketed_requires_keys(spark):
+    import pytest as _pytest
+
+    df = spark.range(3).select(F.col("id"))
+    with _pytest.raises(ValueError, match="bucket_keys"):
+        overwrite_snapshot_table(df, "tm_bad", n_buckets=4)
