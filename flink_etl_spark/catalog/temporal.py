@@ -64,20 +64,44 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (
         SELECT user_id, ts AS err_ts, value AS err_value
         FROM events WHERE event_type = 'error'
+    ),
+    batch AS (
+        SELECT 'batch' AS variant, p.purchase_id, p.user_id,
+               count(e.err_ts) AS n_errors,
+               round(coalesce(sum(e.err_value), 0), 6) AS err_value_sum
+        FROM p LEFT JOIN e
+          ON e.user_id = p.user_id
+         AND e.err_ts >  p.purchase_ts - INTERVAL 1 HOUR
+         AND e.err_ts <= p.purchase_ts
+        GROUP BY 2, 3
     )
-    SELECT p.purchase_id, p.user_id,
-           count(e.err_ts) AS n_errors,
-           round(coalesce(sum(e.err_value), 0), 6) AS err_value_sum
-    FROM p LEFT JOIN e
-      ON e.user_id = p.user_id
-     AND e.err_ts >  p.purchase_ts - INTERVAL 1 HOUR
-     AND e.err_ts <= p.purchase_ts
-    GROUP BY 1, 2
+    SELECT * FROM batch
+    UNION ALL
+    -- the stream-stream arm is an INNER join: only purchases with >= 1
+    -- error in the band appear
+    SELECT 'stream' AS variant, purchase_id, user_id, n_errors,
+           err_value_sum
+    FROM batch WHERE n_errors > 0
     """,
 )
 def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed enrichment: errors seen by the user in the hour leading
-    up to each purchase (count + value sum)."""
+    up to each purchase (count + value sum). Two arms, each against its
+    own oracle branch:
+
+    * 'batch' — `operators.joins.interval_join` (LEFT; unmatched
+      purchases keep n_errors = 0);
+    * 'stream' — the same band computed by the watermarked
+      STREAM-STREAM interval join (`streaming/joins.py`,
+      Flink-DataStream-intervalJoin counterpart), both sides read as
+      file streams and drained with availableNow. Inner-join arm by
+      design: inner emission is micro-batch-invariant, whereas outer
+      rows are watermark-gated (see the operator docstring) — the
+      outer semantics are exercised in tests/test_stateful.py."""
+    from flink_etl_spark.catalog.streaming import _events_stream, _SINK_SEQ
+    from flink_etl_spark.session import apply_runtime_confs
+    from flink_etl_spark.streaming.joins import stream_interval_join
+
     ev = _t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -93,10 +117,41 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
         p, e, on=["user_id"], left_ts="purchase_ts", right_ts="err_ts",
         lower="1 HOUR", upper="0 SECONDS",
     )
-    return joined.groupBy("purchase_id", "user_id").agg(
+    batch = joined.groupBy("purchase_id", "user_id").agg(
         F.count("err_ts").alias("n_errors"),
         F.round(F.coalesce(F.sum("err_value"), F.lit(0.0)), 6).alias("err_value_sum"),
+    ).select(F.lit("batch").alias("variant"), "*")
+
+    apply_runtime_confs(spark)
+    sev = _events_stream(spark, sf_dir)
+    sp = sev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
     )
+    se = sev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    name = f"_sij_sink_{next(_SINK_SEQ)}"
+    q = (
+        stream_interval_join(
+            sp, se, on=["user_id"], left_ts="purchase_ts", right_ts="err_ts",
+            lower="1 HOUR", upper="0 SECONDS", watermark_delay="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream = spark.table(name).groupBy("purchase_id", "user_id").agg(
+        F.count("err_ts").alias("n_errors"),
+        F.round(F.coalesce(F.sum("err_value"), F.lit(0.0)), 6).alias("err_value_sum"),
+    ).select(F.lit("stream").alias("variant"), "*")
+    return batch.unionByName(stream)
 
 
 @query(

@@ -447,3 +447,116 @@ def test_cdc_compact_stream_null_es_does_not_crash(spark, tmp_path):
     got = _drain(cdc_compact_stream(stream), "cdc_null_es", spark, "update")
     latest = {r.id: r.city for r in got.collect()}
     assert latest == {1: "real", 2: "only_null_es"}
+
+
+def test_stream_interval_join_inner_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch
+    interval_join over identical inputs, including matches that span
+    micro-batch boundaries (maxFilesPerTrigger=1 over several files:
+    a purchase in one batch must still join errors buffered from an
+    earlier batch and vice versa)."""
+    from flink_etl_spark.operators.joins import interval_join
+    from flink_etl_spark.streaming.joins import stream_interval_join
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    src = str(tmp_path / "ev")
+    # several files -> several micro-batches under maxFilesPerTrigger=1
+    ev.repartition(4).write.parquet(src)
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        e = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"), F.col("value").alias("err_value"),
+        )
+        return p, e
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    sp, se = split(stream)
+    se = se.withColumnRenamed("err_user", "user_id")
+    got = _drain(
+        stream_interval_join(
+            sp, se, on=["user_id"], left_ts="purchase_ts",
+            right_ts="err_ts", lower="1 HOUR", upper="0 SECONDS",
+            watermark_delay="3650 days",
+        ),
+        "sij_inner", spark, "append",
+    )
+    got_rows = sorted(
+        (r.purchase_id, r.user_id, r.err_ts, round(r.err_value, 6))
+        for r in got.collect()
+    )
+
+    bp, be = split(ev)
+    be = be.withColumnRenamed("err_user", "user_id")
+    want = sorted(
+        (r.purchase_id, r.user_id, r.err_ts, round(r.err_value, 6))
+        for r in interval_join(
+            bp, be, on=["user_id"], left_ts="purchase_ts",
+            right_ts="err_ts", lower="1 HOUR", upper="0 SECONDS",
+        ).filter(F.col("err_ts").isNotNull()).collect()
+    )
+    assert got_rows == want and len(want) > 20
+
+
+def test_stream_interval_join_left_outer_watermark_gates_outer_rows(
+    spark, tmp_path
+):
+    """left_outer: null-padded rows emit only once the watermark proves
+    no match can arrive. A drained run with delay shorter than the
+    stream's span emits the outer row for an OLD unmatched left but
+    withholds one near the stream's end."""
+    from flink_etl_spark.streaming.joins import stream_interval_join
+
+    rows = [
+        # old unmatched purchase: outer row must emit
+        (1, "2024-01-01 00:00:00", 10, "purchase", 0.0),
+        # matched purchase + its error
+        (2, "2024-01-05 12:00:00", 20, "purchase", 0.0),
+        (3, "2024-01-05 11:30:00", 20, "error", 5.0),
+        # unmatched purchase INSIDE the final watermark horizon: withheld
+        (4, "2024-01-10 00:00:00", 30, "purchase", 0.0),
+        # max-ts row driving the final watermark to 2024-01-09 00:00:00
+        (5, "2024-01-10 00:00:00", 99, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v) for i, ts, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value")
+    src = str(tmp_path / "small")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ).parquet(src)
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = stream.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("err_ts"), F.col("value").alias("err_value"),
+    )
+    got = _drain(
+        stream_interval_join(
+            p, e, on=["user_id"], left_ts="purchase_ts", right_ts="err_ts",
+            lower="1 HOUR", upper="0 SECONDS",
+            watermark_delay="24 hours", join_type="left_outer",
+        ),
+        "sij_outer", spark, "append",
+    )
+    by_purchase = {r.purchase_id: r for r in got.collect()}
+    assert 1 in by_purchase and by_purchase[1].err_ts is None  # emitted outer
+    assert 2 in by_purchase and by_purchase[2].err_value == 5.0  # inner match
+    assert 4 not in by_purchase  # withheld: watermark has not passed its band
