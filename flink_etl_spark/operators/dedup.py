@@ -438,6 +438,7 @@ def minhash_near_dups(
     )
     if staged_path is not None:
         prof_src.write.mode("overwrite").parquet(staged_path)
+        _write_profile_meta(docs.sparkSession, staged_path, hash_fn, k, n_hashes)
         profile = docs.sparkSession.read.parquet(staged_path)
     else:
         # ONE row per doc (set + sigs) — tiny relative to the corpus, so
@@ -752,6 +753,80 @@ def embedding_near_dups_lsh(
     )
 
 
+#: staged-profile format version; 2 = token-combined xxhash64 term-ids
+#: (profiles staged by the shingle-STRING-hash v1 have a different
+#: shset type and must be rebuilt)
+_PROFILE_META_VERSION = 2
+
+
+def _profile_meta(spark, staged_path: str):
+    """Read `<staged_path>/_PROFILE_META.json` (None when absent —
+    legacy profiles staged before meta existed)."""
+    import json
+
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{staged_path}/_PROFILE_META.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(raw)
+
+
+def _write_profile_meta(spark, staged_path: str, hash_fn: str, k: int,
+                        n_hashes: int) -> None:
+    import json
+
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{staged_path}/_PROFILE_META.json")
+    out = fs.create(p, True)
+    try:
+        payload = json.dumps({
+            "version": _PROFILE_META_VERSION,
+            "hash_fn": hash_fn, "k": k, "n_hashes": n_hashes,
+        }).encode()
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def _check_profile_meta(spark, staged_path: str, hash_fn: str, k: int,
+                        n_hashes: int) -> None:
+    """Raise if the staged profile's meta disagrees with the caller's
+    parameters. The failure this prevents is SILENT: e.g. a `k`
+    mismatch keeps the schema identical while every band key differs,
+    so old-new pairs simply vanish. Absent meta (legacy profile) is
+    accepted — schema type checks still catch cross-`hash_fn` and
+    cross-version mixes loudly."""
+    meta = _profile_meta(spark, staged_path)
+    if meta is None:
+        return
+    want = {"version": _PROFILE_META_VERSION, "hash_fn": hash_fn,
+            "k": k, "n_hashes": n_hashes}
+    mismatched = {
+        key: (meta.get(key), val) for key, val in want.items()
+        if meta.get(key) != val
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{key}: staged={got!r} caller={exp!r}"
+            for key, (got, exp) in mismatched.items()
+        )
+        raise ValueError(
+            f"staged minhash profile at {staged_path} is incompatible "
+            f"with this call ({detail}); band keys from mismatched "
+            "profiles never match, silently losing pairs — rebuild the "
+            "profile or match the staged parameters"
+        )
+
+
 def minhash_stage_profile(
     docs: DataFrame,
     staged_path: str,
@@ -767,12 +842,19 @@ def minhash_stage_profile(
     is the daily-ingest pattern: the staged profile accretes one batch
     at a time and no document is ever re-tokenized.
 
-    `hash_fn` must stay CONSISTENT across every batch staged to the
-    same path (and with later incremental lookups) — band keys from
-    different hashes never match."""
+    `hash_fn` (and `k`/`n_hashes`) must stay CONSISTENT across every
+    batch staged to the same path and with later incremental lookups —
+    band keys from different hashes never match. That contract is
+    ENFORCED: the profile dir carries a `_PROFILE_META.json` sidecar
+    (underscore name — invisible to Spark's file listing) written on
+    first stage and validated on every append/lookup; a mismatch
+    raises instead of silently returning no pairs."""
+    spark = docs.sparkSession
+    _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
     minhash_profile(docs, n_hashes, id_col, text_col, k, hash_fn).filter(
         F.col("n_sh") > 0
     ).write.mode(mode).parquet(staged_path)
+    _write_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
 
 
 def minhash_near_dups_incremental(
@@ -806,14 +888,17 @@ def minhash_near_dups_incremental(
     logical plan and lives until evicted — sessions calling this daily
     should `spark.catalog.clearCache()` between batches, same contract
     as `minhash_near_dups`. `bands="auto"` / `max_bucket` as in
-    `minhash_near_dups`. `hash_fn` MUST match the one the staged
-    profile was built with (`minhash_stage_profile`) — band keys from
-    different hashes never match, silently losing old-new pairs."""
+    `minhash_near_dups`. `hash_fn`/`k`/`n_hashes` MUST match what the
+    staged profile was built with (`minhash_stage_profile`) — band
+    keys from different hashes never match, silently losing old-new
+    pairs — and that is ENFORCED against the profile's
+    `_PROFILE_META.json` sidecar (a mismatch raises)."""
     from flink_etl_spark.operators.knobs import minhash_auto_bands
 
     if bands == "auto":
         bands = minhash_auto_bands(threshold, n_hashes)
     spark = new_docs.sparkSession
+    _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
     old = spark.read.parquet(staged_path)
     new = (
         minhash_profile(new_docs, n_hashes, id_col, text_col, k, hash_fn)

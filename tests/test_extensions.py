@@ -543,3 +543,33 @@ def test_production_hash_default_is_xxhash64():
         assert (
             inspect.signature(fn).parameters["hash_fn"].default == "xxhash64"
         ), fn.__name__
+
+
+def test_staged_profile_meta_enforces_consistency(spark, tmp_path):
+    """The staged-profile sidecar (_PROFILE_META.json) must reject
+    appends/lookups whose hash_fn / k / n_hashes differ from what the
+    profile was built with — the mismatch is otherwise SILENT (same
+    schema, disjoint band keys, zero old-new pairs)."""
+    import pytest as _pytest
+
+    staged = str(tmp_path / "prof")
+    corpus = _docs(spark)
+    dedup.minhash_stage_profile(corpus, staged, mode="overwrite")
+
+    # k mismatch: identical schema, silently-wrong band keys -> raises
+    with _pytest.raises(ValueError, match="k: staged=3 caller=2"):
+        dedup.minhash_near_dups_incremental(corpus, staged, k=2)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        dedup.minhash_stage_profile(corpus, staged, hash_fn="charfold")
+
+    # matching params keep working, including through near_dups'
+    # staged_path writer (which stamps the same meta)
+    assert dedup.minhash_near_dups_incremental(corpus, staged).count() >= 0
+    staged2 = str(tmp_path / "prof2")
+    dedup.minhash_near_dups(corpus, threshold=0.5, staged_path=staged2)
+    assert dedup._profile_meta(spark, staged2)["hash_fn"] == "xxhash64"
+
+    # legacy profile without meta: accepted (schema checks still apply)
+    legacy = str(tmp_path / "legacy")
+    dedup.minhash_profile(corpus).filter(F.col("n_sh") > 0).write.parquet(legacy)
+    assert dedup.minhash_near_dups_incremental(corpus, legacy).count() >= 0
