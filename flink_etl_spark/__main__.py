@@ -74,6 +74,13 @@ def cmd_merge_day(args: argparse.Namespace) -> int:
         recover_snapshot,
     )
 
+    if args.buckets is not None and not args.tables:
+        # refuse rather than silently write an unbucketed path snapshot:
+        # the user asked for the shuffle-free daily merge and would not
+        # get it
+        raise SystemExit("--buckets requires --tables (bucket specs live "
+                         "in the metastore; path-mode parquet has none)")
+
     spark = _spark("flink-etl-spark-merge")
     keys = [k for k in args.keys.split(",") if k]
     order_by = [c for c in args.order_by.split(",") if c]

@@ -121,18 +121,22 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst does NOT reorder joins without CBO stats, so the written
     order IS the plan. The region/nation broadcasts reduce CUSTOMER
     before anything big moves (~1/5 of customers survive ASIA), the
-    reduced (custkey, n_name) side broadcasts into the date-filtered
-    ORDERS scan, and only then does lineitem join — against an orders
-    side already cut to ~6% carrying two columns. The naive written
-    order (c JOIN o JOIN li, dims last) shuffles every lineitem row
-    through the join before the ASIA filter can drop 80% of them —
-    measured 10x-replica shuffle identical, wall −30% for this form.
+    reduced (custkey, n_name) side joins the date-filtered ORDERS
+    scan, and only then does lineitem join — against an orders side
+    already cut to ~6% carrying two columns. The naive written order
+    (c JOIN o JOIN li, dims last) shuffles every lineitem row through
+    the join before the ASIA filter can drop 80% of them — measured
+    10x-replica shuffle identical, wall −30% for this form.
 
-    The surviving li JOIN oc strategy is left to AQE on purpose: at
-    bench SF it converts to broadcast at runtime; at 100 TB the
-    reduced orders side is itself huge and both sides shuffle on
-    l_orderkey/o_orderkey — linear in data, minimal width (the 10x
-    point in docs/SCALING.md crosses exactly this broadcast->shuffle
+    Only the genuinely-bounded dims (nation/region) carry explicit
+    broadcast hints. c_asia and oc are DATA-PROPORTIONAL
+    intermediates, so their strategy is left to the planner: at bench
+    SF the parquet size stats make both broadcast on their own
+    (plan-asserted — 4 BroadcastHashJoin, 0 SortMergeJoin); at 100 TB
+    they exceed any broadcast cap and degrade gracefully to shuffle
+    joins — linear in data, minimal width — instead of an
+    un-demotable broadcast hint OOMing the driver (the 10x point in
+    docs/SCALING.md crosses exactly this broadcast->shuffle
     transition, which is why its byte ratio jumps; past the
     transition growth is linear)."""
     c = _t(spark, sf_dir, "customer")
@@ -148,7 +152,7 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name")
     )
-    oc = o.join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey).select(
+    oc = o.join(c_asia, o.o_custkey == c_asia.c_custkey).select(
         "o_orderkey", "n_name"
     )
     return (

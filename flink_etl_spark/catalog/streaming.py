@@ -18,6 +18,19 @@ from flink_etl_spark.streaming.stateful import sessionize_stream
 _SINK_SEQ = itertools.count()
 
 
+def _await_drained(q, timeout_s: int = 300) -> None:
+    """awaitTermination with the timeout actually CHECKED: a drain that
+    outlives `timeout_s` would otherwise leave the query running and
+    the caller silently reading a PARTIAL memory sink — a wrong gated
+    result with no indication the timeout was the cause."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_s}s; stopped the query "
+            "instead of returning partial results"
+        )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of events.parquet with a normalized event-time
     column `ts` (TIMESTAMP, µs precision, session-UTC instants).
@@ -99,7 +112,7 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name)
 
 
@@ -137,7 +150,7 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_continuous_rollup(
         ev, f"{work}/rollup", f"{work}/chk", available_now=True
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.read.parquet(f"{work}/rollup")
 
 
@@ -180,7 +193,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return (
         spark.table(name)
         .groupBy("user_id", "event_type")

@@ -98,7 +98,11 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
       design: inner emission is micro-batch-invariant, whereas outer
       rows are watermark-gated (see the operator docstring) — the
       outer semantics are exercised in tests/test_stateful.py."""
-    from flink_etl_spark.catalog.streaming import _events_stream, _SINK_SEQ
+    from flink_etl_spark.catalog.streaming import (
+        _SINK_SEQ,
+        _await_drained,
+        _events_stream,
+    )
     from flink_etl_spark.session import apply_runtime_confs
     from flink_etl_spark.streaming.joins import stream_interval_join
 
@@ -146,7 +150,7 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     stream = spark.table(name).groupBy("purchase_id", "user_id").agg(
         F.count("err_ts").alias("n_errors"),
         F.round(F.coalesce(F.sum("err_value"), F.lit(0.0)), 6).alias("err_value_sum"),

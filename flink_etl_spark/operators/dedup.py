@@ -797,17 +797,39 @@ def _write_profile_meta(spark, staged_path: str, hash_fn: str, k: int,
         out.close()
 
 
+def _check_profile_shset_type(old: DataFrame, expected_dtype: str,
+                              staged_path: str) -> None:
+    """Schema guard for META-LESS (legacy) staged profiles: the shset
+    element type must match what the caller's parameters produce.
+    Without this, `unionByName` silently WIDENS array<bigint> against a
+    v1 array<string> profile (Spark promotes the element type instead
+    of erroring), the two sides' band keys never collide, and every
+    old-new pair vanishes. A same-typed legacy mismatch (e.g. a v1
+    string-hashed xxhash64 profile vs a charfold caller, both
+    array<string>) is undetectable without meta — re-stage legacy
+    profiles to get the full sidecar protection."""
+    got = dict(old.dtypes).get("shset")
+    if got != expected_dtype:
+        raise ValueError(
+            f"staged minhash profile at {staged_path} has shset type "
+            f"{got!r} but this call produces {expected_dtype!r} — the "
+            "profile was staged with a different hash_fn or by the "
+            "pre-meta shingle-string format; rebuild it "
+            "(minhash_stage_profile mode='overwrite')"
+        )
+
+
 def _check_profile_meta(spark, staged_path: str, hash_fn: str, k: int,
-                        n_hashes: int) -> None:
+                        n_hashes: int) -> bool:
     """Raise if the staged profile's meta disagrees with the caller's
     parameters. The failure this prevents is SILENT: e.g. a `k`
     mismatch keeps the schema identical while every band key differs,
-    so old-new pairs simply vanish. Absent meta (legacy profile) is
-    accepted — schema type checks still catch cross-`hash_fn` and
-    cross-version mixes loudly."""
+    so old-new pairs simply vanish. Absent meta (legacy profile)
+    returns False so callers can fall back to the schema-level check
+    (`_check_profile_shset_type`)."""
     meta = _profile_meta(spark, staged_path)
     if meta is None:
-        return
+        return False
     want = {"version": _PROFILE_META_VERSION, "hash_fn": hash_fn,
             "k": k, "n_hashes": n_hashes}
     mismatched = {
@@ -823,8 +845,10 @@ def _check_profile_meta(spark, staged_path: str, hash_fn: str, k: int,
             f"staged minhash profile at {staged_path} is incompatible "
             f"with this call ({detail}); band keys from mismatched "
             "profiles never match, silently losing pairs — rebuild the "
-            "profile or match the staged parameters"
+            "profile (minhash_stage_profile mode='overwrite') or match "
+            "the staged parameters"
         )
+    return True
 
 
 def minhash_stage_profile(
@@ -848,9 +872,12 @@ def minhash_stage_profile(
     ENFORCED: the profile dir carries a `_PROFILE_META.json` sidecar
     (underscore name — invisible to Spark's file listing) written on
     first stage and validated on every append/lookup; a mismatch
-    raises instead of silently returning no pairs."""
+    raises instead of silently returning no pairs. `mode="overwrite"`
+    skips the check (a full rebuild legitimately changes parameters)
+    and re-stamps the meta."""
     spark = docs.sparkSession
-    _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
+    if mode != "overwrite":
+        _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
     minhash_profile(docs, n_hashes, id_col, text_col, k, hash_fn).filter(
         F.col("n_sh") > 0
     ).write.mode(mode).parquet(staged_path)
@@ -898,13 +925,15 @@ def minhash_near_dups_incremental(
     if bands == "auto":
         bands = minhash_auto_bands(threshold, n_hashes)
     spark = new_docs.sparkSession
-    _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
+    has_meta = _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
     old = spark.read.parquet(staged_path)
     new = (
         minhash_profile(new_docs, n_hashes, id_col, text_col, k, hash_fn)
         .filter(F.col("n_sh") > 0)
         .persist()
     )
+    if not has_meta:
+        _check_profile_shset_type(old, dict(new.dtypes)["shset"], staged_path)
     profile = old.unionByName(new)
     cand = lsh_candidates(
         profile.drop("shset"), bands, n_hashes // bands, id_col,

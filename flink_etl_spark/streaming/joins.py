@@ -54,21 +54,35 @@ def stream_interval_join(
     whose band is not yet past the watermark is withheld, so a drained
     (availableNow) run emits outer rows only for lefts older than the
     final watermark. Oracle/gate arms therefore pin "inner"; the
-    outer semantics are exercised in tests."""
+    outer semantics are exercised in tests.
+
+    `left_ts` and `right_ts` may share a name (the join condition uses
+    DataFrame-qualified refs); the joined frame then carries both
+    columns under that name — rename one beforehand if downstream code
+    selects it by string."""
     if join_type not in ("inner", "left_outer"):
         raise ValueError(f"join_type must be inner or left_outer, got {join_type!r}")
-    lw = left.withWatermark(left_ts, watermark_delay)
-    rw = right.withWatermark(right_ts, watermark_delay)
+    # dataset ALIASES, not bracket refs: both sides commonly derive
+    # from the same source stream (filter fan-out of one events
+    # stream), where lw[col]/rw[col] hit Spark's ambiguous-self-join
+    # check because the attribute ids are shared; alias-qualified
+    # names are the documented disambiguation and also allow
+    # left_ts == right_ts (both sides carrying "ts"), matching the
+    # batch interval_join's contract
+    lw = left.withWatermark(left_ts, watermark_delay).alias("__sij_l")
+    rw = right.withWatermark(right_ts, watermark_delay).alias("__sij_r")
+    lt = F.col(f"__sij_l.{left_ts}")
+    rt = F.col(f"__sij_r.{right_ts}")
     cond: Column = (
-        (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+        (rt > lt - F.expr(f"INTERVAL {lower}"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper}"))
     )
     for k in on:
-        cond = cond & (lw[k] == rw[k])
+        cond = cond & (F.col(f"__sij_l.{k}") == F.col(f"__sij_r.{k}"))
     joined = lw.join(rw, cond, join_type)
     # drop the right side's copy of the equi-keys (they equal the
     # left's for inner rows and are NULL on outer rows — same
     # projection the batch interval_join produces)
     for k in on:
-        joined = joined.drop(rw[k])
+        joined = joined.drop(F.col(f"__sij_r.{k}"))
     return joined

@@ -134,3 +134,17 @@ def test_cli_parser_rejects_missing_required(capsys):
         build_parser().parse_args(["merge-day", "--snapshot", "x"])
     rc = main(["ingest", "--source", "file", "--payload-cols", "a"])
     assert rc == 2  # file source without --path is a usage error
+
+
+def test_cli_merge_day_buckets_requires_tables():
+    """--buckets without --tables must refuse instead of silently
+    writing an unbucketed path snapshot."""
+    import pytest as _pytest
+
+    from flink_etl_spark.__main__ import main
+
+    with _pytest.raises(SystemExit, match="--buckets requires --tables"):
+        main([
+            "merge-day", "--snapshot", "/tmp/x", "--delta", "/tmp/y",
+            "--day", "20240101", "--keys", "id", "--buckets", "32",
+        ])

@@ -573,3 +573,29 @@ def test_staged_profile_meta_enforces_consistency(spark, tmp_path):
     legacy = str(tmp_path / "legacy")
     dedup.minhash_profile(corpus).filter(F.col("n_sh") > 0).write.parquet(legacy)
     assert dedup.minhash_near_dups_incremental(corpus, legacy).count() >= 0
+
+
+def test_staged_profile_legacy_schema_mismatch_raises(spark, tmp_path):
+    """A META-LESS profile whose shset type disagrees with the caller's
+    hash_fn must raise: unionByName would silently WIDEN
+    array<bigint> vs array<string> and every old-new pair would
+    vanish. Overwrite-mode re-staging with new params is allowed and
+    re-stamps the meta."""
+    import pytest as _pytest
+
+    legacy = str(tmp_path / "legacy_cf")
+    corpus = _docs(spark)
+    # legacy charfold profile (array<string> shset), no meta sidecar
+    dedup.minhash_profile(corpus, hash_fn="charfold").filter(
+        F.col("n_sh") > 0
+    ).write.parquet(legacy)
+    with _pytest.raises(ValueError, match="shset type"):
+        dedup.minhash_near_dups_incremental(corpus, legacy)  # xxhash64 default
+
+    # overwrite-mode restaging with different params is legitimate
+    staged = str(tmp_path / "re")
+    dedup.minhash_stage_profile(corpus, staged, mode="overwrite")
+    dedup.minhash_stage_profile(
+        corpus, staged, mode="overwrite", hash_fn="charfold"
+    )
+    assert dedup._profile_meta(spark, staged)["hash_fn"] == "charfold"

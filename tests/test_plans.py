@@ -38,10 +38,16 @@ def test_star_join_broadcasts_dims_never_shuffles_fact(spark):
 
 
 def test_multiway_join_broadcasts_all_dims(spark):
-    """TPC-H Q5 shape: nation/region (and the filtered orders side via
-    AQE) broadcast; lineitem never sort-merge-joins a dimension."""
+    """TPC-H Q5 shape, most-selective-first order: at bench SF the
+    planner broadcasts every join side WITHOUT hints on the
+    data-proportional intermediates (only nation/region are hinted) —
+    4 BroadcastHashJoin, and lineitem never sort-merge-joins
+    anything. A hint on c_asia/oc would pin a broadcast that cannot
+    be demoted at 100 TB; this asserts the hint-free plan still
+    gets there on size stats alone."""
     plan = _executed(Q.queries()["join_multiway_region_revenue"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") == 0
 
 
 def test_window_topk_compiles_to_window_group_limit(spark):

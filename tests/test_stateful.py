@@ -560,3 +560,36 @@ def test_stream_interval_join_left_outer_watermark_gates_outer_rows(
     assert 1 in by_purchase and by_purchase[1].err_ts is None  # emitted outer
     assert 2 in by_purchase and by_purchase[2].err_value == 5.0  # inner match
     assert 4 not in by_purchase  # withheld: watermark has not passed its band
+
+
+def test_stream_interval_join_same_named_ts_columns(spark, tmp_path):
+    """Both sides carrying the event-time column under the SAME name
+    ('ts') must work — the band condition uses DataFrame-qualified
+    refs, matching the batch interval_join's contract."""
+    from flink_etl_spark.streaming.joins import stream_interval_join
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "purchase"),
+         (2, "2024-01-01 09:30:00", 7, "error")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    src = str(tmp_path / "same_ts")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).parquet(src)
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    e = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    got = _drain(
+        stream_interval_join(
+            p, e, on=["user_id"], left_ts="ts", right_ts="ts",
+            lower="1 HOUR", upper="0 SECONDS", watermark_delay="30 days",
+        ).select("purchase_id", "error_id"),
+        "sij_same_ts", spark, "append",
+    ).collect()
+    assert [(r.purchase_id, r.error_id) for r in got] == [(1, 2)]
