@@ -599,3 +599,70 @@ def test_staged_profile_legacy_schema_mismatch_raises(spark, tmp_path):
         corpus, staged, mode="overwrite", hash_fn="charfold"
     )
     assert dedup._profile_meta(spark, staged)["hash_fn"] == "charfold"
+
+
+def test_minhash_token_combine_matches_python_reference(spark):
+    """Randomized cross-check of the production profile's slice/zip_with
+    shingle-id combine: for ~200 seeded random docs (unicode tokens,
+    whitespace runs, lengths 0..9 tokens), the shingle-id SET and every
+    minhash min must equal a pure-Python recomputation from the same
+    per-token xxhash64 values (fetched once via Spark, since xxhash64
+    itself is JVM-defined)."""
+    import random
+
+    from flink_etl_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+
+    rng = random.Random(42)
+    words = ["the", "fox", "δοκιμή", "端到端", "a" * 30, "b", "cc", "naïve"]
+    docs = []
+    for i in range(200):
+        n = rng.randrange(0, 10)
+        sep = "  " if i % 7 == 0 else " "
+        docs.append((i, sep.join(rng.choice(words) for _ in range(n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # JVM truth for token hashes (one row per distinct token)
+    toks = sorted({t for _, s in docs for t in s.split() if t})
+    tok_df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    th = {
+        r.tok: r.h % MERSENNE_P
+        for r in tok_df.selectExpr("tok", "xxhash64(tok) AS h").collect()
+    }
+
+    def ref_profile(text, k=3, n_hashes=16):
+        import re
+
+        # replicate F.split(text, ' +') exactly: empty string -> ['']
+        # and leading/trailing runs produce empty-string tokens
+        tokens = re.split(" +", text)
+        hs = [th[t] for t in tokens]
+        ids = []
+        for i in range(len(tokens) - k + 1):
+            acc = hs[i]
+            for j in range(1, k):
+                acc = (acc * 131 + hs[i + j]) % MERSENNE_P
+            ids.append(acc)
+        shset = list(dict.fromkeys(ids))
+        mins = [
+            min(((x * a + b) % MERSENNE_P for x in shset), default=None)
+            for a, b in MINHASH_COEFFS[:n_hashes]
+        ]
+        return set(shset), mins
+
+    # '' (empty token) appears when text is empty or has leading runs;
+    # fetch its hash too
+    extra = spark.createDataFrame([("",)], ["tok"]).selectExpr(
+        "tok", "xxhash64(tok) AS h"
+    ).collect()
+    th[""] = extra[0].h % MERSENNE_P
+
+    got = {
+        r.doc_id: r for r in dedup.minhash_profile(df).collect()
+    }
+    for doc_id, text in docs:
+        want_set, want_mins = ref_profile(text)
+        r = got[doc_id]
+        assert set(r.shset) == want_set, f"doc {doc_id}: shset mismatch"
+        for i, wm in enumerate(want_mins):
+            gm = getattr(r, f"m{i}")
+            assert gm == wm, f"doc {doc_id}: m{i} {gm} != {wm}"
