@@ -58,10 +58,19 @@ def asof_join(
     Requirements: non-key column names must not overlap between sides
     (rename before calling); `tie_break` (a right-side column) makes the
     choice among right rows sharing (key, ts) deterministic.
+
+    NULL join keys never match (same as the equi-join and DuckDB ASOF
+    semantics this mirrors): right rows with a null key are excluded
+    before the union — without that, Window.partitionBy would group
+    all null-key rows of BOTH sides into one partition and fabricate
+    matches a join would never produce. Null-key left rows pass
+    through with null match columns.
     """
     overlap = (set(left.columns) & set(right.columns)) - set(on)
     if overlap:
         raise ValueError(f"rename overlapping non-key columns first: {sorted(overlap)}")
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
 
     # side marker: the right row at ts == left ts must sort BEFORE the
     # left row to be visible in its frame (<=), or AFTER to be hidden (<)
@@ -131,16 +140,10 @@ def interval_join(
     out_right_cols = [c for c in right.columns if c not in on]
     join_keys = list(on)
     if salt_buckets:
-        # deterministic row-hash salt (same recipe as salted_join); the
-        # replicated side is the RIGHT, so right/full joins would dup —
-        # this operator is left-only, which is exactly the safe case
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
-        )
-        left = left.withColumn("_salt", salt.cast("int"))
-        right = right.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-        )
+        # shared recipe with salted_join; the replicated side is the
+        # RIGHT, so right/full joins would dup — this operator is
+        # left-only, which is exactly the safe case
+        left, right = _salt_pair(left, right, salt_buckets)
         join_keys.append("_salt")
     # explicit aliases: both sides often derive from the same scan
     # (self-join on an events table) — name-based resolution via the
@@ -162,6 +165,35 @@ def interval_join(
     )
 
 
+def _salt_pair(
+    skewed: DataFrame, other: DataFrame, salt_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """The one salting recipe (shared by salted_join and
+    interval_join): `skewed` gains a `_salt` bucket, `other` is
+    replicated once per bucket.
+
+    The salt hashes the full row PLUS `monotonically_increasing_id()`:
+    a pure row-content hash sends byte-identical duplicate rows of a
+    hot key all to ONE bucket — precisely the duplicate-heavy workload
+    salting exists for. The id is an extra xxhash64 input (not an
+    addition — summing could overflow a BIGINT under ANSI mode). Join
+    RESULTS stay deterministic (every left row still meets its full
+    right key group exactly once); only the bucket ASSIGNMENT depends
+    on partition layout across runs, which results never expose."""
+    salt = F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in skewed.columns],
+            F.monotonically_increasing_id(),
+        ),
+        F.lit(salt_buckets),
+    )
+    s = skewed.withColumn("_salt", salt.cast("int"))
+    o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return s, o
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -170,10 +202,11 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where `skewed` has pathological key skew: spread each
-    hot key over `salt_buckets` partitions by hashing a row-unique
-    expression, replicate `other` once per bucket, and join on
-    (key, salt). Deterministic (hash-derived salt, no RNG) so results
-    are reproducible and oracle-checkable.
+    hot key over `salt_buckets` partitions (row-hash + per-row id, see
+    `_salt_pair` — duplicate rows of a hot key spread too), replicate
+    `other` once per bucket, and join on (key, salt). Join results are
+    reproducible and oracle-checkable; the salt assignment itself may
+    differ between runs, which the results never expose.
 
     Use when AQE skew-splitting is not enough (a single key larger than
     an executor); salting trades `salt_buckets`-way duplication of the
@@ -191,9 +224,5 @@ def salted_join(
             f"side would duplicate unmatched rows {salt_buckets}x under "
             f"right/full joins; use one of {sorted(supported)}"
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
-    s = skewed.withColumn("_salt", salt.cast("int"))
-    o = other.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    )
+    s, o = _salt_pair(skewed, other, salt_buckets)
     return s.join(o, [*on, "_salt"], how).drop("_salt")

@@ -78,6 +78,7 @@ def cdc_merge(
     drop_deletes: bool = False,
     delete_type_col: str = "type",
     evolve: bool = False,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Full-outer merge: delta wins per column, snapshot fills the rest.
 
@@ -96,6 +97,13 @@ def cdc_merge(
     source table mid-stream is null for pre-existing snapshot rows; a
     dropped column survives from the snapshot side). Default (False)
     keeps the intersection — the reference's fixed-schema behavior.
+
+    `null_safe_keys=True` matches null keys to each other (eqNullSafe).
+    The default replicates SQL equi-join semantics (a null key never
+    matches — what the reference's Hive SQL and the oracle do), but an
+    IDEMPOTENT upsert sink must use the null-safe form: replaying a
+    batch containing a null-keyed row would otherwise append a
+    duplicate instead of updating in place.
     """
     if columns is None:
         if evolve:
@@ -118,7 +126,10 @@ def cdc_merge(
     d = delta.alias("d")
     cond = None
     for k in keys:
-        clause = F.col(f"s.{k}") == F.col(f"d.{k}")
+        if null_safe_keys:
+            clause = F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}"))
+        else:
+            clause = F.col(f"s.{k}") == F.col(f"d.{k}")
         cond = clause if cond is None else (cond & clause)
     joined = s.join(d, cond, "full_outer")
     s_cols, d_cols = set(snapshot.columns), set(delta.columns)

@@ -10,14 +10,16 @@ This is the third point on the latency spectrum the engine covers:
 | foreachBatch merge (this) | per micro-batch | seconds-minutes | the snapshot itself |
 | in-operator compaction | stateful.cdc_compact_stream | per record group | per-key store |
 
-Scale design: each micro-batch costs one latest-per-key compaction of
-the BATCH (small) plus one full-outer merge against the snapshot —
-i.e. the snapshot is rewritten per batch. That is the right trade only
-when batches are a meaningful fraction of the snapshot or the snapshot
-is partition-prunable (merge only touched dt partitions, which dynamic
-partition overwrite gives for free when `partition_col` is set). For
-per-key point updates at scale, use cdc_compact_stream (update-mode
-state) or a table format with MERGE support.
+Scale design: each merge micro-batch costs one latest-per-key
+compaction of the BATCH (small) plus one recency-keeping merge against
+the snapshot — i.e. the snapshot is rewritten per batch. That is the
+right trade only when batches are a meaningful fraction of the
+snapshot; for per-key point updates at scale use cdc_compact_stream
+(update-mode state) or a table format with MERGE support. The ROLLUP
+sink is different: with `partition_col` set it partitions the rollup
+by day and each micro-batch rewrites ONLY the partitions its finalized
+buckets touch (dynamic partition overwrite) — a year of hourly buckets
+is never rewritten to add one hour.
 """
 
 from __future__ import annotations
@@ -43,16 +45,34 @@ def merge_batch_into_snapshot(
     keys: Sequence[str],
     order_by: Sequence[str] | None = None,
 ) -> None:
-    """One merge step: compact the batch to latest-per-key, full-outer
-    merge with the current snapshot (empty on first batch), swap.
-    Recovers a half-swapped snapshot first, so a foreachBatch replay
-    after a crash converges instead of resetting to the batch's keys."""
+    """One merge step: compact the batch to latest-per-key, fold into
+    the current snapshot (empty on first batch) keeping the most RECENT
+    row per key, swap. Recovers a half-swapped snapshot first, so a
+    foreachBatch replay after a crash converges instead of resetting to
+    the batch's keys.
+
+    Recency-keeping, NOT delta-wins: the union of snapshot and
+    compacted batch is re-compacted with the same `order_by` recency,
+    so an out-of-order LATE record arriving in a later micro-batch
+    (routine with multi-partition Kafka — cross-partition order is not
+    preserved) cannot overwrite a newer snapshot row. This matches
+    `cdc_compact_stream`'s semantics; the daily batch job's
+    delta-wins `cdc_merge` is correct only because a day's delta is
+    compacted across the WHOLE day before it meets the snapshot.
+    Replays converge for free (the replayed rows dedup against the
+    identical rows already merged), including null-keyed rows (the
+    window groups them, where a join's null-unsafe equality would
+    append duplicates)."""
     recover_snapshot(snapshot_path, spark)
     latest = dedup_latest(batch, keys, order_by=order_by)
     # Hadoop-FS check, not os.path.exists: snapshot_path may be hdfs:/s3a:
     if snapshot_exists(spark, snapshot_path):
         snapshot = spark.read.parquet(snapshot_path)
-        merged = cdc_merge(snapshot, latest, keys)
+        merged = dedup_latest(
+            snapshot.unionByName(latest, allowMissingColumns=True),
+            keys,
+            order_by=order_by,
+        )
     else:
         merged = latest
     overwrite_snapshot(merged, snapshot_path)
@@ -99,6 +119,7 @@ def start_continuous_rollup(
     value_col: str = "value",
     watermark_delay: str = "2 hours",
     available_now: bool = False,
+    partition_col: str | None = None,
 ) -> StreamingQuery:
     """Hypertable-style CONTINUOUS ROLLUP: a time-bucketed aggregate
     table maintained incrementally from the event stream (the public
@@ -114,6 +135,19 @@ def start_continuous_rollup(
     counts and the upsert would overwrite the final row). The price is
     freshness: the open tail buckets (within watermark_delay of the max
     event time) are not yet visible in the rollup.
+
+    `partition_col` (e.g. "dt") is the AT-SCALE layout: the rollup
+    gains a `to_date(bucket_start)` partition column and each
+    micro-batch rewrites ONLY the partitions its finalized buckets
+    touch — existing rows of touched partitions are re-read via a
+    broadcast semi-join on the partition key (partition-pruned scan),
+    deduped against the batch (replay convergence), and written back
+    with DYNAMIC partition overwrite; untouched partitions are never
+    read or rewritten. Default None keeps the flat full-swap layout
+    (small rollups, and the exact layout the oracle gate reads).
+    Crash-safety: a replay re-overwrites the same partitions with the
+    same rows, so the parquet state converges even after a crash
+    mid-write.
 
     Reading the rollup is a plain parquet scan — queries over
     pre-aggregated buckets never touch raw events."""
@@ -139,18 +173,48 @@ def start_continuous_rollup(
             "sum_value",
         )
     )
+    if partition_col is not None:
+        agg = agg.withColumn(partition_col, F.to_date("bucket_start"))
 
     def _upsert(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        recover_snapshot(rollup_path, spark)
+        if partition_col is None:
+            recover_snapshot(rollup_path, spark)
+            if snapshot_exists(spark, rollup_path):
+                current = spark.read.parquet(rollup_path)
+                # null-safe keys: a null dim value must UPDATE its row
+                # on replay, not append a duplicate (null-unsafe
+                # equality never matches it)
+                merged = cdc_merge(current, batch, keys, null_safe_keys=True)
+            else:
+                merged = batch
+            overwrite_snapshot(merged, rollup_path)
+            return
+        # partition-pruned upsert: merge only the touched partitions
         if snapshot_exists(spark, rollup_path):
-            current = spark.read.parquet(rollup_path)
-            merged = cdc_merge(current, batch, keys)
+            touched = batch.select(partition_col).distinct()
+            existing = (
+                spark.read.parquet(rollup_path)
+                .join(F.broadcast(touched), partition_col, "left_semi")
+            )
+            merged = existing.unionByName(
+                batch, allowMissingColumns=True
+            ).dropDuplicates(keys)
         else:
             merged = batch
-        overwrite_snapshot(merged, rollup_path)
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "dynamic")
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(rollup_path)
+            )
+        finally:
+            spark.conf.set(key, prev)
 
     writer = (
         agg.writeStream.foreachBatch(_upsert)

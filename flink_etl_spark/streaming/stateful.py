@@ -40,7 +40,9 @@ def stream_dedup(
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
 
 
-#: output schema of `sessionize_stream` (closed sessions)
+#: output schema of `sessionize_stream` (closed sessions) for the
+#: default bigint user_id — the operator derives the actual schema from
+#: the input's `user_col` type, so string/other key types work too
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"
@@ -136,7 +138,15 @@ def sessionize_stream(
                     closed.append((key[0], start, last, n, total))
                     start, last, n, total = t, t, 1, float(v)
                 else:
-                    last, n, total = t, n + 1, total + float(v)
+                    # monotone bounds: a late cross-batch event (t can
+                    # be <= last, or even < start — the per-batch sort
+                    # only orders WITHIN a batch) merges into the open
+                    # session without regressing it; last = t here
+                    # would move session_end backward past events
+                    # already counted and make the next gap check close
+                    # the session early
+                    start = min(start, t)
+                    last, n, total = max(last, t), n + 1, total + float(v)
         if start is not None:
             state.update((start, last, n, total))
             if use_timeout:
@@ -147,9 +157,17 @@ def sessionize_stream(
 
     if use_timeout:
         events = events.withWatermark(ts_col, timeout_watermark_delay)
+    # derive the output schema from the ACTUAL key column: a hardcoded
+    # "user_id bigint" would crash (or silently mislabel — columns map
+    # positionally) for renamed or non-bigint keys
+    user_ddl = events.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_ddl}, session_start timestamp, "
+        "session_end timestamp, n_events bigint, total_value double"
+    )
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
-        outputStructType=SESSION_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=(

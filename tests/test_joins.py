@@ -273,3 +273,58 @@ def test_salted_join_rejects_right_and_full(spark):
             salted_join(a, b, on=["k"], how=how)
     # supported paths still work
     assert salted_join(a, b, on=["k"], how="left").count() == 10
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL join keys must not match each other (equi-join / DuckDB
+    ASOF semantics): without the right-side null filter, the window
+    partition would group both sides' null-key rows and fabricate a
+    match."""
+    from datetime import datetime
+
+    from flink_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, datetime(2024, 1, 1, 12)),
+         (2, 7, datetime(2024, 1, 1, 12))],
+        "l_id long, user_id long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, datetime(2024, 1, 1, 11), 1.0),
+         (11, 7, datetime(2024, 1, 1, 11), 2.0)],
+        "r_id long, user_id long, rts timestamp, val double",
+    )
+    out = {r.l_id: r for r in asof_join(
+        left, right, on=["user_id"], left_ts="lts", right_ts="rts"
+    ).collect()}
+    assert out[1].r_id is None and out[1].val is None  # null key: no match
+    assert out[2].r_id == 11 and out[2].val == 2.0     # real key matches
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """A hot key whose rows are byte-identical (retried/duplicated
+    events) must still spread across salt buckets — a pure row-content
+    hash would send every duplicate to ONE bucket, recreating the
+    oversized task salting exists to fix."""
+    from flink_etl_spark.operators.joins import _salt_pair
+
+    dup = spark.createDataFrame([("hot", 1.0)] * 2000, "k string, v double")
+    other = spark.createDataFrame([("hot", 9.0)], "k string, w double")
+    s, _ = _salt_pair(dup, other, 8)
+    n_buckets = s.select("_salt").distinct().count()
+    assert n_buckets >= 4  # spread, not concentrated in one bucket
+
+
+def test_cdc_merge_null_safe_keys_replay_idempotent(spark):
+    """Replaying a delta containing a null-keyed row must UPDATE in
+    place under null_safe_keys=True; the default SQL equality appends
+    a duplicate (matching the oracle's join semantics)."""
+    from flink_etl_spark.operators.merge import cdc_merge
+
+    snap = spark.createDataFrame([(None, "a"), (1, "b")], "id long, v string")
+    delta = spark.createDataFrame([(None, "a2")], "id long, v string")
+    safe = cdc_merge(snap, delta, ["id"], null_safe_keys=True)
+    assert safe.count() == 2  # null row updated, not duplicated
+    assert {r.v for r in safe.collect()} == {"a2", "b"}
+    unsafe = cdc_merge(snap, delta, ["id"])
+    assert unsafe.count() == 3  # SQL semantics: null never matches

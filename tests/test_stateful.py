@@ -593,3 +593,178 @@ def test_stream_interval_join_same_named_ts_columns(spark, tmp_path):
         "sij_same_ts", spark, "append",
     ).collect()
     assert [(r.purchase_id, r.error_id) for r in got] == [(1, 2)]
+
+
+def test_sessionize_late_cross_batch_event_does_not_regress_session(
+    spark, tmp_path
+):
+    """A late event in a LATER micro-batch (cross-batch disorder —
+    per-batch sorting cannot fix it) must merge into the open session
+    without regressing its bounds. The old fold set last=t, moving
+    session_end backward past counted events, so the next event's gap
+    check closed the session early."""
+    import os
+    import time
+
+    schema = "user_id bigint, ts timestamp, value double"
+    src = tmp_path / "late"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+        df = df.select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                       "value")
+        df.coalesce(1).write.parquet(str(tmp_path / f"_stage_{name}"))
+        part = [p for p in os.listdir(tmp_path / f"_stage_{name}")
+                if p.endswith(".parquet")][0]
+        os.rename(tmp_path / f"_stage_{name}" / part, src / f"{name}.parquet")
+
+    # batch 1: 10:00, 10:20 (one open session, 30-min gap)
+    write_file("b1", [(1, "2024-01-01 10:00:00", 1.0),
+                      (1, "2024-01-01 10:20:00", 1.0)])
+    time.sleep(1.1)  # distinct mtimes pin file->batch order
+    # batch 2: LATE 10:05 (old fold regressed last to 10:05, so the
+    # next event's 35-min gap vs 10:05 closed the session early), then
+    # 10:40 (20 min after the true last 10:20 — same session), then
+    # 11:30 (50-min gap — closes it; the 11:30 tail stays open)
+    write_file("b2", [(1, "2024-01-01 10:05:00", 1.0),
+                      (1, "2024-01-01 10:40:00", 1.0),
+                      (1, "2024-01-01 11:30:00", 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = _drain(
+        sessionize_stream(stream, gap_minutes=30), "late_sess", spark, "append"
+    ).collect()
+    assert len(got) == 1
+    (s,) = got
+    assert s.n_events == 4
+    assert s.session_start.strftime("%H:%M") == "10:00"
+    assert s.session_end.strftime("%H:%M") == "10:40"
+
+
+def test_continuous_merge_keeps_newer_row_against_late_batch(spark, tmp_path):
+    """An out-of-order OLDER record arriving in a later micro-batch
+    must not overwrite the newer snapshot row (multi-partition Kafka
+    routinely delivers cross-partition disorder)."""
+    import os
+    import time
+
+    from flink_etl_spark.streaming.merge_sink import start_continuous_merge
+
+    schema = "id bigint, es bigint, ts bigint, city string"
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.parquet(str(tmp_path / f"_stage_{name}"))
+        part = [p for p in os.listdir(tmp_path / f"_stage_{name}")
+                if p.endswith(".parquet")][0]
+        os.rename(tmp_path / f"_stage_{name}" / part, src / f"{name}.parquet")
+
+    write_file("b1", [(3, 1_000_000, 1, "new")])
+    time.sleep(1.1)
+    write_file("b2", [(3, 500, 1, "stale"), (4, 600, 1, "other")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap = str(tmp_path / "snap")
+    q = start_continuous_merge(
+        stream, snap, keys=["id"], order_by=["es", "ts"],
+        checkpoint_location=str(tmp_path / "chk"), available_now=True,
+    )
+    assert q.awaitTermination(180)
+    got = {r.id: r.city for r in spark.read.parquet(snap).collect()}
+    assert got == {3: "new", 4: "other"}
+
+
+def test_rollup_partition_col_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """partition_col mode: day-partitioned rollup where a micro-batch
+    touching only day 2 leaves day 1's files byte-identical on disk,
+    and the final contents equal the flat (full-swap) mode."""
+    import os
+    import time
+
+    from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
+
+    schema = "ts timestamp, event_type string, value double"
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "ts string, event_type string, value double")
+        df = df.select(F.col("ts").cast("timestamp").alias("ts"),
+                       "event_type", "value")
+        df.coalesce(1).write.parquet(str(tmp_path / f"_stage_{name}"))
+        part = [p for p in os.listdir(tmp_path / f"_stage_{name}")
+                if p.endswith(".parquet")][0]
+        os.rename(tmp_path / f"_stage_{name}" / part, src / f"{name}.parquet")
+
+    # day-1 buckets finalize once the watermark (max ts - 1h) passes
+    # their end; the 23:00 row drives the watermark
+    write_file("b1", [("2024-01-01 10:10:00", "click", 1.0),
+                      ("2024-01-01 10:20:00", "click", 2.0),
+                      ("2024-01-01 23:00:00", "view", 1.0)])
+    time.sleep(1.1)
+    write_file("b2", [("2024-01-02 08:10:00", "click", 5.0),
+                      ("2024-01-02 23:00:00", "view", 1.0)])
+
+    def run(partition_col, out_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = str(tmp_path / out_name)
+        q = start_continuous_rollup(
+            stream, out, str(tmp_path / f"chk_{out_name}"),
+            watermark_delay="1 hour", available_now=True,
+            partition_col=partition_col,
+        )
+        assert q.awaitTermination(180)
+        return out
+
+    flat = run(None, "flat")
+    part = run("dt", "part")
+
+    cols = ["bucket_start", "event_type", "n_events", "sum_value"]
+    a = sorted(map(tuple, spark.read.parquet(flat).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(part).select(*cols).collect()))
+    assert a == b and len(a) >= 2
+
+    # day-1 files must predate the day-2 batch's write: capture mtimes
+    # and re-run a THIRD batch touching only day 2, then compare
+    day1 = os.path.join(part, "dt=2024-01-01")
+    before = {f: os.path.getmtime(os.path.join(day1, f))
+              for f in os.listdir(day1) if f.endswith(".parquet")}
+    # day-3 events: above the checkpointed watermark (day-2 23:00 - 1h)
+    time.sleep(1.1)
+    write_file("b3", [("2024-01-03 09:30:00", "click", 7.0),
+                      ("2024-01-03 23:00:00", "view", 1.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_continuous_rollup(
+        stream, part, str(tmp_path / "chk_part"),
+        watermark_delay="1 hour", available_now=True, partition_col="dt",
+    )
+    assert q.awaitTermination(180)
+    after = {f: os.path.getmtime(os.path.join(day1, f))
+             for f in os.listdir(day1) if f.endswith(".parquet")}
+    assert before == after, "untouched day-1 partition was rewritten"
+    # and the new day-3 bucket landed
+    got = spark.read.parquet(part).filter(
+        F.col("bucket_start") == "2024-01-03 09:00:00"
+    ).collect()
+    assert len(got) == 1 and got[0].sum_value == 7.0
