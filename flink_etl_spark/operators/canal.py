@@ -263,9 +263,13 @@ def dt_from_line(line: Column | str, sep: str = ",", fmt: str = "yyyyMMdd") -> C
     c = F.col(line) if isinstance(line, str) else line
     # F.split takes a REGEX but the CSV writers treat sep literally —
     # \Q...\E quoting keeps metachar separators ('|', '.') literal too.
-    # try_cast, not cast: ANSI mode throws on malformed input, but the
-    # reference catches the parse failure and routes to the sentinel
-    es = F.split(c, "\\Q" + sep + "\\E").getItem(1).try_cast("long")
+    # try_element_at + try_cast, not getItem + cast: ANSI mode (default
+    # in Spark 4) throws INVALID_ARRAY_INDEX on a line WITHOUT the
+    # separator and CAST_INVALID_INPUT on a non-numeric field, but the
+    # reference catches both parse failures and routes to the sentinel
+    es = F.try_element_at(
+        F.split(c, "\\Q" + sep + "\\E"), F.lit(2)
+    ).try_cast("long")
     return F.coalesce(
         F.date_format(F.timestamp_millis(es), fmt), F.lit(DT_FALLBACK)
     )
@@ -299,10 +303,13 @@ def dt_expr(es: Column | str, fmt: str = "yyyyMMdd") -> Column:
     (EventTimeBucketAssigner.java:21-29,37-43).
 
     The whole custom BucketAssigner collapses to this one expression.
+    try_cast, not cast: under default-on ANSI mode a malformed
+    string-typed es would otherwise throw CAST_INVALID_INPUT instead
+    of bucketing to the sentinel.
     """
     es_col = F.col(es) if isinstance(es, str) else es
     return F.coalesce(
-        F.date_format(F.timestamp_millis(es_col.cast("long")), fmt),
+        F.date_format(F.timestamp_millis(es_col.try_cast("long")), fmt),
         F.lit(DT_FALLBACK),
     )
 
@@ -325,9 +332,11 @@ def ingest_pipeline(
     `prefilter=True` short-circuits DDL records on the raw string
     (`prefilter_ddl`) before the full envelope parse; the post-parse
     `filter_ddl` stays in the plan as the semantic anchor (it is nearly
-    free once only DML rows remain). Disable when the stream is known
-    to be DDL-free and the extra `get_json_object` per kept row costs
-    more than it saves."""
+    free once only DML rows remain). The pre-filter is two substring
+    `contains` scans per record (a `get_json_object` variant was
+    measured ~15% SLOWER and rejected — see `prefilter_ddl`); disable
+    only for streams known DDL-free, where even the byte scans are
+    pure overhead."""
     if prefilter:
         raw = prefilter_ddl(raw)
     return with_dt(flatten(explode_rows(filter_ddl(parse_canal(raw))), payload_cols))

@@ -11,6 +11,18 @@ pass: rewrite yesterday's closed partition into a bounded file count.
 Built on the same stage-then-swap (Hadoop FileSystem API) as the CDC
 snapshot overwrite, so a crash mid-swap is recoverable and the path
 scheme (file:/hdfs:/s3a:) is transparent.
+
+WHAT COMPACTION MAY TARGET: batch-published partitioned layouts —
+`run_ingest_batch` output, daily-merge snapshots, rollups. It must
+NOT target the LIVE streaming sink root: the file sink's
+`_spark_metadata` commit log pins the exact file set, so swapping in
+compacted files makes every root read throw FileNotFoundException
+(and rewriting the log in place would race the running query). Both
+compactors refuse such roots; compact the table the merge PUBLISHES,
+downstream of the streaming sink. (`sources/compact.compact_partitions`
+is the multi-partition dynamic-overwrite variant of the same op —
+this module's per-partition staged swap is the crash-recoverable
+default.)
 """
 
 from __future__ import annotations
@@ -18,6 +30,22 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from flink_etl_spark.operators.merge import _hadoop_fs, overwrite_snapshot
+
+
+def refuse_streaming_sink_log(spark: SparkSession, table_path: str) -> None:
+    """Raise when `table_path` is a Structured Streaming file-sink root
+    (has a `_spark_metadata` commit log). The log enumerates the exact
+    committed files; rewriting data files behind it breaks every
+    subsequent read of the root (verified: FileNotFoundException via
+    MetadataLogFileIndex). Shared guard for both compactors."""
+    fs, hpath = _hadoop_fs(spark, f"{table_path.rstrip('/')}/_spark_metadata")
+    if fs.exists(hpath):
+        raise ValueError(
+            f"{table_path} is a live streaming file-sink root "
+            "(_spark_metadata commit log present): compacting it would "
+            "break every read through the sink's log. Compact the "
+            "table your merge job PUBLISHES from this sink instead."
+        )
 
 
 def partition_file_count(spark: SparkSession, path: str) -> int:
@@ -50,12 +78,17 @@ def compact_partition(
     readers see the old file set until the swap and a crash mid-swap is
     recoverable (`recover_snapshot`).
 
-    Run on partitions the stream has finished writing (yesterday's dt):
-    compacting a partition mid-append would race the sink's commits.
+    Refuses a streaming file-sink root (see module doc / the shared
+    guard) and no-ops on a missing or file-less partition (a nightly
+    sweep over many tables must not fail because one table had no
+    events yesterday).
 
     Returns (files_before, files_after)."""
+    refuse_streaming_sink_log(spark, table_path)
     part = f"{table_path.rstrip('/')}/{dt_col}={value}"
     before = partition_file_count(spark, part)
+    if before == 0:
+        return (0, 0)
     df = spark.read.format(fmt).load(part)
     # repartition, not coalesce: coalesce(1) would collapse the READ
     # parallelism of the rewrite too; repartition keeps the scan wide

@@ -29,7 +29,16 @@ def compact_partitions(
     """Rewrite the given dt partitions (all when None) so each holds at
     most `target_files_per_dt` files. Contents and partition layout are
     unchanged — only file boundaries move (same contract as the
-    reference's rolling policy, SURVEY.md §2.9 T4)."""
+    reference's rolling policy, SURVEY.md §2.9 T4).
+
+    Refuses a streaming file-sink root — see
+    `operators/maintenance.refuse_streaming_sink_log` (the commit log
+    pins exact files) — and note `operators/maintenance.
+    compact_partition` is the per-partition STAGED-SWAP variant of this
+    op (crash-recoverable; prefer it for single closed partitions)."""
+    from flink_etl_spark.operators.maintenance import refuse_streaming_sink_log
+
+    refuse_streaming_sink_log(spark, path)
     df = spark.read.option("basePath", path).format(fmt).load(path)
     if dt_values is not None:
         df = df.filter(F.col(dt_col).isin(dt_values))

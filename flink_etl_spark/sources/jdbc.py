@@ -48,8 +48,14 @@ def read_snapshot(spark: SparkSession, cfg: JdbcConfig,
             # positional, not bounds["lo"]: identifier case folding is
             # dialect-specific (Derby/Oracle uppercase unquoted aliases,
             # MySQL preserves them) — found by the first live-database
-            # run of this path (tests/test_jdbc.py, embedded Derby)
-            lower_bound, upper_bound = bounds[0], bounds[1]
+            # run of this path (tests/test_jdbc.py, embedded Derby).
+            # Fill ONLY the missing bound(s): a caller pinning one side
+            # (e.g. upper_bound at a snapshot cutoff) must not have it
+            # silently replaced by the live table's max
+            if lower_bound is None:
+                lower_bound = bounds[0]
+            if upper_bound is None:
+                upper_bound = bounds[1]
             if lower_bound is None or upper_bound is None:
                 # empty source table: bounds are NULL and Spark's JDBC
                 # options would receive the string "None" — fall back to

@@ -87,12 +87,25 @@ def run_ingest_batch(
     raw: DataFrame, payload_cols: Sequence[str], sink: SinkConfig
 ) -> None:
     """Same pipeline, batch execution (backfill / tests): identical
-    transform chain, identical partitioned layout."""
+    transform chain, identical partitioned layout.
+
+    Dynamic partition overwrite is PINNED for the write, not inherited:
+    under Spark's static default a one-day backfill would silently
+    DELETE every other partition at sink.path (same hardening as
+    sources/compact.py — the guarantee must not rest on an ambient
+    session conf, e.g. a session not built by get_spark)."""
     out = ingest_pipeline(raw, payload_cols)
-    (
-        out.write.mode("overwrite")
-        .format(sink.format)
-        .option("maxRecordsPerFile", str(sink.max_records_per_file))
-        .partitionBy(*sink.partition_by)
-        .save(sink.path)
-    )
+    spark = raw.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            out.write.mode("overwrite")
+            .format(sink.format)
+            .option("maxRecordsPerFile", str(sink.max_records_per_file))
+            .partitionBy(*sink.partition_by)
+            .save(sink.path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)

@@ -371,3 +371,22 @@ def test_flatten_csv_null_fields_keep_positions(spark):
     assert line.split(",")[1] == "null"
     dyn = canal.flatten_csv_dynamic(flat).first().line
     assert dyn == "7,null,6,UPDATE,null,x"
+
+
+def test_dt_parsers_survive_malformed_input_under_ansi(spark):
+    """ANSI mode (default in Spark 4) makes getItem/cast THROW on
+    malformed input; both dt derivations must instead emit the
+    reference's 00000000 sentinel (EventTimeBucketAssigner catches the
+    parse failure)."""
+    from flink_etl_spark.operators.canal import dt_expr, dt_from_line
+
+    lines = spark.createDataFrame(
+        [("no-separator-here",), ("1,notanumber,x",), ("2,1584950400000,y",)],
+        ["line"],
+    )
+    got = [r[0] for r in lines.select(dt_from_line("line")).collect()]
+    assert got == ["00000000", "00000000", "20200323"]
+
+    vals = spark.createDataFrame([("abc",), ("1584950400000",)], ["es"])
+    got2 = [r[0] for r in vals.select(dt_expr("es")).collect()]
+    assert got2 == ["00000000", "20200323"]

@@ -127,3 +127,23 @@ def test_bootstrap_to_parquet_roundtrip(spark, derby, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert {r.ID for r in back.select("ID").collect()} == set(range(1000))
+
+
+def test_partial_explicit_bound_is_honored(spark, derby):
+    """Passing ONLY upper_bound must keep it (probe fills just the
+    missing lower) — the old code overwrote both from the probe. With
+    upper=100 over ids 0..999, the split ranges cover 0..100 and the
+    unbounded last partition takes ~900 rows; if the caller's bound
+    had been replaced by the live max (999), partitions would be
+    near-even."""
+    import pyspark.sql.functions as F
+
+    cfg = JdbcConfig(url=derby, table="code_city",
+                     partition_column="id", num_partitions=3)
+    df = read_snapshot(spark, cfg, upper_bound=100)
+    assert df.count() == 1000  # bounds steer the split, never filter
+    per_part = (
+        df.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p").count().agg(F.max("count")).first()[0]
+    )
+    assert per_part >= 800

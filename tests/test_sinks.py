@@ -268,3 +268,72 @@ def test_compact_partition_bounds_files_preserves_data(spark, tmp_path):
     back = spark.read.parquet(table)
     assert back.filter("dt = 20240101").count() == 5000
     assert back.count() == 10_000
+
+
+def test_compaction_refuses_streaming_sink_root(spark, tmp_path):
+    """A _spark_metadata commit log pins the sink's exact file set;
+    compacting behind it breaks every root read — both compactors must
+    refuse instead."""
+    import pytest as _pytest
+
+    from flink_etl_spark.operators.maintenance import compact_partition
+    from flink_etl_spark.sources.compact import compact_partitions
+
+    root = tmp_path / "sinkroot"
+    (root / "_spark_metadata").mkdir(parents=True)
+    (root / "dt=20200323").mkdir()
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "dt=20200323")
+    )
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        compact_partition(spark, str(root), "20200323")
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        compact_partitions(spark, str(root))
+
+
+def test_compact_partition_missing_partition_is_noop(spark, tmp_path):
+    """A nightly sweep over many tables must not fail because one table
+    had no events yesterday: missing partition -> (0, 0), no read."""
+    from flink_etl_spark.operators.maintenance import compact_partition
+
+    table = tmp_path / "t"
+    table.mkdir()
+    assert compact_partition(spark, str(table), "20990101") == (0, 0)
+
+
+def test_run_ingest_batch_pins_dynamic_overwrite(spark, tmp_path):
+    """A one-day batch backfill under the Spark-default STATIC
+    partitionOverwriteMode must not delete the other dt partitions at
+    the sink path (the conf is pinned around the write), and the
+    caller's conf must be restored."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.streaming.ingest import SinkConfig, run_ingest_batch
+
+    path = str(tmp_path / "out")
+    # pre-existing partition from an earlier day
+    spark.createDataFrame([(1,)], "id long").withColumn(
+        "dt", F.lit("20200101")
+    ).write.partitionBy("dt").parquet(path)
+
+    rec = json.dumps({
+        "isDdl": "false", "id": 10, "es": 1584950400000, "ts": 1,
+        "type": "INSERT",
+        "data": [{"city": "beijing", "province": "bj"}],
+    })
+    raw = spark.createDataFrame([(rec,)], "value string")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        run_ingest_batch(
+            raw, ["city", "province"],
+            SinkConfig(path=path, checkpoint_location=str(tmp_path / "chk")),
+        )
+        assert spark.conf.get(key) == "static"  # restored
+    finally:
+        spark.conf.set(key, prev)
+    dts = {r.dt for r in spark.read.parquet(path).select("dt").distinct().collect()}
+    assert "20200101" in dts and "20200323" in dts
