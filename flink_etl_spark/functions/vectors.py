@@ -35,8 +35,22 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity in double precision; caller rounds at the edge."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity in double precision; caller rounds at the edge.
+    NULL (not NaN) when either vector has zero norm — see `safe_cosine`."""
+    return safe_cosine(dot(a, b), norm(a), norm(b))
+
+
+def safe_cosine(dot_col: Column, na: Column, nb: Column) -> Column:
+    """dot/(na*nb) with a zero-norm guard: the result is NULL, never
+    NaN, when either norm is zero. The guard is load-bearing for every
+    consumer: Spark orders NaN ABOVE all doubles, so an unguarded
+    zero-norm vector (in-domain — `l2_normalize` passes them through)
+    would rank FIRST in every cosine top-k and satisfy every
+    `cos_sim >= threshold` near-dup filter (NaN >= x is true). NULL
+    does the right thing in both: desc ordering puts nulls last, and
+    NULL >= threshold filters false."""
+    denom = na * nb
+    return F.when(denom != F.lit(0.0), dot_col / denom)
 
 
 def l2_normalize(a: Column | str) -> Column:

@@ -402,9 +402,11 @@ def minhash_near_dups(
       expressions (no groupBy)
     * set sizes ride through the band self-join (carry_cols), so the
       Jaccard denominator needs no re-aggregation
-    * verification joins the (small, broadcastable) candidate set back
-      to the profile and computes shared = size(array_intersect) — no
-      posting explode, no pair-count shuffle
+    * verification joins the candidate set back to the profile and
+      computes shared = size(array_intersect) — no posting explode, no
+      pair-count shuffle; AQE broadcasts the candidates at runtime
+      when they are small (no forced hint: candidate volume is
+      corpus-dependent and a pinned broadcast cannot be demoted)
 
     Net plan: 4 corpus scans (the two self-join sides of banding and
     verification, all projection-only) and ONE real shuffle (the band
@@ -433,6 +435,14 @@ def minhash_near_dups(
 
     if bands == "auto":
         bands = minhash_auto_bands(threshold, n_hashes)
+    if not (1 <= bands <= n_hashes) or n_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} (1 <= bands "
+            "<= n_hashes): bands > n_hashes makes every band key the "
+            "empty string (ALL docs share every bucket -> quadratic "
+            "self-join), and a non-divisor silently drops trailing "
+            "hashes from the S-curve"
+        )
     prof_src = minhash_profile(docs, n_hashes, id_col, text_col, k, hash_fn).filter(
         F.col("n_sh") > 0
     )
@@ -455,8 +465,15 @@ def minhash_near_dups(
     )
     sh_a = profile.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("_sa"))
     sh_b = profile.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("_sb"))
+    # NO broadcast hint on the candidate set: its size is corpus-
+    # dependent and unbounded without max_bucket (a duplicate-heavy
+    # corpus makes it quadratic in bucket occupancy), and a forced
+    # broadcast cannot be demoted — the exact driver-OOM shape the
+    # incremental variant also avoids. AQE broadcasts it at runtime
+    # when it is actually small (measured FASTER than the hint at
+    # sf0.1, identical pairs).
     return (
-        F.broadcast(cand)
+        cand
         .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
@@ -559,7 +576,7 @@ def embedding_near_dups(
     `embedding_near_dups_lsh` as the scale path; `force=True`
     downgrades the raise to a RuntimeWarning, `max_rows=None` disables
     the check entirely (both deliberate, auditable opt-ins)."""
-    from flink_etl_spark.functions.vectors import dot, norm
+    from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
 
     if max_rows is not None:
         n = embs.count()
@@ -589,7 +606,7 @@ def embedding_near_dups(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cos_sim", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cos_sim", F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6)
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -699,7 +716,7 @@ def embedding_near_dups_lsh(
     (`knobs.signlsh_auto_planes`, ~32 vectors per bucket) — the knob
     whose fixed default measurably collapses off-scale (4 planes at
     10k vectors -> 139s posting-list blowup, docs/SCALING.md)."""
-    from flink_etl_spark.functions.vectors import dot, norm
+    from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
     from flink_etl_spark.operators.knobs import resolve_knob, signlsh_auto_planes
     from flink_etl_spark.operators.similarity import (
         hyperplanes,
@@ -746,7 +763,7 @@ def embedding_near_dups_lsh(
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "cos_sim", F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cos_sim", F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6)
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -874,13 +891,24 @@ def minhash_stage_profile(
     first stage and validated on every append/lookup; a mismatch
     raises instead of silently returning no pairs. `mode="overwrite"`
     skips the check (a full rebuild legitimately changes parameters)
-    and re-stamps the meta."""
+    and re-stamps the meta. Appending to a META-LESS (legacy) profile
+    falls back to the shset-type schema check, so an append can never
+    mix parquet schemas in one directory and then stamp it v2."""
+    from flink_etl_spark.operators.merge import snapshot_exists
+
     spark = docs.sparkSession
-    if mode != "overwrite":
-        _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
-    minhash_profile(docs, n_hashes, id_col, text_col, k, hash_fn).filter(
+    prof = minhash_profile(docs, n_hashes, id_col, text_col, k, hash_fn).filter(
         F.col("n_sh") > 0
-    ).write.mode(mode).parquet(staged_path)
+    )
+    if mode != "overwrite":
+        has_meta = _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
+        if not has_meta and snapshot_exists(spark, staged_path):
+            _check_profile_shset_type(
+                spark.read.parquet(staged_path),
+                dict(prof.dtypes)["shset"],
+                staged_path,
+            )
+    prof.write.mode(mode).parquet(staged_path)
     _write_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
 
 
@@ -924,6 +952,14 @@ def minhash_near_dups_incremental(
 
     if bands == "auto":
         bands = minhash_auto_bands(threshold, n_hashes)
+    if not (1 <= bands <= n_hashes) or n_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} (1 <= bands "
+            "<= n_hashes): bands > n_hashes makes every band key the "
+            "empty string (ALL docs share every bucket -> quadratic "
+            "self-join), and a non-divisor silently drops trailing "
+            "hashes from the S-curve"
+        )
     spark = new_docs.sparkSession
     has_meta = _check_profile_meta(spark, staged_path, hash_fn, k, n_hashes)
     old = spark.read.parquet(staged_path)

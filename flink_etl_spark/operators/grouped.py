@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: output schema of `per_group_linear_fit`
+#: output schema of `per_group_linear_fit` for the default bigint
+#: user_id — the operator derives the actual schema from the input's
+#: `group_col` name and type
 FIT_SCHEMA = (
     "user_id bigint, n bigint, slope double, intercept double"
 )
@@ -62,14 +64,19 @@ def per_group_linear_fit(
             intercept = round(my - raw_slope * mx, 6)
         return pd.DataFrame(
             {
-                "user_id": [pdf[group_col].iloc[0]],
+                group_col: [pdf[group_col].iloc[0]],
                 "n": [len(pdf)],
                 "slope": [slope],
                 "intercept": [intercept],
             }
         )
 
-    return events.groupBy(group_col).applyInPandas(fit, FIT_SCHEMA)
+    # derive the schema from the ACTUAL group column: a hardcoded
+    # "user_id bigint" would mislabel renamed keys (columns map
+    # positionally) and fail outright for non-bigint key types
+    group_ddl = events.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {group_ddl}, n bigint, slope double, intercept double"
+    return events.groupBy(group_col).applyInPandas(fit, schema)
 
 
 def cogroup_asof(
@@ -99,9 +106,23 @@ def cogroup_asof(
     raises with the key and the sizes, telling the caller to route the
     workload to the window-based `asof_join`, which handles hot keys
     at whatever size the shuffle can (it never materializes a key's
-    rows in one process)."""
+    rows in one process).
+
+    Same name constraint as `asof_join`: non-key right columns
+    (INCLUDING `right_ts`) must not collide with left columns — a
+    shared 'ts' would both duplicate the declared output field and
+    make pandas' merge_asof collapse the two key columns into one,
+    desyncing the frame from the schema. Null timestamps follow
+    `asof_join`'s semantics explicitly (pd.merge_asof would otherwise
+    crash the job on NaT keys): null-ts right rows can never be a
+    match and are dropped; null-ts left rows pass through unmatched."""
     import pandas as pd
 
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            f"rename overlapping non-key columns first: {sorted(overlap)}"
+        )
     l_fields = [(c, left.schema[c].dataType.simpleString()) for c in left.columns]
     r_fields = [
         (c, right.schema[c].dataType.simpleString())
@@ -127,17 +148,32 @@ def cogroup_asof(
             )
         if lpdf.empty:
             return pd.DataFrame(columns=[*lpdf.columns, *r_cols])
-        lpdf = lpdf.sort_values(left_ts)
-        if rpdf.empty:
-            out = lpdf.copy()
+        # null-ts handling mirrors joins.asof_join: a null-ts right row
+        # is never a match (drop); a null-ts left row passes through
+        # unmatched. pd.merge_asof raises ValueError on NaT keys.
+        l_null = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()].sort_values(left_ts)
+        rpdf = rpdf[rpdf[right_ts].notna()]
+
+        def _unmatched(frame):
+            out = frame.copy()
             for c in r_cols:
                 out[c] = None
             return out
-        rpdf = rpdf.drop(columns=[on]).sort_values(right_ts)
-        return pd.merge_asof(
-            lpdf, rpdf, left_on=left_ts, right_on=right_ts,
-            direction="backward", allow_exact_matches=True,
-        )
+
+        if lpdf.empty:
+            return _unmatched(l_null)
+        if rpdf.empty:
+            out = _unmatched(lpdf)
+        else:
+            rpdf = rpdf.drop(columns=[on]).sort_values(right_ts)
+            out = pd.merge_asof(
+                lpdf, rpdf, left_on=left_ts, right_on=right_ts,
+                direction="backward", allow_exact_matches=True,
+            )
+        if len(l_null):
+            out = pd.concat([out, _unmatched(l_null)], ignore_index=True)
+        return out
 
     return (
         left.groupby(on)

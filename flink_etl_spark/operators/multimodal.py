@@ -117,7 +117,10 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
                     "real media decode requires image/audio codecs absent "
                     "from this container; use fake=True for plumbing tests"
                 )
-            payloads = pdf["payload"]
+            # NULL payloads are in-domain (make_media_table encodes a
+            # null text to a null payload): treat as empty — len(None)
+            # would TypeError the executor
+            payloads = pdf["payload"].map(lambda p: b"" if p is None else bytes(p))
             n_bytes = payloads.map(len)
             out = pd.DataFrame(
                 {
@@ -127,7 +130,7 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
                     # deterministic fake geometry from payload size
                     "width": (n_bytes % 640) + 1,
                     "height": (n_bytes % 480) + 1,
-                    "features": [fake_features(bytes(p)) for p in payloads],
+                    "features": [fake_features(p) for p in payloads],
                 }
             )
             yield out

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from flink_etl_spark.functions.vectors import cosine, dot, norm
+from flink_etl_spark.functions.vectors import cosine, dot, norm, safe_cosine
 
 
 def cosine_topk(
@@ -73,7 +73,7 @@ def cosine_topk(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+            "cos_sim", F.round(safe_cosine(dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -97,7 +97,20 @@ def hyperplanes(embs: DataFrame, n_planes: int = 4,
     r1 version's empty-partition window moved the whole corpus to one
     task). The dense 0..n-1 re-index is window-free: pack the n
     (id, vec) structs into one sorted array and posexplode, so the only
-    "single partition" in the plan holds exactly n rows."""
+    "single partition" in the plan holds exactly n rows.
+
+    Cap: n_planes <= 31. Bucket bits are built with a 32-bit
+    `shiftleft(1, plane_id)` (Java int shifts wrap mod 32), so plane
+    32 would alias plane 0 and plane 31's sign bit would disagree with
+    the multiprobe XOR's 64-bit shift — silently wrong buckets. 2^31
+    buckets is already far past any useful plane count (auto-sizing
+    clamps to 24)."""
+    if n_planes > 31:
+        raise ValueError(
+            f"n_planes={n_planes} > 31: 32-bit shiftleft bucket bits "
+            "would alias planes (and 2^31 buckets is already absurd); "
+            "use IVF for finer partitioning"
+        )
     packed = (
         embs.select(F.col(id_col), F.col(vec_col))
         .orderBy(id_col)
@@ -277,7 +290,7 @@ def ivf_topk(
             & (F.col("cell_id") == F.col("q_cell_id")),
         )
         .withColumn(
-            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+            "cos_sim", F.round(safe_cosine(dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
         )
         # a neighbor can appear via several probed cells -> dedup pairs
         .select("query_id", "neighbor_id", "cos_sim")
@@ -343,7 +356,7 @@ def signlsh_topk(
         c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id"))
                & (F.col("bucket") == F.col("q_bucket")))
         .withColumn(
-            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+            "cos_sim", F.round(safe_cosine(dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -448,7 +461,7 @@ def signlsh_topk_multiprobe(
             & (F.col("bucket") == F.col("q_bucket")),
         )
         .withColumn(
-            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+            "cos_sim", F.round(safe_cosine(dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
         )
         # same pair may arrive via several probes -> dedup before rank
         .select("query_id", "neighbor_id", "cos_sim")
@@ -532,7 +545,7 @@ def ivf_search_index(
             & (F.col("cell_id") == F.col("q_cell_id")),
         )
         .withColumn(
-            "cos_sim", F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+            "cos_sim", F.round(safe_cosine(dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
         )
         .select("query_id", "neighbor_id", "cos_sim")
         .distinct()

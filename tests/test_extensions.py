@@ -666,3 +666,119 @@ def test_minhash_token_combine_matches_python_reference(spark):
         for i, wm in enumerate(want_mins):
             gm = getattr(r, f"m{i}")
             assert gm == wm, f"doc {doc_id}: m{i} {gm} != {wm}"
+
+
+def test_zero_norm_vectors_never_rank_or_pair(spark):
+    """Spark orders NaN above every double, so an unguarded zero-norm
+    embedding would rank FIRST in every top-k and pass every
+    >= threshold near-dup filter. The guard nulls the cosine instead:
+    zero vectors never appear as neighbors or near-dup pairs."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),   # zero-norm
+        (3, [0.95, 0.05, 0.0]),
+    ]
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(embs, embs.filter(F.col("vec_id") == 0), k=2)
+    neighbors = [r.neighbor_id for r in out.orderBy("rnk").collect()]
+    assert neighbors == [3, 1]  # zero vector displaced nothing
+    # zero QUERY vector: all-null scores, never >= anything
+    qout = similarity.cosine_topk(embs, embs.filter(F.col("vec_id") == 2), k=3)
+    assert all(r.cos_sim is None for r in qout.collect())
+
+    pairs = dedup.embedding_near_dups(embs, threshold=0.9)
+    ids = {i for r in pairs.collect() for i in (r.id_a, r.id_b)}
+    assert 2 not in ids and len(ids) > 0
+
+
+def test_minhash_bands_must_divide_n_hashes(spark):
+    """bands > n_hashes would make every band key the empty string (all
+    docs share every bucket -> quadratic); a non-divisor silently drops
+    trailing hashes. Both now raise."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    with _pytest.raises(ValueError, match="divide n_hashes"):
+        dedup.minhash_near_dups(docs, threshold=0.8, bands=32)
+    with _pytest.raises(ValueError, match="divide n_hashes"):
+        dedup.minhash_near_dups(docs, threshold=0.8, bands=5)
+
+
+def test_signlsh_rejects_aliasing_plane_counts(spark):
+    import pytest as _pytest
+
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="n_planes"):
+        similarity.hyperplanes(embs, n_planes=33)
+
+
+def test_stage_append_to_legacy_mismatched_profile_raises(spark, tmp_path):
+    """Appending an xxhash64 profile into a META-LESS charfold directory
+    must fail the schema fallback — not mix parquet schemas and stamp
+    the directory v2."""
+    import pytest as _pytest
+
+    legacy = str(tmp_path / "legacy")
+    corpus = _docs(spark)
+    dedup.minhash_profile(corpus, hash_fn="charfold").filter(
+        F.col("n_sh") > 0
+    ).write.parquet(legacy)
+    with _pytest.raises(ValueError, match="shset type"):
+        dedup.minhash_stage_profile(corpus, legacy, mode="append")
+
+
+def test_decode_media_null_payload_is_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    out = multimodal.decode_media(multimodal.make_media_table(docs), fake=True)
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[2].n_bytes == 0 and rows[2].features == [0.0] * 8
+
+
+def test_grouped_fit_respects_group_col_name_and_type(spark):
+    from datetime import datetime
+
+    from flink_etl_spark.operators.grouped import per_group_linear_fit
+
+    ev = spark.createDataFrame(
+        [("dev-a", datetime(2024, 1, 1), 1.0),
+         ("dev-a", datetime(2024, 1, 2), 3.0)],
+        "device_id string, ts timestamp, value double",
+    )
+    out = per_group_linear_fit(ev, group_col="device_id")
+    assert out.columns[0] == "device_id"
+    row = out.first()
+    assert row.device_id == "dev-a" and abs(row.slope - 2.0) < 1e-9
+
+
+def test_cogroup_asof_rejects_overlap_and_survives_null_ts(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from flink_etl_spark.operators.grouped import cogroup_asof
+
+    left = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 1, 12)),
+         (2, 7, None)],                       # null left ts: unmatched
+        "l_id long, user_id long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 7, datetime(2024, 1, 1, 11), 1.0),
+         (11, 7, None, 9.0)],                 # null right ts: dropped
+        "r_id long, user_id long, rts timestamp, val double",
+    )
+    out = {r.l_id: r for r in cogroup_asof(
+        left, right, on="user_id", left_ts="lts", right_ts="rts"
+    ).collect()}
+    assert out[1].r_id == 10 and out[1].val == 1.0
+    assert out[2].r_id is None and out[2].val is None
+
+    both_ts = left.withColumnRenamed("lts", "ts")
+    r_ts = right.withColumnRenamed("rts", "ts")
+    with _pytest.raises(ValueError, match="overlapping"):
+        cogroup_asof(both_ts, r_ts, on="user_id", left_ts="ts", right_ts="ts")
