@@ -30,6 +30,11 @@ def query(name: str, oracle: str | None):
     genuinely non-SQL-expressible ops)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent overwrite would DROP a correctness gate (import
+        # order decides which module's entry survives) — make name
+        # collisions loud at import time
+        if name in CATALOG:
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         CATALOG[name] = (fn, oracle)
         return fn
 

@@ -189,6 +189,23 @@ def _minhash_oracle() -> str:
     """
 
 
+_MH_STAGE_DIRS: dict[str, str] = {}
+
+
+def _minhash_stage_dir(sf_dir: str) -> str:
+    """Process-cached staging dir for the gate's incremental arm, one
+    per sf_dir, cleaned at exit; re-invocations overwrite in place."""
+    if sf_dir not in _MH_STAGE_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="mh_profile_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _MH_STAGE_DIRS[sf_dir] = d
+    return _MH_STAGE_DIRS[sf_dir]
+
+
 @query(
     "dedup_minhash_lsh",
     f"""
@@ -213,10 +230,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       deduped against it WITHOUT re-sketching the corpus. Equals the
       full run restricted to pairs touching the batch (tests prove the
       identity; the oracle IS that restriction)."""
-    import atexit
-    import shutil
-    import tempfile
-
     from flink_etl_spark.operators.dedup import (
         minhash_near_dups_incremental,
         minhash_stage_profile,
@@ -228,8 +241,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = D.minhash_near_dups(
         docs, threshold=0.8, n_hashes=16, bands=8, hash_fn="charfold"
     ).select(F.lit("full").alias("variant"), "doc_a", "doc_b", "jaccard")
-    staged = tempfile.mkdtemp(prefix="mh_profile_")
-    atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    # ONE staging dir per (process, sf_dir), overwritten on re-build:
+    # a fresh mkdtemp per invocation accumulated a full staged profile
+    # + an atexit handler every time a harness re-built this query
+    staged = _minhash_stage_dir(sf_dir)
     minhash_stage_profile(
         docs.filter("doc_id % 5 != 0"), staged, mode="overwrite", hash_fn="charfold"
     )

@@ -390,8 +390,10 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_chain = (
         a.intersect(b)
         .union(cc)
-        .distinct()
-        .exceptAll(d.distinct())
+        # subtract IS distinct EXCEPT (it dedups its left side itself) —
+        # the previous distinct().exceptAll(d.distinct()) spelling was
+        # equivalent only through that pair of inline distincts
+        .subtract(d)
         .select(
             F.lit("distinct_chain").alias("variant"),
             F.col("c_custkey").alias("key"),
@@ -475,14 +477,17 @@ def rollup_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "measure",
     )
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # '_v_' prefix, never the canonical table name: rebinding a
+    # session-wide 'orders' view to this sf_dir would silently redirect
+    # every later spark.sql("... FROM orders") in the session
+    o.createOrReplaceTempView("_v_orders")
     gsets = spark.sql(
         """
         SELECT 'grouping_sets_orders' AS variant,
                o_orderstatus AS key1, o_orderpriority AS key2,
                count(*) AS n_rows,
                round(sum(o_totalprice), 2) AS measure
-        FROM orders
+        FROM _v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
         """
@@ -784,7 +789,8 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     * variant 'global' — UNCORRELATED scalar subquery: planned as an
       independent single-row subplan whose result folds into the
       filter (no join)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # '_v_' prefix — see rollup_cube_grouping_sets
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_v_orders")
     correlated = spark.sql(
         """
         SELECT 'per_customer' AS variant,
@@ -792,9 +798,9 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS STRING) AS o_orderstatus,
                CAST(NULL AS BIGINT) AS n_above,
                CAST(NULL AS DOUBLE) AS min_above
-        FROM orders o
+        FROM _v_orders o
         WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
-                                FROM orders o2
+                                FROM _v_orders o2
                                 WHERE o2.o_custkey = o.o_custkey)
         """
     )
@@ -807,8 +813,8 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderstatus,
                count(*) AS n_above,
                round(min(o_totalprice), 2) AS min_above
-        FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        FROM _v_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _v_orders)
         GROUP BY o_orderstatus
         """
     )
@@ -820,9 +826,9 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(json_extract_string(props, '$.k')) AS n_with_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
                AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -831,11 +837,18 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column handling: extract a field from the
     props JSON string per row (JVM Jackson path, no Python), aggregate.
     At scale prefer parsing ONCE into a struct column (from_json) over
-    repeated get_json_object calls per field."""
+    repeated get_json_object calls per field.
+
+    Both sides count the PRE-CAST extraction and aggregate the
+    try_cast value: a plain cast would count different things per
+    engine for a non-integer k (Spark null-and-exclude vs DuckDB
+    count-the-string) and, under default-on ANSI mode, abort the
+    Spark job outright on the first malformed value."""
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    raw = F.get_json_object("props", "$.k")
+    k = raw.try_cast("long")
     return e.groupBy("event_type").agg(
-        F.count(k).alias("n_with_k"),
+        F.count(raw).alias("n_with_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
         F.max(k).alias("max_k"),
     )

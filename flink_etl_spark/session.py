@@ -80,18 +80,34 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    apply_runtime_confs(spark)
+    # the runtime re-apply exists for session REUSE (getOrCreate handed
+    # back an existing session whose confs drifted) — it must not undo
+    # the caller's explicit extra_conf, so overridden keys are excluded
+    # and extra_conf is re-asserted last
+    apply_runtime_confs(spark, exclude=set(extra_conf or ()))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf on a reused session: builder had it
     return spark
 
 
-def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+def apply_runtime_confs(
+    spark: SparkSession, exclude: set[str] | None = None
+) -> SparkSession:
     """Best-effort apply engine confs to an externally-built session.
 
     Every conf in RUNTIME_CONFS is runtime-settable in Spark 4.x; the
     try/except guards against future immutability or locked-down
     sessions — the engine then degrades gracefully instead of failing.
+    `exclude` skips keys the caller explicitly overrode (get_spark's
+    extra_conf must win over the engine defaults).
     """
     for k, v in RUNTIME_CONFS.items():
+        if exclude and k in exclude:
+            continue
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -36,3 +36,19 @@ def test_sink_defaults_match_reference_policy():
     # 60s trigger plays the rolling-interval role (HdfsSink.java:112)
     assert sink.trigger_seconds == 60
     assert sink.partition_by == ("dt",)
+
+
+def test_get_spark_extra_conf_overrides_runtime_confs(spark):
+    """extra_conf must WIN over RUNTIME_CONFS — the post-getOrCreate
+    runtime re-apply (which exists for session reuse) used to clobber
+    explicit caller overrides right back to the engine defaults."""
+    from flink_etl_spark.session import RUNTIME_CONFS, get_spark
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    assert RUNTIME_CONFS[key] == "true"
+    prev = spark.conf.get(key)
+    try:
+        s = get_spark(extra_conf={key: "false"})
+        assert s.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, prev)
