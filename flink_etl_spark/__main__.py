@@ -59,7 +59,7 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         raw = read_file_stream(spark, args.path)
     q = start_ingest(
         raw,
-        payload_cols=[c for c in args.payload_cols.split(",") if c],
+        payload_cols=[c.strip() for c in args.payload_cols.split(",") if c.strip()],
         sink=cfg.sink,
         available_now=args.available_now,
     )
@@ -82,8 +82,8 @@ def cmd_merge_day(args: argparse.Namespace) -> int:
                          "in the metastore; path-mode parquet has none)")
 
     spark = _spark("flink-etl-spark-merge")
-    keys = [k for k in args.keys.split(",") if k]
-    order_by = [c for c in args.order_by.split(",") if c]
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    order_by = [c.strip() for c in args.order_by.split(",") if c.strip()]
     if args.tables:
         # metastore mode: --snapshot/--delta/--out are TABLE names; the
         # recover + staged-swap contract lives inside merge_day_table

@@ -24,6 +24,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark_fn, oracle_sql | None)
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {}
 
+_WORKDIRS: dict[str, str] = {}
+
+
+def process_workdir(tag: str) -> str:
+    """Process-cached scratch dir for gates that stage data (minhash
+    profile, IVF index, rollup output): ONE dir per tag, overwritten in
+    place on re-invocation, removed at exit. A fresh mkdtemp per call
+    accumulated a full staged artifact + an atexit handler every time
+    a harness re-built the same query in one session."""
+    if tag not in _WORKDIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"gate_{tag.replace('/', '_')}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _WORKDIRS[tag] = d
+    return _WORKDIRS[tag]
+
 
 def query(name: str, oracle: str | None):
     """Register a catalog entry. `oracle=None` -> rows-only check (for

@@ -189,21 +189,12 @@ def _minhash_oracle() -> str:
     """
 
 
-_MH_STAGE_DIRS: dict[str, str] = {}
-
-
 def _minhash_stage_dir(sf_dir: str) -> str:
     """Process-cached staging dir for the gate's incremental arm, one
     per sf_dir, cleaned at exit; re-invocations overwrite in place."""
-    if sf_dir not in _MH_STAGE_DIRS:
-        import atexit
-        import shutil
-        import tempfile
+    from flink_etl_spark.catalog import process_workdir
 
-        d = tempfile.mkdtemp(prefix="mh_profile_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _MH_STAGE_DIRS[sf_dir] = d
-    return _MH_STAGE_DIRS[sf_dir]
+    return f"{process_workdir('mh_profile')}/{sf_dir.strip('/').replace('/', '_')}"
 
 
 @query(

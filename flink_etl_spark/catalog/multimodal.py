@@ -13,7 +13,10 @@ from flink_etl_spark.operators import multimodal as M
     "media_decode_features",
     """
     WITH m AS (
-        SELECT doc_id AS media_id, text, length(text) AS n
+        -- coalesce: the decoder treats a NULL payload as empty, and an
+        -- empty/NULL doc must still emit its zero-feature row (the b
+        -- CTE has no rows for it, hence the LEFT JOIN + coalesces below)
+        SELECT doc_id AS media_id, text, coalesce(length(text), 0) AS n
         FROM documents
     ),
     meta AS (
@@ -38,22 +41,24 @@ from flink_etl_spark.operators import multimodal as M
                max(CASE WHEN i = n THEN v END) AS vlast
         FROM b GROUP BY media_id
     )
-    SELECT a.media_id,
+    SELECT m.media_id,
            'text/plain' AS mime,
-           n AS n_bytes,
+           m.n AS n_bytes,
            meta.head_hex AS head_hex,
            meta.tail_hex AS tail_hex,
-           (n % 640) + 1 AS width,
-           (n % 480) + 1 AS height,
-           n AS f_len,
-           round(mean, 6) AS f_mean,
-           round(var, 6) AS f_var,
-           vmax AS f_max,
-           vmin AS f_min,
-           vfirst AS f_first,
-           vlast AS f_last,
-           total % 997 AS f_mod
-    FROM a JOIN meta ON meta.media_id = a.media_id
+           (m.n % 640) + 1 AS width,
+           (m.n % 480) + 1 AS height,
+           m.n AS f_len,
+           coalesce(round(a.mean, 6), 0.0) AS f_mean,
+           coalesce(round(a.var, 6), 0.0) AS f_var,
+           coalesce(a.vmax, 0) AS f_max,
+           coalesce(a.vmin, 0) AS f_min,
+           coalesce(a.vfirst, 0) AS f_first,
+           coalesce(a.vlast, 0) AS f_last,
+           coalesce(a.total, 0) % 997 AS f_mod
+    FROM m
+    LEFT JOIN a ON a.media_id = m.media_id
+    JOIN meta ON meta.media_id = m.media_id
     """,
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

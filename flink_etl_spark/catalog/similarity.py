@@ -14,6 +14,10 @@ from flink_etl_spark.operators import similarity as S
 #: exact-kNN baseline O(N^2/50) — at 100 TB the query set of any
 #: brute-force scoring pass must be O(1)-sized; the gates enforce that
 #: shape by construction now.
+#: interpolated into BOTH the Spark filters and every oracle's SQL
+#: (some sites as `e.{QUERY_PRED}`, so it must stay a single predicate
+#: on vec_id) — editing it here updates all arms together; a hardcoded
+#: copy in one oracle would silently desynchronize that gate.
 QUERY_PRED = "vec_id < 32"
 
 
@@ -59,7 +63,7 @@ _SIGNLSH_SINGLE_SQL = f"""
     ),
     q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
           FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
-          WHERE e.vec_id < 32),
+          WHERE e.{QUERY_PRED}),
     c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
           FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id),
     scored AS (
@@ -95,12 +99,12 @@ _SIGNLSH_MULTIPROBE_SQL = f"""
                          ORDER BY round(abs({duckdb_dot('e.embedding', 'p.plane')}), 6),
                                   p.plane_id) AS r
               FROM embeddings e CROSS JOIN planes p
-              WHERE e.vec_id < 32) t
+              WHERE e.{QUERY_PRED}) t
         WHERE r = 1
     ),
     qprobe AS (
         SELECT vec_id AS query_id, bucket AS q_bucket
-        FROM buckets WHERE vec_id < 32
+        FROM buckets WHERE {QUERY_PRED}
         UNION
         SELECT f.vec_id, xor(b.bucket, CAST(1 << f.flip_p AS BIGINT))
         FROM flip f JOIN buckets b ON b.vec_id = f.vec_id
@@ -177,7 +181,7 @@ _IVF_SQL = f"""
                          ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
                                   DESC, p.cell_id) AS r
               FROM embeddings e CROSS JOIN cents p
-              WHERE e.vec_id < 32) t
+              WHERE e.{QUERY_PRED}) t
         WHERE r <= 2
     ),
     scored AS (
@@ -218,17 +222,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       (build once); `ivf_search_index` answers the query batch by
       reading ONLY probed cell partitions (partition-pruned scan) —
       the build-once/search-many 100 TB shape."""
-    import atexit
-    import shutil
-    import tempfile
+    from flink_etl_spark.catalog import process_workdir
 
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.expr(QUERY_PRED))
     mem = S.ivf_topk(embs, queries, k=5, n_cells=8, nprobe=2).select(
         F.lit("in_memory").alias("variant"), "*"
     )
-    idx = tempfile.mkdtemp(prefix="ivf_index_")
-    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    # process-cached index dir, rebuilt (overwrite) per invocation —
+    # a fresh mkdtemp per call accumulated a full index every run
+    idx = f"{process_workdir('ivf_index')}/{sf_dir.strip('/').replace('/', '_')}"
     S.ivf_build_index(embs, idx, n_cells=8)
     staged = S.ivf_search_index(spark, idx, queries, k=5, nprobe=2).select(
         F.lit("staged_index").alias("variant"), "*"

@@ -31,6 +31,37 @@ def _await_drained(q, timeout_s: int = 300) -> None:
         )
 
 
+_LAST_SINK: dict[str, str] = {}
+
+
+def _drain_to_memory(df: DataFrame, tag: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink and return the result table — the one drain recipe every
+    streaming gate shares.
+
+    The PREVIOUS invocation's sink view for the same tag is dropped
+    first: each memory sink pins its full result set in driver memory
+    for process lifetime, so a looped harness (bench iterations,
+    repeated gate sweeps) would otherwise grow linearly. The returned
+    DataFrame must therefore be consumed before the same gate is
+    re-invoked — exactly the driver's call pattern."""
+    spark = df.sparkSession
+    prev = _LAST_SINK.get(tag)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
+    name = f"_{tag}_sink_{next(_SINK_SEQ)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
+    _LAST_SINK[tag] = name
+    return spark.table(name)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of events.parquet with a normalized event-time
     column `ts` (TIMESTAMP, µs precision, session-UTC instants).
@@ -104,16 +135,7 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = sessionize_stream(ev, gap_minutes=30)
-    name = f"_sessionize_sink_{next(_SINK_SEQ)}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drained(q)
-    return spark.table(name)
+    return _drain_to_memory(sessions, "sessionize")
 
 
 @query(
@@ -137,20 +159,30 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized buckets, streaming/merge_sink.py) drained with
     availableNow must equal the one-shot SQL aggregation of all events
     restricted to buckets past the final watermark."""
-    import atexit
     import shutil
-    import tempfile
 
+    from flink_etl_spark.catalog import process_workdir
+    from flink_etl_spark.operators.merge import snapshot_exists
     from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
 
     apply_runtime_confs(spark)
     ev = _events_stream(spark, sf_dir).select("ts", "event_type", "value")
-    work = tempfile.mkdtemp(prefix="rollup_gate_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    # fresh per invocation WITHIN the cached dir (checkpoint state must
+    # not leak between sf_dirs / repeated runs)
+    work = f"{process_workdir('rollup')}/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(work, ignore_errors=True)
     q = start_continuous_rollup(
         ev, f"{work}/rollup", f"{work}/chk", available_now=True
     )
     _await_drained(q)
+    if not snapshot_exists(spark, f"{work}/rollup"):
+        # no bucket finalized (short event-time span vs the 2h delay):
+        # the oracle's HAVING returns 0 rows — match it instead of
+        # crashing on a missing path
+        return spark.createDataFrame(
+            [], "bucket_start timestamp, event_type string, "
+            "n_events bigint, sum_value double",
+        )
     return spark.read.parquet(f"{work}/rollup")
 
 
@@ -185,17 +217,8 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(
         ev, ["user_id", "event_type"], "ts", delay="3650 days"
     )
-    name = f"_wmdedup_sink_{next(_SINK_SEQ)}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drained(q)
     return (
-        spark.table(name)
+        _drain_to_memory(deduped, "wmdedup")
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("n_keys"))
     )

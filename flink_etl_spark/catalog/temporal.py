@@ -99,8 +99,7 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
       rows are watermark-gated (see the operator docstring) — the
       outer semantics are exercised in tests/test_stateful.py."""
     from flink_etl_spark.catalog.streaming import (
-        _SINK_SEQ,
-        _await_drained,
+        _drain_to_memory,
         _events_stream,
     )
     from flink_etl_spark.session import apply_runtime_confs
@@ -138,20 +137,11 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ts").alias("err_ts"),
         F.col("value").alias("err_value"),
     )
-    name = f"_sij_sink_{next(_SINK_SEQ)}"
-    q = (
-        stream_interval_join(
-            sp, se, on=["user_id"], left_ts="purchase_ts", right_ts="err_ts",
-            lower="1 HOUR", upper="0 SECONDS", watermark_delay="3650 days",
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    sij = stream_interval_join(
+        sp, se, on=["user_id"], left_ts="purchase_ts", right_ts="err_ts",
+        lower="1 HOUR", upper="0 SECONDS", watermark_delay="3650 days",
     )
-    _await_drained(q)
-    stream = spark.table(name).groupBy("purchase_id", "user_id").agg(
+    stream = _drain_to_memory(sij, "sij").groupBy("purchase_id", "user_id").agg(
         F.count("err_ts").alias("n_errors"),
         F.round(F.coalesce(F.sum("err_value"), F.lit(0.0)), 6).alias("err_value_sum"),
     ).select(F.lit("stream").alias("variant"), "*")

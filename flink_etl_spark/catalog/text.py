@@ -103,7 +103,11 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(toks, x -> regexp_matches(x, '^\w+$'))) AS n_word,
            len(toks) - len(list_filter(toks, x -> regexp_matches(x, '^\w+$')))
                AS n_punct,
-           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           -- coalesce: DuckDB list_sum([]) is NULL where Spark's
+           -- aggregate-with-0-seed yields 0 — a whitespace-only doc
+           -- must give 0.0 on both sides
+           round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                      AS DOUBLE)
                  / greatest(len(toks), 1), 6) AS avg_pretoken_len
     FROM t
     """,
