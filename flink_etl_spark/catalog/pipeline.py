@@ -19,6 +19,10 @@ from flink_etl_spark.operators.text import STOPWORDS, doc_profile
 #: keepers each), stated in the gate docstring
 _SOURCE_CAP = 100
 
+#: token budget for the packing arm — small enough that sf0.01 produces
+#: multi-sequence groups with real fill variance
+_PACK_BUDGET = 512
+
 
 def _pipeline_oracle() -> str:
     from flink_etl_spark.operators.prep import duckdb_split_expr
@@ -85,6 +89,17 @@ def _pipeline_oracle() -> str:
     ),
     assigned AS (
         SELECT *, {_split_case} AS split FROM balanced
+    ),
+    packed AS (
+        SELECT source,
+               CAST(floor(cum0 / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+               n_tokens
+        FROM (SELECT source, keep_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                         PARTITION BY source ORDER BY keep_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum0
+              FROM balanced) b
     )
     SELECT 'keepers' AS variant,
            keep_id, n_copies, n_tokens, quality, fingerprint,
@@ -92,7 +107,11 @@ def _pipeline_oracle() -> str:
            CAST(NULL AS VARCHAR) AS source,
            CAST(NULL AS BIGINT) AS n_docs,
            CAST(NULL AS BIGINT) AS sum_tokens,
-           CAST(NULL AS DOUBLE) AS avg_quality
+           CAST(NULL AS DOUBLE) AS avg_quality,
+           CAST(NULL AS BIGINT) AS seq_id,
+           CAST(NULL AS BIGINT) AS seq_docs,
+           CAST(NULL AS BIGINT) AS seq_tokens,
+           CAST(NULL AS DOUBLE) AS fill_frac
     FROM keepers
     UNION ALL
     SELECT 'split_summary' AS variant,
@@ -113,9 +132,32 @@ def _pipeline_oracle() -> str:
            -- exact-half edges a /4 mean produces — the raw single
            -- division is the same IEEE double on both engines
            CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
-                 / (count(*) * 1000000.0) AS avg_quality
+                 / (count(*) * 1000000.0) AS avg_quality,
+           CAST(NULL AS BIGINT) AS seq_id,
+           CAST(NULL AS BIGINT) AS seq_docs,
+           CAST(NULL AS BIGINT) AS seq_tokens,
+           CAST(NULL AS DOUBLE) AS fill_frac
     FROM assigned
     GROUP BY split, source
+    UNION ALL
+    SELECT 'packing' AS variant,
+           CAST(NULL AS BIGINT) AS keep_id,
+           CAST(NULL AS BIGINT) AS n_copies,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS fingerprint,
+           CAST(NULL AS VARCHAR) AS split,
+           source,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_tokens,
+           CAST(NULL AS DOUBLE) AS avg_quality,
+           seq_id,
+           count(*) AS seq_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           -- exact integer sum / one division: same IEEE double both sides
+           CAST(sum(n_tokens) AS BIGINT) / {_PACK_BUDGET}.0 AS fill_frac
+    FROM packed
+    GROUP BY source, seq_id
     """
 
 
@@ -147,8 +189,17 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
       charfold arm — production default is xxhash64), summarized per
       (split, source). The split is a pure function of keep_id, so
       incremental corpus appends never reshuffle earlier assignments.
+    * variant 'packing' — fixed token-budget sequence packing of the
+      balanced keepers (operators/prep.pack_greedy: start-offset
+      binning via one window prefix-sum per source, _PACK_BUDGET=512),
+      summarized per (source, seq_id) with fill fraction — the final
+      materialization stage of a training-data build.
     """
-    from flink_etl_spark.operators.prep import cap_per_group, hash_split
+    from flink_etl_spark.operators.prep import (
+        cap_per_group,
+        hash_split,
+        pack_greedy,
+    )
 
     profile = doc_profile(_t(spark, sf_dir, "documents"))
     kept = profile.filter(
@@ -195,6 +246,27 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    packing = (
+        pack_greedy(
+            balanced,
+            budget=_PACK_BUDGET,
+            id_col="keep_id",
+            tokens_col="n_tokens",
+            part_cols=("source",),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("seq_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .withColumn(
+            # exact integer sum / one division: same IEEE double as the
+            # oracle's
+            "fill_frac",
+            F.col("seq_tokens") / F.lit(float(_PACK_BUDGET)),
+        )
+    )
+
     keepers_arm = keepers.select(
         F.lit("keepers").alias("variant"),
         "keep_id", "n_copies", "n_tokens", "quality", "fingerprint",
@@ -203,6 +275,10 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_docs"),
         F.lit(None).cast("long").alias("sum_tokens"),
         F.lit(None).cast("double").alias("avg_quality"),
+        F.lit(None).cast("long").alias("seq_id"),
+        F.lit(None).cast("long").alias("seq_docs"),
+        F.lit(None).cast("long").alias("seq_tokens"),
+        F.lit(None).cast("double").alias("fill_frac"),
     )
     summary_arm = summary.select(
         F.lit("split_summary").alias("variant"),
@@ -212,5 +288,23 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("quality"),
         F.lit(None).cast("long").alias("fingerprint"),
         "split", "source", "n_docs", "sum_tokens", "avg_quality",
+        F.lit(None).cast("long").alias("seq_id"),
+        F.lit(None).cast("long").alias("seq_docs"),
+        F.lit(None).cast("long").alias("seq_tokens"),
+        F.lit(None).cast("double").alias("fill_frac"),
     )
-    return keepers_arm.unionByName(summary_arm)
+    packing_arm = packing.select(
+        F.lit("packing").alias("variant"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.lit(None).cast("string").alias("split"),
+        "source",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("sum_tokens"),
+        F.lit(None).cast("double").alias("avg_quality"),
+        "seq_id", "seq_docs", "seq_tokens", "fill_frac",
+    )
+    return keepers_arm.unionByName(summary_arm).unionByName(packing_arm)

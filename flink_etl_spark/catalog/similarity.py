@@ -6,8 +6,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_etl_spark.catalog import _t, query
-from flink_etl_spark.functions.vectors import duckdb_cosine, duckdb_dot
+from flink_etl_spark.functions.vectors import (
+    duckdb_cosine,
+    duckdb_dot,
+    duckdb_quantize,
+)
 from flink_etl_spark.operators import similarity as S
+
+#: oracle twins for the quantize_int8 gate arm
+_DQ = duckdb_quantize("embedding")
 
 #: deterministic FIXED-SIZE query set: the 32 smallest vec_ids. A
 #: corpus-proportional predicate (the r1 `vec_id % 50 = 0`) makes the
@@ -248,22 +255,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(embedding) AS dim
         FROM embeddings
     )
-    SELECT vec_id, dim,
+    SELECT 'normalize' AS variant, vec_id, dim,
            round(nrm, 6) AS norm,
-           round(CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END, 6) AS unit_norm
+           round(CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END, 6) AS unit_norm,
+           CAST(NULL AS DOUBLE) AS scale,
+           CAST(NULL AS BIGINT) AS sum_q,
+           CAST(NULL AS BIGINT) AS sum_abs_q,
+           CAST(NULL AS BIGINT) AS n_clipped,
+           CAST(NULL AS DOUBLE) AS max_abs_err
     FROM n
+    UNION ALL
+    SELECT 'quantize_int8' AS variant, vec_id,
+           len(embedding) AS dim,
+           CAST(NULL AS DOUBLE) AS norm,
+           CAST(NULL AS DOUBLE) AS unit_norm,
+           {_DQ['scale']} AS scale,
+           {_DQ['sum_q']} AS sum_q,
+           {_DQ['sum_abs_q']} AS sum_abs_q,
+           {_DQ['n_clipped']} AS n_clipped,
+           {_DQ['max_abs_err']} AS max_abs_err
+    FROM embeddings
     """,
 )
 def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 normalization gate: per-vector dim + norm, and the norm OF the
-    normalized vector (must be exactly 1 for non-zero vectors) — proves
-    the normalize op without emitting float arrays into the hash."""
-    from flink_etl_spark.functions.vectors import l2_normalize, norm as vnorm
+    """Vector-math gate over the embedding column, union-tagged:
+
+    * variant 'normalize' — per-vector dim + norm, and the norm OF the
+      L2-normalized vector (must be exactly 1 for non-zero vectors) —
+      proves the normalize op without emitting float arrays into the
+      hash.
+    * variant 'quantize_int8' — symmetric absmax int8 quantization
+      (functions/vectors.quantize_int8: clamp(floor(v/scale + 0.5)),
+      floor not round — engine round() disagrees on exact halves),
+      hashed via exact integer summaries (sum_q / sum_abs_q /
+      n_clipped) plus the elementwise max reconstruction error — the
+      4x storage/bandwidth lever for a 100 TB embedding corpus, and
+      list cells can't enter the driver hash anyway.
+    """
+    from flink_etl_spark.functions.vectors import (
+        dequant_max_abs_err,
+        l2_normalize,
+        norm as vnorm,
+        quantize_int8,
+        quantize_scale,
+    )
 
     embs = _t(spark, sf_dir, "embeddings")
-    return embs.select(
+    normalize = embs.select(
+        F.lit("normalize").alias("variant"),
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(vnorm("embedding"), 6).alias("norm"),
         F.round(vnorm(l2_normalize("embedding")), 6).alias("unit_norm"),
+        F.lit(None).cast("double").alias("scale"),
+        F.lit(None).cast("long").alias("sum_q"),
+        F.lit(None).cast("long").alias("sum_abs_q"),
+        F.lit(None).cast("long").alias("n_clipped"),
+        F.lit(None).cast("double").alias("max_abs_err"),
     )
+    scale = quantize_scale("embedding")
+    q = embs.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.col("embedding"),
+        scale.alias("scale"),
+        quantize_int8("embedding", scale).alias("q"),
+    )
+    quant = q.select(
+        F.lit("quantize_int8").alias("variant"),
+        "vec_id",
+        "dim",
+        F.lit(None).cast("double").alias("norm"),
+        F.lit(None).cast("double").alias("unit_norm"),
+        "scale",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_q"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("sum_abs_q"),
+        F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127))
+        .cast("long")
+        .alias("n_clipped"),
+        dequant_max_abs_err("embedding", F.col("q"), F.col("scale")).alias(
+            "max_abs_err"
+        ),
+    )
+    return normalize.unionByName(quant)

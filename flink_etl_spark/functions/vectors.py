@@ -75,3 +75,83 @@ def duckdb_cosine(a: str, b: str) -> str:
         f"({duckdb_dot(a, b)} / "
         f"(sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)})))"
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the 4x storage/bandwidth lever for 100 TB embedding
+# corpora (symmetric absmax scheme, the public standard from the LLM.int8 /
+# GPTQ lineage reduced to its engine-side core)
+# ---------------------------------------------------------------------------
+
+
+def quantize_scale(a: Column | str) -> Column:
+    """Per-vector symmetric absmax scale: max(|v|)/127 as DOUBLE.
+
+    One array_max over exact float-to-double casts and a single
+    division — deterministic and bit-identical across engines (no
+    accumulation)."""
+    return (
+        F.array_max(F.transform(to_double(a), F.abs)) / F.lit(127.0)
+    ).cast("double")
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: clamp(floor(v/scale + 0.5), -127, 127)
+    as ARRAY<INT> (int, not tinyint: Arrow/pandas round-trips of tinyint
+    arrays are lossy in some consumers; the VALUES are int8-range).
+
+    floor(x + 0.5), NOT round(): engine round() implementations disagree
+    on exact-half edges (same reason catalog/pipeline.py sums integers),
+    while floor is IEEE-exact everywhere. Zero-scale (all-zero vector)
+    quantizes to all zeros."""
+    da = to_double(a)
+    return F.when(
+        scale == F.lit(0.0),
+        F.transform(da, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            da,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+            ),
+        )
+    ).cast("array<int>")
+
+
+def dequant_max_abs_err(a: Column | str, q: Column, scale: Column) -> Column:
+    """max_i |v_i - q_i * scale| — elementwise (no accumulation), so the
+    value is bit-identical in any engine; bounded by scale/2 except for
+    clamped elements (|v| beyond 127*scale never happens under absmax)."""
+    errs = F.zip_with(
+        to_double(a), q, lambda v, qi: F.abs(v - qi.cast("double") * scale)
+    )
+    return F.array_max(errs)
+
+
+def duckdb_quantize(a: str) -> dict[str, str]:
+    """Oracle twins for the quantization family over a FLOAT[] column
+    SQL expression: scale, the quantized INT list, max-abs
+    reconstruction error, and exact integer summaries (sum_q /
+    sum_abs_q / n_clipped) that make the scheme hashable without
+    emitting list cells into a gate."""
+    da = f"{a}::DOUBLE[]"
+    scale = f"(list_max(list_transform({da}, x -> abs(x))) / 127.0)"
+    q = (
+        f"(CASE WHEN {scale} = 0 THEN list_transform({da}, x -> 0) "
+        f"ELSE list_transform({da}, x -> CAST(greatest(-127, least(127, "
+        f"floor(x / {scale} + 0.5))) AS INTEGER)) END)"
+    )
+    return {
+        "scale": scale,
+        "q": q,
+        "max_abs_err": (
+            f"list_max(list_transform(list_zip({da}, {q}), "
+            f"p -> abs(p[1] - CAST(p[2] AS DOUBLE) * {scale})))"
+        ),
+        "sum_q": f"CAST(list_sum({q}) AS BIGINT)",
+        "sum_abs_q": f"CAST(list_sum(list_transform({q}, x -> abs(x))) AS BIGINT)",
+        "n_clipped": (
+            f"CAST(len(list_filter({q}, x -> abs(x) = 127)) AS BIGINT)"
+        ),
+    }

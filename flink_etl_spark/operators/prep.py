@@ -340,3 +340,63 @@ def duckdb_pii_sql(text_sql: str) -> dict[str, str]:
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
     out["redacted"] = red
     return out
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    part_cols: tuple[str, ...] = ("source",),
+    order_by: list | None = None,
+) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences by
+    START-OFFSET binning: within each ``part_cols`` group, documents are
+    laid out in a deterministic order and a document joins the sequence
+    where its FIRST token lands (``seq_id = floor(running_prefix /
+    budget)``).
+
+    This is the distributed-standard approximation to greedy first-fit
+    packing: exact close-bin-when-full is inherently sequential (each
+    decision depends on the previous bin's remaining space), while the
+    start-offset rule is a pure window prefix sum — a sequence can
+    overrun ``budget`` by at most its last document's length (real
+    pipelines truncate or roll those tokens into the next sequence at
+    materialization time; ``overflow_doc`` flags documents longer than
+    the whole budget up front).
+
+    Output: the input columns plus ``seq_id`` (per-group sequence
+    number), ``seq_offset`` (token offset of the document inside its
+    sequence), ``overflow_doc``. All integer arithmetic — exact in any
+    engine.
+
+    100 TB shape: ONE window prefix-sum per group — partition by
+    something bounded (source x day, shard) so no window partition grows
+    unbounded. For a single global stream, use the two-level pattern:
+    per-partition prefix sums + a broadcast of per-partition totals
+    (cumulative offsets), then the same floor-divide — same math,
+    no global sort.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = order_by if order_by is not None else [F.col(id_col)]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in part_cols])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(tokens_col)).over(w), F.lit(0).cast("long")
+    )
+    return (
+        df.withColumn("_cum0", cum_before)
+        .withColumn("seq_id", F.floor(F.col("_cum0") / F.lit(budget)))
+        .withColumn("seq_offset", F.col("_cum0") % F.lit(budget))
+        .withColumn("overflow_doc", F.col(tokens_col) > F.lit(budget))
+        .drop("_cum0")
+    )

@@ -196,3 +196,93 @@ def test_pii_redact_id_cols_projection(spark):
     assert set(out.columns) == {
         "doc_id", "text", "n_email", "n_phone", "n_ipv4", "text_redacted"
     }
+
+
+# ---------------------------------------------------------------------------
+# pack_greedy
+# ---------------------------------------------------------------------------
+
+
+def test_pack_greedy_start_offset_binning(spark):
+    rows = [("s", i, t) for i, t in enumerate([300, 300, 300, 700, 100])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in P.pack_greedy(df, budget=512, part_cols=("source",)).collect()
+    }
+    # prefix-before: 0, 300, 600, 900, 1600
+    assert (out[0]["seq_id"], out[0]["seq_offset"]) == (0, 0)
+    assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 300)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (1, 88)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 388)
+    assert (out[4]["seq_id"], out[4]["seq_offset"]) == (3, 64)
+    assert out[3]["overflow_doc"] is True and out[0]["overflow_doc"] is False
+
+
+def test_pack_greedy_groups_are_independent(spark):
+    rows = [(s, i, 200) for s in ("a", "b") for i in range(4)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = P.pack_greedy(df, budget=512).groupBy("source").agg(
+        F.max("seq_id").alias("m")
+    )
+    assert {r["m"] for r in out.collect()} == {1}  # each group restarts at 0
+
+
+def test_pack_greedy_rejects_bad_budget(spark):
+    df = spark.createDataFrame([("a", 1, 2)], "source string, doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        P.pack_greedy(df, budget=0)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_and_duckdb_parity(spark):
+    from flink_etl_spark.functions import vectors as V
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    scale = V.quantize_scale("embedding")
+    q = V.quantize_int8("embedding", scale)
+    out = embs.select(
+        "vec_id",
+        scale.alias("scale"),
+        q.alias("q"),
+        V.dequant_max_abs_err("embedding", q, scale).alias("err"),
+    )
+    rows = out.collect()
+    # reconstruction error bounded by scale/2 (+ float eps)
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r["q"])
+        assert r["err"] <= r["scale"] / 2 + 1e-9
+    # DuckDB twin computes the identical quantized vectors + stats
+    import duckdb
+
+    sqls = V.duckdb_quantize("embedding")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(
+            f"SELECT vec_id, {sqls['scale']}, {sqls['q']}, {sqls['max_abs_err']} "
+            "FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        ).fetchall()
+    }
+    for r in rows:
+        ws, wq, we = want[r["vec_id"]]
+        assert r["scale"] == ws
+        assert list(r["q"]) == wq
+        assert r["err"] == we
+
+
+def test_quantize_zero_vector_is_all_zero(spark):
+    from flink_etl_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    scale = V.quantize_scale("embedding")
+    out = df.select("vec_id", V.quantize_int8("embedding", scale).alias("q")).collect()
+    got = {r["vec_id"]: list(r["q"]) for r in out}
+    assert got[1] == [0, 0, 0]
+    assert got[2] == [64, -127, 32]  # scale = 2/127
