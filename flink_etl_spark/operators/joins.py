@@ -114,6 +114,7 @@ def interval_join(
     lower: str,
     upper: str,
     salt_buckets: int | None = None,
+    spread_duplicates: bool = True,
 ) -> DataFrame:
     """Left interval join: right rows with
     `left_ts - lower < right_ts <= left_ts + upper` in the same key
@@ -143,7 +144,7 @@ def interval_join(
         # shared recipe with salted_join; the replicated side is the
         # RIGHT, so right/full joins would dup — this operator is
         # left-only, which is exactly the safe case
-        left, right = _salt_pair(left, right, salt_buckets)
+        left, right = _salt_pair(left, right, salt_buckets, spread_duplicates)
         join_keys.append("_salt")
     # explicit aliases: both sides often derive from the same scan
     # (self-join on an events table) — name-based resolution via the
@@ -166,27 +167,37 @@ def interval_join(
 
 
 def _salt_pair(
-    skewed: DataFrame, other: DataFrame, salt_buckets: int
+    skewed: DataFrame,
+    other: DataFrame,
+    salt_buckets: int,
+    spread_duplicates: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The one salting recipe (shared by salted_join and
     interval_join): `skewed` gains a `_salt` bucket, `other` is
     replicated once per bucket.
 
-    The salt hashes the full row PLUS `monotonically_increasing_id()`:
-    a pure row-content hash sends byte-identical duplicate rows of a
-    hot key all to ONE bucket — precisely the duplicate-heavy workload
-    salting exists for. The id is an extra xxhash64 input (not an
-    addition — summing could overflow a BIGINT under ANSI mode). Join
-    RESULTS stay deterministic (every left row still meets its full
-    right key group exactly once); only the bucket ASSIGNMENT depends
-    on partition layout across runs, which results never expose."""
-    salt = F.pmod(
-        F.xxhash64(
-            *[F.col(c) for c in skewed.columns],
-            F.monotonically_increasing_id(),
-        ),
-        F.lit(salt_buckets),
-    )
+    `spread_duplicates=True` (default) hashes the full row PLUS
+    `monotonically_increasing_id()`: a pure row-content hash sends
+    byte-identical duplicate rows of a hot key all to ONE bucket —
+    precisely the duplicate-heavy workload salting exists for. The id
+    is an extra xxhash64 input (not an addition — summing could
+    overflow a BIGINT under ANSI mode). Join RESULTS stay deterministic
+    (every left row still meets its full right key group exactly once);
+    only the bucket ASSIGNMENT depends on partition layout.
+
+    The tradeoff: the id makes the salted map stage INDETERMINATE to
+    the scheduler — after a shuffle-fetch failure Spark must roll back
+    and recompute the whole stage (it cannot trust already-fetched
+    outputs), and a partially-committed result stage can abort the job.
+    Pass `spread_duplicates=False` for a pure row-content hash:
+    deterministic map output (cheap, surgical retries) at the cost of
+    byte-identical duplicates sharing a bucket. Choose by workload:
+    heavy exact-duplicate skew -> True; mostly-distinct rows on a hot
+    key (the common case) -> False loses nothing."""
+    cols = [F.col(c) for c in skewed.columns]
+    if spread_duplicates:
+        cols.append(F.monotonically_increasing_id())
+    salt = F.pmod(F.xxhash64(*cols), F.lit(salt_buckets))
     s = skewed.withColumn("_salt", salt.cast("int"))
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -200,13 +211,15 @@ def salted_join(
     on: Sequence[str],
     salt_buckets: int = 8,
     how: str = "inner",
+    spread_duplicates: bool = True,
 ) -> DataFrame:
     """Equi-join where `skewed` has pathological key skew: spread each
-    hot key over `salt_buckets` partitions (row-hash + per-row id, see
-    `_salt_pair` — duplicate rows of a hot key spread too), replicate
-    `other` once per bucket, and join on (key, salt). Join results are
-    reproducible and oracle-checkable; the salt assignment itself may
-    differ between runs, which the results never expose.
+    hot key over `salt_buckets` partitions (row-hash, plus a per-row id
+    when `spread_duplicates` — see `_salt_pair` for the determinism
+    tradeoff), replicate `other` once per bucket, and join on
+    (key, salt). Join results are reproducible and oracle-checkable;
+    the salt assignment itself may differ between runs, which the
+    results never expose.
 
     Use when AQE skew-splitting is not enough (a single key larger than
     an executor); salting trades `salt_buckets`-way duplication of the
@@ -224,5 +237,5 @@ def salted_join(
             f"side would duplicate unmatched rows {salt_buckets}x under "
             f"right/full joins; use one of {sorted(supported)}"
         )
-    s, o = _salt_pair(skewed, other, salt_buckets)
+    s, o = _salt_pair(skewed, other, salt_buckets, spread_duplicates)
     return s.join(o, [*on, "_salt"], how).drop("_salt")

@@ -39,6 +39,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 
+def resolve_recency(
+    df: DataFrame,
+    order_by: Sequence[Column | str] | None,
+    strict_parity: bool = False,
+) -> list[Column]:
+    """Resolve a recency ordering to concrete DESC column expressions:
+    the caller's `order_by` (strings become `desc()`), else the
+    `event_time`/`es`/`ts` columns present in `df` (first only under
+    `strict_parity`). Shared by `dedup_latest` and the streaming merge
+    sink (which appends its own final tie-break)."""
+    if order_by is None:
+        candidates = ["event_time", "es", "ts"]
+        present = [c for c in candidates if c in df.columns]
+        if not present:
+            raise ValueError("no recency column found; pass order_by")
+        order_by = present[:1] if strict_parity else present
+    return [(F.col(c).desc() if isinstance(c, str) else c) for c in order_by]
+
+
 def dedup_latest(
     df: DataFrame,
     keys: Sequence[str],
@@ -53,15 +72,7 @@ def dedup_latest(
     that exactly, the default adds deterministic tie-breakers
     (SURVEY.md §7 "tie-breaking").
     """
-    if order_by is None:
-        candidates = ["event_time", "es", "ts"]
-        present = [c for c in candidates if c in df.columns]
-        if not present:
-            raise ValueError("no recency column found; pass order_by")
-        order_by = present[:1] if strict_parity else present
-    ordering = [
-        (F.col(c).desc() if isinstance(c, str) else c) for c in order_by
-    ]
+    ordering = resolve_recency(df, order_by, strict_parity)
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -307,14 +318,10 @@ def insert_overwrite_partitions(df: DataFrame, table: str) -> None:
 
     `df`'s column order must match the table schema with partition
     columns LAST (`insertInto` is position-based)."""
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "dynamic")
-    try:
+    from flink_etl_spark.session import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(df.sparkSession):
         df.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set(key, prev)
 
 
 def _staging_path(path: str) -> str:

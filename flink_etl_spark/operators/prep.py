@@ -52,11 +52,14 @@ def repetition_stats(
     Documents with < 2 tokens have no bigrams: ``top_bigram`` is NULL
     and both char fractions are 0.0.
 
-    Plan shape (the 100 TB concern): ONE tokenization scan, ONE explode
-    of size-tagged n-grams, ONE groupBy(doc, n, gram) with map-side
-    partial counts, then a per-doc conditional aggregate and a join
-    back to the row-local token stats. The shuffle carries (id, small
-    string) pairs — never document text.
+    Plan shape (the 100 TB concern): ONE tokenization scan — the
+    row-local stats (_len/n_tokens/n_distinct) ride along the
+    explode_outer as grouping keys (they're functionally dependent on
+    the id), so no join back to a second evaluation of the tokenizer —
+    ONE explode of size-tagged n-grams (outer: a sub-bigram doc keeps
+    its stats row), ONE groupBy(doc, n, gram) with map-side partial
+    counts, then a per-doc conditional aggregate. The shuffles carry
+    (id, small ints, gram) — never document text.
     """
     sid = F.col(id_col)
     base = docs.select(
@@ -81,11 +84,18 @@ def repetition_stats(
             lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
         ),
     )
-    grams = base.select(sid, F.explode(tagged).alias("_ng")).select(
-        sid, F.col("_ng.n").alias("_n"), F.col("_ng.g").alias("_g")
+    stat_cols = [id_col, "_len", "n_tokens", "n_distinct"]
+    grams = base.select(
+        *stat_cols, F.explode_outer(tagged).alias("_ng")
+    ).select(
+        *stat_cols, F.col("_ng.n").alias("_n"), F.col("_ng.g").alias("_g")
     )
-    counts = grams.groupBy(sid, "_n", "_g").agg(F.count("*").alias("_c"))
-    per_doc = counts.groupBy(sid).agg(
+    counts = grams.groupBy(*stat_cols, "_n", "_g").agg(
+        F.count("*").alias("_c")
+    )
+    # the null-gram row an explode_outer emits for sub-bigram docs is
+    # excluded by both _n conditions but keeps the doc's stats group
+    per_doc = counts.groupBy(*stat_cols).agg(
         F.max(
             F.when(F.col("_n") == 2, F.struct(F.col("_c"), F.col("_g")))
         ).alias("_top2"),
@@ -98,8 +108,7 @@ def repetition_stats(
     )
 
     safe_len = F.greatest(F.col("_len"), F.lit(1)).cast("double")
-    joined = base.drop("_t").join(per_doc, id_col, "left")
-    return joined.select(
+    return per_doc.select(
         sid,
         F.col("n_tokens"),
         F.round(
@@ -149,14 +158,25 @@ def split_buckets(
     * ``"charfold"`` — the portable polynomial fold over
       ``concat(cast(key as string), salt)``, replicable exactly in the
       DuckDB oracle (same dual-mode pattern as MinHash's ``hash_fn``).
+
+    NULL keys: the key is coalesced to the empty string before hashing
+    (matching DuckDB's NULL-skipping concat, and xxhash64's skip of
+    null arguments), so every null-keyed row lands in the ONE bucket
+    the bare salt hashes to — deterministic, but a split-proportion
+    skew if nulls are common. Filter or repair null keys upstream.
     """
     if hash_fn not in ("charfold", "xxhash64"):
         raise ValueError(f"hash_fn must be 'charfold' or 'xxhash64', got {hash_fn!r}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if hash_fn == "xxhash64":
+        # xxhash64 skips NULL args, so a null key hashes as the bare salt
         return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(n_buckets))
-    keyed = F.concat(key.cast("string"), F.lit(salt))
+    # coalesce BEFORE concat: Spark concat is NULL-propagating while
+    # DuckDB's oracle-side concat skips NULLs — without this, a null
+    # key yields a NULL bucket here (falling through every split CASE
+    # to the last label) but a real bucket in the oracle
+    keyed = F.concat(F.coalesce(key.cast("string"), F.lit("")), F.lit(salt))
     # char_fold_hash takes a column NAME (SQL text); the fold here must
     # apply to an arbitrary expression, so build the same fold inline
     from flink_etl_spark.functions.hashing import MERSENNE_P
@@ -224,18 +244,26 @@ def duckdb_split_expr(
     salt: str = "",
 ) -> str:
     """Oracle twin of ``hash_split(..., hash_fn="charfold")`` — a SQL
-    CASE over the same fold/bucket arithmetic, for DuckDB."""
+    CASE over the same fold/bucket arithmetic, for DuckDB. Null keys
+    fold as the bare salt (DuckDB concat skips NULLs), matching the
+    Spark side's explicit coalesce."""
     from flink_etl_spark.functions.hashing import duckdb_char_fold_hash
 
-    keyed = f"concat(CAST({key_sql} AS VARCHAR), '{salt}')"
+    def _q(s: str) -> str:
+        # SQL string-literal escaping: the Spark arm takes the same
+        # values via F.lit, so a quoted salt/label must not break (or
+        # alter) the oracle SQL
+        return s.replace("'", "''")
+
+    keyed = f"concat(CAST({key_sql} AS VARCHAR), '{_q(salt)}')"
     fold = duckdb_char_fold_hash(keyed)
     bucket = f"(({fold}) % {n_buckets} + {n_buckets}) % {n_buckets}"
     cum = 0.0
     cases = []
     for label, w in weights[:-1]:
         cum += w
-        cases.append(f"WHEN {bucket} < {int(cum * n_buckets)} THEN '{label}'")
-    return "CASE " + " ".join(cases) + f" ELSE '{weights[-1][0]}' END"
+        cases.append(f"WHEN {bucket} < {int(cum * n_buckets)} THEN '{_q(label)}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{_q(weights[-1][0])}' END"
 
 
 # ---------------------------------------------------------------------------

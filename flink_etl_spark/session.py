@@ -12,6 +12,7 @@ dynamic partition overwrite for INSERT OVERWRITE semantics
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -113,3 +114,24 @@ def apply_runtime_confs(
         except Exception:
             pass
     return spark
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Pin `partitionOverwriteMode=dynamic` for the enclosed write and
+    restore the caller's conf after.
+
+    The guarantee must not rest on an ambient session conf: under
+    Spark's `static` default, a partitioned `mode("overwrite")` write
+    silently DELETES every partition absent from the frame — a one-day
+    backfill wipes the table. Every partition-overwrite site in the
+    package (ingest sink, compaction, rollup upsert, INSERT OVERWRITE)
+    goes through this one manager so the hazard is handled in exactly
+    one place."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)

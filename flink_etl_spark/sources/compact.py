@@ -46,12 +46,10 @@ def compact_partitions(
                   F.lit(target_files_per_dt))
     # ENFORCE dynamic partition overwrite for the duration of the write:
     # under the Spark default (static) this overwrite would silently
-    # DELETE every partition not selected in dt_values — the guarantee
-    # must not rest on an ambient session conf
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    # DELETE every partition not selected in dt_values
+    from flink_etl_spark.session import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(spark):
         (
             df.repartition(F.col(dt_col), salt)
             .write.mode("overwrite")
@@ -60,5 +58,3 @@ def compact_partitions(
             .format(fmt)
             .save(path)
         )
-    finally:
-        spark.conf.set(conf_key, prev)

@@ -94,12 +94,10 @@ def run_ingest_batch(
     DELETE every other partition at sink.path (same hardening as
     sources/compact.py — the guarantee must not rest on an ambient
     session conf, e.g. a session not built by get_spark)."""
+    from flink_etl_spark.session import dynamic_partition_overwrite
+
     out = ingest_pipeline(raw, payload_cols)
-    spark = raw.sparkSession
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    with dynamic_partition_overwrite(raw.sparkSession):
         (
             out.write.mode("overwrite")
             .format(sink.format)
@@ -107,5 +105,3 @@ def run_ingest_batch(
             .partitionBy(*sink.partition_by)
             .save(sink.path)
         )
-    finally:
-        spark.conf.set(conf_key, prev)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -34,6 +35,7 @@ from flink_etl_spark.operators.merge import (
     dedup_latest,
     overwrite_snapshot,
     recover_snapshot,
+    resolve_recency,
     snapshot_exists,
 )
 
@@ -62,17 +64,27 @@ def merge_batch_into_snapshot(
     Replays converge for free (the replayed rows dedup against the
     identical rows already merged), including null-keyed rows (the
     window groups them, where a join's null-unsafe equality would
-    append duplicates)."""
+    append duplicates).
+
+    EQUAL recency keys break toward the BATCH row: Canal `es` is often
+    second-resolution, so a same-second correction (same es/ts, new
+    values) is routine — without the explicit `_prio` tie-break,
+    row_number over equal order keys picks an arbitrary winner and a
+    correction could silently lose to the stale snapshot row (and
+    replays could flip the snapshot). Late rows with strictly older
+    recency still lose to the snapshot (recency sorts before the
+    tie-break); replaying an already-merged batch converges because the
+    batch row is value-identical to the snapshot row it beats."""
     recover_snapshot(snapshot_path, spark)
     latest = dedup_latest(batch, keys, order_by=order_by)
     # Hadoop-FS check, not os.path.exists: snapshot_path may be hdfs:/s3a:
     if snapshot_exists(spark, snapshot_path):
         snapshot = spark.read.parquet(snapshot_path)
-        merged = dedup_latest(
-            snapshot.unionByName(latest, allowMissingColumns=True),
-            keys,
-            order_by=order_by,
+        tagged = snapshot.withColumn("_prio", F.lit(0)).unionByName(
+            latest.withColumn("_prio", F.lit(1)), allowMissingColumns=True
         )
+        ordering = resolve_recency(latest, order_by) + [F.col("_prio").desc()]
+        merged = dedup_latest(tagged, keys, order_by=ordering).drop("_prio")
     else:
         merged = latest
     overwrite_snapshot(merged, snapshot_path)
@@ -151,8 +163,6 @@ def start_continuous_rollup(
 
     Reading the rollup is a plain parquet scan — queries over
     pre-aggregated buckets never touch raw events."""
-    import pyspark.sql.functions as F
-
     keys = ["bucket_start", *dims]
     # group by the window STRUCT and project .start afterwards:
     # extracting the field inside the groupBy strips the event-time
@@ -204,17 +214,14 @@ def start_continuous_rollup(
             ).dropDuplicates(keys)
         else:
             merged = batch
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, "dynamic")
-        try:
+        from flink_etl_spark.session import dynamic_partition_overwrite
+
+        with dynamic_partition_overwrite(spark):
             (
                 merged.write.mode("overwrite")
                 .partitionBy(partition_col)
                 .parquet(rollup_path)
             )
-        finally:
-            spark.conf.set(key, prev)
 
     writer = (
         agg.writeStream.foreachBatch(_upsert)

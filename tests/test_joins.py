@@ -127,21 +127,40 @@ def test_interval_join_salted_matches_unsalted_on_hot_key(spark):
         map(tuple, salted.collect())
     )
 
-    # bounded skew: re-derive the operator's salt on the hot key's rows —
-    # every (key, salt) group, the unit a join task range-scans, must be
+    # bounded skew: measure the OPERATOR's actual bucket assignment
+    # (_salt_pair, not a re-derived formula that can drift) — every
+    # (key, salt) group, the unit a join task range-scans, must be
     # ~1/8 of the hot key, not all of it
-    buckets = (
-        left.filter(F.col("k") == "hot")
-        .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
-        )
-        .groupBy("_salt")
-        .count()
-        .collect()
-    )
+    from flink_etl_spark.operators.joins import _salt_pair
+
+    salted_left, _ = _salt_pair(left.filter(F.col("k") == "hot"), right, 8)
+    buckets = salted_left.groupBy("_salt").count().collect()
     assert len(buckets) == 8
     assert max(r["count"] for r in buckets) <= 2 * (2000 // 8)
+
+
+def test_salt_pair_duplicate_spreading_modes(spark):
+    """Byte-identical duplicate rows of a hot key: spread_duplicates
+    (default) distributes them across buckets; the deterministic
+    content-hash mode keeps them in ONE bucket but yields identical
+    join results."""
+    from flink_etl_spark.operators.joins import _salt_pair, salted_join
+
+    dup = spark.createDataFrame([("hot", 1)] * 400, "k string, v int")
+    dim = spark.createDataFrame([("hot", "H")], "k string, name string")
+
+    spread, _ = _salt_pair(dup, dim, 8, spread_duplicates=True)
+    assert spread.select("_salt").distinct().count() > 1
+
+    pinned, _ = _salt_pair(dup, dim, 8, spread_duplicates=False)
+    assert pinned.select("_salt").distinct().count() == 1
+
+    a = salted_join(dup, dim, on=["k"], salt_buckets=8).collect()
+    b = salted_join(
+        dup, dim, on=["k"], salt_buckets=8, spread_duplicates=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 400
 
 
 def test_asof_null_attribute_not_mixed_across_rows(spark):

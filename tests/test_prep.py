@@ -286,3 +286,25 @@ def test_quantize_zero_vector_is_all_zero(spark):
     got = {r["vec_id"]: list(r["q"]) for r in out}
     assert got[1] == [0, 0, 0]
     assert got[2] == [64, -127, 32]  # scale = 2/127
+
+
+def test_hash_split_null_key_matches_duckdb_and_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,)], "doc_id bigint"
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in P.hash_split(df, "doc_id", hash_fn="charfold", salt="e'1").collect()
+    }
+    expr = P.duckdb_split_expr("doc_id", salt="e'1")
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {expr} AS split FROM "
+            "(VALUES (CAST(NULL AS BIGINT)), (1), (2)) t(doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[None] is not None  # null key -> a real (single) bucket
+    # xxhash64 arm: null key is deterministic too
+    x = P.hash_split(df, "doc_id").collect()
+    assert all(r["split"] in ("train", "val", "test") for r in x)

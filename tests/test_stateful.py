@@ -768,3 +768,29 @@ def test_rollup_partition_col_rewrites_only_touched_partitions(
         F.col("bucket_start") == "2024-01-03 09:00:00"
     ).collect()
     assert len(got) == 1 and got[0].sum_value == 7.0
+
+
+def test_continuous_merge_same_recency_correction_batch_wins(spark, tmp_path):
+    """A correction with the SAME recency keys as the snapshot row
+    (routine: Canal `es` is second-resolution) must win
+    DETERMINISTICALLY — without the explicit batch-wins tie-break,
+    row_number over equal order keys picks an arbitrary winner and
+    replays could flip the snapshot."""
+    from flink_etl_spark.streaming.merge_sink import merge_batch_into_snapshot
+
+    schema = "id bigint, es bigint, ts bigint, city string"
+    snap = str(tmp_path / "snap")
+
+    b1 = spark.createDataFrame([(1, 100, 5, "A"), (2, 100, 5, "x")], schema)
+    merge_batch_into_snapshot(spark, b1, snap, keys=["id"], order_by=["es", "ts"])
+    # same (es, ts), corrected value — batch must beat the snapshot row
+    b2 = spark.createDataFrame([(1, 100, 5, "B")], schema)
+    merge_batch_into_snapshot(spark, b2, snap, keys=["id"], order_by=["es", "ts"])
+    got = {r.id: r.city for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "B", 2: "x"}
+    # replaying the already-merged batch converges (no flip back)
+    merge_batch_into_snapshot(spark, b2, snap, keys=["id"], order_by=["es", "ts"])
+    got = {r.id: r.city for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "B", 2: "x"}
+    # _prio is an implementation detail and must not leak into the snapshot
+    assert "_prio" not in spark.read.parquet(snap).columns

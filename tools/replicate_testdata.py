@@ -24,10 +24,11 @@ Usage: python tools/replicate_testdata.py [replicas=10] [out_dir]
 
 from __future__ import annotations
 
+import os
 import string
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
 
