@@ -99,14 +99,45 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content.unionByName(digest)
 
 
+_DECONTAM_PAD = """
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_shared_grams,
+           CAST(NULL AS BIGINT) AS n_bench_docs,
+           CAST(NULL AS BIGINT) AS contaminated
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
     WITH {SHINGLE_CTES}
-    SELECT 'exact' AS variant, doc_a, doc_b, jaccard
+    SELECT 'exact' AS variant, doc_a, doc_b, jaccard, {_DECONTAM_PAD}
     FROM jac WHERE jaccard >= 0.8
     UNION ALL
-    SELECT 'df_pruned' AS variant, doc_a, doc_b, jaccard
+    SELECT 'decontam' AS variant,
+           CAST(NULL AS BIGINT) AS doc_a,
+           CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           d.doc_id,
+           coalesce(p.n_shared_grams, 0) AS n_shared_grams,
+           coalesce(p.n_bench_docs, 0) AS n_bench_docs,
+           CASE WHEN coalesce(p.n_shared_grams, 0) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           END AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+    LEFT JOIN (
+        SELECT tr.doc_id,
+               count(DISTINCT CASE WHEN be.bench_id IS NOT NULL
+                                   THEN tr.s END) AS n_shared_grams,
+               count(DISTINCT be.bench_id) AS n_bench_docs
+        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0) tr
+        LEFT JOIN (SELECT DISTINCT doc_id AS bench_id, s FROM sh
+                   WHERE doc_id % 97 = 0) be
+               ON tr.s = be.s
+        GROUP BY tr.doc_id
+    ) p USING (doc_id)
+    UNION ALL
+    SELECT 'df_pruned' AS variant, doc_a, doc_b, jaccard, {_DECONTAM_PAD}
     FROM (
         WITH
         toksp AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
@@ -146,15 +177,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     * variant 'df_pruned' — max_df=2: hot shingles anti-joined out
       before the posting self-join, capping every posting list (the
       documented stopword-shingle skew mitigation), threshold 0.6;
-      Jaccard is then exact over the pruned shingle space."""
+      Jaccard is then exact over the pruned shingle space;
+    * variant 'decontam' — benchmark decontamination
+      (operators/prep.decontaminate, the public GPT-3/C4 n-gram-overlap
+      methodology): the doc_id % 97 == 0 slice plays the eval set, its
+      distinct 3-grams are broadcast, and every remaining training doc
+      reports shared-gram / benchmark-doc counts and a contaminated
+      flag. The corpus side never shuffles for the membership join.
+    """
+    from flink_etl_spark.operators.prep import decontaminate
+
     docs = _t(spark, sf_dir, "documents")
-    exact = D.jaccard_pairs(docs, threshold=0.8).select(
-        F.lit("exact").alias("variant"), "doc_a", "doc_b", "jaccard"
+
+    def _pad(df):
+        return df.select(
+            "*",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("n_shared_grams"),
+            F.lit(None).cast("long").alias("n_bench_docs"),
+            F.lit(None).cast("long").alias("contaminated"),
+        )
+
+    exact = _pad(
+        D.jaccard_pairs(docs, threshold=0.8).select(
+            F.lit("exact").alias("variant"), "doc_a", "doc_b", "jaccard"
+        )
     )
-    pruned = D.jaccard_pairs(docs, threshold=0.6, max_df=2).select(
-        F.lit("df_pruned").alias("variant"), "doc_a", "doc_b", "jaccard"
+    pruned = _pad(
+        D.jaccard_pairs(docs, threshold=0.6, max_df=2).select(
+            F.lit("df_pruned").alias("variant"), "doc_a", "doc_b", "jaccard"
+        )
     )
-    return exact.unionByName(pruned)
+    decontam = decontaminate(
+        docs.filter("doc_id % 97 != 0"),
+        docs.filter("doc_id % 97 = 0"),
+        n=3,
+    ).select(
+        F.lit("decontam").alias("variant"),
+        F.lit(None).cast("long").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "doc_id",
+        "n_shared_grams",
+        "n_bench_docs",
+        "contaminated",
+    )
+    return exact.unionByName(pruned).unionByName(decontam)
 
 
 def _minhash_oracle() -> str:

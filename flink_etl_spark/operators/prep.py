@@ -428,3 +428,70 @@ def pack_greedy(
         .withColumn("overflow_doc", F.col(tokens_col) > F.lit(budget))
         .drop("_cum0")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents that share any token n-gram with a
+    benchmark/eval set — the public GPT-3 (appendix C, 13-gram) /
+    Dodge et al. C4 decontamination methodology, parameterized on n.
+
+    One row per training document: ``id_col``, ``n_shared_grams``
+    (distinct n-grams also present anywhere in the benchmark),
+    ``n_bench_docs`` (distinct benchmark documents sharing at least one
+    gram), ``contaminated`` (0/1). Documents shorter than n tokens have
+    no grams and are clean by definition.
+
+    100 TB shape: the benchmark side is distinct-ed and BROADCAST
+    (eval suites are MBs against a corpus of TBs), so the corpus never
+    shuffles for the membership join — one explode, a map-side
+    broadcast left join, then a per-doc aggregate whose shuffle carries
+    (id, gram) pairs only for matching grams plus one row per doc.
+    Disable ``broadcast_benchmark`` only if the "benchmark" is itself
+    corpus-scale (then it is a plain shuffle join and you likely wanted
+    `jaccard_pairs`)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bid = bench_id_col or id_col
+    btext = bench_text_col or text_col
+
+    def grams(df: DataFrame, i: str, t: str, outer: bool) -> DataFrame:
+        exploder = F.explode_outer if outer else F.explode
+        return df.select(
+            F.col(i),
+            exploder(
+                F.array_distinct(shingles_expr(tokens_expr(t), n))
+            ).alias("_g"),
+        )
+
+    bench = grams(benchmark, bid, btext, outer=False).select(
+        F.col(bid).alias("_bench_id"), "_g"
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    corpus = grams(docs, id_col, text_col, outer=True)
+    joined = corpus.join(bench, "_g", "left")
+    hit = F.col("_bench_id").isNotNull()
+    per_doc = joined.groupBy(id_col).agg(
+        F.countDistinct(F.when(hit, F.col("_g"))).alias("n_shared_grams"),
+        F.countDistinct("_bench_id").alias("n_bench_docs"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_shared_grams",
+        "n_bench_docs",
+        (F.col("n_shared_grams") > 0).cast("long").alias("contaminated"),
+    )

@@ -308,3 +308,46 @@ def test_hash_split_null_key_matches_duckdb_and_is_deterministic(spark):
     # xxhash64 arm: null key is deterministic too
     x = P.hash_split(df, "doc_id").collect()
     assert all(r["split"] in ("train", "val", "test") for r in x)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "completely unrelated text about spark engines"),
+            (3, "short"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps high")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in P.decontaminate(train, bench, n=3).collect()
+    }
+    # doc 1 shares "quick brown fox" and "brown fox jumps"
+    assert out[1]["contaminated"] == 1 and out[1]["n_shared_grams"] == 2
+    assert out[1]["n_bench_docs"] == 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_shared_grams"] == 0
+    assert out[3]["contaminated"] == 0  # < n tokens: clean by definition
+    assert set(out) == {1, 2, 3}  # every training doc appears
+
+
+def test_decontaminate_benchmark_is_broadcast(spark):
+    train = _docs(spark, [(1, "a b c d")])
+    bench = _docs(spark, [(9, "b c d e")])
+    plan = (
+        P.decontaminate(train, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_rejects_bad_n(spark):
+    d = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="n must"):
+        P.decontaminate(d, d, n=0)
