@@ -65,6 +65,26 @@ def _bench_ivf(spark, sf_dir):
     return ivf_topk(embs, embs.filter(F.expr("vec_id < 32")), k=5, n_cells=8, nprobe=2)
 
 
+def _bench_repetition(spark, sf_dir):
+    """Gopher repetition stats (r4 prep family) — benched on the raw
+    operator; tracked from r4 on (not in comparable_11)."""
+    from flink_etl_spark.operators.prep import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _bench_decontam(spark, sf_dir):
+    """Benchmark decontamination (r4 prep family): doc_id % 97 slice as
+    the eval set, 3-gram overlap; tracked from r4 on (not in
+    comparable_11)."""
+    from flink_etl_spark.operators.prep import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0"), n=3
+    )
+
+
 def _bench_pipeline(spark, sf_dir):
     """r1-r3-comparable pipeline work: the catalog gate grew a
     'split_summary' union arm in r4 (per-source cap + hash split);
@@ -96,7 +116,16 @@ HEADLINE = [
     ("ann_ivf_topk", _bench_ivf),
     "text_doc_profile",
     ("pipeline_training_prep", _bench_pipeline),
+    ("text_repetition_stats", _bench_repetition),
+    ("decontaminate_ngrams", _bench_decontam),
 ]
+
+#: entries added after r3 — excluded from the r1-r3-comparable total
+NON_COMPARABLE = {
+    "dedup_minhash_lsh_staged",
+    "text_repetition_stats",
+    "decontaminate_ngrams",
+}
 
 
 def main() -> None:
@@ -137,7 +166,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "comparable_11_total_sec": round(
-            sum(t for q, t in timings.items() if q != "dedup_minhash_lsh_staged"),
+            sum(t for q, t in timings.items() if q not in NON_COMPARABLE),
             3,
         ),
     }

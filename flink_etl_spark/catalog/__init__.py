@@ -6,6 +6,12 @@ Determinism rules (so order-insensitive value-hash comparison works):
   epoch-millis longs
 * doubles either pass through untouched (bit-identical in both engines)
   or are rounded AFTER aggregation with matching `round(x, n)`
+* `round(sum(x), k)` is only safe when the TRUE sum lies on the
+  k-decimal grid (x is <= k-decimal-exact) — then fp error rounds back
+  to the grid on both sides. Rounding to FEWER decimals than the data
+  (round-2 of a 4/6-decimal product sum) or any rounded avg() is a
+  float-addition-order lottery: use `exact_decimal_sum`/`_avg`
+  (integer sums, one division, no round) instead
 * every window/rank has a total ordering (explicit tie-breakers)
 * column names aliased identically in Spark and SQL
 """
@@ -67,6 +73,52 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ts_ms(col: str = "ts") -> F.Column:
     """Epoch millis from an NTZ timestamp (session tz pinned UTC by loader)."""
     return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+def exact_decimal_sum(expr: F.Column, decimals: int) -> F.Column:
+    """Order-independent aggregate sum of d-decimal-exact doubles (the
+    money-ish testdata columns and their short products): scale each
+    element to an integer (exact — elements are d-decimal by
+    construction, so round() never sees a half-edge), sum as BIGINT
+    (associative, no float addition order), divide back ONCE.
+
+    A naive round(sum(x), k) can flip its last digit between Spark and
+    the oracle: the engines sum in different orders, and round() itself
+    disagrees on exact-half inputs — a per-testdata-regeneration
+    lottery on every large-group rounded sum. The integer sum removes
+    both hazards; the single division produces the same IEEE double in
+    any engine. Headroom: elements*scale must stay << 2^63/n — at
+    gate/bench SFs the largest scaled sum is ~1e16.
+    """
+    scale = 10 ** decimals
+    return F.sum(F.round(expr * scale).cast("long")) / F.lit(float(scale))
+
+
+def duckdb_exact_decimal_sum(sql: str, decimals: int) -> str:
+    """Oracle twin of `exact_decimal_sum` (cast: DuckDB sum(BIGINT) is
+    HUGEINT, which pandas would read back as float64)."""
+    scale = 10 ** decimals
+    return (
+        f"(CAST(sum(CAST(round(({sql}) * {scale}) AS BIGINT)) AS BIGINT)"
+        f" / {scale}.0)"
+    )
+
+
+def exact_decimal_avg(expr: F.Column, decimals: int) -> F.Column:
+    """Order-independent mean of d-decimal-exact doubles: exact integer
+    sum, ONE division by count*scale (see `exact_decimal_sum`)."""
+    scale = 10 ** decimals
+    return F.sum(F.round(expr * scale).cast("long")) / (
+        F.count(F.lit(1)) * F.lit(float(scale))
+    )
+
+
+def duckdb_exact_decimal_avg(sql: str, decimals: int) -> str:
+    scale = 10 ** decimals
+    return (
+        f"(CAST(sum(CAST(round(({sql}) * {scale}) AS BIGINT)) AS BIGINT)"
+        f" / (count(*) * {scale}.0))"
+    )
 
 
 def load_all() -> None:

@@ -6,6 +6,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_etl_spark.catalog import _t, _ts_ms, query
+
+
+def _esum_value():
+    """Order-independent sum of the 6-decimal-exact `value` column
+    (catalog.exact_decimal_sum): naive round(sum(double), 2) is a
+    per-testdata-regeneration lottery on the last digit — engines sum
+    in different orders."""
+    from flink_etl_spark.catalog import exact_decimal_sum
+
+    return exact_decimal_sum(F.col("value"), 6)
 from flink_etl_spark.operators import canal, merge
 
 # ---------------------------------------------------------------------------
@@ -224,7 +234,8 @@ def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ts, '%Y%m%d') AS dt,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS sum_value
+           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+            / 1000000.0) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -239,7 +250,7 @@ def dt_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _esum_value().alias("sum_value"),
         )
     )
 
@@ -296,13 +307,15 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
            time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type AS grp,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+            / 1000000.0) AS sum_value
     FROM events
     GROUP BY 2, 3
     UNION ALL
     SELECT 'sliding' AS variant, window_start, event_type AS grp,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+            / 1000000.0) AS sum_value
     FROM (
         -- an event in hour H belongs to the 2h windows starting at H-1h and H
         SELECT event_type, value,
@@ -330,7 +343,8 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min(ts) AS window_start,
                CAST(user_id AS VARCHAR) AS grp,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+            / 1000000.0) AS sum_value
         FROM g GROUP BY user_id, sid
     )
     """,
@@ -363,7 +377,7 @@ def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _esum_value().alias("sum_value"),
         )
         .select(F.lit("tumbling").alias("variant"), "*")
     )
@@ -376,7 +390,7 @@ def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _esum_value().alias("sum_value"),
         )
         .select(F.lit("sliding").alias("variant"), "*")
     )
@@ -386,7 +400,7 @@ def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _esum_value().alias("sum_value"),
         )
         .select(
             F.lit("session").alias("variant"),

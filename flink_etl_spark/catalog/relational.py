@@ -17,51 +17,61 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from flink_etl_spark.catalog import _t, query
+from flink_etl_spark.catalog import (
+    _t,
+    duckdb_exact_decimal_avg as eavg,
+    duckdb_exact_decimal_sum as esum,
+    exact_decimal_avg,
+    exact_decimal_sum,
+    query,
+)
 
 
-@query(
-    "agg_pricing_summary",
-    """
+def _pricing_oracle() -> str:
+    disc = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc} * (1 + l_tax)"
+    return f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {esum('l_extendedprice', 2)} AS sum_base_price,
+           {esum(disc, 4)} AS sum_disc_price,
+           {esum(charge, 6)} AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           {eavg('l_extendedprice', 2)} AS avg_price,
+           {eavg('l_discount', 2)} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
+@query("agg_pricing_summary", _pricing_oracle())
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped hash aggregation: filter -> partial agg map-side
     -> final agg on 6 groups. The scan reads only the 7 needed columns
-    (column pruning) and the shipdate predicate is pushed to parquet."""
+    (column pruning) and the shipdate predicate is pushed to parquet.
+
+    The fractional sums/means use `exact_decimal_sum`/`_avg` (integer
+    sums of the d-decimal-exact inputs, one division): a naive
+    round(sum(double)) differs between engines by float addition order
+    on the 15k-row groups — a per-testdata-regeneration lottery on the
+    last rounded digit. l_quantity is integer-valued, so its double sum
+    is already exact and stays a plain sum/avg."""
     li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            exact_decimal_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_decimal_sum(disc, 4).alias("sum_disc_price"),
+            exact_decimal_sum(charge, 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            exact_decimal_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            exact_decimal_avg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -69,10 +79,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_broadcast_star",
-    """
+    f"""
     SELECT p.p_brand AS p_brand, s.s_name AS s_name,
            count(*) AS n_items,
-           round(sum(l.l_extendedprice), 2) AS revenue
+           {esum('l.l_extendedprice', 2)} AS revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -94,7 +104,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "s_name")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            exact_decimal_sum(F.col("l_extendedprice"), 2).alias("revenue"),
         )
     )
 
@@ -103,7 +113,9 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_region_revenue",
     """
     SELECT n.n_name AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount))
+                                * 10000) AS BIGINT)) AS BIGINT)
+            / 10000.0) AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -159,9 +171,11 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact_decimal_sum: see agg_pricing_summary — the 4-decimal
+            # discounted price sums order-independently as integers
+            exact_decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -419,11 +433,11 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_cube_grouping_sets",
-    """
+    f"""
     SELECT 'rollup_orders' AS variant,
            o_orderstatus AS key1, o_orderpriority AS key2,
            count(*) AS n_rows,
-           round(sum(o_totalprice), 2) AS measure
+           {esum('o_totalprice', 2)} AS measure
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     UNION ALL
@@ -437,7 +451,7 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'grouping_sets_orders' AS variant,
            o_orderstatus AS key1, o_orderpriority AS key2,
            count(*) AS n_rows,
-           round(sum(o_totalprice), 2) AS measure
+           {esum('o_totalprice', 2)} AS measure
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))
@@ -459,7 +473,7 @@ def rollup_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     rollup = o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("measure"),
+        exact_decimal_sum(F.col("o_totalprice"), 2).alias("measure"),
     ).select(
         F.lit("rollup_orders").alias("variant"),
         F.col("o_orderstatus").alias("key1"),
@@ -486,7 +500,10 @@ def rollup_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'grouping_sets_orders' AS variant,
                o_orderstatus AS key1, o_orderpriority AS key2,
                count(*) AS n_rows,
-               round(sum(o_totalprice), 2) AS measure
+               -- exact integer sum (see catalog.exact_decimal_sum):
+               -- Spark SQL entry path, same arithmetic as the oracle
+               (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                / 100.0) AS measure
         FROM _v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
@@ -612,7 +629,8 @@ def agg_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90,
            round(quantile_cont(value, 0.99), 6) AS p99,
-           round(avg(value), 6) AS mean_value,
+           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+            / (count(*) * 1000000.0)) AS mean_value,
            TRUE AS p50_ok,
            TRUE AS p90_ok,
            TRUE AS p99_ok
@@ -642,7 +660,7 @@ def agg_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
             for q in qs
         ],
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        exact_decimal_avg(F.col("value"), 6).alias("mean_value"),
         F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("ap"),
         *[
             F.expr(f"percentile(value, {max(q - 0.01, 0.0)})").alias(f"lo_{i}")
@@ -676,7 +694,8 @@ def agg_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (o_orderstatus = 'O') AS status_O,
            count(*) FILTER (o_orderstatus = 'F') AS status_F,
            count(*) FILTER (o_orderstatus = 'P') AS status_P,
-           round(sum(o_totalprice), 2) AS revenue,
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            / 100.0) AS revenue,
            CAST(NULL AS VARCHAR) AS metric,
            CAST(NULL AS DOUBLE) AS total
     FROM orders
@@ -687,7 +706,9 @@ def agg_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS status_F,
            CAST(NULL AS BIGINT) AS status_P,
            CAST(NULL AS DOUBLE) AS revenue,
-           metric, round(sum(val), 2) AS total
+           metric,
+           (CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT)
+            / 100.0) AS total
     FROM (
         SELECT o_orderpriority, 'price' AS metric, o_totalprice AS val FROM orders
         UNION ALL
@@ -710,7 +731,15 @@ def pivot_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # integer cents through the pivot: the per-status LONG sums
+            # add exactly across statuses, then ONE division — matching
+            # the oracle's whole-group integer sum bit-for-bit (see
+            # catalog.exact_decimal_sum; rounded per-status doubles
+            # could drift a ulp from the group total)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+        )
     )
     pivoted = wide.select(
         F.lit("pivot").alias("variant"),
@@ -718,11 +747,13 @@ def pivot_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O_n", F.lit(0)).alias("status_O"),
         F.coalesce("F_n", F.lit(0)).alias("status_F"),
         F.coalesce("P_n", F.lit(0)).alias("status_P"),
-        F.round(
-            F.coalesce("O_rev", F.lit(0.0))
-            + F.coalesce("F_rev", F.lit(0.0))
-            + F.coalesce("P_rev", F.lit(0.0)),
-            2,
+        (
+            (
+                F.coalesce("O_rev", F.lit(0))
+                + F.coalesce("F_rev", F.lit(0))
+                + F.coalesce("P_rev", F.lit(0))
+            )
+            / F.lit(100.0)
         ).alias("revenue"),
         F.lit(None).cast("string").alias("metric"),
         F.lit(None).cast("double").alias("total"),
@@ -738,7 +769,7 @@ def pivot_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unpivoted = (
         melted.groupBy("o_orderpriority", "metric")
-        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .agg(exact_decimal_sum(F.col("val"), 2).alias("total"))
         .select(
             F.lit("unpivot").alias("variant"),
             "o_orderpriority",
@@ -860,7 +891,8 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday,
            CAST(year(o_orderdate) AS INT) AS yr,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            / 100.0) AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
     GROUP BY 1, 2
@@ -880,7 +912,7 @@ def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            exact_decimal_sum(F.col("o_totalprice"), 2).alias("revenue"),
         )
     )
 

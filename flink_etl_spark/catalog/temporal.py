@@ -152,12 +152,21 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
     "salted_join_type_deviation",
     """
     WITH dim AS (
-        SELECT event_type, round(avg(value), 6) AS type_avg
+        -- exact integer-sum mean (catalog.exact_decimal_avg): a naive
+        -- round(avg(double), 6) can flip its last digit between
+        -- engines by float addition order
+        SELECT event_type,
+               (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                / (count(*) * 1000000.0)) AS type_avg
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           round(sum(e.value - d.type_avg), 2) + 0.0 AS total_deviation,
+           -- algebraic form sum(v) - n*avg with an exact integer sum:
+           -- summing the per-row deviations is float-order-dependent
+           ((CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0)
+            - count(*) * max(d.type_avg)) + 0.0 AS total_deviation,
            round(max(abs(e.value - d.type_avg)), 6) AS max_abs_deviation
     FROM events e JOIN dim d ON d.event_type = e.event_type
     GROUP BY e.event_type
@@ -171,17 +180,25 @@ def salted_join_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the results."""
     from flink_etl_spark.operators.joins import salted_join
 
+    from flink_etl_spark.catalog import exact_decimal_avg, exact_decimal_sum
+
     ev = _t(spark, sf_dir, "events")
-    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    # exact integer-sum mean, unrounded — identical IEEE double to the
+    # oracle's (naive avg differs by float addition order)
+    dim = ev.groupBy("event_type").agg(
+        exact_decimal_avg(F.col("value"), 6).alias("type_avg")
+    )
     joined = salted_join(ev, dim, on=["event_type"], salt_buckets=8)
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        # + 0.0 collapses IEEE -0.0 to 0.0 — DuckDB's sum can yield -0.0
-        # where Spark yields 0.0, and a value-hashing driver sees them as
-        # different reprs; applied on both sides.
-        (F.round(F.sum(F.col("value") - F.col("type_avg")), 2) + F.lit(0.0)).alias(
-            "total_deviation"
-        ),
+        # algebraic sum(v) - n*avg over the exact integer sum: the
+        # per-row deviation sum is float-order-dependent. + 0.0
+        # collapses IEEE -0.0 to 0.0 (applied on both sides).
+        (
+            exact_decimal_sum(F.col("value"), 6)
+            - F.count("*") * F.max("type_avg")
+            + F.lit(0.0)
+        ).alias("total_deviation"),
         F.round(F.max(F.abs(F.col("value") - F.col("type_avg"))), 6).alias(
             "max_abs_deviation"
         ),

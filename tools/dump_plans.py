@@ -97,6 +97,22 @@ COMMENTARY: dict[str, str] = {
         "Every text signal comes off a single tokenization "
         "(doc_profile)."
     ),
+    "text_repetition_stats": (
+        "One tokenization scan; row-local stats ride the explode_outer "
+        "as grouping keys (no join back to a second tokenizer "
+        "evaluation). The 2+3-gram counts are ONE groupBy with map-side "
+        "partial counts — the shuffle carries (id, ints, gram), never "
+        "document text — followed by a per-doc conditional aggregate "
+        "on the same keys (AQE reuses the partitioning)."
+    ),
+    "decontaminate_ngrams": (
+        "The benchmark side (eval suites: MBs) is distinct-ed and "
+        "BROADCAST, so the corpus side never shuffles for the "
+        "membership join — scan -> explode -> BroadcastHashJoin, then "
+        "one per-doc aggregate. At 100 TB this is a free rider on a "
+        "corpus scan; only matching (id, gram) pairs plus one row per "
+        "doc enter the aggregate's exchange."
+    ),
 }
 
 
