@@ -495,3 +495,75 @@ def decontaminate(
         "n_bench_docs",
         (F.col("n_shared_grams") > 0).cast("long").alias("contaminated"),
     )
+
+
+def pack_greedy_global(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """GLOBAL start-offset packing (one sequence stream over the whole
+    corpus, ordered by ``id_col``) via the two-level distributed prefix
+    sum `pack_greedy`'s docstring prescribes — no single-partition
+    window anywhere:
+
+    1. rows are assigned a deterministic ORDER BUCKET
+       (``id_col // bucket_width`` — a pure function of the key, unlike
+       repartitionByRange's sampled boundaries, so re-runs and retries
+       bucket identically);
+    2. within-bucket prefix sums run as an ordinary partitioned window
+       (each bucket bounded by construction);
+    3. per-bucket token totals (one tiny row per bucket) get their own
+       cumulative offsets and broadcast-join back;
+    4. ``seq_id = floor((bucket_offset + within_prefix) / budget)`` —
+       identical to the math a single global window would produce
+       (asserted in tests), at any corpus size.
+
+    Requires a non-negative integral ``id_col``; pick ``bucket_width``
+    so one bucket's rows fit a task comfortably (10^5 docs/bucket
+    default — window state is rows, not tokens).
+
+    Output matches `pack_greedy` (seq_id / seq_offset / overflow_doc)
+    with global sequence numbering.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    bucketed = df.withColumn(
+        "_pkb", (F.col(id_col) / F.lit(bucket_width)).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("_pkb")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = bucketed.withColumn(
+        "_cum_in",
+        F.coalesce(F.sum(F.col(tokens_col)).over(w_in), F.lit(0).cast("long")),
+    )
+    # level 2: one row per bucket — cumulative offset of each bucket's
+    # first token; the window spans only n_buckets rows
+    w_b = (
+        Window.orderBy("_pkb").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("_pkb")
+        .agg(F.sum(F.col(tokens_col)).alias("_btot"))
+        .withColumn(
+            "_boff",
+            F.coalesce(F.sum("_btot").over(w_b), F.lit(0).cast("long")),
+        )
+        .select("_pkb", "_boff")
+    )
+    cum = F.col("_boff") + F.col("_cum_in")
+    return (
+        within.join(F.broadcast(offsets), "_pkb")
+        .withColumn("seq_id", F.floor(cum / F.lit(budget)))
+        .withColumn("seq_offset", cum % F.lit(budget))
+        .withColumn("overflow_doc", F.col(tokens_col) > F.lit(budget))
+        .drop("_pkb", "_cum_in", "_boff")
+    )

@@ -351,3 +351,40 @@ def test_decontaminate_rejects_bad_n(spark):
     d = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError, match="n must"):
         P.decontaminate(d, d, n=0)
+
+
+def test_pack_greedy_global_matches_single_window(spark):
+    """The two-level prefix sum must reproduce EXACTLY what one global
+    window would compute, across bucket boundaries."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(10, 400)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    # reference: single group (constant part col) -> one global window
+    ref = P.pack_greedy(
+        df.withColumn("g", F.lit(1)), budget=512, part_cols=("g",)
+    ).select("doc_id", "seq_id", "seq_offset", "overflow_doc")
+    # two-level with a bucket width that forces many buckets
+    got = P.pack_greedy_global(df, budget=512, bucket_width=37).select(
+        "doc_id", "seq_id", "seq_offset", "overflow_doc"
+    )
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_pack_greedy_global_no_single_partition_window(spark):
+    """The doc-level window must partition by bucket — only the tiny
+    per-bucket offsets window is allowed to be unpartitioned."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn(
+        "n_tokens", F.lit(100)
+    )
+    out = P.pack_greedy_global(df, budget=512, bucket_width=100)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # two windows: the doc-level one partitioned by _pkb (its exchange
+    # is hashpartitioning on the bucket, not a global single-partition
+    # sort of all docs), plus the tiny per-bucket offsets window
+    assert phys.count("Window") >= 2
+    assert "hashpartitioning(_pkb" in phys
+    with pytest.raises(ValueError, match="bucket_width"):
+        P.pack_greedy_global(df, budget=512, bucket_width=0)
