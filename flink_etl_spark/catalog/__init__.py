@@ -87,37 +87,41 @@ def exact_decimal_sum(expr: F.Column, decimals: int) -> F.Column:
     disagrees on exact-half inputs — a per-testdata-regeneration
     lottery on every large-group rounded sum. The integer sum removes
     both hazards; the single division produces the same IEEE double in
-    any engine. Headroom: elements*scale must stay << 2^63/n — at
-    gate/bench SFs the largest scaled sum is ~1e16.
-    """
+    any engine.
+
+    Overflow: elements accumulate as DECIMAL(38,0) on the Spark side
+    (a BIGINT sum would WRAP silently past 2^63) and HUGEINT (128-bit)
+    in DuckDB — both exact to ~1e38, both convert the identical integer
+    nearest-to-double for the one division, and a genuinely
+    overflowing Spark sum yields NULL (a loud gate mismatch), never a
+    silently-wrong total."""
     scale = 10 ** decimals
-    return F.sum(F.round(expr * scale).cast("long")) / F.lit(float(scale))
+    total = F.sum(F.round(expr * scale).cast("long").cast("decimal(38,0)"))
+    return total.cast("double") / F.lit(float(scale))
 
 
 def duckdb_exact_decimal_sum(sql: str, decimals: int) -> str:
-    """Oracle twin of `exact_decimal_sum` (cast: DuckDB sum(BIGINT) is
-    HUGEINT, which pandas would read back as float64)."""
+    """Oracle twin of `exact_decimal_sum`: HUGEINT sum, same single
+    division (HUGEINT and DECIMAL(38,0) nearest-convert the same
+    integer to the same double)."""
     scale = 10 ** decimals
-    return (
-        f"(CAST(sum(CAST(round(({sql}) * {scale}) AS BIGINT)) AS BIGINT)"
-        f" / {scale}.0)"
-    )
+    return f"(sum(CAST(round(({sql}) * {scale}) AS BIGINT)) / {scale}.0)"
 
 
 def exact_decimal_avg(expr: F.Column, decimals: int) -> F.Column:
-    """Order-independent mean of d-decimal-exact doubles: exact integer
-    sum, ONE division by count*scale (see `exact_decimal_sum`)."""
+    """Order-independent mean of d-decimal-exact doubles: exact sum,
+    ONE division by non_null_count*scale (avg() ignores NULLs — so
+    does this; see `exact_decimal_sum` for the overflow story)."""
     scale = 10 ** decimals
-    return F.sum(F.round(expr * scale).cast("long")) / (
-        F.count(F.lit(1)) * F.lit(float(scale))
-    )
+    total = F.sum(F.round(expr * scale).cast("long").cast("decimal(38,0)"))
+    return total.cast("double") / (F.count(expr) * F.lit(float(scale)))
 
 
 def duckdb_exact_decimal_avg(sql: str, decimals: int) -> str:
     scale = 10 ** decimals
     return (
-        f"(CAST(sum(CAST(round(({sql}) * {scale}) AS BIGINT)) AS BIGINT)"
-        f" / (count(*) * {scale}.0))"
+        f"(sum(CAST(round(({sql}) * {scale}) AS BIGINT))"
+        f" / (count({sql}) * {scale}.0))"
     )
 
 

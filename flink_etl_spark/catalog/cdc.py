@@ -5,18 +5,24 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_etl_spark.catalog import _t, _ts_ms, query
+from flink_etl_spark.catalog import (
+    _t,
+    _ts_ms,
+    duckdb_exact_decimal_sum,
+    exact_decimal_sum,
+    query,
+)
+from flink_etl_spark.operators import canal, merge
+
+#: order-independent sum of the 6-decimal-exact `value` column (see
+#: catalog.exact_decimal_sum): naive round(sum(double), 2) is a
+#: per-testdata-regeneration lottery on the last digit — engines sum
+#: in different orders
+_ESUM_VALUE_SQL = duckdb_exact_decimal_sum("value", 6)
 
 
 def _esum_value():
-    """Order-independent sum of the 6-decimal-exact `value` column
-    (catalog.exact_decimal_sum): naive round(sum(double), 2) is a
-    per-testdata-regeneration lottery on the last digit — engines sum
-    in different orders."""
-    from flink_etl_spark.catalog import exact_decimal_sum
-
     return exact_decimal_sum(F.col("value"), 6)
-from flink_etl_spark.operators import canal, merge
 
 # ---------------------------------------------------------------------------
 # CDC core — reference parity (SURVEY.md §2.4-2.6, §3.2)
@@ -230,12 +236,11 @@ def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dt_partition_counts",
-    """
+    f"""
     SELECT strftime(ts, '%Y%m%d') AS dt,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-            / 1000000.0) AS sum_value
+           {_ESUM_VALUE_SQL} AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -302,20 +307,18 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "time_windows_agg",
-    """
+    f"""
     SELECT 'tumbling' AS variant,
            time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type AS grp,
            count(*) AS n_events,
-           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-            / 1000000.0) AS sum_value
+           {_ESUM_VALUE_SQL} AS sum_value
     FROM events
     GROUP BY 2, 3
     UNION ALL
     SELECT 'sliding' AS variant, window_start, event_type AS grp,
            count(*) AS n_events,
-           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-            / 1000000.0) AS sum_value
+           {_ESUM_VALUE_SQL} AS sum_value
     FROM (
         -- an event in hour H belongs to the 2h windows starting at H-1h and H
         SELECT event_type, value,
@@ -343,8 +346,7 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min(ts) AS window_start,
                CAST(user_id AS VARCHAR) AS grp,
                count(*) AS n_events,
-               (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-            / 1000000.0) AS sum_value
+               {_ESUM_VALUE_SQL} AS sum_value
         FROM g GROUP BY user_id, sid
     )
     """,

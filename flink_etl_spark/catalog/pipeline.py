@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_etl_spark.catalog import _t, query
+from flink_etl_spark.catalog import _t, exact_decimal_avg, query
 from flink_etl_spark.functions.hashing import MERSENNE_P
 from flink_etl_spark.operators.text import STOPWORDS, doc_profile
 
@@ -25,9 +25,11 @@ _PACK_BUDGET = 512
 
 
 def _pipeline_oracle() -> str:
+    from flink_etl_spark.catalog import duckdb_exact_decimal_avg
     from flink_etl_spark.operators.prep import duckdb_split_expr
 
     _split_case = duckdb_split_expr("keep_id")
+    _eavg_quality = duckdb_exact_decimal_avg("quality", 6)
     hit_cols = ",\n           ".join(
         "len(list_filter(t, x -> x IN ({}))) AS hits_{}".format(
             ", ".join(f"'{w}'" for w in ws), lang
@@ -125,14 +127,11 @@ def _pipeline_oracle() -> str:
            -- DuckDB sum(BIGINT) is HUGEINT (-> float64 in pandas);
            -- Spark's is LONG — cast for an exact dtype match
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-           -- quality is 6-decimal-exact, so the mean is computed as an
-           -- INTEGER sum of quality*1e6 divided ONCE and left unrounded:
-           -- float addition order differs between engines (flips a naive
-           -- avg's 6th decimal), and round(x, 6) itself disagrees on the
-           -- exact-half edges a /4 mean produces — the raw single
-           -- division is the same IEEE double on both engines
-           CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
-                 / (count(*) * 1000000.0) AS avg_quality,
+           -- exact integer-sum mean (catalog.exact_decimal_avg):
+           -- float addition order differs between engines (flips a
+           -- naive avg's 6th decimal), and round(x, 6) disagrees on
+           -- the exact-half edges a small-count mean produces
+           {_eavg_quality} AS avg_quality,
            CAST(NULL AS BIGINT) AS seq_id,
            CAST(NULL AS BIGINT) AS seq_docs,
            CAST(NULL AS BIGINT) AS seq_tokens,
@@ -233,16 +232,11 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
-            # integer-sum mean, left unrounded: quality is 6-decimal-
-            # exact, so summing quality*1e6 as longs is order-
-            # independent and the single division is the same IEEE
-            # double as the oracle's (naive avg() differs by addition
-            # order; round(x, 6) disagrees on the exact-half edges a
-            # small-count mean produces)
-            (
-                F.sum(F.round(F.col("quality") * 1e6).cast("long"))
-                / (F.count("*") * F.lit(1e6))
-            ).alias("avg_quality"),
+            # exact integer-sum mean (catalog.exact_decimal_avg):
+            # naive avg() differs by addition order; round(x, 6)
+            # disagrees on the exact-half edges a small-count mean
+            # produces
+            exact_decimal_avg(F.col("quality"), 6).alias("avg_quality"),
         )
     )
 

@@ -111,11 +111,9 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_multiway_region_revenue",
-    """
+    f"""
     SELECT n.n_name AS n_name,
-           (CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount))
-                                * 10000) AS BIGINT)) AS BIGINT)
-            / 10000.0) AS revenue,
+           {esum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -500,9 +498,11 @@ def rollup_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'grouping_sets_orders' AS variant,
                o_orderstatus AS key1, o_orderpriority AS key2,
                count(*) AS n_rows,
-               -- exact integer sum (see catalog.exact_decimal_sum):
-               -- Spark SQL entry path, same arithmetic as the oracle
-               (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               -- exact_decimal_sum spelled in Spark SQL (this arm IS
+               -- the SQL entry path): DECIMAL(38,0) accumulator (a
+               -- BIGINT sum would wrap silently), one division
+               (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS DECIMAL(38,0))) AS DOUBLE)
                 / 100.0) AS measure
         FROM _v_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
@@ -624,13 +624,12 @@ def agg_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentiles_value",
-    """
+    f"""
     SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90,
            round(quantile_cont(value, 0.99), 6) AS p99,
-           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-            / (count(*) * 1000000.0)) AS mean_value,
+           {eavg('value', 6)} AS mean_value,
            TRUE AS p50_ok,
            TRUE AS p90_ok,
            TRUE AS p99_ok
@@ -689,13 +688,12 @@ def agg_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_unpivot_order_metrics",
-    """
+    f"""
     SELECT 'pivot' AS variant, o_orderpriority,
            count(*) FILTER (o_orderstatus = 'O') AS status_O,
            count(*) FILTER (o_orderstatus = 'F') AS status_F,
            count(*) FILTER (o_orderstatus = 'P') AS status_P,
-           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-            / 100.0) AS revenue,
+           {esum('o_totalprice', 2)} AS revenue,
            CAST(NULL AS VARCHAR) AS metric,
            CAST(NULL AS DOUBLE) AS total
     FROM orders
@@ -706,9 +704,7 @@ def agg_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS status_F,
            CAST(NULL AS BIGINT) AS status_P,
            CAST(NULL AS DOUBLE) AS revenue,
-           metric,
-           (CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT)
-            / 100.0) AS total
+           metric, {esum('val', 2)} AS total
     FROM (
         SELECT o_orderpriority, 'price' AS metric, o_totalprice AS val FROM orders
         UNION ALL
@@ -733,12 +729,17 @@ def pivot_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # integer cents through the pivot: the per-status LONG sums
-            # add exactly across statuses, then ONE division — matching
-            # the oracle's whole-group integer sum bit-for-bit (see
-            # catalog.exact_decimal_sum; rounded per-status doubles
-            # could drift a ulp from the group total)
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+            # exact cents through the pivot, DECIMAL(38,0) accumulator
+            # (a LONG sum wraps silently at extreme scale): per-status
+            # sums add exactly across statuses, then ONE division —
+            # matching the oracle's whole-group integer sum bit-for-bit
+            # (rounded per-status doubles could drift a ulp from the
+            # group total)
+            F.sum(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias("rev"),
         )
     )
     pivoted = wide.select(
@@ -752,7 +753,7 @@ def pivot_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("O_rev", F.lit(0))
                 + F.coalesce("F_rev", F.lit(0))
                 + F.coalesce("P_rev", F.lit(0))
-            )
+            ).cast("double")
             / F.lit(100.0)
         ).alias("revenue"),
         F.lit(None).cast("string").alias("metric"),
@@ -887,12 +888,11 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_by_weekday",
-    """
+    f"""
     SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday,
            CAST(year(o_orderdate) AS INT) AS yr,
            count(*) AS n_orders,
-           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-            / 100.0) AS revenue
+           {esum('o_totalprice', 2)} AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
     GROUP BY 1, 2

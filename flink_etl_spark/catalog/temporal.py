@@ -10,7 +10,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_etl_spark.catalog import _t, query
+from flink_etl_spark.catalog import (
+    _t,
+    duckdb_exact_decimal_avg as eavg,
+    duckdb_exact_decimal_sum as esum,
+    exact_decimal_avg,
+    exact_decimal_sum,
+    query,
+)
 from flink_etl_spark.operators.joins import asof_join, interval_join
 
 
@@ -150,22 +157,20 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "salted_join_type_deviation",
-    """
+    f"""
     WITH dim AS (
         -- exact integer-sum mean (catalog.exact_decimal_avg): a naive
         -- round(avg(double), 6) can flip its last digit between
         -- engines by float addition order
         SELECT event_type,
-               (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-                / (count(*) * 1000000.0)) AS type_avg
+               {eavg('value', 6)} AS type_avg
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            count(*) AS n_events,
            -- algebraic form sum(v) - n*avg with an exact integer sum:
            -- summing the per-row deviations is float-order-dependent
-           ((CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
-             / 1000000.0)
+           ({esum('e.value', 6)}
             - count(*) * max(d.type_avg)) + 0.0 AS total_deviation,
            round(max(abs(e.value - d.type_avg)), 6) AS max_abs_deviation
     FROM events e JOIN dim d ON d.event_type = e.event_type
@@ -179,8 +184,6 @@ def salted_join_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; the oracle is the PLAIN join — salting must be invisible
     in the results."""
     from flink_etl_spark.operators.joins import salted_join
-
-    from flink_etl_spark.catalog import exact_decimal_avg, exact_decimal_sum
 
     ev = _t(spark, sf_dir, "events")
     # exact integer-sum mean, unrounded — identical IEEE double to the

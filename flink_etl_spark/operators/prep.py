@@ -546,7 +546,14 @@ def pack_greedy_global(
         F.coalesce(F.sum(F.col(tokens_col)).over(w_in), F.lit(0).cast("long")),
     )
     # level 2: one row per bucket — cumulative offset of each bucket's
-    # first token; the window spans only n_buckets rows
+    # first token; the tiny window spans only n_buckets rows. Cost
+    # note: this branch re-reads the (id, tokens) projection — a second
+    # NARROW column-pruned scan — but its shuffle is one row per
+    # (bucket, input task) thanks to partial aggregation, never the
+    # corpus; deriving the totals from `within` instead would ride the
+    # full level-1 window exchange twice (exchange reuse does not
+    # reliably canonicalize across the join's inferred null filters),
+    # which is strictly worse
     w_b = (
         Window.orderBy("_pkb").rowsBetween(Window.unboundedPreceding, -1)
     )
