@@ -782,3 +782,56 @@ def test_cogroup_asof_rejects_overlap_and_survives_null_ts(spark):
     r_ts = right.withColumnRenamed("rts", "ts")
     with _pytest.raises(ValueError, match="overlapping"):
         cogroup_asof(both_ts, r_ts, on="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_exact_decimal_sum_guard_and_parity(spark):
+    """catalog.exact_decimal_sum: order-independent exact totals in the
+    safe range; NULL (never a silently-wrapped long) past the
+    count*max|scaled| >= 2^62 bound."""
+    import duckdb
+
+    from flink_etl_spark.catalog import (
+        duckdb_exact_decimal_avg,
+        duckdb_exact_decimal_sum,
+        exact_decimal_avg,
+        exact_decimal_sum,
+    )
+
+    rows = [(1, 1.25), (1, 2.50), (1, None), (2, 0.01)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: (r["s"], r["a"])
+        for r in df.groupBy("g")
+        .agg(
+            exact_decimal_sum(F.col("v"), 2).alias("s"),
+            exact_decimal_avg(F.col("v"), 2).alias("a"),
+        )
+        .collect()
+    }
+    # NULLs are skipped by sum AND by the avg divisor (avg semantics)
+    assert got[1] == (3.75, 1.875)
+    assert got[2] == (0.01, 0.01)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT g, {duckdb_exact_decimal_sum('v', 2)},"
+            f" {duckdb_exact_decimal_avg('v', 2)} FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
+
+    # overflow: two elements whose scaled sum exceeds a long. LOUD
+    # either way — ANSI (the session default) raises from the sum
+    # itself; non-ANSI sessions hit the count*max guard and yield NULL.
+    # Never a silently-wrapped negative total.
+    big = spark.createDataFrame([(8.0e12,), (8.0e12,)], "v double")
+    try:
+        out = big.agg(exact_decimal_sum(F.col("v"), 6).alias("s")).first()
+        assert out["s"] is None
+    except Exception as e:  # noqa: BLE001 — ANSI ArithmeticException path
+        assert "ARITHMETIC_OVERFLOW" in str(e) or "Arithmetic" in str(
+            type(e).__name__
+        ) or "overflow" in str(e).lower()
