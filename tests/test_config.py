@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 from unittest import mock
 
+import pytest
+
 from flink_etl_spark.config import KafkaSourceConfig, PipelineConfig, SinkConfig
 
 
@@ -50,5 +52,25 @@ def test_get_spark_extra_conf_overrides_runtime_confs(spark):
     try:
         s = get_spark(extra_conf={key: "false"})
         assert s.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_dynamic_partition_overwrite_restores_on_error(spark):
+    """The shared conf pin must restore the caller's mode even when the
+    enclosed write raises — a leaked 'dynamic' would change later
+    unrelated overwrites' semantics (and a leaked 'static' would make
+    the next partition overwrite wipe its table)."""
+    from flink_etl_spark.session import dynamic_partition_overwrite
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "static")
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            with dynamic_partition_overwrite(spark):
+                assert spark.conf.get(key) == "dynamic"
+                raise RuntimeError("boom")
+        assert spark.conf.get(key) == "static"
     finally:
         spark.conf.set(key, prev)
