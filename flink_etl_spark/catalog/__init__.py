@@ -99,15 +99,8 @@ def exact_decimal_sum(expr: F.Column, decimals: int) -> F.Column:
     long aggregates in the same pass vs decimal128 arithmetic per
     row)."""
     scale = 10 ** decimals
-    scaled = F.round(expr * scale).cast("long")
-    total = F.sum(scaled)
-    # double-precision guard product: count * max could itself wrap in
-    # long arithmetic; conservative fp compare is exact enough at 2^62
-    no_wrap = (
-        F.count(expr).cast("double") * F.max(F.abs(scaled)).cast("double")
-        < F.lit(float(2 ** 62))
-    )
-    return F.when(no_wrap, total / F.lit(float(scale)))
+    scaled, no_wrap = _scaled_guard(expr, scale)
+    return F.when(no_wrap, F.sum(scaled) / F.lit(float(scale)))
 
 
 def duckdb_exact_decimal_sum(sql: str, decimals: int) -> str:
@@ -120,16 +113,25 @@ def duckdb_exact_decimal_sum(sql: str, decimals: int) -> str:
     return f"(sum(CAST(round(({sql}) * {scale}) AS BIGINT)) / {scale}.0)"
 
 
-def exact_decimal_avg(expr: F.Column, decimals: int) -> F.Column:
-    """Order-independent mean of d-decimal-exact doubles: exact sum,
-    ONE division by non_null_count*scale (avg() ignores NULLs — so
-    does this; see `exact_decimal_sum` for the overflow guard)."""
-    scale = 10 ** decimals
+def _scaled_guard(expr: F.Column, scale: int) -> tuple[F.Column, F.Column]:
+    """Shared by exact_decimal_sum/_avg: the scaled-integer element and
+    the non-ANSI wrap guard. Guard product in double — count * max
+    could itself wrap in long arithmetic; the conservative fp compare
+    is exact enough at the 2^62 half-range bound."""
     scaled = F.round(expr * scale).cast("long")
     no_wrap = (
         F.count(expr).cast("double") * F.max(F.abs(scaled)).cast("double")
         < F.lit(float(2 ** 62))
     )
+    return scaled, no_wrap
+
+
+def exact_decimal_avg(expr: F.Column, decimals: int) -> F.Column:
+    """Order-independent mean of d-decimal-exact doubles: exact sum,
+    ONE division by non_null_count*scale (avg() ignores NULLs — so
+    does this; see `exact_decimal_sum` for the overflow guard)."""
+    scale = 10 ** decimals
+    scaled, no_wrap = _scaled_guard(expr, scale)
     return F.when(
         no_wrap, F.sum(scaled) / (F.count(expr) * F.lit(float(scale)))
     )

@@ -14,10 +14,13 @@ from flink_etl_spark.functions.hashing import MERSENNE_P
 from flink_etl_spark.operators.text import STOPWORDS, doc_profile
 
 
-#: per-source keeper cap for the balanced-split arm — low enough that
-#: sf0.01 actually exercises the cap (sources hold a few hundred
-#: keepers each), stated in the gate docstring
-_SOURCE_CAP = 100
+#: per-source keeper cap for the balanced-split arm. sf0.01 holds
+#: exactly 25 documents per source (500 docs / 20 sources) and fewer
+#: keepers after the quality+lang filter, so the cap must sit BELOW
+#: that for the gate to actually exercise cap_per_group and its
+#: quality-desc tie-break (at 100 a deleted QUALIFY clause would have
+#: left the gate green — the cap never bound)
+_SOURCE_CAP = 10
 
 #: token budget for the packing arm — small enough that sf0.01 produces
 #: multi-sequence groups with real fill variance
@@ -175,13 +178,14 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange. The oracle groups by the identical sha256, so the
     groups (and every output value) are byte-for-byte the same.
 
-    Two union-tagged arms (folded gates, same pattern as
+    Three union-tagged arms (folded gates, same pattern as
     dedup_minhash_lsh):
 
     * variant 'keepers' — the dedup survivors with their signals (the
       original gate output);
     * variant 'split_summary' — the LAST stages of a dataset build:
-      per-source balancing (cap _SOURCE_CAP=100 keepers per source,
+      per-source balancing (cap _SOURCE_CAP=10 keepers per source —
+      BINDING at sf0.01's 25 docs/source,
       quality-desc deterministic order — operators/prep.cap_per_group,
       WindowGroupLimit) then a leakage-safe deterministic train/val/
       test hash split (operators/prep.hash_split; the oracle-portable

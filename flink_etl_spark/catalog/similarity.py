@@ -313,13 +313,23 @@ def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_clipped"),
         F.lit(None).cast("double").alias("max_abs_err"),
     )
-    scale = quantize_scale("embedding")
-    q = embs.select(
+    # scale is PROJECTED first and referenced as a column: passing the
+    # raw quantize_scale expression into quantize_int8 would inline the
+    # whole array_max(...) under the per-element transform lambda —
+    # higher-order functions evaluate interpreted with no CSE, so the
+    # max would recompute for EVERY element (O(dim^2) per row)
+    scaled = embs.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.col("embedding"),
-        scale.alias("scale"),
-        quantize_int8("embedding", scale).alias("q"),
+        quantize_scale("embedding").alias("scale"),
+    )
+    q = scaled.select(
+        "vec_id",
+        "dim",
+        "embedding",
+        "scale",
+        quantize_int8("embedding", F.col("scale")).alias("q"),
     )
     quant = q.select(
         F.lit("quantize_int8").alias("variant"),

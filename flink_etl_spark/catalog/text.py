@@ -97,8 +97,12 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CASE / lpad / CAST AS STRING / substr are in the common dialect),
 #: so both engines redact the identical input.
 _PII_DERIVE = (
+    # coalesce(source, ''): Spark concat is NULL-propagating while
+    # DuckDB's skips NULLs — an unguarded NULL source would null the
+    # whole derived text in Spark only (split_buckets guards the same
+    # asymmetry)
     "concat("
-    "CASE WHEN doc_id % 3 = 0 THEN concat('mail ', source, '+', "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('mail ', coalesce(source, ''), '+', "
     "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '@ex', "
     "CAST(doc_id % 10 AS STRING), '.org ') ELSE 'mail none ' END, "
     "CASE WHEN doc_id % 4 = 1 THEN concat('call ', "

@@ -149,8 +149,15 @@ def duckdb_quantize(a: str) -> dict[str, str]:
             f"list_max(list_transform(list_zip({da}, {q}), "
             f"p -> abs(p[1] - CAST(p[2] AS DOUBLE) * {scale})))"
         ),
-        "sum_q": f"CAST(list_sum({q}) AS BIGINT)",
-        "sum_abs_q": f"CAST(list_sum(list_transform({q}, x -> abs(x))) AS BIGINT)",
+        # coalesce: DuckDB list_sum([]) is NULL where Spark's
+        # zero-seeded aggregate yields 0 — a zero-length embedding must
+        # give 0 on both sides (same divergence class the
+        # text_bpe_pretokens oracle fixed)
+        "sum_q": f"CAST(coalesce(list_sum({q}), 0) AS BIGINT)",
+        "sum_abs_q": (
+            f"CAST(coalesce(list_sum(list_transform({q}, x -> abs(x))), 0)"
+            " AS BIGINT)"
+        ),
         "n_clipped": (
             f"CAST(len(list_filter({q}, x -> abs(x) = 127)) AS BIGINT)"
         ),

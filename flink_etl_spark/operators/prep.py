@@ -223,18 +223,29 @@ def hash_split(
     bucket = split_buckets(F.col(key_col), n_buckets, salt, hash_fn)
     # chained half-open ranges [lo, hi) per label; final label catches
     # the remainder so rounding never drops a bucket
-    cum = 0.0
     expr = None
-    bounds: list[tuple[str, int]] = []
-    for label, w in weights[:-1]:
-        cum += w
-        bounds.append((label, int(cum * n_buckets)))
-    for label, hi in bounds:
+    for label, hi in _split_bounds(weights, n_buckets):
         cond = bucket < F.lit(hi)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     last_label = weights[-1][0]
     expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
     return df.withColumn(out_col, expr)
+
+
+def _split_bounds(
+    weights: tuple[tuple[str, float], ...], n_buckets: int
+) -> list[tuple[str, int]]:
+    """Shared boundary computation for hash_split and its oracle twin:
+    round(cum * n_buckets), NOT int() — truncation turns the IEEE
+    representation of e.g. 0.7*10000 (6999.999999999999) into 6999,
+    silently moving a bucket between splits against the documented
+    floor-of-exact-fraction contract."""
+    cum = 0.0
+    out = []
+    for label, w in weights[:-1]:
+        cum += w
+        out.append((label, round(cum * n_buckets)))
+    return out
 
 
 def duckdb_split_expr(
@@ -258,11 +269,14 @@ def duckdb_split_expr(
     keyed = f"concat(CAST({key_sql} AS VARCHAR), '{_q(salt)}')"
     fold = duckdb_char_fold_hash(keyed)
     bucket = f"(({fold}) % {n_buckets} + {n_buckets}) % {n_buckets}"
-    cum = 0.0
-    cases = []
-    for label, w in weights[:-1]:
-        cum += w
-        cases.append(f"WHEN {bucket} < {int(cum * n_buckets)} THEN '{_q(label)}'")
+    cases = [
+        f"WHEN {bucket} < {hi} THEN '{_q(label)}'"
+        for label, hi in _split_bounds(weights, n_buckets)
+    ]
+    if not cases:
+        # single-label split: a CASE with zero WHEN branches is a
+        # parser error in DuckDB, while the Spark arm returns a literal
+        return f"'{_q(weights[-1][0])}'"
     return "CASE " + " ".join(cases) + f" ELSE '{_q(weights[-1][0])}' END"
 
 

@@ -73,10 +73,30 @@ def merge_batch_into_snapshot(
     correction could silently lose to the stale snapshot row (and
     replays could flip the snapshot). Late rows with strictly older
     recency still lose to the snapshot (recency sorts before the
-    tie-break); replaying an already-merged batch converges because the
-    batch row is value-identical to the snapshot row it beats."""
+    tie-break).
+
+    WITHIN the batch, ties on (keys, recency) break by the remaining
+    orderable columns (descending) — a pure function of row VALUES,
+    never of partition layout. This is what makes replays actually
+    converge: two same-second corrections in one batch always compact
+    to the same winner, so the replayed batch row is value-identical
+    to the snapshot row it beats via `_prio`. (Without the value
+    tie-break, a replay on a different layout could pick the other
+    row, tie the snapshot on recency, and flip it.) Map-typed columns
+    are unorderable and excluded; rows identical up to map columns
+    compact arbitrarily among equals — harmless, the survivors carry
+    equal ordering keys either way only if maps differ, which callers
+    with map payloads should disambiguate via order_by."""
+    from pyspark.sql.types import MapType
+
     recover_snapshot(snapshot_path, spark)
-    latest = dedup_latest(batch, keys, order_by=order_by)
+    value_ties = [
+        F.col(f.name).desc_nulls_last()
+        for f in batch.schema.fields
+        if f.name not in set(keys) and not isinstance(f.dataType, MapType)
+    ]
+    batch_order = resolve_recency(batch, order_by) + value_ties
+    latest = dedup_latest(batch, keys, order_by=batch_order)
     # Hadoop-FS check, not os.path.exists: snapshot_path may be hdfs:/s3a:
     if snapshot_exists(spark, snapshot_path):
         snapshot = spark.read.parquet(snapshot_path)

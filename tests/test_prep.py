@@ -388,3 +388,21 @@ def test_pack_greedy_global_no_single_partition_window(spark):
     assert "hashpartitioning(_pkb" in phys
     with pytest.raises(ValueError, match="bucket_width"):
         P.pack_greedy_global(df, budget=512, bucket_width=0)
+
+
+def test_hash_split_boundaries_exact_for_decimal_weights(spark):
+    """round(cum * n_buckets), not int(): 0.7 * 10000 is
+    6999.999999999999 in IEEE double — truncation silently moves a
+    bucket between splits."""
+    assert P._split_bounds((("train", 0.7), ("val", 0.2), ("test", 0.1)), 10000) == [
+        ("train", 7000),
+        ("val", 9000),
+    ]
+    # single-label split: valid on both arms (the oracle emits a plain
+    # literal — a zero-WHEN CASE is a DuckDB parser error)
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    out = P.hash_split(df, "doc_id", weights=(("all", 1.0),), hash_fn="charfold")
+    assert {r["split"] for r in out.collect()} == {"all"}
+    expr = P.duckdb_split_expr("doc_id", weights=(("all", 1.0),))
+    got = duckdb.sql(f"SELECT {expr} FROM range(3) t(doc_id)").fetchall()
+    assert all(r[0] == "all" for r in got)

@@ -794,3 +794,25 @@ def test_continuous_merge_same_recency_correction_batch_wins(spark, tmp_path):
     assert got == {1: "B", 2: "x"}
     # _prio is an implementation detail and must not leak into the snapshot
     assert "_prio" not in spark.read.parquet(snap).columns
+
+
+def test_continuous_merge_within_batch_tie_is_value_deterministic(spark, tmp_path):
+    """Two same-key SAME-recency rows inside one batch must compact to
+    a winner that is a pure function of row values (remaining columns
+    desc), so replays on any partition layout converge."""
+    from flink_etl_spark.streaming.merge_sink import merge_batch_into_snapshot
+
+    schema = "id bigint, es bigint, ts bigint, city string"
+    snap = str(tmp_path / "snap")
+    b = spark.createDataFrame(
+        [(1, 100, 5, "alpha"), (1, 100, 5, "zeta")], schema
+    ).repartition(4)
+    merge_batch_into_snapshot(spark, b, snap, keys=["id"], order_by=["es", "ts"])
+    got = {r.id: r.city for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "zeta"}  # lexicographically largest value wins
+    # replay with a different layout: converges, no flip
+    merge_batch_into_snapshot(
+        spark, b.repartition(1), snap, keys=["id"], order_by=["es", "ts"]
+    )
+    got = {r.id: r.city for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "zeta"}
