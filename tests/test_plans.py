@@ -166,3 +166,25 @@ def test_ingest_is_single_codegen_pipeline(spark):
     # Catalyst adds size()/isnotnull() filters that re-parse the JSON —
     # four sites, measured 37% slower on 1M-row ingest.
     assert plan.count("from_json") <= 2
+
+
+def test_quantize_scale_not_inlined_into_lambda(spark):
+    """The absmax scale must be computed ONCE per row: if the raw
+    quantize_scale expression is passed into quantize_int8, Catalyst
+    inlines array_max under the per-element transform lambda
+    (higher-order functions run with no CSE) — an O(dim^2) blowup.
+    The catalog gate projects the scale first; pin that shape."""
+    import re
+
+    from flink_etl_spark import queries as Q
+
+    df = Q.queries()["embedding_normalize_stats"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one array_max for the scale projection + one for the top-level
+    # dequant error — never one per element-lambda reference
+    assert plan.count("array_max") <= 2
+    # and no array_max nested inside a transform(...) lambda body
+    for m in re.finditer(r"transform\(embedding[^\n]*", plan):
+        assert "array_max" not in m.group(0)[20:] or "zip_with" in m.group(0)
