@@ -406,3 +406,43 @@ def test_hash_split_boundaries_exact_for_decimal_weights(spark):
     expr = P.duckdb_split_expr("doc_id", weights=(("all", 1.0),))
     got = duckdb.sql(f"SELECT {expr} FROM range(3) t(doc_id)").fetchall()
     assert all(r[0] == "all" for r in got)
+
+
+def test_split_on_cluster_representative_prevents_leakage(spark):
+    """The leakage-safe composition hash_split's docstring prescribes:
+    near-dup pairs -> duplicate_clusters -> split on the CLUSTER id, so
+    every member of a duplicate group lands in the same split (splitting
+    on raw doc_id would let a train doc's near-copy leak into test)."""
+    from flink_etl_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_dups,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "training data pipelines dedup score filter pack and split",
+        "spark shuffles partitions and broadcasts the small side",
+    ]
+    rows, did = [], 0
+    for t in base:
+        for copy in range(4):  # 4 near-identical copies per group
+            rows.append((did, t + (" extra" if copy == 3 else "")))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_near_dups(docs, threshold=0.5, n_hashes=16, bands=8)
+    clusters = duplicate_clusters(pairs)  # doc_id -> cluster_id
+    labeled = docs.join(clusters, "doc_id", "left").withColumn(
+        "rep", F.coalesce("cluster_id", "doc_id")
+    )
+    split = P.hash_split(labeled, key_col="rep", salt="leak")
+    # every cluster maps to exactly one split label
+    per_cluster = (
+        split.groupBy("rep")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    assert sum(r["n"] for r in per_cluster) == len(rows)
+    # sanity: the groups really were multi-member (the test is not vacuous)
+    assert max(r["n"] for r in per_cluster) >= 4
