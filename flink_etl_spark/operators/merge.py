@@ -356,10 +356,27 @@ def overwrite_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     is not transactional (delete+rename window) — for atomic swaps keep
     DATED snapshot directories and repoint the reader instead (the
     pattern tests/test_sinks.py demonstrates)."""
+    stage_snapshot(df, path, fmt)
+    promote_snapshot(df.sparkSession, path)
+
+
+def stage_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Phase 1 of the staged swap: materialize `df` to `path`'s staging
+    sibling WITHOUT touching the final directory. Callers replacing
+    SEVERAL directories whose replacement plans all read the same
+    parent (the partitioned rollup sink) must stage ALL of them before
+    promoting ANY: a promote deletes final files that the next staged
+    write's lazy plan still scans (FAILED_READ_FILE.FILE_NOT_EXIST)."""
+    df.write.mode("overwrite").format(fmt).save(_staging_path(path))
+
+
+def promote_snapshot(spark: SparkSession, path: str) -> None:
+    """Phase 2 of the staged swap: delete the final directory and
+    rename the staged copy into place. The delete+rename window is the
+    crash exposure `recover_snapshot` heals."""
     staging = _staging_path(path)
-    df.write.mode("overwrite").format(fmt).save(staging)
-    fs, target = _hadoop_fs(df.sparkSession, path)
-    _, src = _hadoop_fs(df.sparkSession, staging)
+    fs, target = _hadoop_fs(spark, path)
+    _, src = _hadoop_fs(spark, staging)
     if fs.exists(target):
         fs.delete(target, True)
     if not fs.rename(src, target):

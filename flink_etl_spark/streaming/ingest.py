@@ -51,7 +51,10 @@ def read_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int 
     """Kafka test-double: JSONL files as a stream (one `value` string
     per line) — lets the whole pipeline run without brokers."""
     reader = spark.readStream.format("text")
-    if max_files_per_trigger:
+    # `is not None`, not truthiness: a (mis)configured 0 must surface
+    # Spark's "maxFilesPerTrigger must be positive" error, not silently
+    # drain the whole directory unthrottled in one micro-batch
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
 

@@ -40,6 +40,21 @@ from flink_etl_spark.operators.merge import (
 )
 
 
+def _is_orderable(dt) -> bool:
+    """Mirror of Spark's RowOrdering.isOrderable: maps are unorderable
+    at ANY nesting depth (an array<map<...>> or a struct with a map
+    field fails Window.orderBy just as a top-level map does)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def merge_batch_into_snapshot(
     spark: SparkSession,
     batch: DataFrame,
@@ -87,13 +102,19 @@ def merge_batch_into_snapshot(
     compact arbitrarily among equals — harmless, the survivors carry
     equal ordering keys either way only if maps differ, which callers
     with map payloads should disambiguate via order_by."""
-    from pyspark.sql.types import MapType
-
+    if "_prio" in batch.columns:
+        # the tie-break tag would silently clobber (and then drop) a
+        # real data column of the same name
+        raise ValueError(
+            "merge_batch_into_snapshot: the batch carries a column "
+            "named '_prio', which collides with the internal snapshot/"
+            "batch tie-break tag — rename it before merging"
+        )
     recover_snapshot(snapshot_path, spark)
     value_ties = [
         F.col(f.name).desc_nulls_last()
         for f in batch.schema.fields
-        if f.name not in set(keys) and not isinstance(f.dataType, MapType)
+        if f.name not in set(keys) and _is_orderable(f.dataType)
     ]
     batch_order = resolve_recency(batch, order_by) + value_ties
     latest = dedup_latest(batch, keys, order_by=batch_order)
@@ -177,9 +198,13 @@ def start_continuous_rollup(
     with DYNAMIC partition overwrite; untouched partitions are never
     read or rewritten. Default None keeps the flat full-swap layout
     (small rollups, and the exact layout the oracle gate reads).
-    Crash-safety: a replay re-overwrites the same partitions with the
-    same rows, so the parquet state converges even after a crash
-    mid-write.
+    Crash-safety: every touched partition is rewritten through the
+    recoverable staged swap (`overwrite_snapshot` per partition dir —
+    NOT dynamic partition overwrite, whose delete-then-rename commit
+    window can permanently drop a day's earlier-finalized buckets if
+    the driver dies between the two), and a replay recovers half-swapped
+    partitions first, so the parquet state converges even after a
+    crash mid-write.
 
     Reading the rollup is a plain parquet scan — queries over
     pre-aggregated buckets never touch raw events."""
@@ -222,7 +247,42 @@ def start_continuous_rollup(
                 merged = batch
             overwrite_snapshot(merged, rollup_path)
             return
-        # partition-pruned upsert: merge only the touched partitions
+        # partition-pruned upsert: merge only the touched partitions.
+        # Touched values come to the driver (control plane: a
+        # micro-batch finalizes buckets for ~a day or two) because each
+        # partition is REWRITTEN THROUGH THE STAGED SWAP, not Spark's
+        # dynamic partition overwrite: the dynamic commit deletes the
+        # final partition dir before renaming the staged one, and a
+        # crash in that window loses every bucket of the day finalized
+        # by EARLIER batches — the replay's left-semi read then finds
+        # nothing to merge against and the loss becomes permanent.
+        # overwrite_snapshot's _staging/ layout is crash-recoverable
+        # (recover_snapshot below) and invisible to concurrent root
+        # reads.
+        touched_vals = [
+            r[0] for r in batch.select(partition_col).distinct().collect()
+        ]
+        part_paths = {
+            v: f"{rollup_path.rstrip('/')}/{partition_col}={v}"
+            for v in touched_vals
+        }
+        # heal EVERY half-swapped partition, not just this batch's
+        # touched set: a crash mid-swap can strike a day no later batch
+        # ever touches again (its buckets would stay lost forever), and
+        # with every partition staged the root read below cannot even
+        # infer a schema
+        from flink_etl_spark.operators.merge import _hadoop_fs
+
+        staging_root = f"{rollup_path.rstrip('/')}/_staging"
+        fs, hstag = _hadoop_fs(spark, staging_root)
+        if fs.exists(hstag):
+            for st in fs.listStatus(hstag):
+                recover_snapshot(
+                    f"{rollup_path.rstrip('/')}/{st.getPath().getName()}",
+                    spark,
+                )
+        for p in part_paths.values():
+            recover_snapshot(p, spark)
         if snapshot_exists(spark, rollup_path):
             touched = batch.select(partition_col).distinct()
             existing = (
@@ -234,14 +294,26 @@ def start_continuous_rollup(
             ).dropDuplicates(keys)
         else:
             merged = batch
-        from flink_etl_spark.session import dynamic_partition_overwrite
+        # two-phase: stage EVERY touched partition while the final dirs
+        # are intact, THEN promote. Each staged write's lazy plan scans
+        # the rollup root (dropDuplicates blocks partition-filter
+        # pushdown), so promoting partition A before staging partition
+        # B would delete files B's scan still reads
+        # (FAILED_READ_FILE.FILE_NOT_EXIST).
+        from flink_etl_spark.operators.merge import (
+            promote_snapshot,
+            stage_snapshot,
+        )
 
-        with dynamic_partition_overwrite(spark):
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(rollup_path)
+        for v, p in part_paths.items():
+            stage_snapshot(
+                merged.filter(F.col(partition_col) == F.lit(v)).drop(
+                    partition_col
+                ),
+                p,
             )
+        for p in part_paths.values():
+            promote_snapshot(spark, p)
 
     writer = (
         agg.writeStream.foreachBatch(_upsert)

@@ -128,15 +128,25 @@ def sessionize_stream(
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(ts_col)
+            # a NULL event time carries no session information and
+            # would corrupt state: NaT converts to INT64_MIN, nulling
+            # session_start forever and (in timeout mode) crashing the
+            # query on a negative timeout timestamp
+            pdf = pdf[pdf[ts_col].notna()]
             # normalize datetime64[ns|us] -> epoch micros explicitly
             micros = pdf[ts_col].astype("datetime64[us]").astype("int64")
             for t, v in zip(micros, pdf[value_col]):
                 t = int(t)
+                # SQL sum semantics: a NULL value contributes 0 to
+                # total_value (float(None/NaN) would poison the whole
+                # session's accumulator to NaN) while the row still
+                # counts toward n_events — count(*), like the oracle
+                fv = float(v) if v == v and v is not None else 0.0
                 if start is None:
-                    start, last, n, total = t, t, 1, float(v)
+                    start, last, n, total = t, t, 1, fv
                 elif t - last > gap_us:
                     closed.append((key[0], start, last, n, total))
-                    start, last, n, total = t, t, 1, float(v)
+                    start, last, n, total = t, t, 1, fv
                 else:
                     # monotone bounds: a late cross-batch event (t can
                     # be <= last, or even < start — the per-batch sort
@@ -146,7 +156,7 @@ def sessionize_stream(
                     # already counted and make the next gap check close
                     # the session early
                     start = min(start, t)
-                    last, n, total = max(last, t), n + 1, total + float(v)
+                    last, n, total = max(last, t), n + 1, total + fv
         if start is not None:
             state.update((start, last, n, total))
             if use_timeout:

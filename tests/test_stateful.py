@@ -816,3 +816,151 @@ def test_continuous_merge_within_batch_tie_is_value_deterministic(spark, tmp_pat
     )
     got = {r.id: r.city for r in spark.read.parquet(snap).collect()}
     assert got == {1: "zeta"}
+
+
+def test_merge_batch_rejects_prio_column_and_skips_nested_maps(spark, tmp_path):
+    from flink_etl_spark.streaming.merge_sink import (
+        _is_orderable,
+        merge_batch_into_snapshot,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # nested maps are unorderable at any depth
+    assert not _is_orderable(MapType(StringType(), StringType()))
+    assert not _is_orderable(ArrayType(MapType(StringType(), StringType())))
+    assert not _is_orderable(
+        StructType([StructField("m", MapType(StringType(), LongType()))])
+    )
+    assert _is_orderable(ArrayType(LongType()))
+
+    # a batch with an array<map> column merges fine (excluded from the
+    # value tie-break instead of crashing Window.orderBy)
+    snap = str(tmp_path / "snap_map")
+    b = spark.createDataFrame(
+        [(1, 100, 1, [{"k": "v"}])],
+        "id bigint, es bigint, ts bigint, tags array<map<string,string>>",
+    )
+    merge_batch_into_snapshot(spark, b, snap, keys=["id"], order_by=["es", "ts"])
+    assert spark.read.parquet(snap).count() == 1
+
+    # a real _prio column must be rejected, not clobbered-and-dropped
+    bad = spark.createDataFrame([(1, 100, 1, 9)],
+                                "id bigint, es bigint, ts bigint, _prio int")
+    with pytest.raises(ValueError, match="_prio"):
+        merge_batch_into_snapshot(
+            spark, bad, str(tmp_path / "s2"), keys=["id"], order_by=["es", "ts"]
+        )
+
+
+def test_rollup_partitioned_upsert_recovers_half_swapped_partition(spark, tmp_path):
+    """The partitioned rollup writes each touched partition through the
+    recoverable staged swap: a crash that left a partition staged but
+    not promoted must be healed by the next batch's recover pass, never
+    silently merged-over as 'no existing rows'."""
+    import os
+    import shutil
+
+    from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
+
+    src = tmp_path / "events"
+    src.mkdir()
+    schema = "ts timestamp, user_id bigint, value double"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.parquet(str(tmp_path / f"_st_{name}"))
+        part = [p for p in os.listdir(tmp_path / f"_st_{name}")
+                if p.endswith(".parquet")][0]
+        os.rename(tmp_path / f"_st_{name}" / part, src / f"{name}.parquet")
+
+    from datetime import datetime
+
+    write_file("b1", [(datetime(2024, 1, 1, 0, 0), 1, 1.0),
+                      (datetime(2024, 1, 1, 23, 59), 1, 1.0),
+                      (datetime(2024, 1, 3, 12, 0), 1, 1.0)])
+    rollup = str(tmp_path / "rollup")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = start_continuous_rollup(
+        stream, rollup, bucket="1 hour", dims=["user_id"],
+        checkpoint_location=str(tmp_path / "chk"),
+        watermark_delay="0 seconds", available_now=True,
+        partition_col="dt",
+    )
+    assert q.awaitTermination(180)
+    before = spark.read.parquet(rollup).count()
+    assert before >= 1
+
+    # simulate a crash mid-swap on the 2024-01-01 partition: data moved
+    # to staging, final dir deleted (the delete-then-rename window)
+    part = f"{rollup}/dt=2024-01-01"
+    staging = f"{rollup}/_staging/dt=2024-01-01"
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    shutil.move(part, staging)
+    assert not os.path.exists(part)
+
+    # a later batch touching the same day must first RECOVER the
+    # staged partition, then merge against it
+    write_file("b2", [(datetime(2024, 1, 1, 5, 0), 2, 2.0),
+                      (datetime(2024, 1, 4, 12, 0), 1, 1.0)])
+    q = start_continuous_rollup(
+        spark.readStream.schema(schema).parquet(str(src)),
+        rollup, bucket="1 hour", dims=["user_id"],
+        checkpoint_location=str(tmp_path / "chk"),
+        watermark_delay="0 seconds", available_now=True,
+        partition_col="dt",
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(rollup)
+    day1 = got.filter("dt = '2024-01-01'")
+    # the pre-crash day-1 buckets survived the recovery
+    assert day1.filter("user_id = 1").count() >= 1
+
+
+def test_sessionize_null_ts_and_null_value_rows(spark, tmp_path):
+    """NULL event times are dropped (they carry no session info and
+    would corrupt state via NaT -> INT64_MIN); NULL values contribute 0
+    to total_value while still counting the event — SQL sum/count(*)
+    semantics, matching the batch oracle."""
+    import os
+
+    from flink_etl_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp, value double"
+    from datetime import datetime
+
+    rows = [
+        (1, None, 99.0),                          # dropped
+        (1, datetime(2024, 1, 1, 0, 0), 1.5),
+        (1, datetime(2024, 1, 1, 0, 10), None),   # counts, adds 0
+        (1, datetime(2024, 1, 1, 2, 0), 2.0),     # closes session 1
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(tmp_path / "_st"))
+    part = [p for p in os.listdir(tmp_path / "_st") if p.endswith(".parquet")][0]
+    os.rename(tmp_path / "_st" / part, src / "b.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    sess = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("null_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM null_sess").collect()
+    assert len(out) == 1  # only session 1 closed
+    r = out[0]
+    assert r["n_events"] == 2          # null-value row counted
+    assert r["total_value"] == 1.5     # null contributed 0, not NaN
+    assert r["session_start"] is not None
