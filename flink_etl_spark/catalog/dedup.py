@@ -436,18 +436,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN embeddings eb ON eb.vec_id = id_b
     WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
     )
+    UNION ALL
+    SELECT variant, id_a, id_b, cos_sim
+    FROM (
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+               embedding AS centroid
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    sd_asgn AS (
+        SELECT vec_id, cell_id, csim
+        FROM (SELECT e.vec_id, p.cell_id,
+                     round({duckdb_cosine('e.embedding', 'p.centroid')}, 6) AS csim,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
+                                  DESC, p.cell_id) AS r
+              FROM embeddings e CROSS JOIN cents p) t
+        WHERE r = 1
+    ),
+    sd_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos_sim,
+               a.csim AS csim_a, b.csim AS csim_b
+        FROM sd_asgn a
+        JOIN sd_asgn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    ),
+    sd_drops AS (
+        SELECT DISTINCT CASE WHEN csim_a > csim_b THEN id_a ELSE id_b END AS vec_id
+        FROM sd_pairs
+    )
+    SELECT 'semdedup' AS variant, id_a, id_b, cos_sim FROM sd_pairs
+    UNION ALL
+    SELECT 'semdedup_drop' AS variant, d.vec_id AS id_a,
+           CAST(s.cell_id AS BIGINT) AS id_b, s.csim AS cos_sim
+    FROM sd_drops d JOIN sd_asgn s ON s.vec_id = d.vec_id
+    )
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, baseline AND scale path gated
-    (former gates `dedup_embedding_cosine` + `dedup_embedding_lsh`,
-    folded):
+    """Embedding-cosine near-dup pairs, baseline AND both scale paths
+    gated (former gates `dedup_embedding_cosine` + `dedup_embedding_lsh`,
+    folded; semdedup arms added in r4):
 
     * variant 'exact' — brute-force all-pairs cosine (labeled O(n²)
       exactness baseline);
     * variant 'sign_lsh' — sign-LSH bucketing with one multi-probe
       flip: one probe-bucket shuffle join generates candidates, cosine
-      verifies candidates only — nothing quadratic in the corpus."""
+      verifies candidates only — nothing quadratic in the corpus;
+    * variant 'semdedup' — SemDeDup (Abbas et al. 2023) within-cluster
+      pairs: IVF coarse quantizer (8 cells pinned for the oracle;
+      production sizes via n_cells="auto"), pair space restricted to
+      same-cell members;
+    * variant 'semdedup_drop' — the SemDeDup keep rule's dropped
+      vectors: one row per vector losing a within-cluster duel
+      (closer-to-centroid member drops), id_b carries the cell id and
+      cos_sim the vector's rounded centroid similarity."""
     embs = _t(spark, sf_dir, "embeddings")
     exact = D.embedding_near_dups(embs, threshold=0.35).select(
         F.lit("exact").alias("variant"), "id_a", "id_b", "cos_sim"
@@ -455,7 +502,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = D.embedding_near_dups_lsh(
         embs, threshold=0.35, n_planes=4, n_probe=1
     ).select(F.lit("sign_lsh").alias("variant"), "id_a", "id_b", "cos_sim")
-    return exact.unionByName(lsh)
+    sd_pairs = D.semdedup_pairs(embs, threshold=0.35, n_cells=8)
+    sd = sd_pairs.select(
+        F.lit("semdedup").alias("variant"), "id_a", "id_b", "cos_sim"
+    )
+    sd_drops = (
+        sd_pairs.select(
+            "drop_id",
+            F.col("cell_id").cast("long").alias("_cell"),
+            F.when(F.col("drop_id") == F.col("id_a"), F.col("csim_a"))
+            .otherwise(F.col("csim_b"))
+            .alias("_csim"),
+        )
+        .distinct()
+        .select(
+            F.lit("semdedup_drop").alias("variant"),
+            F.col("drop_id").alias("id_a"),
+            F.col("_cell").alias("id_b"),
+            F.col("_csim").alias("cos_sim"),
+        )
+    )
+    return exact.unionByName(lsh).unionByName(sd).unionByName(sd_drops)
 
 
 def _clusters_oracle() -> str:

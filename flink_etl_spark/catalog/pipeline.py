@@ -26,12 +26,24 @@ _SOURCE_CAP = 10
 #: multi-sequence groups with real fill variance
 _PACK_BUDGET = 512
 
+#: per-source mixture rates for the 'mixture' arm: every regime in one
+#: gate — drop (0), downsample (0.5), keep (1), upsample with a
+#: fractional epoch (1.5, 2.25). Sources beyond src19 (none in the
+#: testdata) fall to the default rate 1.0.
+_MIX_RATES: dict[str, float] = {
+    f"src{i}": (0.0, 0.5, 1.0, 1.5, 2.25)[i % 5] for i in range(20)
+}
+
 
 def _pipeline_oracle() -> str:
     from flink_etl_spark.catalog import duckdb_exact_decimal_avg
-    from flink_etl_spark.operators.prep import duckdb_split_expr
+    from flink_etl_spark.operators.prep import (
+        duckdb_mixture_copies,
+        duckdb_split_expr,
+    )
 
     _split_case = duckdb_split_expr("keep_id")
+    _mix_copies = duckdb_mixture_copies("keep_id", "source", _MIX_RATES)
     _eavg_quality = duckdb_exact_decimal_avg("quality", 6)
     hit_cols = ",\n           ".join(
         "len(list_filter(t, x -> x IN ({}))) AS hits_{}".format(
@@ -85,12 +97,18 @@ def _pipeline_oracle() -> str:
         SELECT d.keep_id, d.n_copies, s.n_tokens, s.quality, s.fingerprint
         FROM dedup d JOIN kept s ON s.doc_id = d.keep_id
     ),
-    balanced AS (
+    sourced AS (
         SELECT k.*, doc.source
         FROM keepers k JOIN documents doc ON doc.doc_id = k.keep_id
-        QUALIFY row_number() OVER (PARTITION BY doc.source
-                                   ORDER BY k.quality DESC, k.keep_id)
+    ),
+    balanced AS (
+        SELECT * FROM sourced
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, keep_id)
                 <= {_SOURCE_CAP}
+    ),
+    mixture AS (
+        SELECT source, n_tokens, {_mix_copies} AS n_copies FROM sourced
     ),
     assigned AS (
         SELECT *, {_split_case} AS split FROM balanced
@@ -160,6 +178,25 @@ def _pipeline_oracle() -> str:
            CAST(sum(n_tokens) AS BIGINT) / {_PACK_BUDGET}.0 AS fill_frac
     FROM packed
     GROUP BY source, seq_id
+    UNION ALL
+    SELECT 'mixture' AS variant,
+           CAST(NULL AS BIGINT) AS keep_id,
+           CAST(NULL AS BIGINT) AS n_copies,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS fingerprint,
+           CAST(NULL AS VARCHAR) AS split,
+           source,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens * n_copies) AS BIGINT) AS sum_tokens,
+           CAST(NULL AS DOUBLE) AS avg_quality,
+           CAST(NULL AS BIGINT) AS seq_id,
+           CAST(NULL AS BIGINT) AS seq_docs,
+           CAST(NULL AS BIGINT) AS seq_tokens,
+           CAST(NULL AS DOUBLE) AS fill_frac
+    FROM mixture
+    WHERE n_copies >= 1
+    GROUP BY source
     """
 
 
@@ -197,10 +234,16 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
       binning via one window prefix-sum per source, _PACK_BUDGET=512),
       summarized per (source, seq_id) with fill fraction — the final
       materialization stage of a training-data build.
+    * variant 'mixture' — deterministic per-source mixture sampling
+      (operators/prep.mixture_sample over the pre-cap keeper pool,
+      _MIX_RATES spans drop/downsample/keep/fractional-upsample;
+      oracle-portable charfold arm — production default is xxhash64),
+      summarized per source as copy counts + copy-weighted tokens.
     """
     from flink_etl_spark.operators.prep import (
         cap_per_group,
         hash_split,
+        mixture_sample,
         pack_greedy,
     )
 
@@ -224,11 +267,26 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("keep_id"), "source"
     )
+    sourced = keepers.join(src, "keep_id")
     balanced = cap_per_group(
-        keepers.join(src, "keep_id"),
+        sourced,
         ["source"],
         [F.col("quality").desc(), F.col("keep_id")],
         n=_SOURCE_CAP,
+    )
+    mixture = (
+        mixture_sample(
+            sourced.select("keep_id", "source", "n_tokens"),
+            _MIX_RATES,
+            group_col="source",
+            key_col="keep_id",
+            hash_fn="charfold",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
     )
     summary = (
         hash_split(balanced, "keep_id", hash_fn="charfold")
@@ -305,4 +363,23 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_quality"),
         "seq_id", "seq_docs", "seq_tokens", "fill_frac",
     )
-    return keepers_arm.unionByName(summary_arm).unionByName(packing_arm)
+    mixture_arm = mixture.select(
+        F.lit("mixture").alias("variant"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.lit(None).cast("string").alias("split"),
+        "source", "n_docs", "sum_tokens",
+        F.lit(None).cast("double").alias("avg_quality"),
+        F.lit(None).cast("long").alias("seq_id"),
+        F.lit(None).cast("long").alias("seq_docs"),
+        F.lit(None).cast("long").alias("seq_tokens"),
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
+    return (
+        keepers_arm.unionByName(summary_arm)
+        .unionByName(packing_arm)
+        .unionByName(mixture_arm)
+    )

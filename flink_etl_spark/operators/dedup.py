@@ -1082,3 +1082,108 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int | str = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vecs: int | None = None,
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs — the candidate stage of
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then compare ONLY vectors that share a
+    cluster. The pair space shrinks from O(n^2) to
+    sum_c |cell_c|^2 — with `n_cells="auto"` (~sqrt(n) cells,
+    `knobs.ivf_auto_cells`) that is ~n^1.5 worst-case and near-linear
+    on real corpora, where clusters are balanced; nothing in the plan
+    is quadratic in the corpus.
+
+    Reuses the IVF coarse quantizer (`similarity.ivf_centroids` +
+    `ivf_assign`, centroids broadcast): one window per vector for the
+    nearest-cell pick, ONE shuffle of the corpus by `cell_id` for the
+    within-cell self-join, cosine computed on the candidate pairs only.
+
+    Output: (cell_id, id_a, id_b, cos_sim, csim_a, csim_b, drop_id)
+    for every same-cell pair with cos_sim >= threshold, id_a < id_b.
+    `csim_*` is each side's rounded cosine to the shared centroid;
+    `drop_id` applies the SemDeDup keep rule per pair — the member
+    CLOSER to the centroid is the duplicate to drop (the paper keeps
+    low-centroid-similarity examples as the less prototypical ones),
+    ties dropping the larger id. All comparisons use 6-dp-rounded
+    similarities, so the decision is reproducible across engines.
+    """
+    from flink_etl_spark.functions.vectors import dot, safe_cosine
+    from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
+    from flink_etl_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    n_cells = resolve_knob(n_cells, ivf_auto_cells, embs, n_vecs)
+    cents = ivf_centroids(embs, n_cells, id_col, vec_col)
+    asgn = ivf_assign(embs, cents, 1, id_col, vec_col, keep_sim=True)
+    a = asgn.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("vec_norm").alias("na"), "cell_id",
+        F.col("centroid_sim").alias("csim_a"),
+    )
+    b = asgn.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("vec_norm").alias("nb"), F.col("cell_id").alias("_cell_b"),
+        F.col("centroid_sim").alias("csim_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell_id") == F.col("_cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .withColumn(
+            "drop_id",
+            F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
+            .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
+            .otherwise(F.col("id_b")),
+        )
+        .select("cell_id", "id_a", "id_b", "cos_sim", "csim_a", "csim_b", "drop_id")
+    )
+
+
+def semdedup(
+    embs: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int | str = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vecs: int | None = None,
+) -> DataFrame:
+    """SemDeDup keeper set: the input minus every vector that loses at
+    least one within-cluster duel (`semdedup_pairs.drop_id`).
+
+    At least one member of every duplicate cluster always survives:
+    the member minimal under (rounded centroid_sim, id) never loses a
+    duel — lower centroid similarity wins outright, and on a rounded
+    tie the smaller id wins — so the rule can thin a clique but never
+    erase it. The pairwise-duel formulation is deliberately
+    join-expressible (no iterative component pass); it drops a
+    superset of the paper's one-keeper-per-cluster rule's keepers only
+    in the direction of keeping MORE: a chain a-b-c where a-c is below
+    threshold can keep both endpoints where per-component keep-one
+    would keep just one — compose with `duplicate_clusters` when exact
+    one-per-component semantics is required.
+
+    Plan: pairs (one corpus shuffle by cell) -> distinct drop ids ->
+    one left-anti join against the corpus. Nothing quadratic, nothing
+    driver-side."""
+    pairs = semdedup_pairs(embs, threshold, n_cells, id_col, vec_col, n_vecs)
+    losers = pairs.select(F.col("drop_id").alias(id_col)).distinct()
+    return embs.join(losers, id_col, "left_anti")

@@ -588,3 +588,129 @@ def pack_greedy_global(
         .withColumn("overflow_doc", F.col(tokens_col) > F.lit(budget))
         .drop("_pkb", "_cum_in", "_boff")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling (per-source training-mix weights)
+# ---------------------------------------------------------------------------
+
+
+def _mixture_plan(
+    rates: dict[str, float], n_buckets: int, default_rate: float
+) -> tuple[dict[str, tuple[int, int]], tuple[int, int]]:
+    """Resolve each rate into (base_copies, extra_copy_threshold):
+    rate r = base + frac repeats every row base times plus one more
+    when the key's bucket < round(frac * n_buckets). Computed in
+    PYTHON, once — both engines then compare integers only, so there
+    is no float arithmetic to diverge on."""
+    def one(r: float) -> tuple[int, int]:
+        if not (r >= 0) or r != r or r == float("inf"):
+            raise ValueError(f"mixture rate must be finite and >= 0, got {r}")
+        base = int(r)
+        return base, int(round((r - base) * n_buckets))
+
+    return {g: one(r) for g, r in rates.items()}, one(default_rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    default_rate: float = 1.0,
+    expand: bool = True,
+    copies_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic training-mixture sampling: give each group
+    (source/domain) a target RATE and down- OR up-sample its rows to
+    match — the dataset-mixing step of an LLM data build (public
+    precedent: The Pile / LLaMA per-source epoch weights).
+
+    A rate r means every row appears floor(r) times, plus one more
+    time for the deterministic `round(frac(r) * n_buckets)`-sized
+    bucket slice of keys (same `split_buckets` hash as `hash_split` —
+    xxhash64 production default, oracle-portable charfold arm). So
+    0.25 keeps a quarter of the rows, 1.0 keeps everything once,
+    2.5 repeats everything twice and half the rows a third time.
+    Because the decision is a pure function of (key, salt), re-runs
+    and incremental appends agree without coordination, and rotating
+    the salt redraws the sample.
+
+    Groups missing from `rates` use `default_rate`; a NULL group falls
+    to `default_rate` too (documented: repair upstream if that is not
+    the mix you mean). Rate 0 removes the group.
+
+    `expand=True` (default) returns the physically repeated rows with
+    a 1-based `copies_col` repeat index (downstream packing/shuffling
+    treats repeats as distinct rows); `expand=False` appends the
+    per-row copy count `n_copies` instead (zero rows kept — callers
+    filter) for inspection or count-weighted aggregation without the
+    row blow-up. Zero shuffles either way — projection + generator."""
+    per_group, (dbase, dthresh) = _mixture_plan(rates, n_buckets, default_rate)
+    bucket = split_buckets(F.col(key_col), n_buckets, salt, hash_fn)
+    base_expr: Column | None = None
+    thresh_expr: Column | None = None
+    for g, (b, t) in per_group.items():
+        cond = F.col(group_col) == F.lit(g)
+        base_expr = (
+            F.when(cond, F.lit(b)) if base_expr is None
+            else base_expr.when(cond, F.lit(b))
+        )
+        thresh_expr = (
+            F.when(cond, F.lit(t)) if thresh_expr is None
+            else thresh_expr.when(cond, F.lit(t))
+        )
+    base = F.lit(dbase) if base_expr is None else base_expr.otherwise(F.lit(dbase))
+    thresh = (
+        F.lit(dthresh) if thresh_expr is None
+        else thresh_expr.otherwise(F.lit(dthresh))
+    )
+    n_copies = (base + (bucket < thresh).cast("int")).cast("long")
+    if not expand:
+        return df.withColumn("n_copies", n_copies)
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(copies_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
+def duckdb_mixture_copies(
+    key_sql: str,
+    group_sql: str,
+    rates: dict[str, float],
+    n_buckets: int = 10_000,
+    salt: str = "",
+    default_rate: float = 1.0,
+) -> str:
+    """Oracle twin of ``mixture_sample(..., hash_fn="charfold",
+    expand=False)``: a SQL expression for the per-row copy count, built
+    from the SAME python-resolved (base, threshold) integers."""
+    from flink_etl_spark.functions.hashing import duckdb_char_fold_hash
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    per_group, (dbase, dthresh) = _mixture_plan(rates, n_buckets, default_rate)
+    keyed = f"concat(CAST({key_sql} AS VARCHAR), '{_q(salt)}')"
+    fold = duckdb_char_fold_hash(keyed)
+    bucket = f"(({fold}) % {n_buckets} + {n_buckets}) % {n_buckets}"
+
+    def case_over(pick) -> str:
+        whens = " ".join(
+            f"WHEN {group_sql} = '{_q(g)}' THEN {pick(bt)}"
+            for g, bt in per_group.items()
+        )
+        default = pick((dbase, dthresh))
+        return f"CASE {whens} ELSE {default} END" if whens else str(default)
+
+    base_case = case_over(lambda bt: bt[0])
+    thresh_case = case_over(lambda bt: bt[1])
+    return (
+        f"CAST(({base_case}) + (CASE WHEN ({bucket}) < ({thresh_case}) "
+        f"THEN 1 ELSE 0 END) AS BIGINT)"
+    )

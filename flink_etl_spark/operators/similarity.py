@@ -217,6 +217,7 @@ def ivf_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Assign each vector its nprobe nearest cells by cosine (broadcast
     the centroid table — it is tiny by construction). Deterministic:
@@ -225,7 +226,9 @@ def ivf_assign(
     The vector and its norm RIDE ALONG through the assignment
     (`<vec_col>`, `vec_norm` in the output) — downstream scoring then
     never joins back to the corpus, keeping the whole IVF search at one
-    scan per side."""
+    scan per side. `keep_sim=True` also emits the rounded cosine to the
+    assigned centroid as `centroid_sim` (semdedup's keep rule ranks
+    within-cluster duplicates by exactly this value)."""
     scored = embs.select(
         F.col(id_col), F.col(vec_col), norm(vec_col).alias("vec_norm")
     ).join(F.broadcast(centroids)).withColumn(
@@ -235,10 +238,13 @@ def ivf_assign(
         ),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
+    out = [F.col(id_col), F.col(vec_col), F.col("vec_norm"), F.col("cell_id")]
+    if keep_sim:
+        out.append(F.col("_sim").alias("centroid_sim"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= nprobe)
-        .select(F.col(id_col), F.col(vec_col), F.col("vec_norm"), F.col("cell_id"))
+        .select(*out)
     )
 
 

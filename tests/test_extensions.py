@@ -835,3 +835,66 @@ def test_exact_decimal_sum_guard_and_parity(spark):
         assert "ARITHMETIC_OVERFLOW" in str(e) or "Arithmetic" in str(
             type(e).__name__
         ) or "overflow" in str(e).lower()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_pairs_subset_of_exact_with_identical_scores(spark):
+    """Within-cluster pairs must be a subset of the exact cross-join
+    pairs with identical rounded scores — clustering only restricts the
+    candidate space, never changes a score."""
+    from flink_etl_spark.operators.dedup import embedding_near_dups, semdedup_pairs
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dups(embs, threshold=0.35).collect()
+    }
+    sd = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in semdedup_pairs(embs, threshold=0.35, n_cells=8).collect()
+    }
+    assert sd <= exact
+    assert len(sd) > 0
+
+
+def test_semdedup_keep_rule_and_survivor_guarantee(spark):
+    """The member FARTHEST from the centroid survives a duel (SemDeDup
+    keeps the less prototypical example), and every duplicate clique
+    retains at least one survivor."""
+    from flink_etl_spark.operators.dedup import semdedup, semdedup_pairs
+
+    # centroid seeds are the two smallest ids: 0=[1,0,0] and 1=[0,1,0].
+    # Clique {0,5,6} shares cell 0 (csims 1.0 > ~0.995 > ~0.964); vec 1
+    # sits alone in cell 1.
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (5, [0.98, 0.1, 0.0]),
+        (6, [0.9, 0.25, 0.0]),
+    ]
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = semdedup_pairs(embs, threshold=0.9, n_cells=2).collect()
+    assert len(pairs) == 3, pairs  # all three clique pairs emitted
+    for r in pairs:
+        # dropped member is the one CLOSER to the centroid
+        kept_csim = r.csim_a if r.drop_id == r.id_b else r.csim_b
+        drop_csim = r.csim_a if r.drop_id == r.id_a else r.csim_b
+        assert drop_csim >= kept_csim
+    kept = {r.vec_id for r in semdedup(embs, threshold=0.9, n_cells=2).collect()}
+    # vec 6 is farthest from the centroid -> the clique's sole survivor;
+    # vec 1 (alone in its cell) is untouched
+    assert kept == {1, 6}
+
+
+def test_semdedup_survives_single_cell_and_empty_pairs(spark):
+    from flink_etl_spark.operators.dedup import semdedup
+
+    # orthogonal vectors: no pairs above threshold -> everything kept
+    vecs = [(i, [float(i == d) for d in range(3)]) for i in range(3)]
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    assert semdedup(embs, threshold=0.5, n_cells=1).count() == 3

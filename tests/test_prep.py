@@ -446,3 +446,98 @@ def test_split_on_cluster_representative_prevents_leakage(spark):
     assert sum(r["n"] for r in per_cluster) == len(rows)
     # sanity: the groups really were multi-member (the test is not vacuous)
     assert max(r["n"] for r in per_cluster) >= 4
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def _mix_df(spark, n=2000):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+    )
+
+
+def test_mixture_sample_rates_proportional_and_deterministic(spark):
+    rates = {"s0": 0.0, "s1": 0.5, "s2": 1.0, "s3": 2.25}
+    df = _mix_df(spark)
+    out = P.mixture_sample(df, rates, key_col="doc_id")
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "s0" not in per                       # rate 0 removes the group
+    assert per["s1"] == pytest.approx(250, abs=30)
+    assert per["s2"] == 500                      # rate 1.0 is exact passthrough
+    assert per["s3"] == pytest.approx(1125, abs=30)
+    # pure function of (key, salt): re-run identical
+    again = P.mixture_sample(df, rates, key_col="doc_id")
+    assert out.exceptAll(again).count() == 0
+    # integer part repeats EVERY row: each s3 key appears >= 2 times
+    s3_min = (
+        out.filter("source = 's3'").groupBy("doc_id").count()
+        .agg(F.min("count")).collect()[0][0]
+    )
+    assert s3_min == 2
+
+
+def test_mixture_sample_expand_false_matches_expanded_counts(spark):
+    rates = {"s1": 0.5, "s3": 1.5}
+    df = _mix_df(spark, 800)
+    counted = P.mixture_sample(df, rates, key_col="doc_id", expand=False)
+    expanded = P.mixture_sample(df, rates, key_col="doc_id")
+    a = {
+        (r["source"],): r["s"]
+        for r in counted.groupBy("source").agg(F.sum("n_copies").alias("s")).collect()
+    }
+    b = {
+        (r["source"],): r["s"]
+        for r in expanded.groupBy("source").agg(F.count("*").alias("s")).collect()
+    }
+    # expand drops zero-copy rows; n_copies sums agree group-by-group
+    assert {k: v for k, v in a.items() if v > 0} == b
+    # copy_id is a 1..n index per retained row
+    mx = expanded.filter("source = 's3'").agg(F.max("copy_id")).collect()[0][0]
+    assert mx == 2
+
+
+def test_mixture_sample_charfold_matches_duckdb(spark):
+    rates = {"s0": 0.25, "s1": 1.75}
+    df = _mix_df(spark, 600)
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in P.mixture_sample(
+            df, rates, key_col="doc_id", hash_fn="charfold",
+            salt="m", expand=False, default_rate=0.5,
+        ).collect()
+    }
+    expr = P.duckdb_mixture_copies(
+        "doc_id", "source", rates, salt="m", default_rate=0.5
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS doc_id, "
+        "concat('s', range % 4) AS source FROM range(600)"
+    )
+    want = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
+    assert got == want
+    # every regime present in the comparison set
+    assert {0, 1, 2} <= set(want.values())
+
+
+def test_mixture_sample_null_group_uses_default_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, None, 3), (2, "s1", 3)], "doc_id long, source string, n_tokens long"
+    )
+    out = P.mixture_sample(
+        df, {"s1": 0.0}, key_col="doc_id", expand=False, default_rate=2.0
+    )
+    got = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert got == {1: 2, 2: 0}
+    with pytest.raises(ValueError, match="finite"):
+        P.mixture_sample(df, {"s1": -0.5})
+    with pytest.raises(ValueError, match="finite"):
+        P.mixture_sample(df, {"s1": float("nan")})
