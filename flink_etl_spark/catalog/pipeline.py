@@ -247,27 +247,43 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_greedy,
     )
 
-    profile = doc_profile(_t(spark, sf_dir, "documents"))
+    profile = doc_profile(
+        _t(spark, sf_dir, "documents"), passthrough=("source",)
+    )
     kept = profile.filter(
         (F.col("verdict") == "keep") & (F.col("lang_guess") == "en")
     )
-    dedup = (
-        kept.select(F.sha2("text", 256).alias("_digest"), "doc_id")
-        .groupBy("_digest")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
-        .drop("_digest")
-    )
-    keepers = dedup.join(
+    # single-pass dedup: min(struct(doc_id, signals)) picks the
+    # min-doc_id row's signals (doc_id is unique and leads the struct,
+    # so struct ordering IS doc_id ordering) — one scan, one
+    # digest-keyed shuffle, and NO join back to the corpus; the former
+    # dedup-agg + self-join shape scanned and re-profiled `documents`
+    # twice, and the downstream arms joined a THIRD scan for `source`
+    # (now a doc_profile passthrough riding the same struct). The
+    # shuffle still carries 32-byte digests plus small scalars, never
+    # text.
+    sourced = (
         kept.select(
-            F.col("doc_id").alias("keep_id"), "n_tokens", "quality", "fingerprint"
-        ),
-        "keep_id",
-    ).select("keep_id", "n_copies", "n_tokens", "quality", "fingerprint")
-
-    src = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("keep_id"), "source"
+            F.sha2("text", 256).alias("_digest"),
+            "doc_id", "n_tokens", "quality", "fingerprint", "source",
+        )
+        .groupBy("_digest")
+        .agg(
+            F.min(
+                F.struct("doc_id", "n_tokens", "quality", "fingerprint", "source")
+            ).alias("_k"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.col("_k.doc_id").alias("keep_id"),
+            "n_copies",
+            F.col("_k.n_tokens").alias("n_tokens"),
+            F.col("_k.quality").alias("quality"),
+            F.col("_k.fingerprint").alias("fingerprint"),
+            F.col("_k.source").alias("source"),
+        )
     )
-    sourced = keepers.join(src, "keep_id")
+    keepers = sourced.drop("source")
     balanced = cap_per_group(
         sourced,
         ["source"],

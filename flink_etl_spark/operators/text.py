@@ -121,6 +121,7 @@ def doc_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
     chars_col: str = "n_chars",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """EVERY per-document text signal in ONE projection over ONE scan:
     token stats, per-language stopword hits + argmax, quality score +
@@ -130,7 +131,12 @@ def doc_profile(
     individual operators above exist as composable units, but chaining
     them joins N single-signal scans; at corpus scale tokenization IS
     the cost, so all signals must come off one tokenization. Everything
-    stays in whole-stage codegen (higher-order functions, no Python)."""
+    stays in whole-stage codegen (higher-order functions, no Python).
+
+    `passthrough` names extra input columns to carry into the output
+    unchanged (e.g. `("source",)`) — a consumer that needs them then
+    never joins back to the corpus for metadata, keeping multi-stage
+    pipelines at ONE corpus scan."""
     toks = F.col("_t")
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
@@ -152,13 +158,16 @@ def doc_profile(
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(31) + c) % F.lit(MERSENNE_P),
     )
+    extra = [F.col(c) for c in passthrough]
     return docs.select(
         F.col(id_col), F.col(text_col), F.col(chars_col),
+        *extra,
         tokens_expr(text_col).alias("_t"),
     ).select(
         F.col(id_col),
         F.col(text_col),
         F.col(chars_col),
+        *extra,
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.round(
