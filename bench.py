@@ -85,6 +85,16 @@ def _bench_decontam(spark, sf_dir):
     )
 
 
+def _bench_semdedup(spark, sf_dir):
+    """SemDeDup cluster-then-dedup keeper set (r4): IVF-bucketed
+    within-cell pairs + duel-based drop; tracked from r4 on (not in
+    comparable_11)."""
+    from flink_etl_spark.operators.dedup import semdedup
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return semdedup(embs, threshold=0.35, n_cells="auto")
+
+
 def _bench_pipeline(spark, sf_dir):
     """r1-r3-comparable pipeline work: the catalog gate grew a
     'split_summary' union arm in r4 (per-source cap + hash split);
@@ -118,6 +128,7 @@ HEADLINE = [
     ("pipeline_training_prep", _bench_pipeline),
     ("text_repetition_stats", _bench_repetition),
     ("decontaminate_ngrams", _bench_decontam),
+    ("semdedup_keepers", _bench_semdedup),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -125,6 +136,7 @@ NON_COMPARABLE = {
     "dedup_minhash_lsh_staged",
     "text_repetition_stats",
     "decontaminate_ngrams",
+    "semdedup_keepers",
 }
 
 
