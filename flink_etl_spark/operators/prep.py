@@ -635,6 +635,11 @@ def _mixture_plan(
     def one(r: float) -> tuple[int, int]:
         if not (r >= 0) or r != r or r == float("inf"):
             raise ValueError(f"mixture rate must be finite and >= 0, got {r}")
+        if r > 1000:
+            # expand=True materializes floor(r) copies of every row —
+            # a fat-fingered rate (1e6) must fail fast, not OOM the
+            # executors; no published training mix exceeds ~100 epochs
+            raise ValueError(f"mixture rate {r} exceeds the sanity cap of 1000")
         base = int(r)
         return base, int(round((r - base) * n_buckets))
 

@@ -541,3 +541,9 @@ def test_mixture_sample_null_group_uses_default_and_validates(spark):
         P.mixture_sample(df, {"s1": -0.5})
     with pytest.raises(ValueError, match="finite"):
         P.mixture_sample(df, {"s1": float("nan")})
+
+
+def test_mixture_sample_rejects_runaway_rate(spark):
+    df = _mix_df(spark, 10)
+    with pytest.raises(ValueError, match="sanity cap"):
+        P.mixture_sample(df, {"s1": 1e6})
