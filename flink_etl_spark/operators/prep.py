@@ -685,23 +685,24 @@ def mixture_sample(
     row blow-up. Zero shuffles either way — projection + generator."""
     per_group, (dbase, dthresh) = _mixture_plan(rates, n_buckets, default_rate)
     bucket = split_buckets(F.col(key_col), n_buckets, salt, hash_fn)
-    base_expr: Column | None = None
-    thresh_expr: Column | None = None
-    for g, (b, t) in per_group.items():
-        cond = F.col(group_col) == F.lit(g)
-        base_expr = (
-            F.when(cond, F.lit(b)) if base_expr is None
-            else base_expr.when(cond, F.lit(b))
-        )
-        thresh_expr = (
-            F.when(cond, F.lit(t)) if thresh_expr is None
-            else thresh_expr.when(cond, F.lit(t))
-        )
-    base = F.lit(dbase) if base_expr is None else base_expr.otherwise(F.lit(dbase))
-    thresh = (
-        F.lit(dthresh) if thresh_expr is None
-        else thresh_expr.otherwise(F.lit(dthresh))
-    )
+    if per_group:
+        # map LITERAL + hash lookup, not a when-chain: a production mix
+        # keyed by fine-grained domains can hold thousands of entries,
+        # and a CaseWhen that deep is O(entries) per row and can fall
+        # out of codegen. try_element_at (not element_at / getItem)
+        # returns NULL for a missing or NULL group under ANSI mode
+        # instead of raising — missing and NULL groups take the default
+        pairs: list[Column] = []
+        for g, (b, t) in per_group.items():
+            pairs += [
+                F.lit(g),
+                F.struct(F.lit(b).alias("b"), F.lit(t).alias("t")),
+            ]
+        picked = F.try_element_at(F.create_map(*pairs), F.col(group_col))
+        base = F.coalesce(picked.getField("b"), F.lit(dbase))
+        thresh = F.coalesce(picked.getField("t"), F.lit(dthresh))
+    else:
+        base, thresh = F.lit(dbase), F.lit(dthresh)
     n_copies = (base + (bucket < thresh).cast("int")).cast("long")
     if not expand:
         return df.withColumn("n_copies", n_copies)

@@ -18,7 +18,8 @@ snapshot; for per-key point updates at scale use cdc_compact_stream
 (update-mode state) or a table format with MERGE support. The ROLLUP
 sink is different: with `partition_col` set it partitions the rollup
 by day and each micro-batch rewrites ONLY the partitions its finalized
-buckets touch (dynamic partition overwrite) — a year of hourly buckets
+buckets touch (per-partition staged swap — stage all, then promote,
+with crash recovery for the rename window) — a year of hourly buckets
 is never rewritten to add one hour.
 """
 
@@ -43,7 +44,9 @@ from flink_etl_spark.operators.merge import (
 def _is_orderable(dt) -> bool:
     """Mirror of Spark's RowOrdering.isOrderable: maps are unorderable
     at ANY nesting depth (an array<map<...>> or a struct with a map
-    field fails Window.orderBy just as a top-level map does)."""
+    field fails Window.orderBy just as a top-level map does), and so
+    are calendar intervals and variant values — the whitelist below is
+    atomic-or-composite-of-orderable, not not-a-map."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     if isinstance(dt, MapType):
@@ -52,7 +55,9 @@ def _is_orderable(dt) -> bool:
         return _is_orderable(dt.elementType)
     if isinstance(dt, StructType):
         return all(_is_orderable(f.dataType) for f in dt.fields)
-    return True
+    # typeName covers CalendarIntervalType ("interval") and Spark 4's
+    # VariantType ("variant") without importing version-dependent names
+    return dt.typeName() not in ("interval", "calendarinterval", "variant")
 
 
 def merge_batch_into_snapshot(
@@ -299,21 +304,29 @@ def start_continuous_rollup(
         # the rollup root (dropDuplicates blocks partition-filter
         # pushdown), so promoting partition A before staging partition
         # B would delete files B's scan still reads
-        # (FAILED_READ_FILE.FILE_NOT_EXIST).
+        # (FAILED_READ_FILE.FILE_NOT_EXIST). `merged` is persisted
+        # first: the loop runs one action per touched partition, and
+        # without the cache each action re-executes the whole merge
+        # plan (root scan + semi-join + dedup) — a K-day backfill batch
+        # would pay the plan K times over.
         from flink_etl_spark.operators.merge import (
             promote_snapshot,
             stage_snapshot,
         )
 
-        for v, p in part_paths.items():
-            stage_snapshot(
-                merged.filter(F.col(partition_col) == F.lit(v)).drop(
-                    partition_col
-                ),
-                p,
-            )
-        for p in part_paths.values():
-            promote_snapshot(spark, p)
+        merged = merged.persist()
+        try:
+            for v, p in part_paths.items():
+                stage_snapshot(
+                    merged.filter(F.col(partition_col) == F.lit(v)).drop(
+                        partition_col
+                    ),
+                    p,
+                )
+            for p in part_paths.values():
+                promote_snapshot(spark, p)
+        finally:
+            merged.unpersist()
 
     writer = (
         agg.writeStream.foreachBatch(_upsert)
