@@ -1101,10 +1101,12 @@ def semdedup_pairs(
     SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space coarsely, then compare ONLY vectors that share a
     cluster. The pair space shrinks from O(n^2) to
-    sum_c |cell_c|^2 — with `n_cells="auto"` (~sqrt(n) cells,
-    `knobs.ivf_auto_cells`) that is ~n^1.5 worst-case and near-linear
-    on real corpora, where clusters are balanced; nothing in the plan
-    is quadratic in the corpus.
+    sum_c |cell_c|^2; `n_cells="auto"` sizes the quantizer at the
+    flat-design cost optimum k* = sqrt(cost_ratio * n)
+    (`knobs.semdedup_auto_cells`), balancing the n*k assignment sweep
+    against the n^2/k pair work — O(n^1.5) total, the same asymptotic
+    one-level k-means SemDeDup accepts; the knob docstring derives it
+    and records the measured calibration.
 
     Reuses the IVF coarse quantizer (`similarity.ivf_centroids` +
     `ivf_assign`, centroids broadcast): one window per vector for the
@@ -1121,10 +1123,10 @@ def semdedup_pairs(
     similarities, so the decision is reproducible across engines.
     """
     from flink_etl_spark.functions.vectors import dot, safe_cosine
-    from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
+    from flink_etl_spark.operators.knobs import resolve_knob, semdedup_auto_cells
     from flink_etl_spark.operators.similarity import ivf_assign, ivf_centroids
 
-    n_cells = resolve_knob(n_cells, ivf_auto_cells, embs, n_vecs)
+    n_cells = resolve_knob(n_cells, semdedup_auto_cells, embs, n_vecs)
     cents = ivf_centroids(embs, n_cells, id_col, vec_col)
     asgn = ivf_assign(embs, cents, 1, id_col, vec_col, keep_sim=True)
     a = asgn.select(

@@ -117,3 +117,15 @@ def test_max_bucket_caps_adversarial_clique(spark):
     assert sorted(map(tuple, ordinary.collect())) == sorted(
         map(tuple, ordinary_capped.collect())
     )
+
+
+def test_semdedup_auto_cells_flat_optimum():
+    from flink_etl_spark.operators.knobs import ivf_auto_cells, semdedup_auto_cells
+
+    # k* = sqrt(cost_ratio * n): 2x the ANN sqrt rule at the default
+    # calibration, never exceeding n, floor 1
+    assert semdedup_auto_cells(50_000) == round((4.0 * 50_000) ** 0.5)
+    assert semdedup_auto_cells(50_000) > ivf_auto_cells(50_000)
+    assert semdedup_auto_cells(0) == 1
+    assert semdedup_auto_cells(3) <= 3
+    assert semdedup_auto_cells(10**12) == 65536  # ceiling
