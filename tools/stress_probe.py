@@ -132,6 +132,35 @@ def main(replicas: int = 5) -> None:
                   f"recall={rec:.3f}")
             spark.catalog.clearCache()
 
+    # SemDeDup pair recall vs the exact all-pairs baseline: clustering
+    # only loses CROSS-CELL near-dup pairs. The replicated stress
+    # corpus plants exact duplicates (vec_id ≡ mod n_embs) — identical
+    # vectors score identically against every centroid, so they always
+    # share a cell and exact-duplicate recall is 1.0 BY CONSTRUCTION;
+    # the near-dup recall line quantifies the boundary loss the flat
+    # quantizer trades for its n^1.5 cost.
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dups(
+            embs, threshold=0.35, max_rows=None
+        ).collect()
+    }
+    dup_truth = {p for p in exact_pairs if p[0] % n_embs == p[1] % n_embs}
+    t0 = time.time()
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.semdedup_pairs(
+            embs, threshold=0.35, n_cells="auto", n_vecs=n_embs_s
+        ).collect()
+    }
+    t_sd = time.time() - t0
+    dup_got = got_pairs & dup_truth
+    print(f"  semdedup pair recall (threshold .35, auto cells, {t_sd:.1f}s): "
+          f"all={len(got_pairs)/max(len(exact_pairs),1):.3f} "
+          f"exact_duplicates={len(dup_got)/max(len(dup_truth),1):.3f} "
+          f"({len(got_pairs)}/{len(exact_pairs)} pairs)")
+    spark.catalog.clearCache()
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 5)
