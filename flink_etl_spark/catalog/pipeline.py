@@ -253,35 +253,25 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = profile.filter(
         (F.col("verdict") == "keep") & (F.col("lang_guess") == "en")
     )
-    # single-pass dedup: min(struct(doc_id, signals)) picks the
-    # min-doc_id row's signals (doc_id is unique and leads the struct,
-    # so struct ordering IS doc_id ordering) — one scan, one
-    # digest-keyed shuffle, and NO join back to the corpus; the former
+    # single-pass dedup (operators/dedup.exact_dedup carry_cols): the
+    # keeper row's signals ride the min(struct) aggregate — one scan,
+    # one digest-keyed shuffle, NO join back to the corpus. The former
     # dedup-agg + self-join shape scanned and re-profiled `documents`
     # twice, and the downstream arms joined a THIRD scan for `source`
     # (now a doc_profile passthrough riding the same struct). The
-    # shuffle still carries 32-byte digests plus small scalars, never
-    # text.
-    sourced = (
+    # shuffle carries 32-byte digests plus small scalars, never text.
+    from flink_etl_spark.operators.dedup import exact_dedup
+
+    sourced = exact_dedup(
         kept.select(
             F.sha2("text", 256).alias("_digest"),
             "doc_id", "n_tokens", "quality", "fingerprint", "source",
-        )
-        .groupBy("_digest")
-        .agg(
-            F.min(
-                F.struct("doc_id", "n_tokens", "quality", "fingerprint", "source")
-            ).alias("_k"),
-            F.count("*").alias("n_copies"),
-        )
-        .select(
-            F.col("_k.doc_id").alias("keep_id"),
-            "n_copies",
-            F.col("_k.n_tokens").alias("n_tokens"),
-            F.col("_k.quality").alias("quality"),
-            F.col("_k.fingerprint").alias("fingerprint"),
-            F.col("_k.source").alias("source"),
-        )
+        ),
+        ["_digest"],
+        "doc_id",
+        carry_cols=("n_tokens", "quality", "fingerprint", "source"),
+    ).select(
+        "keep_id", "n_copies", "n_tokens", "quality", "fingerprint", "source"
     )
     keepers = sourced.drop("source")
     balanced = cap_per_group(

@@ -898,3 +898,26 @@ def test_semdedup_survives_single_cell_and_empty_pairs(spark):
     vecs = [(i, [float(i == d) for d in range(3)]) for i in range(3)]
     embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
     assert semdedup(embs, threshold=0.5, n_cells=1).count() == 3
+
+
+def test_exact_dedup_carry_cols_matches_join_back(spark):
+    """carry_cols must reproduce exactly the keeper row's attribute
+    values (the min-id row per content group)."""
+    from flink_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x", "s1", 10), (3, "x", "s3", 30), (2, "y", "s2", 20)],
+        "doc_id long, text string, source string, n long",
+    )
+    got = {
+        r.text: (r.keep_id, r.n_copies, r.source, r.n)
+        for r in exact_dedup(df, ["text"], "doc_id",
+                             carry_cols=("source", "n")).collect()
+    }
+    assert got == {"x": (1, 2, "s1", 10), "y": (2, 1, "s2", 20)}
+    # plain mode unchanged
+    plain = {
+        r.text: (r.keep_id, r.n_copies)
+        for r in exact_dedup(df, ["text"], "doc_id").collect()
+    }
+    assert plain == {"x": (1, 2), "y": (2, 1)}
