@@ -749,3 +749,72 @@ def duckdb_mixture_copies(
         f"CAST(({base_case}) + (CASE WHEN ({bucket}) < ({thresh_case}) "
         f"THEN 1 ELSE 0 END) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    `overlap` shared characters between consecutive chunks — the
+    context-window prep step (RAG indexing, long-doc pretraining)
+    that `pack_greedy` does NOT cover: packing concatenates whole
+    short docs up to a token budget, chunking cuts long docs down to
+    a window with continuity overlap.
+
+    Chunk starts step by `chunk_chars - overlap`; the final chunk may
+    be short (no padding), and every document emits at least one chunk
+    (an empty one for empty/NULL text — the doc's presence survives,
+    callers filter `n_chunk_chars > 0` if they want otherwise).
+
+    Output: (id, chunk_idx, chunk_start, chunk_text, n_chunk_chars),
+    chunk_start 0-based. Zero shuffles — one generator projection;
+    output volume is input chars * chunk/(chunk-overlap), bounded by
+    the overlap validation below (overlap >= chunk would loop
+    forever / explode quadratically)."""
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not (0 <= overlap < chunk_chars):
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_chars, got "
+            f"overlap={overlap}, chunk_chars={chunk_chars}"
+        )
+    stride = chunk_chars - overlap
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(txt)
+    # smallest n with n*stride + overlap >= len, floor 1:
+    # ceil((len - overlap)/stride) — integer form avoids float edges
+    n_chunks = F.greatest(
+        F.lit(1),
+        (-F.floor((-(ln - F.lit(overlap))) / F.lit(stride))).cast("int"),
+    )
+    staged = docs.select(
+        F.col(id_col), txt.alias("_txt"), n_chunks.alias("_n")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), F.col("_n") - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+        F.col("_txt"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        (F.col("_i") * F.lit(stride)).cast("long").alias("chunk_start"),
+        F.substring(
+            F.col("_txt"), F.col("_i") * F.lit(stride) + F.lit(1), chunk_chars
+        ).alias("chunk_text"),
+        F.length(
+            F.substring(
+                F.col("_txt"), F.col("_i") * F.lit(stride) + F.lit(1), chunk_chars
+            )
+        ).cast("long").alias("n_chunk_chars"),
+    )

@@ -547,3 +547,67 @@ def test_mixture_sample_rejects_runaway_rate(spark):
     df = _mix_df(spark, 10)
     with pytest.raises(ValueError, match="sanity cap"):
         P.mixture_sample(df, {"s1": 1e6})
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_geometry_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "ab"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = P.chunk_documents(docs, chunk_chars=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # len 10, stride 2: starts 0,2,4,6 -> last chunk covers chars 7-10
+    assert [rows[(1, i)].chunk_text for i in range(4)] == [
+        "abcd", "cdef", "efgh", "ghij"
+    ]
+    assert rows[(1, 3)].chunk_start == 6
+    # reconstruction: dropping each chunk's overlap prefix (idx > 0)
+    # re-concatenates to the original text
+    rebuilt = "".join(
+        rows[(1, i)].chunk_text if i == 0 else rows[(1, i)].chunk_text[2:]
+        for i in range(4)
+    )
+    assert rebuilt == "abcdefghij"
+    # short / empty / null docs emit exactly one chunk
+    assert rows[(2, 0)].chunk_text == "ab" and (2, 1) not in rows
+    assert rows[(3, 0)].chunk_text == "" and rows[(3, 0)].n_chunk_chars == 0
+    assert rows[(4, 0)].chunk_text == ""
+    with pytest.raises(ValueError, match="overlap"):
+        P.chunk_documents(docs, chunk_chars=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_chars"):
+        P.chunk_documents(docs, chunk_chars=0)
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_text)
+        for r in P.chunk_documents(docs, chunk_chars=100, overlap=30).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (d, i): (s, t)
+        for d, i, s, t in con.execute(
+            """
+            WITH docs AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       greatest(1, CAST(ceil((length(coalesce(text, '')) - 30)
+                                             / 70.0) AS INT)) AS n
+                FROM '/root/testdata/sf0.001/documents.parquet'
+            )
+            SELECT doc_id, i AS chunk_idx, i * 70 AS chunk_start,
+                   substr(text, i * 70 + 1, 100) AS chunk_text
+            FROM docs, LATERAL (SELECT unnest(range(n)) AS i)
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > len(
+        {k[0] for k in got}
+    )  # at least one multi-chunk doc
