@@ -139,27 +139,29 @@ def main(replicas: int = 5) -> None:
     # share a cell and exact-duplicate recall is 1.0 BY CONSTRUCTION;
     # the near-dup recall line quantifies the boundary loss the flat
     # quantizer trades for its n^1.5 cost.
-    exact_pairs = {
-        (r.id_a, r.id_b)
-        for r in D.embedding_near_dups(
-            embs, threshold=0.35, max_rows=None
-        ).collect()
-    }
-    dup_truth = {p for p in exact_pairs if p[0] % n_embs == p[1] % n_embs}
-    t0 = time.time()
-    got_pairs = {
-        (r.id_a, r.id_b)
-        for r in D.semdedup_pairs(
-            embs, threshold=0.35, n_cells="auto", n_vecs=n_embs_s
-        ).collect()
-    }
-    t_sd = time.time() - t0
-    dup_got = got_pairs & dup_truth
-    print(f"  semdedup pair recall (threshold .35, auto cells, {t_sd:.1f}s): "
-          f"all={len(got_pairs)/max(len(exact_pairs),1):.3f} "
-          f"exact_duplicates={len(dup_got)/max(len(dup_truth),1):.3f} "
-          f"({len(got_pairs)}/{len(exact_pairs)} pairs)")
-    spark.catalog.clearCache()
+    for thr in (0.35, 0.6, 0.8):
+        exact_pairs = {
+            (r.id_a, r.id_b)
+            for r in D.embedding_near_dups(
+                embs, threshold=thr, max_rows=None
+            ).collect()
+        }
+        dup_truth = {p for p in exact_pairs if p[0] % n_embs == p[1] % n_embs}
+        t0 = time.time()
+        got_pairs = {
+            (r.id_a, r.id_b)
+            for r in D.semdedup_pairs(
+                embs, threshold=thr, n_cells="auto", n_vecs=n_embs_s
+            ).collect()
+        }
+        t_sd = time.time() - t0
+        dup_got = got_pairs & dup_truth
+        print(f"  semdedup pair recall (threshold {thr}, auto cells, "
+              f"{t_sd:.1f}s): "
+              f"all={len(got_pairs)/max(len(exact_pairs),1):.3f} "
+              f"exact_duplicates={len(dup_got)/max(len(dup_truth),1):.3f} "
+              f"({len(got_pairs)}/{len(exact_pairs)} pairs)")
+        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
