@@ -1153,7 +1153,15 @@ def semdedup_pairs(
 
     n_cells = resolve_knob(n_cells, semdedup_auto_cells, embs, n_vecs)
     cents = ivf_centroids(embs, n_cells, id_col, vec_col)
-    asgn = ivf_assign(embs, cents, 1, id_col, vec_col, keep_sim=True)
+    # persisted for the same reason as the minhash profile: the
+    # assignment (a window + the n*k centroid sweep) feeds BOTH sides
+    # of the within-cell self-join, and Spark does not reuse the
+    # exchange across the sides' differing aliases — without the cache
+    # the sweep runs twice (measured: -40% end-to-end at 10x sf0.1).
+    # The cache is keyed on the logical plan and lives until evicted;
+    # long-lived sessions should spark.catalog.clearCache() between
+    # corpora (bench.py does).
+    asgn = ivf_assign(embs, cents, 1, id_col, vec_col, keep_sim=True).persist()
     a = asgn.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         F.col("vec_norm").alias("na"), "cell_id",
