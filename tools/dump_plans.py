@@ -19,6 +19,24 @@ from bench import HEADLINE  # noqa: E402
 
 #: why each headline plan is the right shape at scale
 COMMENTARY: dict[str, str] = {
+    "dedup_minhash_lsh_staged": (
+        "Same logical pipeline as dedup_minhash_lsh, but every consumer "
+        "reads the parquet-staged profile (one tokenization pass "
+        "materialized once) — the Scan parquet leaves below are the "
+        "staged profile, column-pruned per consumer, not re-derivations "
+        "of `documents`. This is the build-once/reuse-across-runs 100 TB "
+        "operating mode."
+    ),
+    "semdedup_keepers": (
+        "Cluster-then-dedup: TakeOrderedAndProject picks the centroid "
+        "seeds (window-free), the centroid table broadcasts for the "
+        "assignment sweep, and the InMemoryRelation is the persisted "
+        "one-row-per-vector assignment feeding BOTH sides of the "
+        "within-cell self-join plus the keeper anti-join (Spark would "
+        "otherwise run the n*k sweep three times). The only corpus-sized "
+        "exchange is the by-cell shuffle for the pair join — pair work "
+        "is bounded by the flat-quantizer optimum the auto knob derives."
+    ),
     "cdc_merge_day": (
         "Full-outer merge cannot broadcast; sort-merge join is correct. "
         "WindowGroupLimit appears TWICE (partial below the exchange, "
