@@ -1222,3 +1222,148 @@ def semdedup(
     pairs = semdedup_pairs(embs, threshold, n_cells, id_col, vec_col, n_vecs)
     losers = pairs.select(F.col("drop_id").alias(id_col)).distinct()
     return embs.join(losers, id_col, "left_anti")
+
+
+def semdedup_incremental(
+    spark,
+    new_embs: DataFrame,
+    index_path: str,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    append: bool = False,
+) -> DataFrame:
+    """Incremental SemDeDup: dedup a NEW batch of vectors against a
+    staged IVF index (`similarity.ivf_build_index`) plus itself,
+    without ever re-assigning the staged corpus — the daily-batch
+    embedding-dedup shape, the vector twin of
+    `minhash_near_dups_incremental`.
+
+    The batch is assigned with the index's FROZEN centroids (new cells
+    are never invented — assignment stays comparable across batches),
+    then:
+
+    * batch-vs-staged pairs: the staged side is read from the
+      `cell_id=` partitioned layout with the batch's touched cells
+      broadcast — partition pruning makes the scan nprobe-of-index,
+      not corpus-sized;
+    * batch-vs-batch pairs: the within-cell self-join of the batch
+      alone (staged-staged pairs were settled when the index was
+      built — never re-emitted, exactly like the minhash incremental).
+
+    Output: (cell_id, id_a, id_b, cos_sim, csim_a, csim_b, origin_b,
+    drop_id) with `origin_b` in ('staged', 'batch'); `id_a` is always
+    the batch vector. The duel keeps the member FARTHER from the
+    centroid (the SemDeDup rule); a rounded TIE drops the batch side
+    against staged (an already-kept corpus vector is never condemned
+    by a tie) and the larger id within the batch. A verdict of
+    dropping a STAGED vector is reported but never applied to the
+    index — staged data is immutable here; rebuild the index to
+    compact it.
+
+    `append=True` also appends the batch's SURVIVORS (batch vectors
+    dropped by no duel) into the index's cell layout (dynamic
+    partition append), so tomorrow's batch dedups against today's
+    keepers. Older indexes built before `centroid_sim` was stored get
+    it recomputed on the fly from the staged centroids (one broadcast
+    join over the pruned cells).
+
+    Ids must be globally unique across the corpus and every batch. A
+    REPLAYED batch (same ids, append already ran) converges: each
+    vector pairs with its own staged twin at cos 1.0 and the rounded
+    tie drops the batch side, so nothing is appended twice."""
+    from flink_etl_spark.functions.vectors import dot, safe_cosine
+    from flink_etl_spark.operators.similarity import ivf_assign
+
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cells = spark.read.parquet(f"{index_path}/cells")
+    batch = ivf_assign(
+        new_embs, cents, 1, id_col, vec_col, keep_sim=True
+    ).persist()
+
+    if "centroid_sim" not in cells.columns:
+        cells = cells.join(F.broadcast(cents), "cell_id").withColumn(
+            "centroid_sim",
+            F.round(
+                dot(vec_col, "centroid")
+                / (F.col("vec_norm") * F.col("centroid_norm")),
+                6,
+            ),
+        ).drop("centroid", "centroid_norm")
+
+    a = batch.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("vec_norm").alias("na"), "cell_id",
+        F.col("centroid_sim").alias("csim_a"),
+    )
+    touched = batch.select("cell_id").distinct()
+    staged_side = cells.join(F.broadcast(touched), "cell_id").select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("vec_norm").alias("nb"), F.col("cell_id").alias("_cell_b"),
+        F.col("centroid_sim").alias("csim_b"),
+        F.lit("staged").alias("origin_b"),
+    )
+    batch_side = batch.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("vec_norm").alias("nb"), F.col("cell_id").alias("_cell_b"),
+        F.col("centroid_sim").alias("csim_b"),
+        F.lit("batch").alias("origin_b"),
+    )
+    vs_staged = a.join(staged_side, F.col("cell_id") == F.col("_cell_b"))
+    vs_batch = a.join(
+        batch_side,
+        (F.col("cell_id") == F.col("_cell_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    pairs = (
+        vs_staged.unionByName(vs_batch)
+        .withColumn(
+            "cos_sim",
+            F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .withColumn(
+            "drop_id",
+            F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
+            .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
+            # rounded tie: batch loses to staged; larger id loses in-batch
+            .otherwise(
+                F.when(F.col("origin_b") == "staged", F.col("id_a")).otherwise(
+                    F.col("id_b")
+                )
+            ),
+        )
+        .select(
+            "cell_id", "id_a", "id_b", "cos_sim",
+            "csim_a", "csim_b", "origin_b", "drop_id",
+        )
+    )
+    if append:
+        # materialize pairs BEFORE the append: `cells` is a lazy file
+        # scan, so an un-pinned `pairs` evaluated after the write would
+        # see the just-appended batch rows as staged (every survivor
+        # would self-pair at cos 1.0). persist + count pins the
+        # pre-append result set.
+        pairs = pairs.persist()
+        pairs.count()
+        losers = (
+            pairs.filter(F.col("drop_id") == F.col("id_a"))
+            .select(F.col("id_a").alias(id_col))
+            .union(
+                pairs.filter(
+                    (F.col("origin_b") == "batch")
+                    & (F.col("drop_id") == F.col("id_b"))
+                ).select(F.col("id_b").alias(id_col))
+            )
+            .distinct()
+        )
+        survivors = batch.join(losers, id_col, "left_anti")
+        (
+            survivors.select(
+                id_col, vec_col, "vec_norm", "cell_id", "centroid_sim"
+            )
+            .write.mode("append")
+            .partitionBy("cell_id")
+            .parquet(f"{index_path}/cells")
+        )
+    return pairs

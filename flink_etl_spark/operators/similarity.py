@@ -505,9 +505,13 @@ def ivf_build_index(
     n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters)
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    # centroid_sim rides along (free at build time): the incremental
+    # SemDeDup consumer (dedup.semdedup_incremental) needs each staged
+    # vector's similarity to its own centroid for the keep-rule duel;
+    # search consumers simply ignore the column
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col, keep_sim=True)
     (
-        assigned.select(id_col, vec_col, "vec_norm", "cell_id")
+        assigned.select(id_col, vec_col, "vec_norm", "cell_id", "centroid_sim")
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(f"{index_path}/cells")
