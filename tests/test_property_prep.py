@@ -146,3 +146,112 @@ def test_decontaminate_self_overlap(spark, rows, n):
     for i, t in rows:
         has_gram = len([w for w in toks[i]]) >= n
         assert out[i]["contaminated"] == (1 if has_gram else 0)
+
+
+@settings(**_PROP)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.sampled_from(["s0", "s1", "s2", None]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    salt=st.sampled_from(["", "a", "b'c"]),
+    rates=st.fixed_dictionaries(
+        {},
+        optional={
+            "s0": st.sampled_from([0.0, 0.3, 1.0, 2.5]),
+            "s1": st.sampled_from([0.5, 1.75]),
+            "s2": st.sampled_from([0.0, 1.0]),
+        },
+    ),
+)
+def test_mixture_sample_copy_count_invariants(spark, rows, salt, rates):
+    """expand=True row counts == expand=False n_copies sums per key;
+    n_copies in {floor(r), floor(r)+1}; NULL group takes the default;
+    the decision is a pure function of (key, salt)."""
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counted = {
+        r["doc_id"]: r["n_copies"]
+        for r in P.mixture_sample(
+            df, rates, key_col="doc_id", salt=salt,
+            expand=False, default_rate=1.5,
+        ).collect()
+    }
+    expanded = P.mixture_sample(
+        df, rates, key_col="doc_id", salt=salt, default_rate=1.5
+    )
+    per_key = {
+        r["doc_id"]: r["n"]
+        for r in expanded.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for k, src in rows:
+        r = rates.get(src, 1.5) if src is not None else 1.5
+        base = int(r)
+        assert counted[k] in (base, base + 1)
+        assert per_key.get(k, 0) == counted[k]
+    again = {
+        r["doc_id"]: r["n_copies"]
+        for r in P.mixture_sample(
+            df, rates, key_col="doc_id", salt=salt,
+            expand=False, default_rate=1.5,
+        ).collect()
+    }
+    assert again == counted
+
+
+@settings(**_PROP)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.lists(
+                st.floats(
+                    min_value=-1.0, max_value=1.0,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    n_cells=st.sampled_from([1, 2, 4]),
+)
+def test_semdedup_invariants(spark, vecs, n_cells):
+    """Pairs are a subset of the exact all-pairs set with identical
+    rounded scores; every duel's loser is the member closer to the
+    centroid (ties: larger id); the keeper set is the corpus minus the
+    distinct losers and never empties a component."""
+    from flink_etl_spark.operators.dedup import (
+        embedding_near_dups,
+        semdedup,
+        semdedup_pairs,
+    )
+
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups(embs, threshold=0.5).collect()
+    }
+    pairs = semdedup_pairs(embs, threshold=0.5, n_cells=n_cells).collect()
+    for r in pairs:
+        assert (r.id_a, r.id_b) in exact
+        assert exact[(r.id_a, r.id_b)] == r.cos_sim
+        loser_csim = r.csim_a if r.drop_id == r.id_a else r.csim_b
+        winner_csim = r.csim_b if r.drop_id == r.id_a else r.csim_a
+        assert loser_csim >= winner_csim
+        if r.csim_a == r.csim_b:
+            assert r.drop_id == max(r.id_a, r.id_b)
+    kept = {r.vec_id for r in semdedup(embs, threshold=0.5, n_cells=n_cells).collect()}
+    losers = {r.drop_id for r in pairs}
+    all_ids = {v[0] for v in vecs}
+    assert kept == all_ids - losers
+    # at least one survivor among any set of paired vectors
+    if pairs:
+        paired = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+        assert paired - losers, "a duel clique must keep a survivor"
