@@ -61,12 +61,17 @@ def exact_dedup(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("n_copies"),
         )
+    # NULL-id rows are excluded from the keeper PICK (min skips the
+    # when's NULL, exactly as plain min(id) skips NULL ids — without
+    # the guard a NULL id sorts FIRST in struct ordering and a
+    # nullable id column silently flips the keeper) but still count
+    # in n_copies, matching the no-carry branch
+    keeper = F.min(
+        F.when(F.col(id_col).isNotNull(), F.struct(id_col, *carry_cols))
+    )
     return (
         df.groupBy(*content_cols)
-        .agg(
-            F.min(F.struct(id_col, *carry_cols)).alias("_k"),
-            F.count("*").alias("n_copies"),
-        )
+        .agg(keeper.alias("_k"), F.count("*").alias("n_copies"))
         .select(
             *content_cols,
             F.col(f"_k.{id_col}").alias("keep_id"),
@@ -1114,6 +1119,57 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def _semdedup_side(
+    asgn: DataFrame, role: str, id_col: str, vec_col: str,
+    origin: str | None = None,
+) -> DataFrame:
+    """Project a cell assignment into one side of the duel join:
+    (id_<role>, v<role>, n<role>, cell key, csim_<role>) — the 'b'
+    side renames its cell key so the equi-join condition can name both
+    sides, and optionally carries an `origin_b` tag."""
+    cols = [
+        F.col(id_col).alias(f"id_{role}"),
+        F.col(vec_col).alias(f"v{role}"),
+        F.col("vec_norm").alias(f"n{role}"),
+        F.col("cell_id").alias("cell_id" if role == "a" else "_cell_b"),
+        F.col("centroid_sim").alias(f"csim_{role}"),
+    ]
+    if origin is not None:
+        cols.append(F.lit(origin).alias("origin_b"))
+    return asgn.select(*cols)
+
+
+def _semdedup_duel(
+    a: DataFrame, b: DataFrame, join_cond, threshold: float, tie_drop,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Score same-cell candidate pairs and apply the SemDeDup keep
+    rule. ONE implementation of the rule — the batch/full variants
+    differ only in `tie_drop`, the Column naming the loser when the
+    6-dp-rounded centroid similarities tie (so a future change to the
+    scoring or the duel applies to both by construction)."""
+    from flink_etl_spark.functions.vectors import dot, safe_cosine
+
+    return (
+        a.join(b, join_cond)
+        .withColumn(
+            "cos_sim",
+            F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .withColumn(
+            "drop_id",
+            F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
+            .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
+            .otherwise(tie_drop),
+        )
+        .select(
+            "cell_id", "id_a", "id_b", "cos_sim",
+            "csim_a", "csim_b", *extra_cols, "drop_id",
+        )
+    )
+
+
 def semdedup_pairs(
     embs: DataFrame,
     threshold: float = 0.35,
@@ -1147,7 +1203,6 @@ def semdedup_pairs(
     ties dropping the larger id. All comparisons use 6-dp-rounded
     similarities, so the decision is reproducible across engines.
     """
-    from flink_etl_spark.functions.vectors import dot, safe_cosine
     from flink_etl_spark.operators.knobs import resolve_knob, semdedup_auto_cells
     from flink_etl_spark.operators.similarity import ivf_assign, ivf_centroids
 
@@ -1162,34 +1217,12 @@ def semdedup_pairs(
     # long-lived sessions should spark.catalog.clearCache() between
     # corpora (bench.py does).
     asgn = ivf_assign(embs, cents, 1, id_col, vec_col, keep_sim=True).persist()
-    a = asgn.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        F.col("vec_norm").alias("na"), "cell_id",
-        F.col("centroid_sim").alias("csim_a"),
-    )
-    b = asgn.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("vec_norm").alias("nb"), F.col("cell_id").alias("_cell_b"),
-        F.col("centroid_sim").alias("csim_b"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("cell_id") == F.col("_cell_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .withColumn(
-            "cos_sim",
-            F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .withColumn(
-            "drop_id",
-            F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
-            .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
-            .otherwise(F.col("id_b")),
-        )
-        .select("cell_id", "id_a", "id_b", "cos_sim", "csim_a", "csim_b", "drop_id")
+    return _semdedup_duel(
+        _semdedup_side(asgn, "a", id_col, vec_col),
+        _semdedup_side(asgn, "b", id_col, vec_col),
+        (F.col("cell_id") == F.col("_cell_b")) & (F.col("id_a") < F.col("id_b")),
+        threshold,
+        tie_drop=F.col("id_b"),
     )
 
 
@@ -1271,72 +1304,87 @@ def semdedup_incremental(
     Ids must be globally unique across the corpus and every batch. A
     REPLAYED batch (same ids, append already ran) converges: each
     vector pairs with its own staged twin at cos 1.0 and the rounded
-    tie drops the batch side, so nothing is appended twice."""
+    tie drops the batch side, so nothing is appended twice.
+
+    Caching contract (same as `semdedup_pairs` / the minhash profile):
+    the batch assignment — and in append mode the returned pairs,
+    which must stay pinned to the PRE-append file set — are persisted;
+    caches are keyed on the logical plan and live until evicted, so
+    long-lived sessions should `spark.catalog.clearCache()` between
+    corpora. The batch cache is released before returning when
+    `append=True` (its last consumer is the survivor write)."""
+    from flink_etl_spark.functions.vectors import dot, safe_cosine
     from flink_etl_spark.functions.vectors import dot, safe_cosine
     from flink_etl_spark.operators.similarity import ivf_assign
 
     cents = spark.read.parquet(f"{index_path}/centroids")
-    cells = spark.read.parquet(f"{index_path}/cells")
+    # dimension guard (the minhash incremental's meta-sidecar analogue):
+    # a batch from a different embedding model would NULL every dot
+    # product (zip_with pads), silently yield zero pairs, and — with
+    # append — poison the index with foreign-dimension vectors
+    cent_dim = cents.select(F.size("centroid")).first()[0]
+    batch_dim = new_embs.select(F.size(vec_col)).first()
+    if batch_dim is not None and batch_dim[0] != cent_dim:
+        raise ValueError(
+            f"semdedup_incremental: batch embedding dimension "
+            f"{batch_dim[0]} != index dimension {cent_dim} — the batch "
+            f"was embedded with a different model than the index at "
+            f"{index_path}; rebuild the index or fix the batch"
+        )
+    # mergeSchema: a legacy (pre-centroid_sim) index, or one a legacy
+    # append already mixed, must surface the column deterministically
+    # (a plain read infers the schema from an arbitrary file footer);
+    # rows missing the stored value get it recomputed below, so every
+    # layout generation duels with a real similarity
+    cells = spark.read.option("mergeSchema", "true").parquet(
+        f"{index_path}/cells"
+    )
     batch = ivf_assign(
         new_embs, cents, 1, id_col, vec_col, keep_sim=True
     ).persist()
 
     if "centroid_sim" not in cells.columns:
-        cells = cells.join(F.broadcast(cents), "cell_id").withColumn(
+        cells = cells.withColumn(
+            "centroid_sim", F.lit(None).cast("double")
+        )
+    cells = (
+        cells.join(F.broadcast(cents), "cell_id")
+        .withColumn(
             "centroid_sim",
-            F.round(
-                dot(vec_col, "centroid")
-                / (F.col("vec_norm") * F.col("centroid_norm")),
-                6,
+            F.coalesce(
+                F.col("centroid_sim"),
+                F.round(
+                    safe_cosine(
+                        dot(vec_col, "centroid"),
+                        F.col("vec_norm"),
+                        F.col("centroid_norm"),
+                    ),
+                    6,
+                ),
             ),
-        ).drop("centroid", "centroid_norm")
+        )
+        .drop("centroid", "centroid_norm")
+    )
 
-    a = batch.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        F.col("vec_norm").alias("na"), "cell_id",
-        F.col("centroid_sim").alias("csim_a"),
-    )
+    a = _semdedup_side(batch, "a", id_col, vec_col)
     touched = batch.select("cell_id").distinct()
-    staged_side = cells.join(F.broadcast(touched), "cell_id").select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("vec_norm").alias("nb"), F.col("cell_id").alias("_cell_b"),
-        F.col("centroid_sim").alias("csim_b"),
-        F.lit("staged").alias("origin_b"),
+    staged_side = _semdedup_side(
+        cells.join(F.broadcast(touched), "cell_id"),
+        "b", id_col, vec_col, origin="staged",
     )
-    batch_side = batch.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("vec_norm").alias("nb"), F.col("cell_id").alias("_cell_b"),
-        F.col("centroid_sim").alias("csim_b"),
-        F.lit("batch").alias("origin_b"),
+    batch_side = _semdedup_side(batch, "b", id_col, vec_col, origin="batch")
+    b = staged_side.unionByName(batch_side)
+    # staged pairs: every batch-staged collision (incl. equal ids on
+    # replay); batch pairs: id_a < id_b only
+    cond = (F.col("cell_id") == F.col("_cell_b")) & (
+        (F.col("origin_b") == "staged") | (F.col("id_a") < F.col("id_b"))
     )
-    vs_staged = a.join(staged_side, F.col("cell_id") == F.col("_cell_b"))
-    vs_batch = a.join(
-        batch_side,
-        (F.col("cell_id") == F.col("_cell_b"))
-        & (F.col("id_a") < F.col("id_b")),
+    # rounded tie: batch loses to staged; larger id loses in-batch
+    tie = F.when(F.col("origin_b") == "staged", F.col("id_a")).otherwise(
+        F.col("id_b")
     )
-    pairs = (
-        vs_staged.unionByName(vs_batch)
-        .withColumn(
-            "cos_sim",
-            F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .withColumn(
-            "drop_id",
-            F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
-            .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
-            # rounded tie: batch loses to staged; larger id loses in-batch
-            .otherwise(
-                F.when(F.col("origin_b") == "staged", F.col("id_a")).otherwise(
-                    F.col("id_b")
-                )
-            ),
-        )
-        .select(
-            "cell_id", "id_a", "id_b", "cos_sim",
-            "csim_a", "csim_b", "origin_b", "drop_id",
-        )
+    pairs = _semdedup_duel(
+        a, b, cond, threshold, tie_drop=tie, extra_cols=("origin_b",)
     )
     if append:
         # materialize pairs BEFORE the append: `cells` is a lazy file
@@ -1366,4 +1414,9 @@ def semdedup_incremental(
             .partitionBy("cell_id")
             .parquet(f"{index_path}/cells")
         )
+        # the batch assignment served its last consumer (the append);
+        # `pairs` stays cached — it IS the returned result, and
+        # uncaching it would recompute against the post-append files
+        # (the exact self-pair bug the pin prevents)
+        batch.unpersist()
     return pairs

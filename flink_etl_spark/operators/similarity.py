@@ -229,12 +229,20 @@ def ivf_assign(
     scan per side. `keep_sim=True` also emits the rounded cosine to the
     assigned centroid as `centroid_sim` (semdedup's keep rule ranks
     within-cluster duplicates by exactly this value)."""
+    # safe_cosine, not raw division: a zero-norm vector (in-domain)
+    # raises DIVIDE_BY_ZERO under ANSI mode and ranks NaN-first
+    # otherwise — found by the semdedup hypothesis suite
     scored = embs.select(
         F.col(id_col), F.col(vec_col), norm(vec_col).alias("vec_norm")
     ).join(F.broadcast(centroids)).withColumn(
         "_sim",
         F.round(
-            dot(vec_col, "centroid") / (F.col("vec_norm") * F.col("centroid_norm")), 6
+            safe_cosine(
+                dot(vec_col, "centroid"),
+                F.col("vec_norm"),
+                F.col("centroid_norm"),
+            ),
+            6,
         ),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))

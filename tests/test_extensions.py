@@ -981,3 +981,75 @@ def test_semdedup_incremental_matches_full_and_appends(spark, tmp_path):
     n_after = spark.read.parquet(f"{idx}/cells").count()
     assert n_after == n_mid  # replay appended nothing
     assert n_drop >= 0
+
+
+def test_exact_dedup_carry_cols_skips_null_ids(spark):
+    """A NULL id must not win the keeper pick (plain min(id) skips
+    NULLs; the struct form must agree) but still counts as a copy."""
+    from flink_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, "x", "s0"), (3, "x", "s3")],
+        "doc_id long, text string, source string",
+    )
+    got = exact_dedup(df, ["text"], "doc_id", carry_cols=("source",)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.keep_id == 3 and r.source == "s3" and r.n_copies == 2
+
+
+def test_semdedup_incremental_dim_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from flink_etl_spark.operators.dedup import semdedup_incremental
+    from flink_etl_spark.operators.similarity import ivf_build_index
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 * i, 0.5, 0.1]) for i in range(1, 6)],
+        ["vec_id", "embedding"],
+    )
+    idx = str(tmp_path / "idx")
+    ivf_build_index(corpus, idx, n_cells=2)
+    bad = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        semdedup_incremental(spark, bad, idx)
+
+
+def test_semdedup_incremental_heals_legacy_index_schema(spark, tmp_path):
+    """An index whose cells lack the stored centroid_sim (or a mixed
+    tree a legacy append produced) must duel with RECOMPUTED
+    similarities, not NULLs — NULL csims would send every duel into
+    the tie branch and silently drop batch vectors."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.dedup import semdedup_incremental
+    from flink_etl_spark.operators.similarity import ivf_build_index
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.9, 0.3, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    idx = str(tmp_path / "idx")
+    ivf_build_index(corpus, idx, n_cells=2)
+    # strip the stored column, simulating a pre-centroid_sim build
+    legacy = spark.read.parquet(f"{idx}/cells").drop("centroid_sim")
+    legacy.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{idx}/cells_legacy"
+    )
+    import shutil
+
+    shutil.rmtree(f"{idx}/cells")
+    shutil.move(f"{idx}/cells_legacy", f"{idx}/cells")
+
+    # batch vector FARTHER from the centroid than staged vec 3: the
+    # duel must drop the STAGED side (csim comparison), which a
+    # NULL-poisoned tie branch would get backwards
+    batch = spark.createDataFrame([(10, [0.8, 0.6, 0.0])], ["vec_id", "embedding"])
+    pairs = semdedup_incremental(spark, batch, idx, threshold=0.9).collect()
+    by_b = {r.id_b: r for r in pairs}
+    assert 3 in by_b
+    r = by_b[3]
+    assert r.csim_b is not None  # healed, not NULL
+    assert r.drop_id == 3  # staged vec 3 is closer to the centroid
