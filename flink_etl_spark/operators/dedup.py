@@ -1177,46 +1177,77 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vecs: int | None = None,
+    quantizer: str = "flat",
 ) -> DataFrame:
     """Within-cluster cosine near-dup pairs — the candidate stage of
     SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space coarsely, then compare ONLY vectors that share a
-    cluster. The pair space shrinks from O(n^2) to
-    sum_c |cell_c|^2; `n_cells="auto"` sizes the quantizer at the
-    flat-design cost optimum k* = sqrt(cost_ratio * n)
-    (`knobs.semdedup_auto_cells`), balancing the n*k assignment sweep
-    against the n^2/k pair work — O(n^1.5) total, the same asymptotic
-    one-level k-means SemDeDup accepts; the knob docstring derives it
-    and records the measured calibration.
+    cluster. The pair space shrinks from O(n^2) to sum_c |cell_c|^2.
 
-    Reuses the IVF coarse quantizer (`similarity.ivf_centroids` +
-    `ivf_assign`, centroids broadcast): one window per vector for the
-    nearest-cell pick, ONE shuffle of the corpus by `cell_id` for the
-    within-cell self-join, cosine computed on the candidate pairs only.
+    `quantizer` picks the assignment architecture and the meaning of
+    `n_cells="auto"`:
+
+    * "flat" (default, the oracle-gated arm) — one broadcast sweep
+      over all centroids; auto = the flat cost optimum
+      k* = sqrt(cost_ratio * n) (`knobs.semdedup_auto_cells`),
+      O(n^1.5) total;
+    * "two_level" — hierarchical assignment
+      (`similarity.ivf_assign_two_level`: ~2*sqrt(k) sims per vector),
+      auto = k* = (cost_ratio * n)^(2/3)
+      (`knobs.semdedup_auto_cells_two_level`), O(n^(4/3)) total — the
+      100 TB setting. The two quantizers partition the space
+      DIFFERENTLY (coarse-cell-refined vs global nearest-seed), so
+      pair sets can differ at cell boundaries; every correctness
+      property (pairs subset of exact with identical scores, duel
+      rule, survivor guarantee) holds for any partition and is
+      hypothesis-tested for both.
 
     Output: (cell_id, id_a, id_b, cos_sim, csim_a, csim_b, drop_id)
     for every same-cell pair with cos_sim >= threshold, id_a < id_b.
-    `csim_*` is each side's rounded cosine to the shared centroid;
-    `drop_id` applies the SemDeDup keep rule per pair — the member
-    CLOSER to the centroid is the duplicate to drop (the paper keeps
-    low-centroid-similarity examples as the less prototypical ones),
-    ties dropping the larger id. All comparisons use 6-dp-rounded
-    similarities, so the decision is reproducible across engines.
+    `csim_*` is each side's rounded cosine to the shared (final)
+    centroid; `drop_id` applies the SemDeDup keep rule per pair — the
+    member CLOSER to the centroid is the duplicate to drop (the paper
+    keeps low-centroid-similarity examples as the less prototypical
+    ones), ties dropping the larger id. All comparisons use
+    6-dp-rounded similarities, so the decision is reproducible across
+    engines.
     """
-    from flink_etl_spark.operators.knobs import resolve_knob, semdedup_auto_cells
-    from flink_etl_spark.operators.similarity import ivf_assign, ivf_centroids
+    from flink_etl_spark.operators.knobs import (
+        resolve_knob,
+        semdedup_auto_cells,
+        semdedup_auto_cells_two_level,
+    )
+    from flink_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        ivf_centroids,
+    )
 
-    n_cells = resolve_knob(n_cells, semdedup_auto_cells, embs, n_vecs)
-    cents = ivf_centroids(embs, n_cells, id_col, vec_col)
+    if quantizer not in ("flat", "two_level"):
+        raise ValueError(
+            f"quantizer must be 'flat' or 'two_level', got {quantizer!r}"
+        )
     # persisted for the same reason as the minhash profile: the
-    # assignment (a window + the n*k centroid sweep) feeds BOTH sides
-    # of the within-cell self-join, and Spark does not reuse the
-    # exchange across the sides' differing aliases — without the cache
-    # the sweep runs twice (measured: -40% end-to-end at 10x sf0.1).
+    # assignment (windows + the centroid sweep) feeds BOTH sides of
+    # the within-cell self-join, and Spark does not reuse the exchange
+    # across the sides' differing aliases — without the cache the
+    # sweep runs twice (measured: -40% end-to-end at 10x sf0.1).
     # The cache is keyed on the logical plan and lives until evicted;
     # long-lived sessions should spark.catalog.clearCache() between
     # corpora (bench.py does).
-    asgn = ivf_assign(embs, cents, 1, id_col, vec_col, keep_sim=True).persist()
+    if quantizer == "two_level":
+        n_cells = resolve_knob(
+            n_cells, semdedup_auto_cells_two_level, embs, n_vecs
+        )
+        asgn = ivf_assign_two_level(
+            embs, n_cells, id_col, vec_col, keep_sim=True
+        ).persist()
+    else:
+        n_cells = resolve_knob(n_cells, semdedup_auto_cells, embs, n_vecs)
+        cents = ivf_centroids(embs, n_cells, id_col, vec_col)
+        asgn = ivf_assign(
+            embs, cents, 1, id_col, vec_col, keep_sim=True
+        ).persist()
     return _semdedup_duel(
         _semdedup_side(asgn, "a", id_col, vec_col),
         _semdedup_side(asgn, "b", id_col, vec_col),
@@ -1233,6 +1264,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vecs: int | None = None,
+    quantizer: str = "flat",
 ) -> DataFrame:
     """SemDeDup keeper set: the input minus every vector that loses at
     least one within-cluster duel (`semdedup_pairs.drop_id`).
@@ -1252,7 +1284,9 @@ def semdedup(
     Plan: pairs (one corpus shuffle by cell) -> distinct drop ids ->
     one left-anti join against the corpus. Nothing quadratic, nothing
     driver-side."""
-    pairs = semdedup_pairs(embs, threshold, n_cells, id_col, vec_col, n_vecs)
+    pairs = semdedup_pairs(
+        embs, threshold, n_cells, id_col, vec_col, n_vecs, quantizer
+    )
     losers = pairs.select(F.col("drop_id").alias(id_col)).distinct()
     return embs.join(losers, id_col, "left_anti")
 

@@ -99,6 +99,16 @@ def semdedup_auto_cells(n_vecs: int, cost_ratio: float = 4.0) -> int:
     return max(1, min(65536, n, round(sqrt(max(cost_ratio, 0.01) * n))))
 
 
+def semdedup_auto_cells_two_level(n_vecs: int, cost_ratio: float = 4.0) -> int:
+    """Cell count for SemDeDup's TWO-LEVEL quantizer: with assignment
+    at ~2*sqrt(k) sims per vector (`ivf_assign_two_level`), minimizing
+    c_a * 2n*sqrt(k) + c_p * n^2/k gives k* = ((c_p/c_a) * n)^(2/3) —
+    more cells than the flat optimum's sqrt, and total cost O(n^(4/3))
+    instead of O(n^1.5). Clamped to [1, 2^20] and to n."""
+    n = max(int(n_vecs), 1)
+    return max(1, min(1 << 20, n, round((max(cost_ratio, 0.01) * n) ** (2.0 / 3.0))))
+
+
 def minhash_auto_bands(
     threshold: float, n_hashes: int = 16, fp_weight: float = 0.2
 ) -> int:

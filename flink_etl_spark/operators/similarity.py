@@ -256,6 +256,83 @@ def ivf_assign(
     )
 
 
+def ivf_assign_two_level(
+    embs: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_sim: bool = False,
+) -> DataFrame:
+    """Hierarchical (two-level) cell assignment: level 1 assigns each
+    vector to one of ~sqrt(n_cells) coarse cells (broadcast sweep),
+    level 2 re-assigns it among ITS OWN coarse cell's
+    ~sqrt(n_cells) sub-seeds (the k2 smallest ids in the cell, a
+    WindowGroupLimit) — so the per-vector sweep costs k1 + k2 ~
+    2*sqrt(n_cells) similarity evaluations instead of the flat
+    quantizer's n_cells. That is what breaks the flat O(n^1.5)
+    SemDeDup cost floor: with assignment at n*2*sqrt(k), the optimal
+    cell count rises to k = (cost_ratio * n)^(2/3)
+    (`knobs.semdedup_auto_cells_two_level`) and the total
+    assignment + within-cell pair cost drops to O(n^(4/3)).
+
+    The final `cell_id = l1 * k2 + sub` refines the coarse partition
+    (every final cell is inside one coarse cell). Deterministic
+    end-to-end: both levels rank on 6-dp-rounded cosine with index
+    tie-breaks, and the sub-seeds are id-ordered. `keep_sim` emits the
+    rounded similarity to the FINAL (sub-)centroid, the value the
+    SemDeDup duel ranks on.
+
+    The level-1 assignment is persisted (it feeds both the seed pick
+    and the scoring join); same cache contract as `ivf_assign`
+    consumers — clearCache between corpora."""
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    from math import isqrt
+
+    k1 = max(1, isqrt(n_cells - 1) + 1 if n_cells > 1 else 1)  # ceil(sqrt)
+    k2 = -(-n_cells // k1)
+    l1_cents = ivf_centroids(embs, k1, id_col, vec_col)
+    a1 = (
+        ivf_assign(embs, l1_cents, 1, id_col, vec_col)
+        .withColumnRenamed("cell_id", "_l1")
+        .persist()
+    )
+    w_seed = Window.partitionBy("_l1").orderBy(id_col)
+    seeds = (
+        a1.withColumn("_r", F.row_number().over(w_seed))
+        .filter(F.col("_r") <= k2)
+        .select(
+            "_l1",
+            (F.col("_r") - 1).alias("_sub"),
+            F.col(vec_col).alias("_scent"),
+            F.col("vec_norm").alias("_snorm"),
+        )
+    )
+    scored = a1.join(seeds, "_l1").withColumn(
+        "_sim",
+        F.round(
+            safe_cosine(
+                dot(vec_col, "_scent"), F.col("vec_norm"), F.col("_snorm")
+            ),
+            6,
+        ),
+    )
+    w_pick = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("_sub")
+    )
+    out = [
+        F.col(id_col), F.col(vec_col), F.col("vec_norm"),
+        (F.col("_l1").cast("long") * F.lit(k2) + F.col("_sub")).alias("cell_id"),
+    ]
+    if keep_sim:
+        out.append(F.col("_sim").alias("centroid_sim"))
+    return (
+        scored.withColumn("_r2", F.row_number().over(w_pick))
+        .filter(F.col("_r2") == 1)
+        .select(*out)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

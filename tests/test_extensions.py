@@ -1053,3 +1053,34 @@ def test_semdedup_incremental_heals_legacy_index_schema(spark, tmp_path):
     r = by_b[3]
     assert r.csim_b is not None  # healed, not NULL
     assert r.drop_id == 3  # staged vec 3 is closer to the centroid
+
+
+def test_semdedup_two_level_quantizer_refines_and_finds_dups(spark):
+    """The two-level assignment must (a) give every vector exactly one
+    final cell, (b) keep identical vectors in one cell (they score
+    identically at both levels), and (c) find the planted duplicate
+    pairs the flat quantizer finds."""
+    from flink_etl_spark.operators.dedup import semdedup_pairs
+    from flink_etl_spark.operators.similarity import ivf_assign_two_level
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # plant exact duplicates with fresh ids
+    import pyspark.sql.functions as F
+
+    dups = embs.limit(5).withColumn("vec_id", F.col("vec_id") + F.lit(10_000))
+    corpus = embs.unionByName(dups)
+    asgn = ivf_assign_two_level(corpus, 12, keep_sim=True)
+    rows = asgn.collect()
+    assert len(rows) == corpus.count()          # one cell per vector
+    by_id = {r.vec_id: r.cell_id for r in rows}
+    for r in dups.collect():
+        assert by_id[r.vec_id] == by_id[r.vec_id - 10_000]  # twins co-cell
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(
+            corpus, threshold=0.999, n_cells=12, quantizer="two_level"
+        ).collect()
+    }
+    for r in dups.collect():
+        assert (r.vec_id - 10_000, r.vec_id) in pairs

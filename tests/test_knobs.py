@@ -129,3 +129,18 @@ def test_semdedup_auto_cells_flat_optimum():
     assert semdedup_auto_cells(0) == 1
     assert semdedup_auto_cells(3) <= 3
     assert semdedup_auto_cells(10**12) == 65536  # ceiling
+
+
+def test_semdedup_auto_cells_two_level_optimum():
+    from flink_etl_spark.operators.knobs import (
+        semdedup_auto_cells,
+        semdedup_auto_cells_two_level,
+    )
+
+    n = 1_000_000
+    k2 = semdedup_auto_cells_two_level(n)
+    assert k2 == round((4.0 * n) ** (2.0 / 3.0))
+    # more cells than the flat optimum (cheaper assignment affords them)
+    assert k2 > semdedup_auto_cells(n)
+    assert semdedup_auto_cells_two_level(0) == 1
+    assert semdedup_auto_cells_two_level(10**12) == 1 << 20  # ceiling

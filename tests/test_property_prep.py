@@ -221,8 +221,9 @@ def test_mixture_sample_copy_count_invariants(spark, rows, salt, rates):
         unique_by=lambda t: t[0],
     ),
     n_cells=st.sampled_from([1, 2, 4]),
+    quantizer=st.sampled_from(["flat", "two_level"]),
 )
-def test_semdedup_invariants(spark, vecs, n_cells):
+def test_semdedup_invariants(spark, vecs, n_cells, quantizer):
     """Pairs are a subset of the exact all-pairs set with identical
     rounded scores; every duel's loser is the member closer to the
     centroid (ties: larger id); the keeper set is the corpus minus the
@@ -238,7 +239,9 @@ def test_semdedup_invariants(spark, vecs, n_cells):
         (r.id_a, r.id_b): r.cos_sim
         for r in embedding_near_dups(embs, threshold=0.5).collect()
     }
-    pairs = semdedup_pairs(embs, threshold=0.5, n_cells=n_cells).collect()
+    pairs = semdedup_pairs(
+        embs, threshold=0.5, n_cells=n_cells, quantizer=quantizer
+    ).collect()
     for r in pairs:
         assert (r.id_a, r.id_b) in exact
         assert exact[(r.id_a, r.id_b)] == r.cos_sim
@@ -247,7 +250,12 @@ def test_semdedup_invariants(spark, vecs, n_cells):
         assert loser_csim >= winner_csim
         if r.csim_a == r.csim_b:
             assert r.drop_id == max(r.id_a, r.id_b)
-    kept = {r.vec_id for r in semdedup(embs, threshold=0.5, n_cells=n_cells).collect()}
+    kept = {
+        r.vec_id
+        for r in semdedup(
+            embs, threshold=0.5, n_cells=n_cells, quantizer=quantizer
+        ).collect()
+    }
     losers = {r.drop_id for r in pairs}
     all_ids = {v[0] for v in vecs}
     assert kept == all_ids - losers
