@@ -12,6 +12,13 @@ Determinism rules (so order-insensitive value-hash comparison works):
   (round-2 of a 4/6-decimal product sum) or any rounded avg() is a
   float-addition-order lottery: use `exact_decimal_sum`/`_avg`
   (integer sums, one division, no round) instead
+* `round(a/b, k)` of an integer quotient is ALSO a lottery even
+  per-row: a/b lands on exact k-decimal halves for whole families of
+  b (empirically: Spark's BigDecimal HALF_UP and DuckDB's fp round
+  disagree on ~0.5% of such halves). Emit quotients via
+  `operators.text.micro_floor_ratio` / `duckdb_micro_floor_ratio`
+  (exact integer product, one division, floor — no half-edge exists)
+  or the exact_decimal helpers
 * every window/rank has a total ordering (explicit tie-breakers)
 * column names aliased identically in Spark and SQL
 """

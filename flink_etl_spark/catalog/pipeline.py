@@ -41,6 +41,9 @@ def _pipeline_oracle() -> str:
         duckdb_mixture_copies,
         duckdb_split_expr,
     )
+    from flink_etl_spark.operators.text import duckdb_quality_micro
+
+    _q_micro = duckdb_quality_micro("n_tokens", "nd", "en_hits")
 
     _split_case = duckdb_split_expr("keep_id")
     _mix_copies = duckdb_mixture_copies("keep_id", "source", _MIX_RATES)
@@ -66,10 +69,9 @@ def _pipeline_oracle() -> str:
     m AS (
         SELECT doc_id, text,
            len(t) AS n_tokens,
-           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
-           CAST(len(list_filter(t, x ->
-               x IN ('the','a','of','and','to','in','is','it')))
-               AS DOUBLE) / len(t) AS sr,
+           len(list_distinct(t)) AS nd,
+           len(list_filter(t, x ->
+               x IN ('the','a','of','and','to','in','is','it'))) AS en_hits,
            {hit_cols},
            list_reduce(
                list_prepend(CAST(0 AS BIGINT),
@@ -80,9 +82,7 @@ def _pipeline_oracle() -> str:
     ),
     scored AS (
         SELECT doc_id, text, n_tokens, fingerprint,
-               round(0.4 * least(1.0, n_tokens / 100.0)
-                     + 0.3 * dr
-                     + 0.3 * least(1.0, 4.0 * sr), 6) AS quality,
+               {_q_micro} AS quality,
                ({is_en}) AS is_en
         FROM m
     ),

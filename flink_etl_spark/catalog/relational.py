@@ -36,7 +36,7 @@ def _pricing_oracle() -> str:
            {esum('l_extendedprice', 2)} AS sum_base_price,
            {esum(disc, 4)} AS sum_disc_price,
            {esum(charge, 6)} AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
+           {eavg('l_quantity', 0)} AS avg_qty,
            {eavg('l_extendedprice', 2)} AS avg_price,
            {eavg('l_discount', 2)} AS avg_disc,
            count(*) AS count_order
@@ -69,7 +69,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_decimal_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
             exact_decimal_sum(disc, 4).alias("sum_disc_price"),
             exact_decimal_sum(charge, 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            exact_decimal_avg(F.col("l_quantity"), 0).alias("avg_qty"),
             exact_decimal_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
             exact_decimal_avg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -442,7 +442,7 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cube_lineitem' AS variant,
            l_returnflag AS key1, l_linestatus AS key2,
            count(*) AS n_rows,
-           round(avg(l_quantity), 6) AS measure
+           {eavg('l_quantity', 0)} AS measure
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     UNION ALL
@@ -481,7 +481,7 @@ def rollup_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cube = li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.avg("l_quantity"), 6).alias("measure"),
+        exact_decimal_avg(F.col("l_quantity"), 0).alias("measure"),
     ).select(
         F.lit("cube_lineitem").alias("variant"),
         F.col("l_returnflag").alias("key1"),
@@ -540,7 +540,7 @@ def order_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(substr(o_orderpriority, 3)) AS priority_name,
            length(o_orderpriority) AS prio_len,
            abs(o_totalprice - 200000.0) AS dist_from_200k,
-           round(o_totalprice / 1000.0, 3) AS price_k,
+           CAST(round(o_totalprice * 100) AS BIGINT) / 100000.0 AS price_k,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            CASE WHEN o_totalprice >= 300000 THEN 'big'
@@ -561,7 +561,8 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.expr("substr(o_orderpriority, 3)")).alias("priority_name"),
         F.length("o_orderpriority").alias("prio_len"),
         F.abs(F.col("o_totalprice") - 200000.0).alias("dist_from_200k"),
-        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long")
+         / F.lit(100000.0)).alias("price_k"),
         F.year("o_orderdate").cast("int").alias("order_year"),
         F.month("o_orderdate").cast("int").alias("order_month"),
         F.when(F.col("o_totalprice") >= 300000, "big")
@@ -855,10 +856,10 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_props_json_stats",
-    """
+    f"""
     SELECT event_type,
            count(json_extract_string(props, '$.k')) AS n_with_k,
-           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+           {eavg("TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)}
                AS avg_k,
            max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -881,7 +882,7 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = raw.try_cast("long")
     return e.groupBy("event_type").agg(
         F.count(raw).alias("n_with_k"),
-        F.round(F.avg(k), 6).alias("avg_k"),
+        exact_decimal_avg(k, 0).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
 

@@ -121,7 +121,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(value), 6) AS total_value
         FROM g GROUP BY 1, 2
     )
-    SELECT user_id, session_start, session_end, n_events, total_value
+    SELECT user_id, epoch_ms(session_start) AS session_start,
+           epoch_ms(session_end) AS session_end, n_events, total_value
     FROM agg
     WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
     """,
@@ -135,7 +136,15 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = sessionize_stream(ev, gap_minutes=30)
-    return _drain_to_memory(sessions, "sessionize")
+    # ms-long session bounds in the gate output (same determinism rule
+    # as the asof gate): floors identically from us or ns precision
+    return _drain_to_memory(sessions, "sessionize").select(
+        "user_id",
+        F.unix_millis("session_start").alias("session_start"),
+        F.unix_millis("session_end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
 
 
 @query(

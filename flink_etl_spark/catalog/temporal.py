@@ -32,8 +32,9 @@ from flink_etl_spark.operators.joins import asof_join, interval_join
         SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
         FROM events WHERE event_type = 'click'
     )
-    SELECT p.purchase_id, p.user_id, p.purchase_ts,
-           c.click_id, c.click_ts, c.click_value
+    SELECT p.purchase_id, p.user_id,
+           epoch_ms(p.purchase_ts) AS purchase_ts,
+           c.click_id, epoch_ms(c.click_ts) AS click_ts, c.click_value
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
     """,
@@ -55,9 +56,25 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
         F.col("value").alias("click_value"),
     )
-    return asof_join(
+    out = asof_join(
         p, c, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts",
         tie_break="click_id",
+    )
+    # epoch-millis longs, not raw timestamps, in the gate output: the
+    # catalog determinism rule — a future oracle engine reading the
+    # NANOS-flavor parquet at full ns precision would hash sub-us
+    # components the Spark loader truncates; ms longs floor identically
+    # from either precision
+    # ts loads as TIMESTAMP_NTZ; the session tz is UTC-pinned
+    # (apply_runtime_confs via load_table), so the NTZ->TIMESTAMP cast
+    # preserves the instant and unix_millis matches DuckDB's
+    # epoch_ms(naive-as-UTC)
+    return out.select(
+        "purchase_id", "user_id",
+        F.unix_millis(F.col("purchase_ts").cast("timestamp")).alias("purchase_ts"),
+        "click_id",
+        F.unix_millis(F.col("click_ts").cast("timestamp")).alias("click_ts"),
+        "click_value",
     )
 
 

@@ -23,11 +23,12 @@ def _profile_oracle() -> str:
         for lang in STOPWORDS
     )
     hits_out = ", ".join(f"b.hits_{lang}" for lang in STOPWORDS)
-    score = (
-        "0.4 * least(1.0, b.n_tokens / 100.0)"
-        " + 0.3 * (CAST(b.n_distinct AS DOUBLE) / b.n_tokens)"
-        " + 0.3 * least(1.0, 4.0 * (CAST(b.hits_en AS DOUBLE) / b.n_tokens))"
+    from flink_etl_spark.operators.text import (
+        duckdb_micro_floor_ratio as dmfr,
+        duckdb_quality_micro,
     )
+
+    score = duckdb_quality_micro("b.n_tokens", "b.n_distinct", "b.hits_en")
     return f"""
     WITH toks AS (SELECT doc_id, n_chars, regexp_split_to_array(text, ' +') AS t
                   FROM documents),
@@ -55,13 +56,13 @@ def _profile_oracle() -> str:
         WHERE rn = 1
     )
     SELECT b.doc_id, b.n_chars, b.n_tokens, b.n_distinct,
-           round(CAST(b.tot_len AS DOUBLE) / b.n_tokens, 6) AS avg_token_len,
-           round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
-           round(CAST(b.hits_en AS DOUBLE) / b.n_tokens, 6) AS stopword_ratio,
+           {dmfr("b.tot_len", "b.n_tokens")} AS avg_token_len,
+           {dmfr("b.n_distinct", "b.n_tokens")} AS distinct_ratio,
+           {dmfr("b.hits_en", "b.n_tokens")} AS stopword_ratio,
            {hits_out},
            g.lang_guess,
-           round({score}, 6) AS quality,
-           CASE WHEN round({score}, 6) >= 0.5 THEN 'keep' ELSE 'flag' END AS verdict,
+           {score} AS quality,
+           CASE WHEN {score} >= 0.5 THEN 'keep' ELSE 'flag' END AS verdict,
            b.fingerprint
     FROM base b JOIN guess g ON b.doc_id = g.doc_id
     """

@@ -30,6 +30,57 @@ def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def micro_floor_ratio(num: Column, den: Column, scale: int = 1_000_000) -> Column:
+    """`floor(num*scale/den)/scale` with EXACT intermediates: num and
+    den are integer-valued, num*scale stays below 2^53 (integer-exact
+    in a double), and the single correctly-rounded IEEE division +
+    floor produce bit-identical results in every engine. This is the
+    cross-engine-safe way to emit a fixed-decimal quotient — round()
+    is NOT: Spark (BigDecimal HALF_UP of the shortest repr) and DuckDB
+    (fp multiply + std::round) resolve exact half-edges differently,
+    and quotients like nd/n land on 6-decimal halves for whole
+    families of n (e.g. n in {64, 320, 640}), flipping a value-hash
+    on regenerated data. Truncation has no half-edge."""
+    return (
+        F.floor(num.cast("double") * F.lit(float(scale)) / den.cast("double"))
+        / F.lit(float(scale))
+    )
+
+
+def duckdb_micro_floor_ratio(num_sql: str, den_sql: str,
+                             scale: int = 1_000_000) -> str:
+    """Oracle twin of `micro_floor_ratio` — same op order, same types."""
+    return (
+        f"floor(CAST({num_sql} AS DOUBLE) * {float(scale)} / "
+        f"CAST({den_sql} AS DOUBLE)) / {float(scale)}"
+    )
+
+
+def quality_micro(n: Column, nd: Column, hits_en: Column) -> Column:
+    """The composite quality score on a 1e-6 grid:
+    0.4*min(1, n/100) + 0.3*nd/n + 0.3*min(1, 4*h/n)
+    == (4*min(n,100)*n + 300*nd + 300*min(n, 4*h)) / (1000*n),
+    emitted as floor(num*1000/n)/1e6 (see `micro_floor_ratio` for why
+    floor-on-a-grid, never round). 6-dec-exact by construction, so
+    `exact_decimal_avg(quality, 6)` remains valid downstream."""
+    nl = n.cast("long")
+    num = (
+        F.least(nl, F.lit(100).cast("long")) * 4 * nl
+        + F.lit(300).cast("long") * nd.cast("long")
+        + F.lit(300).cast("long") * F.least(nl, hits_en.cast("long") * 4)
+    )
+    return micro_floor_ratio(num, nl, 1000) / F.lit(1000.0)
+
+
+def duckdb_quality_micro(n_sql: str, nd_sql: str, h_sql: str) -> str:
+    """Oracle twin of `quality_micro`."""
+    num = (
+        f"(4 * least({n_sql}, 100) * {n_sql} + 300 * {nd_sql} "
+        f"+ 300 * least({n_sql}, 4 * {h_sql}))"
+    )
+    return f"({duckdb_micro_floor_ratio(num, n_sql, 1000)} / 1000.0)"
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Token counting + vocabulary-richness stats per document.
 
@@ -41,13 +92,12 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        micro_floor_ratio(
+            F.size(F.array_distinct(toks)), F.size(toks)
         ).alias("distinct_ratio"),
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            / F.size(toks).cast("double"),
-            6,
+        micro_floor_ratio(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)),
+            F.size(toks),
         ).alias("avg_token_len"),
     )
 
@@ -95,22 +145,16 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     toks = F.col("_t")
     en = STOPWORDS["en"]
     n_tokens = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
-    stop_ratio = _count_in(toks, en) / n_tokens.cast("double")
-    score = (
-        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + 0.3 * distinct_ratio
-        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
-    )
+    score = quality_micro(n_tokens, F.size(F.array_distinct(toks)), _count_in(toks, en))
     return docs.select(
         F.col(id_col), F.col(chars_col), tokens_expr(text_col).alias("_t")
     ).select(
         F.col(id_col),
         F.col(chars_col),
         n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
-        F.when(F.round(score, 6) >= 0.5, F.lit("keep")).otherwise(F.lit("flag")).alias(
+        micro_floor_ratio(_count_in(toks, en), n_tokens).alias("stopword_ratio"),
+        score.alias("quality"),
+        F.when(score >= 0.5, F.lit("keep")).otherwise(F.lit("flag")).alias(
             "verdict"
         ),
     )
@@ -139,12 +183,8 @@ def doc_profile(
     pipelines at ONE corpus scan."""
     toks = F.col("_t")
     n_tokens = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
-    stop_ratio = _count_in(toks, STOPWORDS["en"]) / n_tokens.cast("double")
-    score = (
-        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + 0.3 * distinct_ratio
-        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
+    score = quality_micro(
+        n_tokens, F.size(F.array_distinct(toks)), _count_in(toks, STOPWORDS["en"])
     )
     packed = [
         F.struct(_count_in(toks, ws).alias("s"), F.lit(lang).alias("l"))
@@ -170,17 +210,20 @@ def doc_profile(
         *extra,
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            / n_tokens.cast("double"),
-            6,
+        micro_floor_ratio(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)),
+            n_tokens,
         ).alias("avg_token_len"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        micro_floor_ratio(F.size(F.array_distinct(toks)), n_tokens).alias(
+            "distinct_ratio"
+        ),
+        micro_floor_ratio(_count_in(toks, STOPWORDS["en"]), n_tokens).alias(
+            "stopword_ratio"
+        ),
         *[_count_in(toks, ws).alias(f"hits_{lang}") for lang, ws in STOPWORDS.items()],
         F.greatest(*packed).getField("l").alias("lang_guess"),
-        F.round(score, 6).alias("quality"),
-        F.when(F.round(score, 6) >= 0.5, F.lit("keep")).otherwise(F.lit("flag")).alias(
+        score.alias("quality"),
+        F.when(score >= 0.5, F.lit("keep")).otherwise(F.lit("flag")).alias(
             "verdict"
         ),
         fp.alias("fingerprint"),
