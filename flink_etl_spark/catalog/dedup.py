@@ -41,7 +41,7 @@ pairs AS (
 ),
 jac AS (
     SELECT doc_a, doc_b,
-           round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) AS jaccard
+           floor(CAST(shared AS DOUBLE) * 1000000.0 / CAST(ca.c + cb.c - shared AS DOUBLE)) / 1000000.0 AS jaccard
     FROM pairs
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
@@ -159,11 +159,11 @@ _DECONTAM_PAD = """
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) AS jaccard
+               floor(CAST(shared AS DOUBLE) * 1000000.0 / CAST(ca.c + cb.c - shared AS DOUBLE)) / 1000000.0 AS jaccard
         FROM pairsp
         JOIN cntp ca ON ca.doc_id = doc_a
         JOIN cntp cb ON cb.doc_id = doc_b
-        WHERE round(shared / CAST(ca.c + cb.c - shared AS DOUBLE), 6) >= 0.6
+        WHERE floor(CAST(shared AS DOUBLE) * 1000000.0 / CAST(ca.c + cb.c - shared AS DOUBLE)) / 1000000.0 >= 0.6
     )
     """,
 )

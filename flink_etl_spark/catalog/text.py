@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_etl_spark.catalog import _t, query
 from flink_etl_spark.functions.hashing import MERSENNE_P
 from flink_etl_spark.operators import text as T
-from flink_etl_spark.operators.text import STOPWORDS
+from flink_etl_spark.operators.text import STOPWORDS, micro_floor_ratio
 
 
 def _profile_oracle() -> str:
@@ -147,9 +147,8 @@ def _pii_oracle_arm() -> str:
            -- coalesce: DuckDB list_sum([]) is NULL where Spark's
            -- aggregate-with-0-seed yields 0 — a whitespace-only doc
            -- must give 0.0 on both sides
-           round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
-                      AS DOUBLE)
-                 / greatest(len(toks), 1), 6) AS avg_pretoken_len,
+           floor(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) * 1000000.0 / CAST(greatest(len(toks), 1) AS DOUBLE)) / 1000000.0
+               AS avg_pretoken_len,
            CAST(NULL AS BIGINT) AS n_email,
            CAST(NULL AS BIGINT) AS n_phone,
            CAST(NULL AS BIGINT) AS n_ipv4,
@@ -193,10 +192,9 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_t").alias("n_pretokens"),
         F.size(words).alias("n_word"),
         (F.size("_t") - F.size(words)).alias("n_punct"),
-        F.round(
-            F.aggregate(F.col("_t"), F.lit(0), lambda a, x: a + F.length(x))
-            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
-            6,
+        micro_floor_ratio(
+            F.aggregate(F.col("_t"), F.lit(0), lambda a, x: a + F.length(x)),
+            F.greatest(F.size("_t"), F.lit(1)),
         ).alias("avg_pretoken_len"),
         F.lit(None).cast("long").alias("n_email"),
         F.lit(None).cast("long").alias("n_phone"),
@@ -252,14 +250,14 @@ def _repetition_oracle() -> str:
         WHERE c >= 2 GROUP BY 1
     )
     SELECT b.doc_id, b.n_tokens,
-           round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6)
+           floor(CAST(b.n_tokens - b.n_distinct AS DOUBLE) * 1000000.0 / CAST(b.n_tokens AS DOUBLE)) / 1000000.0
                AS dup_token_frac,
            t.g AS top_bigram,
            coalesce(t.c, 0) AS top_bigram_count,
-           round(least(1.0, CAST(coalesce(t.c * length(t.g), 0) AS DOUBLE)
-                           / greatest(b.len, 1)), 6) AS top_bigram_char_frac,
-           round(least(1.0, CAST(coalesce(d3.s, 0) AS DOUBLE)
-                           / greatest(b.len, 1)), 6) AS dup_trigram_char_frac
+           least(1.0, floor(CAST(coalesce(t.c * length(t.g), 0) AS DOUBLE) * 1000000.0 / CAST(greatest(b.len, 1) AS DOUBLE)) / 1000000.0)
+               AS top_bigram_char_frac,
+           least(1.0, floor(CAST(coalesce(d3.s, 0) AS DOUBLE) * 1000000.0 / CAST(greatest(b.len, 1) AS DOUBLE)) / 1000000.0)
+               AS dup_trigram_char_frac
     FROM base b LEFT JOIN top2 t USING (doc_id) LEFT JOIN d3 USING (doc_id)
     """
 

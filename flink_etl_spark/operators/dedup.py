@@ -26,6 +26,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from flink_etl_spark.operators.text import micro_floor_ratio
 from flink_etl_spark.functions.hashing import (
     MERSENNE_P,
     MINHASH_COEFFS,
@@ -117,10 +118,10 @@ def _jaccard_of(shared: DataFrame, sizes: DataFrame, threshold: float) -> DataFr
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
-                6,
+            # integer quotient on the 1e-6 floor grid — round() halves
+            # resolve differently across engines (catalog/__init__ rule)
+            micro_floor_ratio(
+                F.col("shared"), F.col("na") + F.col("nb") - F.col("shared")
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -509,10 +510,9 @@ def minhash_near_dups(
         .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("shared")).cast("double"),
-                6,
+            micro_floor_ratio(
+                F.col("shared"),
+                F.col("n_sh_a") + F.col("n_sh_b") - F.col("shared"),
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -1029,10 +1029,9 @@ def minhash_near_dups_incremental(
         .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("shared")).cast("double"),
-                6,
+            micro_floor_ratio(
+                F.col("shared"),
+                F.col("n_sh_a") + F.col("n_sh_b") - F.col("shared"),
             ),
         )
         .filter(F.col("jaccard") >= threshold)

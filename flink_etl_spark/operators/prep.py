@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
+from flink_etl_spark.operators.text import micro_floor_ratio
 
 # ---------------------------------------------------------------------------
 # repetition statistics (Gopher-style)
@@ -136,25 +137,27 @@ def repetition_stats(
         ).alias("_dup3"),
     )
 
-    safe_len = F.greatest(F.col("_len"), F.lit(1)).cast("double")
+    safe_len = F.greatest(F.col("_len"), F.lit(1))
+    # integer quotients on the 1e-6 floor grid — round() halves resolve
+    # differently across engines (catalog/__init__ determinism rule)
     return per_doc.select(
         sid,
         F.col("n_tokens"),
-        F.round(
-            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+        micro_floor_ratio(
+            F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")
         ).alias("dup_token_frac"),
         F.col("_top2.g").alias("top_bigram"),
         F.coalesce(F.col("_top2.c"), F.lit(0)).alias("top_bigram_count"),
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.coalesce(F.col("_top2.c") * F.length("_top2.g"), F.lit(0))
-                / safe_len,
+        F.least(
+            F.lit(1.0),
+            micro_floor_ratio(
+                F.coalesce(F.col("_top2.c") * F.length("_top2.g"), F.lit(0)),
+                safe_len,
             ),
-            6,
         ).alias("top_bigram_char_frac"),
-        F.round(
-            F.least(F.lit(1.0), F.coalesce(F.col("_dup3"), F.lit(0)) / safe_len), 6
+        F.least(
+            F.lit(1.0),
+            micro_floor_ratio(F.coalesce(F.col("_dup3"), F.lit(0)), safe_len),
         ).alias("dup_trigram_char_frac"),
     )
 
