@@ -1347,22 +1347,45 @@ def semdedup_incremental(
     corpora. The batch cache is released before returning when
     `append=True` (its last consumer is the survivor write)."""
     from flink_etl_spark.functions.vectors import dot, safe_cosine
-    from flink_etl_spark.functions.vectors import dot, safe_cosine
     from flink_etl_spark.operators.similarity import ivf_assign
 
     cents = spark.read.parquet(f"{index_path}/centroids")
     # dimension guard (the minhash incremental's meta-sidecar analogue):
     # a batch from a different embedding model would NULL every dot
     # product (zip_with pads), silently yield zero pairs, and — with
-    # append — poison the index with foreign-dimension vectors
-    cent_dim = cents.select(F.size("centroid")).first()[0]
-    batch_dim = new_embs.select(F.size(vec_col)).first()
-    if batch_dim is not None and batch_dim[0] != cent_dim:
+    # append — poison the index with foreign-dimension vectors. Both
+    # guards are AGGREGATES over the full table, not a first-row sample:
+    # a batch with mixed dimensions past row one must fail just as
+    # loudly as a uniformly-wrong one.
+    cstat = cents.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.size("centroid")).alias("ndim"),
+        F.min(F.size("centroid")).alias("dim"),
+    ).first()
+    if cstat["n"] == 0:
         raise ValueError(
-            f"semdedup_incremental: batch embedding dimension "
-            f"{batch_dim[0]} != index dimension {cent_dim} — the batch "
-            f"was embedded with a different model than the index at "
-            f"{index_path}; rebuild the index or fix the batch"
+            f"semdedup_incremental: the centroids table at "
+            f"{index_path}/centroids is empty — the index was never "
+            f"built (ivf_build_index) or its write was interrupted"
+        )
+    if cstat["ndim"] != 1:
+        raise ValueError(
+            f"semdedup_incremental: index at {index_path} holds "
+            f"centroids of {cstat['ndim']} different dimensions — "
+            f"corrupt index, rebuild it"
+        )
+    cent_dim = cstat["dim"]
+    bstat = new_embs.agg(
+        F.countDistinct(F.size(vec_col)).alias("ndim"),
+        F.min(F.size(vec_col)).alias("dim"),
+    ).first()
+    if bstat["ndim"] > 1 or (bstat["ndim"] == 1 and bstat["dim"] != cent_dim):
+        raise ValueError(
+            f"semdedup_incremental: batch embedding dimensions "
+            f"(min {bstat['dim']}, {bstat['ndim']} distinct) != index "
+            f"dimension {cent_dim} — the batch mixes or mismatches the "
+            f"embedding model of the index at {index_path}; rebuild the "
+            f"index or fix the batch"
         )
     # mergeSchema: a legacy (pre-centroid_sim) index, or one a legacy
     # append already mixed, must surface the column deterministically

@@ -240,8 +240,11 @@ def hash_split(
     first, then split, or split on a cluster-representative key).
 
     ``weights`` are (label, fraction) pairs summing to 1.0; boundaries
-    are ``floor(cum_fraction * n_buckets)``, so with the default 10 000
-    buckets the 0.9/0.05/0.05 split is exact to 0.01%.
+    are ``round(cum_fraction * n_buckets)`` with Python's round-half-even
+    tie rule (see `_split_bounds` for why truncation is wrong), so with
+    the default 10 000 buckets the 0.9/0.05/0.05 split is exact to
+    0.01% and a half-exact boundary (0.45/0.55 at n_buckets=10 ->
+    round(4.5)=4) lands deterministically on the even bucket.
 
     Zero shuffles — one projection. Salt rotation re-splits the corpus
     (e.g. per-experiment); the oracle-portable ``hash_fn="charfold"``
@@ -270,8 +273,11 @@ def _split_bounds(
     """Shared boundary computation for hash_split and its oracle twin:
     round(cum * n_buckets), NOT int() — truncation turns the IEEE
     representation of e.g. 0.7*10000 (6999.999999999999) into 6999,
-    silently moving a bucket between splits against the documented
-    floor-of-exact-fraction contract."""
+    silently moving a bucket between splits. Python round() ties go
+    half-EVEN (0.45/0.55 at n_buckets=10 -> round(4.5) = 4), which is
+    the documented contract: deterministic, shared verbatim with the
+    DuckDB twin (`duckdb_split_expr` embeds these integers), so the two
+    engines cannot diverge on a half-exact cumulative weight."""
     cum = 0.0
     out = []
     for label, w in weights[:-1]:
@@ -386,6 +392,24 @@ def pii_redact(
     already reads the text column.
     """
     redacted_col = out_col or f"{text_col}_redacted"
+    # collision guard (the merge `_prio` hazard class): the redacted /
+    # count columns are APPENDED to the retained input columns, so a
+    # name collision would emit a duplicate column that poisons every
+    # downstream select-by-name
+    retained = (
+        list(id_cols) + [text_col] if id_cols is not None else list(df.columns)
+    )
+    added = [f"n_{name}" for name, _, _ in PII_PATTERNS] + [redacted_col]
+    if len(set(added)) != len(added):
+        raise ValueError(
+            f"pii_redact: out_col {redacted_col!r} collides with a count column"
+        )
+    clash = sorted(set(added) & set(retained))
+    if clash:
+        raise ValueError(
+            f"pii_redact: output column(s) {clash} collide with retained "
+            f"input columns — rename via out_col= or project the input first"
+        )
     text = F.col(text_col)
     counts = [
         F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
@@ -579,8 +603,12 @@ def pack_greedy_global(
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
 
+    # integer `div`, not float division + cast: for snowflake-scale ids
+    # (quotient near 2^52) the IEEE quotient can round across a bucket
+    # boundary, silently violating the documented id_col // bucket_width
+    # grid — the same floor-grid rule the gate surface follows
     bucketed = df.withColumn(
-        "_pkb", (F.col(id_col) / F.lit(bucket_width)).cast("long")
+        "_pkb", F.expr(f"`{id_col}` div {bucket_width}")
     )
     w_in = (
         Window.partitionBy("_pkb")

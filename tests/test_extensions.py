@@ -1015,6 +1015,37 @@ def test_semdedup_incremental_dim_mismatch_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension"):
         semdedup_incremental(spark, bad, idx)
+    # mixed dims PAST the first row: a first-row-sample guard would
+    # pass this batch and null dot products downstream
+    mixed = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0]), (101, [1.0, 2.0, 3.0, 4.0])],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        semdedup_incremental(spark, mixed, idx)
+
+
+def test_semdedup_incremental_empty_centroids_clear_error(spark, tmp_path):
+    """An empty/never-built centroids table must raise a clear
+    ValueError naming the index, not a bare TypeError from first()."""
+    import pytest
+
+    from flink_etl_spark.operators.dedup import semdedup_incremental
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [], "cell_id int, centroid array<double>, centroid_norm double"
+    ).write.parquet(f"{idx}/centroids")
+    spark.createDataFrame(
+        [],
+        "vec_id long, embedding array<double>, vec_norm double, "
+        "centroid_sim double, cell_id int",
+    ).write.partitionBy("cell_id").parquet(f"{idx}/cells")
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="centroids table .* is empty"):
+        semdedup_incremental(spark, batch, idx)
 
 
 def test_semdedup_incremental_heals_legacy_index_schema(spark, tmp_path):

@@ -198,6 +198,31 @@ def test_pii_redact_id_cols_projection(spark):
     }
 
 
+def test_pii_redact_column_collision_raises(spark):
+    """Appended output columns colliding with retained input columns
+    must raise, not emit a duplicate-name frame (the merge `_prio`
+    hazard class)."""
+    import pytest
+
+    docs = _docs(spark, [(1, "a@b.io")])
+    # out_col == text_col (retained)
+    with pytest.raises(ValueError, match="collide"):
+        P.pii_redact(docs, out_col="text")
+    # a count column clobbers a same-named input column
+    with pytest.raises(ValueError, match="collide"):
+        P.pii_redact(docs.withColumn("n_email", F.lit(7)))
+    # out_col collides with a count column itself
+    with pytest.raises(ValueError, match="count column"):
+        P.pii_redact(docs, out_col="n_phone")
+    # id_cols projection DROPS the offending column -> no collision
+    assert (
+        P.pii_redact(
+            docs.withColumn("n_email", F.lit(7)), id_cols=["doc_id"]
+        ).count()
+        == 1
+    )
+
+
 # ---------------------------------------------------------------------------
 # pack_greedy
 # ---------------------------------------------------------------------------
