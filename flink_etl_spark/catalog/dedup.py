@@ -126,14 +126,19 @@ _DECONTAM_PAD = """
            END AS contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
     LEFT JOIN (
+        -- grams joined as char-fold TERM IDS, mirroring the operator's
+        -- id-keyed exchange (the Spark arm pins hash_fn='charfold');
+        -- counts are over distinct ids on both sides by construction
         SELECT tr.doc_id,
                count(DISTINCT CASE WHEN be.bench_id IS NOT NULL
-                                   THEN tr.s END) AS n_shared_grams,
+                                   THEN tr.g END) AS n_shared_grams,
                count(DISTINCT be.bench_id) AS n_bench_docs
-        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0) tr
-        LEFT JOIN (SELECT DISTINCT doc_id AS bench_id, s FROM sh
-                   WHERE doc_id % 97 = 0) be
-               ON tr.s = be.s
+        FROM (SELECT doc_id, {duckdb_char_fold_hash('s')} AS g
+              FROM sh WHERE doc_id % 97 != 0) tr
+        LEFT JOIN (SELECT DISTINCT doc_id AS bench_id,
+                          {duckdb_char_fold_hash('s')} AS g
+                   FROM sh WHERE doc_id % 97 = 0) be
+               ON tr.g = be.g
         GROUP BY tr.doc_id
     ) p USING (doc_id)
     UNION ALL
@@ -181,7 +186,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     * variant 'decontam' — benchmark decontamination
       (operators/prep.decontaminate, the public GPT-3/C4 n-gram-overlap
       methodology): the doc_id % 97 == 0 slice plays the eval set, its
-      distinct 3-grams are broadcast, and every remaining training doc
+      distinct 3-gram TERM IDS are broadcast (grams travel as 64-bit
+      hashes, never strings — hash_fn='charfold' pinned here so the
+      oracle folds the identical ids; production default is the
+      token-combined xxhash64), and every remaining training doc
       reports shared-gram / benchmark-doc counts and a contaminated
       flag. The corpus side never shuffles for the membership join.
     """
@@ -212,6 +220,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter("doc_id % 97 != 0"),
         docs.filter("doc_id % 97 = 0"),
         n=3,
+        hash_fn="charfold",
     ).select(
         F.lit("decontam").alias("variant"),
         F.lit(None).cast("long").alias("doc_a"),

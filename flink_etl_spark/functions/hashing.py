@@ -85,6 +85,46 @@ def duckdb_shingles(tokens: str, k: int = 3) -> str:
     )
 
 
+def token_hashes_sql(tokens_col: str, p: int = MERSENNE_P) -> str:
+    """SQL text hashing each token of an array<string> column ONCE:
+    `pmod(xxhash64(token), p)`. The production path shared by
+    minhash_profile and decontaminate — one hash call per token, no
+    shingle strings ever built."""
+    return f"transform({tokens_col}, t -> pmod(xxhash64(t), {p}))"
+
+
+def combine_gram_ids(token_hashes: Column, k: int, mult: int = 131,
+                     p: int = MERSENNE_P) -> Column:
+    """Combine an array of per-token hashes into k-gram term ids via the
+    polynomial fold (acc*mult + h) % p over shifted slices — a gram's id
+    from its k token hashes without materializing the gram string.
+    Empty array when the document has < k tokens. Slice/zip_with form
+    for the same CollapseProject reasons as `shingles_expr`."""
+    n = F.size(token_hashes)
+    width = n - F.lit(k - 1)
+    acc = F.slice(token_hashes, 1, width)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(token_hashes, 1 + j, width),
+            lambda a, b: (a * F.lit(mult) + b) % F.lit(p),
+        )
+    return F.when(n >= k, acc).otherwise(F.array().cast("array<bigint>"))
+
+
+def fold_gram_ids_sql(grams_col: str, mult: int = 131,
+                      p: int = MERSENNE_P) -> str:
+    """SQL text mapping an array<string> of gram strings to their
+    char-fold term ids — the oracle-portable arm (`char_fold_hash`
+    applied inside a transform lambda; DuckDB replicates the fold
+    value-exactly via `duckdb_char_fold_hash`)."""
+    return (
+        f"transform({grams_col}, s -> aggregate(transform(split(s, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {mult} + c) % {p}))"
+    )
+
+
 def char_fold_hash(col: str, mult: int = 131, p: int = MERSENNE_P) -> Column:
     """Portable string hash: left-to-right polynomial fold over character
     code points, acc = (acc*mult + code) % p, seed 0.

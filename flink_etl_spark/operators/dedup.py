@@ -266,27 +266,23 @@ def minhash_profile(
     end-to-end pair equality on the test corpora."""
     if hash_fn not in ("charfold", "xxhash64"):
         raise ValueError(f"hash_fn must be 'charfold' or 'xxhash64', got {hash_fn!r}")
+    from flink_etl_spark.functions.hashing import (
+        combine_gram_ids,
+        fold_gram_ids_sql,
+        token_hashes_sql,
+    )
+
     toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
     if hash_fn == "xxhash64":
         # hash tokens once, combine k consecutive hashes per shingle —
-        # see the docstring; slice/zip_with form for the same
-        # CollapseProject reasons as shingles_expr
+        # see the docstring (shared helpers in functions/hashing:
+        # decontaminate builds its n-gram ids on the identical path)
         th_df = toks.select(
-            F.col(id_col),
-            F.expr(f"transform(_t, t -> pmod(xxhash64(t), {MERSENNE_P}))").alias("_th"),
+            F.col(id_col), F.expr(token_hashes_sql("_t")).alias("_th")
         )
-        n = F.size("_th")
-        width = n - F.lit(k - 1)
-        acc = F.slice("_th", 1, width)
-        for j in range(1, k):
-            acc = F.zip_with(
-                acc,
-                F.slice("_th", 1 + j, width),
-                lambda a, b: (a * F.lit(131) + b) % F.lit(MERSENNE_P),
-            )
-        sids = F.when(n >= k, acc).otherwise(F.array().cast("array<bigint>"))
         shset_df = th_df.select(
-            F.col(id_col), F.array_distinct(sids).alias("shset")
+            F.col(id_col),
+            F.array_distinct(combine_gram_ids(F.col("_th"), k)).alias("shset"),
         )
         tids_df = shset_df.select(
             F.col(id_col), F.col("shset"), F.col("shset").alias("_tids")
@@ -298,13 +294,9 @@ def minhash_profile(
         )
         # split-based char fold, not substring-per-index — see
         # functions/hashing.char_fold_hash (identical values, ~13% faster)
-        hash_sql = (
-            "transform(shset, s -> aggregate(transform(split(s, ''), "
-            "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
-            f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}))"
-        )
         tids_df = shset_df.select(
-            F.col(id_col), F.col("shset"), F.expr(hash_sql).alias("_tids")
+            F.col(id_col), F.col("shset"),
+            F.expr(fold_gram_ids_sql("shset")).alias("_tids"),
         )
     mins = [
         F.array_min(

@@ -514,6 +514,7 @@ def decontaminate(
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     broadcast_benchmark: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Flag training documents that share any token n-gram with a
     benchmark/eval set — the public GPT-3 (appendix C, 13-gram) /
@@ -525,27 +526,61 @@ def decontaminate(
     gram), ``contaminated`` (0/1). Documents shorter than n tokens have
     no grams and are clean by definition.
 
+    Grams travel as 64-bit TERM IDS, never strings: ``hash_fn`` picks
+    the gram hash exactly as in `dedup.minhash_profile` —
+
+    * "xxhash64" (default) — each token hashed once, a gram's id is the
+      polynomial combine of its n token hashes; no gram string is ever
+      built. The production arm: a 13-gram string averages ~80 bytes
+      where the id is 8, and the per-doc aggregate's exchange was the
+      one shuffle-byte ratio >10 in the 10x probe before this change.
+    * "charfold" — gram strings char-folded to ids; portable (the
+      DuckDB oracle replicates the fold value-exactly), pinned by the
+      gated catalog entry.
+
+    Counts are over distinct gram IDS; a fold collision (~set^2/2P per
+    doc) could in principle merge two grams, identically in any engine
+    replicating the hash — the same contract as minhash term-ids.
+
     100 TB shape: the benchmark side is distinct-ed and BROADCAST
     (eval suites are MBs against a corpus of TBs), so the corpus never
     shuffles for the membership join — one explode, a map-side
     broadcast left join, then a per-doc aggregate whose shuffle carries
-    (id, gram) pairs only for matching grams plus one row per doc.
+    (id, gram_id) pairs only for matching grams plus one row per doc.
     Disable ``broadcast_benchmark`` only if the "benchmark" is itself
     corpus-scale (then it is a plain shuffle join and you likely wanted
     `jaccard_pairs`)."""
+    from flink_etl_spark.functions.hashing import (
+        combine_gram_ids,
+        fold_gram_ids_sql,
+        token_hashes_sql,
+    )
+
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if hash_fn not in ("charfold", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'charfold' or 'xxhash64', got {hash_fn!r}")
     bid = bench_id_col or id_col
     btext = bench_text_col or text_col
 
     def grams(df: DataFrame, i: str, t: str, outer: bool) -> DataFrame:
         exploder = F.explode_outer if outer else F.explode
-        return df.select(
-            F.col(i),
-            exploder(
-                F.array_distinct(shingles_expr(tokens_expr(t), n))
-            ).alias("_g"),
-        )
+        toks = df.select(F.col(i), tokens_expr(t).alias("_t"))
+        if hash_fn == "xxhash64":
+            ids_df = toks.select(
+                F.col(i), F.expr(token_hashes_sql("_t")).alias("_th")
+            ).select(
+                F.col(i),
+                F.array_distinct(combine_gram_ids(F.col("_th"), n)).alias("_ga"),
+            )
+        else:
+            ids_df = toks.select(
+                F.col(i), shingles_expr(F.col("_t"), n).alias("_sh")
+            ).select(
+                F.col(i),
+                F.array_distinct(F.expr(fold_gram_ids_sql("_sh"))).alias("_ga"),
+            )
+        return ids_df.select(F.col(i), exploder("_ga").alias("_g"))
 
     bench = grams(benchmark, bid, btext, outer=False).select(
         F.col(bid).alias("_bench_id"), "_g"

@@ -376,6 +376,27 @@ def test_decontaminate_rejects_bad_n(spark):
     d = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError, match="n must"):
         P.decontaminate(d, d, n=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        P.decontaminate(d, d, n=2, hash_fn="md5")
+
+
+def test_decontaminate_hash_fns_agree(spark):
+    """The production token-combined xxhash64 gram ids and the portable
+    charfold ids must yield identical per-doc counts (the minhash
+    hash_fn contract: the hash steers the id space, not the answer)."""
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train, bench = docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0")
+    a = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_bench_docs"], r["contaminated"])
+        for r in P.decontaminate(train, bench, n=3, hash_fn="xxhash64").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_bench_docs"], r["contaminated"])
+        for r in P.decontaminate(train, bench, n=3, hash_fn="charfold").collect()
+    }
+    assert a == b and len(a) > 0
 
 
 def test_pack_greedy_global_matches_single_window(spark):
