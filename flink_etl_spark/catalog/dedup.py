@@ -393,6 +393,112 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.unionByName(pairs)
 
 
+def _semdedup_two_level_oracle() -> str:
+    """DuckDB twin of `semdedup_pairs(..., n_cells=8,
+    quantizer="two_level")` — `similarity.ivf_assign_two_level` with
+    k1 = ceil(sqrt(8)) = 3 coarse seed centroids (3 smallest vec_ids),
+    k2 = ceil(8/3) = 3 sub-seeds per coarse cell (the k2 smallest ids
+    ASSIGNED to that cell), final cell_id = l1*3 + sub; both levels
+    rank on 6-dp-rounded cosine with index tie-breaks."""
+    return f"""
+    WITH l1c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS l1,
+               embedding AS cent
+        FROM embeddings ORDER BY vec_id LIMIT 3
+    ),
+    a1 AS (
+        SELECT vec_id, l1 FROM (
+            SELECT e.vec_id, c.l1,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({duckdb_cosine('e.embedding', 'c.cent')}, 6)
+                                DESC, c.l1) AS r
+            FROM embeddings e CROSS JOIN l1c c) t
+        WHERE r = 1
+    ),
+    seeds AS (
+        SELECT l1, sub, scent FROM (
+            SELECT a1.l1,
+                   row_number() OVER (PARTITION BY a1.l1
+                                      ORDER BY a1.vec_id) - 1 AS sub,
+                   e.embedding AS scent
+            FROM a1 JOIN embeddings e USING (vec_id)) t
+        WHERE sub < 3
+    ),
+    a2 AS (
+        SELECT vec_id, CAST(l1 * 3 + sub AS BIGINT) AS cell_id FROM (
+            SELECT a1.vec_id, s.l1, s.sub,
+                   row_number() OVER (
+                       PARTITION BY a1.vec_id
+                       ORDER BY round({duckdb_cosine('e.embedding', 's.scent')}, 6)
+                                DESC, s.sub) AS r
+            FROM a1
+            JOIN seeds s ON s.l1 = a1.l1
+            JOIN embeddings e ON e.vec_id = a1.vec_id) t
+        WHERE r = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+    FROM a2 a
+    JOIN a2 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    """
+
+
+def _semdedup_inc_oracle() -> str:
+    """DuckDB twin of `semdedup_incremental` over the mod-5 split:
+    centroids frozen from the STAGED subset (8 smallest staged
+    vec_ids — `ivf_build_index(..., n_cells=8)`), every vector
+    assigned nearest-1 with them; pairs are batch-vs-staged (ALL
+    same-cell collisions) plus batch-vs-batch (id_a < id_b); the duel
+    drops the closer-to-centroid side, rounded ties dropping the batch
+    side against staged and the larger id within the batch."""
+    return f"""
+    WITH inc_cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+               embedding AS cent
+        FROM embeddings WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 8
+    ),
+    inc_asgn AS (
+        SELECT vec_id, cell_id, csim, (vec_id % 5 = 0) AS is_batch FROM (
+            SELECT e.vec_id, c.cell_id,
+                   round({duckdb_cosine('e.embedding', 'c.cent')}, 6) AS csim,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({duckdb_cosine('e.embedding', 'c.cent')}, 6)
+                                DESC, c.cell_id) AS r
+            FROM embeddings e CROSS JOIN inc_cents c) t
+        WHERE r = 1
+    ),
+    inc_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos_sim,
+               a.csim AS csim_a, b.csim AS csim_b,
+               b.is_batch AS b_is_batch,
+               CAST(a.cell_id AS BIGINT) AS cell_id
+        FROM inc_asgn a
+        JOIN inc_asgn b ON a.cell_id = b.cell_id AND a.is_batch
+             AND ((NOT b.is_batch) OR a.vec_id < b.vec_id)
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    )
+    SELECT 'semdedup_inc' AS variant, id_a, id_b, cos_sim FROM inc_pairs
+    UNION ALL
+    SELECT DISTINCT 'semdedup_inc_drop' AS variant,
+           CASE WHEN csim_a > csim_b THEN id_a
+                WHEN csim_b > csim_a THEN id_b
+                WHEN NOT b_is_batch THEN id_a ELSE id_b END AS id_a,
+           cell_id AS id_b,
+           CASE WHEN csim_a > csim_b THEN csim_a
+                WHEN csim_b > csim_a THEN csim_b
+                WHEN NOT b_is_batch THEN csim_a ELSE csim_b END AS cos_sim
+    FROM inc_pairs
+    """
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
@@ -484,6 +590,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.cell_id AS BIGINT) AS id_b, s.csim AS cos_sim
     FROM sd_drops d JOIN sd_asgn s ON s.vec_id = d.vec_id
     )
+    UNION ALL
+    SELECT 'semdedup_two_level' AS variant, id_a, id_b, cos_sim
+    FROM ({_semdedup_two_level_oracle()}) tl
+    UNION ALL
+    SELECT variant, id_a, id_b, cos_sim
+    FROM ({_semdedup_inc_oracle()}) inc
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,7 +615,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     * variant 'semdedup_drop' — the SemDeDup keep rule's dropped
       vectors: one row per vector losing a within-cluster duel
       (closer-to-centroid member drops), id_b carries the cell id and
-      cos_sim the vector's rounded centroid similarity."""
+      cos_sim the vector's rounded centroid similarity;
+    * variant 'semdedup_two_level' (r5) — the SAME pair stage under the
+      hierarchical two-level quantizer (similarity.ivf_assign_two_level,
+      O(n^(4/3)) total — the 100 TB production arm `semdedup_keepers`
+      benches): ~sqrt(k) coarse seeds then per-coarse-cell sub-seeds,
+      deterministic end-to-end, so the oracle replicates both ranking
+      levels exactly;
+    * variant 'semdedup_inc' / 'semdedup_inc_drop' (r5) — INCREMENTAL
+      SemDeDup (dedup.semdedup_incremental): the vec_id % 5 != 0 slice
+      is staged as an IVF index (ivf_build_index, frozen centroids +
+      cell_id= partitioned layout), then the % 5 = 0 batch dedups
+      against the partition-pruned index plus itself; staged-staged
+      pairs are never re-emitted, and rounded duel ties drop the batch
+      side against staged. The drop arm mirrors 'semdedup_drop'."""
+    from flink_etl_spark.catalog import process_workdir
+    from flink_etl_spark.operators.dedup import semdedup_incremental
+    from flink_etl_spark.operators.similarity import ivf_build_index
+
     embs = _t(spark, sf_dir, "embeddings")
     exact = D.embedding_near_dups(embs, threshold=0.35).select(
         F.lit("exact").alias("variant"), "id_a", "id_b", "cos_sim"
@@ -531,7 +660,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_csim").alias("cos_sim"),
         )
     )
-    return exact.unionByName(lsh).unionByName(sd).unionByName(sd_drops)
+    two_level = D.semdedup_pairs(
+        embs, threshold=0.35, n_cells=8, quantizer="two_level"
+    ).select(
+        F.lit("semdedup_two_level").alias("variant"), "id_a", "id_b", "cos_sim"
+    )
+    # ONE staging dir per (process, sf_dir) — same contract as the
+    # minhash incremental arm's profile staging
+    idx = (
+        f"{process_workdir('sd_ivf')}/"
+        f"{sf_dir.strip('/').replace('/', '_')}"
+    )
+    ivf_build_index(embs.filter("vec_id % 5 != 0"), idx, n_cells=8)
+    inc_pairs = semdedup_incremental(
+        spark, embs.filter("vec_id % 5 = 0"), idx, threshold=0.35
+    )
+    inc = inc_pairs.select(
+        F.lit("semdedup_inc").alias("variant"), "id_a", "id_b", "cos_sim"
+    )
+    inc_drops = (
+        inc_pairs.select(
+            "drop_id",
+            F.col("cell_id").cast("long").alias("_cell"),
+            F.when(F.col("drop_id") == F.col("id_a"), F.col("csim_a"))
+            .otherwise(F.col("csim_b"))
+            .alias("_csim"),
+        )
+        .distinct()
+        .select(
+            F.lit("semdedup_inc_drop").alias("variant"),
+            F.col("drop_id").alias("id_a"),
+            F.col("_cell").alias("id_b"),
+            F.col("_csim").alias("cos_sim"),
+        )
+    )
+    return (
+        exact.unionByName(lsh)
+        .unionByName(sd)
+        .unionByName(sd_drops)
+        .unionByName(two_level)
+        .unionByName(inc)
+        .unionByName(inc_drops)
+    )
 
 
 def _clusters_oracle() -> str:

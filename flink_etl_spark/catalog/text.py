@@ -130,6 +130,43 @@ def _pii_oracle_arm() -> str:
     """
 
 
+#: chunking-arm knobs: small enough that sf0.01 documents produce
+#: multi-chunk outputs with a short final chunk (stride 150)
+_CHUNK_CHARS = 200
+_CHUNK_OVERLAP = 50
+
+_CHUNK_PAD = """
+           CAST(NULL AS BIGINT) AS chunk_idx,
+           CAST(NULL AS BIGINT) AS chunk_start,
+           CAST(NULL AS BIGINT) AS n_chunk_chars,
+           CAST(NULL AS VARCHAR) AS chunk_text
+"""
+
+
+def _chunks_oracle_arm() -> str:
+    """DuckDB twin of `prep.chunk_documents(chunk_chars=200,
+    overlap=50)` over the doc_id % 7 = 0 slice — same integer-form
+    chunk count (smallest n with n*stride + overlap >= len, floor 1,
+    via the identical -floor(-(len-overlap)/stride) float expression)
+    and the same 1-based substring windows."""
+    stride = _CHUNK_CHARS - _CHUNK_OVERLAP
+    return f"""
+    SELECT doc_id,
+           i AS chunk_idx,
+           CAST(i * {stride} AS BIGINT) AS chunk_start,
+           CAST(length(substr(txt, CAST(i * {stride} + 1 AS INT),
+                              {_CHUNK_CHARS})) AS BIGINT) AS n_chunk_chars,
+           substr(txt, CAST(i * {stride} + 1 AS INT), {_CHUNK_CHARS})
+               AS chunk_text
+    FROM (SELECT doc_id, coalesce(text, '') AS txt,
+                 greatest(1, CAST(-floor(
+                     (-(length(coalesce(text, '')) - {_CHUNK_OVERLAP}))
+                     / {stride}.0) AS BIGINT)) AS n
+          FROM documents WHERE doc_id % 7 = 0) d,
+         UNNEST(range(0, n)) AS u(i)
+    """
+
+
 @query(
     "text_bpe_pretokens",
     rf"""
@@ -152,7 +189,8 @@ def _pii_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_email,
            CAST(NULL AS BIGINT) AS n_phone,
            CAST(NULL AS BIGINT) AS n_ipv4,
-           CAST(NULL AS VARCHAR) AS redacted
+           CAST(NULL AS VARCHAR) AS redacted,
+           {_CHUNK_PAD}
     FROM t
     UNION ALL
     SELECT 'pii_redact' AS variant,
@@ -161,8 +199,22 @@ def _pii_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_word,
            CAST(NULL AS BIGINT) AS n_punct,
            CAST(NULL AS DOUBLE) AS avg_pretoken_len,
-           n_email, n_phone, n_ipv4, redacted
+           n_email, n_phone, n_ipv4, redacted,
+           {_CHUNK_PAD}
     FROM ({_pii_oracle_arm()}) pii
+    UNION ALL
+    SELECT 'chunks' AS variant,
+           doc_id,
+           CAST(NULL AS BIGINT) AS n_pretokens,
+           CAST(NULL AS BIGINT) AS n_word,
+           CAST(NULL AS BIGINT) AS n_punct,
+           CAST(NULL AS DOUBLE) AS avg_pretoken_len,
+           CAST(NULL AS BIGINT) AS n_email,
+           CAST(NULL AS BIGINT) AS n_phone,
+           CAST(NULL AS BIGINT) AS n_ipv4,
+           CAST(NULL AS VARCHAR) AS redacted,
+           chunk_idx, chunk_start, n_chunk_chars, chunk_text
+    FROM ({_chunks_oracle_arm()}) ch
     """,
 )
 def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,10 +232,21 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       Counts come from the original text, redaction replaces with
       <EMAIL>/<PHONE>/<IP>; the oracle runs the identical RE2/Java
       common-subset patterns in DuckDB.
+    * variant 'chunks' (r5) — fixed-window document chunking with
+      overlap (operators/prep.chunk_documents: 200-char windows,
+      50-char continuity overlap, zero shuffles — the RAG/long-doc
+      context-window prep step) over the doc_id % 7 = 0 slice; every
+      chunk's text, offset and length are value-gated.
     """
-    from flink_etl_spark.operators.prep import pii_redact
+    from flink_etl_spark.operators.prep import chunk_documents, pii_redact
 
     docs = _t(spark, sf_dir, "documents")
+    _chunk_pad = [
+        F.lit(None).cast("long").alias("chunk_idx"),
+        F.lit(None).cast("long").alias("chunk_start"),
+        F.lit(None).cast("long").alias("n_chunk_chars"),
+        F.lit(None).cast("string").alias("chunk_text"),
+    ]
     toks = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
     words = F.filter(F.col("_t"), lambda x: x.rlike("^\\w+$"))
     pretokens = docs.select(F.col("doc_id"), toks.alias("_t")).select(
@@ -200,6 +263,7 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_phone"),
         F.lit(None).cast("long").alias("n_ipv4"),
         F.lit(None).cast("string").alias("redacted"),
+        *_chunk_pad,
     )
     planted = docs.select("doc_id", F.expr(_PII_DERIVE).alias("pii_text"))
     pii = pii_redact(
@@ -216,8 +280,30 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("long").alias("n_phone"),
         F.col("n_ipv4").cast("long").alias("n_ipv4"),
         "redacted",
+        *_chunk_pad,
     )
-    return pretokens.unionByName(pii)
+    chunks = chunk_documents(
+        docs.filter("doc_id % 7 = 0"),
+        chunk_chars=_CHUNK_CHARS,
+        overlap=_CHUNK_OVERLAP,
+    ).select(
+        F.lit("chunks").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_pretokens"),
+        F.lit(None).cast("long").alias("n_word"),
+        F.lit(None).cast("long").alias("n_punct"),
+        F.lit(None).cast("double").alias("avg_pretoken_len"),
+        F.lit(None).cast("long").alias("n_email"),
+        F.lit(None).cast("long").alias("n_phone"),
+        F.lit(None).cast("long").alias("n_ipv4"),
+        F.lit(None).cast("string").alias("redacted"),
+        # posexplode's pos is INT; the oracle's range() is BIGINT
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_start",
+        "n_chunk_chars",
+        "chunk_text",
+    )
+    return pretokens.unionByName(pii).unionByName(chunks)
 
 
 def _repetition_oracle() -> str:
