@@ -360,14 +360,26 @@ def overwrite_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     promote_snapshot(df.sparkSession, path)
 
 
-def stage_snapshot(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+def stage_snapshot(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+) -> None:
     """Phase 1 of the staged swap: materialize `df` to `path`'s staging
     sibling WITHOUT touching the final directory. Callers replacing
     SEVERAL directories whose replacement plans all read the same
     parent (the partitioned rollup sink) must stage ALL of them before
     promoting ANY: a promote deletes final files that the next staged
-    write's lazy plan still scans (FAILED_READ_FILE.FILE_NOT_EXIST)."""
-    df.write.mode("overwrite").format(fmt).save(_staging_path(path))
+    write's lazy plan still scans (FAILED_READ_FILE.FILE_NOT_EXIST).
+
+    `partition_by` stages a Hive-partitioned layout (`col=value/`
+    subdirs) — the rollup sink's full-snapshot fallback swaps a whole
+    partitioned table root in one staged rename."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(_staging_path(path))
 
 
 def promote_snapshot(spark: SparkSession, path: str) -> None:

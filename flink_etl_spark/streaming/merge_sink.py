@@ -25,6 +25,7 @@ is never rewritten to add one hour.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -35,10 +36,16 @@ from flink_etl_spark.operators.merge import (
     cdc_merge,
     dedup_latest,
     overwrite_snapshot,
+    promote_snapshot,
     recover_snapshot,
     resolve_recency,
     snapshot_exists,
+    stage_snapshot,
 )
+
+#: chars that never need Hive path escaping — the ISO date alphabet the
+#: rollup's internally derived to_date() partition values live in
+_PART_VALUE_SAFE = re.compile(r"^[0-9A-Za-z._-]+$")
 
 
 def _is_orderable(dt) -> bool:
@@ -178,6 +185,7 @@ def start_continuous_rollup(
     watermark_delay: str = "2 hours",
     available_now: bool = False,
     partition_col: str | None = None,
+    max_touched_partitions: int = 1000,
 ) -> StreamingQuery:
     """Hypertable-style CONTINUOUS ROLLUP: a time-bucketed aggregate
     table maintained incrementally from the event stream (the public
@@ -210,6 +218,24 @@ def start_continuous_rollup(
     the driver dies between the two), and a replay recovers half-swapped
     partitions first, so the parquet state converges even after a
     crash mid-write.
+
+    `max_touched_partitions` makes the driver-side bound EXPLICIT: the
+    per-batch fetch of distinct touched partition VALUES (control
+    plane — a micro-batch finalizes buckets for ~a day or two) collects
+    at most this many; a pathological batch touching more (e.g. a
+    years-deep backfill replay) falls back to ONE full-snapshot
+    partitioned rewrite through a root-level staged swap instead of
+    collecting an unbounded value list and looping a per-partition swap
+    over it. The fallback preserves the `col=value/` layout and the
+    crash-recovery contract (the root swap heals via the same
+    `recover_snapshot`).
+
+    `partition_col` values must be path-safe — the sink derives them
+    internally via `to_date(bucket_start)` (ISO `yyyy-MM-dd` directory
+    names); the upsert validates this rather than re-implementing
+    Spark's Hive path escaping, so an exotic value fails loudly instead
+    of silently writing a layout Spark's own reader would name
+    differently.
 
     Reading the rollup is a plain parquet scan — queries over
     pre-aggregated buckets never touch raw events."""
@@ -264,20 +290,25 @@ def start_continuous_rollup(
         # overwrite_snapshot's _staging/ layout is crash-recoverable
         # (recover_snapshot below) and invisible to concurrent root
         # reads.
+        # BOUNDED value fetch: limit(cap + 1) keeps the driver's list —
+        # and its memory — explicitly capped no matter what the batch
+        # holds; the +1 row is only the overflow sentinel
         touched_vals = [
-            r[0] for r in batch.select(partition_col).distinct().collect()
+            r[0]
+            for r in batch.select(partition_col)
+            .distinct()
+            .limit(max_touched_partitions + 1)
+            .collect()
         ]
-        part_paths = {
-            v: f"{rollup_path.rstrip('/')}/{partition_col}={v}"
-            for v in touched_vals
-        }
-        # heal EVERY half-swapped partition, not just this batch's
+        # heal EVERY half-swapped state first, not just this batch's
         # touched set: a crash mid-swap can strike a day no later batch
         # ever touches again (its buckets would stay lost forever), and
         # with every partition staged the root read below cannot even
-        # infer a schema
+        # infer a schema. The root-level recover heals a crashed
+        # full-snapshot fallback swap the same way.
         from flink_etl_spark.operators.merge import _hadoop_fs
 
+        recover_snapshot(rollup_path, spark)
         staging_root = f"{rollup_path.rstrip('/')}/_staging"
         fs, hstag = _hadoop_fs(spark, staging_root)
         if fs.exists(hstag):
@@ -286,6 +317,38 @@ def start_continuous_rollup(
                     f"{rollup_path.rstrip('/')}/{st.getPath().getName()}",
                     spark,
                 )
+        if len(touched_vals) > max_touched_partitions:
+            # pathological batch (years-deep backfill): ONE partitioned
+            # full-snapshot rewrite through a root-level staged swap —
+            # no unbounded value list, no per-partition promote loop
+            if snapshot_exists(spark, rollup_path):
+                merged = (
+                    spark.read.parquet(rollup_path)
+                    .unionByName(batch, allowMissingColumns=True)
+                    .dropDuplicates(keys)
+                )
+            else:
+                merged = batch
+            stage_snapshot(merged, rollup_path, partition_by=[partition_col])
+            promote_snapshot(spark, rollup_path)
+            return
+        for v in touched_vals:
+            # path-safety guard (see docstring): the sink only ever
+            # derives DateType values, whose str() is the ISO directory
+            # name Spark itself writes; anything else must fail loudly
+            # rather than compose a path diverging from Spark's own
+            # Hive-escaped layout
+            if v is None or not _PART_VALUE_SAFE.match(str(v)):
+                raise ValueError(
+                    f"start_continuous_rollup: partition value {v!r} is "
+                    f"not path-safe — partition_col must be the "
+                    f"internally derived to_date(bucket_start) column "
+                    f"(ISO yyyy-MM-dd directory names)"
+                )
+        part_paths = {
+            v: f"{rollup_path.rstrip('/')}/{partition_col}={v}"
+            for v in touched_vals
+        }
         for p in part_paths.values():
             recover_snapshot(p, spark)
         if snapshot_exists(spark, rollup_path):
@@ -309,11 +372,6 @@ def start_continuous_rollup(
         # without the cache each action re-executes the whole merge
         # plan (root scan + semi-join + dedup) — a K-day backfill batch
         # would pay the plan K times over.
-        from flink_etl_spark.operators.merge import (
-            promote_snapshot,
-            stage_snapshot,
-        )
-
         merged = merged.persist()
         try:
             for v, p in part_paths.items():

@@ -770,6 +770,96 @@ def test_rollup_partition_col_rewrites_only_touched_partitions(
     assert len(got) == 1 and got[0].sum_value == 7.0
 
 
+def test_rollup_partitioned_fallback_past_touched_cap(spark, tmp_path):
+    """A micro-batch finalizing buckets across MORE partitions than
+    max_touched_partitions must fall back to one root-level partitioned
+    swap (the driver's distinct-value fetch stays bounded) and still
+    produce the identical contents the flat full-swap mode computes,
+    with the `dt=` layout intact; a later small batch then resumes the
+    normal per-partition upsert path against the fallback's output."""
+    import os
+    import time
+
+    from flink_etl_spark.streaming.merge_sink import start_continuous_rollup
+
+    schema = "ts timestamp, event_type string, value double"
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+        df.coalesce(1).write.parquet(str(tmp_path / f"_stage_{name}"))
+        part = [p for p in os.listdir(tmp_path / f"_stage_{name}")
+                if p.endswith(".parquet")][0]
+        os.rename(tmp_path / f"_stage_{name}" / part, src / f"{name}.parquet")
+
+    # ONE file spanning 4 days: the batch that finalizes them touches 4
+    # dt partitions — past the cap of 2
+    days = [
+        (f"2024-01-0{d} 10:10:00", "click", float(d)) for d in range(1, 5)
+    ] + [(f"2024-01-0{d} 23:00:00", "view", 1.0) for d in range(1, 5)]
+    write_file("b1", days)
+    time.sleep(1.1)
+    # sentinel file advances the watermark past every day-4 bucket
+    write_file("b2", [("2024-01-05 12:00:00", "view", 1.0)])
+
+    def run(partition_col, out_name, cap):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = str(tmp_path / out_name)
+        q = start_continuous_rollup(
+            stream, out, str(tmp_path / f"chk_{out_name}"),
+            watermark_delay="1 hour", available_now=True,
+            partition_col=partition_col, max_touched_partitions=cap,
+        )
+        assert q.awaitTermination(180)
+        return out
+
+    flat = run(None, "flat", 1000)
+    part = run("dt", "part", 2)
+
+    cols = ["bucket_start", "event_type", "n_events", "sum_value"]
+    a = sorted(map(tuple, spark.read.parquet(flat).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(part).select(*cols).collect()))
+    assert a == b and len(a) >= 6
+    # the fallback preserved the partitioned layout
+    dt_dirs = {d for d in os.listdir(part) if d.startswith("dt=")}
+    assert {"dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"} <= dt_dirs
+    # and no staged DATA survived — the per-partition swap leaves an
+    # empty (reader-invisible) _staging/ parent dir behind, which is
+    # fine; staged partition copies inside it are not
+    if "_staging" in os.listdir(part):
+        assert os.listdir(os.path.join(part, "_staging")) == []
+    if "_staging" in os.listdir(tmp_path):
+        assert os.listdir(tmp_path / "_staging") == []
+
+    # a later small batch (1 partition <= cap) upserts per-partition
+    # against the fallback-written layout
+    time.sleep(1.1)
+    write_file("b3", [("2024-01-06 09:30:00", "click", 7.0),
+                      ("2024-01-06 23:00:00", "view", 1.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_continuous_rollup(
+        stream, part, str(tmp_path / "chk_part"),
+        watermark_delay="1 hour", available_now=True,
+        partition_col="dt", max_touched_partitions=2,
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(part).filter(
+        F.col("bucket_start") == "2024-01-06 09:00:00"
+    ).collect()
+    assert len(got) == 1 and got[0].sum_value == 7.0
+
+
 def test_continuous_merge_same_recency_correction_batch_wins(spark, tmp_path):
     """A correction with the SAME recency keys as the snapshot row
     (routine: Canal `es` is second-resolution) must win
