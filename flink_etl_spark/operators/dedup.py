@@ -1039,6 +1039,7 @@ def simhash_near_dups(
     text_col: str = "text",
     n_docs: int | None = None,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: documents whose signatures differ in at
     most `max_hamming` bits (Manku et al., WWW'07 — the web-crawl
@@ -1054,8 +1055,22 @@ def simhash_near_dups(
     occupancy, not corpus size.
 
     `bits="auto"` sizes the signature to the corpus (see
-    `simhash_signatures`) — the knob whose fixed default measurably
-    collapses off-scale (16 bits -> 18M accidental pairs at 25k docs)."""
+    `simhash_signatures`; `knobs.simhash_auto_bits` includes a
+    correlation safety margin over the uniform birthday model) — the
+    knob whose fixed default measurably collapses off-scale (16 bits ->
+    18M accidental pairs at 25k docs).
+
+    `max_bucket` is the chunk-bucket SKEW CAP, the exact analogue of
+    `lsh_candidates`' band cap: a mass-duplicate clique (one
+    boilerplate page times 10^5) shares ALL its chunk values, so every
+    bucket it touches goes quadratic no matter how wide the signature.
+    Buckets holding more than `max_bucket` docs are dropped before the
+    self-join (broadcast anti-join against the tiny oversized set).
+    With the cap the result is no longer provably lossless: a true
+    pair is lost only if EVERY chunk the two docs agree on sits in an
+    oversized bucket — the degenerate mass-duplicate case exact dedup
+    owns. Default None keeps the lossless behavior the oracle gate
+    pins."""
     from flink_etl_spark.operators.knobs import resolve_knob, simhash_auto_bits
 
     bits = resolve_knob(bits, simhash_auto_bits, docs, n_docs, max_hamming)
@@ -1083,6 +1098,16 @@ def simhash_near_dups(
         id_col, "simhash", F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.chunk_val").alias("chunk_val"),
     )
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("chunk_id", "chunk_val")
+            .agg(F.count("*").alias("_occ"))
+            .filter(F.col("_occ") > max_bucket)
+            .select("chunk_id", "chunk_val")
+        )
+        banded = banded.join(
+            F.broadcast(oversized), ["chunk_id", "chunk_val"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

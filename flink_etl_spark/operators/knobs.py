@@ -23,11 +23,13 @@ from math import comb, log2, sqrt
 
 
 def simhash_auto_bits(
-    n_docs: int, max_hamming: int = 2, budget: float = 1.0
+    n_docs: int, max_hamming: int = 2, budget: float = 1.0,
+    margin_bits: int = 8,
 ) -> int:
     """Smallest signature width in [16, 63] whose EXPECTED accidental
     pair count at Hamming <= max_hamming stays under `budget` pairs
-    (absolute, default 1) for unrelated documents.
+    (absolute, default 1) for unrelated documents, PLUS a measured
+    correlation safety margin of `margin_bits`.
 
     Model: unrelated docs get independent uniform signatures, so
     P(hamming <= h) = sum_{i<=h} C(bits, i) / 2^bits and the expected
@@ -36,20 +38,25 @@ def simhash_auto_bits(
     solving the inequality produces. 63 is the hard ceiling (bit 63
     would be the LONG sign bit).
 
-    The budget is deliberately ABSOLUTE and tight: signature cost is
-    only linear in bits, while a real corpus's signatures are
-    correlated (documents share vocabulary), so the near-miss tail —
-    moderately-similar pairs drifting under the Hamming threshold —
-    shrinks substantially with every extra bit beyond what the
-    uniform model needs (measured on the 5x stress corpus: 610k
-    Hamming<=2 pairs at 33 bits vs 106k at 48). Erring wide is cheap;
-    erring narrow buries true near-dups in noise."""
+    The uniform model is a FLOOR, not the answer: a real corpus's
+    signatures are correlated (documents share vocabulary), so the
+    near-miss tail — moderately-similar pairs drifting under the
+    Hamming threshold — runs orders of magnitude above the uniform
+    budget at the solved width, and is hash-dependent as well as
+    width-dependent (5x stress corpus, 25k docs, uniform-solved 38
+    bits: 284k Hamming<=2 pairs under charfold, 1.04M under the
+    xxhash64 default — vs the <= 1 uniform expectation). Every extra
+    bit shrinks the measured tail ~2x while costing only one more
+    vote aggregate (linear), so the margin errs wide by default;
+    `margin_bits=0` recovers the bare uniform solution. The margin is
+    applied before the 63-bit ceiling and keeps the width monotone in
+    the corpus size."""
     n = max(int(n_docs), 2)
     for bits in range(16, 64):
         ways = sum(comb(bits, i) for i in range(max_hamming + 1))
         expected = (n * (n - 1) / 2) * (ways / float(1 << bits))
         if expected <= budget:
-            return bits
+            return min(63, bits + margin_bits)
     return 63
 
 

@@ -76,9 +76,12 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
 
     `fake=True` (tests / codec-less containers): deterministic fake
     decode — width/height derived from byte length, an 8-dim feature
-    vector from byte-value moments. `fake=False` raises
-    NotImplementedError where a real codec (PIL / torchaudio / ffmpeg)
-    would be called.
+    vector from byte-value moments. `fake=False` decodes with PIL when
+    it is importable on the executors (real geometry; the same 8
+    moments over the grayscale pixel bytes) and raises
+    NotImplementedError otherwise — the arm is real code behind a
+    guarded import, exercised by a skip-unless-PIL test the day the
+    environment grows a codec.
 
     Scale: mapInPandas streams Arrow batches per partition — no
     collect, no per-row Python crossing; repartition upstream so one
@@ -113,10 +116,35 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs absent "
-                    "from this container; use fake=True for plumbing tests"
+                try:
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real media decode requires an image codec (PIL) "
+                        "absent from this container; use fake=True for "
+                        "plumbing tests"
+                    ) from e
+                import io
+
+                widths, heights, feats, sizes = [], [], [], []
+                for p in pdf["payload"]:
+                    b = b"" if p is None else bytes(p)
+                    img = Image.open(io.BytesIO(b)).convert("L")
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    feats.append(fake_features(bytes(img.tobytes())))
+                    sizes.append(len(b))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "mime": pdf["mime"],
+                        "n_bytes": sizes,
+                        "width": widths,
+                        "height": heights,
+                        "features": feats,
+                    }
                 )
+                continue
             # NULL payloads are in-domain (make_media_table encodes a
             # null text to a null payload): treat as empty — len(None)
             # would TypeError the executor
@@ -193,9 +221,12 @@ def resize_media(
 ) -> DataFrame:
     """Aspect-preserving downscale to fit (max_w, max_h) via Arrow
     mapInPandas. Geometry math is real; pixel resampling is the codec
-    stub (`fake=True` passes the payload through; `fake=False` raises
-    where PIL's `Image.resize` would run). Upscaling never happens
-    (scale capped at 1.0) — the usual training-data convention."""
+    arm (`fake=True` passes the payload through; `fake=False` runs
+    PIL's `Image.resize` when PIL is importable — actual pixels
+    resampled, payload re-encoded PNG, scale computed from the DECODED
+    geometry — and raises NotImplementedError otherwise). Upscaling
+    never happens (scale capped at 1.0) — the usual training-data
+    convention."""
 
     def resize_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         # self-contained closure: see decode_batches note
@@ -203,10 +234,39 @@ def resize_media(
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real pixel resampling requires an image codec absent "
-                    "from this container; use fake=True for plumbing tests"
+                try:
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real pixel resampling requires an image codec "
+                        "(PIL) absent from this container; use fake=True "
+                        "for plumbing tests"
+                    ) from e
+                import io
+
+                widths, heights, payloads = [], [], []
+                for p in pdf["payload"]:
+                    img = Image.open(
+                        io.BytesIO(b"" if p is None else bytes(p))
+                    )
+                    s = min(max_w / img.width, max_h / img.height, 1.0)
+                    w = max(1, int(img.width * s))
+                    h = max(1, int(img.height * s))
+                    out = io.BytesIO()
+                    img.resize((w, h)).save(out, "PNG")
+                    widths.append(w)
+                    heights.append(h)
+                    payloads.append(out.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "mime": pdf["mime"],
+                        "width": widths,
+                        "height": heights,
+                        "payload": payloads,
+                    }
                 )
+                continue
             scale = (max_w / pdf["width"]).clip(upper=1.0).combine(
                 (max_h / pdf["height"]).clip(upper=1.0), min
             )

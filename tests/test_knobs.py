@@ -37,6 +37,43 @@ def test_simhash_auto_bits_bounds_accidental_pairs():
     assert 25_000 * 24_999 / 2 * ways16 / 2.0**16 > 1.0
 
 
+def test_simhash_auto_bits_margin_over_uniform_floor():
+    """The default width is the uniform-model solution plus the
+    measured correlation margin (8 bits), ceilinged at 63; margin 0
+    recovers the bare uniform floor."""
+    for n in (500, 25_000, 10**6):
+        bare = simhash_auto_bits(n, margin_bits=0)
+        assert simhash_auto_bits(n) == min(63, bare + 8)
+    # margined widths stay monotone and within the LONG-safe range
+    ws = [simhash_auto_bits(n) for n in (100, 10_000, 10**6, 10**9)]
+    assert ws == sorted(ws) and all(16 <= w <= 63 for w in ws)
+
+
+def test_simhash_max_bucket_caps_adversarial_clique(spark):
+    """A 200-doc exact clique shares every chunk value, so its buckets
+    go quadratic; max_bucket drops them while ordinary pairs (small
+    buckets) survive untouched — the lsh_candidates cap's twin."""
+    from flink_etl_spark.operators.dedup import simhash_near_dups
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    clique = base.limit(1)
+    for i in range(1, 200):
+        clique = clique.unionByName(
+            base.limit(1).withColumn("doc_id", F.col("doc_id") + F.lit(100_000 + i))
+        )
+    docs = base.unionByName(clique)
+    uncapped = simhash_near_dups(docs, max_hamming=2, bits=32)
+    capped = simhash_near_dups(docs, max_hamming=2, bits=32, max_bucket=50)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped >= 200 * 199 / 2  # clique blowup present
+    assert n_capped < 1_000  # bounded after the cap
+    ordinary = uncapped.filter("doc_a < 1000 AND doc_b < 1000")
+    ordinary_capped = capped.filter("doc_a < 1000 AND doc_b < 1000")
+    assert sorted(map(tuple, ordinary.collect())) == sorted(
+        map(tuple, ordinary_capped.collect())
+    )
+
+
 def test_signlsh_auto_planes_targets_bucket_occupancy():
     assert signlsh_auto_planes(500) == 4  # the sf0.01 gate default
     assert signlsh_auto_planes(10_000) >= 8  # the stress-probe sizing

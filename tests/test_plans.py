@@ -50,6 +50,37 @@ def test_multiway_join_broadcasts_all_dims(spark):
     assert plan.count("SortMergeJoin") == 0
 
 
+def test_multiway_join_dims_stay_broadcast_past_the_transition(spark):
+    """The 10x replica crosses the broadcast threshold: the
+    data-proportional intermediates (orders-side, customer-side)
+    correctly degrade to shuffle joins (docs/SCALING.md records the
+    one-time byte-ratio jump). The genuinely-bounded dims must NOT
+    degrade with them — their EXPLICIT hints are what pins them. This
+    simulates the transition at test SF by disabling size-based
+    broadcasting entirely (threshold -1, AQE's too): the two hinted
+    dims must still broadcast while the un-hinted sides shuffle."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = _executed(Q.queries()["join_multiway_region_revenue"](spark, SF))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # nation + region hints survive the threshold change...
+    assert plan.count("BroadcastHashJoin") == 2
+    # ...and the data-proportional sides degrade to shuffle joins
+    # (graceful at 100 TB) instead of riding an un-demotable hint
+    assert plan.count("SortMergeJoin") == 2
+
+
 def test_window_topk_compiles_to_window_group_limit(spark):
     """The rank<=3 filter must push a per-group limit BELOW the window
     sort (partial + final WindowGroupLimit) so the shuffle carries at

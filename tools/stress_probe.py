@@ -71,8 +71,14 @@ def main(replicas: int = 5) -> None:
     print(f"  auto knobs: simhash_bits={simhash_auto_bits(n_docs_s)} "
           f"signlsh_planes={signlsh_auto_planes(n_embs_s)} "
           f"ivf_cells={ivf_auto_cells(n_embs_s)}")
+    # both hash_fns at the same auto width: the correlated near-miss
+    # tail is hash-dependent (docs/SCALING.md) — the margined auto knob
+    # must keep BOTH bounded with no hand tuning
     run("dedup_simhash_hamming_auto",
         D.simhash_near_dups(docs, max_hamming=2, bits="auto", n_docs=n_docs_s))
+    run("dedup_simhash_hamming_auto_charfold",
+        D.simhash_near_dups(docs, max_hamming=2, bits="auto", n_docs=n_docs_s,
+                            hash_fn="charfold"))
     run("dedup_embedding_lsh_auto",
         D.embedding_near_dups_lsh(embs, threshold=0.35, n_planes="auto",
                                   n_probe=1, n_vecs=n_embs_s))
@@ -110,6 +116,10 @@ def main(replicas: int = 5) -> None:
     spark.catalog.clearCache()
     run("dedup_minhash_lsh_capped_clique",
         D.minhash_near_dups(adv, threshold=0.8, max_bucket=200))
+    n_adv = adv.count()
+    run("dedup_simhash_capped_clique(max_bucket=200)",
+        D.simhash_near_dups(adv, max_hamming=2, bits="auto", n_docs=n_adv,
+                            max_bucket=200))
 
     # recall@5 vs nprobe, seed vs refined centroids: IVF recall against
     # the exact brute-force baseline over the same 32-query set
