@@ -837,6 +837,36 @@ def test_cogroup_asof_rejects_overlap_and_survives_null_ts(spark):
         cogroup_asof(both_ts, r_ts, on="user_id", left_ts="ts", right_ts="ts")
 
 
+def test_exact_decimal_guard_skipped_under_ansi_kept_otherwise(spark):
+    """Under ANSI (the session default) the wrap guard's two extra
+    aggregate buffers are plan-build-time skipped — sum(long) raises
+    ARITHMETIC_OVERFLOW before any guard could matter; with ANSI off
+    the guard aggregates come back and the overflow path yields NULL,
+    never a silent wrap."""
+    from flink_etl_spark.catalog import exact_decimal_sum
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().optimizedPlan().toString()
+
+    ansi_plan = plan_of(df.agg(exact_decimal_sum(F.col("v"), 2).alias("s")))
+    assert "max(" not in ansi_plan and "count(" not in ansi_plan
+
+    saved = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        guarded_plan = plan_of(
+            df.agg(exact_decimal_sum(F.col("v"), 2).alias("s"))
+        )
+        assert "max(" in guarded_plan
+        big = spark.createDataFrame([(8.0e12,), (8.0e12,)], "v double")
+        out = big.agg(exact_decimal_sum(F.col("v"), 6).alias("s")).first()
+        assert out["s"] is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved)
+
+
 def test_exact_decimal_sum_guard_and_parity(spark):
     """catalog.exact_decimal_sum: order-independent exact totals in the
     safe range; NULL (never a silently-wrapped long) past the
