@@ -54,23 +54,42 @@ DIMS = ("region", "nation", "supplier", "part")
 
 
 def _rotated_text(col, i: int):
-    """Caesar-rotate a-z by i so copy i shares no shingles with copy 0
-    while keeping token lengths, whitespace, and within-copy similarity
-    structure identical."""
+    """Substitute a-z by a copy-distinct permutation so copy i shares
+    no shingles with any other copy while keeping token lengths,
+    whitespace, and within-copy similarity structure identical.
+    Copies 0-25 are plain caesar rotations (identical to the r4
+    behavior — the 10x replica is unchanged); copies 26-51 use the
+    REVERSED rotated alphabet, giving 52 distinct substitutions — a
+    plain rotation aliases at copy 26 (rot 26 = identity), which would
+    have made copies 26+ exact duplicate cliques of copies 0+ and
+    poisoned every >=26x replica with quadratic near-dup structure."""
     if i == 0:
         return col
+    if i >= 52:
+        raise ValueError(
+            f"replica copy {i}: only 52 distinct text substitutions exist "
+            f"(26 rotations x 2 directions) — a larger replica would alias "
+            f"copies into exact-duplicate cliques"
+        )
     az = string.ascii_lowercase
     rot = az[i % 26:] + az[: i % 26]
+    if i >= 26:
+        rot = rot[::-1]
     return F.translate(col, az, rot)
 
 
-def build_replica(spark, src_dir: str, out_dir: str, n: int) -> None:
+def build_replica(
+    spark, src_dir: str, out_dir: str, n: int,
+    tables: tuple[str, ...] = TABLES,
+) -> None:
     """Write the N-x replica of `src_dir` into `out_dir` (same
     `<table>.parquet` layout, so catalog queries run on it verbatim via
-    the sf_dir argument)."""
+    the sf_dir argument). `tables` restricts the build (the 30x tail
+    probe needs only documents + embeddings — replicating 6M lineitem
+    rows 30x for a doc-only probe would dominate its wall clock)."""
     from flink_etl_spark.sources.tables import load_table
 
-    for table in TABLES:
+    for table in tables:
         df = load_table(spark, src_dir, table)
         if table in DIMS or n <= 1:
             out = df
