@@ -49,9 +49,47 @@ jac AS (
 """
 
 
+#: span CTE for the span_dedup oracle arms: fixed 20-token windows with
+#: 0-based positions, mirroring operators/prep.span_dedup exactly
+_SPAN_K = 20
+_SPAN_CTE = f"""
+    sp AS (
+        SELECT doc_id, CAST(g.i AS INT) AS pos,
+               array_to_string(tk[g.i*{_SPAN_K}+1 : g.i*{_SPAN_K}+{_SPAN_K}],
+                               ' ') AS span
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(coalesce(text, ''), ' +') AS tk
+              FROM documents) t,
+             UNNEST(generate_series(
+                 0, CAST((len(tk)+{_SPAN_K - 1})//{_SPAN_K} AS BIGINT) - 1))
+             AS g(i)
+    )
+"""
+
+
+def _span_oracle_arm(variant: str, partition: str) -> str:
+    """One span_dedup oracle arm: first-occurrence keep over the given
+    window partition ('sha256(span)' global / 'doc_id, sha256(span)'
+    within-doc), per-doc rebuild via ordered string_agg."""
+    return f"""
+    SELECT '{variant}' AS variant,
+           doc_id AS keep_id,
+           count(*) FILTER (WHERE rn = 1) AS n_copies,
+           concat(CAST(count(*) AS VARCHAR), ':',
+                  coalesce(string_agg(span, ' ' ORDER BY pos)
+                           FILTER (WHERE rn = 1), '')) AS detail
+    FROM (SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY {partition}
+                                    ORDER BY doc_id, pos) AS rn
+          FROM sp) r
+    GROUP BY doc_id
+    """
+
+
 @query(
     "dedup_exact_docs",
-    """
+    f"""
+    WITH {_SPAN_CTE}
     SELECT 'content' AS variant,
            min(doc_id) AS keep_id,
            count(*) AS n_copies,
@@ -65,6 +103,10 @@ jac AS (
            digest AS detail
     FROM (SELECT doc_id, sha256(text) AS digest FROM documents)
     GROUP BY digest
+    UNION ALL
+    {_span_oracle_arm("span_global", "sha256(span)")}
+    UNION ALL
+    {_span_oracle_arm("span_within", "doc_id, sha256(span)")}
     """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +119,16 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       variant, where the shuffle carries 64-byte keys instead of
       documents. Collision probability (~n^2 / 2^257) is below
       hardware error rates; both engines compute the identical
-      digest, so the oracle matches on the digest itself (detail)."""
+      digest, so the oracle matches on the digest itself (detail).
+    * variants 'span_global' / 'span_within' (r5) — SUB-document
+      dedup (`operators/prep.span_dedup`, the public C4/RefinedWeb
+      line-dedup heuristic over fixed 20-token spans): one row per
+      doc, n_copies = spans kept, detail = 'n_spans:rebuilt_text'.
+      The global arm pins key='digest' (the production sha256
+      exchange, replicated by the oracle's sha256 window partition);
+      within-doc is the zero-shuffle row-local arm."""
+    from flink_etl_spark.operators.prep import span_dedup
+
     docs = _t(spark, sf_dir, "documents")
     content = D.exact_dedup(docs, ["text"], "doc_id").select(
         F.lit("content").alias("variant"),
@@ -96,7 +147,24 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("digest").alias("detail"),
         )
     )
-    return content.unionByName(digest)
+
+    def span_arm(variant: str, scope: str) -> DataFrame:
+        return span_dedup(
+            docs, span_tokens=_SPAN_K, scope=scope, key="digest"
+        ).select(
+            F.lit(variant).alias("variant"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_spans_kept").alias("n_copies"),
+            F.concat(
+                F.col("n_spans").cast("string"), F.lit(":"), F.col("dedup_text")
+            ).alias("detail"),
+        )
+
+    return (
+        content.unionByName(digest)
+        .unionByName(span_arm("span_global", "global"))
+        .unionByName(span_arm("span_within", "within_doc"))
+    )
 
 
 _DECONTAM_PAD = """

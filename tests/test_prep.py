@@ -657,3 +657,117 @@ def test_chunk_documents_matches_duckdb(spark):
     assert got == want and len(got) > len(
         {k[0] for k in got}
     )  # at least one multi-chunk doc
+
+
+# ---------------------------------------------------------------------------
+# span_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_within_doc_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "x y z"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in P.span_dedup(docs, span_tokens=3, scope="within_doc").collect()
+    }
+    assert (out[1].n_spans, out[1].n_spans_kept) == (3, 2)
+    assert out[1].dedup_text == "a b c a b"
+    assert out[2].dedup_text == "x y z" and out[2].n_spans_kept == 1
+    # empty / NULL text: a single empty span survives
+    assert out[3].n_spans == 1 and out[3].dedup_text == ""
+    assert out[4].n_spans == 1 and out[4].dedup_text == ""
+
+
+def test_span_dedup_global_first_occurrence_order(spark):
+    # doc 1's first span reappears in docs 2 and 3; "earlier" is
+    # (doc_id, pos) lexicographic so only doc 1's copy survives
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z"), (3, "q r s a b c")],
+        "doc_id long, text string",
+    )
+    for key in ("digest", "content"):
+        out = {
+            r.doc_id: r
+            for r in P.span_dedup(
+                docs, span_tokens=3, scope="global", key=key
+            ).collect()
+        }
+        assert out[1].dedup_text == "a b c d e f"
+        assert out[2].dedup_text == "x y z" and out[2].n_spans_kept == 1
+        assert out[3].dedup_text == "q r s" and out[3].n_spans == 2
+
+
+def test_span_dedup_unique_corpus_rebuilds_identity(spark):
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    out = P.span_dedup(docs, span_tokens=20, scope="global").join(
+        docs, "doc_id"
+    )
+    # undeduped docs rebuild byte-identical (single-spaced corpus);
+    # deduped docs rebuild as a subsequence of their own spans
+    assert (
+        out.filter(
+            (F.col("n_spans") == F.col("n_spans_kept"))
+            & (F.col("dedup_text") != F.col("text"))
+        ).count()
+        == 0
+    )
+    # the sf0.001 corpus has near-dup docs sharing spans -> non-degenerate
+    assert out.filter(F.col("n_spans") != F.col("n_spans_kept")).count() > 0
+
+
+def test_span_dedup_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span_tokens"):
+        P.span_dedup(docs, span_tokens=0)
+    with pytest.raises(ValueError, match="scope"):
+        P.span_dedup(docs, scope="corpus")
+    with pytest.raises(ValueError, match="key"):
+        P.span_dedup(docs, key="xxhash64")
+    with pytest.raises(ValueError, match="collides"):
+        P.span_dedup(docs, out_col="doc_id")
+
+
+def test_span_dedup_matches_duckdb(spark):
+    from flink_etl_spark.sources.tables import load_table
+
+    k = 7
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.dedup_text)
+        for r in P.span_dedup(docs, span_tokens=k, scope="global").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        d: (n, nk, t)
+        for d, n, nk, t in con.execute(
+            f"""
+            WITH sp AS (
+              SELECT doc_id, CAST(g.i AS INT) AS pos,
+                     array_to_string(tk[g.i*{k}+1 : g.i*{k}+{k}], ' ') AS span
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(coalesce(text,''), ' +') AS tk
+                    FROM '/root/testdata/sf0.001/documents.parquet') t,
+                   UNNEST(generate_series(
+                       0, CAST((len(tk)+{k-1})//{k} AS BIGINT) - 1)) AS g(i)
+            ),
+            ranked AS (
+              SELECT doc_id, pos, span,
+                     row_number() OVER (PARTITION BY sha256(span)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM sp
+            )
+            SELECT doc_id, count(*), count(*) FILTER (WHERE rn = 1),
+                   coalesce(string_agg(span, ' ' ORDER BY pos)
+                            FILTER (WHERE rn = 1), '')
+            FROM ranked GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -263,3 +263,50 @@ def test_semdedup_invariants(spark, vecs, n_cells, quantizer):
     if pairs:
         paired = {r.id_a for r in pairs} | {r.id_b for r in pairs}
         assert paired - losers, "a duel clique must keep a survivor"
+
+
+def _py_span_dedup(rows, k):
+    """Pure-Python model of span_dedup(scope='global'): fixed k-token
+    windows, first occurrence by (doc_id, pos) lexicographic."""
+    spans = {}
+    for doc_id, text in sorted(rows):
+        # the corpora strategy emits single-spaced text, so plain
+        # split(" ") mirrors tokens_expr's split(' +'); empty/NULL
+        # text tokenizes to [''] exactly like Spark's split
+        toks = text.split(" ") if text else [""]
+        spans[doc_id] = [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ]
+    seen = set()
+    out = {}
+    for doc_id in sorted(spans):
+        kept = []
+        for s in spans[doc_id]:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[doc_id] = (len(spans[doc_id]), len(kept), " ".join(kept))
+    return out
+
+
+@settings(**_PROP)
+@given(rows=_corpora, k=st.integers(min_value=1, max_value=5))
+def test_span_dedup_matches_python_model(spark, rows, k):
+    # the model's tokenizer is plain split(' '); restrict inputs to
+    # single-spaced texts (the strategy never produces double spaces)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.dedup_text)
+        for r in P.span_dedup(docs, span_tokens=k, scope="global").collect()
+    }
+    want = _py_span_dedup(rows, k)
+    assert got == want
+    # within_doc never drops MORE than global for the same doc order
+    within = {
+        r.doc_id: r.n_spans_kept
+        for r in P.span_dedup(
+            docs, span_tokens=k, scope="within_doc"
+        ).collect()
+    }
+    for d, kept in within.items():
+        assert kept >= got[d][1]
