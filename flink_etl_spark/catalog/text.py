@@ -348,6 +348,32 @@ def _repetition_oracle() -> str:
     """
 
 
+def _unigram_lm_oracle() -> str:
+    """DuckDB twin of `operators/text.unigram_lm_scores` integer-exact
+    measures (self-fit, exact string terms, rare_tf_max=2). The float
+    logprob/ppl columns are deliberately absent — cross-row double sums
+    are order-dependent in the last ulp (tolerance-tested in pytest,
+    never hash-gated)."""
+    from flink_etl_spark.operators.text import (
+        duckdb_micro_floor_ratio as dmfr,
+    )
+
+    return f"""
+    WITH utoks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+              FROM documents) d, UNNEST(t) AS u(tok)
+    ),
+    utf AS (SELECT tok, count(*) AS tf FROM utoks GROUP BY tok)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           {dmfr("sum(f.tf)", "count(*)")} AS mean_tf_micro,
+           {dmfr("count(*) FILTER (WHERE f.tf <= 2)", "count(*)")}
+               AS rare_frac_micro
+    FROM utoks t JOIN utf f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """
+
+
 @query(
     "text_top_bigrams",
     f"""
@@ -372,7 +398,9 @@ def _repetition_oracle() -> str:
            CAST(NULL AS VARCHAR) AS top_bigram,
            CAST(NULL AS BIGINT) AS top_bigram_count,
            CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
-           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           CAST(NULL AS DOUBLE) AS mean_tf_micro,
+           CAST(NULL AS DOUBLE) AS rare_frac_micro
     FROM bg
     GROUP BY b
     HAVING count(*) >= 10
@@ -382,8 +410,23 @@ def _repetition_oracle() -> str:
            CAST(NULL AS BIGINT) AS n_occurrences,
            CAST(NULL AS BIGINT) AS n_docs,
            doc_id, n_tokens, dup_token_frac, top_bigram,
-           top_bigram_count, top_bigram_char_frac, dup_trigram_char_frac
+           top_bigram_count, top_bigram_char_frac, dup_trigram_char_frac,
+           CAST(NULL AS DOUBLE) AS mean_tf_micro,
+           CAST(NULL AS DOUBLE) AS rare_frac_micro
     FROM ({_repetition_oracle()}) rep
+    UNION ALL
+    SELECT 'unigram_lm' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           mean_tf_micro, rare_frac_micro
+    FROM ({_unigram_lm_oracle()}) ulm
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +444,13 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       filters on. Same explode machinery, per-doc aggregation; the
       oracle replicates the struct-max tie-break (count desc, bigram
       desc) exactly.
+    * variant 'unigram_lm' (r5) — CCNet-style unigram-LM quality
+      scores (operators/text.unigram_lm_scores, self-fit): the gate
+      pins the INTEGER-exact measures (mean corpus token frequency +
+      rare-token fraction, micro-floored) with hash_terms=False so
+      the oracle joins exact strings; the float logprob/ppl columns
+      are tolerance-tested in pytest, and the production arm joins on
+      xxhash64 term ids.
     """
     from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
     from flink_etl_spark.operators.prep import repetition_stats
@@ -429,6 +479,8 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("top_bigram_count"),
             F.lit(None).cast("double").alias("top_bigram_char_frac"),
             F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+            F.lit(None).cast("double").alias("mean_tf_micro"),
+            F.lit(None).cast("double").alias("rare_frac_micro"),
         )
     )
     rep = repetition_stats(docs).select(
@@ -443,8 +495,27 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_count",
         "top_bigram_char_frac",
         "dup_trigram_char_frac",
+        F.lit(None).cast("double").alias("mean_tf_micro"),
+        F.lit(None).cast("double").alias("rare_frac_micro"),
     )
-    return corpus.unionByName(rep)
+    from flink_etl_spark.operators.text import unigram_lm_scores
+
+    ulm = unigram_lm_scores(docs, hash_terms=False, rare_tf_max=2).select(
+        F.lit("unigram_lm").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("double").alias("dup_token_frac"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.lit(None).cast("long").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_char_frac"),
+        F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        "mean_tf_micro",
+        "rare_frac_micro",
+    )
+    return corpus.unionByName(rep).unionByName(ulm)
 
 
 @query(

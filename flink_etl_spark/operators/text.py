@@ -290,3 +290,112 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    vocab_term_col: str = "term",
+    vocab_tf_col: str = "tf",
+    rare_tf_max: int = 2,
+    hash_terms: bool = True,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Unigram language-model quality scoring — the public CCNet
+    (Wenzek et al. 2020) / KenLM-filter methodology reduced to its
+    order-0 core: score each document by how (un)surprising its tokens
+    are under a corpus unigram distribution, then filter/bucket on the
+    score. Fluent boilerplate scores high, lorem-ipsum/garbage low.
+
+    ``vocab=None`` (default) fits the LM on ``docs`` itself; pass a
+    ``(term, tf)`` DataFrame to score against a reference corpus (the
+    CCNet setting — e.g. Wikipedia counts), where unseen tokens are
+    out-of-vocabulary. One Laplace-smoothed formula covers both modes:
+
+        p(w) = (tf(w) + 1) / (T + V),   tf(w) = 0 for OOV
+
+    with T = total vocab tokens, V = vocab size.
+
+    Output, one row per document:
+
+    * ``n_tokens``;
+    * ``mean_tf_micro`` — micro-floored mean corpus frequency of the
+      doc's tokens (OOV = 0): INTEGER-exact (oracle-gateable), the
+      common-token-ness signal;
+    * ``rare_frac_micro`` — micro-floored fraction of tokens with
+      tf <= ``rare_tf_max`` (OOV counts as rare): integer-exact;
+    * ``logprob_per_token`` / ``ppl`` — mean token log-probability and
+      perplexity exp(-mean): DOUBLE (cross-row float sums are
+      order-dependent in the last ulp, so these are tolerance-tested,
+      never hash-gated — see catalog/__init__ determinism rules).
+
+    Plan shape at scale: one explode + term-keyed aggregate builds the
+    tf table (persist it when self-fitting a reused LM); totals ride a
+    broadcast 1-row aggregate; the corpus joins the vocab map-side
+    (``broadcast_vocab`` — word-level vocabularies cap out in the low
+    millions, MBs against corpus TBs) and aggregates per doc, so the
+    only corpus-sized shuffle is the per-doc aggregate of 4 numeric
+    columns. ``hash_terms`` (default) joins on ``xxhash64(token)`` —
+    8-byte join keys, token strings never leave the scan (~V^2/2^65
+    odds of a collision merging two terms); the oracle gate pins
+    ``hash_terms=False`` where the join is on exact strings.
+
+    Reference parity: no LM surface in the reference (jiamx/flink-etl);
+    extends SURVEY.md §2.12's quality-filter family per the public
+    CCNet recipe."""
+    if rare_tf_max < 0:
+        raise ValueError(f"rare_tf_max must be >= 0, got {rare_tf_max}")
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
+    )
+    key = (
+        F.xxhash64(F.col("_tok")) if hash_terms else F.col("_tok")
+    ).alias("_k")
+    corpus_keyed = toks.select(F.col(id_col), key)
+    if vocab is None:
+        # persisted: the tf table feeds BOTH the broadcast join and the
+        # totals aggregate — unpersisted, the corpus would tokenize and
+        # term-shuffle twice (vocab-sized cache, corpus-sized saving)
+        tf = corpus_keyed.groupBy("_k").agg(F.count("*").alias("_tf")).persist()
+    else:
+        vkey = (
+            F.xxhash64(F.col(vocab_term_col))
+            if hash_terms
+            else F.col(vocab_term_col)
+        ).alias("_k")
+        tf = (
+            vocab.select(vkey, F.col(vocab_tf_col).cast("long").alias("_tf"))
+            .groupBy("_k")
+            .agg(F.sum("_tf").alias("_tf"))
+        )
+    totals = tf.agg(
+        F.sum("_tf").alias("_T"), F.count("*").alias("_V")
+    )
+    vocab_side = F.broadcast(tf) if broadcast_vocab else tf
+    joined = (
+        corpus_keyed.join(vocab_side, "_k", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    tf0 = F.coalesce(F.col("_tf"), F.lit(0).cast("long"))
+    logp = F.log((tf0 + 1).cast("double") / (F.col("_T") + F.col("_V")))
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(tf0).alias("_sum_tf"),
+        F.sum((tf0 <= rare_tf_max).cast("long")).alias("_n_rare"),
+        F.sum(logp).alias("_sum_logp"),
+    )
+    mean_logp = F.col("_sum_logp") / F.col("n_tokens")
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        micro_floor_ratio(F.col("_sum_tf"), F.col("n_tokens")).alias(
+            "mean_tf_micro"
+        ),
+        micro_floor_ratio(F.col("_n_rare"), F.col("n_tokens")).alias(
+            "rare_frac_micro"
+        ),
+        mean_logp.alias("logprob_per_token"),
+        F.exp(-mean_logp).alias("ppl"),
+    )

@@ -1198,3 +1198,97 @@ def test_semdedup_two_level_quantizer_refines_and_finds_dups(spark):
     }
     for r in dups.collect():
         assert (r.vec_id - 10_000, r.vec_id) in pairs
+
+
+# ---------------------------------------------------------------------------
+# unigram_lm_scores
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_self_fit_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the the the the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.unigram_lm_scores(docs).collect()}
+    # corpus tf: the=6, cat/sat/on/mat=1 each -> T=10, V=5
+    # doc 1: sum_tf = 6+1+1+1+6+1 = 16 over 6 tokens
+    assert out[1].n_tokens == 6
+    assert out[1].mean_tf_micro == 2.666666
+    assert out[1].rare_frac_micro == 0.666666  # 4 of 6 tokens have tf<=2
+    # doc 2: every token is 'the' (tf 6) -> logp = 4*ln(7/15)
+    assert out[2].mean_tf_micro == 6.0 and out[2].rare_frac_micro == 0.0
+    want = math.log(7 / 15)
+    assert abs(out[2].logprob_per_token - want) < 1e-12
+    assert abs(out[2].ppl - math.exp(-want)) < 1e-9
+
+
+def test_unigram_lm_hash_terms_matches_exact_strings(spark):
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r.doc_id: (r.n_tokens, r.mean_tf_micro, r.rare_frac_micro)
+        for r in text.unigram_lm_scores(docs, hash_terms=True).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, r.mean_tf_micro, r.rare_frac_micro)
+        for r in text.unigram_lm_scores(docs, hash_terms=False).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_unigram_lm_external_vocab_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "known unknown")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("known", 9)], "term string, tf long")
+    r = text.unigram_lm_scores(docs, vocab=vocab).collect()[0]
+    # T=9, V=1: known -> ln(10/10)=0, unknown (OOV) -> ln(1/10)
+    assert r.mean_tf_micro == 4.5  # (9 + 0) / 2
+    assert r.rare_frac_micro == 0.5  # OOV counts as rare
+    assert abs(r.logprob_per_token - math.log(1 / 10) / 2) < 1e-12
+
+
+def test_unigram_lm_float_scores_match_duckdb_tolerance(spark):
+    import duckdb
+
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r.doc_id: (r.logprob_per_token, r.ppl)
+        for r in text.unigram_lm_scores(docs, hash_terms=False).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            """
+            WITH toks AS (
+                SELECT doc_id, tok
+                FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+                      FROM '/root/testdata/sf0.001/documents.parquet') d,
+                     UNNEST(t) AS u(tok)
+            ),
+            tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+            tot AS (SELECT sum(tf) AS T, count(*) AS V FROM tf)
+            SELECT doc_id,
+                   sum(ln(CAST(f.tf + 1 AS DOUBLE) / (tot.T + tot.V)))
+                       / count(*) AS lp
+            FROM toks t JOIN tf f ON t.tok = f.tok CROSS JOIN tot
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for d, (lp, ppl) in got.items():
+        assert abs(lp - want[d]) < 1e-9
+        assert abs(ppl - math.exp(-lp)) < 1e-9 * max(1.0, ppl)
+
+
+def test_unigram_lm_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="rare_tf_max"):
+        text.unigram_lm_scores(docs, rare_tf_max=-1)
