@@ -219,3 +219,42 @@ def test_quantize_scale_not_inlined_into_lambda(spark):
     # and no array_max nested inside a transform(...) lambda body
     for m in re.finditer(r"transform\(embedding[^\n]*", plan):
         assert "array_max" not in m.group(0)[20:] or "zip_with" in m.group(0)
+
+
+def test_span_dedup_global_shuffles_digests_not_text(spark):
+    """span_dedup(scope='global'): the first-occurrence window's
+    exchange must carry only (digest, id, pos) — the span text itself
+    never crosses an exchange (the rebuild is a row-local filter over
+    the original rows, drop-lists joined back broadcast-side). This is
+    the property that makes the operator a narrow-shuffle at 100 TB
+    instead of a corpus-sized one."""
+    from flink_etl_spark.operators.prep import span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = span_dedup(docs, span_tokens=20, scope="global")
+    plan = _executed(df)
+    # the drop-list side joins back without forcing a corpus shuffle
+    assert "BroadcastHashJoin" in plan
+    # exactly two hash exchanges: window by digest + per-doc drop agg
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the digest exchange's immediate producer (the next plan line)
+    # must project only (doc_id, _pos, _k) — never the span string _s:
+    # the map-side Generate builds _s, the digest projection drops it
+    # BEFORE the exchange
+    lines = plan.splitlines()
+    k_exchanges = [
+        i for i, line in enumerate(lines)
+        if "Exchange hashpartitioning(_k" in line
+    ]
+    assert k_exchanges, plan
+    import re
+
+    for i in k_exchanges:
+        producer = lines[i + 1]
+        # the projection CONSUMES _s inside sha2(...) but must not
+        # OUTPUT it: a bare `_s#N` item (delimited by , or ]) in the
+        # project list means the span string crosses the exchange
+        assert "Project" in producer, producer
+        assert not re.search(r"[\[, ]_s#\d+[,\]]", producer), producer
