@@ -97,6 +97,25 @@ def _bench_semdedup(spark, sf_dir):
     return semdedup(embs, threshold=0.35, n_cells="auto", quantizer="two_level")
 
 
+def _bench_span_dedup(spark, sf_dir):
+    """C4-style global span dedup (r5 prep family): 20-token windows,
+    digest-keyed narrow shuffle + broadcast drop-list rebuild; tracked
+    from r5 on (not in comparable_11)."""
+    from flink_etl_spark.operators.prep import span_dedup
+
+    return span_dedup(load_table(spark, sf_dir, "documents"),
+                      span_tokens=20, scope="global")
+
+
+def _bench_unigram_lm(spark, sf_dir):
+    """CCNet-style self-fit unigram-LM scoring (r5 text family):
+    xxhash64 term-id vocab broadcast join, per-doc aggregate; tracked
+    from r5 on (not in comparable_11)."""
+    from flink_etl_spark.operators.text import unigram_lm_scores
+
+    return unigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
 def _bench_pipeline(spark, sf_dir):
     """r1-r3-comparable pipeline work: the catalog gate grew a
     'split_summary' union arm in r4 (per-source cap + hash split);
@@ -131,6 +150,8 @@ HEADLINE = [
     ("text_repetition_stats", _bench_repetition),
     ("decontaminate_ngrams", _bench_decontam),
     ("semdedup_keepers", _bench_semdedup),
+    ("span_dedup_global", _bench_span_dedup),
+    ("unigram_lm_scores", _bench_unigram_lm),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -139,6 +160,8 @@ NON_COMPARABLE = {
     "text_repetition_stats",
     "decontaminate_ngrams",
     "semdedup_keepers",
+    "span_dedup_global",
+    "unigram_lm_scores",
 }
 
 

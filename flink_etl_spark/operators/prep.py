@@ -855,13 +855,20 @@ def span_dedup(
       corpus, "earlier" = lexicographic ``(id_col, position)``, so the
       keeper set is deterministic and append-stable. The 100 TB shape
       shuffles NARROW rows only: (key, id, pos) triples — never span
-      text — feed a first-occurrence window; the dropped (id, pos)
-      positions (duplicate volume only, typically a tiny fraction)
-      aggregate per doc and join back to the original rows, where AQE
-      turns the join broadcast when the drop set is small, leaving the
-      corpus side shuffle-free; the rebuild is then a row-local index
-      filter. Worst case (mostly-duplicate corpus) degrades to one
-      id-keyed join of drop-lists — still never a corpus-text shuffle.
+      text. First-occurrence is a min-STRUCT AGGREGATE per key joined
+      back to the triples, deliberately NOT a row_number window: real
+      corpora have boilerplate spans repeated billions of times, and a
+      window would funnel every copy of a hot key through one reducer
+      (AQE cannot split a skewed window). The aggregate partial-combines
+      map-side (one row per distinct key leaves each task regardless of
+      skew) and the winners-probe join is a plain equi-join AQE's
+      skew-split CAN handle. The dropped (id, pos) positions (duplicate
+      volume only) then aggregate per doc and join back to the original
+      rows, where AQE turns the join broadcast when the drop set is
+      small, leaving the corpus side shuffle-free; the rebuild is a
+      row-local index filter. Worst case (mostly-duplicate corpus)
+      degrades to one id-keyed join of drop-lists — still never a
+      corpus-text shuffle.
 
     ``key``: ``"digest"`` (default) keys the exchange on
     ``sha2(span, 256)`` — 32-byte keys, collisions below hardware error
@@ -914,10 +921,11 @@ def span_dedup(
     narrow = staged.select(
         F.col(id_col), F.posexplode("_spans").alias("_pos", "_s")
     ).select(F.col(id_col), "_pos", span_key.alias("_k"))
-    w = Window.partitionBy("_k").orderBy(F.col(id_col), F.col("_pos"))
+    occ = F.struct(F.col(id_col), F.col("_pos"))
+    winners = narrow.groupBy("_k").agg(F.min(occ).alias("_w"))
     dropped = (
-        narrow.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        narrow.join(winners, "_k")
+        .filter(occ != F.col("_w"))
         .groupBy(id_col)
         .agg(F.collect_list("_pos").alias("_drop"))
     )

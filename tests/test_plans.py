@@ -237,24 +237,31 @@ def test_span_dedup_global_shuffles_digests_not_text(spark):
     plan = _executed(df)
     # the drop-list side joins back without forcing a corpus shuffle
     assert "BroadcastHashJoin" in plan
-    # exactly two hash exchanges: window by digest + per-doc drop agg
-    assert plan.count("Exchange hashpartitioning") == 2
-    # the digest exchange's immediate producer (the next plan line)
-    # must project only (doc_id, _pos, _k) — never the span string _s:
-    # the map-side Generate builds _s, the digest projection drops it
-    # BEFORE the exchange
+    # hot-key robustness: first-occurrence is a partial-combining
+    # min-aggregate + AQE-splittable join, NEVER a skew-funneling
+    # window over the span key
+    assert "Window" not in plan
+    # the winners aggregate and its probe join need the SAME
+    # hashpartitioning(_k) of the same narrow triples — ReuseExchange
+    # must collapse them so the corpus tokenizes once, leaving two
+    # distinct digest-keyed exchanges at most (one if reused) plus the
+    # per-doc drop aggregate
     lines = plan.splitlines()
-    k_exchanges = [
-        i for i, line in enumerate(lines)
-        if "Exchange hashpartitioning(_k" in line
+    k_exchange_lines = [
+        line for line in lines if "Exchange hashpartitioning(_k" in line
     ]
-    assert k_exchanges, plan
+    assert k_exchange_lines, plan
+    assert (
+        len(k_exchange_lines) == 1 or "ReusedExchange" in plan
+        or "reuses operator id" in plan
+    ), plan
+    # the digest exchange's immediate producer must project only
+    # (doc_id, _pos, _k) — never the span string _s: a bare `_s#N`
+    # output item means span text crosses the exchange
     import re
 
-    for i in k_exchanges:
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(_k" not in line:
+            continue
         producer = lines[i + 1]
-        # the projection CONSUMES _s inside sha2(...) but must not
-        # OUTPUT it: a bare `_s#N` item (delimited by , or ]) in the
-        # project list means the span string crosses the exchange
-        assert "Project" in producer, producer
         assert not re.search(r"[\[, ]_s#\d+[,\]]", producer), producer
