@@ -87,14 +87,16 @@ def _bench_decontam(spark, sf_dir):
 
 def _bench_semdedup(spark, sf_dir):
     """SemDeDup cluster-then-dedup keeper set (r4): within-cell pairs +
-    duel-based drop, TWO-LEVEL quantizer (the production path —
-    hierarchical assignment, O(n^(4/3)) total vs the flat O(n^1.5);
-    measured ~28% faster at sf0.1 AND at the 10x replica, gap widening
-    with n). Tracked from r4 on (not in comparable_11)."""
+    duel-based drop, AUTO quantizer (r5, the production default): the
+    measured ~8k-vector crossover picks flat below (sf0.1's 2k vectors
+    — two_level's extra persist/windows cost ~20% there) and the
+    hierarchical O(n^(4/3)) two-level arm above (10x replica: ~28%
+    faster, gap widening with n). Tracked from r4 on (not in
+    comparable_11)."""
     from flink_etl_spark.operators.dedup import semdedup
 
     embs = load_table(spark, sf_dir, "embeddings")
-    return semdedup(embs, threshold=0.35, n_cells="auto", quantizer="two_level")
+    return semdedup(embs, threshold=0.35, n_cells="auto", quantizer="auto")
 
 
 def _bench_span_dedup(spark, sf_dir):

@@ -1211,7 +1211,11 @@ def semdedup_pairs(
       (`similarity.ivf_assign_two_level`: ~2*sqrt(k) sims per vector),
       auto = k* = (cost_ratio * n)^(2/3)
       (`knobs.semdedup_auto_cells_two_level`), O(n^(4/3)) total — the
-      100 TB setting. The two quantizers partition the space
+      100 TB setting;
+    * "auto" — size-based pick (`knobs.semdedup_auto_quantizer`,
+      measured crossover ~8k vectors): flat below, two_level above.
+      The production default for callers who don't know their corpus
+      scale a priori. The two quantizers partition the space
       DIFFERENTLY (coarse-cell-refined vs global nearest-seed), so
       pair sets can differ at cell boundaries; every correctness
       property (pairs subset of exact with identical scores, duel
@@ -1232,6 +1236,7 @@ def semdedup_pairs(
         resolve_knob,
         semdedup_auto_cells,
         semdedup_auto_cells_two_level,
+        semdedup_auto_quantizer,
     )
     from flink_etl_spark.operators.similarity import (
         ivf_assign,
@@ -1239,10 +1244,17 @@ def semdedup_pairs(
         ivf_centroids,
     )
 
-    if quantizer not in ("flat", "two_level"):
+    if quantizer not in ("flat", "two_level", "auto"):
         raise ValueError(
-            f"quantizer must be 'flat' or 'two_level', got {quantizer!r}"
+            "quantizer must be 'flat', 'two_level' or 'auto', "
+            f"got {quantizer!r}"
         )
+    if quantizer == "auto":
+        # one column-pruned count picks the arm AND feeds the cell knob
+        # (resolve_knob reuses n_vecs, so "auto" costs a single count)
+        if n_vecs is None:
+            n_vecs = embs.count()
+        quantizer = semdedup_auto_quantizer(n_vecs)
     # persisted for the same reason as the minhash profile: the
     # assignment (windows + the centroid sweep) feeds BOTH sides of
     # the within-cell self-join, and Spark does not reuse the exchange

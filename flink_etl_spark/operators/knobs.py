@@ -116,6 +116,23 @@ def semdedup_auto_cells_two_level(n_vecs: int, cost_ratio: float = 4.0) -> int:
     return max(1, min(1 << 20, n, round((max(cost_ratio, 0.01) * n) ** (2.0 / 3.0))))
 
 
+def semdedup_auto_quantizer(n_vecs: int, crossover: int = 8192) -> str:
+    """Pick the SemDeDup assignment architecture from the corpus size.
+
+    The two-level quantizer's asymptotic win (O(n^(4/3)) total vs the
+    flat arm's O(n^1.5)) is bought with constant per-job overhead the
+    flat arm doesn't pay: an extra corpus persist, a per-coarse-cell
+    seed window, and a second ranking window. Below a few thousand
+    vectors that overhead dominates the asymptotic saving — measured on
+    the replica ladder (docs/SCALING.md): at 2k vectors (sf0.1) flat
+    runs ~20% faster end-to-end, at 20k (the 10x replica) two-level is
+    ~28% faster with the gap widening in n. `crossover` is the measured
+    break-even neighborhood (default 8192, between those two points);
+    the exact value matters little because both arms are within ~25% of
+    each other for an order of magnitude around it."""
+    return "flat" if max(int(n_vecs), 1) < crossover else "two_level"
+
+
 def minhash_auto_bands(
     threshold: float, n_hashes: int = 16, fp_weight: float = 0.2
 ) -> int:

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
+import pytest
 
 from flink_etl_spark.operators import dedup, multimodal, similarity, text
 
@@ -981,6 +982,34 @@ def test_semdedup_survives_single_cell_and_empty_pairs(spark):
     vecs = [(i, [float(i == d) for d in range(3)]) for i in range(3)]
     embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
     assert semdedup(embs, threshold=0.5, n_cells=1).count() == 3
+
+
+def test_semdedup_auto_quantizer_picks_flat_small_two_level_large(spark):
+    """quantizer="auto" must equal the flat arm below the crossover
+    (same keeper set) and route to two_level above it; n_vecs passes
+    through so "auto" never re-counts a corpus the caller already
+    sized."""
+    from flink_etl_spark.operators.dedup import semdedup
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.01]),  # a near-dup pair
+        (2, [0.0, 1.0]), (3, [0.01, 0.999]),  # another
+    ]
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    auto_small = {r.vec_id for r in
+                  semdedup(embs, threshold=0.9, quantizer="auto").collect()}
+    flat = {r.vec_id for r in
+            semdedup(embs, threshold=0.9, quantizer="flat",
+                     n_cells="auto").collect()}
+    assert auto_small == flat
+    # forcing a large claimed corpus routes to two_level — the keeper
+    # invariant (>= 1 survivor per duplicate clique) holds either way
+    auto_big = {r.vec_id for r in
+                semdedup(embs, threshold=0.9, quantizer="auto",
+                         n_vecs=1_000_000).collect()}
+    assert auto_big & {0, 1} and auto_big & {2, 3}
+    with pytest.raises(ValueError, match="quantizer"):
+        semdedup(embs, quantizer="bogus")
 
 
 def test_exact_dedup_carry_cols_matches_join_back(spark):

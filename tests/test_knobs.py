@@ -181,3 +181,15 @@ def test_semdedup_auto_cells_two_level_optimum():
     assert k2 > semdedup_auto_cells(n)
     assert semdedup_auto_cells_two_level(0) == 1
     assert semdedup_auto_cells_two_level(10**12) == 1 << 20  # ceiling
+
+
+def test_semdedup_auto_quantizer_crossover():
+    from flink_etl_spark.operators.knobs import semdedup_auto_quantizer
+
+    # measured ladder points (docs/SCALING.md): flat wins at 2k,
+    # two_level wins at 20k; the default crossover sits between
+    assert semdedup_auto_quantizer(2_000) == "flat"
+    assert semdedup_auto_quantizer(20_000) == "two_level"
+    assert semdedup_auto_quantizer(0) == "flat"
+    # explicit crossover override
+    assert semdedup_auto_quantizer(100, crossover=50) == "two_level"
