@@ -142,6 +142,35 @@ _CHUNK_PAD = """
            CAST(NULL AS VARCHAR) AS chunk_text
 """
 
+_NORM_PAD = """
+           CAST(NULL AS VARCHAR) AS norm_text,
+           CAST(NULL AS BIGINT) AS n_norm_chars
+"""
+
+#: deterministic MESSY text for the normalize arm — the synthetic
+#: corpus is already clean ASCII, so the gate plants case / accents /
+#: a control char / whitespace runs as a pure function of (doc_id,
+#: text) in the Spark-DuckDB common dialect (concat / CASE / upper /
+#: substr parse identically; coalesce guards Spark's NULL-propagating
+#: concat). chr(9) is a literal tab in both engines.
+_MESSY_DERIVE = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'Héllo\tWörld  ' ELSE '  CAFÉ naïve ' END, "
+    "upper(substr(coalesce(text, ''), 1, 24)), "
+    "'   ', substr(coalesce(text, ''), 25, 40))"
+)
+
+
+def _normalize_oracle_arm() -> str:
+    from flink_etl_spark.operators.text import duckdb_normalize_sql
+
+    return f"""
+    SELECT doc_id, norm_text,
+           CAST(length(norm_text) AS BIGINT) AS n_norm_chars
+    FROM (SELECT doc_id, {duckdb_normalize_sql("messy")} AS norm_text
+          FROM (SELECT doc_id, {_MESSY_DERIVE} AS messy FROM documents) m) n
+    """
+
 
 def _chunks_oracle_arm() -> str:
     """DuckDB twin of `prep.chunk_documents(chunk_chars=200,
@@ -190,7 +219,8 @@ def _chunks_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_phone,
            CAST(NULL AS BIGINT) AS n_ipv4,
            CAST(NULL AS VARCHAR) AS redacted,
-           {_CHUNK_PAD}
+           {_CHUNK_PAD},
+           {_NORM_PAD}
     FROM t
     UNION ALL
     SELECT 'pii_redact' AS variant,
@@ -200,7 +230,8 @@ def _chunks_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_punct,
            CAST(NULL AS DOUBLE) AS avg_pretoken_len,
            n_email, n_phone, n_ipv4, redacted,
-           {_CHUNK_PAD}
+           {_CHUNK_PAD},
+           {_NORM_PAD}
     FROM ({_pii_oracle_arm()}) pii
     UNION ALL
     SELECT 'chunks' AS variant,
@@ -213,8 +244,23 @@ def _chunks_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_phone,
            CAST(NULL AS BIGINT) AS n_ipv4,
            CAST(NULL AS VARCHAR) AS redacted,
-           chunk_idx, chunk_start, n_chunk_chars, chunk_text
+           chunk_idx, chunk_start, n_chunk_chars, chunk_text,
+           {_NORM_PAD}
     FROM ({_chunks_oracle_arm()}) ch
+    UNION ALL
+    SELECT 'normalize' AS variant,
+           doc_id,
+           CAST(NULL AS BIGINT) AS n_pretokens,
+           CAST(NULL AS BIGINT) AS n_word,
+           CAST(NULL AS BIGINT) AS n_punct,
+           CAST(NULL AS DOUBLE) AS avg_pretoken_len,
+           CAST(NULL AS BIGINT) AS n_email,
+           CAST(NULL AS BIGINT) AS n_phone,
+           CAST(NULL AS BIGINT) AS n_ipv4,
+           CAST(NULL AS VARCHAR) AS redacted,
+           {_CHUNK_PAD},
+           norm_text, n_norm_chars
+    FROM ({_normalize_oracle_arm()}) nm
     """,
 )
 def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,8 +283,15 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       50-char continuity overlap, zero shuffles — the RAG/long-doc
       context-window prep step) over the doc_id % 7 = 0 slice; every
       chunk's text, offset and length are value-gated.
+    * variant 'normalize' (r5) — pre-dedup text canonicalization
+      (operators/text.normalize_text: control-strip, 1:1 accent fold,
+      lowercase, whitespace collapse — the CCNet/C4 cleanup order)
+      over deterministically planted messy text (`_MESSY_DERIVE` — the
+      synthetic corpus is already clean); every normalized string is
+      value-gated against DuckDB running the identical chain.
     """
     from flink_etl_spark.operators.prep import chunk_documents, pii_redact
+    from flink_etl_spark.operators.text import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
     _chunk_pad = [
@@ -246,6 +299,10 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("chunk_start"),
         F.lit(None).cast("long").alias("n_chunk_chars"),
         F.lit(None).cast("string").alias("chunk_text"),
+    ]
+    _norm_pad = [
+        F.lit(None).cast("string").alias("norm_text"),
+        F.lit(None).cast("long").alias("n_norm_chars"),
     ]
     toks = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
     words = F.filter(F.col("_t"), lambda x: x.rlike("^\\w+$"))
@@ -264,6 +321,7 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_ipv4"),
         F.lit(None).cast("string").alias("redacted"),
         *_chunk_pad,
+        *_norm_pad,
     )
     planted = docs.select("doc_id", F.expr(_PII_DERIVE).alias("pii_text"))
     pii = pii_redact(
@@ -281,6 +339,7 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ipv4").cast("long").alias("n_ipv4"),
         "redacted",
         *_chunk_pad,
+        *_norm_pad,
     )
     chunks = chunk_documents(
         docs.filter("doc_id % 7 = 0"),
@@ -302,8 +361,27 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_start",
         "n_chunk_chars",
         "chunk_text",
+        *_norm_pad,
     )
-    return pretokens.unionByName(pii).unionByName(chunks)
+    messy = docs.select("doc_id", F.expr(_MESSY_DERIVE).alias("messy"))
+    norm = normalize_text(messy, text_col="messy").select(
+        F.lit("normalize").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_pretokens"),
+        F.lit(None).cast("long").alias("n_word"),
+        F.lit(None).cast("long").alias("n_punct"),
+        F.lit(None).cast("double").alias("avg_pretoken_len"),
+        F.lit(None).cast("long").alias("n_email"),
+        F.lit(None).cast("long").alias("n_phone"),
+        F.lit(None).cast("long").alias("n_ipv4"),
+        F.lit(None).cast("string").alias("redacted"),
+        *_chunk_pad,
+        "norm_text",
+        F.length("norm_text").cast("long").alias("n_norm_chars"),
+    )
+    return (
+        pretokens.unionByName(pii).unionByName(chunks).unionByName(norm)
+    )
 
 
 def _repetition_oracle() -> str:

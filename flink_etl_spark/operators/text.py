@@ -253,6 +253,87 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+#: 1:1 accent-folding table (Latin-1 supplement + Latin Extended-A
+#: common cases) — an explicit pair of parallel strings rather than a
+#: library NFKD pass so the SAME mapping runs in Spark's translate()
+#: and DuckDB's, character-for-character. Multi-char expansions (ß→ss,
+#: Œ→OE) are NOT in scope of a 1:1 translate and stay untouched.
+ACCENT_SRC = (
+    "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûü"
+    "ÇçÑñÝýÿĀāĒēĪīŌōŪūŠšŽž"
+)
+ACCENT_DST = (
+    "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuu"
+    "CcNnYyyAaEeIiOoUuSsZz"
+)
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    strip_control: bool = True,
+    fold_accents: bool = True,
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Canonicalize text the way public dedup pipelines do before
+    hashing (CCNet's lowercase+accent normalization, C4's whitespace
+    cleanup): a fixed step order of
+
+    1. control characters (C0 + DEL) -> space,
+    2. 1:1 accent folding (`ACCENT_SRC` -> `ACCENT_DST`),
+    3. lowercasing,
+    4. whitespace-run collapse to a single space + trim,
+
+    each step toggleable, all pure codegen string expressions — zero
+    shuffles, zero Python. Canonicalizing BEFORE `exact_dedup` /
+    `minhash_profile` is what makes "same text modulo case/accents/
+    whitespace" one dedup key at 100 TB; the step order matters
+    (folding before lowering keeps the table ASCII-target, collapsing
+    last removes the spaces step 1 introduced). Output: the input
+    columns plus `out_col`. Raises on a name collision the same way
+    `pii_redact` does."""
+    if out_col in docs.columns:
+        raise ValueError(
+            f"normalize_text: out_col {out_col!r} collides with an input "
+            "column — pick a distinct name"
+        )
+    s: Column = F.coalesce(F.col(text_col), F.lit(""))
+    if strip_control:
+        s = F.regexp_replace(s, "[\\x00-\\x1f\\x7f]", " ")
+    if fold_accents:
+        s = F.translate(s, ACCENT_SRC, ACCENT_DST)
+    if lowercase:
+        s = F.lower(s)
+    if collapse_ws:
+        s = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return docs.select("*", s.alias(out_col))
+
+
+def duckdb_normalize_sql(
+    text_sql: str,
+    strip_control: bool = True,
+    fold_accents: bool = True,
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> str:
+    """DuckDB twin of `normalize_text`'s expression chain — identical
+    step order and tables; DuckDB's regexp_replace needs the explicit
+    'g' flag where Spark's replaces all matches by default."""
+    s = f"coalesce({text_sql}, '')"
+    if strip_control:
+        s = f"regexp_replace({s}, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
+    if fold_accents:
+        s = f"translate({s}, '{ACCENT_SRC}', '{ACCENT_DST}')"
+    if lowercase:
+        s = f"lower({s})"
+    if collapse_ws:
+        s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return s
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

@@ -1321,3 +1321,44 @@ def test_unigram_lm_validation(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="rare_tf_max"):
         text.unigram_lm_scores(docs, rare_tf_max=-1)
+
+
+def test_normalize_text_steps_and_toggles(spark):
+    """Fixed step order (control -> accents -> lower -> whitespace),
+    each step independently toggleable; DuckDB twin produces identical
+    strings for the same chain."""
+    import duckdb
+
+    rows = [
+        (0, "Héllo   Wörld\tFOO"),
+        (1, "  CAFÉ naïve\x01x  "),
+        (2, None),
+        (3, "ĀĒĪŌŪ šž"),
+        (4, "plain"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.norm_text
+           for r in text.normalize_text(docs).collect()}
+    assert got == {0: "hello world foo", 1: "cafe naive x", 2: "",
+                   3: "aeiou sz", 4: "plain"}
+    # twin: identical chain in DuckDB
+    con = duckdb.connect()
+    con.execute("create table t(doc_id bigint, s varchar)")
+    for i, s in rows:
+        con.execute("insert into t values (?, ?)", [i, s])
+    twin = dict(con.execute(
+        f"select doc_id, {text.duckdb_normalize_sql('s')} from t"
+    ).fetchall())
+    assert twin == got
+    # toggles: accents kept, case kept, whitespace kept
+    kept = {r.doc_id: r.norm_text for r in text.normalize_text(
+        docs, fold_accents=False, lowercase=False, collapse_ws=False
+    ).collect()}
+    # only control-strip ran: the tab (a C0 char) became a space,
+    # accents/case/runs untouched
+    assert kept[0] == "Héllo   Wörld FOO"
+    # collision guard
+    import pytest
+
+    with pytest.raises(ValueError, match="collides"):
+        text.normalize_text(docs, out_col="text")
