@@ -637,13 +637,29 @@ def pack_greedy_global(
         raise ValueError(f"budget must be positive, got {budget}")
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_greedy_global requires an integral id_col, got "
+            f"{id_col!r}: {id_type}"
+        )
 
     # integer `div`, not float division + cast: for snowflake-scale ids
     # (quotient near 2^52) the IEEE quotient can round across a bucket
     # boundary, silently violating the documented id_col // bucket_width
-    # grid — the same floor-grid rule the gate surface follows
+    # grid — the same floor-grid rule the gate surface follows. The
+    # CASE folds the documented non-negative-id requirement into the
+    # bucket expression itself (negative ids would floor into bucket
+    # -1 and silently corrupt the global order) — inside the expression
+    # so column pruning can never drop the check.
     bucketed = df.withColumn(
-        "_pkb", F.expr(f"`{id_col}` div {bucket_width}")
+        "_pkb",
+        F.expr(
+            f"CASE WHEN `{id_col}` >= 0 THEN `{id_col}` div {bucket_width} "
+            f"ELSE CAST(raise_error('pack_greedy_global: id_col must be "
+            f"non-negative, got ' || CAST(`{id_col}` AS STRING)) AS BIGINT) "
+            f"END"
+        ),
     )
     w_in = (
         Window.partitionBy("_pkb")
@@ -881,9 +897,10 @@ def span_dedup(
     empty; a single-space-joined rebuild of an undeduped single-spaced
     document equals the input (property-tested).
 
-    Reference parity: extends the reference's row-identity dedup
-    (`TransactionAnaly.java:55-63` latest-per-key) to sub-document
-    granularity per the public C4/RefinedWeb methodology."""
+    Reference parity: extends the reference's row-identity dedup (the
+    `row_number() OVER (PARTITION BY id ...)` latest-per-key merge in
+    its Hive SQL, `README.md:244-251`) to sub-document granularity per
+    the public C4/RefinedWeb methodology."""
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     if scope not in ("global", "within_doc"):

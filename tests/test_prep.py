@@ -436,6 +436,24 @@ def test_pack_greedy_global_no_single_partition_window(spark):
         P.pack_greedy_global(df, budget=512, bucket_width=0)
 
 
+def test_pack_greedy_global_rejects_non_integral_and_negative_ids(spark):
+    """The docstring's non-negative integral id_col requirement is
+    enforced: non-integral dtype -> ValueError at plan time; negative
+    values -> raise_error at run time (folded into the bucket
+    expression so pruning can't drop the check)."""
+    bad_type = spark.createDataFrame(
+        [("a", 10)], "doc_id string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="integral id_col"):
+        P.pack_greedy_global(bad_type, budget=512)
+
+    neg = spark.createDataFrame(
+        [(-1, 10), (2, 10)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        P.pack_greedy_global(neg, budget=512).collect()
+
+
 def test_hash_split_boundaries_exact_for_decimal_weights(spark):
     """round(cum * n_buckets), not int(): 0.7 * 10000 is
     6999.999999999999 in IEEE double — truncation silently moves a
