@@ -67,6 +67,63 @@ _SPAN_CTE = f"""
 """
 
 
+#: substring (offset-robust anchor) CTEs for the span_offset oracle
+#: arm: 15-token stride-1 anchors, first occurrence by (doc_id, pos),
+#: token dropped when covered by any non-winning anchor window —
+#: mirroring operators/prep.substring_dedup(min_tokens=15, key="digest")
+_SUBSTR_K = 15
+_SUBSTR_CTE = f"""
+    atk AS (
+        SELECT doc_id,
+               regexp_split_to_array(coalesce(text, ''), ' +') AS tk
+        FROM documents
+    ),
+    anch AS (
+        SELECT doc_id, CAST(g.i AS INT) AS pos,
+               sha256(array_to_string(tk[g.i+1 : g.i+{_SUBSTR_K}], ' ')) AS h
+        FROM atk,
+             UNNEST(generate_series(
+                 0, CAST(len(tk) AS BIGINT) - {_SUBSTR_K})) AS g(i)
+    ),
+    sdup AS (
+        SELECT doc_id, pos
+        FROM (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM anch) r
+        WHERE rn > 1
+    ),
+    scov AS (
+        SELECT DISTINCT doc_id, CAST(u.i AS INT) AS ti
+        FROM sdup,
+             UNNEST(generate_series(pos, pos + {_SUBSTR_K - 1})) AS u(i)
+    ),
+    stok AS (
+        SELECT doc_id, CAST(g.i AS INT) AS ti, tk[g.i+1] AS tok
+        FROM atk,
+             UNNEST(generate_series(0, CAST(len(tk) AS BIGINT) - 1)) AS g(i)
+    ),
+    srb AS (
+        SELECT t.doc_id,
+               count(*) FILTER (WHERE c.ti IS NULL) AS n_kept,
+               string_agg(tok, ' ' ORDER BY t.ti)
+                   FILTER (WHERE c.ti IS NULL) AS txt
+        FROM stok t
+        LEFT JOIN scov c ON c.doc_id = t.doc_id AND c.ti = t.ti
+        GROUP BY t.doc_id
+    )
+"""
+
+_SUBSTR_ORACLE_ARM = """
+    SELECT 'span_offset' AS variant,
+           a.doc_id AS keep_id,
+           coalesce(s.n_kept, 0) AS n_copies,
+           concat(CAST(len(a.tk) AS VARCHAR), ':',
+                  coalesce(s.txt, '')) AS detail
+    FROM atk a LEFT JOIN srb s USING (doc_id)
+"""
+
+
 def _span_oracle_arm(variant: str, partition: str) -> str:
     """One span_dedup oracle arm: first-occurrence keep over the given
     window partition ('sha256(span)' global / 'doc_id, sha256(span)'
@@ -89,7 +146,8 @@ def _span_oracle_arm(variant: str, partition: str) -> str:
 @query(
     "dedup_exact_docs",
     f"""
-    WITH {_SPAN_CTE}
+    WITH {_SPAN_CTE},
+    {_SUBSTR_CTE}
     SELECT 'content' AS variant,
            min(doc_id) AS keep_id,
            count(*) AS n_copies,
@@ -107,6 +165,8 @@ def _span_oracle_arm(variant: str, partition: str) -> str:
     {_span_oracle_arm("span_global", "sha256(span)")}
     UNION ALL
     {_span_oracle_arm("span_within", "doc_id, sha256(span)")}
+    UNION ALL
+    {_SUBSTR_ORACLE_ARM}
     """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,8 +186,16 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc, n_copies = spans kept, detail = 'n_spans:rebuilt_text'.
       The global arm pins key='digest' (the production sha256
       exchange, replicated by the oracle's sha256 window partition);
-      within-doc is the zero-shuffle row-local arm."""
-    from flink_etl_spark.operators.prep import span_dedup
+      within-doc is the zero-shuffle row-local arm.
+    * variant 'span_offset' (r6) — OFFSET-ROBUST substring dedup
+      (`operators/prep.substring_dedup`, the Lee et al. 2022
+      ExactSubstr method via stride-1 overlapping 15-token anchors):
+      catches duplicated passages the fixed span grid misses when
+      shifted by any offset. One row per doc, n_copies = tokens
+      kept, detail = 'n_tokens:rebuilt_text'. Gated on key='digest'
+      (oracle-replicable sha256 anchors); the hash64 production arm
+      is unit-tested equivalent."""
+    from flink_etl_spark.operators.prep import span_dedup, substring_dedup
 
     docs = _t(spark, sf_dir, "documents")
     content = D.exact_dedup(docs, ["text"], "doc_id").select(
@@ -160,10 +228,22 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("detail"),
         )
 
+    span_offset = substring_dedup(
+        docs, min_tokens=_SUBSTR_K, key="digest"
+    ).select(
+        F.lit("span_offset").alias("variant"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_tokens_kept").alias("n_copies"),
+        F.concat(
+            F.col("n_tokens").cast("string"), F.lit(":"), F.col("dedup_text")
+        ).alias("detail"),
+    )
+
     return (
         content.unionByName(digest)
         .unionByName(span_arm("span_global", "global"))
         .unionByName(span_arm("span_within", "within_doc"))
+        .unionByName(span_offset)
     )
 
 

@@ -959,6 +959,163 @@ def span_dedup(
     )
 
 
+def substring_dedup(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash64",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """OFFSET-ROBUST exact substring deduplication — the public
+    ExactSubstr method (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": remove every substring of >=
+    ``min_tokens`` tokens that occurred earlier anywhere in the
+    corpus, keeping the first occurrence), re-expressed for Spark as
+    OVERLAPPING-ANCHOR dedup instead of a suffix array (which is a
+    single-node, memory-superlinear structure).
+
+    `span_dedup`'s fixed non-overlapping grid misses any duplicated
+    passage shifted off the grid by even one token — the known
+    weakness of window-grid dedup. This operator emits an anchor for
+    EVERY ``stride``-spaced token position (stride 1 default = every
+    position): a duplicated passage of L >= min_tokens tokens yields
+    identical anchors at identical passage-relative offsets in every
+    copy regardless of document alignment, so with stride=1 detection
+    is EXACT for passages >= min_tokens (the union of duplicated
+    anchor windows is precisely the duplicated passage). stride > 1
+    divides the exchange volume by stride but loses the alignment
+    guarantee (both copies must hit the per-document grid) — a
+    recall/cost knob, not a correctness knob.
+
+    Pipeline (the `span_dedup` global shape, anchor-dense):
+
+    1. tokenize once; per position p in {0, stride, 2*stride, ...}
+       derive the ``min_tokens``-token anchor id at p — row-local;
+    2. shuffle NARROW (anchor_key, id, grid_pos) triples only — never
+       anchor text; first occurrence per key is a min-STRUCT AGGREGATE
+       (partial-combines map-side; a boilerplate anchor repeated
+       billions of times never funnels through one reducer — same
+       skew-proof shape as `span_dedup`, deliberately not a window);
+    3. non-winning occurrences collect per doc, broadcast-join back
+       (AQE) and the rebuild drops every token covered by a duplicated
+       anchor window [p*stride, p*stride + min_tokens - 1] — the
+       adjacent-anchor merge into maximal spans falls out of the
+       coverage union, row-locally.
+
+    ``key``:
+
+    * ``"hash64"`` (default, the 100 TB path) — anchor id = two
+      independent 31-bit polynomial folds over per-token xxhash64
+      streams packed into one bigint (~62-bit entropy, 8-byte
+      exchange keys, no anchor strings ever materialized). False
+      collisions at 1e13 anchors: ~1e4 expected, each costing <=
+      min_tokens spuriously dropped tokens — a ~1e-9 false-removal
+      rate, far below the method's own token-granularity noise.
+    * ``"digest"`` — ``sha2(anchor_string, 256)``: collision-free and
+      oracle-portable (DuckDB ``sha256``), at the cost of
+      materializing anchor strings row-locally (a min_tokens-fold
+      token copy inside the scan projection, never shuffled) and
+      32-byte exchange keys. The driver-gated arm.
+
+    Exchange cost, stated honestly: stride=1 ships one ~(key + id +
+    pos) triple per corpus token — 2-4x the raw text bytes with
+    hash64 keys. That is the price of offset robustness (the
+    suffix-array original pays superlinear single-node memory
+    instead); `span_dedup` at 1/min_tokens the exchange volume is the
+    cheap grid-aligned screen, this is the exact sweep. Run both:
+    grid first, anchors on what survives.
+
+    Output: one row per input document — ``id_col``, ``n_tokens``,
+    ``n_tokens_kept``, ``out_col`` (surviving tokens joined by a
+    single space). NULL text = empty. Documents shorter than
+    ``min_tokens`` emit no anchors and pass through intact. First
+    occurrence ("earlier" = lexicographic (id, position)) survives
+    intact unless it overlaps a different duplicated passage;
+    within-document repeats past the first are removed too.
+
+    Reference parity: extends the reference's row-identity dedup (the
+    `row_number() OVER (PARTITION BY id ...)` latest-per-key merge in
+    its Hive SQL, `README.md:244-251`) to exact sub-document
+    granularity per the public Lee et al. 2022 methodology."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if key not in ("hash64", "digest"):
+        raise ValueError(f"key must be 'hash64' or 'digest', got {key!r}")
+    for reserved in ("n_tokens", "n_tokens_kept", out_col):
+        if reserved == id_col:
+            raise ValueError(f"output column {reserved!r} collides with id_col")
+
+    from flink_etl_spark.functions.hashing import (
+        MERSENNE_P,
+        combine_gram_ids,
+    )
+
+    k = min_tokens
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    staged = docs.select(F.col(id_col), toks.alias("_toks"))
+
+    if key == "digest":
+        anchors = F.transform(
+            shingles_expr(F.col("_toks"), k), lambda s: F.sha2(s, 256)
+        )
+    else:
+        # two independent per-token xxhash64 streams (distinct salts),
+        # each folded to a 31-bit gram id, packed into one bigint:
+        # max value (p-1)*2^31 + (p-1) < 2^62 — no overflow under ANSI
+        th1 = F.transform(
+            F.col("_toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P))
+        )
+        th2 = F.transform(
+            F.col("_toks"),
+            lambda t: F.pmod(
+                F.xxhash64(t, F.lit(0x9E3779B9)), F.lit(MERSENNE_P)
+            ),
+        )
+        anchors = F.zip_with(
+            combine_gram_ids(th1, k),
+            combine_gram_ids(th2, k),
+            lambda a, b: a * F.lit(2_147_483_648) + b,
+        )
+    if stride > 1:
+        # grid index j <-> token position j*stride, order-preserving
+        anchors = F.filter(
+            anchors, lambda x, i: i % F.lit(stride) == F.lit(0)
+        )
+    with_anchors = staged.select(F.col(id_col), "_toks", anchors.alias("_a"))
+
+    narrow = with_anchors.select(
+        F.col(id_col), F.posexplode("_a").alias("_pos", "_k")
+    ).select(F.col(id_col), "_pos", "_k")
+    occ = F.struct(F.col(id_col), F.col("_pos"))
+    winners = narrow.groupBy("_k").agg(F.min(occ).alias("_w"))
+    dropped = (
+        narrow.join(winners, "_k")
+        .filter(occ != F.col("_w"))
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_dup"))
+    )
+    joined = with_anchors.join(dropped, on=id_col, how="left")
+    dup_arr = F.coalesce(F.col("_dup"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            dup_arr,
+            lambda p: (p * F.lit(stride) <= i)
+            & (i <= p * F.lit(stride) + F.lit(k - 1)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        F.concat_ws(" ", kept).alias(out_col),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_chars: int = 2048,

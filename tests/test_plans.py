@@ -265,3 +265,33 @@ def test_span_dedup_global_shuffles_digests_not_text(spark):
             continue
         producer = lines[i + 1]
         assert not re.search(r"[\[, ]_s#\d+[,\]]", producer), producer
+
+
+def test_substring_dedup_shuffles_anchor_ids_not_text(spark):
+    """substring_dedup(key='hash64'): the stride-1 anchor exchange —
+    already one triple per corpus token — must carry only
+    (anchor_id bigint, id, pos): neither the token array nor any
+    anchor string may cross an exchange, and first-occurrence is the
+    same skew-proof min-aggregate shape as span_dedup (no Window)."""
+    from flink_etl_spark.operators.prep import substring_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = substring_dedup(docs, min_tokens=15, key="hash64")
+    plan = _executed(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    lines = plan.splitlines()
+    k_exchange_lines = [
+        i for i, line in enumerate(lines)
+        if "Exchange hashpartitioning(_k" in line
+    ]
+    assert k_exchange_lines, plan
+    for i in k_exchange_lines:
+        producer = lines[i + 1]
+        # no token array (_toks) and no string payload in the exchange
+        assert not re.search(r"[\[, ]_toks#\d+[,\]]", producer), producer
+        assert not re.search(r"[\[, ]_a#\d+[,\]]", producer), producer

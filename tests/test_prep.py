@@ -789,3 +789,173 @@ def test_span_dedup_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (offset-robust anchors)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_catches_shifted_duplicate_grid_misses(spark):
+    """The Lee et al. 2022 motivation, verbatim: a duplicated paragraph
+    shifted off the span grid by ONE token is invisible to grid
+    span_dedup but fully removed by overlapping-anchor substring
+    dedup, with the first occurrence kept intact."""
+    para = " ".join(f"p{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, para + " tail one two three"), (2, "shift " + para)],
+        "doc_id long, text string",
+    )
+    grid = {
+        r.doc_id: (r.n_spans, r.n_spans_kept)
+        for r in P.span_dedup(docs, span_tokens=20, scope="global").collect()
+    }
+    assert grid[2][0] == grid[2][1]  # grid sees nothing to drop
+    for key in ("digest", "hash64"):
+        out = {
+            r.doc_id: r
+            for r in P.substring_dedup(docs, min_tokens=20, key=key).collect()
+        }
+        assert out[1].dedup_text == para + " tail one two three"
+        assert out[2].dedup_text == "shift"
+        assert (out[2].n_tokens, out[2].n_tokens_kept) == (26, 1)
+
+
+def test_substring_dedup_hash64_matches_digest(spark):
+    """The 8-byte production keys and the sha256 oracle keys must
+    produce identical results on a corpus with real duplication."""
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = lambda key: sorted(  # noqa: E731
+        map(
+            tuple,
+            P.substring_dedup(docs, min_tokens=10, key=key).collect(),
+        )
+    )
+    a, b = rows("digest"), rows("hash64")
+    assert a == b and len(a) > 0
+    # non-degenerate: the corpus contains near-dup docs sharing passages
+    assert any(r[1] != r[2] for r in a)
+
+
+def test_substring_dedup_unique_corpus_identity_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in P.substring_dedup(docs, min_tokens=4).collect()
+    }
+    assert out[1].dedup_text == "a b c d e"  # unique -> identity
+    assert out[2].dedup_text == "f g h"  # shorter than min_tokens
+    assert out[3].dedup_text == "" and out[3].n_tokens == 1
+    assert out[4].dedup_text == "" and out[4].n_tokens_kept == 1
+
+
+def test_substring_dedup_within_doc_repeat_keeps_first(spark):
+    # the second copy of the 4-token run inside ONE document is removed
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y a b c d")], "doc_id long, text string"
+    )
+    out = P.substring_dedup(docs, min_tokens=4).collect()[0]
+    assert out.dedup_text == "a b c d x y"
+    assert (out.n_tokens, out.n_tokens_kept) == (10, 6)
+
+
+def test_substring_dedup_stride_trades_recall(spark):
+    """stride divides anchor volume; an aligned duplicate is still
+    caught, a misaligned one may be missed — the documented trade."""
+    para = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, para), (2, para), (3, "zz " + para)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in P.substring_dedup(docs, min_tokens=6, stride=6).collect()
+    }
+    assert out[1].n_tokens_kept == 12  # first occurrence intact
+    assert out[2].n_tokens_kept == 0  # grid-aligned dup fully removed
+    # doc 3's copy is shifted off BOTH docs' stride-6 grids at the
+    # matching offsets -> partially or fully missed (recall loss):
+    assert out[3].n_tokens_kept >= 1
+    # stride=1 catches it exactly
+    exact = {
+        r.doc_id: r
+        for r in P.substring_dedup(docs, min_tokens=6, stride=1).collect()
+    }
+    assert exact[3].dedup_text == "zz"
+
+
+def test_substring_dedup_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_tokens"):
+        P.substring_dedup(docs, min_tokens=0)
+    with pytest.raises(ValueError, match="stride"):
+        P.substring_dedup(docs, stride=0)
+    with pytest.raises(ValueError, match="key"):
+        P.substring_dedup(docs, key="content")
+    with pytest.raises(ValueError, match="collides"):
+        P.substring_dedup(docs, out_col="doc_id")
+
+
+def test_substring_dedup_matches_duckdb(spark):
+    """Independent DuckDB replication of the full anchor pipeline
+    (sha256 anchors, first occurrence by (doc_id, pos), coverage-union
+    removal) on the sf0.001 corpus."""
+    from flink_etl_spark.sources.tables import load_table
+
+    k = 10
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.dedup_text)
+        for r in P.substring_dedup(docs, min_tokens=k, key="digest").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        d: (n, nk, t)
+        for d, n, nk, t in con.execute(
+            f"""
+            WITH atk AS (
+              SELECT doc_id,
+                     regexp_split_to_array(coalesce(text,''), ' +') AS tk
+              FROM '/root/testdata/sf0.001/documents.parquet'
+            ),
+            anch AS (
+              SELECT doc_id, CAST(g.i AS INT) AS pos,
+                     sha256(array_to_string(tk[g.i+1 : g.i+{k}], ' ')) AS h
+              FROM atk,
+                   UNNEST(generate_series(
+                       0, CAST(len(tk) AS BIGINT) - {k})) AS g(i)
+            ),
+            sdup AS (
+              SELECT doc_id, pos
+              FROM (SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM anch) r
+              WHERE rn > 1
+            ),
+            scov AS (
+              SELECT DISTINCT doc_id, CAST(u.i AS INT) AS ti
+              FROM sdup,
+                   UNNEST(generate_series(pos, pos + {k - 1})) AS u(i)
+            ),
+            stok AS (
+              SELECT doc_id, CAST(g.i AS INT) AS ti, tk[g.i+1] AS tok
+              FROM atk,
+                   UNNEST(generate_series(
+                       0, CAST(len(tk) AS BIGINT) - 1)) AS g(i)
+            )
+            SELECT t.doc_id, count(*),
+                   count(*) FILTER (WHERE c.ti IS NULL),
+                   coalesce(string_agg(tok, ' ' ORDER BY t.ti)
+                            FILTER (WHERE c.ti IS NULL), '')
+            FROM stok t
+            LEFT JOIN scov c ON c.doc_id = t.doc_id AND c.ti = t.ti
+            GROUP BY t.doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
