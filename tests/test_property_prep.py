@@ -310,3 +310,89 @@ def test_span_dedup_matches_python_model(spark, rows, k):
     }
     for d, kept in within.items():
         assert kept >= got[d][1]
+
+
+@settings(**_PROP)
+@given(row=st.tuples(st.integers(min_value=0, max_value=10**6), _texts),
+       k=st.integers(min_value=1, max_value=5))
+def test_span_dedup_single_doc_global_subsumes_within(spark, row, k):
+    """On a single-document corpus the global scope has nothing
+    earlier to dedup against beyond the document itself — it must
+    equal within_doc EXACTLY (the subsumption the docstring claims)."""
+    docs = spark.createDataFrame([row], "doc_id long, text string")
+    g = sorted(map(tuple, P.span_dedup(docs, span_tokens=k,
+                                       scope="global").collect()))
+    w = sorted(map(tuple, P.span_dedup(docs, span_tokens=k,
+                                       scope="within_doc").collect()))
+    assert g == w
+
+
+@settings(**_PROP)
+@given(rows=_corpora, extra=_corpora, k=st.integers(min_value=1, max_value=5))
+def test_span_dedup_append_stability(spark, rows, extra, k):
+    """The docstring's append-stability claim: adding documents with
+    strictly LARGER ids never changes any earlier document's keeper
+    set ("earlier" is (doc_id, pos) lexicographic, so new rows can
+    only lose against existing winners, never displace them)."""
+    base_max = max(d for d, _ in rows)
+    appended = rows + [
+        (base_max + 1 + i, t) for i, (_, t) in enumerate(extra)
+    ]
+    before = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.dedup_text)
+        for r in P.span_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            span_tokens=k, scope="global",
+        ).collect()
+    }
+    after = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.dedup_text)
+        for r in P.span_dedup(
+            spark.createDataFrame(appended, "doc_id long, text string"),
+            span_tokens=k, scope="global",
+        ).collect()
+    }
+    for d, v in before.items():
+        assert after[d] == v
+
+
+def _py_substring_dedup(rows, k):
+    """Pure-Python model of substring_dedup(stride=1): one anchor per
+    token position, first occurrence by (doc_id, pos), token dropped
+    when covered by any non-winning anchor window."""
+    toks = {}
+    for doc_id, text in rows:
+        toks[doc_id] = text.split(" ") if text else [""]
+    seen = set()
+    dups = {}
+    for doc_id in sorted(toks):
+        t = toks[doc_id]
+        dups[doc_id] = []
+        for p in range(len(t) - k + 1):
+            a = " ".join(t[p : p + k])
+            if a in seen:
+                dups[doc_id].append(p)
+            else:
+                seen.add(a)
+    out = {}
+    for doc_id, t in toks.items():
+        cov = set()
+        for p in dups[doc_id]:
+            cov.update(range(p, p + k))
+        kept = [tok for i, tok in enumerate(t) if i not in cov]
+        out[doc_id] = (len(t), len(kept), " ".join(kept))
+    return out
+
+
+@settings(**_PROP)
+@given(rows=_corpora, k=st.integers(min_value=1, max_value=4))
+def test_substring_dedup_matches_python_model(spark, rows, k):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for key in ("digest", "hash64"):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_tokens_kept, r.dedup_text)
+            for r in P.substring_dedup(
+                docs, min_tokens=k, key=key
+            ).collect()
+        }
+        assert got == _py_substring_dedup(rows, k)
