@@ -452,6 +452,33 @@ def _unigram_lm_oracle() -> str:
     """
 
 
+def _unigram_lm_xvocab_oracle() -> str:
+    """DuckDB twin of the EXTERNAL-vocab arm — the true CCNet setting
+    (score corpus A under corpus B's LM): vocab fit on even doc_ids,
+    odd doc_ids scored against it, OOV tokens tf=0 (hence rare). Same
+    integer-exact micro-floor measures; floats stay pytest-only."""
+    from flink_etl_spark.operators.text import (
+        duckdb_micro_floor_ratio as dmfr,
+    )
+
+    return f"""
+    WITH xall AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+              FROM documents) d, UNNEST(t) AS u(tok)
+    ),
+    xtf AS (SELECT tok, count(*) AS tf FROM xall
+            WHERE doc_id % 2 = 0 GROUP BY tok)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           {dmfr("sum(coalesce(f.tf, 0))", "count(*)")} AS mean_tf_micro,
+           {dmfr("count(*) FILTER (WHERE coalesce(f.tf, 0) <= 2)",
+                 "count(*)")} AS rare_frac_micro
+    FROM (SELECT * FROM xall WHERE doc_id % 2 = 1) t
+    LEFT JOIN xtf f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """
+
+
 @query(
     "text_top_bigrams",
     f"""
@@ -505,6 +532,19 @@ def _unigram_lm_oracle() -> str:
            CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
            mean_tf_micro, rare_frac_micro
     FROM ({_unigram_lm_oracle()}) ulm
+    UNION ALL
+    SELECT 'unigram_lm_xvocab' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           mean_tf_micro, rare_frac_micro
+    FROM ({_unigram_lm_xvocab_oracle()}) ulmx
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +569,10 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       the oracle joins exact strings; the float logprob/ppl columns
       are tolerance-tested in pytest, and the production arm joins on
       xxhash64 term ids.
+    * variant 'unigram_lm_xvocab' (r6) — the TRUE CCNet setting:
+      external vocab (fit on even doc_ids) scoring a disjoint corpus
+      (odd doc_ids), OOV tokens tf=0 and hence rare. Exercises the
+      `vocab=` DataFrame path end-to-end through the driver gate.
     """
     from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
     from flink_etl_spark.operators.prep import repetition_stats
@@ -593,7 +637,33 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_tf_micro",
         "rare_frac_micro",
     )
-    return corpus.unionByName(rep).unionByName(ulm)
+    xvocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ulmx = unigram_lm_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        vocab=xvocab,
+        hash_terms=False,
+        rare_tf_max=2,
+    ).select(
+        F.lit("unigram_lm_xvocab").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("double").alias("dup_token_frac"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.lit(None).cast("long").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_char_frac"),
+        F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        "mean_tf_micro",
+        "rare_frac_micro",
+    )
+    return corpus.unionByName(rep).unionByName(ulm).unionByName(ulmx)
 
 
 @query(
