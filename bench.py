@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_etl_spark.session import get_spark  # noqa: E402
 from flink_etl_spark import queries as Q  # noqa: E402
-from flink_etl_spark.sources.tables import load_table  # noqa: E402
+from flink_etl_spark.sources.tables import (  # noqa: E402
+    load_table,
+    rescue_scan_parallelism,
+)
 
 
 def _bench_minhash(spark, sf_dir):
@@ -32,6 +35,10 @@ def _bench_minhash(spark, sf_dir):
     break round-over-round comparability."""
     from flink_etl_spark.operators.dedup import minhash_near_dups
 
+    # NO scan rescue here: under engine confs the profile persist's
+    # shuffle already parallelizes downstream, and the A/B is noise
+    # (1.71 vs 1.64 best-of-4); the staged variant measurably REGRESSES
+    # with it (32 tiny staged files). See docs/STATUS.md r6 A/B.
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.8, n_hashes=16, bands=8)
 
@@ -70,7 +77,9 @@ def _bench_repetition(spark, sf_dir):
     operator; tracked from r4 on (not in comparable_11)."""
     from flink_etl_spark.operators.prep import repetition_stats
 
-    return repetition_stats(load_table(spark, sf_dir, "documents"))
+    return repetition_stats(
+        rescue_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def _bench_decontam(spark, sf_dir):
@@ -95,7 +104,7 @@ def _bench_semdedup(spark, sf_dir):
     comparable_11)."""
     from flink_etl_spark.operators.dedup import semdedup
 
-    embs = load_table(spark, sf_dir, "embeddings")
+    embs = rescue_scan_parallelism(load_table(spark, sf_dir, "embeddings"))
     return semdedup(embs, threshold=0.35, n_cells="auto", quantizer="auto")
 
 
@@ -105,8 +114,9 @@ def _bench_span_dedup(spark, sf_dir):
     from r5 on (not in comparable_11)."""
     from flink_etl_spark.operators.prep import span_dedup
 
-    return span_dedup(load_table(spark, sf_dir, "documents"),
-                      span_tokens=20, scope="global")
+    return span_dedup(
+        rescue_scan_parallelism(load_table(spark, sf_dir, "documents")),
+        span_tokens=20, scope="global")
 
 
 def _bench_unigram_lm(spark, sf_dir):

@@ -1362,3 +1362,28 @@ def test_normalize_text_steps_and_toggles(spark):
 
     with pytest.raises(ValueError, match="collides"):
         text.normalize_text(docs, out_col="text")
+
+
+def test_rescue_scan_parallelism_gates(spark):
+    """Small single-split scan -> repartitioned to defaultParallelism;
+    already-wide or byte-capped inputs pass through untouched (the
+    inert-at-scale guarantees)."""
+    from flink_etl_spark.sources.tables import (
+        load_table,
+        rescue_scan_parallelism,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert docs.rdd.getNumPartitions() == 1  # single row group
+    target = spark.sparkContext.defaultParallelism
+    rescued = rescue_scan_parallelism(docs)
+    assert rescued.rdd.getNumPartitions() == target
+    # identical rows either way
+    assert rescued.count() == docs.count()
+    # byte cap: a "large" input (cap forced below the file size) is
+    # never shuffled
+    untouched = rescue_scan_parallelism(docs, max_bytes=1)
+    assert untouched.rdd.getNumPartitions() == 1
+    # already-parallel input is never re-shuffled
+    wide = docs.repartition(target)
+    assert rescue_scan_parallelism(wide) is wide
