@@ -53,29 +53,45 @@ KEY_OFFSETS = {
 DIMS = ("region", "nation", "supplier", "part")
 
 
+#: affine multiplier families for copies 52+ — the units of Z/26
+#: excluding 1 (plain rotations, copies 0-25) and 25 (reversed
+#: rotations, copies 26-51)
+_AFFINE_UNITS = (3, 5, 7, 9, 11, 15, 17, 19, 21, 23)
+
+
 def _rotated_text(col, i: int):
     """Substitute a-z by a copy-distinct permutation so copy i shares
-    no shingles with any other copy while keeping token lengths,
-    whitespace, and within-copy similarity structure identical.
-    Copies 0-25 are plain caesar rotations (identical to the r4
-    behavior — the 10x replica is unchanged); copies 26-51 use the
-    REVERSED rotated alphabet, giving 52 distinct substitutions — a
-    plain rotation aliases at copy 26 (rot 26 = identity), which would
-    have made copies 26+ exact duplicate cliques of copies 0+ and
-    poisoned every >=26x replica with quadratic near-dup structure."""
+    (essentially) no shingles with any other copy while keeping token
+    lengths, whitespace, and within-copy similarity structure
+    identical. Copies 0-25 are plain caesar rotations and 26-51 the
+    reversed rotations — BIT-IDENTICAL to the r4/r5 behavior, so
+    earlier 10x/30x probe corpora reproduce exactly. Copies 52-311 are
+    the remaining AFFINE alphabet maps x -> (a*x + b) mod 26 with a a
+    unit of Z/26: 12 multipliers x 26 offsets = 312 distinct
+    permutations, unlocking the 100x probe. Any two distinct affine
+    maps with unit multipliers agree on at most gcd(a1-a2, 26) = 2
+    letters (unit multipliers are odd, so the difference is even and
+    never divisible by 13), so cross-copy shingle aliasing needs three
+    consecutive tokens drawn entirely from a <=2-letter set — the same
+    negligible-risk class the reversed rotations already accepted."""
     if i == 0:
         return col
-    if i >= 52:
+    if i >= 312:
         raise ValueError(
-            f"replica copy {i}: only 52 distinct text substitutions exist "
-            f"(26 rotations x 2 directions) — a larger replica would alias "
-            f"copies into exact-duplicate cliques"
+            f"replica copy {i}: only 312 distinct text substitutions "
+            f"exist (12 affine multipliers x 26 offsets) — a larger "
+            f"replica would alias copies into exact-duplicate cliques"
         )
     az = string.ascii_lowercase
-    rot = az[i % 26:] + az[: i % 26]
-    if i >= 26:
-        rot = rot[::-1]
-    return F.translate(col, az, rot)
+    if i < 52:
+        rot = az[i % 26:] + az[: i % 26]
+        if i >= 26:
+            rot = rot[::-1]
+        return F.translate(col, az, rot)
+    a_idx, b = divmod(i - 52, 26)
+    a = _AFFINE_UNITS[a_idx]
+    perm = "".join(az[(a * x + b) % 26] for x in range(26))
+    return F.translate(col, az, perm)
 
 
 def build_replica(

@@ -1,23 +1,26 @@
 """Tail probe: stretch the scale ladder PAST the 10x replica for the
 two queries with the largest 10x scaling exponents (r4:
 `semdedup_keepers` 0.38, `decontaminate_ngrams` 0.37) and measure
-whether the exponents flatten on the 10x -> 30x step — the spot-check
-that has to hold before anyone believes the 100x claim.
+whether the exponents keep flattening on each further step — the
+spot-check that has to hold before anyone believes the 100x claim.
+r5 ran the 10x -> 30x step (exponents 0.22 / 0.24); r6 extends the
+ladder to 100x (the replica text-substitution alphabet now has 312
+distinct permutations, so a 100x replica still carries no cross-copy
+duplicate cliques).
 
-Both points are built and timed IN THE SAME SESSION (docs + embeddings
-only — the other tables are irrelevant to these two operators), so the
-exponent is an apples-to-apples log3 ratio:
+All points are built and timed IN THE SAME SESSION (docs + embeddings
+only — the other tables are irrelevant to these two operators), so each
+exponent is an apples-to-apples ratio between consecutive points:
 
-    exp(10x -> 30x) = log(t_30x / t_10x) / log(3)
+    exp(a -> b) = log(t_b / t_a) / log(b / a)
 
 Methodology matches tools/scale_probe.py: join-consistent replicas
-(`tools/replicate_testdata.py` — copy-distinct text substitutions, 52
-available, so 30x carries NO cross-copy duplicate cliques), best-of-2
-cold-cache noop-sink runs, auto knobs throughout (no hand tuning at
-either scale).
+(`tools/replicate_testdata.py` — copy-distinct text substitutions),
+best-of-2 cold-cache noop-sink runs, auto knobs throughout (no hand
+tuning at any scale).
 
-Usage: python tools/tail_probe.py [replicas=30]
-Results are recorded in docs/SCALING.md ("30x tail probe" section).
+Usage: python tools/tail_probe.py [point ...]   (default: 10 30 100)
+Results are recorded in docs/SCALING.md (tail probe section).
 """
 
 from __future__ import annotations
@@ -31,19 +34,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(replicas: int = 30) -> None:
+def main(points_list: list[int] | None = None) -> None:
     from flink_etl_spark.operators.dedup import semdedup
     from flink_etl_spark.operators.prep import decontaminate
     from flink_etl_spark.session import get_spark
     from flink_etl_spark.sources.tables import load_table
     from tools.replicate_testdata import build_replica
 
+    if not points_list:
+        points_list = [10, 30, 100]
+    points_list = sorted(points_list)
+
     spark = get_spark(app_name="tail-probe")
     spark.sparkContext.setLogLevel("ERROR")
     src = "/root/testdata/sf0.1"
 
-    points = {}
-    for n in (10, replicas):
+    points: dict[int, str] = {}
+    for n in points_list:
         out = tempfile.mkdtemp(prefix=f"sf01x{n}_tail_")
         t0 = time.perf_counter()
         build_replica(spark, src, out, n, tables=("documents", "embeddings"))
@@ -62,8 +69,9 @@ def main(replicas: int = 30) -> None:
                 best = min(best, time.perf_counter() - t0)
             times[n] = best
             print(f"  {name} @ {n}x: {best:.2f}s", flush=True)
-        exp = math.log(times[replicas] / times[10]) / math.log(replicas / 10)
-        print(f"  {name} exp(10x->{replicas}x) = {exp:.2f}", flush=True)
+        for a, b in zip(points_list, points_list[1:]):
+            exp = math.log(times[b] / times[a]) / math.log(b / a)
+            print(f"  {name} exp({a}x->{b}x) = {exp:.2f}", flush=True)
 
     def _semdedup(d):
         embs = load_table(spark, d, "embeddings")
@@ -82,4 +90,4 @@ def main(replicas: int = 30) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)
+    main([int(a) for a in sys.argv[1:]])
