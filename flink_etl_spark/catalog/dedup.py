@@ -123,6 +123,64 @@ _SUBSTR_ORACLE_ARM = """
     FROM atk a LEFT JOIN srb s USING (doc_id)
 """
 
+#: winnowing-fingerprint CTEs for the span_winnow oracle arm: from
+#: every window of _WINNOW_W consecutive anchors keep the rightmost
+#: minimal hash (min over struct(h, -pos); short docs keep their
+#: whole-array min via the least(W, mtot) full-window condition),
+#: then the same first-occurrence + coverage rebuild restricted to
+#: selected anchors — mirroring substring_dedup(winnow=_WINNOW_W)
+_WINNOW_W = 4
+_WINNOW_CTE = f"""
+    wselraw AS (
+        SELECT doc_id,
+               min(struct_pack(h := h, np := -pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+               ) AS msel,
+               count(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+               ) AS wcnt,
+               count(*) OVER (PARTITION BY doc_id) AS mtot
+        FROM anch
+    ),
+    wsel AS (
+        SELECT DISTINCT doc_id, -(msel.np) AS pos, msel.h AS h
+        FROM wselraw WHERE wcnt = least({_WINNOW_W}, mtot)
+    ),
+    wdup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wsel) r
+        WHERE rn > 1
+    ),
+    wcov AS (
+        SELECT DISTINCT doc_id, CAST(u.i AS INT) AS ti
+        FROM wdup,
+             UNNEST(generate_series(pos, pos + {_SUBSTR_K - 1})) AS u(i)
+    ),
+    wrb AS (
+        SELECT t.doc_id,
+               count(*) FILTER (WHERE c.ti IS NULL) AS n_kept,
+               string_agg(tok, ' ' ORDER BY t.ti)
+                   FILTER (WHERE c.ti IS NULL) AS txt
+        FROM stok t
+        LEFT JOIN wcov c ON c.doc_id = t.doc_id AND c.ti = t.ti
+        GROUP BY t.doc_id
+    )
+"""
+
+_WINNOW_ORACLE_ARM = """
+    SELECT 'span_winnow' AS variant,
+           a.doc_id AS keep_id,
+           coalesce(s.n_kept, 0) AS n_copies,
+           concat(CAST(len(a.tk) AS VARCHAR), ':',
+                  coalesce(s.txt, '')) AS detail
+    FROM atk a LEFT JOIN wrb s USING (doc_id)
+"""
+
 
 def _span_oracle_arm(variant: str, partition: str) -> str:
     """One span_dedup oracle arm: first-occurrence keep over the given
@@ -147,7 +205,8 @@ def _span_oracle_arm(variant: str, partition: str) -> str:
     "dedup_exact_docs",
     f"""
     WITH {_SPAN_CTE},
-    {_SUBSTR_CTE}
+    {_SUBSTR_CTE},
+    {_WINNOW_CTE}
     SELECT 'content' AS variant,
            min(doc_id) AS keep_id,
            count(*) AS n_copies,
@@ -167,6 +226,8 @@ def _span_oracle_arm(variant: str, partition: str) -> str:
     {_span_oracle_arm("span_within", "doc_id, sha256(span)")}
     UNION ALL
     {_SUBSTR_ORACLE_ARM}
+    UNION ALL
+    {_WINNOW_ORACLE_ARM}
     """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,7 +255,14 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       shifted by any offset. One row per doc, n_copies = tokens
       kept, detail = 'n_tokens:rebuilt_text'. Gated on key='digest'
       (oracle-replicable sha256 anchors); the hash64 production arm
-      is unit-tested equivalent."""
+      is unit-tested equivalent.
+    * variant 'span_winnow' (r6) — the same anchors sampled by
+      WINNOWING fingerprint selection (Schleimer et al. 2003, w=4):
+      ~2/(w+1) of the anchor exchange with the detection guarantee
+      intact for passages >= min_tokens + w - 1, at up to w-1
+      boundary tokens of removal slop per passage end. The 100 TB
+      cost/recall dial between span_offset (exact, densest) and the
+      span grid (cheapest, alignment-fragile)."""
     from flink_etl_spark.operators.prep import span_dedup, substring_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -228,22 +296,25 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("detail"),
         )
 
-    span_offset = substring_dedup(
-        docs, min_tokens=_SUBSTR_K, key="digest"
-    ).select(
-        F.lit("span_offset").alias("variant"),
-        F.col("doc_id").alias("keep_id"),
-        F.col("n_tokens_kept").alias("n_copies"),
-        F.concat(
-            F.col("n_tokens").cast("string"), F.lit(":"), F.col("dedup_text")
-        ).alias("detail"),
-    )
+    def substr_arm(variant: str, w: int) -> DataFrame:
+        return substring_dedup(
+            docs, min_tokens=_SUBSTR_K, winnow=w, key="digest"
+        ).select(
+            F.lit(variant).alias("variant"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_tokens_kept").alias("n_copies"),
+            F.concat(
+                F.col("n_tokens").cast("string"), F.lit(":"),
+                F.col("dedup_text"),
+            ).alias("detail"),
+        )
 
     return (
         content.unionByName(digest)
         .unionByName(span_arm("span_global", "global"))
         .unionByName(span_arm("span_within", "within_doc"))
-        .unionByName(span_offset)
+        .unionByName(substr_arm("span_offset", 1))
+        .unionByName(substr_arm("span_winnow", _WINNOW_W))
     )
 
 

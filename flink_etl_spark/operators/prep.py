@@ -963,6 +963,7 @@ def substring_dedup(
     docs: DataFrame,
     min_tokens: int = 50,
     stride: int = 1,
+    winnow: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
     key: str = "hash64",
@@ -988,6 +989,28 @@ def substring_dedup(
     divides the exchange volume by stride but loses the alignment
     guarantee (both copies must hit the per-document grid) — a
     recall/cost knob, not a correctness knob.
+
+    ``winnow`` > 1 is the PRINCIPLED exchange reducer (Schleimer et
+    al. 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS selection rule): from every window of
+    ``winnow`` consecutive anchor hashes, keep the rightmost minimal
+    one. Selection depends only on hash CONTENT, so every copy of a
+    duplicated passage selects the same passage-relative anchors —
+    unlike ``stride``, the detection guarantee survives: any
+    duplicated passage of >= min_tokens + winnow - 1 tokens contains a
+    full in-passage window, hence a selected anchor in EVERY copy, and
+    is deterministically caught. Expected exchange density is
+    2/(winnow+1) of the anchors; the cost is removal granularity —
+    only the selected duplicated anchors' windows are dropped, which
+    covers the duplicated passage except up to winnow-1 boundary
+    tokens at each end (consecutive selected anchors are < winnow
+    apart, and winnow <= min_tokens keeps their windows overlapping).
+    Selection is row-local O(winnow) per anchor (the run-length form:
+    p is selected iff its weak-left / strict-right higher-hash runs
+    span a full window, A + B + 1 >= winnow); documents with fewer
+    than ``winnow`` anchors select their single whole-array minimum so
+    whole-short-doc duplicates stay detectable. Mutually exclusive
+    with stride > 1.
 
     Pipeline (the `span_dedup` global shape, anchor-dense):
 
@@ -1043,6 +1066,20 @@ def substring_dedup(
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
+    if winnow < 1:
+        raise ValueError(f"winnow must be >= 1, got {winnow}")
+    if winnow > 1 and stride > 1:
+        raise ValueError(
+            "winnow and stride are mutually exclusive exchange reducers: "
+            "winnowing's detection guarantee assumes every anchor "
+            "position is a selection candidate"
+        )
+    if winnow > min_tokens:
+        raise ValueError(
+            f"winnow ({winnow}) must be <= min_tokens ({min_tokens}): "
+            "larger windows leave uncovered gaps between consecutive "
+            "selected anchors' removal windows"
+        )
     if key not in ("hash64", "digest"):
         raise ValueError(f"key must be 'hash64' or 'digest', got {key!r}")
     for reserved in ("n_tokens", "n_tokens_kept", out_col):
@@ -1087,9 +1124,58 @@ def substring_dedup(
         )
     with_anchors = staged.select(F.col(id_col), "_toks", anchors.alias("_a"))
 
-    narrow = with_anchors.select(
-        F.col(id_col), F.posexplode("_a").alias("_pos", "_k")
-    ).select(F.col(id_col), "_pos", "_k")
+    if winnow == 1:
+        narrow = with_anchors.select(
+            F.col(id_col), F.posexplode("_a").alias("_pos", "_k")
+        ).select(F.col(id_col), "_pos", "_k")
+    else:
+        # winnowing selection, entirely row-local: p is selected iff
+        # its weak-left (>=) / strict-right (>) higher-hash runs span a
+        # full window, A + B + 1 >= min(winnow, n_anchors) — the
+        # min(...) unifies the short-document case (fewer anchors than
+        # one window: exactly the whole-array rightmost min survives).
+        # Runs are probed only winnow-1 steps out (O(winnow)/anchor);
+        # out-of-bounds probes count as violations, capping runs at
+        # the array edge.
+        a = F.col("_a")
+        m = F.size(a)
+        wl = winnow - 1
+
+        def _selected(p: Column) -> Column:
+            viol_l = F.filter(
+                F.sequence(F.lit(1), F.lit(wl)),
+                lambda d: (p - d < 0)
+                | (F.element_at(a, p - d + 1) < F.element_at(a, p + 1)),
+            )
+            run_l = F.when(F.size(viol_l) == 0, F.lit(wl)).otherwise(
+                F.array_min(viol_l) - 1
+            )
+            viol_r = F.filter(
+                F.sequence(F.lit(1), F.lit(wl)),
+                lambda d: (p + d > m - 1)
+                | (F.element_at(a, p + d + 1) <= F.element_at(a, p + 1)),
+            )
+            run_r = F.when(F.size(viol_r) == 0, F.lit(wl)).otherwise(
+                F.array_min(viol_r) - 1
+            )
+            return run_l + run_r + 1 >= F.least(F.lit(winnow), m)
+
+        sel = F.when(
+            m > 0, F.filter(F.sequence(F.lit(0), m - 1), _selected)
+        ).otherwise(F.array().cast("array<int>"))
+        sel_structs = F.transform(
+            sel,
+            lambda p: F.struct(
+                p.alias("_pos"), F.element_at(a, p + 1).alias("_k")
+            ),
+        )
+        narrow = with_anchors.select(
+            F.col(id_col), F.explode(sel_structs).alias("_s")
+        ).select(
+            F.col(id_col),
+            F.col("_s._pos").alias("_pos"),
+            F.col("_s._k").alias("_k"),
+        )
     occ = F.struct(F.col(id_col), F.col("_pos"))
     winners = narrow.groupBy("_k").agg(F.min(occ).alias("_w"))
     dropped = (

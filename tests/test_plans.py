@@ -278,20 +278,25 @@ def test_substring_dedup_shuffles_anchor_ids_not_text(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "text"
     )
-    df = substring_dedup(docs, min_tokens=15, key="hash64")
-    plan = _executed(df)
-    assert "Window" not in plan
-    assert "BroadcastHashJoin" in plan
     import re
 
-    lines = plan.splitlines()
-    k_exchange_lines = [
-        i for i, line in enumerate(lines)
-        if "Exchange hashpartitioning(_k" in line
-    ]
-    assert k_exchange_lines, plan
-    for i in k_exchange_lines:
-        producer = lines[i + 1]
-        # no token array (_toks) and no string payload in the exchange
-        assert not re.search(r"[\[, ]_toks#\d+[,\]]", producer), producer
-        assert not re.search(r"[\[, ]_a#\d+[,\]]", producer), producer
+    for kwargs in ({}, {"winnow": 4}):
+        df = substring_dedup(docs, min_tokens=15, key="hash64", **kwargs)
+        plan = _executed(df)
+        # winnowing selection is row-local (run-length rule), so even
+        # the sampled arm must stay window-free and skew-proof
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan
+
+        lines = plan.splitlines()
+        k_exchange_lines = [
+            i for i, line in enumerate(lines)
+            if "Exchange hashpartitioning(_k" in line
+        ]
+        assert k_exchange_lines, plan
+        for i in k_exchange_lines:
+            producer = lines[i + 1]
+            # no token array (_toks) and no anchor array / string
+            # payload in the exchange
+            assert not re.search(r"[\[, ]_toks#\d+[,\]]", producer), producer
+            assert not re.search(r"[\[, ]_a#\d+[,\]]", producer), producer

@@ -894,10 +894,52 @@ def test_substring_dedup_validation(spark):
         P.substring_dedup(docs, min_tokens=0)
     with pytest.raises(ValueError, match="stride"):
         P.substring_dedup(docs, stride=0)
+    with pytest.raises(ValueError, match="winnow"):
+        P.substring_dedup(docs, winnow=0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        P.substring_dedup(docs, stride=2, winnow=2)
+    with pytest.raises(ValueError, match="winnow"):
+        P.substring_dedup(docs, min_tokens=4, winnow=5)
     with pytest.raises(ValueError, match="key"):
         P.substring_dedup(docs, key="content")
     with pytest.raises(ValueError, match="collides"):
         P.substring_dedup(docs, out_col="doc_id")
+
+
+def test_substring_dedup_winnow_guarantee_and_slop_bound(spark):
+    """The winnowing contract (Schleimer et al. 2003): a duplicated
+    passage of >= min_tokens + winnow - 1 tokens is ALWAYS detected
+    regardless of offsets (selection is content-based), and removal
+    misses at most winnow-1 boundary tokens per passage end. Probed
+    over many random offsets/prefixes."""
+    import random
+
+    rng = random.Random(13)
+    k, w = 8, 4
+    para = " ".join(f"d{i}" for i in range(k + w - 1))  # exactly k+w-1
+    for trial in range(10):
+        pre1 = " ".join(f"a{rng.randint(0, 10**6)}" for _ in range(rng.randint(0, 9)))
+        pre2 = " ".join(f"b{rng.randint(0, 10**6)}" for _ in range(rng.randint(0, 9)))
+        suf2 = " ".join(f"c{rng.randint(0, 10**6)}" for _ in range(rng.randint(0, 9)))
+        docs = spark.createDataFrame(
+            [(1, f"{pre1} {para}".strip()), (2, f"{pre2} {para} {suf2}".strip())],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in P.substring_dedup(
+                docs, min_tokens=k, winnow=w, key="hash64"
+            ).collect()
+        }
+        dropped = out[2].n_tokens - out[2].n_tokens_kept
+        # detection guaranteed: SOMETHING of the passage is removed...
+        assert dropped >= 1, f"trial {trial}: winnowing missed the passage"
+        # ...and the removal stays within the passage + slop bound
+        assert dropped <= len(para.split())
+        # removed at least the passage minus boundary slop at each end
+        assert dropped >= len(para.split()) - 2 * (w - 1)
+        # first occurrence keeps all its tokens
+        assert out[1].n_tokens_kept == out[1].n_tokens
 
 
 def test_substring_dedup_matches_duckdb(spark):

@@ -356,20 +356,51 @@ def test_span_dedup_append_stability(spark, rows, extra, k):
         assert after[d] == v
 
 
-def _py_substring_dedup(rows, k):
+def _py_winnow_select(hashes, w):
+    """Ground-truth winnowing (Schleimer et al. 2003): union over every
+    full window of w consecutive hashes of its RIGHTMOST minimum;
+    documents with fewer than w hashes keep their whole-array
+    rightmost minimum. Deliberately the window-union definition — the
+    Spark operator implements the equivalent run-length rule, so this
+    model cross-checks the equivalence too."""
+    m = len(hashes)
+    if m == 0:
+        return set()
+    if m < w:
+        mn = min(hashes)
+        return {max(i for i, h in enumerate(hashes) if h == mn)}
+    sel = set()
+    for s in range(m - w + 1):
+        window = hashes[s : s + w]
+        mn = min(window)
+        sel.add(s + max(i for i, h in enumerate(window) if h == mn))
+    return sel
+
+
+def _py_substring_dedup(rows, k, w=1):
     """Pure-Python model of substring_dedup(stride=1): one anchor per
-    token position, first occurrence by (doc_id, pos), token dropped
-    when covered by any non-winning anchor window."""
+    token position (winnow-sampled when w > 1, ordering on the sha256
+    hex digests exactly like the operator's digest mode), first
+    occurrence by (doc_id, pos), token dropped when covered by any
+    non-winning anchor window."""
+    import hashlib
+
     toks = {}
+    anchors = {}
     for doc_id, text in rows:
-        toks[doc_id] = text.split(" ") if text else [""]
+        t = text.split(" ") if text else [""]
+        toks[doc_id] = t
+        h = [
+            hashlib.sha256(" ".join(t[p : p + k]).encode()).hexdigest()
+            for p in range(len(t) - k + 1)
+        ]
+        sel = _py_winnow_select(h, w) if w > 1 else set(range(len(h)))
+        anchors[doc_id] = [(p, h[p]) for p in sorted(sel)]
     seen = set()
     dups = {}
     for doc_id in sorted(toks):
-        t = toks[doc_id]
         dups[doc_id] = []
-        for p in range(len(t) - k + 1):
-            a = " ".join(t[p : p + k])
+        for p, a in anchors[doc_id]:
             if a in seen:
                 dups[doc_id].append(p)
             else:
@@ -396,3 +427,25 @@ def test_substring_dedup_matches_python_model(spark, rows, k):
             ).collect()
         }
         assert got == _py_substring_dedup(rows, k)
+
+
+@settings(**_PROP)
+@given(
+    rows=_corpora,
+    k=st.integers(min_value=2, max_value=4),
+    w=st.integers(min_value=2, max_value=4),
+)
+def test_substring_dedup_winnow_matches_python_model(spark, rows, k, w):
+    """The operator's row-local run-length selection rule must equal
+    the ground-truth window-union winnowing definition end-to-end
+    (digest mode: both sides order sha256 hex strings)."""
+    if w > k:
+        w = k
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.dedup_text)
+        for r in P.substring_dedup(
+            docs, min_tokens=k, winnow=w, key="digest"
+        ).collect()
+    }
+    assert got == _py_substring_dedup(rows, k, w)
