@@ -54,24 +54,52 @@ def tokens_expr(text: Column | str) -> Column:
 
 
 def shingles_expr(tokens: Column, k: int = 3) -> Column:
-    """Token k-shingles via shifted-slice zips:
-    zip(slice(t,1,n-k+1), slice(t,2,n-k+1), ..., slice(t,k,n-k+1)),
-    concatenating element-wise. Empty when the document has < k tokens.
+    """Token k-shingles via DOUBLING shifted-slice zips. Empty when the
+    document has < k tokens.
 
     Deliberately avoids per-index `element_at(tokens, i+j)` lambdas:
     CollapseProject re-inlines the tokens expression (e.g. a regex
     split) into EVERY element_at reference — measured ~10x slowdown on
-    the shingling scan. The slice form references the token array only
-    k+1 times per row regardless of document length."""
+    the shingling scan. The slice form references the token array a
+    bounded number of times per row regardless of document length.
+
+    Doubling, not a sequential chain: shingle concatenation is
+    associative (S_{L+M}[p] = S_L[p] + ' ' + S_M[p+L]), so k-shingles
+    build in O(log k) zip_with nestings from power-of-two runs instead
+    of k-1. A sequential chain is fine at n-gram sizes (k=3) but blows
+    the analyzer's Resolution iteration cap near k~50 — exactly the
+    Lee et al. substring-dedup anchor width — because every nested
+    lambda layer costs another resolution pass."""
     n = F.size(tokens)
     width = n - F.lit(k - 1)
-    acc = F.slice(tokens, 1, width)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(tokens, 1 + j, width),
-            lambda a, b: F.concat_ws(" ", a, b),
+
+    def _shift(col: Column, off: int) -> Column:
+        return F.slice(col, 1 + off, width) if off else F.slice(col, 1, width)
+
+    # power-of-two runs: runs[j][p] = tokens[p .. p+2^j-1] joined
+    runs = [tokens]
+    span = 1
+    while span * 2 <= k:
+        prev = runs[-1]
+        runs.append(
+            F.zip_with(
+                prev,
+                F.slice(prev, 1 + span, F.greatest(F.size(prev) - span, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
         )
+        span *= 2
+    # combine binary decomposition of k, widest run first
+    acc = None
+    off = 0
+    for j in range(len(runs) - 1, -1, -1):
+        if not (k >> j) & 1:
+            continue
+        part = _shift(runs[j], off)
+        acc = part if acc is None else F.zip_with(
+            acc, part, lambda a, b: F.concat_ws(" ", a, b)
+        )
+        off += 1 << j
     return F.when(n >= k, acc).otherwise(F.array().cast("array<string>"))
 
 
@@ -99,16 +127,51 @@ def combine_gram_ids(token_hashes: Column, k: int, mult: int = 131,
     polynomial fold (acc*mult + h) % p over shifted slices — a gram's id
     from its k token hashes without materializing the gram string.
     Empty array when the document has < k tokens. Slice/zip_with form
-    for the same CollapseProject reasons as `shingles_expr`."""
+    for the same CollapseProject reasons as `shingles_expr`.
+
+    Built by DOUBLING like `shingles_expr` (the fold is mod-linear:
+    fold_{L+M}[q] = (fold_L[q] * mult^M + fold_M[q+L]) % p), so k~50
+    substring-dedup anchors need O(log k) zip_with nestings instead of
+    k-1 — a sequential chain trips the analyzer's Resolution iteration
+    cap there. VALUE-IDENTICAL to the sequential fold at every k
+    (same polynomial mod p; unit-tested), so staged minhash profiles
+    and decontamination gram ids are unaffected. Intermediate products
+    stay in range: operands < p < 2^31, so a*mult^L + b < 2^62 — no
+    bigint overflow under ANSI."""
     n = F.size(token_hashes)
     width = n - F.lit(k - 1)
-    acc = F.slice(token_hashes, 1, width)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(token_hashes, 1 + j, width),
-            lambda a, b: (a * F.lit(mult) + b) % F.lit(p),
+
+    def _shift(col: Column, off: int) -> Column:
+        return F.slice(col, 1 + off, width) if off else F.slice(col, 1, width)
+
+    # power-of-two runs: runs[j][q] = fold of token_hashes[q .. q+2^j-1]
+    runs = [token_hashes]
+    span = 1
+    while span * 2 <= k:
+        prev = runs[-1]
+        m_span = pow(mult, span, p)
+        runs.append(
+            F.zip_with(
+                prev,
+                F.slice(prev, 1 + span, F.greatest(F.size(prev) - span, F.lit(0))),
+                lambda a, b: (a * F.lit(m_span) + b) % F.lit(p),
+            )
         )
+        span *= 2
+    acc = None
+    off = 0
+    for j in range(len(runs) - 1, -1, -1):
+        if not (k >> j) & 1:
+            continue
+        part = _shift(runs[j], off)
+        if acc is None:
+            acc = part
+        else:
+            m_j = pow(mult, 1 << j, p)
+            acc = F.zip_with(
+                acc, part, lambda a, b: (a * F.lit(m_j) + b) % F.lit(p)
+            )
+        off += 1 << j
     return F.when(n >= k, acc).otherwise(F.array().cast("array<bigint>"))
 
 

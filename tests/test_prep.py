@@ -1001,3 +1001,44 @@ def test_substring_dedup_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_doubling_fold_matches_sequential_model(spark):
+    """combine_gram_ids / shingles_expr now build by doubling (O(log k)
+    zip_with nestings); they must stay VALUE-IDENTICAL to the
+    sequential polynomial fold / concat at every k — staged minhash
+    profiles and decontamination gram ids depend on the exact values —
+    and must not trip the analyzer's Resolution cap at the Lee et al.
+    anchor width (k=50+, the bug that motivated the rewrite)."""
+    import random
+
+    from flink_etl_spark.functions.hashing import (
+        MERSENNE_P,
+        combine_gram_ids,
+        shingles_expr,
+    )
+
+    rng = random.Random(42)
+    toks = [f"t{rng.randint(0, 999)}" for _ in range(120)]
+    df = spark.createDataFrame([(1, toks)], "id long, toks array<string>")
+    th = F.transform(
+        F.col("toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P))
+    )
+    dfh = df.select("id", th.alias("th"), F.col("toks"))
+    for k in (1, 2, 3, 5, 20, 50, 100, 127):
+        row = dfh.select(
+            combine_gram_ids(F.col("th"), k).alias("g"),
+            shingles_expr(F.col("toks"), k).alias("s"),
+            F.col("th"),
+        ).collect()[0]
+        want_g = []
+        for p0 in range(len(row["th"]) - k + 1):
+            acc = 0
+            for h in row["th"][p0 : p0 + k]:
+                acc = (acc * 131 + h) % MERSENNE_P
+            want_g.append(acc)
+        assert list(row["g"]) == want_g, f"gram ids diverge at k={k}"
+        want_s = [
+            " ".join(toks[p0 : p0 + k]) for p0 in range(len(toks) - k + 1)
+        ]
+        assert list(row["s"]) == want_s, f"shingles diverge at k={k}"
