@@ -1086,35 +1086,99 @@ def substring_dedup(
         if reserved == id_col:
             raise ValueError(f"output column {reserved!r} collides with id_col")
 
-    from flink_etl_spark.functions.hashing import (
-        MERSENNE_P,
-        combine_gram_ids,
-    )
-
     k = min_tokens
     toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
     staged = docs.select(F.col(id_col), toks.alias("_toks"))
 
+    # Anchor construction is DATAFRAME-STAGED doubling, one select per
+    # power-of-two run level. The expression-level doubling fold
+    # (functions/hashing.combine_gram_ids) is analyzer-safe at any k
+    # but references each run level TWICE inside the next — as a single
+    # expression tree that doubles evaluation work per level (measured
+    # ~40s for 5000 docs at k=50, single task). Materializing each
+    # level as a non-cheap multi-referenced alias makes CollapseProject
+    # keep the projection boundary (the minhash_profile staging
+    # argument), so every level evaluates once per row: O(log k)
+    # array passes total.
+    def _staged_runs(df: DataFrame, base: str, combine):
+        """Power-of-two run columns: returns (df, [(span, col), ...])."""
+        runs = [(1, base)]
+        span = 1
+        while span * 2 <= k:
+            prev = F.col(runs[-1][1])
+            nxt = f"{base}_r{span * 2}"
+            df = df.withColumn(
+                nxt,
+                F.zip_with(
+                    prev,
+                    F.slice(
+                        prev, 1 + span,
+                        F.greatest(F.size(prev) - span, F.lit(0)),
+                    ),
+                    lambda a, b: combine(a, b, span),
+                ),
+            )
+            runs.append((span * 2, nxt))
+            span *= 2
+        return df, runs
+
+    def _combine_bits(runs, combine) -> Column:
+        """Stitch the binary decomposition of k from run COLUMNS (cheap
+        refs — the final expression is linear in popcount(k))."""
+        n = F.size(F.col("_toks"))
+        width = F.greatest(n - F.lit(k - 1), F.lit(0))
+        acc = None
+        off = 0
+        for span, name in reversed(runs):
+            if not k & span:
+                continue
+            part = F.slice(F.col(name), 1 + off, width)
+            acc = part if acc is None else F.zip_with(
+                acc, part, lambda a, b: combine(a, b, span)
+            )
+            off += span
+        return F.when(n >= k, acc)
+
     if key == "digest":
+        concat = lambda a, b, span: F.concat_ws(" ", a, b)  # noqa: E731
+        df, runs = _staged_runs(staged, "_toks", concat)
         anchors = F.transform(
-            shingles_expr(F.col("_toks"), k), lambda s: F.sha2(s, 256)
+            _combine_bits(runs, concat).otherwise(
+                F.array().cast("array<string>")
+            ),
+            lambda s: F.sha2(s, 256),
         )
     else:
         # two independent per-token xxhash64 streams (distinct salts),
         # each folded to a 31-bit gram id, packed into one bigint:
         # max value (p-1)*2^31 + (p-1) < 2^62 — no overflow under ANSI
-        th1 = F.transform(
-            F.col("_toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P))
+        from flink_etl_spark.functions.hashing import MERSENNE_P
+
+        def poly(a: Column, b: Column, span: int) -> Column:
+            return (a * F.lit(pow(131, span, MERSENNE_P)) + b) % F.lit(
+                MERSENNE_P
+            )
+
+        hashed = staged.select(
+            F.col(id_col),
+            "_toks",
+            F.transform(
+                F.col("_toks"),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P)),
+            ).alias("_th1"),
+            F.transform(
+                F.col("_toks"),
+                lambda t: F.pmod(
+                    F.xxhash64(t, F.lit(0x9E3779B9)), F.lit(MERSENNE_P)
+                ),
+            ).alias("_th2"),
         )
-        th2 = F.transform(
-            F.col("_toks"),
-            lambda t: F.pmod(
-                F.xxhash64(t, F.lit(0x9E3779B9)), F.lit(MERSENNE_P)
-            ),
-        )
+        df, runs1 = _staged_runs(hashed, "_th1", poly)
+        df, runs2 = _staged_runs(df, "_th2", poly)
+        empty = F.array().cast("array<bigint>")
         anchors = F.zip_with(
-            combine_gram_ids(th1, k),
-            combine_gram_ids(th2, k),
+            _combine_bits(runs1, poly).otherwise(empty),
+            _combine_bits(runs2, poly).otherwise(empty),
             lambda a, b: a * F.lit(2_147_483_648) + b,
         )
     if stride > 1:
@@ -1122,7 +1186,7 @@ def substring_dedup(
         anchors = F.filter(
             anchors, lambda x, i: i % F.lit(stride) == F.lit(0)
         )
-    with_anchors = staged.select(F.col(id_col), "_toks", anchors.alias("_a"))
+    with_anchors = df.select(F.col(id_col), "_toks", anchors.alias("_a"))
 
     if winnow == 1:
         narrow = with_anchors.select(
