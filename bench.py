@@ -119,6 +119,19 @@ def _bench_span_dedup(spark, sf_dir):
         span_tokens=20, scope="global")
 
 
+def _bench_substring_dedup(spark, sf_dir):
+    """Lee et al. 2022 offset-robust exact substring dedup (r6 prep
+    family): stride-1 50-token anchors on packed-fold 8-byte keys,
+    min-struct first occurrence, coverage rebuild — benched on the
+    EXACT arm (winnow sampling only gets cheaper). Scan-compute heavy
+    single branch -> rescue applies; tracked from r6 on (not in
+    comparable_11)."""
+    from flink_etl_spark.operators.prep import substring_dedup
+
+    docs = rescue_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    return substring_dedup(docs, min_tokens=50, key="hash64")
+
+
 def _bench_unigram_lm(spark, sf_dir):
     """CCNet-style self-fit unigram-LM scoring (r5 text family):
     xxhash64 term-id vocab broadcast join, per-doc aggregate; tracked
@@ -163,6 +176,7 @@ HEADLINE = [
     ("decontaminate_ngrams", _bench_decontam),
     ("semdedup_keepers", _bench_semdedup),
     ("span_dedup_global", _bench_span_dedup),
+    ("substring_dedup_exact", _bench_substring_dedup),
     ("unigram_lm_scores", _bench_unigram_lm),
 ]
 
@@ -173,6 +187,7 @@ NON_COMPARABLE = {
     "decontaminate_ngrams",
     "semdedup_keepers",
     "span_dedup_global",
+    "substring_dedup_exact",
     "unigram_lm_scores",
 }
 
