@@ -181,6 +181,63 @@ _WINNOW_ORACLE_ARM = """
     FROM atk a LEFT JOIN wrb s USING (doc_id)
 """
 
+#: incremental-arm CTEs for the span_inc oracle: even doc_ids are the
+#: staged anchor index (the index ALWAYS wins), odd doc_ids the batch —
+#: a batch token drops when covered by an index-present anchor or a
+#: non-first batch repeat, mirroring prep.substring_dedup_incremental
+_INC_CTE = f"""
+    ikeys AS (SELECT DISTINCT h FROM anch WHERE doc_id % 2 = 0),
+    bnarrow AS (SELECT doc_id, pos, h FROM anch WHERE doc_id % 2 = 1),
+    bdup AS (
+        SELECT doc_id, pos
+        FROM (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM bnarrow
+              WHERE h NOT IN (SELECT h FROM ikeys)) r
+        WHERE rn > 1
+        UNION ALL
+        SELECT doc_id, pos FROM bnarrow
+        WHERE h IN (SELECT h FROM ikeys)
+    ),
+    bcov AS (
+        SELECT DISTINCT doc_id, CAST(u.i AS INT) AS ti
+        FROM bdup,
+             UNNEST(generate_series(pos, pos + {_SUBSTR_K - 1})) AS u(i)
+    ),
+    brb AS (
+        SELECT t.doc_id,
+               count(*) FILTER (WHERE c.ti IS NULL) AS n_kept,
+               string_agg(tok, ' ' ORDER BY t.ti)
+                   FILTER (WHERE c.ti IS NULL) AS txt
+        FROM (SELECT * FROM stok WHERE doc_id % 2 = 1) t
+        LEFT JOIN bcov c ON c.doc_id = t.doc_id AND c.ti = t.ti
+        GROUP BY t.doc_id
+    )
+"""
+
+_INC_ORACLE_ARM = """
+    SELECT 'span_inc' AS variant,
+           a.doc_id AS keep_id,
+           coalesce(s.n_kept, 0) AS n_copies,
+           concat(CAST(len(a.tk) AS VARCHAR), ':',
+                  coalesce(s.txt, '')) AS detail
+    FROM (SELECT * FROM atk WHERE doc_id % 2 = 1) a
+    LEFT JOIN brb s USING (doc_id)
+"""
+
+
+def _substr_stage_dir(sf_dir: str) -> str:
+    """Process-cached staging dir for the span_inc arm's anchor index,
+    one per sf_dir, cleaned at exit; re-invocations overwrite in
+    place (same lifecycle as the minhash gate's profile dir)."""
+    from flink_etl_spark.catalog import process_workdir
+
+    return (
+        f"{process_workdir('substr_idx')}/"
+        f"{sf_dir.strip('/').replace('/', '_')}"
+    )
+
 
 def _span_oracle_arm(variant: str, partition: str) -> str:
     """One span_dedup oracle arm: first-occurrence keep over the given
@@ -206,7 +263,8 @@ def _span_oracle_arm(variant: str, partition: str) -> str:
     f"""
     WITH {_SPAN_CTE},
     {_SUBSTR_CTE},
-    {_WINNOW_CTE}
+    {_WINNOW_CTE},
+    {_INC_CTE}
     SELECT 'content' AS variant,
            min(doc_id) AS keep_id,
            count(*) AS n_copies,
@@ -228,6 +286,8 @@ def _span_oracle_arm(variant: str, partition: str) -> str:
     {_SUBSTR_ORACLE_ARM}
     UNION ALL
     {_WINNOW_ORACLE_ARM}
+    UNION ALL
+    {_INC_ORACLE_ARM}
     """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +322,13 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       intact for passages >= min_tokens + w - 1, at up to w-1
       boundary tokens of removal slop per passage end. The 100 TB
       cost/recall dial between span_offset (exact, densest) and the
-      span grid (cheapest, alignment-fragile)."""
+      span grid (cheapest, alignment-fragile).
+    * variant 'span_inc' (r6) — INCREMENTAL substring dedup
+      (prep.substring_dedup_incremental): even doc_ids staged as the
+      anchor-key index (substring_stage_index, keys only, meta
+      sidecar), odd doc_ids scrubbed against it + their own repeats.
+      The index never shuffles (batch keys broadcast into a
+      semi-join); one row per BATCH doc."""
     from flink_etl_spark.operators.prep import span_dedup, substring_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -296,6 +362,11 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("detail"),
         )
 
+    from flink_etl_spark.operators.prep import (
+        substring_dedup_incremental,
+        substring_stage_index,
+    )
+
     def substr_arm(variant: str, w: int) -> DataFrame:
         return substring_dedup(
             docs, min_tokens=_SUBSTR_K, winnow=w, key="digest"
@@ -309,12 +380,31 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("detail"),
         )
 
+    idx_dir = _substr_stage_dir(sf_dir)
+    substring_stage_index(
+        docs.filter("doc_id % 2 = 0"), idx_dir, mode="overwrite",
+        min_tokens=_SUBSTR_K, key="digest",
+    )
+    inc_arm = substring_dedup_incremental(
+        docs.filter("doc_id % 2 = 1"), idx_dir,
+        min_tokens=_SUBSTR_K, key="digest",
+    ).select(
+        F.lit("span_inc").alias("variant"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_tokens_kept").alias("n_copies"),
+        F.concat(
+            F.col("n_tokens").cast("string"), F.lit(":"),
+            F.col("dedup_text"),
+        ).alias("detail"),
+    )
+
     return (
         content.unionByName(digest)
         .unionByName(span_arm("span_global", "global"))
         .unionByName(span_arm("span_within", "within_doc"))
         .unionByName(substr_arm("span_offset", 1))
         .unionByName(substr_arm("span_winnow", _WINNOW_W))
+        .unionByName(inc_arm)
     )
 
 

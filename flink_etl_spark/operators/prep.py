@@ -1086,20 +1086,42 @@ def substring_dedup(
         if reserved == id_col:
             raise ValueError(f"output column {reserved!r} collides with id_col")
 
-    k = min_tokens
+    with_anchors = _substring_anchors(
+        docs, min_tokens, stride, id_col, text_col, key
+    )
+    narrow = _substring_narrow(with_anchors, id_col, winnow)
+    occ = F.struct(F.col(id_col), F.col("_pos"))
+    winners = narrow.groupBy("_k").agg(F.min(occ).alias("_w"))
+    dropped = (
+        narrow.join(winners, "_k")
+        .filter(occ != F.col("_w"))
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_dup"))
+    )
+    return _substring_rebuild(
+        with_anchors, dropped, id_col, min_tokens, stride, out_col
+    )
+
+
+def _substring_anchors(
+    docs: DataFrame, k: int, stride: int, id_col: str, text_col: str,
+    key: str,
+) -> DataFrame:
+    """(id, _toks, _a): per-document token array + anchor-key array.
+
+    Anchor construction is DATAFRAME-STAGED doubling, one select per
+    power-of-two run level. The expression-level doubling fold
+    (functions/hashing.combine_gram_ids) is analyzer-safe at any k
+    but references each run level TWICE inside the next — as a single
+    expression tree that doubles evaluation work per level (measured
+    ~40s for 5000 docs at k=50, single task). Materializing each
+    level as a non-cheap multi-referenced alias makes CollapseProject
+    keep the projection boundary (the minhash_profile staging
+    argument), so every level evaluates once per row: O(log k)
+    array passes total."""
     toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
     staged = docs.select(F.col(id_col), toks.alias("_toks"))
 
-    # Anchor construction is DATAFRAME-STAGED doubling, one select per
-    # power-of-two run level. The expression-level doubling fold
-    # (functions/hashing.combine_gram_ids) is analyzer-safe at any k
-    # but references each run level TWICE inside the next — as a single
-    # expression tree that doubles evaluation work per level (measured
-    # ~40s for 5000 docs at k=50, single task). Materializing each
-    # level as a non-cheap multi-referenced alias makes CollapseProject
-    # keep the projection boundary (the minhash_profile staging
-    # argument), so every level evaluates once per row: O(log k)
-    # array passes total.
     def _staged_runs(df: DataFrame, base: str, combine):
         """Power-of-two run columns: returns (df, [(span, col), ...])."""
         runs = [(1, base)]
@@ -1186,68 +1208,75 @@ def substring_dedup(
         anchors = F.filter(
             anchors, lambda x, i: i % F.lit(stride) == F.lit(0)
         )
-    with_anchors = df.select(F.col(id_col), "_toks", anchors.alias("_a"))
+    return df.select(F.col(id_col), "_toks", anchors.alias("_a"))
 
+
+def _substring_narrow(
+    with_anchors: DataFrame, id_col: str, winnow: int
+) -> DataFrame:
+    """Explode anchors to the narrow (id, _pos, _k) triples that cross
+    the exchange — every anchor (winnow=1) or the winnowing-selected
+    fingerprints (winnow>1)."""
     if winnow == 1:
-        narrow = with_anchors.select(
+        return with_anchors.select(
             F.col(id_col), F.posexplode("_a").alias("_pos", "_k")
         ).select(F.col(id_col), "_pos", "_k")
-    else:
-        # winnowing selection, entirely row-local: p is selected iff
-        # its weak-left (>=) / strict-right (>) higher-hash runs span a
-        # full window, A + B + 1 >= min(winnow, n_anchors) — the
-        # min(...) unifies the short-document case (fewer anchors than
-        # one window: exactly the whole-array rightmost min survives).
-        # Runs are probed only winnow-1 steps out (O(winnow)/anchor);
-        # out-of-bounds probes count as violations, capping runs at
-        # the array edge.
-        a = F.col("_a")
-        m = F.size(a)
-        wl = winnow - 1
+    # winnowing selection, entirely row-local: p is selected iff
+    # its weak-left (>=) / strict-right (>) higher-hash runs span a
+    # full window, A + B + 1 >= min(winnow, n_anchors) — the
+    # min(...) unifies the short-document case (fewer anchors than
+    # one window: exactly the whole-array rightmost min survives).
+    # Runs are probed only winnow-1 steps out (O(winnow)/anchor);
+    # out-of-bounds probes count as violations, capping runs at
+    # the array edge.
+    a = F.col("_a")
+    m = F.size(a)
+    wl = winnow - 1
 
-        def _selected(p: Column) -> Column:
-            viol_l = F.filter(
-                F.sequence(F.lit(1), F.lit(wl)),
-                lambda d: (p - d < 0)
-                | (F.element_at(a, p - d + 1) < F.element_at(a, p + 1)),
-            )
-            run_l = F.when(F.size(viol_l) == 0, F.lit(wl)).otherwise(
-                F.array_min(viol_l) - 1
-            )
-            viol_r = F.filter(
-                F.sequence(F.lit(1), F.lit(wl)),
-                lambda d: (p + d > m - 1)
-                | (F.element_at(a, p + d + 1) <= F.element_at(a, p + 1)),
-            )
-            run_r = F.when(F.size(viol_r) == 0, F.lit(wl)).otherwise(
-                F.array_min(viol_r) - 1
-            )
-            return run_l + run_r + 1 >= F.least(F.lit(winnow), m)
+    def _selected(p: Column) -> Column:
+        viol_l = F.filter(
+            F.sequence(F.lit(1), F.lit(wl)),
+            lambda d: (p - d < 0)
+            | (F.element_at(a, p - d + 1) < F.element_at(a, p + 1)),
+        )
+        run_l = F.when(F.size(viol_l) == 0, F.lit(wl)).otherwise(
+            F.array_min(viol_l) - 1
+        )
+        viol_r = F.filter(
+            F.sequence(F.lit(1), F.lit(wl)),
+            lambda d: (p + d > m - 1)
+            | (F.element_at(a, p + d + 1) <= F.element_at(a, p + 1)),
+        )
+        run_r = F.when(F.size(viol_r) == 0, F.lit(wl)).otherwise(
+            F.array_min(viol_r) - 1
+        )
+        return run_l + run_r + 1 >= F.least(F.lit(winnow), m)
 
-        sel = F.when(
-            m > 0, F.filter(F.sequence(F.lit(0), m - 1), _selected)
-        ).otherwise(F.array().cast("array<int>"))
-        sel_structs = F.transform(
-            sel,
-            lambda p: F.struct(
-                p.alias("_pos"), F.element_at(a, p + 1).alias("_k")
-            ),
-        )
-        narrow = with_anchors.select(
-            F.col(id_col), F.explode(sel_structs).alias("_s")
-        ).select(
-            F.col(id_col),
-            F.col("_s._pos").alias("_pos"),
-            F.col("_s._k").alias("_k"),
-        )
-    occ = F.struct(F.col(id_col), F.col("_pos"))
-    winners = narrow.groupBy("_k").agg(F.min(occ).alias("_w"))
-    dropped = (
-        narrow.join(winners, "_k")
-        .filter(occ != F.col("_w"))
-        .groupBy(id_col)
-        .agg(F.collect_list("_pos").alias("_dup"))
+    sel = F.when(
+        m > 0, F.filter(F.sequence(F.lit(0), m - 1), _selected)
+    ).otherwise(F.array().cast("array<int>"))
+    sel_structs = F.transform(
+        sel,
+        lambda p: F.struct(
+            p.alias("_pos"), F.element_at(a, p + 1).alias("_k")
+        ),
     )
+    return with_anchors.select(
+        F.col(id_col), F.explode(sel_structs).alias("_s")
+    ).select(
+        F.col(id_col),
+        F.col("_s._pos").alias("_pos"),
+        F.col("_s._k").alias("_k"),
+    )
+
+
+def _substring_rebuild(
+    with_anchors: DataFrame, dropped: DataFrame, id_col: str, k: int,
+    stride: int, out_col: str,
+) -> DataFrame:
+    """Join per-doc drop-lists back (AQE broadcasts small ones) and
+    rebuild each document row-locally, dropping every token covered by
+    a duplicated anchor window."""
     joined = with_anchors.join(dropped, on=id_col, how="left")
     dup_arr = F.coalesce(F.col("_dup"), F.array().cast("array<int>"))
     kept = F.filter(
@@ -1263,6 +1292,198 @@ def substring_dedup(
         F.size("_toks").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("n_tokens_kept"),
         F.concat_ws(" ", kept).alias(out_col),
+    )
+
+
+#: sidecar schema version for staged substring-anchor indexes
+_SUBSTR_META_VERSION = 1
+
+
+def _substr_meta_io(spark, staged_path: str):
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    return _hadoop_fs(spark, f"{staged_path}/_SUBSTR_META.json")
+
+
+def _write_substr_meta(spark, staged_path: str, params: dict) -> None:
+    import json
+
+    fs, p = _substr_meta_io(spark, staged_path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"version": _SUBSTR_META_VERSION, **params}).encode()))
+    finally:
+        out.close()
+
+
+def _check_substr_meta(spark, staged_path: str, params: dict) -> bool:
+    """Raise when the staged anchor index's parameters disagree with
+    the caller's — mismatched key mode / anchor width / winnow produce
+    disjoint key spaces, so every index hit would SILENTLY vanish.
+    Returns False when no sidecar exists (index not yet staged)."""
+    import json
+
+    fs, p = _substr_meta_io(spark, staged_path)
+    if not fs.exists(p):
+        return False
+    stream = fs.open(p)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    meta = json.loads(raw)
+    want = {"version": _SUBSTR_META_VERSION, **params}
+    mismatched = {
+        key: (meta.get(key), val) for key, val in want.items()
+        if meta.get(key) != val
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{key}: staged={got!r} caller={exp!r}"
+            for key, (got, exp) in mismatched.items()
+        )
+        raise ValueError(
+            f"staged substring index at {staged_path} is incompatible "
+            f"with this call ({detail}); anchor keys from mismatched "
+            "parameters never match, silently losing all index hits — "
+            "rebuild the index (substring_stage_index mode='overwrite') "
+            "or match the staged parameters"
+        )
+    return True
+
+
+def substring_stage_index(
+    docs: DataFrame,
+    staged_path: str,
+    mode: str = "append",
+    min_tokens: int = 50,
+    winnow: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash64",
+) -> None:
+    """Tokenize+anchor `docs` ONCE and add their DISTINCT anchor keys
+    to the staged substring index at `staged_path` (parquet, single
+    `anchor_key` column). `mode="append"` is the daily-ingest pattern:
+    the index accretes one batch at a time and no document is ever
+    re-anchored; duplicate keys across appends are harmless (every
+    lookup is a semi-join). Parameters must stay CONSISTENT across
+    batches and lookups — enforced via a `_SUBSTR_META.json` sidecar
+    exactly like the staged minhash profile (a mismatch raises instead
+    of silently matching nothing).
+
+    The index stores ONLY keys — 8-byte packed folds (hash64) or
+    32-byte digests — never text or positions: at 100 TB the index is
+    ~2% (hash64) of corpus bytes and the staging write is the corpus's
+    single anchor pass."""
+    if winnow < 1:
+        raise ValueError(f"winnow must be >= 1, got {winnow}")
+    spark = docs.sparkSession
+    params = {"key": key, "min_tokens": min_tokens, "winnow": winnow}
+    if mode != "overwrite":
+        _check_substr_meta(spark, staged_path, params)
+    keys = _substring_narrow(
+        _substring_anchors(docs, min_tokens, 1, id_col, text_col, key),
+        id_col, winnow,
+    ).select(F.col("_k").alias("anchor_key")).distinct()
+    keys.write.mode(mode).parquet(staged_path)
+    _write_substr_meta(spark, staged_path, params)
+
+
+def substring_dedup_incremental(
+    new_docs: DataFrame,
+    staged_path: str,
+    min_tokens: int = 50,
+    winnow: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash64",
+    out_col: str = "dedup_text",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental offset-robust substring dedup: scrub a NEW batch
+    against the already-staged corpus anchor index
+    (`substring_stage_index`) plus the batch's own internal repeats —
+    the operating mode of a 100 TB training pipeline, where
+    yesterday's corpus is petabyte-scale and today's batch is not.
+
+    Precedence: the staged corpus ALWAYS wins (any batch token covered
+    by an index-present anchor is dropped, regardless of id ordering —
+    the reference corpus is immutable); among index-misses, first
+    occurrence within the batch wins exactly as in `substring_dedup`.
+    Staging the batch afterwards (`mode="append"`) keeps the index
+    consistent for tomorrow, and re-running the same batch converges
+    (its keys are then index-present, output text unchanged: already-
+    dropped spans drop again, kept first occurrences... note the
+    KEPT-span caveat below).
+
+    Scale shape: the batch anchors once (row-local); with
+    ``broadcast_batch`` (default) the batch's distinct keys broadcast
+    against the index, so the INDEX IS NEVER SHUFFLED — one
+    column-pruned scan of 8-byte keys per batch, map-side semi-join,
+    and only the (small) hit set travels back. Disable for a batch too
+    large to broadcast its key set; the lookup then degrades to one
+    key-keyed shuffle join.
+
+    CAVEAT (document before someone trips on it): re-running a batch
+    that was ALREADY staged drops even its first occurrences (the
+    index can't distinguish "my own keys" from the corpus's). Dedup
+    FIRST, stage SECOND — or stage the deduped output.
+
+    Output matches `substring_dedup`: one row per batch document."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    if winnow < 1:
+        raise ValueError(f"winnow must be >= 1, got {winnow}")
+    if winnow > min_tokens:
+        raise ValueError(
+            f"winnow ({winnow}) must be <= min_tokens ({min_tokens})"
+        )
+    if key not in ("hash64", "digest"):
+        raise ValueError(f"key must be 'hash64' or 'digest', got {key!r}")
+    spark = new_docs.sparkSession
+    _check_substr_meta(
+        spark, staged_path,
+        {"key": key, "min_tokens": min_tokens, "winnow": winnow},
+    )
+    index = spark.read.parquet(staged_path)
+
+    with_anchors = _substring_anchors(
+        new_docs, min_tokens, 1, id_col, text_col, key
+    )
+    narrow = _substring_narrow(with_anchors, id_col, winnow)
+
+    batch_keys = narrow.select(F.col("_k").alias("anchor_key")).distinct()
+    if broadcast_batch:
+        batch_keys = F.broadcast(batch_keys)
+    hit_keys = (
+        index.join(batch_keys, "anchor_key", "left_semi")
+        .distinct()
+        .select(F.col("anchor_key").alias("_k"))
+    )
+    # hit set <= batch keys — small by construction, broadcast back
+    flagged = narrow.join(
+        F.broadcast(hit_keys.withColumn("_hit", F.lit(True))), "_k", "left"
+    )
+    miss = flagged.filter(F.col("_hit").isNull())
+    occ = F.struct(F.col(id_col), F.col("_pos"))
+    winners = miss.groupBy("_k").agg(F.min(occ).alias("_w"))
+    drop_rows = (
+        miss.join(winners, "_k")
+        .filter(occ != F.col("_w"))
+        .select(F.col(id_col), "_pos")
+        .unionByName(
+            flagged.filter(F.col("_hit")).select(F.col(id_col), "_pos")
+        )
+    )
+    dropped = drop_rows.groupBy(id_col).agg(
+        F.collect_list("_pos").alias("_dup")
+    )
+    return _substring_rebuild(
+        with_anchors, dropped, id_col, min_tokens, 1, out_col
     )
 
 

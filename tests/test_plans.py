@@ -300,3 +300,44 @@ def test_substring_dedup_shuffles_anchor_ids_not_text(spark):
             # payload in the exchange
             assert not re.search(r"[\[, ]_toks#\d+[,\]]", producer), producer
             assert not re.search(r"[\[, ]_a#\d+[,\]]", producer), producer
+
+
+def test_substring_incremental_never_shuffles_index(spark, tmp_path):
+    """substring_dedup_incremental: the staged anchor index (corpus-
+    scale at 100 TB) must be probed via a broadcast semi-join of the
+    BATCH's keys — the index itself never crosses an exchange."""
+    from flink_etl_spark.operators.prep import (
+        substring_dedup_incremental,
+        substring_stage_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "plan_idx")
+    substring_stage_index(
+        docs.filter("doc_id % 2 = 0"), idx, mode="overwrite",
+        min_tokens=15, key="hash64",
+    )
+    df = substring_dedup_incremental(
+        docs.filter("doc_id % 2 = 1"), idx, min_tokens=15, key="hash64"
+    )
+    plan = _executed(df)
+    assert "Window" not in plan
+    # the index probe is a broadcast LeftSemi with the index STREAMED
+    # (BuildRight = the batch keys are the built/broadcast side)...
+    lines = plan.splitlines()
+    semi = [
+        i for i, line in enumerate(lines)
+        if "BroadcastHashJoin [anchor_key" in line and "LeftSemi" in line
+    ]
+    assert semi, plan
+    assert all("BuildRight" in lines[i] for i in semi), plan
+    # ...and nothing exchanges the index between its scan and the semi
+    # join: the streamed child must be a bare Filter/FileScan. (The
+    # anchor_key exchanges elsewhere in the plan are the BATCH-key and
+    # hit-key distincts — batch-sized by construction.)
+    for i in semi:
+        streamed = lines[i + 1]
+        assert "Exchange" not in streamed, streamed
+        assert "Filter" in streamed or "FileScan" in streamed, streamed

@@ -1042,3 +1042,89 @@ def test_doubling_fold_matches_sequential_model(spark):
             " ".join(toks[p0 : p0 + k]) for p0 in range(len(toks) - k + 1)
         ]
         assert list(row["s"]) == want_s, f"shingles diverge at k={k}"
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup_incremental (staged anchor index)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_incremental_index_wins_and_batch_repeats_drop(
+    spark, tmp_path
+):
+    para = " ".join(f"p{i}" for i in range(20))
+    corpus = _docs(
+        spark, [(1, para + " extra stuff here"), (2, "other doc entirely")]
+    )
+    uniq = "q r s " + " ".join(f"z{i}" for i in range(15))
+    batch = _docs(
+        spark,
+        [(10, "prefix " + para + " suffix"), (11, uniq), (12, uniq)],
+    )
+    idx = str(tmp_path / "idx")
+    P.substring_stage_index(
+        corpus, idx, mode="overwrite", min_tokens=10, key="hash64"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.dedup_text)
+        for r in P.substring_dedup_incremental(
+            batch, idx, min_tokens=10, key="hash64"
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}  # batch docs only
+    assert out[10] == (22, 2, "prefix suffix")  # index passage removed
+    assert out[11] == (18, 18, uniq)  # batch first occurrence intact
+    assert out[12] == (18, 0, "")  # batch repeat fully covered
+
+
+def test_substring_incremental_matches_global_precedence(spark, tmp_path):
+    """With index ids all BELOW batch ids, index-always-wins coincides
+    with (id, pos) ordering — the incremental result for batch docs
+    must then equal the global substring_dedup over index + batch."""
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lo = docs.filter("doc_id % 2 = 0")
+    hi = docs.filter("doc_id % 2 = 1")
+    # shift batch ids above every index id so ordering agrees
+    hi_shift = hi.withColumn("doc_id", F.col("doc_id") + F.lit(10**9))
+    idx = str(tmp_path / "idx2")
+    P.substring_stage_index(
+        lo, idx, mode="overwrite", min_tokens=10, key="digest"
+    )
+    inc = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.dedup_text)
+        for r in P.substring_dedup_incremental(
+            hi_shift, idx, min_tokens=10, key="digest"
+        ).collect()
+    }
+    glob = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.dedup_text)
+        for r in P.substring_dedup(
+            lo.unionByName(hi_shift), min_tokens=10, key="digest"
+        ).collect()
+        if r.doc_id >= 10**9
+    }
+    assert inc == glob and len(inc) > 0
+
+
+def test_substring_incremental_meta_guard_and_append(spark, tmp_path):
+    docs = _docs(spark, [(1, "a b c d e f g h")])
+    idx = str(tmp_path / "idx3")
+    P.substring_stage_index(docs, idx, mode="overwrite", min_tokens=4)
+    # append with matching params is fine
+    P.substring_stage_index(_docs(spark, [(2, "x y z w v u")]), idx,
+                            min_tokens=4)
+    # any mismatched parameter raises on append AND on lookup
+    with pytest.raises(ValueError, match="incompatible"):
+        P.substring_stage_index(docs, idx, min_tokens=5)
+    with pytest.raises(ValueError, match="incompatible"):
+        P.substring_dedup_incremental(docs, idx, min_tokens=4, key="digest")
+    # matching lookup works and sees BOTH appended batches
+    out = {
+        r.doc_id: r.n_tokens_kept
+        for r in P.substring_dedup_incremental(
+            _docs(spark, [(9, "a b c d x y z w")]), idx, min_tokens=4
+        ).collect()
+    }
+    assert out[9] == 0  # first half hits batch-1 keys, second batch-2
