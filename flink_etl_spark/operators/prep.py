@@ -1048,7 +1048,10 @@ def substring_dedup(
     suffix-array original pays superlinear single-node memory
     instead); `span_dedup` at 1/min_tokens the exchange volume is the
     cheap grid-aligned screen, this is the exact sweep. Run both:
-    grid first, anchors on what survives.
+    grid first, anchors on what survives. For the daily-batch
+    operating mode see `substring_stage_index` /
+    `substring_dedup_incremental` — scrub a new batch against a
+    staged keys-only anchor index without re-anchoring the corpus.
 
     Output: one row per input document — ``id_col``, ``n_tokens``,
     ``n_tokens_kept``, ``out_col`` (surviving tokens joined by a
