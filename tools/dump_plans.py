@@ -123,6 +123,33 @@ COMMENTARY: dict[str, str] = {
         "document text — followed by a per-doc conditional aggregate "
         "on the same keys (AQE reuses the partitioning)."
     ),
+    "span_dedup_global": (
+        "Narrow first-occurrence dedup: the span digest exchange "
+        "carries (sha256, id, pos) triples only — span TEXT never "
+        "crosses an exchange (plan-asserted) — and first occurrence is "
+        "a partial-combining min-STRUCT aggregate, deliberately not a "
+        "window, so a boilerplate span repeated billions of times "
+        "map-side-combines instead of funneling through one reducer. "
+        "Drop-lists join back broadcast-side; the rebuild is row-local."
+    ),
+    "substring_dedup_exact": (
+        "Offset-robust Lee-et-al substring dedup: one anchor per token "
+        "position, anchor keys are two staged-doubling polynomial "
+        "folds over salted xxhash64 token streams packed into one "
+        "bigint — 8-byte exchange keys, no anchor strings ever "
+        "materialized, O(log k) array passes per row. Same skew-proof "
+        "min-struct first-occurrence + broadcast drop-list shape as "
+        "span_dedup; the exchange is ~1 triple per corpus token, the "
+        "honest price of offset exactness (winnow= sampling divides it "
+        "by ~(w+1)/2 with the detection guarantee intact)."
+    ),
+    "unigram_lm_scores": (
+        "CCNet-style LM scoring: the self-fit tf table is persisted "
+        "(corpus tokenizes once) and BROADCAST back onto the token "
+        "stream — 8-byte xxhash64 term ids as join keys, token strings "
+        "never leave the scan. The only corpus-sized exchange is the "
+        "4-numeric-column per-doc aggregate."
+    ),
     "decontaminate_ngrams": (
         "The benchmark side (eval suites: MBs) is distinct-ed and "
         "BROADCAST, so the corpus side never shuffles for the "
