@@ -1382,8 +1382,16 @@ def substring_stage_index(
     32-byte digests — never text or positions: at 100 TB the index is
     ~2% (hash64) of corpus bytes and the staging write is the corpus's
     single anchor pass."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
     if winnow < 1:
         raise ValueError(f"winnow must be >= 1, got {winnow}")
+    if winnow > min_tokens:
+        raise ValueError(
+            f"winnow ({winnow}) must be <= min_tokens ({min_tokens})"
+        )
+    if key not in ("hash64", "digest"):
+        raise ValueError(f"key must be 'hash64' or 'digest', got {key!r}")
     spark = docs.sparkSession
     params = {"key": key, "min_tokens": min_tokens, "winnow": winnow}
     if mode != "overwrite":

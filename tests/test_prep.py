@@ -1128,3 +1128,14 @@ def test_substring_incremental_meta_guard_and_append(spark, tmp_path):
         ).collect()
     }
     assert out[9] == 0  # first half hits batch-1 keys, second batch-2
+
+
+def test_substring_stage_index_validation(spark, tmp_path):
+    docs = _docs(spark, [(1, "a b c")])
+    idx = str(tmp_path / "v")
+    with pytest.raises(ValueError, match="min_tokens"):
+        P.substring_stage_index(docs, idx, min_tokens=0)
+    with pytest.raises(ValueError, match="winnow"):
+        P.substring_stage_index(docs, idx, min_tokens=4, winnow=5)
+    with pytest.raises(ValueError, match="key"):
+        P.substring_stage_index(docs, idx, key="charfold")

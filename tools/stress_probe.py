@@ -74,6 +74,15 @@ def main(replicas: int = 5) -> None:
     # both hash_fns at the same auto width: the correlated near-miss
     # tail is hash-dependent (docs/SCALING.md) — the margined auto knob
     # must keep BOTH bounded with no hand tuning
+    from flink_etl_spark.operators.prep import span_dedup, substring_dedup
+
+    # every doc is a 5-clique member -> every anchor key repeats 5x and
+    # ~4/5 of all tokens get dropped: maximal drop-list volume for the
+    # rebuild join (r6)
+    run("span_dedup_global", span_dedup(docs, span_tokens=20, scope="global"))
+    run("substring_dedup_exact", substring_dedup(docs, min_tokens=50))
+    run("substring_dedup_winnow8",
+        substring_dedup(docs, min_tokens=50, winnow=8))
     run("dedup_simhash_hamming_auto",
         D.simhash_near_dups(docs, max_hamming=2, bits="auto", n_docs=n_docs_s))
     run("dedup_simhash_hamming_auto_charfold",
@@ -120,6 +129,12 @@ def main(replicas: int = 5) -> None:
     run("dedup_simhash_capped_clique(max_bucket=200)",
         D.simhash_near_dups(adv, max_hamming=2, bits="auto", n_docs=n_adv,
                             max_bucket=200))
+    # the HOT-ANCHOR scenario substring_dedup's min-struct aggregate is
+    # designed for: one document's anchors repeated 1000x (~50k-row hot
+    # keys). A window-based first-occurrence would funnel every copy of
+    # each hot key through one reducer; the aggregate partial-combines
+    # map-side and the probe join is AQE-skew-splittable (r6)
+    run("substring_dedup_clique_1000x", substring_dedup(adv, min_tokens=50))
 
     # recall@5 vs nprobe, seed vs refined centroids: IVF recall against
     # the exact brute-force baseline over the same 32-query set
