@@ -76,13 +76,24 @@ def main(replicas: int = 5) -> None:
     # must keep BOTH bounded with no hand tuning
     from flink_etl_spark.operators.prep import span_dedup, substring_dedup
 
+    def run_noop(name, df):
+        # count() would let Catalyst ELIMINATE the whole rebuild (left
+        # join against unique-keyed drop-lists + unreferenced columns
+        # prune to a bare scan count); the noop sink forces the full
+        # plan like bench.py does
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"  {name}: full plan / {time.time() - t0:.1f}s", flush=True)
+        spark.catalog.clearCache()
+
     # every doc is a 5-clique member -> every anchor key repeats 5x and
     # ~4/5 of all tokens get dropped: maximal drop-list volume for the
     # rebuild join (r6)
-    run("span_dedup_global", span_dedup(docs, span_tokens=20, scope="global"))
-    run("substring_dedup_exact", substring_dedup(docs, min_tokens=50))
-    run("substring_dedup_winnow8",
-        substring_dedup(docs, min_tokens=50, winnow=8))
+    run_noop("span_dedup_global",
+             span_dedup(docs, span_tokens=20, scope="global"))
+    run_noop("substring_dedup_exact", substring_dedup(docs, min_tokens=50))
+    run_noop("substring_dedup_winnow8",
+             substring_dedup(docs, min_tokens=50, winnow=8))
     run("dedup_simhash_hamming_auto",
         D.simhash_near_dups(docs, max_hamming=2, bits="auto", n_docs=n_docs_s))
     run("dedup_simhash_hamming_auto_charfold",
@@ -134,7 +145,8 @@ def main(replicas: int = 5) -> None:
     # keys). A window-based first-occurrence would funnel every copy of
     # each hot key through one reducer; the aggregate partial-combines
     # map-side and the probe join is AQE-skew-splittable (r6)
-    run("substring_dedup_clique_1000x", substring_dedup(adv, min_tokens=50))
+    run_noop("substring_dedup_clique_1000x",
+             substring_dedup(adv, min_tokens=50))
 
     # recall@5 vs nprobe, seed vs refined centroids: IVF recall against
     # the exact brute-force baseline over the same 32-query set
