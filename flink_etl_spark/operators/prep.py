@@ -1461,7 +1461,26 @@ def substring_dedup_incremental(
         {"key": key, "min_tokens": min_tokens, "winnow": winnow},
     )
     index = spark.read.parquet(staged_path)
+    return _substring_scrub(
+        new_docs, index, min_tokens, winnow, id_col, text_col, key,
+        out_col, broadcast_batch,
+    )
 
+
+def _substring_scrub(
+    new_docs: DataFrame,
+    index: DataFrame,
+    min_tokens: int,
+    winnow: int,
+    id_col: str,
+    text_col: str,
+    key: str,
+    out_col: str,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """Core incremental scrub against an `anchor_key` index DataFrame
+    (see `substring_dedup_incremental` for semantics and the scale
+    shape; the streaming sink passes a batch-id-pruned index here)."""
     with_anchors = _substring_anchors(
         new_docs, min_tokens, 1, id_col, text_col, key
     )

@@ -206,3 +206,107 @@ def test_stream_static_broadcast_join_equals_batch(spark, tmp_path):
     )
     assert got == expected
     assert len(got) >= 1000
+
+
+def test_continuous_dedup_stream_scrubs_against_earlier_batches(
+    spark, tmp_path
+):
+    """Three single-file micro-batches through start_continuous_dedup:
+    each batch loses exactly the passages already ingested by EARLIER
+    batches (plus its own repeats), first occurrences survive, and the
+    accreted index equals the union of all batches' anchor keys."""
+    import os
+    import time as _time
+
+    from flink_etl_spark.streaming.dedup_sink import start_continuous_dedup
+
+    para = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"v{i}" for i in range(12))
+    batches = [
+        [(1, para + " tail"), (2, other)],
+        [(10, "shift " + para)],          # dup of batch-0 passage
+        [(20, other), (21, "fresh " + " ".join(f"u{i}" for i in range(10)))],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            p for p in os.listdir(tmp_path / f"stage{i}")
+            if p.endswith(".parquet")
+        )
+        dst = src / f"b{i}.parquet"
+        os.rename(tmp_path / f"stage{i}" / part, dst)
+        # FileStreamSource orders by modification time: pin it
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        _time.sleep(0.01)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_continuous_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_location=str(tmp_path / "ck"),
+        min_tokens=8,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    out = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.dedup_text)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert set(out) == {1, 2, 10, 20, 21}
+    assert out[1][0] == out[1][1]  # batch-0 docs intact
+    assert out[2][0] == out[2][1]
+    assert out[10] == (13, 1, "shift")  # batch-0 passage scrubbed
+    assert out[20] == (12, 0, "")  # dup of batch-0's `other`
+    assert out[21][0] == out[21][1]  # genuinely fresh text survives
+
+    # index = union of every batch's distinct keys (batch 1/2 dirs
+    # exist even though their content duplicated earlier batches).
+    # batch_id reads as STRING: the engine session disables partition
+    # type inference — which is why the sink's pruning filter carries
+    # an explicit bigint cast
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert {
+        r.batch_id for r in idx.select("batch_id").distinct().collect()
+    } == {"0", "1", "2"}
+
+
+def test_continuous_dedup_replay_is_idempotent(spark, tmp_path):
+    """The replay-safety core: re-running a batch step AFTER its own
+    keys were staged must keep the batch's first occurrences (the
+    batch-id partition pruning excludes its own directory), producing
+    byte-identical output both times."""
+    from flink_etl_spark.streaming.dedup_sink import dedup_batch_step
+
+    para = " ".join(f"w{i}" for i in range(12))
+    b0 = spark.createDataFrame([(1, para)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(10, "pre " + para), (11, "solo " + " ".join(f"x{i}" for i in range(9)))],
+        "doc_id long, text string",
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    dedup_batch_step(b0, 0, idx, out, min_tokens=8)
+    dedup_batch_step(b1, 1, idx, out, min_tokens=8)
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id=1").collect())
+    )
+    # doc 11's text is a batch-1 first occurrence; its keys are now in
+    # idx/batch_id=1 — a naive replay would scrub it against itself
+    dedup_batch_step(b1, 1, idx, out, min_tokens=8)
+    second = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id=1").collect())
+    )
+    assert first == second
+    kept = {r[0]: r for r in second}  # (doc_id, n_tokens, n_kept, text)
+    assert kept[11][3] == "solo x0 x1 x2 x3 x4 x5 x6 x7 x8"
+    assert kept[10][3] == "pre"
