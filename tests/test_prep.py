@@ -1139,3 +1139,27 @@ def test_substring_stage_index_validation(spark, tmp_path):
         P.substring_stage_index(docs, idx, min_tokens=4, winnow=5)
     with pytest.raises(ValueError, match="key"):
         P.substring_stage_index(docs, idx, key="charfold")
+
+
+def test_substring_incremental_winnow_composition(spark, tmp_path):
+    """Winnow-sampled index + winnow-sampled batch: the content-based
+    selection picks identical passage-relative anchors on both sides,
+    so a duplicated passage >= min_tokens + winnow - 1 is still caught
+    across the index boundary."""
+    k, w = 8, 4
+    para = " ".join(f"d{i}" for i in range(k + w - 1))
+    corpus = _docs(spark, [(1, "lead " + para + " trail")])
+    batch = _docs(spark, [(10, "other prefix " + para)])
+    idx = str(tmp_path / "widx")
+    P.substring_stage_index(
+        corpus, idx, mode="overwrite", min_tokens=k, winnow=w
+    )
+    out = P.substring_dedup_incremental(
+        batch, idx, min_tokens=k, winnow=w
+    ).collect()[0]
+    dropped = out.n_tokens - out.n_tokens_kept
+    assert dropped >= 1  # detection guaranteed across the index
+    assert dropped >= len(para.split()) - 2 * (w - 1)  # slop-bounded
+    # winnow params are part of the meta contract
+    with pytest.raises(ValueError, match="incompatible"):
+        P.substring_dedup_incremental(batch, idx, min_tokens=k, winnow=2)
