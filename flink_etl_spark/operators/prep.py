@@ -1358,6 +1358,50 @@ def _check_substr_meta(spark, staged_path: str, params: dict) -> bool:
     return True
 
 
+def document_fingerprints(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    winnow: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash64",
+) -> DataFrame:
+    """First-class winnowing fingerprints (Schleimer et al. 2003 —
+    the MOSS primitive): one row per selected anchor, ``(id_col,
+    pos, fingerprint)``, where ``pos`` is the 0-based token offset of
+    the ``min_tokens``-token window and ``fingerprint`` its anchor
+    key (8-byte packed fold for ``key="hash64"``, sha256 hex for
+    ``"digest"``). The selection rule is `substring_dedup(winnow=)`'s:
+    content-based, so any shared passage of >= min_tokens + winnow - 1
+    tokens yields at least one IDENTICAL fingerprint in every
+    document containing it — join two corpora's fingerprint sets on
+    ``fingerprint`` for plagiarism / provenance / overlap detection at
+    ~2/(winnow+1) anchor density, or feed the output straight into a
+    group-by for a corpus-level duplicate-passage census.
+
+    winnow=1 degenerates to every anchor (the dense exact sweep).
+    Entirely row-local — zero exchanges; whatever aggregation follows
+    pays the first shuffle."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    if not (1 <= winnow <= min_tokens):
+        raise ValueError(
+            f"winnow must satisfy 1 <= winnow <= min_tokens, got "
+            f"winnow={winnow}, min_tokens={min_tokens}"
+        )
+    if key not in ("hash64", "digest"):
+        raise ValueError(f"key must be 'hash64' or 'digest', got {key!r}")
+    return _substring_narrow(
+        _substring_anchors(docs, min_tokens, 1, id_col, text_col, key),
+        id_col,
+        winnow,
+    ).select(
+        F.col(id_col),
+        F.col("_pos").alias("pos"),
+        F.col("_k").alias("fingerprint"),
+    )
+
+
 def substring_stage_index(
     docs: DataFrame,
     staged_path: str,

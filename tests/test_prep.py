@@ -1163,3 +1163,30 @@ def test_substring_incremental_winnow_composition(spark, tmp_path):
     # winnow params are part of the meta contract
     with pytest.raises(ValueError, match="incompatible"):
         P.substring_dedup_incremental(batch, idx, min_tokens=k, winnow=2)
+
+
+def test_document_fingerprints_shared_passage_and_plan(spark):
+    """Two docs sharing a >= k+w-1 passage must share at least one
+    fingerprint at the passage-relative offset; the operator itself is
+    exchange-free (row-local selection)."""
+    k, w = 8, 4
+    para = " ".join(f"f{i}" for i in range(k + w - 1))
+    docs = _docs(
+        spark,
+        [(1, "aa bb " + para), (2, para + " zz"), (3, "totally other words")],
+    )
+    fp = P.document_fingerprints(docs, min_tokens=k, winnow=w)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    shared = by_doc[1] & by_doc[2]
+    assert shared, "shared passage must yield a common fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    # density: winnowing selects ~2/(w+1) of anchors, never all
+    n_anchors_1 = len("aa bb ".split()) + len(para.split()) - k + 1
+    assert len(by_doc[1]) < n_anchors_1
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local, zero shuffles
+    with pytest.raises(ValueError, match="winnow"):
+        P.document_fingerprints(docs, min_tokens=4, winnow=5)
