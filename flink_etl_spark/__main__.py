@@ -122,6 +122,32 @@ def cmd_bootstrap(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_stream(args: argparse.Namespace) -> int:
+    from flink_etl_spark.streaming.dedup_sink import start_continuous_dedup
+
+    spark = _spark("flink-etl-spark-dedup-stream")
+    reader = spark.readStream.schema(args.schema)
+    if args.max_files_per_trigger > 0:  # 0 = unlimited (option unset)
+        reader = reader.option(
+            "maxFilesPerTrigger", args.max_files_per_trigger
+        )
+    docs = reader.parquet(args.path)
+    q = start_continuous_dedup(
+        docs,
+        index_path=args.index,
+        output_path=args.out,
+        checkpoint_location=args.checkpoint,
+        min_tokens=args.min_tokens,
+        winnow=args.winnow,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        key=args.key,
+        available_now=args.available_now,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_etl_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -159,6 +185,30 @@ def build_parser() -> argparse.ArgumentParser:
     bst.add_argument("--table", default=None, help="override $FLINK_ETL_SPARK_JDBC_TABLE")
     bst.add_argument("--out", required=True)
     bst.set_defaults(fn=cmd_bootstrap)
+
+    dds = sub.add_parser(
+        "dedup-stream",
+        help="continuous substring dedup over a parquet document stream "
+             "(Lee et al. 2022 scrub riding the ingest; replay-idempotent "
+             "batch-id-partitioned anchor index)",
+    )
+    dds.add_argument("--path", required=True, help="input parquet dir (streamed)")
+    dds.add_argument("--index", required=True, help="anchor-key index root")
+    dds.add_argument("--out", required=True, help="deduped output root")
+    dds.add_argument("--checkpoint", required=True)
+    dds.add_argument("--schema", default="doc_id long, text string",
+                     help="input schema DDL (default: 'doc_id long, text string')")
+    dds.add_argument("--min-tokens", type=int, default=50)
+    dds.add_argument("--winnow", type=int, default=1,
+                     help="winnowing window (1 = exact dense anchors)")
+    dds.add_argument("--id-col", default="doc_id")
+    dds.add_argument("--text-col", default="text")
+    dds.add_argument("--key", choices=("hash64", "digest"), default="hash64")
+    dds.add_argument("--max-files-per-trigger", type=int, default=1,
+                     help="files per micro-batch (0 = unlimited)")
+    dds.add_argument("--available-now", action="store_true",
+                     help="drain available input then stop (backfill mode)")
+    dds.set_defaults(fn=cmd_dedup_stream)
     return p
 
 

@@ -148,3 +148,34 @@ def test_cli_merge_day_buckets_requires_tables():
             "merge-day", "--snapshot", "/tmp/x", "--delta", "/tmp/y",
             "--day", "20240101", "--keys", "id", "--buckets", "32",
         ])
+
+
+def test_cli_dedup_stream_drains_and_scrubs(spark, tmp_path, monkeypatch):
+    """The dedup-stream subcommand in backfill mode: one parquet file of
+    documents in, deduped batch-id-partitioned output + anchor index
+    out — wiring check over the library sink the streaming tests pin."""
+    from flink_etl_spark.__main__ import main
+
+    para = " ".join(f"c{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, para), (2, "pad " + para)], "doc_id long, text string"
+    )
+    src = tmp_path / "in"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+    rc = main([
+        "dedup-stream",
+        "--path", str(src),
+        "--index", str(tmp_path / "idx"),
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--min-tokens", "8",
+        "--max-files-per-trigger", "0",
+        "--available-now",
+    ])
+    assert rc == 0
+    out = {
+        r.doc_id: r.dedup_text
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # one micro-batch: doc 1 keeps the passage, doc 2 loses it
+    assert out[1] == para and out[2] == "pad"
