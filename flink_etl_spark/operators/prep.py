@@ -907,6 +907,11 @@ def span_dedup(
         raise ValueError(f"scope must be 'global' or 'within_doc', got {scope!r}")
     if key not in ("digest", "content"):
         raise ValueError(f"key must be 'digest' or 'content', got {key!r}")
+    if out_col in ("n_spans", "n_spans_kept"):
+        raise ValueError(
+            f"out_col {out_col!r} collides with the metric columns "
+            "('n_spans', 'n_spans_kept')"
+        )
     for reserved in ("n_spans", "n_spans_kept", out_col):
         if reserved == id_col:
             raise ValueError(f"output column {reserved!r} collides with id_col")
@@ -947,15 +952,12 @@ def span_dedup(
         .agg(F.collect_list("_pos").alias("_drop"))
     )
     joined = staged.join(dropped, on=id_col, how="left")
-    drop_arr = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("_spans"), lambda x, i: ~F.array_contains(drop_arr, i)
-    )
-    return joined.select(
+    rebuilt = _gap_slice_rebuild(joined, "_spans", "_drop", 1, 1, "_kept")
+    return rebuilt.select(
         F.col(id_col),
         F.size("_spans").cast("long").alias("n_spans"),
-        F.size(kept).cast("long").alias("n_spans_kept"),
-        F.concat_ws(" ", kept).alias(out_col),
+        F.size("_kept").cast("long").alias("n_spans_kept"),
+        F.concat_ws(" ", "_kept").alias(out_col),
     )
 
 
@@ -1085,6 +1087,11 @@ def substring_dedup(
         )
     if key not in ("hash64", "digest"):
         raise ValueError(f"key must be 'hash64' or 'digest', got {key!r}")
+    if out_col in ("n_tokens", "n_tokens_kept"):
+        raise ValueError(
+            f"out_col {out_col!r} collides with the metric columns "
+            "('n_tokens', 'n_tokens_kept')"
+        )
     for reserved in ("n_tokens", "n_tokens_kept", out_col):
         if reserved == id_col:
             raise ValueError(f"output column {reserved!r} collides with id_col")
@@ -1273,28 +1280,93 @@ def _substring_narrow(
     )
 
 
+def _gap_slice_rebuild(
+    df: DataFrame, arr_col: str, drops_col: str, k: int, stride: int,
+    kept_col: str,
+) -> DataFrame:
+    """Row-local INTERVAL rebuild: add `kept_col` = the elements of
+    `arr_col` NOT covered by any drop window, where drop position p
+    (grid units) covers indices [p*stride, p*stride + k - 1].
+
+    Shape: sort the drop positions, reduce them to disjoint merged
+    coverage intervals via boundary flags (a drop opens a new interval
+    iff the gap to its predecessor exceeds the window, closes one iff
+    the gap to its successor does — O(D) after the O(D log D) sort, no
+    quadratic accumulator), take the complement gaps, and SLICE the
+    array by gap: O(D log D + T + I) per row total. The naive
+    per-element `exists()` over the drop list this replaced is
+    O(T*D) — a 100k-token document that is mostly duplicated (D ~ T)
+    did ~1e10 comparisons in one task.
+
+    Every reused array is staged as its own projected column — the
+    interpreted-HOF re-evaluation lesson from `_substring_anchors`.
+    Out-of-range element_at probes at the array edges are index-
+    clamped (NOT try_element_at: index 0 raises even there, and the
+    engine session runs ANSI mode); the adjacent boundary disjunct
+    makes the clamped probe's result irrelevant."""
+    empty = F.array().cast("array<int>")
+    df = df.withColumn(
+        "_ps", F.array_sort(F.coalesce(F.col(drops_col), empty))
+    )
+    ps = F.col("_ps")
+    m = F.size(ps)
+    s_lit = F.lit(stride)
+    # windows at grid positions q < p merge when p's window starts at
+    # most one past q's end: p*stride <= q*stride + k, i.e. the
+    # complement (p - q)*stride > k opens/closes a merged interval
+    starts = F.filter(
+        ps,
+        lambda p, i: (i == F.lit(0))
+        | ((p - F.element_at(ps, F.greatest(i, F.lit(1)))) * s_lit
+           > F.lit(k)),
+    )
+    ends = F.filter(
+        ps,
+        lambda p, i: (i == m - 1)
+        | ((F.element_at(ps, F.least(i + 2, m)) - p) * s_lit > F.lit(k)),
+    )
+    # complement gaps: [0, first_start-1], between intervals, and
+    # [last_end+1, n-1]; zero-length gaps slice to empty arrays
+    df = df.withColumn(
+        "_gs",
+        F.concat(
+            F.array(F.lit(0)),
+            F.transform(ends, lambda p: p * s_lit + F.lit(k)),
+        ),
+    ).withColumn(
+        "_ge",
+        F.concat(
+            F.transform(starts, lambda p: p * s_lit - F.lit(1)),
+            F.array(F.size(arr_col) - 1),
+        ),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            F.col("_gs"),
+            F.col("_ge"),
+            lambda gs, ge: F.slice(
+                F.col(arr_col), gs + 1, F.greatest(ge - gs + 1, F.lit(0))
+            ),
+        )
+    )
+    return df.withColumn(kept_col, kept).drop("_ps", "_gs", "_ge")
+
+
 def _substring_rebuild(
     with_anchors: DataFrame, dropped: DataFrame, id_col: str, k: int,
     stride: int, out_col: str,
 ) -> DataFrame:
     """Join per-doc drop-lists back (AQE broadcasts small ones) and
     rebuild each document row-locally, dropping every token covered by
-    a duplicated anchor window."""
+    a duplicated anchor window — merged-interval gap slicing, see
+    `_gap_slice_rebuild`."""
     joined = with_anchors.join(dropped, on=id_col, how="left")
-    dup_arr = F.coalesce(F.col("_dup"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("_toks"),
-        lambda x, i: ~F.exists(
-            dup_arr,
-            lambda p: (p * F.lit(stride) <= i)
-            & (i <= p * F.lit(stride) + F.lit(k - 1)),
-        ),
-    )
-    return joined.select(
+    rebuilt = _gap_slice_rebuild(joined, "_toks", "_dup", k, stride, "_kept")
+    return rebuilt.select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_tokens_kept"),
-        F.concat_ws(" ", kept).alias(out_col),
+        F.size("_kept").cast("long").alias("n_tokens_kept"),
+        F.concat_ws(" ", "_kept").alias(out_col),
     )
 
 
@@ -1505,29 +1577,31 @@ def substring_dedup_incremental(
         {"key": key, "min_tokens": min_tokens, "winnow": winnow},
     )
     index = spark.read.parquet(staged_path)
+    with_anchors = _substring_anchors(
+        new_docs, min_tokens, 1, id_col, text_col, key
+    )
     return _substring_scrub(
-        new_docs, index, min_tokens, winnow, id_col, text_col, key,
-        out_col, broadcast_batch,
+        with_anchors, index, min_tokens, winnow, id_col, out_col,
+        broadcast_batch,
     )
 
 
 def _substring_scrub(
-    new_docs: DataFrame,
+    with_anchors: DataFrame,
     index: DataFrame,
     min_tokens: int,
     winnow: int,
     id_col: str,
-    text_col: str,
-    key: str,
     out_col: str,
     broadcast_batch: bool,
 ) -> DataFrame:
-    """Core incremental scrub against an `anchor_key` index DataFrame
-    (see `substring_dedup_incremental` for semantics and the scale
-    shape; the streaming sink passes a batch-id-pruned index here)."""
-    with_anchors = _substring_anchors(
-        new_docs, min_tokens, 1, id_col, text_col, key
-    )
+    """Core incremental scrub of a pre-anchored batch frame
+    (`_substring_anchors` output: id, _toks, _a) against an
+    `anchor_key` index DataFrame (see `substring_dedup_incremental`
+    for semantics and the scale shape; the streaming sink passes a
+    batch-id-pruned index here). Taking the anchored frame instead of
+    raw docs lets callers anchor the batch ONCE and share it between
+    the scrub and their own key staging."""
     narrow = _substring_narrow(with_anchors, id_col, winnow)
 
     batch_keys = narrow.select(F.col("_k").alias("anchor_key")).distinct()
@@ -1538,10 +1612,15 @@ def _substring_scrub(
         .distinct()
         .select(F.col("anchor_key").alias("_k"))
     )
-    # hit set <= batch keys — small by construction, broadcast back
-    flagged = narrow.join(
-        F.broadcast(hit_keys.withColumn("_hit", F.lit(True))), "_k", "left"
-    )
+    # hit set <= batch keys, so it is broadcastable exactly when the
+    # caller declared the batch key set broadcastable; with
+    # broadcast_batch=False both joins degrade to key-keyed shuffle
+    # joins (forcing a broadcast here would OOM at precisely the
+    # scale the flag exists for)
+    hit_flags = hit_keys.withColumn("_hit", F.lit(True))
+    if broadcast_batch:
+        hit_flags = F.broadcast(hit_flags)
+    flagged = narrow.join(hit_flags, "_k", "left")
     miss = flagged.filter(F.col("_hit").isNull())
     occ = F.struct(F.col(id_col), F.col("_pos"))
     winners = miss.groupBy("_k").agg(F.min(occ).alias("_w"))

@@ -85,12 +85,16 @@ def rescue_scan_parallelism(
         target = spark.sparkContext.defaultParallelism
     try:
         n_parts = df.rdd.getNumPartitions()
-        import os as _os
+        # Hadoop FileSystem sizing, not os.path.getsize: inputFiles()
+        # returns URIs of whatever scheme backs the table (hdfs://,
+        # s3a://, file:) and the helper must size them all — a
+        # local-only stat would silently disable the rescue off-laptop.
+        from flink_etl_spark.operators.merge import _hadoop_fs
 
-        size = sum(
-            _os.path.getsize(p.removeprefix("file:"))
-            for p in df.inputFiles()
-        )
+        size = 0
+        for uri in df.inputFiles():
+            fs, hpath = _hadoop_fs(spark, uri)
+            size += fs.getFileStatus(hpath).getLen()
     except Exception:
         return df
     if n_parts >= max(2, target // 2) or size > max_bytes:

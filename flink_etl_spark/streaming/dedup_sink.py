@@ -99,18 +99,18 @@ def dedup_batch_step(
         _write_substr_meta(spark, index_path, params)
 
     index = _index_so_far(spark, index_path, batch_id, key)
+    with_anchors = _substring_anchors(
+        batch, min_tokens, 1, id_col, text_col, key
+    )
     deduped = _substring_scrub(
-        batch, index, min_tokens, winnow, id_col, text_col, key,
-        out_col, broadcast_batch,
+        with_anchors, index, min_tokens, winnow, id_col, out_col,
+        broadcast_batch,
     )
     deduped.write.mode("overwrite").parquet(
         f"{output_path}/batch_id={batch_id}"
     )
     keys = (
-        _substring_narrow(
-            _substring_anchors(batch, min_tokens, 1, id_col, text_col, key),
-            id_col, winnow,
-        )
+        _substring_narrow(with_anchors, id_col, winnow)
         .select(F.col("_k").alias("anchor_key"))
         .distinct()
     )

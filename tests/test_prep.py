@@ -1190,3 +1190,81 @@ def test_document_fingerprints_shared_passage_and_plan(spark):
     assert "Exchange" not in plan  # row-local, zero shuffles
     with pytest.raises(ValueError, match="winnow"):
         P.document_fingerprints(docs, min_tokens=4, winnow=5)
+
+
+def test_out_col_metric_collision_raises(spark):
+    """out_col colliding with the operator's own metric columns must
+    raise instead of silently emitting a duplicate-named column."""
+    docs = _docs(spark, [(1, "a b c")])
+    for bad in ("n_spans", "n_spans_kept"):
+        with pytest.raises(ValueError, match="collides"):
+            P.span_dedup(docs, out_col=bad)
+    for bad in ("n_tokens", "n_tokens_kept"):
+        with pytest.raises(ValueError, match="collides"):
+            P.substring_dedup(docs, out_col=bad)
+
+
+def test_substring_incremental_respects_broadcast_batch(spark, tmp_path):
+    """broadcast_batch=False must not force-broadcast ANY side — the
+    flag exists for batches whose key set is too large for the driver,
+    and a forced broadcast of the hit set (bounded only by the batch
+    keys) would OOM at exactly that scale. Results must be identical
+    either way."""
+    idx = str(tmp_path / "idx")
+    base = " ".join(f"w{i}" for i in range(12))
+    P.substring_stage_index(
+        _docs(spark, [(1, base)]), idx, min_tokens=6, key="digest"
+    )
+    batch = _docs(
+        spark, [(10, "x y " + base), (11, "fresh tokens only here now")]
+    )
+    wide = P.substring_dedup_incremental(
+        batch, idx, min_tokens=6, key="digest", broadcast_batch=True
+    )
+    narrow = P.substring_dedup_incremental(
+        batch, idx, min_tokens=6, key="digest", broadcast_batch=False
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, narrow.collect())
+    )
+    # the broadcast hints are caller-controlled: present when asked,
+    # absent (both joins) when declined
+    assert "ResolvedHint" in wide._jdf.queryExecution().analyzed().toString()
+    assert (
+        "ResolvedHint"
+        not in narrow._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_gap_slice_rebuild_matches_naive_model(spark):
+    """The merged-interval gap-slice rebuild must equal the naive
+    per-element coverage filter over randomized drop sets — including
+    adjacent, overlapping, duplicate, and edge-hugging windows."""
+    import random
+
+    rng = random.Random(41)
+    for k, stride in ((1, 1), (3, 1), (5, 2)):
+        rows, expect = [], {}
+        for rid in range(40):
+            n = rng.randint(0, 28)
+            toks = [f"t{j}" for j in range(n)]
+            max_grid = max(0, (n - k) // stride)
+            drops = (
+                [rng.randint(0, max_grid) for _ in range(rng.randint(0, 12))]
+                if n >= k
+                else []
+            )
+            rows.append((rid, toks, drops or None))
+            covered = {
+                i
+                for p in drops
+                for i in range(p * stride, p * stride + k)
+                if i < n
+            }
+            expect[rid] = [t for j, t in enumerate(toks) if j not in covered]
+        df = spark.createDataFrame(
+            rows, "rid long, _toks array<string>, _dup array<int>"
+        )
+        out = P._gap_slice_rebuild(df, "_toks", "_dup", k, stride, "_kept")
+        got = {r.rid: list(r._kept) for r in out.collect()}
+        assert got == expect, f"k={k} stride={stride}"
