@@ -227,14 +227,14 @@ _INC_ORACLE_ARM = """
 """
 
 
-def _substr_stage_dir(sf_dir: str) -> str:
-    """Process-cached staging dir for the span_inc arm's anchor index,
-    one per sf_dir, cleaned at exit; re-invocations overwrite in
-    place (same lifecycle as the minhash gate's profile dir)."""
+def _substr_anchors_dir(sf_dir: str) -> str:
+    """Process-cached staging dir for the shared anchored-corpus frame
+    (doc_id, _toks, _a) all three substring arms read — anchoring is
+    the dominant scan-side cost, so the gate pays it once."""
     from flink_etl_spark.catalog import process_workdir
 
     return (
-        f"{process_workdir('substr_idx')}/"
+        f"{process_workdir('substr_anchors')}/"
         f"{sf_dir.strip('/').replace('/', '_')}"
     )
 
@@ -324,12 +324,23 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       cost/recall dial between span_offset (exact, densest) and the
       span grid (cheapest, alignment-fragile).
     * variant 'span_inc' (r6) — INCREMENTAL substring dedup
-      (prep.substring_dedup_incremental): even doc_ids staged as the
-      anchor-key index (substring_stage_index, keys only, meta
-      sidecar), odd doc_ids scrubbed against it + their own repeats.
-      The index never shuffles (batch keys broadcast into a
-      semi-join); one row per BATCH doc."""
-    from flink_etl_spark.operators.prep import span_dedup, substring_dedup
+      (prep.substring_dedup_incremental's scrub): even doc_ids staged
+      as the anchor-key index (keys only, meta sidecar), odd doc_ids
+      scrubbed against it + their own repeats. The index never
+      shuffles (batch keys broadcast into a semi-join); one row per
+      BATCH doc.
+
+    EAGER SIDE EFFECT at query-CONSTRUCTION time (the minhash-gate
+    staged-profile precedent): building this plan anchors the corpus
+    once and writes ONE process-workdir parquet staging — the shared
+    anchored frame (doc_id, _toks, _a) all three substring arms
+    re-read instead of re-anchoring per arm. An explain-only harness
+    (tools/dump_plans.py) therefore executes that write. The span_inc
+    arm scrubs against an IN-PLAN even-doc key index derived from the
+    same staged frame; the parquet-staged index path itself
+    (substring_stage_index + meta sidecar) is covered by the unit and
+    streaming suites (tests/test_prep.py, tests/test_streaming.py)."""
+    from flink_etl_spark.operators.prep import span_dedup
 
     docs = _t(spark, sf_dir, "documents")
     content = D.exact_dedup(docs, ["text"], "doc_id").select(
@@ -363,14 +374,27 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     from flink_etl_spark.operators.prep import (
-        substring_dedup_incremental,
-        substring_stage_index,
+        _substring_anchors,
+        _substring_dedup_from_anchors,
+        _substring_narrow,
+        _substring_scrub,
     )
 
-    def substr_arm(variant: str, w: int) -> DataFrame:
-        return substring_dedup(
-            docs, min_tokens=_SUBSTR_K, winnow=w, key="digest"
-        ).select(
+    # anchor ONCE, stage, and fan the three substring arms out from
+    # the staged frame (see the eager-side-effect note above).
+    # Measured at sf0.01 in driver_sim: rescue_scan_parallelism on the
+    # staging write was ~2x faster in an engine session but +45% WALL
+    # in the driver's vanilla session (32 tiny staged files fan every
+    # downstream arm into tiny-task overhead) — so the staging stays
+    # serial-scan here, matching the exchange-minimal gate rule.
+    anchors_dir = _substr_anchors_dir(sf_dir)
+    _substring_anchors(
+        docs, _SUBSTR_K, 1, "doc_id", "text", "digest"
+    ).write.mode("overwrite").parquet(anchors_dir)
+    anchored = spark.read.parquet(anchors_dir)
+
+    def _shape(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(
             F.lit(variant).alias("variant"),
             F.col("doc_id").alias("keep_id"),
             F.col("n_tokens_kept").alias("n_copies"),
@@ -380,22 +404,25 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("detail"),
         )
 
-    idx_dir = _substr_stage_dir(sf_dir)
-    substring_stage_index(
-        docs.filter("doc_id % 2 = 0"), idx_dir, mode="overwrite",
-        min_tokens=_SUBSTR_K, key="digest",
+    def substr_arm(variant: str, w: int) -> DataFrame:
+        return _shape(
+            _substring_dedup_from_anchors(
+                anchored, _SUBSTR_K, 1, w, "doc_id", "dedup_text"
+            ),
+            variant,
+        )
+
+    index_df = (
+        _substring_narrow(anchored.filter("doc_id % 2 = 0"), "doc_id", 1)
+        .select(F.col("_k").alias("anchor_key"))
+        .distinct()
     )
-    inc_arm = substring_dedup_incremental(
-        docs.filter("doc_id % 2 = 1"), idx_dir,
-        min_tokens=_SUBSTR_K, key="digest",
-    ).select(
-        F.lit("span_inc").alias("variant"),
-        F.col("doc_id").alias("keep_id"),
-        F.col("n_tokens_kept").alias("n_copies"),
-        F.concat(
-            F.col("n_tokens").cast("string"), F.lit(":"),
-            F.col("dedup_text"),
-        ).alias("detail"),
+    inc_arm = _shape(
+        _substring_scrub(
+            anchored.filter("doc_id % 2 = 1"), index_df,
+            _SUBSTR_K, 1, "doc_id", "dedup_text", True,
+        ),
+        "span_inc",
     )
 
     return (

@@ -1099,6 +1099,21 @@ def substring_dedup(
     with_anchors = _substring_anchors(
         docs, min_tokens, stride, id_col, text_col, key
     )
+    return _substring_dedup_from_anchors(
+        with_anchors, min_tokens, stride, winnow, id_col, out_col
+    )
+
+
+def _substring_dedup_from_anchors(
+    with_anchors: DataFrame, min_tokens: int, stride: int, winnow: int,
+    id_col: str, out_col: str,
+) -> DataFrame:
+    """`substring_dedup` downstream of the anchor projection: narrow
+    triples -> min-struct winners -> per-doc drop lists -> interval
+    rebuild. Split out so a caller that MATERIALIZES one anchored
+    frame (id, _toks, _a) can run several selection variants (dense,
+    winnowed) without re-anchoring the corpus per variant — the
+    anchor pass is the dominant scan-side cost."""
     narrow = _substring_narrow(with_anchors, id_col, winnow)
     occ = F.struct(F.col(id_col), F.col("_pos"))
     winners = narrow.groupBy("_k").agg(F.min(occ).alias("_w"))
