@@ -148,6 +148,18 @@ def cmd_dedup_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_compact(args: argparse.Namespace) -> int:
+    from flink_etl_spark.streaming.dedup_sink import compact_dedup_index
+
+    spark = _spark("flink-etl-spark-dedup-compact")
+    folded = compact_dedup_index(
+        spark, args.index, horizon=args.horizon,
+        target_files=args.target_files,
+    )
+    print(f"folded {folded} index partition(s) under {args.index}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_etl_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -209,6 +221,22 @@ def build_parser() -> argparse.ArgumentParser:
     dds.add_argument("--available-now", action="store_true",
                      help="drain available input then stop (backfill mode)")
     dds.set_defaults(fn=cmd_dedup_stream)
+
+    ddc = sub.add_parser(
+        "dedup-compact",
+        help="fold pre-horizon batch_id partitions of a continuous-dedup "
+             "anchor index into one consolidated partition (run between "
+             "micro-batches; preserves the replay invariant)",
+    )
+    ddc.add_argument("--index", required=True, help="anchor-key index root")
+    ddc.add_argument("--horizon", type=int, default=None,
+                     help="fold partitions with batch_id < HORIZON "
+                          "(default: the max present id — the only batch "
+                          "foreachBatch can replay stays unfolded)")
+    ddc.add_argument("--target-files", type=int, default=None,
+                     help="files in the consolidated partition (default: "
+                          "sized from folded bytes at ~128MB/file)")
+    ddc.set_defaults(fn=cmd_dedup_compact)
     return p
 
 

@@ -117,6 +117,107 @@ def dedup_batch_step(
     keys.write.mode("overwrite").parquet(f"{index_path}/batch_id={batch_id}")
 
 
+def _list_index_partitions(spark: SparkSession, index_path: str) -> list[int]:
+    """Sorted batch ids of the `batch_id=N` partition directories
+    currently present under the index root (Hadoop-FS portable)."""
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    fs, root = _hadoop_fs(spark, index_path)
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    index_path: str,
+    horizon: int | None = None,
+    target_files: int | None = None,
+) -> int:
+    """Fold every index partition with ``batch_id < horizon`` into ONE
+    consolidated partition — the maintenance op that keeps the
+    continuous-dedup index from accreting a directory per micro-batch
+    forever (at a batch per minute, a quarter's run is ~130k
+    directories, and `_index_so_far` lists all of them every batch: a
+    driver-metadata scale-killer plus the classic small-files
+    problem). Returns the number of partition directories folded
+    (0 = nothing to do).
+
+    REPLAY INVARIANT (why this is safe): a scrub of batch M reads
+    partitions ``batch_id < M``. The consolidated partition gets a
+    FRESH NEGATIVE id ``c = min(-1, min_present - 1)`` — always
+    ``< M`` for every real batch, and never a directory a replay
+    excludes-by-equality — and holds exactly the distinct keys of the
+    folded batches, all ``< horizon``. So for every batch
+    ``M >= horizon``, {partitions < M} spans the identical key set
+    before and after compaction. foreachBatch can only replay the
+    LATEST committed batch, hence the default
+    ``horizon = max present id``: the one replayable batch still sees
+    exactly the index state its first run saw. Pass a lower horizon
+    only to keep more history unfolded; NEVER pass one above a batch
+    that may still replay.
+
+    Crash safety, step by step: (1) the consolidated write targets a
+    never-before-used directory — a crash mid-write leaves ignorable
+    `_temporary` junk or a partial key subset that merely DUPLICATES
+    still-present originals (every lookup is a semi-join; duplicate
+    keys are harmless); (2) originals are deleted only after the
+    write commits — a crash mid-delete leaves harmless duplicates;
+    (3) a rerun folds the leftovers (including the previous
+    consolidated partition, ids strictly decrease) and converges.
+
+    ``target_files``: file count for the consolidated partition;
+    default sizes it from the folded input bytes at ~128 MB/file
+    (a distinct at default shuffle parallelism would re-create the
+    small-files problem this op exists to fix).
+
+    Run between micro-batches (or while the stream is down): a scrub
+    that listed a folded directory right before its deletion can hit
+    a FileNotFound and retry — the invariant holds on retry, but the
+    wasted work is avoidable."""
+    parts = _list_index_partitions(spark, index_path)
+    if not parts:
+        return 0
+    if horizon is None:
+        horizon = parts[-1]
+    folded = [p for p in parts if p < horizon]
+    if len(folded) < 2:
+        return 0
+
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    if target_files is None:
+        total = 0
+        for p in folded:
+            fs, hp = _hadoop_fs(spark, f"{index_path}/batch_id={p}")
+            total += fs.getContentSummary(hp).getLength()
+        target_files = max(1, -(-total // (128 << 20)))
+
+    consolidated = min(-1, folded[0] - 1)
+    (
+        spark.read.option("basePath", index_path)
+        .parquet(index_path)
+        .filter(F.col("batch_id").cast("bigint") < F.lit(horizon))
+        .select("anchor_key")
+        .distinct()
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/batch_id={consolidated}")
+    )
+    for p in folded:
+        fs, hp = _hadoop_fs(spark, f"{index_path}/batch_id={p}")
+        fs.delete(hp, True)
+    return len(folded)
+
+
 def start_continuous_dedup(
     docs: DataFrame,
     index_path: str,

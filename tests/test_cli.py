@@ -179,3 +179,27 @@ def test_cli_dedup_stream_drains_and_scrubs(spark, tmp_path, monkeypatch):
     }
     # one micro-batch: doc 1 keeps the passage, doc 2 loses it
     assert out[1] == para and out[2] == "pad"
+
+
+def test_cli_dedup_compact_folds_index(spark, tmp_path):
+    """The dedup-compact subcommand folds pre-horizon index partitions
+    through the same library op the streaming tests pin."""
+    from flink_etl_spark.__main__ import main
+    from flink_etl_spark.streaming.dedup_sink import (
+        _list_index_partitions,
+        dedup_batch_step,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    for bid, text in enumerate(
+        ["a b c d e f g h", "i j k l m n o p", "q r s t u v w x"]
+    ):
+        dedup_batch_step(
+            spark.createDataFrame(
+                [(bid * 10, text)], "doc_id long, text string"
+            ),
+            bid, idx, out, min_tokens=4,
+        )
+    rc = main(["dedup-compact", "--index", idx])
+    assert rc == 0
+    assert _list_index_partitions(spark, idx) == [-1, 2]

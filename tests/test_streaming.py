@@ -310,3 +310,114 @@ def test_continuous_dedup_replay_is_idempotent(spark, tmp_path):
     kept = {r[0]: r for r in second}  # (doc_id, n_tokens, n_kept, text)
     assert kept[11][3] == "solo x0 x1 x2 x3 x4 x5 x6 x7 x8"
     assert kept[10][3] == "pre"
+
+
+def test_compact_dedup_index_preserves_scrub_and_replay(spark, tmp_path):
+    """Folding pre-horizon index partitions must change NOTHING
+    semantically: a new batch scrubs to byte-identical output against
+    the compacted index, the in-flight (max) batch replays
+    idempotently after compaction, and a second compaction folds the
+    previous consolidated partition too."""
+    from flink_etl_spark.streaming.dedup_sink import (
+        _list_index_partitions,
+        compact_dedup_index,
+        dedup_batch_step,
+    )
+
+    para = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"v{i}" for i in range(12))
+    batches = {
+        0: [(1, para + " tail")],
+        1: [(10, other)],
+        2: [(20, "mid " + " ".join(f"m{i}" for i in range(10)))],
+        3: [(30, "shift " + para)],  # scrubbed against batch 0
+    }
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    for bid, rows in batches.items():
+        dedup_batch_step(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            bid, idx, out, min_tokens=8,
+        )
+    batch3_first = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id=3").collect())
+    )
+
+    # reference scrub of a NEW batch against the uncompacted index
+    b4 = spark.createDataFrame(
+        [(40, "x " + para), (41, "y " + other), (42, "novel z0 z1 z2")],
+        "doc_id long, text string",
+    )
+    dedup_batch_step(b4, 4, idx, out, min_tokens=8)
+    batch4_ref = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id=4").collect())
+    )
+    # roll back batch 4's index partition so compaction (horizon =
+    # max = 4... ) — keep it: horizon defaults to max id (4), folding
+    # 0..3; batch 4 itself stays unfolded and replayable.
+
+    folded = compact_dedup_index(spark, idx)
+    assert folded == 4
+    assert _list_index_partitions(spark, idx) == [-1, 4]
+
+    # the replayable (max) batch re-runs byte-identically
+    dedup_batch_step(b4, 4, idx, out, min_tokens=8)
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id=4").collect())
+    ) == batch4_ref
+
+    # a genuinely new batch scrubs BYTE-IDENTICALLY against the
+    # compacted index vs an uncompacted twin built from the same
+    # batch history
+    idx2, out2 = str(tmp_path / "idx2"), str(tmp_path / "out2")
+    for bid, rows in batches.items():
+        dedup_batch_step(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            bid, idx2, out2, min_tokens=8,
+        )
+    dedup_batch_step(b4, 4, idx2, out2, min_tokens=8)
+    b5 = spark.createDataFrame(
+        [(50, "x " + para), (51, "y " + other), (52, "unseen q0 q1 q2")],
+        "doc_id long, text string",
+    )
+    dedup_batch_step(b5, 5, idx, out, min_tokens=8)
+    dedup_batch_step(b5, 5, idx2, out2, min_tokens=8)
+    got5 = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id=5").collect())
+    )
+    ref5 = sorted(
+        map(tuple, spark.read.parquet(f"{out2}/batch_id=5").collect())
+    )
+    assert got5 == ref5
+
+    # second compaction folds the consolidated partition as well,
+    # with a strictly decreasing fresh id
+    folded2 = compact_dedup_index(spark, idx)
+    assert folded2 == 2  # {-1, 4} folded under horizon=5
+    assert _list_index_partitions(spark, idx) == [-2, 5]
+
+    # batch 3 output unchanged on disk (sanity: compaction never
+    # touches outputs)
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch_id=3").collect())
+    ) == batch3_first
+
+
+def test_compact_dedup_index_noop_cases(spark, tmp_path):
+    """No partitions, a single partition, or an explicit horizon that
+    folds fewer than two directories must all be no-ops."""
+    from flink_etl_spark.streaming.dedup_sink import (
+        _list_index_partitions,
+        compact_dedup_index,
+        dedup_batch_step,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    assert compact_dedup_index(spark, idx) == 0  # path absent
+
+    b = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    dedup_batch_step(b, 0, idx, out, min_tokens=4)
+    assert compact_dedup_index(spark, idx) == 0  # nothing below max
+    dedup_batch_step(b, 1, idx, out, min_tokens=4)
+    assert compact_dedup_index(spark, idx) == 0  # one dir below max
+    assert compact_dedup_index(spark, idx, horizon=1) == 0
+    assert _list_index_partitions(spark, idx) == [0, 1]
