@@ -443,12 +443,65 @@ _DECONTAM_PAD = """
 """
 
 
+#: winnowing-fingerprint candidate-pair CTEs for the fp_candidates
+#: arm: the dedup_exact_docs winnow-selection SQL (same k/w), reduced
+#: to DISTINCT per-doc fingerprints and self-joined into pair counts —
+#: mirroring operators/prep.fingerprint_candidates(min_tokens=15,
+#: winnow=4, key='digest')
+_FP_CTES = f"""
+fatk AS (
+    SELECT doc_id,
+           regexp_split_to_array(coalesce(text, ''), ' +') AS tk
+    FROM documents
+),
+fanch AS (
+    SELECT doc_id, CAST(g.i AS INT) AS pos,
+           sha256(array_to_string(tk[g.i+1 : g.i+{_SUBSTR_K}], ' ')) AS h
+    FROM fatk,
+         UNNEST(generate_series(
+             0, CAST(len(tk) AS BIGINT) - {_SUBSTR_K})) AS g(i)
+),
+fselraw AS (
+    SELECT doc_id,
+           min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+           ) AS msel,
+           count(*) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+           ) AS wcnt,
+           count(*) OVER (PARTITION BY doc_id) AS mtot
+    FROM fanch
+),
+ffp AS (
+    SELECT DISTINCT doc_id, msel.h AS h
+    FROM fselraw WHERE wcnt = least({_WINNOW_W}, mtot)
+)
+"""
+
+_FP_ORACLE_ARM = """
+    SELECT 'fp_candidates' AS variant,
+           a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           CAST(NULL AS BIGINT) AS doc_id,
+           count(*) AS n_shared_grams,
+           CAST(NULL AS BIGINT) AS n_bench_docs,
+           CAST(NULL AS BIGINT) AS contaminated
+    FROM ffp a JOIN ffp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH {SHINGLE_CTES}
+    WITH {SHINGLE_CTES},
+    {_FP_CTES}
     SELECT 'exact' AS variant, doc_a, doc_b, jaccard, {_DECONTAM_PAD}
     FROM jac WHERE jaccard >= 0.8
+    UNION ALL
+    {_FP_ORACLE_ARM}
     UNION ALL
     SELECT 'decontam' AS variant,
            CAST(NULL AS BIGINT) AS doc_a,
@@ -528,8 +581,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       token-combined xxhash64), and every remaining training doc
       reports shared-gram / benchmark-doc counts and a contaminated
       flag. The corpus side never shuffles for the membership join.
+    * variant 'fp_candidates' (r7) — winnowing-fingerprint candidate
+      pairs (operators/prep.fingerprint_candidates, the MOSS pair
+      census): documents sharing >= 1 selected fingerprint, with the
+      shared-fingerprint count in n_shared_grams. The deterministic
+      passage-granularity candidate generator — any shared passage of
+      >= min_tokens + winnow - 1 tokens GUARANTEES a pair here, which
+      shingle-set MinHash only catches probabilistically. Gated on
+      key='digest' (oracle-replicable sha256 anchors) with the same
+      k/w as dedup_exact_docs' span_winnow arm.
     """
-    from flink_etl_spark.operators.prep import decontaminate
+    from flink_etl_spark.operators.prep import (
+        decontaminate,
+        fingerprint_candidates,
+    )
 
     docs = _t(spark, sf_dir, "documents")
 
@@ -567,7 +632,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bench_docs",
         "contaminated",
     )
-    return exact.unionByName(pruned).unionByName(decontam)
+    fp = fingerprint_candidates(
+        docs, min_tokens=_SUBSTR_K, winnow=_WINNOW_W, key="digest"
+    ).select(
+        F.lit("fp_candidates").alias("variant"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("n_shared").alias("n_shared_grams"),
+        F.lit(None).cast("long").alias("n_bench_docs"),
+        F.lit(None).cast("long").alias("contaminated"),
+    )
+    return (
+        exact.unionByName(fp).unionByName(pruned).unionByName(decontam)
+    )
 
 
 def _minhash_oracle() -> str:

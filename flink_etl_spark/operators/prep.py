@@ -1489,6 +1489,81 @@ def document_fingerprints(
     )
 
 
+def fingerprint_candidates(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    winnow: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash64",
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing
+    fingerprints — the MOSS methodology's second half (Schleimer et
+    al. 2003 §4: fingerprint every document, then report document
+    pairs ranked by how many fingerprints they share). One row per
+    unordered pair: ``(doc_a, doc_b, n_shared)``, ``doc_a < doc_b``,
+    pairs sharing >= ``min_shared`` distinct fingerprints.
+
+    Where it sits in the dedup toolbox: a cheaper candidate generator
+    than MinHash at PASSAGE granularity — any shared passage of
+    >= min_tokens + winnow - 1 tokens guarantees a shared fingerprint
+    (the `document_fingerprints` detection contract), which
+    shingle-set MinHash only catches probabilistically when the
+    shared passage is a small fraction of both documents (the
+    plagiarism / license-boilerplate / quote-chain shape). Feed the
+    pairs to `jaccard_pairs`-style verification or straight into
+    `duplicate_clusters`.
+
+    Scale shape: fingerprints are row-local (~2/(winnow+1) anchor
+    density); the pair count is an inverted-index self-join keyed on
+    the 8-byte fingerprint (hash64), quadratic in each posting list —
+    identical skew exposure to `jaccard_pairs`, so the same standard
+    mitigation: ``max_df`` drops fingerprints present in more than
+    that many documents BEFORE the join (broadcast anti-join against
+    the hot set, which is small by construction). Boilerplate shared
+    by half the corpus is exactly what a candidate GENERATOR should
+    skip anyway — a fingerprint in a million documents identifies no
+    pair in particular. Default None keeps the exact census."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1 or None, got {max_df}")
+    fp = (
+        document_fingerprints(
+            docs, min_tokens=min_tokens, winnow=winnow, id_col=id_col,
+            text_col=text_col, key=key,
+        )
+        .select(F.col(id_col), "fingerprint")
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    if min_shared > 1:
+        pairs = pairs.filter(F.col("n_shared") >= min_shared)
+    return pairs
+
+
 def substring_stage_index(
     docs: DataFrame,
     staged_path: str,

@@ -1268,3 +1268,57 @@ def test_gap_slice_rebuild_matches_naive_model(spark):
         out = P._gap_slice_rebuild(df, "_toks", "_dup", k, stride, "_kept")
         got = {r.rid: list(r._kept) for r in out.collect()}
         assert got == expect, f"k={k} stride={stride}"
+
+
+def test_fingerprint_candidates_pairs_and_knobs(spark):
+    """MOSS pair census: docs sharing a >= k+w-1 passage must pair;
+    min_shared filters; max_df drops corpus-wide boilerplate
+    fingerprints before the self-join."""
+    k, w = 8, 4
+    para = " ".join(f"p{i}" for i in range(k + w - 1))
+    boiler = " ".join(f"b{i}" for i in range(k + w - 1))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{para} one extra words here"),
+            (2, f"lead {para}"),
+            (3, "entirely unrelated text tokens only q0 q1 q2 q3 q4 q5"),
+            # identical docs: every fingerprint has df=3, so max_df=2
+            # prunes the WHOLE clique deterministically (suffix
+            # variation would leave df<=2 selection-edge fingerprints)
+            (4, boiler),
+            (5, boiler),
+            (6, boiler),
+        ],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in P.fingerprint_candidates(
+            docs, min_tokens=k, winnow=w
+        ).collect()
+    }
+    assert (1, 2) in pairs  # shared passage guarantees the pair
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+    assert {(4, 5), (4, 6), (5, 6)} <= set(pairs)  # boilerplate clique
+
+    # min_shared keeps only pairs above the census threshold
+    strong = P.fingerprint_candidates(
+        docs, min_tokens=k, winnow=w, min_shared=10**6
+    )
+    assert strong.count() == 0
+
+    # max_df=2: the boilerplate fingerprints live in 3 docs and are
+    # pruned before the join, dissolving the clique; (1,2) survives
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in P.fingerprint_candidates(
+            docs, min_tokens=k, winnow=w, max_df=2
+        ).collect()
+    }
+    assert (1, 2) in pruned
+    assert not ({(4, 5), (4, 6), (5, 6)} & pruned)
+
+    with pytest.raises(ValueError, match="min_shared"):
+        P.fingerprint_candidates(docs, min_shared=0)
+    with pytest.raises(ValueError, match="max_df"):
+        P.fingerprint_candidates(docs, max_df=0)
