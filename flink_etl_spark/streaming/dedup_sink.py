@@ -231,6 +231,7 @@ def start_continuous_dedup(
     out_col: str = "dedup_text",
     broadcast_batch: bool = True,
     available_now: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Attach continuous substring dedup as a foreachBatch sink on a
     streaming document DataFrame. Output accretes under
@@ -238,7 +239,19 @@ def start_continuous_dedup(
     discovery for the full deduped corpus); the index accretes under
     ``<index_path>/batch_id=N`` and doubles as a
     `substring_dedup_incremental`-compatible key set for offline
-    jobs. Parameters are pinned per index by the meta sidecar."""
+    jobs. Parameters are pinned per index by the meta sidecar.
+
+    ``compact_every=N`` runs `compact_dedup_index` INSIDE the sink
+    every N-th batch (horizon = the just-committed batch id), bounding
+    the index at ~N + 1 partition directories with no external
+    scheduler. Safe inside foreachBatch by construction: steps are
+    serialized, the horizon preserves the replay invariant, and a
+    replayed batch re-runs the compaction as a no-op (fewer than two
+    foldable directories remain)."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(
+            f"compact_every must be >= 1 or None, got {compact_every}"
+        )
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
     if not (1 <= winnow <= min_tokens):
@@ -256,6 +269,10 @@ def start_continuous_dedup(
             batch, batch_id, index_path, output_path, min_tokens, winnow,
             id_col, text_col, key, out_col, broadcast_batch,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_dedup_index(
+                batch.sparkSession, index_path, horizon=batch_id
+            )
 
     writer = (
         docs.writeStream.foreachBatch(_step)

@@ -421,3 +421,85 @@ def test_compact_dedup_index_noop_cases(spark, tmp_path):
     assert compact_dedup_index(spark, idx) == 0  # one dir below max
     assert compact_dedup_index(spark, idx, horizon=1) == 0
     assert _list_index_partitions(spark, idx) == [0, 1]
+
+
+def test_continuous_dedup_inline_compaction_matches_uncompacted(
+    spark, tmp_path
+):
+    """compact_every folds the index inside the sink: outputs must
+    equal an identical run without compaction, and the directory
+    count must stay bounded."""
+    import os
+    import time as _time
+
+    from flink_etl_spark.streaming.dedup_sink import (
+        _list_index_partitions,
+        start_continuous_dedup,
+    )
+
+    para = " ".join(f"w{i}" for i in range(12))
+    batches = [
+        [(1, para + " tail")],
+        [(10, "shift " + para)],
+        [(20, "fresh " + " ".join(f"u{i}" for i in range(10)))],
+        [(30, "again " + para)],
+        [(40, "solo " + " ".join(f"z{i}" for i in range(10)))],
+    ]
+
+    def run(tag, **kw):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            stage = tmp_path / f"stage_{tag}{i}"
+            df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+            part = next(
+                p for p in os.listdir(stage) if p.endswith(".parquet")
+            )
+            dst = src / f"b{i}.parquet"
+            os.rename(stage / part, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            _time.sleep(0.01)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_continuous_dedup(
+            stream,
+            index_path=str(tmp_path / f"idx_{tag}"),
+            output_path=str(tmp_path / f"out_{tag}"),
+            checkpoint_location=str(tmp_path / f"ck_{tag}"),
+            min_tokens=8,
+            available_now=True,
+            **kw,
+        )
+        q.awaitTermination(120)
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(str(tmp_path / f"out_{tag}"))
+                .drop("batch_id")
+                .collect(),
+            )
+        )
+
+    plain = run("plain")
+    compacted = run("compact", compact_every=2)
+    assert plain == compacted
+    # 5 batches with compact_every=2: last fold at batch 4 (horizon=4)
+    # leaves {consolidated, 4} — bounded, fewer dirs than batches
+    parts = _list_index_partitions(spark, str(tmp_path / "idx_compact"))
+    assert len(parts) < 5 and parts[0] < 0 and parts[-1] == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="compact_every"):
+        start_continuous_dedup(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(tmp_path / "src_plain")),
+            index_path=str(tmp_path / "i2"),
+            output_path=str(tmp_path / "o2"),
+            checkpoint_location=str(tmp_path / "c2"),
+            compact_every=0,
+        )
