@@ -1564,6 +1564,79 @@ def fingerprint_candidates(
     return pairs
 
 
+def fingerprint_overlap(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    min_tokens: int = 50,
+    winnow: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash64",
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """CROSS-corpus fingerprint overlap — the asymmetric MOSS setting
+    (Schleimer et al. 2003: a suspect corpus against a reference
+    corpus; also the passage-granularity provenance / contamination
+    report): one row per ``(id_a, id_b, n_shared)`` pair of documents
+    from docs_a x docs_b sharing >= ``min_shared`` distinct
+    fingerprints. Any shared passage of >= min_tokens + winnow - 1
+    tokens guarantees a pair (the `document_fingerprints` detection
+    contract, which holds across corpora because selection is
+    content-based).
+
+    Distinct from `fingerprint_candidates` (within-corpus self-join)
+    in join shape only: an a-vs-b equi-join on the 8-byte fingerprint,
+    no id ordering. ``max_df`` caps fingerprints by their TOTAL
+    document frequency across both corpora (broadcast anti-join —
+    reference-corpus boilerplate is exactly the hot-bucket risk).
+
+    For REMOVAL rather than reporting, compose the substring family
+    instead: `substring_stage_index(benchmark_docs, path)` then
+    `substring_dedup_incremental(corpus, path)` scrubs every
+    benchmark passage out of the corpus — passage-level
+    decontamination per Lee et al. 2022, with the benchmark index
+    never shuffling."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1 or None, got {max_df}")
+
+    def _fp(d: DataFrame) -> DataFrame:
+        return (
+            document_fingerprints(
+                d, min_tokens=min_tokens, winnow=winnow, id_col=id_col,
+                text_col=text_col, key=key,
+            )
+            .select(F.col(id_col), "fingerprint")
+            .distinct()
+        )
+
+    fa, fb = _fp(docs_a), _fp(docs_b)
+    if max_df is not None:
+        hot = (
+            fa.unionByName(fb)
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fingerprint")
+        )
+        fa = fa.join(F.broadcast(hot), "fingerprint", "left_anti")
+        fb = fb.join(F.broadcast(hot), "fingerprint", "left_anti")
+    pairs = (
+        fa.select(F.col(id_col).alias("id_a"), "fingerprint")
+        .join(
+            fb.select(F.col(id_col).alias("id_b"), "fingerprint"),
+            "fingerprint",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    if min_shared > 1:
+        pairs = pairs.filter(F.col("n_shared") >= min_shared)
+    return pairs
+
+
 def substring_stage_index(
     docs: DataFrame,
     staged_path: str,

@@ -1322,3 +1322,64 @@ def test_fingerprint_candidates_pairs_and_knobs(spark):
         P.fingerprint_candidates(docs, min_shared=0)
     with pytest.raises(ValueError, match="max_df"):
         P.fingerprint_candidates(docs, max_df=0)
+
+
+def test_fingerprint_overlap_cross_corpus(spark):
+    """Asymmetric MOSS: suspect-vs-reference pairs appear iff a
+    >= k+w-1 passage is shared across corpora; max_df counts total df
+    across BOTH corpora; composition with the substring scrub removes
+    exactly the reported passages."""
+    k, w = 8, 4
+    para = " ".join(f"r{i}" for i in range(k + w - 1))
+    ref = _docs(spark, [(100, para + " ref tail"), (101, "other stuff only here x1 x2 x3")])
+    sus = _docs(
+        spark,
+        [(1, "lead " + para), (2, "clean text with nothing shared y1 y2 y3")],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in P.fingerprint_overlap(sus, ref, min_tokens=k, winnow=w).collect()
+    }
+    assert (1, 100) in pairs and pairs[(1, 100)] >= 1
+    assert not any(a == 2 for a, _ in pairs)  # clean doc never pairs
+    assert not any(b == 101 for _, b in pairs)
+
+    # max_df over the UNION: para fingerprints live in 2 docs total;
+    # max_df=1 prunes them all -> empty report
+    assert (
+        P.fingerprint_overlap(sus, ref, min_tokens=k, winnow=w, max_df=1)
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="min_shared"):
+        P.fingerprint_overlap(sus, ref, min_shared=0)
+
+
+def test_substring_scrub_composes_as_passage_decontamination(
+    spark, tmp_path
+):
+    """The documented removal composition: stage the benchmark's
+    anchors, scrub the corpus incrementally — every benchmark passage
+    vanishes from the corpus, everything else survives."""
+    k = 8
+    bench_para = " ".join(f"b{i}" for i in range(k + 3))
+    idx = str(tmp_path / "bench_idx")
+    P.substring_stage_index(
+        _docs(spark, [(900, bench_para)]), idx, min_tokens=k, key="digest"
+    )
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro " + bench_para + " outro"),
+            (2, "wholly original writing w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in P.substring_dedup_incremental(
+            corpus, idx, min_tokens=k, key="digest"
+        ).collect()
+    }
+    assert "b0" not in out[1].dedup_text and "b10" not in out[1].dedup_text
+    assert out[1].dedup_text.startswith("intro")
+    assert out[2].n_tokens_kept == out[2].n_tokens
