@@ -141,6 +141,19 @@ def _bench_unigram_lm(spark, sf_dir):
     return unigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _bench_fp_candidates(spark, sf_dir):
+    """MOSS fingerprint pair census (r7): winnowing selection +
+    8-byte-key inverted-index self-join, max_df hot-set cap. Scan
+    rescue per the r6 A/B pattern (anchor+selection is scan-side
+    compute serialized by the single-row-group bench input; inert at
+    scale)."""
+    from flink_etl_spark.operators.prep import fingerprint_candidates
+    from flink_etl_spark.sources.tables import rescue_scan_parallelism
+
+    docs = rescue_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    return fingerprint_candidates(docs, min_tokens=50, winnow=8, max_df=64)
+
+
 def _bench_pipeline(spark, sf_dir):
     """r1-r3-comparable pipeline work: the catalog gate grew a
     'split_summary' union arm in r4 (per-source cap + hash split);
@@ -178,6 +191,7 @@ HEADLINE = [
     ("span_dedup_global", _bench_span_dedup),
     ("substring_dedup_exact", _bench_substring_dedup),
     ("unigram_lm_scores", _bench_unigram_lm),
+    ("fingerprint_candidates", _bench_fp_candidates),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -189,6 +203,7 @@ NON_COMPARABLE = {
     "span_dedup_global",
     "substring_dedup_exact",
     "unigram_lm_scores",
+    "fingerprint_candidates",
 }
 
 

@@ -1498,6 +1498,7 @@ def fingerprint_candidates(
     key: str = "hash64",
     min_shared: int = 1,
     max_df: int | None = None,
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from shared winnowing
     fingerprints — the MOSS methodology's second half (Schleimer et
@@ -1530,6 +1531,15 @@ def fingerprint_candidates(
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if max_df is not None and max_df < 1:
         raise ValueError(f"max_df must be >= 1 or None, got {max_df}")
+    # the fingerprint frame feeds BOTH self-join sides (plus the hot
+    # set under max_df) — persisting it runs the anchor+selection
+    # pipeline, the dominant row-local cost, once instead of once per
+    # consumer (the minhash_profile precedent; ~2/(winnow+1) anchor
+    # density keeps the cached frame a small fraction of corpus
+    # bytes). Measured ~20% at sf0.1 with 8-byte hash64 keys; the
+    # oracle gate pins persist_fingerprints=False (64-hex digest
+    # fingerprints made the cache fill a net LOSS in a vanilla
+    # session).
     fp = (
         document_fingerprints(
             docs, min_tokens=min_tokens, winnow=winnow, id_col=id_col,
@@ -1538,6 +1548,8 @@ def fingerprint_candidates(
         .select(F.col(id_col), "fingerprint")
         .distinct()
     )
+    if persist_fingerprints:
+        fp = fp.persist()
     if max_df is not None:
         hot = (
             fp.groupBy("fingerprint")
@@ -1574,6 +1586,7 @@ def fingerprint_overlap(
     key: str = "hash64",
     min_shared: int = 1,
     max_df: int | None = None,
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """CROSS-corpus fingerprint overlap — the asymmetric MOSS setting
     (Schleimer et al. 2003: a suspect corpus against a reference
@@ -1612,7 +1625,11 @@ def fingerprint_overlap(
             .distinct()
         )
 
+    # each side feeds the join plus (under max_df) the union-df count —
+    # persist both so the anchor+selection pipelines run once per corpus
     fa, fb = _fp(docs_a), _fp(docs_b)
+    if persist_fingerprints:
+        fa, fb = fa.persist(), fb.persist()
     if max_df is not None:
         hot = (
             fa.unionByName(fb)
