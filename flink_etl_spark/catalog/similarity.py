@@ -207,12 +207,88 @@ _IVF_SQL = f"""
 """
 
 
+
+
+def _duckdb_l2sq(a: str, b: str) -> str:
+    """Oracle twin of operators/similarity._l2sq (same zip shape as
+    duckdb_dot)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+#: PQ-ADC oracle: m=8 subspaces, n_codes=16 seed codebooks (the
+#: n_codes smallest-id normalized vectors' subvectors — refine_iters
+#: pinned 0), per-subspace argmin with (rounded dist, code_id)
+#: tie-break, ADC score cos ~ 1 - dist/2 — mirroring
+#: operators/similarity.pq_topk(m=8, n_codes=16, rerank=1)
+_PQ_M = 8
+_PQ_CODES = 16
+_PQ_SQL = f"""
+    WITH pnv AS (
+        SELECT vec_id,
+               CASE WHEN sqrt({duckdb_dot('embedding', 'embedding')}) = 0
+                    THEN embedding::DOUBLE[]
+                    ELSE list_transform(
+                        embedding::DOUBLE[],
+                        x -> x / sqrt({duckdb_dot('embedding', 'embedding')}))
+               END AS nv
+        FROM embeddings
+    ),
+    pdim AS (SELECT CAST(len(nv) // {_PQ_M} AS INT) AS d FROM pnv LIMIT 1),
+    pseeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, nv
+        FROM pnv ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    pcb AS (
+        SELECT CAST(s.i AS INT) AS sub_id, code_id,
+               nv[s.i*d+1 : s.i*d+d] AS cw
+        FROM pseeds, pdim, UNNEST(generate_series(0, {_PQ_M - 1})) AS s(i)
+    ),
+    psub AS (
+        SELECT vec_id, CAST(s.i AS INT) AS sub_id,
+               nv[s.i*d+1 : s.i*d+d] AS sv
+        FROM pnv, pdim, UNNEST(generate_series(0, {_PQ_M - 1})) AS s(i)
+    ),
+    passign AS (
+        SELECT vec_id, sub_id, code_id
+        FROM (SELECT p.vec_id, p.sub_id, c.code_id,
+                     row_number() OVER (
+                         PARTITION BY p.vec_id, p.sub_id
+                         ORDER BY round({_duckdb_l2sq('p.sv', 'c.cw')}, 6),
+                                  c.code_id) AS r
+              FROM psub p JOIN pcb c USING (sub_id)) t
+        WHERE r = 1
+    ),
+    padc AS (
+        SELECT qs.vec_id AS query_id, a.vec_id AS neighbor_id,
+               sum({_duckdb_l2sq('qs.sv', 'c.cw')}) AS dist
+        FROM (SELECT * FROM psub WHERE {QUERY_PRED}) qs
+        JOIN passign a ON a.sub_id = qs.sub_id AND a.vec_id <> qs.vec_id
+        JOIN pcb c ON c.sub_id = a.sub_id AND c.code_id = a.code_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (SELECT query_id, neighbor_id,
+                 round(1.0 - dist / 2.0, 6) AS cos_sim,
+                 row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY round(1.0 - dist / 2.0, 6) DESC,
+                              neighbor_id) AS rnk
+          FROM padc) t
+    WHERE rnk <= 5
+"""
+
+
 @query(
     "ann_ivf_topk",
     f"""
     SELECT 'in_memory' AS variant, a.* FROM ({_IVF_SQL}) a
     UNION ALL
     SELECT 'staged_index' AS variant, b.* FROM ({_IVF_SQL}) b
+    UNION ALL
+    SELECT 'pq' AS variant, p.* FROM ({_PQ_SQL}) p
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +304,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       the cell-assigned corpus as parquet partitioned by cell_id
       (build once); `ivf_search_index` answers the query batch by
       reading ONLY probed cell partitions (partition-pruned scan) —
-      the build-once/search-many 100 TB shape."""
+      the build-once/search-many 100 TB shape;
+    * variant 'pq' (r7) — PRODUCT QUANTIZATION ADC top-5 (Jégou et
+      al. 2011, `operators/similarity.pq_topk`): the corpus encodes
+      to m=8 one-byte codes per vector (seed codebooks from the 16
+      smallest-id normalized vectors, refine_iters=0 for oracle
+      replication), queries precompute exact subspace distance
+      tables row-locally, and a candidate costs 8 table lookups —
+      the compressed-scan 100 TB path (cos_sim is the rounded ADC
+      angular approximation; the production `rerank=R` exact-rescore
+      stage is unit-tested, recall table in docs/SCALING.md)."""
     from flink_etl_spark.catalog import process_workdir
 
     embs = _t(spark, sf_dir, "embeddings")
@@ -243,7 +328,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = S.ivf_search_index(spark, idx, queries, k=5, nprobe=2).select(
         F.lit("staged_index").alias("variant"), "*"
     )
-    return mem.unionByName(staged)
+    pq = S.pq_topk(
+        embs, queries, k=5, m=_PQ_M, n_codes=_PQ_CODES
+    ).select(F.lit("pq").alias("variant"), "*")
+    return mem.unionByName(staged).unionByName(pq)
 
 
 @query(

@@ -653,3 +653,348 @@ def ivf_search_index(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the canonical embedding-compression ANN
+# (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"): split each (unit-normalized) vector into m subvectors,
+# quantize each against a per-subspace codebook of n_codes codewords,
+# and the corpus becomes m small ints per vector — m bytes at
+# n_codes <= 128. Search is asymmetric distance computation (ADC): the
+# query precomputes an m x n_codes table of exact subspace distances
+# row-locally, and scoring a neighbor is m table lookups, never a
+# float-vector read. At 100 TB this is the difference between shipping
+# 256-dim float arrays (1 KB/vec) and 8 bytes/vec through every scan
+# and shuffle. Codebooks are data-derived (subvectors of the n_codes
+# smallest ids, the `ivf_centroids`/`hyperplanes` determinism recipe)
+# with optional per-subspace Lloyd refinement; everything rounds at
+# 6 dp with id tie-breaks, so the whole path is oracle-replicable.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a, b):
+    """Sequential squared L2 between two double arrays (same fold
+    order as `dot` — oracle-matched)."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def pq_codebooks(
+    embs: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Per-subspace PQ codebooks: one row per (sub_id, code_id,
+    codeword), codewords in UNIT-NORMALIZED space (PQ approximates
+    angular distance here, matching the cosine family; zero vectors
+    pass through unnormalized). Seeds are the subvectors of the
+    n_codes smallest-id vectors — deterministic and SQL-replicable;
+    `refine_iters` runs per-subspace Lloyd passes (distributed means
+    via posexplode, rounded 6 dp, empty code keeps its codeword — the
+    `ivf_centroids` refinement recipe, pinned to 0 in oracle gates).
+
+    The vector dimension must be divisible by m; encode/search raise
+    (expression-level guard) on a row that is not."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if not (2 <= n_codes <= 128):
+        raise ValueError(
+            f"n_codes must be in [2, 128] (codes are tinyint — one "
+            f"BYTE per subspace per vector), got {n_codes}"
+        )
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    packed = (
+        embs.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, "_nv"))).alias("_a"))
+    )
+    seeds = packed.select(F.posexplode("_a").alias("_code", "_s")).select(
+        F.col("_code").cast("int").alias("code_id"),
+        F.col("_s._nv").alias("_nv"),
+    )
+    subs = F.sequence(F.lit(0), F.lit(m - 1))
+    d_sub = _guarded_dsub("_nv", m)
+    cbs = seeds.select(
+        "code_id",
+        F.explode(
+            F.transform(
+                subs,
+                lambda s: F.struct(
+                    s.cast("int").alias("sub_id"),
+                    F.slice(F.col("_nv"), s * d_sub + 1, d_sub).alias(
+                        "codeword"
+                    ),
+                ),
+            )
+        ).alias("_e"),
+    ).select(F.col("_e.sub_id"), "code_id", F.col("_e.codeword"))
+
+    for _ in range(refine_iters):
+        assigned = _pq_assign_subs(embs, cbs, m, id_col, vec_col)
+        means = (
+            assigned.select(
+                "sub_id", "code",
+                F.posexplode("subvec").alias("_d", "_v"),
+            )
+            .groupBy("sub_id", "code", "_d")
+            .agg(F.avg("_v").alias("_m"))
+            .groupBy("sub_id", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_a"))
+            .select(
+                F.col("sub_id").alias("_sid"),
+                F.col("code").alias("_cid"),
+                F.transform(
+                    "_a", lambda s: F.round(s.getField("_m"), 6)
+                ).alias("_mean"),
+            )
+        )
+        cbs = (
+            cbs.join(
+                means,
+                (cbs.sub_id == means._sid) & (cbs.code_id == means._cid),
+                "left",
+            )
+            .select(
+                "sub_id",
+                "code_id",
+                F.coalesce(F.col("_mean"), F.col("codeword")).alias("codeword"),
+            )
+        )
+    return cbs
+
+
+def _guarded_dsub(vec_col: str, m: int):
+    """size/m with an expression-level divisibility guard — a silent
+    truncated tail would quantize garbage."""
+    n = F.size(F.col(vec_col))
+    return F.when(
+        n % m == 0, (n / m).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"PQ: vector dimension "),
+                n.cast("string"),
+                F.lit(f" is not divisible by m={m}"),
+            )
+        ).cast("int")
+    )
+
+
+def _pq_packed(codebooks: DataFrame) -> DataFrame:
+    """ONE-row broadcastable form: _cb[sub][code] = codeword (both
+    1-indexed via element_at downstream)."""
+    return (
+        codebooks.groupBy("sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("code_id", "codeword"))).alias("_a"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "_a"))).alias("_b"))
+        .select(
+            F.transform(
+                "_b",
+                lambda s: F.transform(
+                    s.getField("_a"), lambda c: c.getField("codeword")
+                ),
+            ).alias("_cb")
+        )
+    )
+
+
+def _pq_assign_subs(
+    embs: DataFrame, codebooks: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub_id, subvec, code) — refinement's working form; the
+    argmin is a row-local array_min over (rounded dist, code_id)
+    structs, the same deterministic tie-break as `ivf_assign`."""
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    packed = _pq_packed(codebooks)
+    d_sub = _guarded_dsub("_nv", m)
+    staged = (
+        embs.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_subs",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("_nv"), s * d_sub + 1, d_sub),
+            ),
+        )
+    )
+    exploded = staged.select(
+        F.col(id_col), F.posexplode("_subs").alias("sub_id", "subvec"),
+        "_cb",
+    )
+    codes_col = F.element_at(F.col("_cb"), F.col("sub_id") + 1)
+    best = F.array_min(
+        F.transform(
+            codes_col,
+            lambda cw, c: F.struct(
+                F.round(_l2sq(F.col("subvec"), cw), 6).alias("d"),
+                c.cast("int").alias("code"),
+            ),
+        )
+    )
+    return exploded.select(
+        F.col(id_col), "sub_id", "subvec", best.getField("code").alias("code")
+    )
+
+
+def pq_encode(
+    embs: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus: (id, codes ARRAY<TINYINT>) — m bytes per
+    vector. ZERO shuffles: the packed codebook broadcasts as one row
+    and the per-subspace argmin is a row-local array_min over
+    (rounded dist, code_id) structs. This is the frame you stage to
+    parquet and scan at 100 TB instead of the float corpus."""
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    packed = _pq_packed(codebooks)
+    d_sub = _guarded_dsub("_nv", m)
+    staged = (
+        embs.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_subs",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("_nv"), s * d_sub + 1, d_sub),
+            ),
+        )
+    )
+    codes = F.transform(
+        F.col("_subs"),
+        lambda sv, s: F.array_min(
+            F.transform(
+                F.element_at(F.col("_cb"), s + 1),
+                lambda cw, c: F.struct(
+                    F.round(_l2sq(sv, cw), 6).alias("d"),
+                    c.cast("int").alias("code"),
+                ),
+            )
+        ).getField("code"),
+    )
+    return staged.select(
+        F.col(id_col), codes.cast("array<tinyint>").alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    rerank: int = 1,
+) -> DataFrame:
+    """PQ-ADC ANN top-k: queries precompute their m x n_codes exact
+    subspace distance tables ROW-LOCALLY (one crossJoin with the
+    1-row packed codebook), the encoded corpus broadcasts-joins the
+    query batch, and each candidate costs m table lookups. Scores are
+    the ADC angular approximation `cos ~ 1 - ||q - c~||^2 / 2` (unit
+    vectors), rounded 6 dp, ranked desc with neighbor-id tie-break —
+    the `ivf_topk` output contract (query_id, neighbor_id, cos_sim,
+    rnk).
+
+    ``rerank=R > 1`` is the standard two-stage recipe (Jégou et al.
+    2011 §V): ADC shortlists R*k candidates per query, then ONLY the
+    shortlist's raw vectors are fetched (id-keyed semi-join — R*k*|Q|
+    rows, never the corpus) and rescored with exact cosine; cos_sim
+    in the output is then exact. The compressed scan does the heavy
+    elimination; the float reads are bounded by the shortlist.
+
+    Pass `codebooks`/`codes` to reuse a trained+encoded corpus (the
+    build-once/search-many shape — both are tiny-per-vector parquet
+    stages); omitted, both derive in-job (deterministic seeds)."""
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, m=m, id_col=id_col, vec_col=vec_col)
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    packed = _pq_packed(codebooks)
+    d_sub = _guarded_dsub("_nv", m)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("_nv")
+        )
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_dtab",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.element_at(F.col("_cb"), s + 1),
+                    lambda cw: _l2sq(
+                        F.slice(F.col("_nv"), s * d_sub + 1, d_sub), cw
+                    ),
+                ),
+            ),
+        )
+        .select("query_id", "_dtab")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_dtab"), s + 1),
+            F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+        ),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(F.lit(1.0) - adc / F.lit(2.0), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist_k = k * rerank
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= shortlist_k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+    if rerank == 1:
+        return ranked
+    cand = ranked.select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    exact = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(safe_cosine(dot("_qv", "_cv"), norm("_qv"), norm("_cv")), 6),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

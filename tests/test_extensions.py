@@ -1387,3 +1387,97 @@ def test_rescue_scan_parallelism_gates(spark):
     # already-parallel input is never re-shuffled
     wide = docs.repartition(target)
     assert rescue_scan_parallelism(wide) is wide
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pq_codebooks / pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_codes_and_duplicate_vectors(spark):
+    """Seed vectors encode to their own code in every subspace; exact
+    duplicates share identical codes; codes are one byte each."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    vecs.append((100, list(vecs[3][1])))  # dup of vec 3
+    embs = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cbs = similarity.pq_codebooks(embs, m=4, n_codes=4)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(embs, cbs, m=4).collect()
+    }
+    assert len(codes[0]) == 4
+    for seed_id in range(4):
+        assert codes[seed_id] == [seed_id] * 4  # own codeword wins
+    assert codes[100] == codes[3]  # duplicates encode identically
+
+
+def test_pq_topk_deterministic_and_rerank_exact(spark):
+    """Two invocations agree row-for-row; rerank returns EXACT cosine
+    for its survivors and never lowers recall vs pure ADC."""
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 8")
+    a = sorted(map(tuple, similarity.pq_topk(embs, qs, k=5, m=8, n_codes=16).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(embs, qs, k=5, m=8, n_codes=16).collect()))
+    assert a == b
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk(embs, qs, k=5).collect()
+    }
+    adc = {(qid, nid) for qid, nid, _, _ in a}
+    rr = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.pq_topk(
+            embs, qs, k=5, m=8, n_codes=16, rerank=10
+        ).collect()
+    }
+    hit_adc = len(adc & set(exact)) / len(exact)
+    hit_rr = len(set(rr) & set(exact)) / len(exact)
+    assert hit_rr >= hit_adc  # exact rescore never hurts
+    # reranked survivors carry EXACT cosine (they were rescored)
+    for pair, sim in rr.items():
+        if pair in exact:
+            assert sim == exact[pair]
+
+
+def test_pq_validation_and_divisibility_guard(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [0.5, 0.1, 0.9])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="m must"):
+        similarity.pq_codebooks(embs, m=0)
+    with pytest.raises(ValueError, match="n_codes"):
+        similarity.pq_codebooks(embs, n_codes=200)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.pq_topk(embs, embs, rerank=0)
+    # dim 3 not divisible by m=2: the expression-level guard raises
+    # on execution, not silently truncates
+    cbs = similarity.pq_codebooks(embs, m=2, n_codes=2)
+    with pytest.raises(SparkRuntimeException, match="not divisible"):
+        similarity.pq_encode(embs, cbs, m=2).collect()
+
+
+def test_pq_refinement_preserves_determinism(spark):
+    """Lloyd passes stay deterministic (fixed iteration count, rounded
+    means) and keep the codebook shape."""
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        "vec_id < 200"
+    )
+    a = sorted(
+        map(tuple, similarity.pq_codebooks(embs, m=4, n_codes=8, refine_iters=2).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.pq_codebooks(embs, m=4, n_codes=8, refine_iters=2).collect())
+    )
+    assert a == b
+    assert len(a) == 4 * 8
