@@ -708,16 +708,8 @@ def pq_codebooks(
         )
     from flink_etl_spark.functions.vectors import l2_normalize
 
-    packed = (
-        embs.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
-        .orderBy(id_col)
-        .limit(n_codes)
-        .agg(F.array_sort(F.collect_list(F.struct(id_col, "_nv"))).alias("_a"))
-    )
-    seeds = packed.select(F.posexplode("_a").alias("_code", "_s")).select(
-        F.col("_code").cast("int").alias("code_id"),
-        F.col("_s._nv").alias("_nv"),
-    )
+    nv_frame = embs.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
+    seeds = _pq_seeds(nv_frame, n_codes, id_col)
     subs = F.sequence(F.lit(0), F.lit(m - 1))
     d_sub = _guarded_dsub("_nv", m)
     cbs = seeds.select(
@@ -767,6 +759,53 @@ def pq_codebooks(
             )
         )
     return cbs
+
+
+def _pq_seeds(nv_frame: DataFrame, n_codes: int, id_col: str) -> DataFrame:
+    """(code_id, _nv): the n_codes smallest-id rows of a (id, _nv)
+    frame, re-labeled 0..n-1 — the deterministic seed pick shared by
+    plain-PQ (normalized vectors) and IVF-PQ (cell residuals)."""
+    packed = (
+        nv_frame.orderBy(id_col)
+        .limit(n_codes)
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, "_nv"))).alias("_a"))
+    )
+    return packed.select(F.posexplode("_a").alias("_code", "_s")).select(
+        F.col("_code").cast("int").alias("code_id"),
+        F.col("_s._nv").alias("_nv"),
+    )
+
+
+def _pq_codes_on(nv_frame: DataFrame, codebooks: DataFrame, m: int,
+                 id_cols: list[str]) -> DataFrame:
+    """Encode a (…ids…, _nv) frame against codebooks: adds a `codes`
+    ARRAY<TINYINT> column via the zero-shuffle packed-broadcast
+    argmin; `id_cols` are carried through."""
+    packed = _pq_packed(codebooks)
+    d_sub = _guarded_dsub("_nv", m)
+    staged = nv_frame.crossJoin(F.broadcast(packed)).withColumn(
+        "_subs",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(F.col("_nv"), s * d_sub + 1, d_sub),
+        ),
+    )
+    codes = F.transform(
+        F.col("_subs"),
+        lambda sv, s: F.array_min(
+            F.transform(
+                F.element_at(F.col("_cb"), s + 1),
+                lambda cw, c: F.struct(
+                    F.round(_l2sq(sv, cw), 6).alias("d"),
+                    c.cast("int").alias("code"),
+                ),
+            )
+        ).getField("code"),
+    )
+    return staged.select(
+        *[F.col(c) for c in id_cols],
+        codes.cast("array<tinyint>").alias("codes"),
+    )
 
 
 def _guarded_dsub(vec_col: str, m: int):
@@ -859,33 +898,9 @@ def pq_encode(
     parquet and scan at 100 TB instead of the float corpus."""
     from flink_etl_spark.functions.vectors import l2_normalize
 
-    packed = _pq_packed(codebooks)
-    d_sub = _guarded_dsub("_nv", m)
-    staged = (
-        embs.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
-        .crossJoin(F.broadcast(packed))
-        .withColumn(
-            "_subs",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice(F.col("_nv"), s * d_sub + 1, d_sub),
-            ),
-        )
-    )
-    codes = F.transform(
-        F.col("_subs"),
-        lambda sv, s: F.array_min(
-            F.transform(
-                F.element_at(F.col("_cb"), s + 1),
-                lambda cw, c: F.struct(
-                    F.round(_l2sq(sv, cw), 6).alias("d"),
-                    c.cast("int").alias("code"),
-                ),
-            )
-        ).getField("code"),
-    )
-    return staged.select(
-        F.col(id_col), codes.cast("array<tinyint>").alias("codes")
+    return _pq_codes_on(
+        embs.select(F.col(id_col), l2_normalize(vec_col).alias("_nv")),
+        codebooks, m, [id_col],
     )
 
 
@@ -966,17 +981,34 @@ def pq_topk(
         .withColumn("cos_sim", F.round(F.lit(1.0) - adc / F.lit(2.0), 6))
         .select("query_id", "neighbor_id", "cos_sim")
     )
+    return _rank_and_rerank(
+        scored, k, rerank, corpus, queries, id_col, vec_col
+    )
+
+
+def _rank_and_rerank(
+    scored: DataFrame, k: int, rerank: int,
+    corpus: DataFrame | None, queries: DataFrame | None,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Shared PQ/IVF-PQ tail: rank (query_id, neighbor_id, cos_sim)
+    desc with neighbor-id tie-break; with rerank > 1, ADC shortlists
+    R*k and ONLY the shortlist's raw vectors are fetched (id-keyed
+    join) and rescored with exact cosine. `corpus` must be provided
+    when rerank > 1 (the staged-index search takes it explicitly —
+    the index stores codes, not floats)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    shortlist_k = k * rerank
     ranked = (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= shortlist_k)
+        .filter(F.col("rnk") <= k * rerank)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
     if rerank == 1:
         return ranked
+    if corpus is None:
+        raise ValueError("rerank > 1 needs the raw corpus for rescoring")
     cand = ranked.select("query_id", "neighbor_id")
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
@@ -997,4 +1029,211 @@ def pq_topk(
         exact.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed billion-scale layout (Jégou et al. 2011 §VI,
+# the FAISS IVFPQ scheme): a coarse quantizer routes each vector to a
+# cell, PQ encodes the RESIDUAL (normalized vector minus normalized
+# centroid — residuals concentrate near zero, so the same codebook
+# budget spends its resolution where the data is), and search probes
+# nprobe cells reading ONLY their code partitions. The two pruning
+# axes compose: the cell probe cuts candidates to nprobe/n_cells of
+# the corpus, PQ cuts bytes-per-candidate to m — together a 100 TB
+# corpus serves an ANN query from a few partition-pruned scans of
+# byte codes.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_parts(
+    embs: DataFrame, n_cells: int, m: int, n_codes: int,
+    id_col: str, vec_col: str, cell_refine_iters: int,
+):
+    """(cents, cents_norm, residual codebooks, cell-tagged codes) —
+    the shared construction behind the one-shot and staged forms."""
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    cents = ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters)
+    cents_n = cents.select(
+        "cell_id", l2_normalize("centroid").alias("_cnv")
+    )
+    asgn = ivf_assign(embs, cents, 1, id_col, vec_col)
+    res = asgn.join(F.broadcast(cents_n), "cell_id").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.zip_with(
+            l2_normalize(vec_col), F.col("_cnv"), lambda x, y: x - y
+        ).alias("_nv"),
+    )
+    seeds = _pq_seeds(res.select(id_col, "_nv"), n_codes, id_col)
+    subs = F.sequence(F.lit(0), F.lit(m - 1))
+    d_sub = _guarded_dsub("_nv", m)
+    cbs = seeds.select(
+        "code_id",
+        F.explode(
+            F.transform(
+                subs,
+                lambda scol: F.struct(
+                    scol.cast("int").alias("sub_id"),
+                    F.slice(F.col("_nv"), scol * d_sub + 1, d_sub).alias(
+                        "codeword"
+                    ),
+                ),
+            )
+        ).alias("_e"),
+    ).select(F.col("_e.sub_id"), "code_id", F.col("_e.codeword"))
+    codes = _pq_codes_on(res, cbs, m, [id_col, "cell_id"])
+    return cents, cents_n, cbs, codes
+
+
+def _ivfpq_score(
+    codes: DataFrame, cents, cents_n, cbs: DataFrame,
+    queries: DataFrame, k: int, nprobe: int, m: int,
+    id_col: str, vec_col: str, rerank: int,
+    corpus: DataFrame | None,
+) -> DataFrame:
+    """Probe nprobe cells per query, ADC against the probed cells'
+    codes with PER-CELL query residual distance tables."""
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    qasgn = ivf_assign(queries, cents, nprobe, id_col, vec_col)
+    d_sub = _guarded_dsub("_nv", m)
+    packed = _pq_packed(cbs)
+    q = (
+        qasgn.join(F.broadcast(cents_n), "cell_id")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("cell_id").alias("q_cell_id"),
+            F.zip_with(
+                l2_normalize(vec_col), F.col("_cnv"), lambda x, y: x - y
+            ).alias("_nv"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_dtab",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda scol: F.transform(
+                    F.element_at(F.col("_cb"), scol + 1),
+                    lambda cw: _l2sq(
+                        F.slice(F.col("_nv"), scol * d_sub + 1, d_sub), cw
+                    ),
+                ),
+            ),
+        )
+        .select("query_id", "q_cell_id", "_dtab")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, scol: acc
+        + F.element_at(
+            F.element_at(F.col("_dtab"), scol + 1),
+            F.element_at(F.col("codes"), scol + 1).cast("int") + 1,
+        ),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            F.broadcast(q),
+            (F.col("cell_id") == F.col("q_cell_id"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos_sim", F.round(F.lit(1.0) - adc / F.lit(2.0), 6))
+        # nprobe=1 corpus assignment: a neighbor lives in exactly one
+        # cell, so (query, neighbor) pairs are already unique
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return _rank_and_rerank(scored, k, rerank, corpus, queries, id_col, vec_col)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_refine_iters: int = 0,
+    rerank: int = 1,
+) -> DataFrame:
+    """One-shot IVF-PQ ANN top-k (see the section comment): coarse
+    cells + shared residual codebooks + per-cell ADC, `ivf_topk`
+    output contract. Deterministic throughout (seed centroids, seed
+    codebooks, 6 dp rounding, id tie-breaks) — oracle-replicable with
+    `cell_refine_iters=0`. `rerank=R` rescans only the R*k shortlist
+    with exact cosine."""
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    cents, cents_n, cbs, codes = _ivfpq_parts(
+        corpus, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters
+    )
+    return _ivfpq_score(
+        codes, cents, cents_n, cbs, queries, k, nprobe, m, id_col,
+        vec_col, rerank, corpus,
+    )
+
+
+def ivfpq_build_index(
+    embs: DataFrame,
+    index_path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_refine_iters: int = 0,
+) -> None:
+    """Stage the IVF-PQ index: `centroids/` + `codebooks/` parquet and
+    `cells/` parquet PARTITIONED BY cell_id holding (id, codes) — m
+    bytes per vector. Build once; every query batch reads only its
+    probed `cell_id=` directories of byte codes. The raw float corpus
+    is NOT stored — pass it to `ivfpq_search_index(corpus=...)` only
+    when reranking."""
+    cents, _, cbs, codes = _ivfpq_parts(
+        embs, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters
+    )
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    cbs.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_path}/cells"
+    )
+
+
+def ivfpq_search_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 1,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Search a staged IVF-PQ index: queries assign against the staged
+    centroids and the candidate join reads only the probed `cell_id=`
+    partitions (partition-pruned byte-code scan). Scores identically
+    to `ivfpq_topk` by construction; `rerank` needs `corpus` (the
+    index holds codes, not floats)."""
+    from flink_etl_spark.functions.vectors import l2_normalize  # noqa: F401
+
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cbs = spark.read.parquet(f"{index_path}/codebooks")
+    codes = spark.read.parquet(f"{index_path}/cells").withColumn(
+        "cell_id", F.col("cell_id").cast("int")
+    )
+    cents_n = cents.select(
+        "cell_id", l2_normalize("centroid").alias("_cnv")
+    )
+    return _ivfpq_score(
+        codes, cents, cents_n, cbs, queries, k, nprobe, m, id_col,
+        vec_col, rerank, corpus,
     )
