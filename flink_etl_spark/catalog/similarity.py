@@ -281,6 +281,130 @@ _PQ_SQL = f"""
 """
 
 
+#: IVF-PQ oracle: the composed scheme (Jégou et al. 2011 §VI) —
+#: 8 seed cells (the _IVF_SQL coarse quantizer), corpus assigned
+#: nprobe=1 / queries nprobe=2, PQ runs on RESIDUALS (normalized
+#: vector minus normalized centroid), shared residual codebooks
+#: seeded from the 16 smallest-id residuals, per-cell query distance
+#: tables — mirroring operators/similarity.ivfpq_topk(n_cells=8,
+#: nprobe=2, m=8, n_codes=16, rerank=1) / the staged search
+_IVFPQ_CELLS = 8
+_IVFPQ_NPROBE = 2
+_IVFPQ_SQL = f"""
+    WITH inv AS (
+        SELECT vec_id,
+               CASE WHEN sqrt({duckdb_dot('embedding', 'embedding')}) = 0
+                    THEN embedding::DOUBLE[]
+                    ELSE list_transform(
+                        embedding::DOUBLE[],
+                        x -> x / sqrt({duckdb_dot('embedding', 'embedding')}))
+               END AS nv
+        FROM embeddings
+    ),
+    icents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+               embedding AS centroid
+        FROM embeddings ORDER BY vec_id LIMIT {_IVFPQ_CELLS}
+    ),
+    icnv AS (
+        SELECT cell_id,
+               CASE WHEN sqrt({duckdb_dot('centroid', 'centroid')}) = 0
+                    THEN centroid::DOUBLE[]
+                    ELSE list_transform(
+                        centroid::DOUBLE[],
+                        x -> x / sqrt({duckdb_dot('centroid', 'centroid')}))
+               END AS cnv
+        FROM icents
+    ),
+    icasgn AS (
+        SELECT vec_id, cell_id
+        FROM (SELECT e.vec_id, p.cell_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
+                                  DESC, p.cell_id) AS r
+              FROM embeddings e CROSS JOIN icents p) t
+        WHERE r <= 1
+    ),
+    iqasgn AS (
+        SELECT vec_id AS query_id, cell_id
+        FROM (SELECT e.vec_id, p.cell_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round({duckdb_cosine('e.embedding', 'p.centroid')}, 6)
+                                  DESC, p.cell_id) AS r
+              FROM embeddings e CROSS JOIN icents p
+              WHERE e.{QUERY_PRED}) t
+        WHERE r <= {_IVFPQ_NPROBE}
+    ),
+    ires AS (
+        SELECT a.vec_id, a.cell_id,
+               list_transform(list_zip(n.nv, c.cnv), p -> p[1] - p[2]) AS rv
+        FROM icasgn a
+        JOIN inv n ON n.vec_id = a.vec_id
+        JOIN icnv c ON c.cell_id = a.cell_id
+    ),
+    irdim AS (SELECT CAST(len(rv) // {_PQ_M} AS INT) AS d FROM ires LIMIT 1),
+    irseeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, rv
+        FROM ires ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    ircb AS (
+        SELECT CAST(s.i AS INT) AS sub_id, code_id,
+               rv[s.i*(SELECT d FROM irdim)+1
+                  : (s.i+1)*(SELECT d FROM irdim)] AS cw
+        FROM irseeds, UNNEST(generate_series(0, {_PQ_M - 1})) AS s(i)
+    ),
+    irsub AS (
+        SELECT vec_id, cell_id, CAST(s.i AS INT) AS sub_id,
+               rv[s.i*(SELECT d FROM irdim)+1
+                  : (s.i+1)*(SELECT d FROM irdim)] AS sv
+        FROM ires, UNNEST(generate_series(0, {_PQ_M - 1})) AS s(i)
+    ),
+    irassign AS (
+        SELECT vec_id, cell_id, sub_id, code_id
+        FROM (SELECT p.vec_id, p.cell_id, p.sub_id, c.code_id,
+                     row_number() OVER (
+                         PARTITION BY p.vec_id, p.sub_id
+                         ORDER BY round({_duckdb_l2sq('p.sv', 'c.cw')}, 6),
+                                  c.code_id) AS r
+              FROM irsub p JOIN ircb c USING (sub_id)) t
+        WHERE r = 1
+    ),
+    iqres AS (
+        SELECT q.query_id, q.cell_id,
+               list_transform(list_zip(n.nv, c.cnv), p -> p[1] - p[2]) AS rv
+        FROM iqasgn q
+        JOIN inv n ON n.vec_id = q.query_id
+        JOIN icnv c ON c.cell_id = q.cell_id
+    ),
+    iqsub AS (
+        SELECT query_id, cell_id, CAST(s.i AS INT) AS sub_id,
+               rv[s.i*(SELECT d FROM irdim)+1
+                  : (s.i+1)*(SELECT d FROM irdim)] AS sv
+        FROM iqres, UNNEST(generate_series(0, {_PQ_M - 1})) AS s(i)
+    ),
+    iadc AS (
+        SELECT qs.query_id, a.vec_id AS neighbor_id,
+               sum({_duckdb_l2sq('qs.sv', 'c.cw')}) AS dist
+        FROM iqsub qs
+        JOIN irassign a ON a.cell_id = qs.cell_id AND a.sub_id = qs.sub_id
+                        AND a.vec_id <> qs.query_id
+        JOIN ircb c ON c.sub_id = a.sub_id AND c.code_id = a.code_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (SELECT query_id, neighbor_id,
+                 round(1.0 - dist / 2.0, 6) AS cos_sim,
+                 row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY round(1.0 - dist / 2.0, 6) DESC,
+                              neighbor_id) AS rnk
+          FROM iadc) t
+    WHERE rnk <= 5
+"""
+
+
 @query(
     "ann_ivf_topk",
     f"""
@@ -289,6 +413,8 @@ _PQ_SQL = f"""
     SELECT 'staged_index' AS variant, b.* FROM ({_IVF_SQL}) b
     UNION ALL
     SELECT 'pq' AS variant, p.* FROM ({_PQ_SQL}) p
+    UNION ALL
+    SELECT 'ivfpq' AS variant, i.* FROM ({_IVFPQ_SQL}) i
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +439,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       tables row-locally, and a candidate costs 8 table lookups —
       the compressed-scan 100 TB path (cos_sim is the rounded ADC
       angular approximation; the production `rerank=R` exact-rescore
-      stage is unit-tested, recall table in docs/SCALING.md)."""
+      stage is unit-tested, recall table in docs/SCALING.md);
+    * variant 'ivfpq' (r8) — the COMPOSED billion-scale layout (Jégou
+      et al. 2011 §VI / FAISS IVFPQ, `operators/similarity.ivfpq_*`):
+      coarse cells route each vector, PQ encodes the RESIDUAL
+      (normalized vector minus normalized centroid), and search reads
+      ONLY the probed `cell_id=` partitions of byte codes. Gated on
+      the STAGED lifecycle (`ivfpq_build_index` writes the index +
+      `_IVFPQ_META.json` sidecar; `ivfpq_search_index` derives m from
+      the sidecar and partition-prunes) — the one-shot `ivfpq_topk`
+      is pinned identical by unit test. Full value oracle: the
+      residual encode + per-cell ADC replicated as DuckDB CTEs."""
     from flink_etl_spark.catalog import process_workdir
 
     embs = _t(spark, sf_dir, "embeddings")
@@ -331,7 +467,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = S.pq_topk(
         embs, queries, k=5, m=_PQ_M, n_codes=_PQ_CODES
     ).select(F.lit("pq").alias("variant"), "*")
-    return mem.unionByName(staged).unionByName(pq)
+    ivfpq_idx = (
+        f"{process_workdir('ivfpq_index')}/{sf_dir.strip('/').replace('/', '_')}"
+    )
+    S.ivfpq_build_index(
+        embs, ivfpq_idx, n_cells=_IVFPQ_CELLS, m=_PQ_M, n_codes=_PQ_CODES
+    )
+    ivfpq = S.ivfpq_search_index(
+        spark, ivfpq_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
+    ).select(F.lit("ivfpq").alias("variant"), "*")
+    return mem.unionByName(staged).unionByName(pq).unionByName(ivfpq)
 
 
 @query(

@@ -1178,6 +1178,46 @@ def ivfpq_topk(
     )
 
 
+#: staged IVF-PQ index format version (bump when the on-disk layout
+#: or the encode recipe changes incompatibly)
+_IVFPQ_META_VERSION = 1
+
+
+def _ivfpq_meta(spark, index_path: str):
+    """Read `<index_path>/_IVFPQ_META.json` (None when absent)."""
+    import json
+
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{index_path}/_IVFPQ_META.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
+
+
+def _write_ivfpq_meta(spark, index_path: str, n_cells: int, m: int,
+                      n_codes: int, dim: int) -> None:
+    import json
+
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{index_path}/_IVFPQ_META.json")
+    out = fs.create(p, True)
+    try:
+        payload = json.dumps({
+            "version": _IVFPQ_META_VERSION,
+            "n_cells": n_cells, "m": m, "n_codes": n_codes, "dim": dim,
+        }).encode()
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
 def ivfpq_build_index(
     embs: DataFrame,
     index_path: str,
@@ -1190,10 +1230,22 @@ def ivfpq_build_index(
 ) -> None:
     """Stage the IVF-PQ index: `centroids/` + `codebooks/` parquet and
     `cells/` parquet PARTITIONED BY cell_id holding (id, codes) — m
-    bytes per vector. Build once; every query batch reads only its
-    probed `cell_id=` directories of byte codes. The raw float corpus
-    is NOT stored — pass it to `ivfpq_search_index(corpus=...)` only
-    when reranking."""
+    bytes per vector — plus an `_IVFPQ_META.json` sidecar pinning
+    {version, n_cells, m, n_codes, dim}. Build once; every query batch
+    reads only its probed `cell_id=` directories of byte codes. The
+    raw float corpus is NOT stored — pass it to
+    `ivfpq_search_index(corpus=...)` only when reranking.
+
+    The sidecar exists for the same reason `_PROFILE_META.json` /
+    `_SUBSTR_META.json` do: a search with a mismatched `m` that still
+    divides the query dimension mis-slices subvectors and truncates
+    the ADC sum — SILENTLY wrong rankings, no error. Search derives
+    its parameters from the sidecar and raises on any explicit
+    mismatch instead."""
+    spark = embs.sparkSession
+    dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("ivfpq_build_index: empty corpus")
     cents, _, cbs, codes = _ivfpq_parts(
         embs, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters
     )
@@ -1202,6 +1254,7 @@ def ivfpq_build_index(
     codes.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{index_path}/cells"
     )
+    _write_ivfpq_meta(spark, index_path, n_cells, m, n_codes, dim_row["d"])
 
 
 def ivfpq_search_index(
@@ -1210,7 +1263,7 @@ def ivfpq_search_index(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
-    m: int = 4,
+    m: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 1,
@@ -1220,11 +1273,40 @@ def ivfpq_search_index(
     centroids and the candidate join reads only the probed `cell_id=`
     partitions (partition-pruned byte-code scan). Scores identically
     to `ivfpq_topk` by construction; `rerank` needs `corpus` (the
-    index holds codes, not floats)."""
+    index holds codes, not floats).
+
+    `m` is DERIVED from the index's `_IVFPQ_META.json` sidecar —
+    passing it is optional and validated (a mismatch raises; a caller
+    `m` that merely divides the query dimension would otherwise
+    mis-slice subvectors against the staged codewords and return
+    silently wrong rankings). Query vectors are also guarded
+    expression-side against the staged `dim` — a wrong-dimension
+    query batch raises instead of zip-padding nulls into the ADC."""
     from flink_etl_spark.functions.vectors import l2_normalize  # noqa: F401
 
     if rerank < 1:
         raise ValueError(f"rerank must be >= 1, got {rerank}")
+    meta = _ivfpq_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"no _IVFPQ_META.json at {index_path} — not an IVF-PQ index "
+            "staged by ivfpq_build_index (or a pre-sidecar build); "
+            "rebuild the index"
+        )
+    if meta.get("version") != _IVFPQ_META_VERSION:
+        raise ValueError(
+            f"IVF-PQ index at {index_path} has format version "
+            f"{meta.get('version')!r}, this build reads "
+            f"{_IVFPQ_META_VERSION} — rebuild the index"
+        )
+    if m is not None and m != meta["m"]:
+        raise ValueError(
+            f"caller m={m} disagrees with the staged index's m={meta['m']} "
+            f"({index_path}) — a mismatched m mis-slices subvectors and "
+            "silently mis-ranks; drop the argument (it is derived from "
+            "the sidecar) or rebuild the index"
+        )
+    m = meta["m"]
     cents = spark.read.parquet(f"{index_path}/centroids")
     cbs = spark.read.parquet(f"{index_path}/codebooks")
     codes = spark.read.parquet(f"{index_path}/cells").withColumn(
@@ -1233,7 +1315,24 @@ def ivfpq_search_index(
     cents_n = cents.select(
         "cell_id", l2_normalize("centroid").alias("_cnv")
     )
+    # expression-level dim guard: zip_with pads the shorter array with
+    # nulls, so a wrong-dim query would propagate null distances rather
+    # than erroring — raise at evaluation instead
+    dim = int(meta["dim"])
+    vec_type = queries.schema[vec_col].dataType.simpleString()
+    guarded = queries.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("IVF-PQ: query vector dimension "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != staged index dim {dim}"),
+                )
+            ).cast(vec_type)
+        ),
+    )
     return _ivfpq_score(
-        codes, cents, cents_n, cbs, queries, k, nprobe, m, id_col,
+        codes, cents, cents_n, cbs, guarded, k, nprobe, m, id_col,
         vec_col, rerank, corpus,
     )

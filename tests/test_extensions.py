@@ -1465,6 +1465,111 @@ def test_pq_validation_and_divisibility_guard(spark):
         similarity.pq_encode(embs, cbs, m=2).collect()
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ (ivfpq_topk / ivfpq_build_index / ivfpq_search_index)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_staged_equals_oneshot_and_sidecar(spark, tmp_path):
+    """The staged index search is row-identical to the one-shot form
+    (build/search round-trips through parquet + partition pruning);
+    the build writes an _IVFPQ_META.json sidecar and search derives m
+    from it. Two one-shot invocations agree (determinism)."""
+    from flink_etl_spark.operators.similarity import _ivfpq_meta
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 8")
+    one = sorted(map(tuple, similarity.ivfpq_topk(
+        embs, qs, k=5, n_cells=4, nprobe=2, m=8, n_codes=16
+    ).collect()))
+    again = sorted(map(tuple, similarity.ivfpq_topk(
+        embs, qs, k=5, n_cells=4, nprobe=2, m=8, n_codes=16
+    ).collect()))
+    assert one == again
+
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(embs, idx, n_cells=4, m=8, n_codes=16)
+    meta = _ivfpq_meta(spark, idx)
+    assert meta == {"version": 1, "n_cells": 4, "m": 8, "n_codes": 16,
+                    "dim": 64}
+    # m omitted — derived from the sidecar
+    staged = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=2
+    ).collect()))
+    assert staged == one
+    # explicit matching m still accepted
+    explicit = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=2, m=8
+    ).collect()))
+    assert explicit == one
+
+
+def test_ivfpq_rerank_exact_and_recall(spark):
+    """rerank=R rescores the ADC shortlist with EXACT cosine: reranked
+    survivors match brute-force cosine values, and recall vs the exact
+    top-5 never drops relative to pure ADC."""
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 8")
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(
+            embs, qs, k=5, n_cells=4, nprobe=2, m=8, n_codes=16
+        ).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.ivfpq_topk(
+            embs, qs, k=5, n_cells=4, nprobe=2, m=8, n_codes=16, rerank=8
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk(embs, qs, k=5).collect()
+    }
+    assert len(set(rr) & set(exact)) >= len(adc & set(exact))
+    for pair, sim in rr.items():
+        if pair in exact:
+            assert sim == exact[pair]
+
+
+def test_ivfpq_guards(spark, tmp_path):
+    """Parameter and sidecar guards: mismatched m raises (the
+    silent-misranking foot-gun), meta-less dirs are rejected, a
+    wrong-dimension query batch raises at evaluation, rerank
+    validation, rerank-without-corpus."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 4")
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(embs, idx, n_cells=4, m=8, n_codes=16)
+    # m=4 also divides dim 16 — without the sidecar this would silently
+    # mis-slice; with it, it raises
+    with pytest.raises(ValueError, match="disagrees with the staged"):
+        similarity.ivfpq_search_index(spark, idx, qs, m=4)
+    with pytest.raises(ValueError, match="no _IVFPQ_META"):
+        similarity.ivfpq_search_index(spark, str(tmp_path / "nope"), qs)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivfpq_search_index(spark, idx, qs, rerank=0)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivfpq_topk(embs, qs, rerank=0)
+    # staged rerank needs the raw corpus (the index stores codes only)
+    with pytest.raises(ValueError, match="raw corpus"):
+        similarity.ivfpq_search_index(spark, idx, qs, rerank=2).collect()
+    # wrong-dim queries: zip_with would null-pad — the guard raises
+    wrong = spark.createDataFrame(
+        [(0, [float(i) for i in range(8)])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(SparkRuntimeException, match="query vector dimension"):
+        similarity.ivfpq_search_index(spark, idx, wrong).collect()
+
+
 def test_pq_refinement_preserves_determinism(spark):
     """Lloyd passes stay deterministic (fixed iteration count, rounded
     means) and keep the codebook shape."""
