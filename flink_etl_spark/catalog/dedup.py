@@ -227,6 +227,11 @@ _INC_ORACLE_ARM = """
 """
 
 
+#: anchor dirs already staged by THIS process (dedup_exact_docs skips
+#: the corpus anchor pass + write on re-construction — see its note)
+_STAGED_ANCHOR_DIRS: set[str] = set()
+
+
 def _substr_anchors_dir(sf_dir: str) -> str:
     """Process-cached staging dir for the shared anchored-corpus frame
     (doc_id, _toks, _a) all three substring arms read — anchoring is
@@ -387,10 +392,18 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the driver's vanilla session (32 tiny staged files fan every
     # downstream arm into tiny-task overhead) — so the staging stays
     # serial-scan here, matching the exchange-minimal gate rule.
+    # Staged once per (process, sf_dir): explain-only/plan-dump
+    # harnesses re-construct this gate repeatedly in one session, and
+    # each construction was a full corpus anchor pass + disk write
+    # (process_workdir dirs are process-private, inputs immutable for
+    # a session — the same-dir-overwrite hazard is within-process only,
+    # which this set also removes).
     anchors_dir = _substr_anchors_dir(sf_dir)
-    _substring_anchors(
-        docs, _SUBSTR_K, 1, "doc_id", "text", "digest"
-    ).write.mode("overwrite").parquet(anchors_dir)
+    if anchors_dir not in _STAGED_ANCHOR_DIRS:
+        _substring_anchors(
+            docs, _SUBSTR_K, 1, "doc_id", "text", "digest"
+        ).write.mode("overwrite").parquet(anchors_dir)
+        _STAGED_ANCHOR_DIRS.add(anchors_dir)
     anchored = spark.read.parquet(anchors_dir)
 
     def _shape(df: DataFrame, variant: str) -> DataFrame:
@@ -492,6 +505,23 @@ _FP_ORACLE_ARM = """
     GROUP BY a.doc_id, b.doc_id
 """
 
+#: cross-corpus overlap arm: fingerprint selection is row-local, so the
+#: per-doc fingerprints of a SPLIT corpus equal the full corpus's —
+#: the even/odd halves reuse the same ffp CTE, joined a-vs-b with no id
+#: ordering (the asymmetric suspect-vs-reference join shape)
+_FP_OVERLAP_ARM = """
+    SELECT 'fp_overlap' AS variant,
+           a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           CAST(NULL AS BIGINT) AS doc_id,
+           count(*) AS n_shared_grams,
+           CAST(NULL AS BIGINT) AS n_bench_docs,
+           CAST(NULL AS BIGINT) AS contaminated
+    FROM (SELECT * FROM ffp WHERE doc_id % 2 = 0) a
+    JOIN (SELECT * FROM ffp WHERE doc_id % 2 = 1) b ON a.h = b.h
+    GROUP BY a.doc_id, b.doc_id
+"""
+
 
 @query(
     "dedup_ngram_jaccard",
@@ -502,6 +532,8 @@ _FP_ORACLE_ARM = """
     FROM jac WHERE jaccard >= 0.8
     UNION ALL
     {_FP_ORACLE_ARM}
+    UNION ALL
+    {_FP_OVERLAP_ARM}
     UNION ALL
     SELECT 'decontam' AS variant,
            CAST(NULL AS BIGINT) AS doc_a,
@@ -590,10 +622,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       shingle-set MinHash only catches probabilistically. Gated on
       key='digest' (oracle-replicable sha256 anchors) with the same
       k/w as dedup_exact_docs' span_winnow arm.
+    * variant 'fp_overlap' (r8) — CROSS-corpus fingerprint overlap
+      (operators/prep.fingerprint_overlap, the asymmetric MOSS
+      suspect-vs-reference setting / passage-granularity provenance
+      report): the even-doc_id half plays the suspect corpus against
+      the odd half as reference; one row per cross pair sharing a
+      selected fingerprint. Same detection guarantee across corpora
+      (selection is content-based); the oracle reuses the ffp CTE
+      split in two because fingerprinting is row-local.
     """
     from flink_etl_spark.operators.prep import (
         decontaminate,
         fingerprint_candidates,
+        fingerprint_overlap,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -645,8 +686,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_bench_docs"),
         F.lit(None).cast("long").alias("contaminated"),
     )
+    ov = fingerprint_overlap(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        min_tokens=_SUBSTR_K, winnow=_WINNOW_W, key="digest",
+        persist_fingerprints=False,
+    ).select(
+        F.lit("fp_overlap").alias("variant"),
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("n_shared").alias("n_shared_grams"),
+        F.lit(None).cast("long").alias("n_bench_docs"),
+        F.lit(None).cast("long").alias("contaminated"),
+    )
     return (
-        exact.unionByName(fp).unionByName(pruned).unionByName(decontam)
+        exact.unionByName(fp).unionByName(ov)
+        .unionByName(pruned).unionByName(decontam)
     )
 
 

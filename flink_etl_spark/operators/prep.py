@@ -1526,7 +1526,17 @@ def fingerprint_candidates(
     the hot set, which is small by construction). Boilerplate shared
     by half the corpus is exactly what a candidate GENERATOR should
     skip anyway — a fingerprint in a million documents identifies no
-    pair in particular. Default None keeps the exact census."""
+    pair in particular. Default None keeps the exact census.
+
+    Cache lifecycle: ``persist_fingerprints=True`` caches the
+    fingerprint frame for the duration of the ACTION and leaves it
+    registered (the standard lazy-persist contract — Spark evicts LRU
+    under pressure, and unpersisting eagerly here would drop it
+    between the self-join's two consumers). A long-lived driver
+    calling this per batch should either pass
+    ``persist_fingerprints=False`` (the oracle-gate setting) or call
+    ``spark.catalog.clearCache()`` on its batch boundary, as the
+    streaming sinks in this package do."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if max_df is not None and max_df < 1:
@@ -1609,7 +1619,12 @@ def fingerprint_overlap(
     `substring_dedup_incremental(corpus, path)` scrubs every
     benchmark passage out of the corpus — passage-level
     decontamination per Lee et al. 2022, with the benchmark index
-    never shuffling."""
+    never shuffling.
+
+    Cache lifecycle: as in `fingerprint_candidates` — per-batch
+    callers pass ``persist_fingerprints=False`` or clearCache() on
+    their batch boundary; the persisted frames otherwise stay
+    registered for LRU eviction."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if max_df is not None and max_df < 1:

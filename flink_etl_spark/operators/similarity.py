@@ -943,6 +943,24 @@ def pq_topk(
         )
     if codes is None:
         codes = pq_encode(corpus, codebooks, m=m, id_col=id_col, vec_col=vec_col)
+    else:
+        # pre-built codes: a caller m smaller than the staged code
+        # arrays would silently truncate the ADC sum (element_at
+        # returns null / partial sums depending on ANSI mode) — guard
+        # expression-side, mirroring the _IVFPQ_META.json discipline
+        codes = codes.withColumn(
+            "codes",
+            F.when(F.size("codes") == m, F.col("codes")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("PQ: staged codes have "),
+                        F.size("codes").cast("string"),
+                        F.lit(f" subspaces but m={m} was passed — "
+                              "mismatched m silently mis-ranks"),
+                    )
+                ).cast("array<tinyint>")
+            ),
+        )
     from flink_etl_spark.functions.vectors import l2_normalize
 
     packed = _pq_packed(codebooks)

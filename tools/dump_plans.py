@@ -150,6 +150,18 @@ COMMENTARY: dict[str, str] = {
         "never leave the scan. The only corpus-sized exchange is the "
         "4-numeric-column per-doc aggregate."
     ),
+    "fingerprint_candidates": (
+        "MOSS-style pair census: winnowing fingerprint selection is "
+        "entirely row-local (sliding window-min over rolling-hash "
+        "structs — no exchange sees text), the distinct and the "
+        "inverted self-join are keyed on the packed 8-byte fingerprint "
+        "hash, and the max_df hot-set cap is computed once and joined "
+        "back as a BROADCAST anti-join so boilerplate fingerprints "
+        "never enter the pair space. The exchanges carry (hash64, "
+        "doc_id) pairs — the same narrow-key discipline as "
+        "substring_dedup; pair volume is bounded by max_df^2 per "
+        "fingerprint."
+    ),
     "decontaminate_ngrams": (
         "The benchmark side (eval suites: MBs) is distinct-ed and "
         "BROADCAST, so the corpus side never shuffles for the "
