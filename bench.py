@@ -154,6 +154,23 @@ def _bench_fp_candidates(spark, sf_dir):
     return fingerprint_candidates(docs, min_tokens=50, winnow=8, max_df=64)
 
 
+def _bench_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (r8): the composed coarse-cell + residual-PQ layout,
+    benched one-shot (ivfpq_topk: centroid derivation + residual
+    encode + per-cell ADC in one job — the build+search cost an index
+    refresh pays). Same params as the gate's 'ivfpq' arm; tracked from
+    r8 on (not in comparable_11)."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.similarity import ivfpq_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        embs, embs.filter(F.expr("vec_id < 32")),
+        k=5, n_cells=8, nprobe=2, m=8, n_codes=16,
+    )
+
+
 def _bench_pipeline(spark, sf_dir):
     """r1-r3-comparable pipeline work: the catalog gate grew a
     'split_summary' union arm in r4 (per-source cap + hash split);
@@ -192,6 +209,7 @@ HEADLINE = [
     ("substring_dedup_exact", _bench_substring_dedup),
     ("unigram_lm_scores", _bench_unigram_lm),
     ("fingerprint_candidates", _bench_fp_candidates),
+    ("ann_ivfpq_topk", _bench_ivfpq),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -204,6 +222,7 @@ NON_COMPARABLE = {
     "substring_dedup_exact",
     "unigram_lm_scores",
     "fingerprint_candidates",
+    "ann_ivfpq_topk",
 }
 
 

@@ -150,6 +150,19 @@ COMMENTARY: dict[str, str] = {
         "never leave the scan. The only corpus-sized exchange is the "
         "4-numeric-column per-doc aggregate."
     ),
+    "ann_ivfpq_topk": (
+        "Composed IVF-PQ, one-shot: TakeOrderedAndProject seed picks "
+        "for cells and residual codebooks (window-free), every "
+        "centroid/codebook table broadcasts (1-row packed form for "
+        "the encode argmin), and the corpus is scanned once for "
+        "assignment+encode with the candidate join keyed cell-equi "
+        "against the broadcast query distance tables. No corpus-sized "
+        "exchange carries floats — codes are m tinyints. The staged "
+        "form (ivfpq_build_index) turns the cell-equi join into a "
+        "partition-pruned read of probed cell_id= directories of "
+        "byte codes; this entry benches the build+search refresh "
+        "cost."
+    ),
     "fingerprint_candidates": (
         "MOSS-style pair census: winnowing fingerprint selection is "
         "entirely row-local (sliding window-min over rolling-hash "
