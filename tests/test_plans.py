@@ -341,3 +341,46 @@ def test_substring_incremental_never_shuffles_index(spark, tmp_path):
         streamed = lines[i + 1]
         assert "Exchange" not in streamed, streamed
         assert "Filter" in streamed or "FileScan" in streamed, streamed
+
+
+def test_staged_ann_indexes_partition_prune_on_probe(spark, tmp_path):
+    """ivf_search_index / ivfpq_search_index: the staged `cells/` scan
+    must carry a DYNAMIC partition-pruning filter on cell_id (fed by
+    the broadcast probe side). This is the load-bearing claim of the
+    build-once/search-many story — a query batch reads nprobe/n_cells
+    of the index — and it must survive the partition column arriving
+    as a STRING under the engine confs (both searches join through a
+    cast, which DPP supports; a refactor that breaks eligibility
+    would silently fall back to full-index scans)."""
+    from flink_etl_spark.operators import similarity as S
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = embs.filter("vec_id < 8")
+
+    def cells_scan_filters(df):
+        # the cells scan is the only FileScan with a cell_id partition
+        # filter (Spark abbreviates the Location path, so match on the
+        # PartitionFilters content, not the directory)
+        plan = _executed(df)
+        lines = [
+            line for line in plan.splitlines()
+            if "FileScan" in line and "PartitionFilters: [" in line
+            and "cell_id"
+            in line.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        ]
+        assert lines, plan
+        return lines
+
+    idx = str(tmp_path / "ivf")
+    S.ivf_build_index(embs, idx, n_cells=8)
+    for line in cells_scan_filters(
+        S.ivf_search_index(spark, idx, qs, k=5, nprobe=2)
+    ):
+        assert "dynamicpruningexpression(" in line, line
+
+    idx2 = str(tmp_path / "ivfpq")
+    S.ivfpq_build_index(embs, idx2, n_cells=8, m=8, n_codes=16)
+    for line in cells_scan_filters(
+        S.ivfpq_search_index(spark, idx2, qs, k=5, nprobe=2)
+    ):
+        assert "dynamicpruningexpression(" in line, line
