@@ -1170,7 +1170,7 @@ def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     nprobe: int = 2,
     m: int = 4,
     n_codes: int = 16,
@@ -1178,15 +1178,21 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     cell_refine_iters: int = 0,
     rerank: int = 1,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """One-shot IVF-PQ ANN top-k (see the section comment): coarse
     cells + shared residual codebooks + per-cell ADC, `ivf_topk`
     output contract. Deterministic throughout (seed centroids, seed
     codebooks, 6 dp rounding, id tie-breaks) — oracle-replicable with
     `cell_refine_iters=0`. `rerank=R` rescans only the R*k shortlist
-    with exact cosine."""
+    with exact cosine. `n_cells="auto"` sizes the coarse quantizer to
+    ~sqrt(corpus) as in `ivf_topk`; explicit integers stay the
+    deterministic oracle override."""
+    from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
+
     if rerank < 1:
         raise ValueError(f"rerank must be >= 1, got {rerank}")
+    n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
     cents, cents_n, cbs, codes = _ivfpq_parts(
         corpus, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters
     )
@@ -1239,12 +1245,13 @@ def _write_ivfpq_meta(spark, index_path: str, n_cells: int, m: int,
 def ivfpq_build_index(
     embs: DataFrame,
     index_path: str,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     m: int = 4,
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_refine_iters: int = 0,
+    n_vecs: int | None = None,
 ) -> None:
     """Stage the IVF-PQ index: `centroids/` + `codebooks/` parquet and
     `cells/` parquet PARTITIONED BY cell_id holding (id, codes) — m
@@ -1259,8 +1266,15 @@ def ivfpq_build_index(
     divides the query dimension mis-slices subvectors and truncates
     the ADC sum — SILENTLY wrong rankings, no error. Search derives
     its parameters from the sidecar and raises on any explicit
-    mismatch instead."""
+    mismatch instead.
+
+    `n_cells="auto"` sizes the coarse quantizer to ~sqrt(corpus)
+    (`knobs.ivf_auto_cells`) — resolved at BUILD time and baked into
+    the layout + sidecar, so searches need no knowledge of it."""
+    from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
+
     spark = embs.sparkSession
+    n_cells = resolve_knob(n_cells, ivf_auto_cells, embs, n_vecs)
     dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         raise ValueError("ivfpq_build_index: empty corpus")

@@ -1570,6 +1570,29 @@ def test_ivfpq_guards(spark, tmp_path):
         similarity.ivfpq_search_index(spark, idx, wrong).collect()
 
 
+def test_ivfpq_auto_cells_knob(spark, tmp_path):
+    """n_cells="auto" resolves through knobs.ivf_auto_cells at build
+    time: the one-shot result equals the explicit-integer run and the
+    sidecar records the RESOLVED count (searches stay knob-free)."""
+    from flink_etl_spark.operators.knobs import ivf_auto_cells
+    from flink_etl_spark.operators.similarity import _ivfpq_meta
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 4")
+    expect = ivf_auto_cells(embs.count())
+    auto = sorted(map(tuple, similarity.ivfpq_topk(
+        embs, qs, k=5, n_cells="auto", m=8, n_codes=16
+    ).collect()))
+    explicit = sorted(map(tuple, similarity.ivfpq_topk(
+        embs, qs, k=5, n_cells=expect, m=8, n_codes=16
+    ).collect()))
+    assert auto == explicit
+    idx = str(tmp_path / "auto_idx")
+    similarity.ivfpq_build_index(embs, idx, n_cells="auto", m=8, n_codes=16)
+    assert _ivfpq_meta(spark, idx)["n_cells"] == expect
+
+
 def test_pq_refinement_preserves_determinism(spark):
     """Lloyd passes stay deterministic (fixed iteration count, rounded
     means) and keep the codebook shape."""
