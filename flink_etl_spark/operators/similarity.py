@@ -1289,6 +1289,104 @@ def ivfpq_build_index(
     _write_ivfpq_meta(spark, index_path, n_cells, m, n_codes, dim_row["d"])
 
 
+def ivfpq_append_index(
+    spark,
+    new_embs: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a NEW batch of vectors to a staged IVF-PQ index — the
+    daily-batch shape (the codes twin of `semdedup_incremental
+    (append=True)` / `substring_stage_index(mode="append")`): the
+    batch is assigned with the index's FROZEN centroids and encoded
+    with its FROZEN residual codebooks (new cells/codewords are never
+    invented, so staged and appended codes score identically at
+    search time — the standard incremental IVFPQ discipline), then
+    appended into the `cell_id=` partition layout. Returns the number
+    of vectors appended.
+
+    Build/append equivalence: because quantizers are frozen at build
+    time, `ivfpq_build_index(A)` + append(B) produces the same
+    searchable index as `ivfpq_build_index(A ∪ B)` WHENEVER A
+    contains the seed vectors (the smallest-id rows) — pinned by
+    test. Ids must be globally unique across the corpus and every
+    batch.
+
+    Replay safety: batch ids already present in the index are
+    anti-joined out before the write (the staged read is statically
+    partition-pruned to the batch's touched cells — a bounded
+    <= n_cells driver fetch of cell ids, never corpus rows), so a
+    replayed batch appends nothing. Duplicate (id, codes) rows would
+    otherwise break search's pair-uniqueness argument and surface the
+    same neighbor twice in a top-k."""
+    meta = _ivfpq_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"no _IVFPQ_META.json at {index_path} — not an IVF-PQ index "
+            "staged by ivfpq_build_index; build before appending"
+        )
+    if meta.get("version") != _IVFPQ_META_VERSION:
+        raise ValueError(
+            f"IVF-PQ index at {index_path} has format version "
+            f"{meta.get('version')!r}, this build reads "
+            f"{_IVFPQ_META_VERSION} — rebuild the index"
+        )
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    m, dim = int(meta["m"]), int(meta["dim"])
+    vec_type = new_embs.schema[vec_col].dataType.simpleString()
+    guarded = new_embs.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("IVF-PQ append: batch vector dimension "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != staged index dim {dim}"),
+                )
+            ).cast(vec_type)
+        ),
+    )
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cbs = spark.read.parquet(f"{index_path}/codebooks")
+    cents_n = cents.select("cell_id", l2_normalize("centroid").alias("_cnv"))
+    asgn = ivf_assign(guarded, cents, 1, id_col, vec_col)
+    res = asgn.join(F.broadcast(cents_n), "cell_id").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.zip_with(
+            l2_normalize(vec_col), F.col("_cnv"), lambda x, y: x - y
+        ).alias("_nv"),
+    )
+    codes = _pq_codes_on(res, cbs, m, [id_col, "cell_id"]).persist()
+    try:
+        # replay convergence: drop ids already staged in the touched
+        # cells (bounded fetch: <= n_cells ints, static partition prune)
+        touched = [
+            r["cell_id"] for r in codes.select("cell_id").distinct().collect()
+        ]
+        if touched:
+            staged_ids = (
+                spark.read.option("basePath", f"{index_path}/cells")
+                .parquet(f"{index_path}/cells")
+                .withColumn("cell_id", F.col("cell_id").cast("int"))
+                .filter(F.col("cell_id").isin(touched))
+                .select(id_col)
+            )
+            fresh = codes.join(staged_ids, id_col, "left_anti")
+        else:
+            fresh = codes
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").partitionBy("cell_id").parquet(
+                f"{index_path}/cells"
+            )
+        return n
+    finally:
+        codes.unpersist()
+
+
 def ivfpq_search_index(
     spark,
     index_path: str,

@@ -1593,6 +1593,50 @@ def test_ivfpq_auto_cells_knob(spark, tmp_path):
     assert _ivfpq_meta(spark, idx)["n_cells"] == expect
 
 
+def test_ivfpq_append_index_equivalence_and_replay(spark, tmp_path):
+    """Frozen-quantizer append: build(A) + append(B) yields a
+    searchable index row-identical to build(A ∪ B) when A holds the
+    seed vectors (smallest ids); a replayed append adds nothing; a
+    wrong-dimension batch and a meta-less dir raise."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a, b = embs.filter("vec_id < 250"), embs.filter("vec_id >= 250")
+    qs = embs.filter("vec_id < 8")
+
+    full_idx = str(tmp_path / "full")
+    similarity.ivfpq_build_index(embs, full_idx, n_cells=4, m=8, n_codes=16)
+    inc_idx = str(tmp_path / "inc")
+    similarity.ivfpq_build_index(a, inc_idx, n_cells=4, m=8, n_codes=16)
+    appended = similarity.ivfpq_append_index(spark, b, inc_idx)
+    assert appended == b.count()
+
+    # identical staged cell contents and identical search results
+    read = lambda p: sorted(
+        map(tuple, spark.read.parquet(f"{p}/cells").collect())
+    )
+    assert read(inc_idx) == read(full_idx)
+    search = lambda p: sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, p, qs, k=5, nprobe=2
+    ).collect()))
+    assert search(inc_idx) == search(full_idx)
+
+    # replayed batch converges: nothing appended twice
+    assert similarity.ivfpq_append_index(spark, b, inc_idx) == 0
+    assert read(inc_idx) == read(full_idx)
+
+    with pytest.raises(ValueError, match="no _IVFPQ_META"):
+        similarity.ivfpq_append_index(spark, b, str(tmp_path / "nope"))
+    wrong = spark.createDataFrame(
+        [(999, [1.0] * 8)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(SparkRuntimeException, match="batch vector dimension"):
+        similarity.ivfpq_append_index(spark, wrong, inc_idx)
+
+
 def test_pq_refinement_preserves_determinism(spark):
     """Lloyd passes stay deterministic (fixed iteration count, rounded
     means) and keep the codebook shape."""
