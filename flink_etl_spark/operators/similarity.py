@@ -1050,6 +1050,115 @@ def _rank_and_rerank(
     )
 
 
+def pq_build_index(
+    embs: DataFrame,
+    index_path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> None:
+    """Stage a FLAT PQ index: `codebooks/` + `codes/` parquet (m
+    one-byte codes per vector) plus a `_PQ_META.json` sidecar pinning
+    {version, m, n_codes, dim} — the first-class form of the
+    "encode once, stage (id, codes), scan THAT" recipe DEPLOYMENT.md
+    prescribes (flat = every query batch ADC-scans all codes; use
+    `ivfpq_build_index` when you also want cell pruning). Search
+    derives its parameters from the sidecar, closing the same
+    silent-mis-rank foot-gun the IVF-PQ sidecar closes."""
+    spark = embs.sparkSession
+    dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_build_index: empty corpus")
+    cbs = pq_codebooks(
+        embs, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        refine_iters=refine_iters,
+    )
+    codes = pq_encode(embs, cbs, m=m, id_col=id_col, vec_col=vec_col)
+    cbs.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{index_path}/codes")
+    _write_json_sidecar(spark, f"{index_path}/_PQ_META.json", {
+        "version": _PQ_META_VERSION,
+        "m": m, "n_codes": n_codes, "dim": dim_row["d"],
+    })
+
+
+def _pq_index_meta(spark, index_path: str) -> dict:
+    meta = _read_json_sidecar(spark, f"{index_path}/_PQ_META.json")
+    if meta is None:
+        raise ValueError(
+            f"no _PQ_META.json at {index_path} — not a PQ index staged "
+            "by pq_build_index"
+        )
+    if meta.get("version") != _PQ_META_VERSION:
+        raise ValueError(
+            f"PQ index at {index_path} has format version "
+            f"{meta.get('version')!r}, this build reads "
+            f"{_PQ_META_VERSION} — rebuild the index"
+        )
+    return meta
+
+
+def pq_append_index(
+    spark,
+    new_embs: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a new batch to a staged flat PQ index with the FROZEN
+    staged codebooks (codes stay comparable across batches). Replay
+    convergence: already-present ids are anti-joined out first — the
+    staged side is an id-column-pruned scan of the codes parquet
+    (m bytes + id per vector, a small fraction of corpus bytes).
+    Returns the number of vectors appended. Ids must be globally
+    unique across the corpus and every batch."""
+    meta = _pq_index_meta(spark, index_path)
+    m, dim = int(meta["m"]), int(meta["dim"])
+    guarded = _dim_guarded(new_embs, vec_col, dim, "PQ append: batch")
+    cbs = spark.read.parquet(f"{index_path}/codebooks")
+    codes = pq_encode(guarded, cbs, m=m, id_col=id_col, vec_col=vec_col)
+    staged_ids = spark.read.parquet(f"{index_path}/codes").select(id_col)
+    fresh = codes.join(staged_ids, id_col, "left_anti").persist()
+    try:
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(f"{index_path}/codes")
+        return n
+    finally:
+        fresh.unpersist()
+
+
+def pq_search_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 1,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Search a staged flat PQ index (`pq_build_index`): ADC over the
+    staged byte codes, parameters DERIVED from the `_PQ_META.json`
+    sidecar, query batch dimension-guarded. Scores identically to
+    `pq_topk` with the same codebooks/codes by construction; `rerank`
+    needs `corpus` (the index holds codes, not floats)."""
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    meta = _pq_index_meta(spark, index_path)
+    m = int(meta["m"])
+    guarded = _dim_guarded(queries, vec_col, int(meta["dim"]), "PQ: query")
+    cbs = spark.read.parquet(f"{index_path}/codebooks")
+    codes = spark.read.parquet(f"{index_path}/codes")
+    return pq_topk(
+        corpus, guarded, k=k, m=m, n_codes=int(meta["n_codes"]),
+        id_col=id_col, vec_col=vec_col, codebooks=cbs, codes=codes,
+        rerank=rerank,
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ — the composed billion-scale layout (Jégou et al. 2011 §VI,
 # the FAISS IVFPQ scheme): a coarse quantizer routes each vector to a
@@ -1206,14 +1315,18 @@ def ivfpq_topk(
 #: or the encode recipe changes incompatibly)
 _IVFPQ_META_VERSION = 1
 
+#: staged flat-PQ index format version
+_PQ_META_VERSION = 1
 
-def _ivfpq_meta(spark, index_path: str):
-    """Read `<index_path>/_IVFPQ_META.json` (None when absent)."""
+
+def _read_json_sidecar(spark, path: str):
+    """Read a JSON sidecar at `path` (None when absent) — Hadoop-FS
+    portable, the `_PROFILE_META.json` pattern."""
     import json
 
     from flink_etl_spark.operators.merge import _hadoop_fs
 
-    fs, p = _hadoop_fs(spark, f"{index_path}/_IVFPQ_META.json")
+    fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -1224,22 +1337,49 @@ def _ivfpq_meta(spark, index_path: str):
     return json.loads(raw)
 
 
-def _write_ivfpq_meta(spark, index_path: str, n_cells: int, m: int,
-                      n_codes: int, dim: int) -> None:
+def _write_json_sidecar(spark, path: str, payload: dict) -> None:
     import json
 
     from flink_etl_spark.operators.merge import _hadoop_fs
 
-    fs, p = _hadoop_fs(spark, f"{index_path}/_IVFPQ_META.json")
+    fs, p = _hadoop_fs(spark, path)
     out = fs.create(p, True)
     try:
-        payload = json.dumps({
-            "version": _IVFPQ_META_VERSION,
-            "n_cells": n_cells, "m": m, "n_codes": n_codes, "dim": dim,
-        }).encode()
-        out.write(bytearray(payload))
+        out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+
+
+def _ivfpq_meta(spark, index_path: str):
+    """Read `<index_path>/_IVFPQ_META.json` (None when absent)."""
+    return _read_json_sidecar(spark, f"{index_path}/_IVFPQ_META.json")
+
+
+def _write_ivfpq_meta(spark, index_path: str, n_cells: int, m: int,
+                      n_codes: int, dim: int) -> None:
+    _write_json_sidecar(spark, f"{index_path}/_IVFPQ_META.json", {
+        "version": _IVFPQ_META_VERSION,
+        "n_cells": n_cells, "m": m, "n_codes": n_codes, "dim": dim,
+    })
+
+
+def _dim_guarded(df: DataFrame, vec_col: str, dim: int, what: str) -> DataFrame:
+    """Expression-level dimension guard: zip_with pads the shorter
+    array with nulls, so a wrong-dim vector would propagate null
+    distances instead of erroring — raise at evaluation instead."""
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what} vector dimension "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != staged index dim {dim}"),
+                )
+            ).cast(vec_type)
+        ),
+    )
 
 
 def ivfpq_build_index(
@@ -1335,19 +1475,7 @@ def ivfpq_append_index(
     from flink_etl_spark.functions.vectors import l2_normalize
 
     m, dim = int(meta["m"]), int(meta["dim"])
-    vec_type = new_embs.schema[vec_col].dataType.simpleString()
-    guarded = new_embs.withColumn(
-        vec_col,
-        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("IVF-PQ append: batch vector dimension "),
-                    F.size(F.col(vec_col)).cast("string"),
-                    F.lit(f" != staged index dim {dim}"),
-                )
-            ).cast(vec_type)
-        ),
-    )
+    guarded = _dim_guarded(new_embs, vec_col, dim, "IVF-PQ append: batch")
     cents = spark.read.parquet(f"{index_path}/centroids")
     cbs = spark.read.parquet(f"{index_path}/codebooks")
     cents_n = cents.select("cell_id", l2_normalize("centroid").alias("_cnv"))
@@ -1445,23 +1573,7 @@ def ivfpq_search_index(
     cents_n = cents.select(
         "cell_id", l2_normalize("centroid").alias("_cnv")
     )
-    # expression-level dim guard: zip_with pads the shorter array with
-    # nulls, so a wrong-dim query would propagate null distances rather
-    # than erroring — raise at evaluation instead
-    dim = int(meta["dim"])
-    vec_type = queries.schema[vec_col].dataType.simpleString()
-    guarded = queries.withColumn(
-        vec_col,
-        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("IVF-PQ: query vector dimension "),
-                    F.size(F.col(vec_col)).cast("string"),
-                    F.lit(f" != staged index dim {dim}"),
-                )
-            ).cast(vec_type)
-        ),
-    )
+    guarded = _dim_guarded(queries, vec_col, int(meta["dim"]), "IVF-PQ: query")
     return _ivfpq_score(
         codes, cents, cents_n, cbs, guarded, k, nprobe, m, id_col,
         vec_col, rerank, corpus,

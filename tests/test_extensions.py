@@ -1465,6 +1465,62 @@ def test_pq_validation_and_divisibility_guard(spark):
         similarity.pq_encode(embs, cbs, m=2).collect()
 
 
+def test_pq_staged_index_equals_inmemory_and_guards(spark, tmp_path):
+    """pq_build_index/pq_search_index: the staged flat-PQ search is
+    row-identical to pq_topk with in-job codebooks/codes; parameters
+    derive from the _PQ_META.json sidecar; append uses the frozen
+    codebooks, converges on replay, and build(A)+append(B) equals
+    build(A ∪ B); meta-less dirs and wrong-dim batches raise."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 8")
+    mem = sorted(map(tuple, similarity.pq_topk(
+        embs, qs, k=5, m=8, n_codes=16
+    ).collect()))
+
+    idx = str(tmp_path / "pq")
+    similarity.pq_build_index(embs, idx, m=8, n_codes=16)
+    staged = sorted(map(tuple, similarity.pq_search_index(
+        spark, idx, qs, k=5
+    ).collect()))
+    assert staged == mem
+
+    # rerank through the staged index matches the in-memory rerank
+    rr_mem = sorted(map(tuple, similarity.pq_topk(
+        embs, qs, k=5, m=8, n_codes=16, rerank=4
+    ).collect()))
+    rr_staged = sorted(map(tuple, similarity.pq_search_index(
+        spark, idx, qs, k=5, rerank=4, corpus=embs
+    ).collect()))
+    assert rr_staged == rr_mem
+
+    # frozen-codebook append: build(A)+append(B) == build(A ∪ B)
+    a, b = embs.filter("vec_id < 250"), embs.filter("vec_id >= 250")
+    inc = str(tmp_path / "pq_inc")
+    similarity.pq_build_index(a, inc, m=8, n_codes=16)
+    assert similarity.pq_append_index(spark, b, inc) == b.count()
+    assert similarity.pq_append_index(spark, b, inc) == 0  # replay
+    read = lambda p: sorted(
+        map(lambda r: (r[0], list(r[1])),
+            spark.read.parquet(f"{p}/codes").collect())
+    )
+    assert read(inc) == read(idx)
+
+    with pytest.raises(ValueError, match="no _PQ_META"):
+        similarity.pq_search_index(spark, str(tmp_path / "nope"), qs)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.pq_search_index(spark, idx, qs, rerank=0)
+    wrong = spark.createDataFrame([(0, [1.0] * 8)], ["vec_id", "embedding"])
+    with pytest.raises(SparkRuntimeException, match="vector dimension"):
+        similarity.pq_search_index(spark, idx, wrong).collect()
+    with pytest.raises(SparkRuntimeException, match="vector dimension"):
+        similarity.pq_append_index(spark, wrong, idx)
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ (ivfpq_topk / ivfpq_build_index / ivfpq_search_index)
 # ---------------------------------------------------------------------------
