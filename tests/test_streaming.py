@@ -503,3 +503,89 @@ def test_continuous_dedup_inline_compaction_matches_uncompacted(
             checkpoint_location=str(tmp_path / "c2"),
             compact_every=0,
         )
+
+
+def test_continuous_ann_index_append_matches_batch_build(spark, tmp_path):
+    """streaming/ann_sink: an embedding stream appended micro-batch by
+    micro-batch into a pre-built IVF-PQ index converges to the SAME
+    searchable index as a one-shot build over the full corpus (the
+    bootstrap half holds the seed vectors); a restarted stream with a
+    redelivered batch appends nothing; a missing index or bad kind
+    fails at attach time."""
+    import os
+
+    import pytest
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import start_continuous_ann_index
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    schema = "vec_id long, embedding array<float>"
+    bootstrap = embs.filter("vec_id < 250")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(bootstrap, idx, n_cells=4, m=8, n_codes=16)
+
+    # two micro-batch files of the remaining half
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, pred in enumerate(
+        ["vec_id >= 250 and vec_id < 375", "vec_id >= 375"]
+    ):
+        stage = tmp_path / f"stage{i}"
+        embs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(stage / part, src / f"b{i}.parquet")
+
+    def attach():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_continuous_ann_index(
+            stream, idx, str(tmp_path / "ck"), kind="ivfpq",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    attach()
+    full_idx = str(tmp_path / "full")
+    similarity.ivfpq_build_index(embs, full_idx, n_cells=4, m=8, n_codes=16)
+    read = lambda p: sorted(
+        map(lambda r: (r[0], list(r[1]), r[2]),
+            spark.read.parquet(f"{p}/cells").collect())
+    )
+    assert read(idx) == read(full_idx)
+
+    # restart: checkpoint replays nothing new; then a REDELIVERED file
+    # (same ids, new name -> new micro-batch) appends nothing either
+    import shutil
+
+    shutil.copy(src / "b1.parquet", src / "b1_replay.parquet")
+    attach()
+    assert read(idx) == read(full_idx)
+
+    qs = embs.filter("vec_id < 8")
+    a = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=2).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, full_idx, qs, k=5, nprobe=2).collect()))
+    assert a == b
+
+    # attach-time failures
+    dead = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    with pytest.raises(ValueError, match="no IVF-PQ index"):
+        start_continuous_ann_index(
+            dead, str(tmp_path / "nope"), str(tmp_path / "ck2")
+        )
+    with pytest.raises(ValueError, match="kind must be"):
+        start_continuous_ann_index(
+            dead, idx, str(tmp_path / "ck3"), kind="hnsw"
+        )
