@@ -589,3 +589,44 @@ def test_continuous_ann_index_append_matches_batch_build(spark, tmp_path):
         start_continuous_ann_index(
             dead, idx, str(tmp_path / "ck3"), kind="hnsw"
         )
+
+
+def test_continuous_ann_index_pq_kind(spark, tmp_path):
+    """The sink's kind='pq' branch: a streamed flat-PQ index converges
+    to the one-shot build (bootstrap half holds the seed vectors)."""
+    import os
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import start_continuous_ann_index
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "pq_idx")
+    similarity.pq_build_index(
+        embs.filter("vec_id < 250"), idx, m=8, n_codes=16
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    embs.filter("vec_id >= 250").coalesce(1).write.mode("overwrite").parquet(
+        str(stage)
+    )
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.rename(stage / part, src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_continuous_ann_index(
+        stream, idx, str(tmp_path / "ck"), kind="pq", available_now=True
+    )
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "pq_full")
+    similarity.pq_build_index(embs, full, m=8, n_codes=16)
+    read = lambda p: sorted(
+        map(lambda r: (r[0], list(r[1])),
+            spark.read.parquet(f"{p}/codes").collect())
+    )
+    assert read(idx) == read(full)
