@@ -505,6 +505,27 @@ _FP_ORACLE_ARM = """
     GROUP BY a.doc_id, b.doc_id
 """
 
+#: character-level verification arm: exact Levenshtein over the fp
+#: census candidates (threshold 16) — the order-sensitive verdict the
+#: token-set arms can't give; edit distance rides the n_shared_grams
+#: column (the union schema's integer slot)
+_EDIT_MAX = 16
+_EDIT_ORACLE_ARM = f"""
+    SELECT 'edit_verified' AS variant,
+           p.doc_a, p.doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(levenshtein(x.text, y.text) AS BIGINT) AS n_shared_grams,
+           CAST(NULL AS BIGINT) AS n_bench_docs,
+           CAST(NULL AS BIGINT) AS contaminated
+    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ffp a JOIN ffp b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) p
+    JOIN documents x ON x.doc_id = p.doc_a
+    JOIN documents y ON y.doc_id = p.doc_b
+    WHERE levenshtein(x.text, y.text) <= {_EDIT_MAX}
+"""
+
 #: cross-corpus overlap arm: fingerprint selection is row-local, so the
 #: per-doc fingerprints of a SPLIT corpus equal the full corpus's —
 #: the even/odd halves reuse the same ffp CTE, joined a-vs-b with no id
@@ -534,6 +555,8 @@ _FP_OVERLAP_ARM = """
     {_FP_ORACLE_ARM}
     UNION ALL
     {_FP_OVERLAP_ARM}
+    UNION ALL
+    {_EDIT_ORACLE_ARM}
     UNION ALL
     SELECT 'decontam' AS variant,
            CAST(NULL AS BIGINT) AS doc_a,
@@ -630,6 +653,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       selected fingerprint. Same detection guarantee across corpora
       (selection is content-based); the oracle reuses the ffp CTE
       split in two because fingerprinting is row-local.
+    * variant 'edit_verified' (r8) — CHARACTER-level verification
+      (operators/dedup.edit_distance_pairs): exact Levenshtein over
+      the fp census candidates, threshold 16, distance in
+      n_shared_grams. The order-sensitive char-granular verdict the
+      token-set arms cannot give; never all-pairs (candidates bound
+      the O(L^2) work, a length prefilter and Spark's thresholded
+      levenshtein bound each pair's cost).
     """
     from flink_etl_spark.operators.prep import (
         decontaminate,
@@ -686,6 +716,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_bench_docs"),
         F.lit(None).cast("long").alias("contaminated"),
     )
+    ed = D.edit_distance_pairs(
+        docs, max_dist=_EDIT_MAX, min_tokens=_SUBSTR_K, winnow=_WINNOW_W,
+        key="digest",
+    ).select(
+        F.lit("edit_verified").alias("variant"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("edit_dist").alias("n_shared_grams"),
+        F.lit(None).cast("long").alias("n_bench_docs"),
+        F.lit(None).cast("long").alias("contaminated"),
+    )
     ov = fingerprint_overlap(
         docs.filter("doc_id % 2 = 0"),
         docs.filter("doc_id % 2 = 1"),
@@ -702,7 +745,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("contaminated"),
     )
     return (
-        exact.unionByName(fp).unionByName(ov)
+        exact.unionByName(fp).unionByName(ov).unionByName(ed)
         .unionByName(pruned).unionByName(decontam)
     )
 

@@ -1709,3 +1709,51 @@ def test_pq_refinement_preserves_determinism(spark):
     )
     assert a == b
     assert len(a) == 4 * 8
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification (dedup.edit_distance_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_pairs_verdicts_and_bounds(spark):
+    """Exact distances on known pairs; candidate bounding (a pair the
+    candidate generator misses is never scored); explicit-candidates
+    override; threshold and guard behavior."""
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("w7", "w7x")),          # 1 insert
+            (3, "zz " + base),                       # 3 edits (prefix)
+            (4, " ".join(f"q{i}" for i in range(30))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in dedup.edit_distance_pairs(
+            docs, max_dist=8, min_tokens=10, winnow=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 4
+    assert not any(4 in pair for pair in got)  # unrelated never paired
+
+    # max_dist excludes: with max_dist=2 the distance-3/4 pairs vanish
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.edit_distance_pairs(
+            docs, max_dist=2, min_tokens=10, winnow=2
+        ).collect()
+    }
+    assert tight == {(1, 2)}
+
+    # explicit candidates: only the supplied pair is scored
+    cand = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    only = dedup.edit_distance_pairs(docs, max_dist=8, candidates=cand).collect()
+    assert [(r.doc_a, r.doc_b, r.edit_dist) for r in only] == [(1, 3, 3)]
+
+    with pytest.raises(ValueError, match="max_dist"):
+        dedup.edit_distance_pairs(docs, max_dist=-1)
