@@ -160,6 +160,67 @@ def cmd_dedup_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_build(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators import similarity as S
+
+    spark = _spark("flink-etl-spark-ann-build")
+    embs = spark.read.parquet(args.path)
+    n_cells = "auto" if args.n_cells == "auto" else int(args.n_cells)
+    if args.kind == "ivfpq":
+        S.ivfpq_build_index(
+            embs, args.index, n_cells=n_cells, m=args.m,
+            n_codes=args.n_codes, id_col=args.id_col, vec_col=args.vec_col,
+        )
+    else:
+        S.pq_build_index(
+            embs, args.index, m=args.m, n_codes=args.n_codes,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+    print(f"built {args.kind} index at {args.index}")
+    return 0
+
+
+def cmd_ann_append(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators import similarity as S
+
+    spark = _spark("flink-etl-spark-ann-append")
+    batch = spark.read.parquet(args.path)
+    # kind is derived from the index's own sidecar — an IVF-PQ dir has
+    # _IVFPQ_META.json, a flat-PQ dir _PQ_META.json; ambiguity raises
+    has_ivfpq = S._ivfpq_meta(spark, args.index) is not None
+    if has_ivfpq:
+        n = S.ivfpq_append_index(
+            spark, batch, args.index, id_col=args.id_col, vec_col=args.vec_col
+        )
+    else:
+        n = S.pq_append_index(
+            spark, batch, args.index, id_col=args.id_col, vec_col=args.vec_col
+        )
+    print(f"appended {n} vector(s) to {args.index}")
+    return 0
+
+
+def cmd_ann_search(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators import similarity as S
+
+    spark = _spark("flink-etl-spark-ann-search")
+    queries = spark.read.parquet(args.queries)
+    has_ivfpq = S._ivfpq_meta(spark, args.index) is not None
+    if has_ivfpq:
+        out = S.ivfpq_search_index(
+            spark, args.index, queries, k=args.k, nprobe=args.nprobe,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+    else:
+        out = S.pq_search_index(
+            spark, args.index, queries, k=args.k,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote top-{args.k} to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_etl_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -237,6 +298,47 @@ def build_parser() -> argparse.ArgumentParser:
                      help="files in the consolidated partition (default: "
                           "sized from folded bytes at ~128MB/file)")
     ddc.set_defaults(fn=cmd_dedup_compact)
+
+    def _ann_common(sp):
+        sp.add_argument("--index", required=True, help="staged index root")
+        sp.add_argument("--id-col", default="vec_id")
+        sp.add_argument("--vec-col", default="embedding")
+
+    anb = sub.add_parser(
+        "ann-build",
+        help="build a staged ANN index (ivfpq: cell-partitioned byte "
+             "codes + sidecar; pq: flat codes) from an embedding parquet",
+    )
+    anb.add_argument("--path", required=True, help="embedding parquet dir")
+    anb.add_argument("--kind", choices=("ivfpq", "pq"), default="ivfpq")
+    anb.add_argument("--m", type=int, default=8, help="PQ subspaces (bytes/vector)")
+    anb.add_argument("--n-codes", type=int, default=32)
+    anb.add_argument("--n-cells", default="auto",
+                     help="ivfpq coarse cells (int or 'auto' ~ sqrt(n))")
+    _ann_common(anb)
+    anb.set_defaults(fn=cmd_ann_build)
+
+    ana = sub.add_parser(
+        "ann-append",
+        help="append a new embedding batch to a staged index with its "
+             "FROZEN quantizers (replay-convergent; kind derived from "
+             "the index's meta sidecar)",
+    )
+    ana.add_argument("--path", required=True, help="batch parquet dir")
+    _ann_common(ana)
+    ana.set_defaults(fn=cmd_ann_append)
+
+    ans = sub.add_parser(
+        "ann-search",
+        help="top-k search of a staged index (parameters derived from "
+             "the meta sidecar; ivfpq reads only probed cell partitions)",
+    )
+    ans.add_argument("--queries", required=True, help="query parquet dir")
+    ans.add_argument("--out", required=True, help="result parquet dir")
+    ans.add_argument("--k", type=int, default=5)
+    ans.add_argument("--nprobe", type=int, default=2, help="ivfpq probe count")
+    _ann_common(ans)
+    ans.set_defaults(fn=cmd_ann_search)
     return p
 
 

@@ -203,3 +203,52 @@ def test_cli_dedup_compact_folds_index(spark, tmp_path):
     rc = main(["dedup-compact", "--index", idx])
     assert rc == 0
     assert _list_index_partitions(spark, idx) == [-1, 2]
+
+
+def test_cli_ann_lifecycle(spark, tmp_path):
+    """ann-build -> ann-append -> ann-search: the staged-index
+    lifecycle end to end through the CLI; append converges on replay
+    and search results match the library call."""
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    boot, batch = tmp_path / "boot", tmp_path / "batch"
+    embs.filter("vec_id < 250").write.parquet(str(boot))
+    embs.filter("vec_id >= 250").write.parquet(str(batch))
+    idx = str(tmp_path / "idx")
+
+    assert main([
+        "ann-build", "--path", str(boot), "--index", idx,
+        "--kind", "ivfpq", "--m", "8", "--n-codes", "16",
+        "--n-cells", "4",
+    ]) == 0
+    assert main(["ann-append", "--path", str(batch), "--index", idx]) == 0
+    # replayed append converges (prints 0 appended, exit 0)
+    assert main(["ann-append", "--path", str(batch), "--index", idx]) == 0
+
+    qdir, out = tmp_path / "q", tmp_path / "res"
+    embs.filter("vec_id < 8").write.parquet(str(qdir))
+    assert main([
+        "ann-search", "--queries", str(qdir), "--index", idx,
+        "--out", str(out), "--k", "5", "--nprobe", "2",
+    ]) == 0
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    want = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, embs.filter("vec_id < 8"), k=5, nprobe=2
+    ).collect()))
+    assert got == want
+
+    # flat-PQ kind round-trips too
+    idx2 = str(tmp_path / "idx2")
+    assert main([
+        "ann-build", "--path", str(boot), "--index", idx2, "--kind", "pq",
+        "--m", "8", "--n-codes", "16",
+    ]) == 0
+    assert main(["ann-append", "--path", str(batch), "--index", idx2]) == 0
+    out2 = tmp_path / "res2"
+    assert main([
+        "ann-search", "--queries", str(qdir), "--index", idx2,
+        "--out", str(out2), "--k", "5",
+    ]) == 0
+    assert spark.read.parquet(str(out2)).count() > 0
