@@ -611,6 +611,7 @@ def ivf_search_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k search against a staged IVF index (`ivf_build_index`).
     Queries are assigned to their nprobe nearest cells using the STAGED
@@ -618,9 +619,13 @@ def ivf_search_index(
     Catalyst prunes to the probed `cell_id=` directories (dynamic
     partition pruning from the broadcast query side), so the scan cost
     is the probed cells, not the corpus. Scores identically to
-    `ivf_topk` by construction."""
+    `ivf_topk` by construction. `allowed` (a frame carrying `id_col`)
+    restricts neighbors filter-then-rank — top-k among the allowed
+    set."""
     cents = spark.read.parquet(f"{index_path}/centroids")
-    cells = spark.read.parquet(f"{index_path}/cells")
+    cells = _allowed_semi(
+        spark.read.parquet(f"{index_path}/cells"), allowed, id_col
+    )
     q = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -1130,6 +1135,21 @@ def pq_append_index(
         fresh.unpersist()
 
 
+def _allowed_semi(codes: DataFrame, allowed: DataFrame | None,
+                  id_col: str) -> DataFrame:
+    """Filtered search: restrict the NEIGHBOR side to an allow-list of
+    ids BEFORE scoring (filter-then-rank — the top-k is taken among
+    the allowed set, the semantics a predicate filter composes with).
+    The semi-join keys are the id column only; with a
+    broadcast-sized allow-list Catalyst keeps the codes side
+    unshuffled, and at worst the exchange carries the byte codes."""
+    if allowed is None:
+        return codes
+    return codes.join(
+        allowed.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+
+
 def pq_search_index(
     spark,
     index_path: str,
@@ -1139,19 +1159,24 @@ def pq_search_index(
     vec_col: str = "embedding",
     rerank: int = 1,
     corpus: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Search a staged flat PQ index (`pq_build_index`): ADC over the
     staged byte codes, parameters DERIVED from the `_PQ_META.json`
     sidecar, query batch dimension-guarded. Scores identically to
     `pq_topk` with the same codebooks/codes by construction; `rerank`
-    needs `corpus` (the index holds codes, not floats)."""
+    needs `corpus` (the index holds codes, not floats). `allowed` (a
+    frame carrying `id_col`) restricts neighbors filter-then-rank —
+    top-k among the allowed set."""
     if rerank < 1:
         raise ValueError(f"rerank must be >= 1, got {rerank}")
     meta = _pq_index_meta(spark, index_path)
     m = int(meta["m"])
     guarded = _dim_guarded(queries, vec_col, int(meta["dim"]), "PQ: query")
     cbs = spark.read.parquet(f"{index_path}/codebooks")
-    codes = spark.read.parquet(f"{index_path}/codes")
+    codes = _allowed_semi(
+        spark.read.parquet(f"{index_path}/codes"), allowed, id_col
+    )
     return pq_topk(
         corpus, guarded, k=k, m=m, n_codes=int(meta["n_codes"]),
         id_col=id_col, vec_col=vec_col, codebooks=cbs, codes=codes,
@@ -1526,12 +1551,15 @@ def ivfpq_search_index(
     vec_col: str = "embedding",
     rerank: int = 1,
     corpus: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Search a staged IVF-PQ index: queries assign against the staged
     centroids and the candidate join reads only the probed `cell_id=`
     partitions (partition-pruned byte-code scan). Scores identically
     to `ivfpq_topk` by construction; `rerank` needs `corpus` (the
-    index holds codes, not floats).
+    index holds codes, not floats). `allowed` (a frame carrying
+    `id_col`) restricts neighbors filter-then-rank — top-k among the
+    allowed set, the shape a metadata predicate composes with.
 
     `m` is DERIVED from the index's `_IVFPQ_META.json` sidecar —
     passing it is optional and validated (a mismatch raises; a caller
@@ -1567,8 +1595,11 @@ def ivfpq_search_index(
     m = meta["m"]
     cents = spark.read.parquet(f"{index_path}/centroids")
     cbs = spark.read.parquet(f"{index_path}/codebooks")
-    codes = spark.read.parquet(f"{index_path}/cells").withColumn(
-        "cell_id", F.col("cell_id").cast("int")
+    codes = _allowed_semi(
+        spark.read.parquet(f"{index_path}/cells").withColumn(
+            "cell_id", F.col("cell_id").cast("int")
+        ),
+        allowed, id_col,
     )
     cents_n = cents.select(
         "cell_id", l2_normalize("centroid").alias("_cnv")

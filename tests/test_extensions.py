@@ -1757,3 +1757,55 @@ def test_edit_distance_pairs_verdicts_and_bounds(spark):
 
     with pytest.raises(ValueError, match="max_dist"):
         dedup.edit_distance_pairs(docs, max_dist=-1)
+
+
+def test_staged_search_allowed_filter(spark, tmp_path):
+    """`allowed=` on the staged searches is filter-THEN-rank: results
+    contain only allow-listed neighbors, ranks are contiguous, and the
+    top-k equals re-ranking the unfiltered candidate list restricted
+    to the allow-list (scores unchanged by filtering)."""
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 4")
+    allowed = embs.filter("vec_id % 2 = 0").select("vec_id")
+
+    def reference(all_rows, k=5):
+        by_q = {}
+        for r in sorted(
+            all_rows, key=lambda r: (r.query_id, -r.cos_sim, r.neighbor_id)
+        ):
+            if r.neighbor_id % 2 == 0:
+                lst = by_q.setdefault(r.query_id, [])
+                if len(lst) < k:
+                    lst.append((r.query_id, r.neighbor_id, r.cos_sim,
+                                len(lst) + 1))
+        return sorted(x for lst in by_q.values() for x in lst)
+
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build_index(embs, idx, n_cells=4)
+    got = sorted(map(tuple, similarity.ivf_search_index(
+        spark, idx, qs, k=5, nprobe=2, allowed=allowed
+    ).collect()))
+    big = similarity.ivf_search_index(
+        spark, idx, qs, k=10**6, nprobe=2
+    ).collect()
+    assert got == reference(big)
+
+    idx2 = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(embs, idx2, n_cells=4, m=8, n_codes=16)
+    got2 = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx2, qs, k=5, nprobe=2, allowed=allowed
+    ).collect()))
+    big2 = similarity.ivfpq_search_index(
+        spark, idx2, qs, k=10**6, nprobe=2
+    ).collect()
+    assert got2 == reference(big2)
+
+    idx3 = str(tmp_path / "pq")
+    similarity.pq_build_index(embs, idx3, m=8, n_codes=16)
+    got3 = sorted(map(tuple, similarity.pq_search_index(
+        spark, idx3, qs, k=5, allowed=allowed
+    ).collect()))
+    big3 = similarity.pq_search_index(spark, idx3, qs, k=10**6).collect()
+    assert got3 == reference(big3)
