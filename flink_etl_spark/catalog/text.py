@@ -666,9 +666,57 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unionByName(rep).unionByName(ulm).unionByName(ulmx)
 
 
+#: BM25 gate parameters — the Okapi defaults, interpolated into BOTH
+#: sides so the double literals are bit-identical
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_SQL = f"""
+    WITH btoks AS (
+        SELECT doc_id, tk AS term
+        FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+              FROM documents) d, UNNEST(t) AS u(tk)
+    ),
+    btf AS (SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY 1, 2),
+    bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY 1),
+    bdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM btoks GROUP BY 1),
+    bstat AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdl),
+    bqt AS (
+        SELECT DISTINCT doc_id AS query_id, tk AS term
+        FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+              FROM documents WHERE doc_id < 4) q,
+             UNNEST(t[1:5]) AS u(tk)
+    ),
+    bscored AS (
+        SELECT q.query_id, btf.doc_id,
+               CAST(floor(
+                   (ln(((s.n_docs - bdf.df + 0.5) / (bdf.df + 0.5)) + 1.0)
+                    * ((btf.tf * {_BM25_K1 + 1.0!r})
+                       / (btf.tf + {_BM25_K1!r}
+                          * ({1.0 - _BM25_B!r}
+                             + ({_BM25_B!r} * (bdl.dl / s.avgdl))))))
+                   * 1000000.0) AS BIGINT) AS w_micro
+        FROM bqt q
+        JOIN btf USING (term)
+        JOIN bdf USING (term)
+        JOIN bdl ON bdl.doc_id = btf.doc_id
+        CROSS JOIN bstat s
+    ),
+    bagg AS (
+        SELECT query_id, doc_id, sum(w_micro) AS score_micro
+        FROM bscored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS score, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_micro DESC, doc_id) AS rnk
+          FROM bagg) t
+    WHERE rnk <= 10
+"""
+
+
 @query(
     "text_tfidf_topk",
-    """
+    f"""
     WITH toks AS (
         SELECT doc_id, tk AS term
         FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t
@@ -682,15 +730,61 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
         FROM tf JOIN df USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term, tf, df, tfidf, rnk
+    SELECT 'tfidf' AS variant, CAST(NULL AS BIGINT) AS query_id,
+           doc_id, term, tf, df, tfidf AS score, rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                        ORDER BY tfidf DESC, term) AS rnk
           FROM scored) t
     WHERE rnk <= 3
+    UNION ALL
+    SELECT 'bm25' AS variant, m.query_id, m.doc_id,
+           CAST(NULL AS VARCHAR) AS term,
+           CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+           m.score, m.rnk
+    FROM ({_BM25_SQL}) m
     """,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 terms per document by TF-IDF (tf * ln(N/df)): two shuffles,
-    no vocabulary dictionary, WindowGroupLimit top-k."""
+    """Lexical relevance, both rankings gated union-tagged:
+
+    * variant 'tfidf' — top-3 terms per document by TF-IDF
+      (tf * ln(N/df)): two shuffles, no vocabulary dictionary,
+      WindowGroupLimit top-k.
+    * variant 'bm25' (r8) — Okapi BM25 RETRIEVAL
+      (operators/text.bm25_topk): top-10 documents per query, queries
+      derived deterministically from the corpus (the 4 smallest
+      doc_ids' first 5 tokens). Query terms broadcast onto the
+      one-pass tf table — the corpus never joins itself; per-term
+      weights are micro-floored to integers before the sum so the
+      aggregate is order-independent (the full-precision oracle
+      contract; see the operator docstring)."""
     docs = _t(spark, sf_dir, "documents")
-    return T.tfidf_top_terms(docs, k=3)
+    tfidf = T.tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("variant"),
+        F.lit(None).cast("long").alias("query_id"),
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.col("tfidf").alias("score"),
+        "rnk",
+    )
+    queries = docs.filter("doc_id < 4").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " +"), 1, 5), " "
+        ).alias("query_text"),
+    )
+    bm25 = T.bm25_topk(
+        docs, queries, k=10, k1=_BM25_K1, b=_BM25_B
+    ).select(
+        F.lit("bm25").alias("variant"),
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        "score",
+        "rnk",
+    )
+    return tfidf.unionByName(bm25)

@@ -373,6 +373,94 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-k documents per query
+    (Robertson et al., TREC-3 — the standard keyword-search scoring
+    every retrieval stack defaults to). One row per
+    ``(query_id, doc_id, score, rnk)``, ``rnk <= k``. Query term sets
+    are DISTINCT (the common qtf=1 simplification, documented).
+
+    Scale shape: the corpus tokenizes ONCE (tf + doc length); df and
+    the (N, avgdl) statistics are map-side-combined aggregates; the
+    query term set is tiny by construction and BROADCAST onto the tf
+    table, so the corpus never joins itself — the exchanges are the
+    (doc, term) tf count and the per-(query, doc) score sum, both
+    data-proportional. The dl/df side tables join on term/doc keys.
+
+    Determinism across engines (the oracle contract): per-term weights
+    are floored to MICRO-integers BEFORE the sum — float addition is
+    not associative, so a double sum would depend on aggregation
+    order; integer sums are order-independent. The emitted `score` is
+    score_micro / 1e6 (one exact integer-to-double division). The
+    arithmetic is parenthesized identically in the SQL oracle."""
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    df_ = toks.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens_expr(query_text_col)).alias("term"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+         / (F.col("df") + F.lit(0.5))) + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    w_micro = F.floor(
+        (idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)) * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(df_, "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .select(
+            "query_id", F.col(id_col).alias("_doc"),
+            w_micro.alias("_w"),
+        )
+        .groupBy("query_id", "_doc")
+        .agg(F.sum("_w").alias("_score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score_micro").desc(), F.col("_doc")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("_doc").alias(id_col),
+            (F.col("_score_micro").cast("double") / F.lit(1_000_000.0)
+             ).alias("score"),
+            "rnk",
+        )
+    )
+
+
 def unigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

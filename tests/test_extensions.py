@@ -1809,3 +1809,57 @@ def test_staged_search_allowed_filter(spark, tmp_path):
     ).collect()))
     big3 = similarity.pq_search_index(spark, idx3, qs, k=10**6).collect()
     assert got3 == reference(big3)
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    """Scores equal an independent Python evaluation of Okapi BM25
+    with the same micro-floor contract; ranking is score-desc with
+    doc-id tie-break; query terms are distinct (qtf=1)."""
+    import math
+
+    corpus = {
+        1: "apple banana apple",
+        2: "apple cherry",
+        3: "banana banana banana durian",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple banana apple")], "query_id long, query_text string"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rnk)
+        for r in text.bm25_topk(docs, queries, k=10).collect()
+    }
+
+    tok = {d: t.split() for d, t in corpus.items()}
+    n, avgdl = len(tok), sum(map(len, tok.values())) / len(tok)
+    df = {}
+    for ts in tok.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    k1, b = 1.2, 0.75
+
+    def score(doc, qterms):
+        micro = 0
+        for t in set(qterms):
+            tf = tok[doc].count(t)
+            if not tf:
+                continue
+            idf = math.log(((n - df[t] + 0.5) / (df[t] + 0.5)) + 1.0)
+            w = idf * ((tf * (k1 + 1.0))
+                       / (tf + k1 * ((1.0 - b) + (b * (len(tok[doc]) / avgdl)))))
+            micro += math.floor(w * 1_000_000.0)
+        return micro / 1_000_000.0
+
+    expect = {d: score(d, ["apple", "banana"]) for d in corpus}
+    for (qid, d), (s, _) in got.items():
+        assert qid == 100
+        assert s == expect[d], (d, s, expect[d])
+    ranked = sorted(got.items(), key=lambda kv: kv[1][1])
+    assert [d for (_, d), _ in ranked] == sorted(
+        corpus, key=lambda d: (-expect[d], d)
+    )
+    with pytest.raises(ValueError, match="k1"):
+        text.bm25_topk(docs, queries, b=2.0)
