@@ -349,6 +349,29 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_ESUM_VALUE_SQL} AS sum_value
         FROM g GROUP BY user_id, sid
     )
+    UNION ALL
+    SELECT 'gapfill_locf' AS variant, window_start, grp, n_events, sum_value
+    FROM (
+        WITH gagg AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+                   event_type AS grp,
+                   count(*) AS n_events,
+                   {_ESUM_VALUE_SQL} AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        gspan AS (SELECT grp, min(b) AS lo, max(b) AS hi FROM gagg GROUP BY 1),
+        gspine AS (
+            SELECT grp, g.gs AS b
+            FROM gspan,
+                 UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS g(gs)
+        )
+        SELECT s.b AS window_start, s.grp,
+               coalesce(a.n_events, 0) AS n_events,
+               last_value(a.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.grp ORDER BY s.b
+                   ROWS UNBOUNDED PRECEDING) AS sum_value
+        FROM gspine s LEFT JOIN gagg a ON a.grp = s.grp AND a.b = s.b
+    )
     """,
 )
 def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,9 +391,16 @@ def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       lag/cumsum. Grouping by the session_window STRUCT (not .start)
       is what lets Spark merge sessions per partition then across the
       shuffle — no per-key sort of the whole table.
+    * 'gapfill_locf' (r8) — TimescaleDB-style `time_bucket_gapfill` +
+      `locf()` (operators/temporal.gapfill_time_buckets): every hourly
+      bucket between each event_type's first and last observed bucket
+      exists in the output, gap rows carry n_events=0 and the last
+      observed sum_value. The spine is sequence(lo, hi, interval)
+      exploded row-locally per group — no driver ranges; the fill is
+      one last-ignore-nulls window per group.
 
     `grp` is the per-variant group key (event_type / event_type /
-    user_id-as-string)."""
+    user_id-as-string / event_type)."""
     e = _t(spark, sf_dir, "events")
     tumbling = (
         e.groupBy(
@@ -412,7 +442,18 @@ def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return tumbling.unionByName(sliding).unionByName(session)
+    from flink_etl_spark.operators.temporal import gapfill_time_buckets
+
+    gap = gapfill_time_buckets(
+        e, bucket="1 hour", group_cols=("event_type",), fill="locf"
+    ).select(
+        F.lit("gapfill_locf").alias("variant"),
+        "window_start",
+        F.col("event_type").alias("grp"),
+        "n_events",
+        "sum_value",
+    )
+    return tumbling.unionByName(sliding).unionByName(session).unionByName(gap)
 
 
 @query(

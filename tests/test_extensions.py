@@ -1863,3 +1863,52 @@ def test_bm25_topk_matches_reference_formula(spark):
     )
     with pytest.raises(ValueError, match="k1"):
         text.bm25_topk(docs, queries, b=2.0)
+
+
+def test_gapfill_time_buckets_fills(spark):
+    """All three fill strategies on a hand-built gappy hourly series:
+    spine spans each group's observed range only, gap rows carry
+    n_events=0, locf carries the last value, linear interpolates on
+    the bucket axis, leading gaps stay NULL under linear."""
+    from datetime import datetime
+
+    from flink_etl_spark.operators.temporal import gapfill_time_buckets
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 10), "a", 1.0),
+        (datetime(2024, 1, 1, 3, 5), "a", 4.0),
+        (datetime(2024, 1, 1, 2, 0), "b", 7.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+
+    def run(fill):
+        return {
+            (r.event_type, r.window_start.hour): (r.n_events, r.sum_value)
+            for r in gapfill_time_buckets(events, fill=fill).collect()
+        }
+
+    null = run("null")
+    assert null[("a", 0)] == (1, 1.0)
+    assert null[("a", 1)] == (0, None)
+    assert null[("a", 2)] == (0, None)
+    assert null[("a", 3)] == (1, 4.0)
+    assert null[("b", 2)] == (1, 7.0)
+    assert len(null) == 5  # b's spine is its single bucket
+
+    locf = run("locf")
+    assert locf[("a", 1)] == (0, 1.0)
+    assert locf[("a", 2)] == (0, 1.0)
+
+    lin = run("linear")
+    assert lin[("a", 1)] == (0, 2.0)
+    assert lin[("a", 2)] == (0, 3.0)
+    assert lin[("a", 0)] == (1, 1.0)  # observed rows untouched
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fill must"):
+        gapfill_time_buckets(events, fill="spline")
+    with pytest.raises(ValueError, match="group_cols"):
+        gapfill_time_buckets(events, group_cols=())
