@@ -171,6 +171,24 @@ def _bench_ivfpq(spark, sf_dir):
     )
 
 
+def _bench_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval (r8): top-10 docs for the gate's 4
+    corpus-derived keyword queries; tracked from r8 on (not in
+    comparable_11)."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter("doc_id < 4").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " +"), 1, 5), " "
+        ).alias("query_text"),
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
 def _bench_pipeline(spark, sf_dir):
     """r1-r3-comparable pipeline work: the catalog gate grew a
     'split_summary' union arm in r4 (per-source cap + hash split);
@@ -210,6 +228,7 @@ HEADLINE = [
     ("unigram_lm_scores", _bench_unigram_lm),
     ("fingerprint_candidates", _bench_fp_candidates),
     ("ann_ivfpq_topk", _bench_ivfpq),
+    ("bm25_topk", _bench_bm25),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -223,6 +242,7 @@ NON_COMPARABLE = {
     "unigram_lm_scores",
     "fingerprint_candidates",
     "ann_ivfpq_topk",
+    "bm25_topk",
 }
 
 

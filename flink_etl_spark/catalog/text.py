@@ -776,7 +776,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("query_text"),
     )
     bm25 = T.bm25_topk(
-        docs, queries, k=10, k1=_BM25_K1, b=_BM25_B
+        docs, queries, k=10, k1=_BM25_K1, b=_BM25_B, hash_terms=False
     ).select(
         F.lit("bm25").alias("variant"),
         "query_id",

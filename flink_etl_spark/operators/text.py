@@ -383,12 +383,21 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    hash_terms: bool = True,
 ) -> DataFrame:
     """Okapi BM25 lexical retrieval: top-k documents per query
     (Robertson et al., TREC-3 — the standard keyword-search scoring
     every retrieval stack defaults to). One row per
     ``(query_id, doc_id, score, rnk)``, ``rnk <= k``. Query term sets
     are DISTINCT (the common qtf=1 simplification, documented).
+
+    ``hash_terms=True`` (production default, the `unigram_lm_scores`
+    discipline): terms travel as 64-bit xxhash64 ids, so the tf
+    exchange and the df/query joins carry 8-byte keys instead of term
+    strings; a 64-bit collision merges two terms' statistics —
+    negligible at any realistic vocabulary, and scores change only if
+    a collision involves a query term. The oracle gate pins
+    ``hash_terms=False`` (exact string terms).
 
     Scale shape: the corpus tokenizes ONCE (tf + doc length); df and
     the (N, avgdl) statistics are map-side-combined aggregates; the
@@ -405,9 +414,12 @@ def bm25_topk(
     arithmetic is parenthesized identically in the SQL oracle."""
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    term = (
+        F.xxhash64(F.col("_t")) if hash_terms else F.col("_t")
+    ).alias("term")
     toks = docs.select(
-        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
-    )
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_t")
+    ).select(id_col, term)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     df_ = toks.select(id_col, "term").distinct().groupBy("term").agg(
@@ -419,8 +431,9 @@ def bm25_topk(
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode(tokens_expr(query_text_col)).alias("term"),
+            F.explode(tokens_expr(query_text_col)).alias("_t"),
         )
+        .select("query_id", term)
         .distinct()
     )
     idf = F.log(

@@ -150,6 +150,17 @@ COMMENTARY: dict[str, str] = {
         "never leave the scan. The only corpus-sized exchange is the "
         "4-numeric-column per-doc aggregate."
     ),
+    "bm25_topk": (
+        "Lexical retrieval: ONE tokenization scan feeds tf, doc-length, "
+        "and df (all map-side-combined aggregates); the query term set "
+        "and the 1-row (N, avgdl) statistics broadcast onto the tf "
+        "table, so the corpus never joins itself and the only "
+        "corpus-sized exchanges are the (doc, term) tf count and the "
+        "per-(query, doc) score sum. Per-term weights are floored to "
+        "micro-integers before that sum — order-independent integer "
+        "aggregation is what makes the score exactly reproducible "
+        "across engines and retries."
+    ),
     "ann_ivfpq_topk": (
         "Composed IVF-PQ, one-shot: TakeOrderedAndProject seed picks "
         "for cells and residual codebooks (window-free), every "
