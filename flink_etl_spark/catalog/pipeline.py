@@ -34,6 +34,14 @@ _MIX_RATES: dict[str, float] = {
     f"src{i}": (0.0, 0.5, 1.0, 1.5, 2.25)[i % 5] for i in range(20)
 }
 
+#: weighted-sample arm knobs: per-source top-8 Efraimidis-Spirakis
+#: draw with n_chars as the weight, salt=0 (coefficient pair 0 — the
+#: oracle embeds it, so the arm pins the salt)
+_WS_N = 8
+from flink_etl_spark.functions.hashing import MINHASH_COEFFS as _MC  # noqa: E402
+
+_WS_A, _WS_B = _MC[0]
+
 
 def _pipeline_oracle() -> str:
     from flink_etl_spark.catalog import duckdb_exact_decimal_avg
@@ -197,6 +205,36 @@ def _pipeline_oracle() -> str:
     FROM mixture
     WHERE n_copies >= 1
     GROUP BY source
+    UNION ALL
+    SELECT 'weighted_sample' AS variant,
+           doc_id AS keep_id,
+           CAST(NULL AS BIGINT) AS n_copies,
+           CAST(n_chars AS BIGINT) AS n_tokens,
+           pr AS quality,
+           CAST(NULL AS BIGINT) AS fingerprint,
+           CAST(NULL AS VARCHAR) AS split,
+           source,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_tokens,
+           CAST(NULL AS DOUBLE) AS avg_quality,
+           CAST(NULL AS BIGINT) AS seq_id,
+           CAST(NULL AS BIGINT) AS seq_docs,
+           CAST(NULL AS BIGINT) AS seq_tokens,
+           CAST(NULL AS DOUBLE) AS fill_frac
+    FROM (
+        SELECT doc_id, source, n_chars, pr,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY pr DESC, doc_id) AS rn
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   round(ln(((({_WS_A} * (doc_id % {MERSENNE_P}) + {_WS_B})
+                              % {MERSENNE_P}) + 1)
+                            / {float(MERSENNE_P + 1)!r}) / n_chars, 6) AS pr
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ) s
+    ) t
+    WHERE rn <= {_WS_N}
     """
 
 
@@ -239,6 +277,13 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
       _MIX_RATES spans drop/downsample/keep/fractional-upsample;
       oracle-portable charfold arm — production default is xxhash64),
       summarized per source as copy counts + copy-weighted tokens.
+    * variant 'weighted_sample' (r8) — Efraimidis-Spirakis weighted
+      sampling WITHOUT replacement (operators/prep.weighted_sample_n):
+      per-source top-8 by ln(u)/weight priority with n_chars as the
+      weight and u a salted affine hash of doc_id — the exact-n,
+      weight-proportional draw the rate-based `mixture_sample` cannot
+      express; deterministic per (id, salt), oracle-exact (priority
+      in the quality column, weight in n_tokens).
     """
     from flink_etl_spark.operators.prep import (
         cap_per_group,
@@ -384,8 +429,31 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("seq_tokens"),
         F.lit(None).cast("double").alias("fill_frac"),
     )
+    from flink_etl_spark.operators.prep import weighted_sample_n
+
+    ws_arm = weighted_sample_n(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        n=_WS_N, weight_col="n_chars", salt=0, group_cols=("source",),
+    ).select(
+        F.lit("weighted_sample").alias("variant"),
+        F.col("doc_id").alias("keep_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.col("n_chars").cast("long").alias("n_tokens"),
+        F.col("priority").alias("quality"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.lit(None).cast("string").alias("split"),
+        "source",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("sum_tokens"),
+        F.lit(None).cast("double").alias("avg_quality"),
+        F.lit(None).cast("long").alias("seq_id"),
+        F.lit(None).cast("long").alias("seq_docs"),
+        F.lit(None).cast("long").alias("seq_tokens"),
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
     return (
         keepers_arm.unionByName(summary_arm)
         .unionByName(packing_arm)
         .unionByName(mixture_arm)
+        .unionByName(ws_arm)
     )

@@ -728,6 +728,67 @@ def _mixture_plan(
     return {g: one(r) for g, r in rates.items()}, one(default_rate)
 
 
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] | list[str] = (),
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis (2006) A-ES scheme: each row gets priority
+    ``ln(u) / w`` (monotone-equivalent to their ``u^(1/w)`` key) with
+    ``u`` a salted affine hash of the id mapped into (0, 1], and the
+    sample is the top-``n`` priorities (per ``group_cols`` when
+    given). Inclusion is weight-proportional within the draw, and the
+    draw is a PURE FUNCTION of (id, salt): identical across engines,
+    retries, and partitionings — rotate ``salt`` to redraw, keep it
+    fixed to make incremental appends stable (the `mixture_sample` /
+    `hash_split` determinism contract; this operator covers the
+    without-replacement, exact-n case those rate-based ops cannot).
+
+    `u` uses the MinHash affine family mod the Mersenne prime
+    (coefficients rotate with the salt, and the salt also shifts the
+    hash input, so every salt is a distinct draw); the id is reduced
+    mod P BEFORE the multiply so 64-bit ids never overflow the BIGINT
+    product in either engine. Priorities are rounded to 6 dp with an
+    id tie-break before ranking (the catalog determinism rule — ln
+    agrees across engines at that precision).
+
+    Rows with NULL or non-positive weight are EXCLUDED (the scheme is
+    undefined there); ids must be non-negative. Scale shape: the
+    priority is a row-local projection; grouped top-n compiles to
+    WindowGroupLimit (per-group top rows cross the exchange, not the
+    corpus), and the global form is TakeOrderedAndProject (driver
+    merges per-partition top-n — never a single-reducer sort)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from flink_etl_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+
+    a, b = MINHASH_COEFFS[salt % len(MINHASH_COEFFS)]
+    h = (
+        F.lit(a) * ((F.col(id_col) + F.lit(salt)) % F.lit(MERSENNE_P))
+        + F.lit(b)
+    ) % F.lit(MERSENNE_P)
+    u = (h + F.lit(1)) / F.lit(float(MERSENNE_P + 1))
+    pr = F.round(F.log(u) / F.col(weight_col), 6)
+    scored = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(priority_col, pr)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(priority_col).desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    return scored.orderBy(F.col(priority_col).desc(), F.col(id_col)).limit(n)
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -1912,3 +1912,54 @@ def test_gapfill_time_buckets_fills(spark):
         gapfill_time_buckets(events, fill="spline")
     with pytest.raises(ValueError, match="group_cols"):
         gapfill_time_buckets(events, group_cols=())
+
+
+def test_weighted_sample_n_deterministic_and_weighted(spark):
+    """Priorities equal an independent Python evaluation of the A-ES
+    key; the draw is a pure function of salt (same salt = same set,
+    different salt = eventually different set); non-positive weights
+    are excluded; across many salts heavier rows are drawn more often."""
+    import math
+
+    from flink_etl_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+    from flink_etl_spark.operators.prep import weighted_sample_n
+
+    rows = [(i, float(w)) for i, w in enumerate([1, 1, 1, 1, 50, 50, 0, -3])]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def expect(salt, n=3):
+        a, b = MINHASH_COEFFS[salt % len(MINHASH_COEFFS)]
+        pri = {}
+        for i, w in rows:
+            if w <= 0:
+                continue
+            h = (a * ((i + salt) % MERSENNE_P) + b) % MERSENNE_P
+            pri[i] = round(math.log((h + 1) / float(MERSENNE_P + 1)) / w, 6)
+        return sorted(sorted(pri, key=lambda i: (-pri[i], i))[:n])
+
+    got0 = sorted(
+        r.doc_id for r in weighted_sample_n(df, 3, "w", salt=0).collect()
+    )
+    assert got0 == expect(0)
+    assert got0 == sorted(
+        r.doc_id for r in weighted_sample_n(df, 3, "w", salt=0).collect()
+    )
+    assert not {6, 7} & set(got0)  # non-positive weights never drawn
+
+    counts = {i: 0 for i, _ in rows}
+    for salt in range(40):
+        for i in expect(salt):
+            counts[i] += 1
+        assert sorted(
+            r.doc_id
+            for r in weighted_sample_n(df, 3, "w", salt=salt).collect()
+        ) == expect(salt)
+    # the two weight-50 rows dominate the four weight-1 rows
+    heavy = counts[4] + counts[5]
+    light = counts[0] + counts[1] + counts[2] + counts[3]
+    assert heavy > light, counts
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n must"):
+        weighted_sample_n(df, 0, "w")
