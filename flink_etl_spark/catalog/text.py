@@ -479,6 +479,57 @@ def _unigram_lm_xvocab_oracle() -> str:
     """
 
 
+def _bigram_lm_oracle() -> str:
+    """DuckDB twin of `text.bigram_lm_scores(fit_docs=even,
+    docs=odd, hash_terms=False)`: add-one-smoothed conditional bigram
+    log-probabilities, per-bigram MICRO-floored before the integer
+    sum (order-independent), mean = exact int/int double division;
+    novelty fraction via the shared micro-floor helper."""
+    from flink_etl_spark.operators.text import (
+        duckdb_micro_floor_ratio as dmfr,
+    )
+
+    return f"""
+    WITH b2toks AS (
+        SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents
+    ),
+    b2fit AS (
+        SELECT concat_ws(' ', t[i], t[i+1]) AS bg, t[i] AS w1
+        FROM b2toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE doc_id % 2 = 0 AND len(t) >= 2
+    ),
+    b2c2 AS (SELECT bg, count(*) AS c2 FROM b2fit GROUP BY 1),
+    b2c1 AS (SELECT w1, count(*) AS c1 FROM b2fit GROUP BY 1),
+    b2v AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT doc_id, t FROM b2toks WHERE doc_id % 2 = 0) f,
+             UNNEST(t) AS u(tok)
+    ),
+    b2doc AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               concat_ws(' ', t[i], t[i+1]) AS bg, t[i] AS w1
+        FROM b2toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE doc_id % 2 = 1 AND len(t) >= 2
+    ),
+    b2scored AS (
+        SELECT d.doc_id, d.n_tokens,
+               CAST(floor(ln((coalesce(c.c2, 0) + 1.0)
+                             / (coalesce(p.c1, 0) + v.v))
+                          * 1000000.0) AS BIGINT) AS lp,
+               CASE WHEN c.c2 IS NULL THEN 1 ELSE 0 END AS novel
+        FROM b2doc d
+        LEFT JOIN b2c2 c USING (bg)
+        LEFT JOIN b2c1 p USING (w1)
+        CROSS JOIN b2v v
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum(lp) AS DOUBLE) / count(*) AS mean_tf_micro,
+           {dmfr("sum(novel)", "count(*)")} AS rare_frac_micro
+    FROM b2scored
+    GROUP BY doc_id, n_tokens
+    """
+
+
 @query(
     "text_top_bigrams",
     f"""
@@ -545,6 +596,19 @@ def _unigram_lm_xvocab_oracle() -> str:
            CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
            mean_tf_micro, rare_frac_micro
     FROM ({_unigram_lm_xvocab_oracle()}) ulmx
+    UNION ALL
+    SELECT 'bigram_lm_xfit' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           mean_tf_micro, rare_frac_micro
+    FROM ({_bigram_lm_oracle()}) blm
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +637,16 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       external vocab (fit on even doc_ids) scoring a disjoint corpus
       (odd doc_ids), OOV tokens tf=0 and hence rare. Exercises the
       `vocab=` DataFrame path end-to-end through the driver gate.
+    * variant 'bigram_lm_xfit' (r8) — BIGRAM LM scoring
+      (operators/text.bigram_lm_scores): add-one-smoothed conditional
+      log-probabilities under a fit corpus (even doc_ids) scoring the
+      odd half — word ORDER is the signal the unigram score lacks
+      (shuffled-token garbage scores low here even with
+      corpus-frequent tokens). mean_tf_micro carries the mean
+      micro-floored log-prob (integer sum, exact division —
+      summed-float oracle contract); rare_frac_micro the
+      novel-bigram fraction (the contamination/novelty signal).
+      Gated hash_terms=False; production joins on xxhash64 ids.
     """
     from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
     from flink_etl_spark.operators.prep import repetition_stats
@@ -663,7 +737,29 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_tf_micro",
         "rare_frac_micro",
     )
-    return corpus.unionByName(rep).unionByName(ulm).unionByName(ulmx)
+    blm = T.bigram_lm_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        fit_docs=docs.filter(F.col("doc_id") % 2 == 0),
+        hash_terms=False,
+    ).select(
+        F.lit("bigram_lm_xfit").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("double").alias("dup_token_frac"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.lit(None).cast("long").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_char_frac"),
+        F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        F.col("mean_logp_micro").alias("mean_tf_micro"),
+        F.col("novel_bigram_frac").alias("rare_frac_micro"),
+    )
+    return (
+        corpus.unionByName(rep).unionByName(ulm)
+        .unionByName(ulmx).unionByName(blm)
+    )
 
 
 #: BM25 gate parameters — the Okapi defaults, interpolated into BOTH

@@ -12,7 +12,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from flink_etl_spark.functions.hashing import MERSENNE_P, tokens_expr
+from flink_etl_spark.functions.hashing import (
+    MERSENNE_P,
+    shingles_expr,
+    tokens_expr,
+)
 
 #: tiny embedded stopword lists per language — heuristic scoring tables
 #: (public-knowledge closed-class words). Order of dict = tie-break order.
@@ -370,6 +374,99 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    fit_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_terms: bool = True,
+) -> DataFrame:
+    """Bigram language-model quality scoring — the order-1 step up
+    from `unigram_lm_scores` toward CCNet's KenLM filter: score each
+    document by the add-one-smoothed conditional log-probability of
+    its token BIGRAMS under a fit corpus,
+    ``logP(w2|w1) = ln((C2(w1 w2) + 1) / (C1(w1·) + V))``. Unlike the
+    unigram score, shuffled-token garbage scores LOW here even when
+    every individual token is corpus-frequent — word order is the
+    signal.
+
+    Output per scored document (docs with >= 2 tokens):
+    ``(id, n_tokens, n_bigrams, mean_logp_micro, novel_bigram_frac)``
+    — `mean_logp_micro` is the mean of per-bigram MICRO-floored log
+    probabilities (integer sum, one exact int/int double division —
+    the order-independent summed-float contract, see `bm25_topk`);
+    `novel_bigram_frac` is the micro-floored fraction of bigrams
+    absent from the fit corpus (the contamination/novelty signal —
+    near 0 flags the document as recombined fit-corpus text).
+
+    `fit_docs=None` self-fits (every bigram seen; smoothing inert);
+    the CCNet setting passes a held-out/reference fit corpus. Scale
+    shape: both corpora tokenize once; C2/C1/V are map-side-combined
+    aggregates; the scored bigram stream joins the count tables on
+    the bigram / prefix keys (64-bit xxhash64 ids under the
+    `hash_terms=True` production default — the gate pins strings) and
+    V broadcasts as one row."""
+    fit = fit_docs if fit_docs is not None else docs
+    t = tokens_expr(text_col)
+
+    def bg_frame(d: DataFrame, with_meta: bool) -> DataFrame:
+        meta = (
+            [F.col(id_col), F.size(t).alias("n_tokens")] if with_meta else []
+        )
+        f = d.select(
+            *meta, F.explode(shingles_expr(t, 2)).alias("_bgs")
+        ).withColumn("_w1s", F.substring_index("_bgs", " ", 1))
+        keys = [
+            (F.xxhash64("_bgs") if hash_terms else F.col("_bgs")).alias("_bg"),
+            (F.xxhash64("_w1s") if hash_terms else F.col("_w1s")).alias("_w1"),
+        ]
+        return f.select(
+            *([id_col, "n_tokens"] if with_meta else []), *keys
+        )
+
+    fitf = bg_frame(fit, False)
+    c2 = fitf.groupBy("_bg").agg(F.count("*").alias("_c2"))
+    c1 = fitf.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    vf = (
+        fit.select(F.explode(t).alias("_tk"))
+        .agg(F.countDistinct("_tk").alias("_v"))
+    )
+    lp = F.floor(
+        F.log(
+            (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v"))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    novel = F.when(F.col("_c2").isNull(), F.lit(1)).otherwise(F.lit(0))
+    scored = (
+        bg_frame(docs, True)
+        .join(c2, "_bg", "left")
+        .join(c1, "_w1", "left")
+        .join(F.broadcast(vf))
+        .select(id_col, "n_tokens", lp.alias("_lp"), novel.alias("_novel"))
+    )
+    return (
+        scored.groupBy(id_col, "n_tokens")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_lp").alias("_s"),
+            F.sum("_novel").alias("_n"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_bigrams",
+            (F.col("_s").cast("double") / F.col("n_bigrams")).alias(
+                "mean_logp_micro"
+            ),
+            micro_floor_ratio(F.col("_n"), F.col("n_bigrams")).alias(
+                "novel_bigram_frac"
+            ),
+        )
     )
 
 

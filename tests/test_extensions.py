@@ -1963,3 +1963,47 @@ def test_weighted_sample_n_deterministic_and_weighted(spark):
 
     with pytest.raises(ValueError, match="n must"):
         weighted_sample_n(df, 0, "w")
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one-smoothed conditional bigram log-probs match hand
+    arithmetic (micro-floored per bigram, exact mean); novel bigrams
+    are counted; word order moves the score (the signal unigram LM
+    lacks); hashed and string term keys agree absent collisions."""
+    import math
+
+    fit = spark.createDataFrame(
+        [(0, "a b c a b")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b x"), (3, "b a c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in text.bigram_lm_scores(
+            docs, fit_docs=fit, hash_terms=False
+        ).collect()
+    }
+    # fit: C2 = {ab:2, bc:1, ca:1}; C1 prefix = {a:2, b:1, c:1}; V=3
+    lp_ab = math.floor(math.log((2 + 1.0) / (2 + 3)) * 1e6)
+    lp_bx = math.floor(math.log((0 + 1.0) / (1 + 3)) * 1e6)
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_bigrams) == (3, 2)
+    assert r1.mean_logp_micro == (lp_ab + lp_bx) / 2
+    assert r1.novel_bigram_frac == 0.5
+    # "b a c": bigrams ba (novel), ac (novel) -> both smoothed floors
+    lp_ba = math.floor(math.log(1.0 / (1 + 3)) * 1e6)
+    lp_ac = math.floor(math.log(1.0 / (2 + 3)) * 1e6)
+    r3 = got[3]
+    assert r3.mean_logp_micro == (lp_ba + lp_ac) / 2
+    assert r3.novel_bigram_frac == 1.0
+    # word order is the signal: the in-order doc outscores the shuffle
+    assert r1.mean_logp_micro > r3.mean_logp_micro
+    # hashed keys agree (no collisions at this scale)
+    hashed = {
+        r.doc_id: (r.mean_logp_micro, r.novel_bigram_frac)
+        for r in text.bigram_lm_scores(docs, fit_docs=fit).collect()
+    }
+    assert hashed == {
+        d: (r.mean_logp_micro, r.novel_bigram_frac) for d, r in got.items()
+    }
