@@ -9,6 +9,13 @@ Prints ONE JSON line:
 Each query is forced through the `noop` sink — full plan execution
 (scan -> shuffle -> agg/join/window) without materializing results to
 the driver, so timings measure the engine, not collect().
+
+INTERPRETING ROUND-OVER-ROUND NUMBERS: this box's measured noise is
+±9% same-day and up to ~1.7x cross-day (see "Interpreting BENCH_rN"
+in BASELINE.md). A BENCH_r{N} vs BENCH_r{N-1} delta inside those
+bands means nothing; adjudicate regressions ONLY with an interleaved
+same-session A/B (`tools/bench_ab.py`, raw r6-vs-r8 artifact at
+docs/BENCH_AB_r8.json).
 """
 
 from __future__ import annotations
