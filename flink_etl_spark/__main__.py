@@ -180,15 +180,37 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
     return 0
 
 
+def _index_kind(spark, index_path: str) -> str:
+    """Resolve a staged index's kind from its own sidecar — an IVF-PQ
+    dir has _IVFPQ_META.json, a flat-PQ dir _PQ_META.json. A dir with
+    BOTH is mixed/corrupted and a dir with NEITHER is not an index;
+    both raise rather than silently picking a branch."""
+    from flink_etl_spark.operators import similarity as S
+
+    has_ivfpq = S._ivfpq_meta(spark, index_path) is not None
+    has_pq = (
+        S._read_json_sidecar(spark, f"{index_path}/_PQ_META.json") is not None
+    )
+    if has_ivfpq and has_pq:
+        raise SystemExit(
+            f"{index_path} carries BOTH _IVFPQ_META.json and _PQ_META.json "
+            "— a mixed or corrupted index dir; rebuild it (or delete the "
+            "stale sidecar) before appending/searching"
+        )
+    if not has_ivfpq and not has_pq:
+        raise SystemExit(
+            f"{index_path} has neither _IVFPQ_META.json nor _PQ_META.json "
+            "— not a staged ANN index; run ann-build first"
+        )
+    return "ivfpq" if has_ivfpq else "pq"
+
+
 def cmd_ann_append(args: argparse.Namespace) -> int:
     from flink_etl_spark.operators import similarity as S
 
     spark = _spark("flink-etl-spark-ann-append")
     batch = spark.read.parquet(args.path)
-    # kind is derived from the index's own sidecar — an IVF-PQ dir has
-    # _IVFPQ_META.json, a flat-PQ dir _PQ_META.json; ambiguity raises
-    has_ivfpq = S._ivfpq_meta(spark, args.index) is not None
-    if has_ivfpq:
+    if _index_kind(spark, args.index) == "ivfpq":
         n = S.ivfpq_append_index(
             spark, batch, args.index, id_col=args.id_col, vec_col=args.vec_col
         )
@@ -205,8 +227,7 @@ def cmd_ann_search(args: argparse.Namespace) -> int:
 
     spark = _spark("flink-etl-spark-ann-search")
     queries = spark.read.parquet(args.queries)
-    has_ivfpq = S._ivfpq_meta(spark, args.index) is not None
-    if has_ivfpq:
+    if _index_kind(spark, args.index) == "ivfpq":
         out = S.ivfpq_search_index(
             spark, args.index, queries, k=args.k, nprobe=args.nprobe,
             id_col=args.id_col, vec_col=args.vec_col,

@@ -227,9 +227,12 @@ def _pipeline_oracle() -> str:
                                   ORDER BY pr DESC, doc_id) AS rn
         FROM (
             SELECT doc_id, source, n_chars,
+                   -- round ln(u) (fixed range) BEFORE the exact double
+                   -- division: rounding the quotient collapses large
+                   -- weights onto the 6dp grid (see weighted_sample_n)
                    round(ln(((({_WS_A} * (doc_id % {MERSENNE_P}) + {_WS_B})
                               % {MERSENNE_P}) + 1)
-                            / {float(MERSENNE_P + 1)!r}) / n_chars, 6) AS pr
+                            / {float(MERSENNE_P + 1)!r}), 6) / n_chars AS pr
             FROM documents
             WHERE n_chars IS NOT NULL AND n_chars > 0
         ) s

@@ -753,9 +753,16 @@ def weighted_sample_n(
     (coefficients rotate with the salt, and the salt also shifts the
     hash input, so every salt is a distinct draw); the id is reduced
     mod P BEFORE the multiply so 64-bit ids never overflow the BIGINT
-    product in either engine. Priorities are rounded to 6 dp with an
-    id tie-break before ranking (the catalog determinism rule — ln
-    agrees across engines at that precision).
+    product in either engine. Determinism: ``ln(u)`` is rounded to
+    6 dp BEFORE the division by the weight (ln is the one function
+    engines may disagree on in the last ulp; its range here is the
+    fixed (-21.5, 0), so 6 dp loses nothing), and the division itself
+    is exact IEEE — identical in any engine. Rounding the QUOTIENT
+    instead would collapse large-weight priorities onto the 6 dp grid
+    (w = 1e6 leaves ~21 distinct values; w >= 2.2e7 rounds every
+    priority equal) and silently degrade the draw to an id tie-break —
+    with this form the weight magnitude is unbounded. Ties are still
+    broken by id before ranking.
 
     Rows with NULL or non-positive weight are EXCLUDED (the scheme is
     undefined there); ids must be non-negative. Scale shape: the
@@ -773,7 +780,7 @@ def weighted_sample_n(
         + F.lit(b)
     ) % F.lit(MERSENNE_P)
     u = (h + F.lit(1)) / F.lit(float(MERSENNE_P + 1))
-    pr = F.round(F.log(u) / F.col(weight_col), 6)
+    pr = F.round(F.log(u), 6) / F.col(weight_col)
     scored = df.filter(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn(priority_col, pr)

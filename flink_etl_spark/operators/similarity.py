@@ -1076,6 +1076,10 @@ def pq_build_index(
     dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         raise ValueError("pq_build_index: empty corpus")
+    # guard the BUILD corpus too, not just queries/appends: a mixed-dim
+    # corpus whose other rows still divide by m would encode garbage
+    # codes silently (zip_with pads with nulls)
+    embs = _dim_guarded(embs, vec_col, dim_row["d"], "PQ build: corpus")
     cbs = pq_codebooks(
         embs, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
         refine_iters=refine_iters,
@@ -1443,6 +1447,8 @@ def ivfpq_build_index(
     dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         raise ValueError("ivfpq_build_index: empty corpus")
+    # same build-corpus dimension guard as pq_build_index
+    embs = _dim_guarded(embs, vec_col, dim_row["d"], "IVF-PQ build: corpus")
     cents, _, cbs, codes = _ivfpq_parts(
         embs, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters
     )
@@ -1513,6 +1519,7 @@ def ivfpq_append_index(
         ).alias("_nv"),
     )
     codes = _pq_codes_on(res, cbs, m, [id_col, "cell_id"]).persist()
+    fresh = None
     try:
         # replay convergence: drop ids already staged in the touched
         # cells (bounded fetch: <= n_cells ints, static partition prune)
@@ -1530,6 +1537,11 @@ def ivfpq_append_index(
             fresh = codes.join(staged_ids, id_col, "left_anti")
         else:
             fresh = codes
+        # persist + count BEFORE the append write: the anti-join scans
+        # the very `cells/` directory the write appends into — the
+        # count materializes the result once so the write never
+        # re-reads a path it is mutating (the pq_append_index pattern)
+        fresh = fresh.persist()
         n = fresh.count()
         if n:
             fresh.write.mode("append").partitionBy("cell_id").parquet(
@@ -1537,6 +1549,8 @@ def ivfpq_append_index(
             )
         return n
     finally:
+        if fresh is not None:
+            fresh.unpersist()
         codes.unpersist()
 
 

@@ -252,3 +252,36 @@ def test_cli_ann_lifecycle(spark, tmp_path):
         "--out", str(out2), "--k", "5",
     ]) == 0
     assert spark.read.parquet(str(out2)).count() > 0
+
+def test_cli_ann_kind_ambiguity_raises(spark, tmp_path):
+    """A dir carrying BOTH meta sidecars (mixed/corrupted) or NEITHER
+    (not an index) raises instead of silently picking a branch —
+    the r8 advisory fix."""
+    import pytest
+
+    from flink_etl_spark.operators.similarity import (
+        _write_json_sidecar,
+        ivfpq_build_index,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "mixed")
+    ivfpq_build_index(
+        embs.filter("vec_id < 100"), idx, n_cells=2, m=8, n_codes=8
+    )
+    # corrupt: drop a stale flat-PQ sidecar alongside the IVF-PQ one
+    _write_json_sidecar(
+        spark, f"{idx}/_PQ_META.json",
+        {"version": 1, "m": 8, "n_codes": 8, "dim": 64},
+    )
+    batch = tmp_path / "b"
+    embs.filter("vec_id >= 100 AND vec_id < 110").write.parquet(str(batch))
+    with pytest.raises(SystemExit, match="BOTH"):
+        main(["ann-append", "--path", str(batch), "--index", idx])
+    with pytest.raises(SystemExit, match="BOTH"):
+        main(["ann-search", "--queries", str(batch), "--index", idx,
+              "--out", str(tmp_path / "r")])
+    with pytest.raises(SystemExit, match="neither"):
+        main(["ann-append", "--path", str(batch),
+              "--index", str(tmp_path / "not_an_index")])

@@ -1626,6 +1626,25 @@ def test_ivfpq_guards(spark, tmp_path):
         similarity.ivfpq_search_index(spark, idx, wrong).collect()
 
 
+def test_build_corpus_dim_guard_raises_on_mixed_dims(spark, tmp_path):
+    """r8 advisory fix: the BUILD pass guards the corpus dimension too.
+    A mixed-dimension corpus whose stray rows still divide by m used to
+    encode garbage codes silently (zip_with null-pads); both builders
+    now raise at evaluation."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [(i, [float(i + j) for j in range(16)]) for i in range(40)]
+    rows.append((99, [1.0] * 8))  # stray dim-8 row; 8 also divides by m
+    mixed = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(SparkRuntimeException, match="corpus vector dimension"):
+        similarity.ivfpq_build_index(
+            mixed, str(tmp_path / "i1"), n_cells=2, m=4, n_codes=8
+        )
+    with pytest.raises(SparkRuntimeException, match="corpus vector dimension"):
+        similarity.pq_build_index(mixed, str(tmp_path / "i2"), m=4, n_codes=8)
+
+
 def test_ivfpq_auto_cells_knob(spark, tmp_path):
     """n_cells="auto" resolves through knobs.ivf_auto_cells at build
     time: the one-shot result equals the explicit-integer run and the
@@ -1934,7 +1953,10 @@ def test_weighted_sample_n_deterministic_and_weighted(spark):
             if w <= 0:
                 continue
             h = (a * ((i + salt) % MERSENNE_P) + b) % MERSENNE_P
-            pri[i] = round(math.log((h + 1) / float(MERSENNE_P + 1)) / w, 6)
+            # ln(u) rounded BEFORE the exact division (the large-weight
+            # fix: rounding the quotient collapses big weights onto the
+            # 6dp grid)
+            pri[i] = round(math.log((h + 1) / float(MERSENNE_P + 1)), 6) / w
         return sorted(sorted(pri, key=lambda i: (-pri[i], i))[:n])
 
     got0 = sorted(
@@ -1963,6 +1985,39 @@ def test_weighted_sample_n_deterministic_and_weighted(spark):
 
     with pytest.raises(ValueError, match="n must"):
         weighted_sample_n(df, 0, "w")
+
+
+def test_weighted_sample_n_large_weights_stay_distinct(spark):
+    """Regression (r8 advisory): with quotient-side rounding, weights
+    >= ~2.2e7 collapsed every priority to the same 6dp value and the
+    draw degenerated to a smallest-id tie-break. With ln(u) rounded
+    before the division, realistic large weights (token counts of long
+    documents, 1e6..1e9) keep distinct, weight-ordered priorities and
+    the heavy row still dominates the draw across salts."""
+    from flink_etl_spark.operators.prep import weighted_sample_n
+
+    rows = [(i, 1.0e8 if i == 9 else 2.5e7) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    pri = {
+        r.doc_id: r.priority
+        for r in weighted_sample_n(df, 10, "w", salt=0).collect()
+    }
+    assert len(set(pri.values())) == len(pri), (
+        f"priorities collapsed onto the rounding grid: {pri}"
+    )
+
+    # the 4x-heavier row must be drawn into a top-3 more often than any
+    # single light row across salts (weight-proportional inclusion)
+    heavy_hits = light_hits = 0
+    for salt in range(30):
+        top = {
+            r.doc_id
+            for r in weighted_sample_n(df, 3, "w", salt=salt).collect()
+        }
+        heavy_hits += 9 in top
+        light_hits += 0 in top
+    assert heavy_hits > light_hits, (heavy_hits, light_hits)
 
 
 def test_bigram_lm_scores_hand_computed(spark):
