@@ -181,28 +181,15 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
 
 
 def _index_kind(spark, index_path: str) -> str:
-    """Resolve a staged index's kind from its own sidecar — an IVF-PQ
-    dir has _IVFPQ_META.json, a flat-PQ dir _PQ_META.json. A dir with
-    BOTH is mixed/corrupted and a dir with NEITHER is not an index;
-    both raise rather than silently picking a branch."""
-    from flink_etl_spark.operators import similarity as S
+    """CLI shell over `similarity.ann_index_kind`: sidecar-derived kind,
+    raising SystemExit (clean exit code, no traceback wall) on a
+    mixed/corrupted dir (both sidecars) or a non-index dir (neither)."""
+    from flink_etl_spark.operators.similarity import ann_index_kind
 
-    has_ivfpq = S._ivfpq_meta(spark, index_path) is not None
-    has_pq = (
-        S._read_json_sidecar(spark, f"{index_path}/_PQ_META.json") is not None
-    )
-    if has_ivfpq and has_pq:
-        raise SystemExit(
-            f"{index_path} carries BOTH _IVFPQ_META.json and _PQ_META.json "
-            "— a mixed or corrupted index dir; rebuild it (or delete the "
-            "stale sidecar) before appending/searching"
-        )
-    if not has_ivfpq and not has_pq:
-        raise SystemExit(
-            f"{index_path} has neither _IVFPQ_META.json nor _PQ_META.json "
-            "— not a staged ANN index; run ann-build first"
-        )
-    return "ivfpq" if has_ivfpq else "pq"
+    try:
+        return ann_index_kind(spark, index_path)
+    except ValueError as e:
+        raise SystemExit(str(e)) from None
 
 
 def cmd_ann_append(args: argparse.Namespace) -> int:
@@ -219,6 +206,16 @@ def cmd_ann_append(args: argparse.Namespace) -> int:
             spark, batch, args.index, id_col=args.id_col, vec_col=args.vec_col
         )
     print(f"appended {n} vector(s) to {args.index}")
+    return 0
+
+
+def cmd_ann_compact(args: argparse.Namespace) -> int:
+    from flink_etl_spark.streaming.ann_sink import compact_ann_index
+
+    spark = _spark("flink-etl-spark-ann-compact")
+    _index_kind(spark, args.index)  # clean SystemExit on a non-index dir
+    n = compact_ann_index(spark, args.index, target_files=args.target_files)
+    print(f"compacted {n} index director(ies) under {args.index}")
     return 0
 
 
@@ -348,6 +345,19 @@ def build_parser() -> argparse.ArgumentParser:
     ana.add_argument("--path", required=True, help="batch parquet dir")
     _ann_common(ana)
     ana.set_defaults(fn=cmd_ann_append)
+
+    anc = sub.add_parser(
+        "ann-compact",
+        help="rewrite a staged ANN index's accreted data directories to "
+             "a bounded file count (signature-verified staged swap; run "
+             "between micro-batches — the continuous sink's "
+             "compact_every= runs the same op inline)",
+    )
+    anc.add_argument("--index", required=True, help="staged index root")
+    anc.add_argument("--target-files", type=int, default=None,
+                     help="files per directory (default: sized from bytes "
+                          "at ~128MB/file)")
+    anc.set_defaults(fn=cmd_ann_compact)
 
     ans = sub.add_parser(
         "ann-search",

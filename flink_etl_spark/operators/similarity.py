@@ -1133,7 +1133,15 @@ def pq_append_index(
     try:
         n = fresh.count()
         if n:
-            fresh.write.mode("append").parquet(f"{index_path}/codes")
+            # bound the append's file count by the batch's BYTES (m
+            # one-byte codes + an 8-byte id per row at ~128 MB/file),
+            # not by the join's task count — otherwise every append
+            # drops ~shuffle-partition-count small files into codes/
+            rows_per_file = max(1, (128 << 20) // (m + 8))
+            nfiles = max(1, -(-n // rows_per_file))
+            fresh.repartition(nfiles).write.mode("append").parquet(
+                f"{index_path}/codes"
+            )
         return n
     finally:
         fresh.unpersist()
@@ -1384,6 +1392,31 @@ def _ivfpq_meta(spark, index_path: str):
     return _read_json_sidecar(spark, f"{index_path}/_IVFPQ_META.json")
 
 
+def ann_index_kind(spark, index_path: str) -> str:
+    """Resolve a staged ANN index's kind ("ivfpq" | "pq") from its own
+    meta sidecar — an IVF-PQ dir carries _IVFPQ_META.json, a flat-PQ
+    dir _PQ_META.json. A dir with BOTH is mixed/corrupted and a dir
+    with NEITHER is not a staged index; both raise rather than letting
+    a caller silently pick a branch (the CLI and the maintenance ops
+    share this resolution)."""
+    has_ivfpq = _ivfpq_meta(spark, index_path) is not None
+    has_pq = (
+        _read_json_sidecar(spark, f"{index_path}/_PQ_META.json") is not None
+    )
+    if has_ivfpq and has_pq:
+        raise ValueError(
+            f"{index_path} carries BOTH _IVFPQ_META.json and _PQ_META.json "
+            "— a mixed or corrupted index dir; rebuild it (or delete the "
+            "stale sidecar) first"
+        )
+    if not has_ivfpq and not has_pq:
+        raise ValueError(
+            f"{index_path} has neither _IVFPQ_META.json nor _PQ_META.json "
+            "— not a staged ANN index; build one first"
+        )
+    return "ivfpq" if has_ivfpq else "pq"
+
+
 def _write_ivfpq_meta(spark, index_path: str, n_cells: int, m: int,
                       n_codes: int, dim: int) -> None:
     _write_json_sidecar(spark, f"{index_path}/_IVFPQ_META.json", {
@@ -1544,9 +1577,16 @@ def ivfpq_append_index(
         fresh = fresh.persist()
         n = fresh.count()
         if n:
-            fresh.write.mode("append").partitionBy("cell_id").parquet(
-                f"{index_path}/cells"
-            )
+            # repartition BY cell_id before the write: without it every
+            # shuffle task holding rows of a cell emits its own file
+            # into that cell's partition (~tasks x cells files per
+            # append — the ann_soak probe measured 95 files/cell over
+            # one 10-batch cadence); keyed, each touched cell gets ONE
+            # file per append, and compact_ann_index folds those. The
+            # exchange carries m tinyints + an id per vector.
+            fresh.repartition("cell_id").write.mode("append").partitionBy(
+                "cell_id"
+            ).parquet(f"{index_path}/cells")
         return n
     finally:
         if fresh is not None:

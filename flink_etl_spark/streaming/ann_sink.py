@@ -23,19 +23,170 @@ quantizer incremental in this package: if the embedding distribution
 moves away from the build-time centroids/codebooks, recall decays —
 rebuild the index periodically (the searches themselves need no
 knowledge of the cadence; parameters travel in the meta sidecar).
+`tools/drift_probe.py` measures the decay curve; docs/DEPLOYMENT.md
+carries the rebuild rule of thumb derived from it.
+
+File accretion is handled in-module: every append writes one parquet
+file set per touched partition, so `compact_ann_index` (signature-
+verified staged-swap rewrite, `compact_every=` sink cadence) bounds
+the per-cell file count the same way `compact_dedup_index` bounds the
+dedup index's directory count — see its docstring for the replay and
+crash-safety argument, and `tools/ann_soak.py` for the 50-batch
+crash/replay soak.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from flink_etl_spark.operators.similarity import (
     _ivfpq_meta,
     _pq_index_meta,
+    ann_index_kind,
     ivfpq_append_index,
     pq_append_index,
 )
+
+
+def _ann_data_dirs(spark: SparkSession, index_path: str) -> list[str]:
+    """The append-accreting data directories of a staged ANN index:
+    every `cells/cell_id=N/` for IVF-PQ, the flat `codes/` for PQ.
+    Driver-side FS listing, never a data scan."""
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    if ann_index_kind(spark, index_path) == "pq":
+        return [f"{index_path}/codes"]
+    fs, root = _hadoop_fs(spark, f"{index_path}/cells")
+    dirs = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("cell_id="):
+            dirs.append(f"{index_path}/cells/{name}")
+    return sorted(dirs)
+
+
+def recover_ann_index(spark: SparkSession, index_path: str) -> int:
+    """Heal a crash inside `compact_ann_index`'s delete+rename window:
+    any data directory of the index that vanished mid-swap while its
+    staged replacement survived is promoted (and stale staging dirs
+    next to intact targets are swept). A search in the crash window
+    would silently MISS the swapped cell's rows — no error — so run
+    this after any unclean shutdown before trusting search results;
+    `start_continuous_ann_index` runs it at attach time and
+    `compact_ann_index` runs it before compacting. Returns the number
+    of directories promoted."""
+    from flink_etl_spark.operators.merge import _hadoop_fs, recover_snapshot
+
+    kind = ann_index_kind(spark, index_path)
+    if kind == "pq":
+        return int(recover_snapshot(f"{index_path}/codes", spark))
+    recovered = 0
+    fs, staging_root = _hadoop_fs(spark, f"{index_path}/cells/_staging")
+    if fs.exists(staging_root):
+        for st in fs.listStatus(staging_root):
+            name = st.getPath().getName()
+            if name.startswith("cell_id="):
+                recovered += int(
+                    recover_snapshot(f"{index_path}/cells/{name}", spark)
+                )
+    return recovered
+
+
+def _dir_signature(df: DataFrame) -> tuple:
+    """(row count, order-independent xor of xxhash64 over every column)
+    — the id+codes content signature the compaction swap is verified
+    against. XOR is commutative (no sort), overflow-free, and an even
+    duplication is additionally caught by the count."""
+    h = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+    row = df.select(h.alias("_h")).agg(
+        F.count("_h").alias("n"), F.expr("bit_xor(_h)").alias("x")
+    ).first()
+    return (row["n"], row["x"])
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    target_files: int | None = None,
+) -> int:
+    """Rewrite each accreted data directory of a staged ANN index to a
+    bounded file count — the maintenance op that keeps the continuous
+    ANN sink from accreting one parquet file set per micro-batch per
+    touched `cell_id=` partition forever (the same small-file /
+    metadata scale-killer class `compact_dedup_index` closes for the
+    continuous-dedup index: at a batch per minute a quarter's run is
+    ~130k file sets per hot cell, and every probe of that cell pays
+    one task + one footer read per file). Works on both staged
+    layouts (IVF-PQ `cells/cell_id=N/`, flat-PQ `codes/`). Returns the
+    number of directories rewritten.
+
+    APPEND/REPLAY CONTRACT (why this is safe): `pq_append_index` /
+    `ivfpq_append_index` anti-join the staged ids before writing, so
+    their replay convergence needs exactly one property from this op —
+    the staged (id, codes) ROW SET is preserved byte-for-byte. That is
+    not assumed but ASSERTED: each directory's replacement is written
+    to the invisible `_staging/` sibling first, its (count,
+    xor-of-row-hashes) signature is compared against the original, and
+    only a matching replacement is promoted (delete+rename). A
+    mismatch deletes the staged copy and raises with the directory
+    intact.
+
+    Crash safety: a crash during the staging write leaves `_staging/`
+    junk next to an intact directory (swept by `recover_ann_index` /
+    the next compaction); a crash inside the delete+rename window
+    leaves the staged copy, which `recover_ann_index` promotes — run
+    it after any unclean shutdown (searches in that window silently
+    miss the one mid-swap directory). Run this BETWEEN micro-batches
+    (the sink's `compact_every=` cadence serializes it) or while the
+    stream is down.
+
+    `target_files` bounds each directory's file count; the default
+    sizes per directory from its bytes at ~128 MB/file (min 1).
+    Directories already at or under the target are skipped, so the
+    steady-state cost is proportional to the cells touched since the
+    last compaction, not the index."""
+    from flink_etl_spark.operators.maintenance import partition_file_count
+    from flink_etl_spark.operators.merge import (
+        _hadoop_fs,
+        _staging_path,
+        promote_snapshot,
+        stage_snapshot,
+    )
+
+    if target_files is not None and target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    recover_ann_index(spark, index_path)  # heal any crashed prior swap
+    rewritten = 0
+    for d in _ann_data_dirs(spark, index_path):
+        before_files = partition_file_count(spark, d)
+        if target_files is None:
+            fs, hp = _hadoop_fs(spark, d)
+            nbytes = fs.getContentSummary(hp).getLength()
+            tgt = max(1, -(-nbytes // (128 << 20)))
+        else:
+            tgt = target_files
+        if before_files <= tgt:
+            continue
+        df = spark.read.parquet(d)
+        before_sig = _dir_signature(df)
+        # repartition, not coalesce: keep the rewrite's READ wide
+        stage_snapshot(df.repartition(tgt), d)
+        staged = spark.read.parquet(_staging_path(d))
+        after_sig = _dir_signature(staged)
+        if after_sig != before_sig:
+            fs, hp = _hadoop_fs(spark, _staging_path(d))
+            fs.delete(hp, True)
+            raise ValueError(
+                f"compact_ann_index: staged rewrite of {d} changed the "
+                f"(count, hash) signature {before_sig} -> {after_sig}; "
+                "original left intact, staged copy deleted — the append "
+                "replay contract requires an id-set-identical rewrite"
+            )
+        promote_snapshot(spark, d)
+        rewritten += 1
+    return rewritten
 
 
 def start_continuous_ann_index(
@@ -46,15 +197,32 @@ def start_continuous_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     available_now: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Attach continuous index append as a foreachBatch sink on a
     streaming embedding DataFrame. ``kind`` selects the staged layout:
     ``"ivfpq"`` (cell-partitioned byte codes — the 100 TB default) or
     ``"pq"`` (flat codes). The index at `index_path` must already
     exist with a matching meta sidecar; validated once at start so a
-    misconfigured stream fails at attach time, not at first batch."""
+    misconfigured stream fails at attach time, not at first batch
+    (attach also heals any crashed compaction swap via
+    `recover_ann_index`).
+
+    ``compact_every=N`` runs `compact_ann_index` INSIDE the sink every
+    N-th batch, bounding each cell partition's file count with no
+    external scheduler — without it the sink accretes one file set per
+    micro-batch per touched cell forever (mirror of the dedup sink's
+    cadence). Safe inside foreachBatch by construction: steps are
+    serialized, the rewrite is signature-verified id-set-identical (so
+    the appends' replay anti-join is unaffected), and a replayed
+    batch's re-run of the compaction is a cheap skip (directories are
+    already at their file-count target)."""
     if kind not in ("ivfpq", "pq"):
         raise ValueError(f"kind must be 'ivfpq' or 'pq', got {kind!r}")
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(
+            f"compact_every must be >= 1 or None, got {compact_every}"
+        )
     spark = embs.sparkSession
     # fail fast: a missing/incompatible index raises HERE, not inside
     # the first micro-batch (where it would poison the checkpoint)
@@ -68,6 +236,10 @@ def start_continuous_ann_index(
     else:
         _pq_index_meta(spark, index_path)  # raises when absent/drifted
         append = pq_append_index
+    # a crash inside a prior compaction's delete+rename window leaves
+    # one directory missing with its staged replacement next to it —
+    # promote it before the first append scans the index
+    recover_ann_index(spark, index_path)
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -76,6 +248,8 @@ def start_continuous_ann_index(
             batch.sparkSession, batch, index_path,
             id_col=id_col, vec_col=vec_col,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_ann_index(batch.sparkSession, index_path)
 
     writer = (
         embs.writeStream.foreachBatch(_step)

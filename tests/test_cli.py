@@ -285,3 +285,32 @@ def test_cli_ann_kind_ambiguity_raises(spark, tmp_path):
     with pytest.raises(SystemExit, match="neither"):
         main(["ann-append", "--path", str(batch),
               "--index", str(tmp_path / "not_an_index")])
+
+def test_cli_ann_compact_bounds_files(spark, tmp_path):
+    """ann-compact rewrites accreted cell partitions to the file target
+    through the CLI and preserves search results."""
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.maintenance import partition_file_count
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import _ann_data_dirs
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(
+        embs.filter("vec_id < 200"), idx, n_cells=4, m=8, n_codes=16
+    )
+    for lo in (200, 300, 400):
+        similarity.ivfpq_append_index(
+            spark, embs.filter(f"vec_id >= {lo} and vec_id < {lo + 100}"),
+            idx,
+        )
+    qs = embs.filter("vec_id < 4")
+    before = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5).collect()))
+    assert main(["ann-compact", "--index", idx, "--target-files", "1"]) == 0
+    assert all(
+        partition_file_count(spark, d) == 1
+        for d in _ann_data_dirs(spark, idx)
+    )
+    assert sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5).collect())) == before

@@ -630,3 +630,243 @@ def test_continuous_ann_index_pq_kind(spark, tmp_path):
             spark.read.parquet(f"{p}/codes").collect())
     )
     assert read(idx) == read(full)
+
+def test_compact_ann_index_bounds_files_preserves_rows_and_replay(
+    spark, tmp_path
+):
+    """compact_ann_index: after many small appends, every cell
+    partition is rewritten to the file-count target with the (id,
+    codes) row set byte-identical, search results unchanged, a
+    replayed append still converges to a no-op (the anti-join contract
+    rides the preserved id set), and an immediate re-compaction is a
+    no-op."""
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.maintenance import partition_file_count
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import (
+        _ann_data_dirs,
+        compact_ann_index,
+    )
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(
+        embs.filter("vec_id < 100"), idx, n_cells=4, m=8, n_codes=16
+    )
+    # 8 small appends -> every touched cell accretes 8+ file sets
+    for lo in range(100, 500, 50):
+        similarity.ivfpq_append_index(
+            spark, embs.filter(f"vec_id >= {lo} and vec_id < {lo + 50}"), idx
+        )
+    read_cells = lambda: sorted(
+        map(lambda r: (r[0], list(r[1]), r[2]),
+            spark.read.parquet(f"{idx}/cells").collect())
+    )
+    qs = embs.filter("vec_id < 8")
+    search = lambda: sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=2).collect()))
+    rows_before, res_before = read_cells(), search()
+    dirs = _ann_data_dirs(spark, idx)
+    assert max(partition_file_count(spark, d) for d in dirs) > 2
+
+    n = compact_ann_index(spark, idx, target_files=1)
+    assert n >= 1
+    assert all(partition_file_count(spark, d) == 1 for d in dirs)
+    assert read_cells() == rows_before
+    assert search() == res_before
+    # replayed (already-present) batch appends nothing post-compaction
+    assert similarity.ivfpq_append_index(
+        spark, embs.filter("vec_id >= 100 and vec_id < 150"), idx
+    ) == 0
+    # everything at target already -> no-op
+    assert compact_ann_index(spark, idx, target_files=1) == 0
+
+
+def test_compact_ann_index_pq_kind_and_validation(spark, tmp_path):
+    """Flat-PQ codes/ dir compacts the same way; bad target_files and
+    non-index dirs raise."""
+    import pytest
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.maintenance import partition_file_count
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import compact_ann_index
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "pq")
+    similarity.pq_build_index(embs.filter("vec_id < 200"), idx, m=8,
+                              n_codes=16)
+    for lo in (200, 300, 400):
+        similarity.pq_append_index(
+            spark, embs.filter(f"vec_id >= {lo} and vec_id < {lo + 100}"),
+            idx,
+        )
+    rows = lambda: sorted(
+        map(lambda r: (r[0], list(r[1])),
+            spark.read.parquet(f"{idx}/codes").collect())
+    )
+    before = rows()
+    assert partition_file_count(spark, f"{idx}/codes") > 1
+    assert compact_ann_index(spark, idx, target_files=1) == 1
+    assert partition_file_count(spark, f"{idx}/codes") == 1
+    assert rows() == before
+
+    with pytest.raises(ValueError, match="target_files"):
+        compact_ann_index(spark, idx, target_files=0)
+    with pytest.raises(ValueError, match="neither"):
+        compact_ann_index(spark, str(tmp_path / "nope"))
+
+
+def test_compact_ann_index_signature_mismatch_refuses_swap(
+    spark, tmp_path, monkeypatch
+):
+    """A staged rewrite that does NOT reproduce the original row set is
+    refused: the original directory survives untouched and the staged
+    copy is deleted (the append replay contract depends on the id set
+    being preserved)."""
+    import pytest
+
+    from flink_etl_spark.operators import merge, similarity
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import compact_ann_index
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.pq_build_index(embs.filter("vec_id < 200"), idx, m=8,
+                              n_codes=16)
+    similarity.pq_append_index(
+        spark, embs.filter("vec_id >= 200 and vec_id < 300"), idx
+    )
+    before = sorted(
+        map(lambda r: (r[0], list(r[1])),
+            spark.read.parquet(f"{idx}/codes").collect())
+    )
+
+    real_stage = merge.stage_snapshot
+
+    def corrupted_stage(df, path, fmt="parquet", partition_by=None):
+        real_stage(df.limit(df.count() - 1), path, fmt, partition_by)
+
+    monkeypatch.setattr(merge, "stage_snapshot", corrupted_stage)
+    with pytest.raises(ValueError, match="signature"):
+        compact_ann_index(spark, idx, target_files=1)
+    monkeypatch.undo()
+    after = sorted(
+        map(lambda r: (r[0], list(r[1])),
+            spark.read.parquet(f"{idx}/codes").collect())
+    )
+    assert after == before
+    # and the staged junk is gone: a later compaction works cleanly
+    assert compact_ann_index(spark, idx, target_files=1) == 1
+
+
+def test_recover_ann_index_heals_crash_window(spark, tmp_path):
+    """Crash inside compact's delete+rename window: the cell directory
+    is missing, its staged replacement exists — a search would
+    silently MISS the cell. recover_ann_index promotes the staged
+    copy; stale staging next to an intact target is swept instead."""
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.merge import (
+        _hadoop_fs,
+        _staging_path,
+        stage_snapshot,
+    )
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import (
+        _ann_data_dirs,
+        recover_ann_index,
+    )
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(embs, idx, n_cells=4, m=8, n_codes=16)
+    read_cells = lambda: sorted(
+        map(lambda r: (r[0], list(r[1]), r[2]),
+            spark.read.parquet(f"{idx}/cells").collect())
+    )
+    before = read_cells()
+    victim = _ann_data_dirs(spark, idx)[0]
+
+    # simulate the crash: replacement staged, target deleted, no rename
+    df = spark.read.parquet(victim)
+    stage_snapshot(df.repartition(1), victim)
+    fs, hp = _hadoop_fs(spark, victim)
+    fs.delete(hp, True)
+    assert len(read_cells()) < len(before)  # the silent-miss window
+
+    assert recover_ann_index(spark, idx) == 1
+    assert read_cells() == before
+
+    # stale staging next to an INTACT target: swept, not promoted
+    # (re-read: the pre-swap plan's file listing is stale after promote)
+    stage_snapshot(spark.read.parquet(victim).limit(1), victim)
+    assert recover_ann_index(spark, idx) == 0
+    fs2, stale = _hadoop_fs(spark, _staging_path(victim))
+    assert not fs2.exists(stale)
+    assert read_cells() == before
+
+
+def test_continuous_ann_sink_compact_every_cadence(spark, tmp_path):
+    """The sink's compact_every= runs the compaction inline: after
+    draining N micro-batches the cell file counts are bounded, and the
+    index still equals the one-shot build over the union corpus."""
+    import os
+
+    import pytest
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.maintenance import partition_file_count
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import (
+        _ann_data_dirs,
+        start_continuous_ann_index,
+    )
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    schema = "vec_id long, embedding array<float>"
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(
+        embs.filter("vec_id < 100"), idx, n_cells=4, m=8, n_codes=16
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, lo in enumerate(range(100, 500, 50)):
+        stage = tmp_path / f"stage{i}"
+        embs.filter(
+            f"vec_id >= {lo} and vec_id < {lo + 50}"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(stage / part, src / f"b{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_continuous_ann_index(
+        stream, idx, str(tmp_path / "ck"), kind="ivfpq",
+        available_now=True, compact_every=2,
+    )
+    q.awaitTermination(180)
+
+    # bounded: compaction ran at batches 2,4,6 (8 batches: 0..7), so a
+    # cell carries at most the compacted file + the post-batch-6
+    # appends' file sets — never the 8 accreted sets of the raw sink
+    counts = [
+        partition_file_count(spark, d) for d in _ann_data_dirs(spark, idx)
+    ]
+    assert max(counts) <= 4, counts
+
+    full = str(tmp_path / "full")
+    similarity.ivfpq_build_index(embs, full, n_cells=4, m=8, n_codes=16)
+    read = lambda p: sorted(
+        map(lambda r: (r[0], list(r[1]), r[2]),
+            spark.read.parquet(f"{p}/cells").collect())
+    )
+    assert read(idx) == read(full)
+
+    with pytest.raises(ValueError, match="compact_every"):
+        start_continuous_ann_index(
+            spark.readStream.schema(schema).parquet(str(src)),
+            idx, str(tmp_path / "ck2"), compact_every=0,
+        )
