@@ -372,6 +372,53 @@ def cdc_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS UNBOUNDED PRECEDING) AS sum_value
         FROM gspine s LEFT JOIN gagg a ON a.grp = s.grp AND a.b = s.b
     )
+    UNION ALL
+    SELECT 'gapfill_linear' AS variant, window_start, grp, n_events, sum_value
+    FROM (
+        WITH lagg AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+                   event_type AS grp,
+                   count(*) AS n_events,
+                   {_ESUM_VALUE_SQL} AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        lspan AS (SELECT grp, min(b) AS lo, max(b) AS hi FROM lagg GROUP BY 1),
+        lspine AS (
+            SELECT grp, g.gs AS b
+            FROM lspan,
+                 UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS g(gs)
+        ),
+        ldense AS (
+            SELECT s.b AS window_start, s.grp,
+                   coalesce(a.n_events, 0) AS n_events,
+                   a.sum_value AS v,
+                   row_number() OVER (PARTITION BY s.grp ORDER BY s.b) AS pos
+            FROM lspine s LEFT JOIN lagg a ON a.grp = s.grp AND a.b = s.b
+        ),
+        lfill AS (
+            SELECT window_start, grp, n_events, v, pos,
+                   last_value(v IGNORE NULLS) OVER wb AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN pos END
+                              IGNORE NULLS) OVER wb AS prev_p,
+                   first_value(v IGNORE NULLS) OVER wf AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN pos END
+                               IGNORE NULLS) OVER wf AS next_p
+            FROM ldense
+            WINDOW wb AS (PARTITION BY grp ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING),
+                   wf AS (PARTITION BY grp ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        -- identical association order to operators/temporal.py: the
+        -- inputs are the same exact-sum doubles and the same integer
+        -- positions, so every arithmetic step is the same IEEE double
+        SELECT window_start, grp, n_events,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE prev_v + (next_v - prev_v)
+                         * ((pos - prev_p) / (next_p - prev_p))
+               END AS sum_value
+        FROM lfill
+    )
     """,
 )
 def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,9 +445,15 @@ def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       observed sum_value. The spine is sequence(lo, hi, interval)
       exploded row-locally per group — no driver ranges; the fill is
       one last-ignore-nulls window per group.
+    * 'gapfill_linear' (r9) — the `interpolate()` fill: gap rows carry
+      the linear interpolation between the surrounding observed
+      buckets (leading gaps stay NULL). Oracle-exact with NO rounding:
+      both engines interpolate from the same exact-sum doubles and the
+      same integer bucket positions with the same association order,
+      so every step is the same IEEE double.
 
     `grp` is the per-variant group key (event_type / event_type /
-    user_id-as-string / event_type)."""
+    user_id-as-string / event_type / event_type)."""
     e = _t(spark, sf_dir, "events")
     tumbling = (
         e.groupBy(
@@ -453,7 +506,19 @@ def time_windows_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return tumbling.unionByName(sliding).unionByName(session).unionByName(gap)
+    gapl = gapfill_time_buckets(
+        e, bucket="1 hour", group_cols=("event_type",), fill="linear"
+    ).select(
+        F.lit("gapfill_linear").alias("variant"),
+        "window_start",
+        F.col("event_type").alias("grp"),
+        "n_events",
+        "sum_value",
+    )
+    return (
+        tumbling.unionByName(sliding).unionByName(session)
+        .unionByName(gap).unionByName(gapl)
+    )
 
 
 @query(

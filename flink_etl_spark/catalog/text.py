@@ -479,9 +479,13 @@ def _unigram_lm_xvocab_oracle() -> str:
     """
 
 
-def _bigram_lm_oracle() -> str:
-    """DuckDB twin of `text.bigram_lm_scores(fit_docs=even,
-    docs=odd, hash_terms=False)`: add-one-smoothed conditional bigram
+def _bigram_lm_oracle(
+    fit_pred: str = "doc_id % 2 = 0", score_pred: str = "doc_id % 2 = 1"
+) -> str:
+    """DuckDB twin of `text.bigram_lm_scores(hash_terms=False)` with
+    fit/score corpora selected by the two predicates (defaults = the
+    xfit arm: fit on even doc_ids, score the odd; the self-fit arm
+    passes TRUE/TRUE): add-one-smoothed conditional bigram
     log-probabilities, per-bigram MICRO-floored before the integer
     sum (order-independent), mean = exact int/int double division;
     novelty fraction via the shared micro-floor helper."""
@@ -496,20 +500,20 @@ def _bigram_lm_oracle() -> str:
     b2fit AS (
         SELECT concat_ws(' ', t[i], t[i+1]) AS bg, t[i] AS w1
         FROM b2toks, UNNEST(range(1, len(t))) AS u(i)
-        WHERE doc_id % 2 = 0 AND len(t) >= 2
+        WHERE ({fit_pred}) AND len(t) >= 2
     ),
     b2c2 AS (SELECT bg, count(*) AS c2 FROM b2fit GROUP BY 1),
     b2c1 AS (SELECT w1, count(*) AS c1 FROM b2fit GROUP BY 1),
     b2v AS (
         SELECT count(DISTINCT tok) AS v
-        FROM (SELECT doc_id, t FROM b2toks WHERE doc_id % 2 = 0) f,
+        FROM (SELECT doc_id, t FROM b2toks WHERE {fit_pred}) f,
              UNNEST(t) AS u(tok)
     ),
     b2doc AS (
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
                concat_ws(' ', t[i], t[i+1]) AS bg, t[i] AS w1
         FROM b2toks, UNNEST(range(1, len(t))) AS u(i)
-        WHERE doc_id % 2 = 1 AND len(t) >= 2
+        WHERE ({score_pred}) AND len(t) >= 2
     ),
     b2scored AS (
         SELECT d.doc_id, d.n_tokens,
@@ -609,6 +613,19 @@ def _bigram_lm_oracle() -> str:
            CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
            mean_tf_micro, rare_frac_micro
     FROM ({_bigram_lm_oracle()}) blm
+    UNION ALL
+    SELECT 'bigram_lm_self' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           mean_tf_micro, rare_frac_micro
+    FROM ({_bigram_lm_oracle("TRUE", "TRUE")}) blms
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +664,11 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       summed-float oracle contract); rare_frac_micro the
       novel-bigram fraction (the contamination/novelty signal).
       Gated hash_terms=False; production joins on xxhash64 ids.
+    * variant 'bigram_lm_self' (r9) — the `fit_docs=None` self-fit
+      mode through the same gate (fit corpus == scored corpus: every
+      bigram is seen, so the novelty fraction is identically 0 and the
+      score isolates the smoothed-likelihood signal); exercises the
+      default-argument path end-to-end.
     """
     from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
     from flink_etl_spark.operators.prep import repetition_stats
@@ -756,9 +778,24 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_logp_micro").alias("mean_tf_micro"),
         F.col("novel_bigram_frac").alias("rare_frac_micro"),
     )
+    blms = T.bigram_lm_scores(docs, hash_terms=False).select(
+        F.lit("bigram_lm_self").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("double").alias("dup_token_frac"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.lit(None).cast("long").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_char_frac"),
+        F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        F.col("mean_logp_micro").alias("mean_tf_micro"),
+        F.col("novel_bigram_frac").alias("rare_frac_micro"),
+    )
     return (
         corpus.unionByName(rep).unionByName(ulm)
-        .unionByName(ulmx).unionByName(blm)
+        .unionByName(ulmx).unionByName(blm).unionByName(blms)
     )
 
 
