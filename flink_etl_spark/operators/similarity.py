@@ -256,6 +256,124 @@ def ivf_assign(
     )
 
 
+def cell_census(asgn: DataFrame) -> list[tuple[int, int]]:
+    """(cell_id, size) census of an assignment frame, sorted by cell —
+    a bounded <= n_cells driver fetch of counts (never rows). The
+    skew diagnostic every IVF layout needs at scale: cells come from
+    seed picks / Lloyd refinement with NO size bound, so a skewed
+    embedding distribution can put a large fraction of the corpus in
+    one `cell_id=` partition, and every probe of that cell scans all
+    of it."""
+    return sorted(
+        (r["cell_id"], r["n"])
+        for r in asgn.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    )
+
+
+def split_hot_cells(
+    embs: DataFrame,
+    cents: DataFrame,
+    max_cell_frac: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Rebalance a coarse quantizer by SPLITTING every cell holding
+    more than ``max_cell_frac`` of the corpus: the hot centroid is
+    replaced by k = ceil(size / cap) sub-centroids seeded from the
+    cell's own members, cold centroids keep their ids, sub-centroids
+    take fresh ids past the current max. Sub-seeds are the k members
+    with the smallest ``xxhash64(id)`` (id tie-break) — deterministic,
+    and the hash scrambling spreads the picks over the dense region
+    (the k smallest IDS can be correlated with geometry — e.g. all on
+    one edge of the cluster — and then fail to divide it; measured in
+    the test's adversarial corpus).
+
+    Splitting ITERATES (up to ``max_rounds``) because one round can
+    make skew WORSE before it gets better: when a dense mode is
+    smeared across several moderately-hot cells, the first round's
+    sub-centroids sit INSIDE the mode and attract the whole cluster
+    away from the old cells — tools/skew_probe.py measured a 0.16
+    max-cell-fraction corpus going to 0.43 after one round, then to
+    under the cap on the next. Each round costs one assignment scan;
+    the loop stops as soon as no cell exceeds the cap, and the builder
+    re-censuses afterwards and warns if residual skew survived
+    max_rounds (a pathological distribution wants a bigger n_cells).
+
+    Deterministic throughout (hash-ordered seed members, sub-cell ids
+    ordered by (round, hot cell id, member hash)); downstream is
+    transparent: search and appends read the centroid table from the
+    index and never assume contiguous cell ids. The scale-relevant
+    probe cost is what the split removes — probing a cell that holds
+    40% of a 100 TB corpus scans 40% of it."""
+    import math
+
+    if not (0 < max_cell_frac <= 1):
+        raise ValueError(
+            f"max_cell_frac must be in (0, 1], got {max_cell_frac}"
+        )
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    for _ in range(max_rounds):
+        asgn = ivf_assign(embs, cents, 1, id_col, vec_col)
+        census = cell_census(asgn)
+        total = sum(n for _, n in census)
+        if total == 0:
+            return cents
+        cap = max_cell_frac * total
+        hot = [(c, n) for c, n in census if n > cap]
+        if not hot:
+            return cents
+        next_id = max(
+            r["cell_id"] for r in cents.select("cell_id").collect()
+        ) + 1
+        hot_ids = [c for c, _ in hot]
+        parts = [
+            cents.filter(~F.col("cell_id").isin(hot_ids)).select(
+                "cell_id", "centroid"
+            )
+        ]
+        for cell, n in hot:
+            k = min(max(2, math.ceil(n / cap)), n)
+            # orderBy + limit = TakeOrderedAndProject: a per-partition
+            # top-k merge, never a global sort of the (large) hot cell
+            packed = (
+                asgn.filter(F.col("cell_id") == cell)
+                .select(
+                    F.xxhash64(F.col(id_col)).alias("_h"),
+                    F.col(id_col), F.col(vec_col),
+                )
+                .orderBy("_h", id_col)
+                .limit(k)
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(id_col, vec_col))
+                    ).alias("_a")
+                )
+            )
+            parts.append(
+                packed.select(
+                    F.posexplode("_a").alias("_pos", "_s")
+                ).select(
+                    (F.col("_pos").cast("int") + F.lit(next_id)).alias(
+                        "cell_id"
+                    ),
+                    F.col(f"_s.{vec_col}").alias("centroid"),
+                )
+            )
+            next_id += k
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # localCheckpoint: the centroid table is tiny, and each round's
+        # plan would otherwise nest the previous round's whole lineage
+        cents = (
+            out.withColumn("centroid_norm", norm("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_assign_two_level(
     embs: DataFrame,
     n_cells: int,
@@ -1213,12 +1331,16 @@ def pq_search_index(
 def _ivfpq_parts(
     embs: DataFrame, n_cells: int, m: int, n_codes: int,
     id_col: str, vec_col: str, cell_refine_iters: int,
+    cents: DataFrame | None = None,
 ):
     """(cents, cents_norm, residual codebooks, cell-tagged codes) —
-    the shared construction behind the one-shot and staged forms."""
+    the shared construction behind the one-shot and staged forms.
+    `cents` overrides the centroid derivation (the hot-cell-split build
+    path passes its post-split quantizer)."""
     from flink_etl_spark.functions.vectors import l2_normalize
 
-    cents = ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters)
+    if cents is None:
+        cents = ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters)
     cents_n = cents.select(
         "cell_id", l2_normalize("centroid").alias("_cnv")
     )
@@ -1418,11 +1540,15 @@ def ann_index_kind(spark, index_path: str) -> str:
 
 
 def _write_ivfpq_meta(spark, index_path: str, n_cells: int, m: int,
-                      n_codes: int, dim: int) -> None:
-    _write_json_sidecar(spark, f"{index_path}/_IVFPQ_META.json", {
+                      n_codes: int, dim: int,
+                      extra: dict | None = None) -> None:
+    payload = {
         "version": _IVFPQ_META_VERSION,
         "n_cells": n_cells, "m": m, "n_codes": n_codes, "dim": dim,
-    })
+    }
+    if extra:
+        payload.update(extra)
+    _write_json_sidecar(spark, f"{index_path}/_IVFPQ_META.json", payload)
 
 
 def _dim_guarded(df: DataFrame, vec_col: str, dim: int, what: str) -> DataFrame:
@@ -1454,6 +1580,8 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     cell_refine_iters: int = 0,
     n_vecs: int | None = None,
+    max_cell_frac: float | None = None,
+    warn_cell_frac: float = 0.25,
 ) -> None:
     """Stage the IVF-PQ index: `centroids/` + `codebooks/` parquet and
     `cells/` parquet PARTITIONED BY cell_id holding (id, codes) — m
@@ -1472,7 +1600,24 @@ def ivfpq_build_index(
 
     `n_cells="auto"` sizes the coarse quantizer to ~sqrt(corpus)
     (`knobs.ivf_auto_cells`) — resolved at BUILD time and baked into
-    the layout + sidecar, so searches need no knowledge of it."""
+    the layout + sidecar, so searches need no knowledge of it.
+
+    CELL SKEW: seed-picked/Lloyd cells have no size bound, and a
+    skewed embedding distribution (half the corpus in one dense
+    cluster) puts that fraction in ONE `cell_id=` partition — every
+    probe of the hot cell then scans it, defeating the nprobe/n_cells
+    pruning the layout exists for. The build always censuses the final
+    layout (a column-pruned count over the written cells, bounded
+    driver fetch), records the observed max cell fraction in the
+    sidecar (`max_cell_frac_observed`), and emits a `UserWarning` when
+    it exceeds `warn_cell_frac`. Pass `max_cell_frac=` to go further
+    and SPLIT hot cells at build time (`split_hot_cells`: hot
+    centroids replaced by deterministic sub-seeds from their own
+    members, one extra assignment scan); searches and appends are
+    transparent to the split — they read the centroid table from the
+    index and never assume contiguous ids. Measured on a
+    half-in-one-cluster corpus in `tools/skew_probe.py`
+    (docs/SCALING.md)."""
     from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
 
     spark = embs.sparkSession
@@ -1482,15 +1627,49 @@ def ivfpq_build_index(
         raise ValueError("ivfpq_build_index: empty corpus")
     # same build-corpus dimension guard as pq_build_index
     embs = _dim_guarded(embs, vec_col, dim_row["d"], "IVF-PQ build: corpus")
+    cents = None
+    if max_cell_frac is not None:
+        cents = split_hot_cells(
+            embs,
+            ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters),
+            max_cell_frac, id_col, vec_col,
+        )
     cents, _, cbs, codes = _ivfpq_parts(
-        embs, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters
+        embs, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters,
+        cents=cents,
     )
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     cbs.write.mode("overwrite").parquet(f"{index_path}/codebooks")
     codes.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{index_path}/cells"
     )
-    _write_ivfpq_meta(spark, index_path, n_cells, m, n_codes, dim_row["d"])
+    # census the WRITTEN layout (ids only — the codes column is pruned):
+    # the number every capacity plan needs, and the skew warning
+    sizes = (
+        spark.read.parquet(f"{index_path}/cells")
+        .groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(r["n"] for r in sizes)
+    observed = round(max(r["n"] for r in sizes) / total, 4) if total else 0.0
+    resolved_cells = (
+        spark.read.parquet(f"{index_path}/centroids").count()
+        if max_cell_frac is not None else n_cells
+    )
+    _write_ivfpq_meta(
+        spark, index_path, resolved_cells, m, n_codes, dim_row["d"],
+        extra={"max_cell_frac_observed": observed},
+    )
+    if observed > warn_cell_frac:
+        import warnings
+
+        warnings.warn(
+            f"IVF-PQ index at {index_path}: one cell holds {observed:.0%} "
+            f"of the corpus (> {warn_cell_frac:.0%}) — every probe of that "
+            "cell scans that fraction. Rebuild with max_cell_frac= to "
+            "split hot cells, or raise n_cells.",
+            UserWarning,
+            stacklevel=2,
+        )
 
 
 def ivfpq_append_index(
