@@ -1773,6 +1773,81 @@ def ivfpq_append_index(
         codes.unpersist()
 
 
+def ivfpq_rebuild_index(
+    spark,
+    old_path: str,
+    new_path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | str | None = None,
+    cell_refine_iters: int = 0,
+    max_cell_frac: float | None = None,
+    warn_cell_frac: float = 0.25,
+) -> None:
+    """Periodic rebuild of a staged IVF-PQ index — the operational
+    answer to quantizer drift (`tools/drift_probe.py` measures the
+    decay; DEPLOYMENT.md carries the trigger rule): a frozen-quantizer
+    index appended from a moving distribution keeps routing new
+    vectors through stale centroids, and ONLY a rebuild re-derives
+    them.
+
+    What must be re-derived vs what streams — the split this function
+    exists to document and test:
+
+    * RE-DERIVED (require the quantizer-derivation passes): the coarse
+      centroids and the residual codebooks. They are functions of the
+      corpus distribution; nothing in the old index can refresh them
+      (the old index stores CODES — lossy 8-bit projections — not the
+      floats the seed picks and refinement need).
+    * STREAMED (one pass over the float corpus, embarrassingly
+      parallel): re-assignment of every vector to its new cell and
+      re-encode of its residual against the new codebooks — the same
+      single `_ivfpq_parts` encode pass a fresh build runs.
+    * NOT needed from the old index: anything. The rebuild reads only
+      its sidecar (parameter defaults: m, n_codes, and the RESOLVED
+      n_cells — so a periodic rebuild keeps the layout's shape without
+      the caller re-specifying it) and raises if `corpus` is not the
+      full intended corpus' floats. At 100 TB the floats may be in
+      cold storage: this one pass is the entire read; budget for it.
+
+    Writes a complete fresh index at `new_path` (never touches
+    `old_path` — cut searches over, then delete the old dir; an
+    in-place rebuild would race searches and break the append
+    replay contract mid-write). By construction the result is
+    IDENTICAL to `ivfpq_build_index(corpus, new_path, <same params>)`
+    — pinned by test. Overrides: `n_cells` (int or "auto" to re-size
+    to the rebuilt corpus), `cell_refine_iters`, `max_cell_frac`
+    (hot-cell splitting; a drift-accreted dense mode is exactly the
+    skew case)."""
+    meta = _ivfpq_meta(spark, old_path)
+    if meta is None:
+        raise ValueError(
+            f"no _IVFPQ_META.json at {old_path} — not an IVF-PQ index; "
+            "use ivfpq_build_index for a first build"
+        )
+    if meta.get("version") != _IVFPQ_META_VERSION:
+        raise ValueError(
+            f"IVF-PQ index at {old_path} has format version "
+            f"{meta.get('version')!r}, this build writes "
+            f"{_IVFPQ_META_VERSION} — parameters cannot be trusted; "
+            "pass them to ivfpq_build_index explicitly"
+        )
+    if old_path.rstrip("/") == new_path.rstrip("/"):
+        raise ValueError(
+            "rebuild must target a NEW path (searches keep reading the "
+            "old index until cutover; an in-place rebuild races them)"
+        )
+    ivfpq_build_index(
+        corpus, new_path,
+        n_cells=meta["n_cells"] if n_cells is None else n_cells,
+        m=int(meta["m"]), n_codes=int(meta["n_codes"]),
+        id_col=id_col, vec_col=vec_col,
+        cell_refine_iters=cell_refine_iters,
+        max_cell_frac=max_cell_frac, warn_cell_frac=warn_cell_frac,
+    )
+
+
 def ivfpq_search_index(
     spark,
     index_path: str,

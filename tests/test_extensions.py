@@ -2151,3 +2151,44 @@ def test_ivfpq_cell_skew_census_warning_and_split(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_cell_frac"):
         split_hot_cells(embs, spark.read.parquet(f"{idx}/centroids"), 0.0)
+
+def test_ivfpq_rebuild_index_equals_fresh_build(spark, tmp_path):
+    """ivfpq_rebuild_index: parameters default from the OLD sidecar
+    (resolved n_cells, m, n_codes), the result is byte-identical to a
+    fresh build with the same params on the same corpus, and in-place
+    / sidecar-less rebuilds raise."""
+    import pytest
+
+    from flink_etl_spark.operators.similarity import _ivfpq_meta
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = str(tmp_path / "old")
+    similarity.ivfpq_build_index(
+        embs.filter("vec_id < 300"), old, n_cells=4, m=8, n_codes=16
+    )
+    similarity.ivfpq_append_index(spark, embs.filter("vec_id >= 300"), old)
+
+    new = str(tmp_path / "new")
+    similarity.ivfpq_rebuild_index(spark, old, new, embs)
+    fresh = str(tmp_path / "fresh")
+    similarity.ivfpq_build_index(embs, fresh, n_cells=4, m=8, n_codes=16)
+    read = lambda p: sorted(
+        (r[0], bytes(r[1]), r[2])
+        for r in spark.read.parquet(f"{p}/cells").collect()
+    )
+    assert read(new) == read(fresh)
+    assert _ivfpq_meta(spark, new) == _ivfpq_meta(spark, fresh)
+
+    qs = embs.filter("vec_id < 4")
+    assert sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, new, qs, k=5).collect())) == sorted(map(
+        tuple, similarity.ivfpq_search_index(spark, fresh, qs, k=5).collect()
+    ))
+
+    with pytest.raises(ValueError, match="NEW path"):
+        similarity.ivfpq_rebuild_index(spark, old, old + "/", embs)
+    with pytest.raises(ValueError, match="no _IVFPQ_META"):
+        similarity.ivfpq_rebuild_index(
+            spark, str(tmp_path / "nope"), str(tmp_path / "x"), embs
+        )
