@@ -1651,13 +1651,22 @@ def ivfpq_build_index(
     )
     total = sum(r["n"] for r in sizes)
     observed = round(max(r["n"] for r in sizes) / total, 4) if total else 0.0
+    staged_cents = spark.read.parquet(f"{index_path}/centroids")
     resolved_cells = (
-        spark.read.parquet(f"{index_path}/centroids").count()
-        if max_cell_frac is not None else n_cells
+        staged_cents.count() if max_cell_frac is not None else n_cells
     )
+    # baseline drift signal (one broadcast assignment scan): the mean
+    # cosine of the BUILD corpus to its assigned centroids, recorded so
+    # ann_drift_check can compare every appended batch against it
+    # without ground truth (tools/drift_probe.py derives the rebuild
+    # rule from its decay curve)
+    baseline_sim = mean_centroid_sim(embs, staged_cents, id_col, vec_col)
     _write_ivfpq_meta(
         spark, index_path, resolved_cells, m, n_codes, dim_row["d"],
-        extra={"max_cell_frac_observed": observed},
+        extra={
+            "max_cell_frac_observed": observed,
+            "mean_centroid_sim": baseline_sim,
+        },
     )
     if observed > warn_cell_frac:
         import warnings
@@ -1771,6 +1780,82 @@ def ivfpq_append_index(
         if fresh is not None:
             fresh.unpersist()
         codes.unpersist()
+
+
+def mean_centroid_sim(
+    embs: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine of each vector to its assigned (nearest) centroid —
+    the production-monitorable quantizer-fit signal: one broadcast
+    assignment over the frame, NO ground truth needed, and it decays
+    monotonically as the distribution leaves the centroids (measured
+    0.912 -> 0.610 over 0..16 sigma of drift, `tools/drift_probe.py`;
+    raw recall is non-monotone and needs ground truth). Returns 0.0
+    for an empty frame."""
+    row = (
+        ivf_assign(embs, cents, 1, id_col, vec_col, keep_sim=True)
+        .agg(F.avg("centroid_sim").alias("s"))
+        .first()
+    )
+    return round(row["s"], 4) if row and row["s"] is not None else 0.0
+
+
+def ann_drift_check(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_below: float = 0.95,
+) -> dict:
+    """Quantizer-drift check for a batch about to be appended to a
+    staged IVF-PQ index: assigns the batch with the index's frozen
+    centroids and compares its mean centroid similarity against the
+    BUILD-TIME baseline recorded in the sidecar. Returns
+    ``{"batch_sim", "baseline_sim", "ratio", "rebuild_recommended"}``
+    and warns when the ratio falls below ``rebuild_below`` (default
+    0.95 — the ~5% drop where the measured curve shows recall sagging
+    and the appended slice concentrating into stale cells). The
+    recommended fix is `ivfpq_rebuild_index(..., cell_refine_iters>=2)`
+    — a bare rebuild does NOT rescue a late-arriving mode (docstring
+    there; curve in docs/SCALING.md "Quantizer drift").
+
+    Cost: one broadcast assignment over the batch — run it per daily
+    batch, or sampled inside a streaming sink. Indexes built before
+    the baseline field existed return ratio 1.0 with a baseline of
+    None (re-record by rebuilding)."""
+    meta = _ivfpq_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"no _IVFPQ_META.json at {index_path} — not an IVF-PQ index"
+        )
+    guarded = _dim_guarded(batch, vec_col, int(meta["dim"]), "drift check")
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    batch_sim = mean_centroid_sim(guarded, cents, id_col, vec_col)
+    baseline = meta.get("mean_centroid_sim")
+    ratio = round(batch_sim / baseline, 4) if baseline else 1.0
+    out = {
+        "batch_sim": batch_sim,
+        "baseline_sim": baseline,
+        "ratio": ratio,
+        "rebuild_recommended": bool(baseline) and ratio < rebuild_below,
+    }
+    if out["rebuild_recommended"]:
+        import warnings
+
+        warnings.warn(
+            f"IVF-PQ index at {index_path}: appended-batch mean centroid "
+            f"similarity {batch_sim} is {ratio:.0%} of the build-time "
+            f"baseline {baseline} (< {rebuild_below:.0%}) — the quantizer "
+            "has drifted; schedule ivfpq_rebuild_index(..., "
+            "cell_refine_iters>=2) to a new path",
+            UserWarning,
+            stacklevel=2,
+        )
+    return out
 
 
 def ivfpq_rebuild_index(

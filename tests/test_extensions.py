@@ -1548,6 +1548,7 @@ def test_ivfpq_staged_equals_oneshot_and_sidecar(spark, tmp_path):
     similarity.ivfpq_build_index(embs, idx, n_cells=4, m=8, n_codes=16)
     meta = _ivfpq_meta(spark, idx)
     assert 0 < meta.pop("max_cell_frac_observed") <= 1  # r9 census field
+    assert -1 <= meta.pop("mean_centroid_sim") <= 1  # r9 drift baseline
     assert meta == {"version": 1, "n_cells": 4, "m": 8, "n_codes": 16,
                     "dim": 64}
     # m omitted — derived from the sidecar
@@ -2192,3 +2193,51 @@ def test_ivfpq_rebuild_index_equals_fresh_build(spark, tmp_path):
         similarity.ivfpq_rebuild_index(
             spark, str(tmp_path / "nope"), str(tmp_path / "x"), embs
         )
+
+def test_ann_drift_check_flags_drifted_batches(spark, tmp_path):
+    """ann_drift_check: a same-distribution batch scores ~the sidecar
+    baseline (no rebuild flag); a drifted batch scores measurably
+    lower and warns with rebuild_recommended=True; missing index
+    raises."""
+    import random
+
+    import pytest
+
+    from flink_etl_spark.operators.similarity import ann_drift_check
+
+    rng = random.Random(5)
+    dim = 16
+
+    def cluster_row(i, shift=0.0):
+        v = [round(0.5 + shift + rng.gauss(0, 0.2), 4)] + [
+            round(rng.gauss(0, 0.2), 4) for _ in range(dim - 1)
+        ]
+        return (i, v)
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(
+        [cluster_row(i) for i in range(500)], schema
+    )
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(base, idx, n_cells=8, m=8, n_codes=16)
+
+    same = spark.createDataFrame(
+        [cluster_row(1000 + i) for i in range(100)], schema
+    )
+    ok = ann_drift_check(spark, idx, same)
+    assert ok["baseline_sim"] is not None
+    assert not ok["rebuild_recommended"]
+    assert ok["ratio"] > 0.95
+
+    # drifted: the dominant direction flips sign — far from every
+    # build-time centroid
+    drifted = spark.createDataFrame(
+        [cluster_row(2000 + i, shift=-3.0) for i in range(100)], schema
+    )
+    with pytest.warns(UserWarning, match="drifted"):
+        bad = ann_drift_check(spark, idx, drifted)
+    assert bad["rebuild_recommended"]
+    assert bad["ratio"] < ok["ratio"]
+
+    with pytest.raises(ValueError, match="no _IVFPQ_META"):
+        ann_drift_check(spark, str(tmp_path / "nope"), same)

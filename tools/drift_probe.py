@@ -52,6 +52,7 @@ from flink_etl_spark.operators.similarity import (  # noqa: E402
     ivfpq_build_index,
     ivfpq_rebuild_index,
     ivfpq_search_index,
+    mean_centroid_sim,
 )
 from flink_etl_spark.session import get_spark  # noqa: E402
 
@@ -98,17 +99,6 @@ def recall(got_df, truth_df) -> float:
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
     return round(hits / max(1, sum(len(t) for t in truth.values())), 3)
-
-
-def mean_centroid_sim(df, cents) -> float:
-    """Mean cosine of each vector to its assigned centroid — the
-    PRODUCTION-monitorable drift signal: it needs no ground truth
-    (recall does), costs one broadcast assignment over the batch, and
-    decays monotonically as the distribution leaves the build-time
-    centroids. The rebuild rule in DEPLOYMENT.md keys on its drop
-    relative to the build-time baseline."""
-    a = ivf_assign(df, cents, 1, keep_sim=True)
-    return round(a.agg(F.avg("centroid_sim")).first()[0], 4)
 
 
 def routing_recall(spark, idx, qs, truth_df) -> float:
