@@ -1004,12 +1004,13 @@ def _semdedup_inc_oracle() -> str:
     SELECT 'semdedup_inc' AS variant, id_a, id_b, cos_sim FROM inc_pairs
     UNION ALL
     SELECT DISTINCT 'semdedup_inc_drop' AS variant,
-           CASE WHEN csim_a > csim_b THEN id_a
-                WHEN csim_b > csim_a THEN id_b
+           -- coalesce(-2.0) mirrors the engine duel's NULL rule
+           CASE WHEN coalesce(csim_a, -2.0) > coalesce(csim_b, -2.0) THEN id_a
+                WHEN coalesce(csim_b, -2.0) > coalesce(csim_a, -2.0) THEN id_b
                 WHEN NOT b_is_batch THEN id_a ELSE id_b END AS id_a,
            cell_id AS id_b,
-           CASE WHEN csim_a > csim_b THEN csim_a
-                WHEN csim_b > csim_a THEN csim_b
+           CASE WHEN coalesce(csim_a, -2.0) > coalesce(csim_b, -2.0) THEN csim_a
+                WHEN coalesce(csim_b, -2.0) > coalesce(csim_a, -2.0) THEN csim_b
                 WHEN NOT b_is_batch THEN csim_a ELSE csim_b END AS cos_sim
     FROM inc_pairs
     """
@@ -1097,7 +1098,7 @@ def _semdedup_inc_oracle() -> str:
         WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
     ),
     sd_drops AS (
-        SELECT DISTINCT CASE WHEN csim_a > csim_b THEN id_a ELSE id_b END AS vec_id
+        SELECT DISTINCT CASE WHEN coalesce(csim_a, -2.0) > coalesce(csim_b, -2.0) THEN id_a ELSE id_b END AS vec_id
         FROM sd_pairs
     )
     SELECT 'semdedup' AS variant, id_a, id_b, cos_sim FROM sd_pairs

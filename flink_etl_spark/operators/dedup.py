@@ -1226,9 +1226,21 @@ def _semdedup_duel(
     rule. ONE implementation of the rule — the batch/full variants
     differ only in `tie_drop`, the Column naming the loser when the
     6-dp-rounded centroid similarities tie (so a future change to the
-    scoring or the duel applies to both by construction)."""
+    scoring or the duel applies to both by construction).
+
+    A NULL centroid similarity (a zero-norm member, or a degenerate
+    zero-norm CENTROID — possible when the smallest-id seed vector is
+    all zeros, found by the hypothesis suite) ranks as -2.0 in the
+    duel: below every real cosine, i.e. "farthest from the centroid",
+    so the direction-less member is the one KEPT — the same
+    NULL-orders-last convention `safe_cosine` establishes for every
+    ranking consumer. Two NULLs compare equal and fall to the id tie
+    rule. The output csim columns stay NULL (honest); only the
+    comparison coalesces."""
     from flink_etl_spark.functions.vectors import dot, safe_cosine
 
+    ca = F.coalesce(F.col("csim_a"), F.lit(-2.0))
+    cb = F.coalesce(F.col("csim_b"), F.lit(-2.0))
     return (
         a.join(b, join_cond)
         .withColumn(
@@ -1238,8 +1250,8 @@ def _semdedup_duel(
         .filter(F.col("cos_sim") >= threshold)
         .withColumn(
             "drop_id",
-            F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
-            .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
+            F.when(ca > cb, F.col("id_a"))
+            .when(cb > ca, F.col("id_b"))
             .otherwise(tie_drop),
         )
         .select(

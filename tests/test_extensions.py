@@ -2241,3 +2241,48 @@ def test_ann_drift_check_flags_drifted_batches(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no _IVFPQ_META"):
         ann_drift_check(spark, str(tmp_path / "nope"), same)
+
+def test_semdedup_zero_norm_centroid_duel_is_deterministic(spark):
+    """Regression (hypothesis find, r9): when the smallest-id seed is a
+    ZERO vector, the flat quantizer's only centroid is zero-norm and
+    every centroid similarity is NULL — the duel must fall to the id
+    tie rule deterministically (NULL ranks as -2.0), never error or
+    pick nondeterministically; and a zero-norm MEMBER (NULL csim)
+    loses no duel (kept as 'farthest from centroid')."""
+    from flink_etl_spark.operators.dedup import semdedup, semdedup_pairs
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),   # smallest id -> zero centroid
+        (5, [1.0, 0.0, 0.0, 0.0]),
+        (9, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 5
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = semdedup_pairs(
+        embs, threshold=0.5, n_cells=1, quantizer="flat"
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (5, 9)
+    assert p.csim_a is None and p.csim_b is None  # zero-norm centroid
+    assert p.drop_id == 9  # NULL==NULL -> tie -> larger id drops
+    kept = {r.vec_id for r in semdedup(
+        embs, threshold=0.5, n_cells=1, quantizer="flat").collect()}
+    assert kept == {0, 5}
+
+    # zero-norm MEMBER vs directed member, real centroid: the NULL-csim
+    # member ranks -2.0 (farthest) and must be kept — but note a
+    # zero-norm member can never pair (its cos_sim is NULL), so the
+    # rule is exercised via csim ordering against a real centroid
+    rows2 = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # seed/centroid
+        (2, [0.9, 0.1, 0.0, 0.0]),   # closer to centroid
+        (3, [0.6, 0.8, 0.0, 0.0]),   # farther from centroid
+    ]
+    embs2 = spark.createDataFrame(rows2, ["vec_id", "embedding"])
+    pairs2 = semdedup_pairs(
+        embs2, threshold=0.5, n_cells=1, quantizer="flat"
+    ).collect()
+    for p in pairs2:
+        loser = p.csim_a if p.drop_id == p.id_a else p.csim_b
+        winner = p.csim_b if p.drop_id == p.id_a else p.csim_a
+        assert loser >= winner

@@ -242,13 +242,17 @@ def test_semdedup_invariants(spark, vecs, n_cells, quantizer):
     pairs = semdedup_pairs(
         embs, threshold=0.5, n_cells=n_cells, quantizer=quantizer
     ).collect()
+    # NULL centroid sims (zero-norm member OR degenerate zero-norm
+    # centroid when the smallest-id seed is all zeros) rank as -2.0 in
+    # the duel — the operator's documented NULL-orders-last rule
+    key = lambda c: -2.0 if c is None else c
     for r in pairs:
         assert (r.id_a, r.id_b) in exact
         assert exact[(r.id_a, r.id_b)] == r.cos_sim
         loser_csim = r.csim_a if r.drop_id == r.id_a else r.csim_b
         winner_csim = r.csim_b if r.drop_id == r.id_a else r.csim_a
-        assert loser_csim >= winner_csim
-        if r.csim_a == r.csim_b:
+        assert key(loser_csim) >= key(winner_csim)
+        if key(r.csim_a) == key(r.csim_b):
             assert r.drop_id == max(r.id_a, r.id_b)
     kept = {
         r.vec_id
