@@ -534,6 +534,56 @@ def _bigram_lm_oracle(
     """
 
 
+def _dsir_oracle() -> str:
+    """DuckDB twin of `prep.dsir_log_weights(docs=odd, target=even,
+    hash_terms=False)`: unigram+bigram features, add-one-smoothed
+    log importance ratio per feature INSTANCE micro-floored before the
+    integer sum (order-independent); V is the distinct-feature count
+    over both corpora (= all documents here), matching the engine's
+    shared smoothing denominator."""
+    from flink_etl_spark.operators.text import (
+        duckdb_micro_floor_ratio as dmfr,
+    )
+
+    return f"""
+    WITH dtoks AS (
+        SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents
+    ),
+    dfeat AS (
+        SELECT doc_id, tok AS f FROM dtoks, UNNEST(t) AS u(tok)
+        UNION ALL
+        SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS f
+        FROM dtoks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    dct AS (SELECT f, count(*) AS ct FROM dfeat
+            WHERE doc_id % 2 = 0 GROUP BY 1),
+    dcq AS (SELECT f, count(*) AS cq FROM dfeat
+            WHERE doc_id % 2 = 1 GROUP BY 1),
+    dtot AS (
+        SELECT (SELECT count(DISTINCT f) FROM dfeat) AS v,
+               (SELECT count(*) FROM dfeat WHERE doc_id % 2 = 0) AS nt,
+               (SELECT count(*) FROM dfeat WHERE doc_id % 2 = 1) AS nq
+    ),
+    dscored AS (
+        SELECT d.doc_id,
+               CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + v))
+                           - ln((coalesce(cq, 0) + 1.0) / (nq + v)))
+                          * 1000000.0) AS BIGINT) AS lr,
+               CASE WHEN ct IS NULL THEN 1 ELSE 0 END AS novel
+        FROM (SELECT * FROM dfeat WHERE doc_id % 2 = 1) d
+        LEFT JOIN dct USING (f)
+        LEFT JOIN dcq USING (f)
+        CROSS JOIN dtot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lr) AS DOUBLE) / count(*) AS mean_tf_micro,
+           {dmfr("sum(novel)", "count(*)")} AS rare_frac_micro
+    FROM dscored
+    GROUP BY doc_id
+    """
+
+
 @query(
     "text_top_bigrams",
     f"""
@@ -626,6 +676,19 @@ def _bigram_lm_oracle(
            CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
            mean_tf_micro, rare_frac_micro
     FROM ({_bigram_lm_oracle("TRUE", "TRUE")}) blms
+    UNION ALL
+    SELECT 'dsir_logw' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           mean_tf_micro, rare_frac_micro
+    FROM ({_dsir_oracle()}) dsir
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +732,15 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       bigram is seen, so the novelty fraction is identically 0 and the
       score isolates the smoothed-likelihood signal); exercises the
       default-argument path end-to-end.
+    * variant 'dsir_logw' (r9) — DSIR importance weights
+      (operators/prep.dsir_log_weights, Xie et al. NeurIPS 2023):
+      unigram+bigram features, target = even doc_ids, raw/scored =
+      odd. n_tokens carries the FEATURE-instance count; mean_tf_micro
+      the mean micro-floored log importance ratio (integer sum, exact
+      division); rare_frac_micro the target-unseen feature fraction.
+      Gated hash_terms=False; production joins on xxhash64 feature
+      ids. The Gumbel-top-k resampling half (`dsir_select_n`) is
+      deterministic-tested in tests/test_prep.py.
     """
     from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
     from flink_etl_spark.operators.prep import repetition_stats
@@ -778,6 +850,27 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_logp_micro").alias("mean_tf_micro"),
         F.col("novel_bigram_frac").alias("rare_frac_micro"),
     )
+    from flink_etl_spark.operators.prep import dsir_log_weights
+
+    dsir = dsir_log_weights(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        target_docs=docs.filter(F.col("doc_id") % 2 == 0),
+        hash_terms=False,
+    ).select(
+        F.lit("dsir_logw").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        F.col("n_feats").alias("n_tokens"),
+        F.lit(None).cast("double").alias("dup_token_frac"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.lit(None).cast("long").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_char_frac"),
+        F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        F.col("mean_lr_micro").alias("mean_tf_micro"),
+        F.col("novel_target_frac").alias("rare_frac_micro"),
+    )
     blms = T.bigram_lm_scores(docs, hash_terms=False).select(
         F.lit("bigram_lm_self").alias("variant"),
         F.lit(None).cast("string").alias("bigram"),
@@ -796,6 +889,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.unionByName(rep).unionByName(ulm)
         .unionByName(ulmx).unionByName(blm).unionByName(blms)
+        .unionByName(dsir)
     )
 
 

@@ -702,6 +702,167 @@ def pack_greedy_global(
 
 
 # ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al.,
+# NeurIPS 2023): select raw-corpus documents whose hashed-n-gram
+# feature distribution looks like a TARGET corpus, by importance
+# weight p_target(features)/q_raw(features) under bag-of-n-gram
+# unigram models, then sample without replacement via Gumbel-top-k.
+# ---------------------------------------------------------------------------
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_terms: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weights: features are the
+    document's unigrams + bigrams (the paper's hashed n-gram features;
+    here exact 64-bit `xxhash64` ids by default — collision-safe at
+    corpus scale — with `hash_terms=False` pinning exact strings for
+    the oracle gate, the `bigram_lm_scores` convention), scored
+    against add-one-smoothed feature distributions fit on
+    ``target_docs`` (p) and on ``docs`` itself (q — the raw corpus
+    being selected from, the DSIR setting):
+
+        lr(f) = ln((C_t(f)+1) / (N_t+V)) - ln((C_q(f)+1) / (N_q+V))
+
+    with V the distinct-feature count over BOTH corpora (one shared
+    smoothing denominator, so p and q are proper distributions over
+    the same support). Output per scored document:
+
+    * ``n_feats`` — feature instances (tokens + bigrams);
+    * ``logw_micro`` (BIGINT) — the summed per-instance MICRO-floored
+      log ratio: the document's log importance weight in 1e-6 units,
+      order-independent (integer sum — the engine's summed-float
+      contract) and the direct input to `dsir_select_n`;
+    * ``mean_lr_micro`` — exact int/int division of the sum (a
+      length-independent quality score, comparable across documents);
+    * ``novel_target_frac`` — micro-floored fraction of instances
+      UNSEEN in the target (high = the document is out-of-domain).
+
+    Scale shape: both corpora tokenize once (one concat of the token
+    array with its bigram shingles, one explode); C_t/C_q/V/N are
+    map-side-combined aggregates; the scored feature stream joins the
+    two count tables on the feature key and the 1-row totals
+    broadcast. Empty text tokenizes to one empty-string token (the
+    package-wide `tokens_expr` convention, same as the LM scorers), so
+    every document appears in the output."""
+    t = tokens_expr(text_col)
+    feats = F.concat(t, shingles_expr(t, 2))
+
+    def feat_frame(d: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        f = d.select(*cols, F.explode(feats).alias("_fs"))
+        key = (F.xxhash64("_fs") if hash_terms else F.col("_fs")).alias("_f")
+        return f.select(*([id_col] if with_id else []), key)
+
+    tf_ = feat_frame(target_docs, False)
+    qf_ = feat_frame(docs, False)
+    ct = tf_.groupBy("_f").agg(F.count("*").alias("_ct"))
+    cq = qf_.groupBy("_f").agg(F.count("*").alias("_cq"))
+    totals = (
+        tf_.select("_f").unionAll(qf_.select("_f"))
+        .agg(F.countDistinct("_f").alias("_v"))
+        .crossJoin(tf_.agg(F.count("*").alias("_nt")))
+        .crossJoin(qf_.agg(F.count("*").alias("_nq")))
+    )
+    lr = F.floor(
+        (
+            F.log(
+                (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1.0))
+                / (F.col("_nt") + F.col("_v"))
+            )
+            - F.log(
+                (F.coalesce(F.col("_cq"), F.lit(0)) + F.lit(1.0))
+                / (F.col("_nq") + F.col("_v"))
+            )
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    novel = F.when(F.col("_ct").isNull(), F.lit(1)).otherwise(F.lit(0))
+    scored = (
+        feat_frame(docs, True)
+        .join(ct, "_f", "left")
+        .join(cq, "_f", "left")
+        .join(F.broadcast(totals))
+        .select(id_col, lr.alias("_lr"), novel.alias("_novel"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("_lr").alias("logw_micro"),
+            F.sum("_novel").alias("_n"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "logw_micro",
+            (F.col("logw_micro").cast("double") / F.col("n_feats")).alias(
+                "mean_lr_micro"
+            ),
+            micro_floor_ratio(F.col("_n"), F.col("n_feats")).alias(
+                "novel_target_frac"
+            ),
+        )
+    )
+
+
+def dsir_select_n(
+    weighted: DataFrame,
+    n: int,
+    logw_col: str = "logw_micro",
+    salt: int = 0,
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] | list[str] = (),
+    key_col: str = "gumbel_key",
+) -> DataFrame:
+    """DSIR's resampling half: sample ``n`` rows WITHOUT replacement
+    with probability proportional to ``exp(logw)`` via the Gumbel-
+    top-k theorem (Vieira 2014; Kool et al. 2019) — the top-n of
+    ``logw + Gumbel`` is exactly such a sample, and it never needs
+    the (overflow-prone) exponentiated weights. ``logw_col`` takes
+    `dsir_log_weights`'s micro-integer ``logw_micro`` (divided back
+    once, exactly) or any plain double.
+
+    The Gumbel draw ``-ln(-ln(u))`` uses the same salted affine hash
+    of the id as `weighted_sample_n` — a pure function of (id, salt),
+    so the draw is identical across engines, retries, and
+    partitionings; rotate ``salt`` to redraw. The noise is rounded to
+    6 dp before the add (the catalog determinism rule; the logw side
+    is already 1e-6-exact), ties break on id. Per ``group_cols`` the
+    top-n compiles to WindowGroupLimit; the global form is
+    TakeOrderedAndProject — never a single-reducer sort."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from flink_etl_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+
+    a, b = MINHASH_COEFFS[salt % len(MINHASH_COEFFS)]
+    h = (
+        F.lit(a) * ((F.col(id_col) + F.lit(salt)) % F.lit(MERSENNE_P))
+        + F.lit(b)
+    ) % F.lit(MERSENNE_P)
+    u = (h + F.lit(1)) / F.lit(float(MERSENNE_P + 1))
+    logw = F.col(logw_col).cast("double")
+    if logw_col == "logw_micro":
+        logw = logw / F.lit(1_000_000.0)
+    key = logw + F.round(-F.log(-F.log(u)), 6)
+    scored = weighted.withColumn(key_col, key)
+    if group_cols:
+        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+            F.col(key_col).desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    return scored.orderBy(F.col(key_col).desc(), F.col(id_col)).limit(n)
+
+
+# ---------------------------------------------------------------------------
 # deterministic mixture sampling (per-source training-mix weights)
 # ---------------------------------------------------------------------------
 

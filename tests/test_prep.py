@@ -1383,3 +1383,122 @@ def test_substring_scrub_composes_as_passage_decontamination(
     assert "b0" not in out[1].dedup_text and "b10" not in out[1].dedup_text
     assert out[1].dedup_text.startswith("intro")
     assert out[2].n_tokens_kept == out[2].n_tokens
+
+def test_dsir_log_weights_hand_computed(spark):
+    """DSIR log importance weights match an independent Python
+    evaluation of the smoothed bag-of-n-gram formula (per-instance
+    micro-floor, integer sum); a target-like document outscores an
+    off-domain one; hashed and string feature keys agree; empty docs
+    are absent."""
+    import math
+
+    from flink_etl_spark.operators.prep import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "the cat ran")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dogs bark loud"), (3, "")],
+        "doc_id long, text string",
+    )
+
+    def feats(text):
+        # empty text tokenizes to [''] — the package tokens_expr rule
+        toks = text.split() if text else [""]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    tfeats = [f for t in ("the cat sat", "the cat ran") for f in feats(t)]
+    qfeats = [f for t in ("the cat sat", "dogs bark loud", "") for f in feats(t)]
+    ct, cq = {}, {}
+    for f in tfeats:
+        ct[f] = ct.get(f, 0) + 1
+    for f in qfeats:
+        cq[f] = cq.get(f, 0) + 1
+    v = len(set(tfeats) | set(qfeats))
+    nt, nq = len(tfeats), len(qfeats)
+
+    def expect(text):
+        fs = feats(text)
+        s = sum(
+            math.floor(
+                (math.log((ct.get(f, 0) + 1.0) / (nt + v))
+                 - math.log((cq.get(f, 0) + 1.0) / (nq + v))) * 1e6
+            )
+            for f in fs
+        )
+        novel = sum(1 for f in fs if f not in ct)
+        return len(fs), s, novel
+
+    got = {
+        r.doc_id: r
+        for r in dsir_log_weights(raw, target, hash_terms=False).collect()
+    }
+    assert set(got) == {1, 2, 3}  # empty text = one '' token, still scored
+    for doc_id, text in ((1, "the cat sat"), (2, "dogs bark loud"), (3, "")):
+        nf, s, novel = expect(text)
+        r = got[doc_id]
+        assert r.n_feats == nf
+        assert r.logw_micro == s
+        assert r.mean_lr_micro == s / nf
+        assert r.novel_target_frac == math.floor(novel * 1e6 / nf) / 1e6
+    # in-domain text outscores the off-domain one
+    assert got[1].logw_micro > got[2].logw_micro
+    assert got[1].novel_target_frac == 0.0
+    assert got[2].novel_target_frac == 1.0
+
+    hashed = {
+        r.doc_id: (r.n_feats, r.logw_micro)
+        for r in dsir_log_weights(raw, target, hash_terms=True).collect()
+    }
+    assert hashed == {k: (r.n_feats, r.logw_micro) for k, r in got.items()}
+
+
+def test_dsir_select_n_gumbel_topk(spark):
+    """Gumbel-top-k selection: deterministic per (id, salt), ties on
+    id, high-logw rows selected more often across salts, per-group
+    form respects group boundaries, n<1 raises."""
+    import math
+
+    import pytest
+
+    from flink_etl_spark.functions.hashing import MERSENNE_P, MINHASH_COEFFS
+    from flink_etl_spark.operators.prep import dsir_select_n
+
+    rows = [
+        (i, "a" if i < 6 else "b", (5_000_000 if i % 3 == 0 else 0))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, logw_micro long")
+
+    def expect(salt, n=3):
+        a, b = MINHASH_COEFFS[salt % len(MINHASH_COEFFS)]
+        key = {}
+        for i, _, lw in rows:
+            h = (a * ((i + salt) % MERSENNE_P) + b) % MERSENNE_P
+            u = (h + 1) / float(MERSENNE_P + 1)
+            key[i] = lw / 1e6 + round(-math.log(-math.log(u)), 6)
+        return sorted(sorted(key, key=lambda i: (-key[i], i))[:n])
+
+    for salt in range(12):
+        got = sorted(
+            r.doc_id for r in dsir_select_n(df, 3, salt=salt).collect()
+        )
+        assert got == expect(salt)
+
+    # weight-proportional inclusion: logw=5 (e^5 ~ 148x) dominates
+    heavy = sum(
+        sum(1 for i in expect(s) if i % 3 == 0) for s in range(40)
+    )
+    light = 40 * 3 - heavy
+    assert heavy > light
+
+    grouped = dsir_select_n(df, 2, group_cols=("src",), salt=1).collect()
+    by_src = {}
+    for r in grouped:
+        by_src.setdefault(r.src, []).append(r.doc_id)
+    assert sorted(len(v) for v in by_src.values()) == [2, 2]
+    assert all((i < 6) == (s == "a") for s, v in by_src.items() for i in v)
+
+    with pytest.raises(ValueError, match="n must"):
+        dsir_select_n(df, 0)
