@@ -384,3 +384,25 @@ def test_staged_ann_indexes_partition_prune_on_probe(spark, tmp_path):
         S.ivfpq_search_index(spark, idx2, qs, k=5, nprobe=2)
     ):
         assert "dynamicpruningexpression(" in line, line
+
+
+def test_dsir_totals_broadcast_and_no_cartesian(spark):
+    """DSIR log weights: the V/N_t/N_q totals reach the scored feature
+    stream as a broadcast of ONE row (BroadcastNestedLoop over a 1-row
+    aggregate — fine), never a CartesianProduct; the count-table joins
+    key on the feature column, so every hash exchange carries feature
+    keys + counts, not document text."""
+    from flink_etl_spark.operators.prep import dsir_log_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(dsir_log_weights(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        target_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the doc text column never crosses an exchange: every
+    # hashpartitioning key set is feature/id/count-shaped
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")")[0]
+        assert "text" not in keys, keys
