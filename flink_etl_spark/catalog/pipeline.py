@@ -38,6 +38,10 @@ _MIX_RATES: dict[str, float] = {
 #: draw with n_chars as the weight, salt=0 (coefficient pair 0 — the
 #: oracle embeds it, so the arm pins the salt)
 _WS_N = 8
+
+#: dsir_selected arm: per-source Gumbel-top-k draw size (binding at
+#: sf0.01's ~12 odd docs per source)
+_DSIR_N = 4
 from flink_etl_spark.functions.hashing import MINHASH_COEFFS as _MC  # noqa: E402
 
 _WS_A, _WS_B = _MC[0]
@@ -238,6 +242,73 @@ def _pipeline_oracle() -> str:
         ) s
     ) t
     WHERE rn <= {_WS_N}
+    UNION ALL
+    SELECT 'dsir_selected' AS variant,
+           doc_id AS keep_id,
+           CAST(NULL AS BIGINT) AS n_copies,
+           n_feats AS n_tokens,
+           gkey AS quality,
+           CAST(NULL AS BIGINT) AS fingerprint,
+           CAST(NULL AS VARCHAR) AS split,
+           source,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_tokens,
+           CAST(NULL AS DOUBLE) AS avg_quality,
+           CAST(NULL AS BIGINT) AS seq_id,
+           CAST(NULL AS BIGINT) AS seq_docs,
+           CAST(NULL AS BIGINT) AS seq_tokens,
+           CAST(NULL AS DOUBLE) AS fill_frac
+    FROM (
+        WITH ptoks AS (
+            SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+            FROM documents
+        ),
+        pfeat AS (
+            SELECT doc_id, tok AS f FROM ptoks, UNNEST(t) AS u(tok)
+            UNION ALL
+            SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS f
+            FROM ptoks, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ),
+        pct AS (SELECT f, count(*) AS ct FROM pfeat
+                WHERE doc_id % 2 = 0 GROUP BY 1),
+        pcq AS (SELECT f, count(*) AS cq FROM pfeat
+                WHERE doc_id % 2 = 1 GROUP BY 1),
+        ptot AS (
+            SELECT (SELECT count(DISTINCT f) FROM pfeat) AS v,
+                   (SELECT count(*) FROM pfeat WHERE doc_id % 2 = 0) AS nt,
+                   (SELECT count(*) FROM pfeat WHERE doc_id % 2 = 1) AS nq
+        ),
+        plogw AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   sum(CAST(floor(
+                       (ln((coalesce(ct, 0) + 1.0) / (nt + v))
+                        - ln((coalesce(cq, 0) + 1.0) / (nq + v)))
+                       * 1000000.0) AS BIGINT)) AS logw_micro
+            FROM (SELECT * FROM pfeat WHERE doc_id % 2 = 1) d
+            LEFT JOIN pct USING (f)
+            LEFT JOIN pcq USING (f)
+            CROSS JOIN ptot
+            GROUP BY doc_id
+        )
+        SELECT w.doc_id, w.n_feats, doc.source,
+               -- Gumbel-top-k key: exact logw double + 6dp Gumbel noise
+               -- from the same salt-0 affine u as the engine
+               CAST(w.logw_micro AS DOUBLE) / 1000000.0
+               + round(-ln(-ln(((({_WS_A} * (w.doc_id % {MERSENNE_P})
+                                  + {_WS_B}) % {MERSENNE_P}) + 1)
+                               / {float(MERSENNE_P + 1)!r})), 6) AS gkey,
+               row_number() OVER (
+                   PARTITION BY doc.source
+                   ORDER BY CAST(w.logw_micro AS DOUBLE) / 1000000.0
+                            + round(-ln(-ln(((({_WS_A} * (w.doc_id
+                                               % {MERSENNE_P}) + {_WS_B})
+                                              % {MERSENNE_P}) + 1)
+                                            / {float(MERSENNE_P + 1)!r})), 6)
+                            DESC, w.doc_id) AS rn
+        FROM plogw w JOIN documents doc ON doc.doc_id = w.doc_id
+    ) s
+    WHERE rn <= {_DSIR_N}
     """
 
 
@@ -287,6 +358,16 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
       weight-proportional draw the rate-based `mixture_sample` cannot
       express; deterministic per (id, salt), oracle-exact (priority
       in the quality column, weight in n_tokens).
+    * variant 'dsir_selected' (r9) — the DSIR selection END TO END
+      (operators/prep.dsir_log_weights + dsir_select_n, Xie et al.
+      2023): importance weights of odd-doc_id documents against the
+      even half as target, then a per-source Gumbel-top-4 draw —
+      sampling without replacement proportional to exp(logw), the
+      Gumbel noise a pure function of (doc_id, salt). The gate pins
+      the SELECTED ID SET and the exact Gumbel keys (quality column)
+      against the DuckDB replica — the cross-engine determinism claim
+      of the whole sampling family, verified at the hash level.
+      (keep_id = doc_id, n_tokens = feature count, quality = key.)
     """
     from flink_etl_spark.operators.prep import (
         cap_per_group,
@@ -454,9 +535,40 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("seq_tokens"),
         F.lit(None).cast("double").alias("fill_frac"),
     )
+    from flink_etl_spark.operators.prep import (
+        dsir_log_weights,
+        dsir_select_n,
+    )
+
+    docs_all = _t(spark, sf_dir, "documents")
+    dw = dsir_log_weights(
+        docs_all.filter(F.col("doc_id") % 2 == 1),
+        target_docs=docs_all.filter(F.col("doc_id") % 2 == 0),
+        hash_terms=False,  # gate pins strings; production hashes
+    ).join(docs_all.select("doc_id", "source"), "doc_id")
+    dsir_arm = dsir_select_n(
+        dw, n=_DSIR_N, salt=0, group_cols=("source",)
+    ).select(
+        F.lit("dsir_selected").alias("variant"),
+        F.col("doc_id").alias("keep_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.col("n_feats").alias("n_tokens"),
+        F.col("gumbel_key").alias("quality"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.lit(None).cast("string").alias("split"),
+        "source",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("sum_tokens"),
+        F.lit(None).cast("double").alias("avg_quality"),
+        F.lit(None).cast("long").alias("seq_id"),
+        F.lit(None).cast("long").alias("seq_docs"),
+        F.lit(None).cast("long").alias("seq_tokens"),
+        F.lit(None).cast("double").alias("fill_frac"),
+    )
     return (
         keepers_arm.unionByName(summary_arm)
         .unionByName(packing_arm)
         .unionByName(mixture_arm)
         .unionByName(ws_arm)
+        .unionByName(dsir_arm)
     )
