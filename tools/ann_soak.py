@@ -22,9 +22,31 @@ ANN twin of `tools/compaction_soak.py` for the dedup index:
   ONE-SHOT `ivfpq_build_index` over the union corpus (bootstrap holds
   the seed vectors, so frozen-quantizer appends converge exactly).
 
+Phase 2 then replays the SAME 50 batches through the real
+`start_continuous_ann_index` sink (file source, one file per
+micro-batch, inline `compact_every`) with two mid-stream
+kill/restarts through the actual checkpoint — an interrupted batch
+redelivers on reattach, the genuine foreachBatch replay path — and
+asserts the final index rows, file bound, and search results again
+match the one-shot build.
+
 All checks are hard asserts; prints one JSON line on success.
 
-Usage: python tools/ann_soak.py
+KNOWN UPSTREAM ARTIFACT (harmless, expect it in stderr): each
+`q.stop()` that lands while a foreachBatch python call is in flight
+prints `java.lang.StackOverflowError` from the DYING stream thread —
+Spark 4.1.2's `StreamExecution.isInterruptionException`
+(StreamExecution.scala:774) regex-scans the exception MESSAGE to
+classify the stop, and a Py4J error message embedding a full Python
+traceback blows the regex engine's recursion. Bisected in-session:
+reproduces with a vanilla session + any real foreachBatch job +
+mid-batch stop(); does NOT reproduce with a no-op batch fn. The
+checkpoint is untouched (this probe's phase 2 passes its
+byte-identical assertions THROUGH two such stops) — the error is
+post-decision noise on a thread that is terminating either way.
+
+Usage: python tools/ann_soak.py [1|2|all]   (default all; each phase
+fits a ~5 min budget alone — run them separately on a slow host)
 """
 
 from __future__ import annotations
@@ -72,6 +94,9 @@ def make_vec(rng: random.Random) -> list[float]:
 
 
 def main() -> None:
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if phase not in ("1", "2", "all"):
+        raise SystemExit(f"usage: ann_soak.py [1|2|all], got {phase!r}")
     spark = get_spark(app_name="ann-soak")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="ann_soak_")
@@ -89,8 +114,6 @@ def main() -> None:
     ]
 
     boot = spark.createDataFrame(boot_rows, schema)
-    ivfpq_build_index(boot, idx, n_cells=4, m=8, n_codes=16)
-    ivfpq_build_index(boot, idx2, n_cells=4, m=8, n_codes=16)
 
     def cells(p):
         return sorted(
@@ -101,78 +124,164 @@ def main() -> None:
     def max_files(p):
         return max(partition_file_count(spark, d) for d in _ann_data_dirs(spark, p))
 
-    t0 = time.perf_counter()
-    n_replays = n_folds = 0
-    max_between = 0
-    for bid, rows in enumerate(batches):
-        df = spark.createDataFrame(rows, schema)
-        n = ivfpq_append_index(spark, df, idx)
-        assert n == BATCH_ROWS, f"batch {bid}: appended {n} != {BATCH_ROWS}"
-        if COMPACT_EVERY and bid > 0 and bid % COMPACT_EVERY == 0:
-            folded = compact_ann_index(spark, idx, target_files=TARGET_FILES)
-            assert folded >= 1, f"batch {bid}: expected a real fold"
-            n_folds += 1
-            assert max_files(idx) == TARGET_FILES, (
-                f"batch {bid}: post-compaction files {max_files(idx)}"
-            )
-        if bid in REPLAY_AFTER:
-            before = cells(idx)
-            n = ivfpq_append_index(spark, df, idx)  # redelivered batch
-            assert n == 0, f"replay of batch {bid} appended {n}"
-            if COMPACT_EVERY and bid > 0 and bid % COMPACT_EVERY == 0:
-                refold = compact_ann_index(spark, idx, target_files=TARGET_FILES)
-                assert refold == 0, f"replayed compaction folded {refold}"
-            assert cells(idx) == before, f"replay of batch {bid} changed rows"
-            n_replays += 1
-        if bid == CRASH_SWAP_AFTER:
-            # crash inside the delete+rename window of one cell dir
-            before = cells(idx)
-            victim = _ann_data_dirs(spark, idx)[0]
-            vdf = spark.read.parquet(victim)
-            stage_snapshot(vdf.repartition(1), victim)
-            fs, hp = _hadoop_fs(spark, victim)
-            fs.delete(hp, True)
-            assert recover_ann_index(spark, idx) == 1, "recovery missed"
-            assert cells(idx) == before, "crash-window recovery changed rows"
-        max_between = max(max_between, max_files(idx))
-
-    # between compactions at most cadence-many batch file sets accrete
-    # on top of the compacted file (appends may split a batch's cell
-    # rows across a couple of files — allow 2x slack, still far under
-    # the twin's unbounded accretion)
-    bound = TARGET_FILES + 2 * COMPACT_EVERY
-    assert max_between <= bound, f"{max_between} > bound {bound}"
-
-    # uncompacted, replay-free twin
-    for rows in batches:
-        ivfpq_append_index(spark, spark.createDataFrame(rows, schema), idx2)
-    twin_max = max_files(idx2)
-    assert cells(idx) == cells(idx2), "compacted rows differ from twin"
-
-    # one-shot build over the union corpus: identical searchable index
     all_rows = boot_rows + [r for b in batches for r in b]
     oneshot = f"{root}/oneshot"
     ivfpq_build_index(
         spark.createDataFrame(all_rows, schema), oneshot,
         n_cells=4, m=8, n_codes=16,
     )
-    assert cells(idx) == cells(oneshot), "streamed index != one-shot build"
-
     qs = spark.createDataFrame(all_rows[:8], schema)
     search = lambda p: sorted(
         map(tuple, ivfpq_search_index(spark, p, qs, k=5, nprobe=2).collect())
     )
-    assert search(idx) == search(oneshot) == search(idx2), "search drifted"
-
-    print(json.dumps({
+    bound = TARGET_FILES + 2 * COMPACT_EVERY
+    out = {
         "batches": N_BATCHES, "compact_every": COMPACT_EVERY,
-        "folds": n_folds, "replays": n_replays, "crash_swaps": 1,
-        "max_files_between_folds": max_between,
-        "twin_max_files": twin_max,
-        "rows_identical_twin_and_oneshot": True,
-        "search_identical": True,
-        "wall_sec": round(time.perf_counter() - t0, 1),
-    }))
+        "phase": phase,
+    }
+
+    t0 = time.perf_counter()
+    n_replays = n_folds = 0
+    max_between = 0
+    if phase in ("1", "all"):
+      ivfpq_build_index(boot, idx, n_cells=4, m=8, n_codes=16)
+      ivfpq_build_index(boot, idx2, n_cells=4, m=8, n_codes=16)
+      for bid, rows in enumerate(batches):
+          df = spark.createDataFrame(rows, schema)
+          n = ivfpq_append_index(spark, df, idx)
+          assert n == BATCH_ROWS, f"batch {bid}: appended {n} != {BATCH_ROWS}"
+          if COMPACT_EVERY and bid > 0 and bid % COMPACT_EVERY == 0:
+              folded = compact_ann_index(spark, idx, target_files=TARGET_FILES)
+              assert folded >= 1, f"batch {bid}: expected a real fold"
+              n_folds += 1
+              assert max_files(idx) == TARGET_FILES, (
+                  f"batch {bid}: post-compaction files {max_files(idx)}"
+              )
+          if bid in REPLAY_AFTER:
+              before = cells(idx)
+              n = ivfpq_append_index(spark, df, idx)  # redelivered batch
+              assert n == 0, f"replay of batch {bid} appended {n}"
+              if COMPACT_EVERY and bid > 0 and bid % COMPACT_EVERY == 0:
+                  refold = compact_ann_index(
+                      spark, idx, target_files=TARGET_FILES
+                  )
+                  assert refold == 0, f"replayed compaction folded {refold}"
+              assert cells(idx) == before, (
+                  f"replay of batch {bid} changed rows"
+              )
+              n_replays += 1
+          if bid == CRASH_SWAP_AFTER:
+              # crash inside the delete+rename window of one cell dir
+              before = cells(idx)
+              victim = _ann_data_dirs(spark, idx)[0]
+              vdf = spark.read.parquet(victim)
+              stage_snapshot(vdf.repartition(1), victim)
+              fs, hp = _hadoop_fs(spark, victim)
+              fs.delete(hp, True)
+              assert recover_ann_index(spark, idx) == 1, "recovery missed"
+              assert cells(idx) == before, (
+                  "crash-window recovery changed rows"
+              )
+          max_between = max(max_between, max_files(idx))
+
+      # between compactions at most cadence-many batch file sets
+      # accrete on top of the compacted file (appends may split a
+      # batch's cell rows across a couple of files — 2x slack, still
+      # far under the twin's unbounded accretion)
+      assert max_between <= bound, f"{max_between} > bound {bound}"
+
+      # uncompacted, replay-free twin
+      for rows in batches:
+          ivfpq_append_index(spark, spark.createDataFrame(rows, schema), idx2)
+      twin_max = max_files(idx2)
+      assert cells(idx) == cells(idx2), "compacted rows differ from twin"
+      assert cells(idx) == cells(oneshot), "streamed index != one-shot build"
+      assert search(idx) == search(oneshot) == search(idx2), "search drifted"
+      out.update({
+          "folds": n_folds, "replays": n_replays, "crash_swaps": 1,
+          "max_files_between_folds": max_between,
+          "twin_max_files": twin_max,
+          "rows_identical_twin_and_oneshot": True,
+          "search_identical": True,
+          "phase1_wall_sec": round(time.perf_counter() - t0, 1),
+      })
+
+    # ------------------------------------------------------------------
+    # phase 2: the REAL sink at horizon — the same 50 batches streamed
+    # through start_continuous_ann_index (file source, 1 file per
+    # micro-batch, inline compact_every) with two mid-stream
+    # kill/restarts through the actual checkpoint (an interrupted
+    # batch replays on reattach — the genuine foreachBatch redelivery
+    # path, not a simulation)
+    # ------------------------------------------------------------------
+    if phase in ("2", "all"):
+      from flink_etl_spark.streaming.ann_sink import (
+          start_continuous_ann_index,
+      )
+
+      t1 = time.perf_counter()
+      idx3, src, ck = f"{root}/sink_idx", f"{root}/src", f"{root}/ck"
+      ivfpq_build_index(boot, idx3, n_cells=4, m=8, n_codes=16)
+      os.makedirs(src)
+      for b, rows in enumerate(batches):
+          stage = f"{root}/stage"
+          spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+              "overwrite"
+          ).parquet(stage)
+          part = next(
+              p for p in os.listdir(stage) if p.endswith(".parquet")
+          )
+          os.rename(f"{stage}/{part}", f"{src}/b{b:03d}.parquet")
+
+      def attach(available_now: bool):
+          stream = (
+              spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src)
+          )
+          return start_continuous_ann_index(
+              stream, idx3, ck, kind="ivfpq",
+              available_now=available_now, compact_every=COMPACT_EVERY,
+          )
+
+      def run_until(q, batch_id: int, deadline_s: float = 300.0) -> int:
+          # batchId is GLOBAL across restarts (it lives in the
+          # checkpoint), unlike recentProgress which is per-instance
+          last = -1
+          end = time.monotonic() + deadline_s
+          while time.monotonic() < end:
+              ids = [p["batchId"] for p in q.recentProgress]
+              last = max(ids) if ids else last
+              if last >= batch_id:
+                  break
+              time.sleep(0.5)
+          return last
+
+      sink_restarts = 0
+      for cut in (17, 34):  # two kills, each mid-cadence or mid-batch
+          q = attach(available_now=False)
+          assert run_until(q, cut) >= cut, f"stalled before batch {cut}"
+          q.stop()  # may interrupt a batch in flight -> real replay next
+          q.awaitTermination(60)
+          sink_restarts += 1
+      q = attach(available_now=True)  # drain the rest
+      q.awaitTermination(600)
+
+      assert cells(idx3) == cells(oneshot), (
+          "REAL-sink index != one-shot build"
+      )
+      sink_max_files = max_files(idx3)
+      assert sink_max_files <= bound, f"sink files {sink_max_files} > {bound}"
+      assert search(idx3) == search(oneshot), "REAL-sink search drifted"
+      out["sink_phase"] = {
+          "restarts": sink_restarts,
+          "final_max_files": sink_max_files,
+          "rows_identical_oneshot": True,
+          "search_identical": True,
+          "wall_sec": round(time.perf_counter() - t1, 1),
+      }
+
+    print(json.dumps(out))
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
