@@ -208,6 +208,27 @@ def _bench_pipeline(spark, sf_dir):
     )
 
 
+def _bench_dsir(spark, sf_dir):
+    """DSIR data selection (r9): importance weights of the odd-doc_id
+    half against the even half as target (hashed unigram+bigram
+    features, production xxhash64 ids) + per-source Gumbel-top-256
+    selection — the full select pipeline, tracked from r9 on (not in
+    comparable_11)."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.prep import (
+        dsir_log_weights,
+        dsir_select_n,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = dsir_log_weights(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        target_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return dsir_select_n(dw, n=256, salt=0, group_cols=("source",))
+
+
 #: headline set — one per operator family (CDC, ingest, agg, join,
 #: temporal join, window, near-dup, ANN, text, composite pipeline).
 #: `text_doc_profile` replaces r2's `text_quality_score` (the quality
@@ -236,6 +257,7 @@ HEADLINE = [
     ("fingerprint_candidates", _bench_fp_candidates),
     ("ann_ivfpq_topk", _bench_ivfpq),
     ("bm25_topk", _bench_bm25),
+    ("dsir_select", _bench_dsir),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -250,6 +272,7 @@ NON_COMPARABLE = {
     "fingerprint_candidates",
     "ann_ivfpq_topk",
     "bm25_topk",
+    "dsir_select",
 }
 
 
