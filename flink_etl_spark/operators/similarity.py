@@ -300,8 +300,10 @@ def split_hot_cells(
     re-censuses afterwards and warns if residual skew survived
     max_rounds (a pathological distribution wants a bigger n_cells).
 
-    Deterministic throughout (hash-ordered seed members, sub-cell ids
-    ordered by (round, hot cell id, member hash)); downstream is
+    Deterministic throughout (hash-ordered seed MEMBERSHIP; sub-cell
+    ids are then assigned in (round, hot cell id, member id) order —
+    the array_sort on (id, vec) structs orders the chosen k by member
+    id, the hash only decides WHICH k members seed); downstream is
     transparent: search and appends read the centroid table from the
     index and never assume contiguous cell ids. The scale-relevant
     probe cost is what the split removes — probing a cell that holds
@@ -1836,12 +1838,30 @@ def ann_drift_check(
     cents = spark.read.parquet(f"{index_path}/centroids")
     batch_sim = mean_centroid_sim(guarded, cents, id_col, vec_col)
     baseline = meta.get("mean_centroid_sim")
-    ratio = round(batch_sim / baseline, 4) if baseline else 1.0
+    # a baseline <= 0 is un-checkable, not "missing": 0.0 would divide
+    # away, and a NEGATIVE baseline (legal for cosine) would INVERT
+    # the ratio — a worse (more negative) batch_sim reading as higher.
+    # Treat both as monitor-off and say so, rather than silently never
+    # warning.
+    checkable = baseline is not None and baseline > 0
+    if baseline is not None and baseline <= 0:
+        import warnings
+
+        warnings.warn(
+            f"IVF-PQ index at {index_path}: recorded baseline "
+            f"mean_centroid_sim {baseline} is <= 0 — the drift ratio is "
+            "undefined there (a negative baseline inverts the "
+            "comparison); rebuild the index to record a usable "
+            "baseline. Returning ratio 1.0 with the monitor OFF",
+            UserWarning,
+            stacklevel=2,
+        )
+    ratio = round(batch_sim / baseline, 4) if checkable else 1.0
     out = {
         "batch_sim": batch_sim,
         "baseline_sim": baseline,
         "ratio": ratio,
-        "rebuild_recommended": bool(baseline) and ratio < rebuild_below,
+        "rebuild_recommended": checkable and ratio < rebuild_below,
     }
     if out["rebuild_recommended"]:
         import warnings
@@ -1866,7 +1886,7 @@ def ivfpq_rebuild_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int | str | None = None,
-    cell_refine_iters: int = 0,
+    cell_refine_iters: int = 2,
     max_cell_frac: float | None = None,
     warn_cell_frac: float = 0.25,
 ) -> None:
@@ -1876,6 +1896,16 @@ def ivfpq_rebuild_index(
     index appended from a moving distribution keeps routing new
     vectors through stale centroids, and ONLY a rebuild re-derives
     them.
+
+    ``cell_refine_iters`` defaults to 2 (Lloyd refinement ON) because
+    the drift probe PROVED the bare rebuild useless against the very
+    drift that triggers this call: id-ordered seed picks never land in
+    a late-arriving mode, so refine=0 left recall@5 at 0.30 while
+    refine=3 recovered 1.00 (`tools/drift_probe.py`, curve in
+    docs/SCALING.md "Quantizer drift"). Passing 0 explicitly is
+    allowed (it reproduces a frozen-seed build exactly — useful for
+    layout-only rebuilds) but warns, so the operator answering an
+    `ann_drift_check` alert cannot silently run the no-op arm.
 
     What must be re-derived vs what streams — the split this function
     exists to document and test:
@@ -1922,6 +1952,18 @@ def ivfpq_rebuild_index(
         raise ValueError(
             "rebuild must target a NEW path (searches keep reading the "
             "old index until cutover; an in-place rebuild races them)"
+        )
+    if cell_refine_iters == 0:
+        import warnings
+
+        warnings.warn(
+            "ivfpq_rebuild_index(cell_refine_iters=0): a rebuild without "
+            "Lloyd refinement does NOT recover from quantizer drift "
+            "(measured: recall@5 stays at its drifted floor while "
+            "refine>=2 recovers fully — tools/drift_probe.py); keep the "
+            "default unless this is a layout-only rebuild",
+            UserWarning,
+            stacklevel=2,
         )
     ivfpq_build_index(
         corpus, new_path,

@@ -2173,7 +2173,12 @@ def test_ivfpq_rebuild_index_equals_fresh_build(spark, tmp_path):
     new = str(tmp_path / "new")
     similarity.ivfpq_rebuild_index(spark, old, new, embs)
     fresh = str(tmp_path / "fresh")
-    similarity.ivfpq_build_index(embs, fresh, n_cells=4, m=8, n_codes=16)
+    # the rebuild's default is cell_refine_iters=2 (the drift probe
+    # proved refine=0 recovers nothing) — the fresh-build twin must
+    # pass the same value to stay byte-identical
+    similarity.ivfpq_build_index(
+        embs, fresh, n_cells=4, m=8, n_codes=16, cell_refine_iters=2
+    )
     read = lambda p: sorted(
         (r[0], bytes(r[1]), r[2])
         for r in spark.read.parquet(f"{p}/cells").collect()
@@ -2186,6 +2191,15 @@ def test_ivfpq_rebuild_index_equals_fresh_build(spark, tmp_path):
         spark, new, qs, k=5).collect())) == sorted(map(
         tuple, similarity.ivfpq_search_index(spark, fresh, qs, k=5).collect()
     ))
+
+    # refine=0 is the measured no-op arm against drift: allowed
+    # (layout-only rebuilds) but must WARN so a drift-alert response
+    # can't silently run it
+    with pytest.warns(UserWarning, match="without Lloyd refinement"):
+        similarity.ivfpq_rebuild_index(
+            spark, old, str(tmp_path / "norefine"), embs,
+            cell_refine_iters=0,
+        )
 
     with pytest.raises(ValueError, match="NEW path"):
         similarity.ivfpq_rebuild_index(spark, old, old + "/", embs)
@@ -2241,6 +2255,27 @@ def test_ann_drift_check_flags_drifted_batches(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no _IVFPQ_META"):
         ann_drift_check(spark, str(tmp_path / "nope"), same)
+
+    # baseline <= 0 is un-checkable, not missing: 0.0 used to be
+    # truthiness-swallowed (never warns) and a NEGATIVE baseline
+    # INVERTS the ratio so worse batches read as better — both must
+    # warn monitor-off and never recommend a rebuild off bad math
+    from flink_etl_spark.operators.similarity import (
+        _ivfpq_meta,
+        _write_json_sidecar,
+    )
+
+    meta = _ivfpq_meta(spark, idx)
+    for bad_baseline in (0.0, -0.4):
+        _write_json_sidecar(
+            spark, f"{idx}/_IVFPQ_META.json",
+            {**meta, "mean_centroid_sim": bad_baseline},
+        )
+        with pytest.warns(UserWarning, match="monitor OFF"):
+            res = ann_drift_check(spark, idx, drifted)
+        assert res["ratio"] == 1.0
+        assert not res["rebuild_recommended"]
+    _write_json_sidecar(spark, f"{idx}/_IVFPQ_META.json", meta)
 
 def test_semdedup_zero_norm_centroid_duel_is_deterministic(spark):
     """Regression (hypothesis find, r9): when the smallest-id seed is a
