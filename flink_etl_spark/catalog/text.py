@@ -534,34 +534,53 @@ def _bigram_lm_oracle(
     """
 
 
-def _dsir_oracle() -> str:
+def _dsir_oracle(n_buckets: int | None = None) -> str:
     """DuckDB twin of `prep.dsir_log_weights(docs=odd, target=even,
     hash_terms=False)`: unigram+bigram features, add-one-smoothed
     log importance ratio per feature INSTANCE micro-floored before the
     integer sum (order-independent); V is the distinct-feature count
     over both corpora (= all documents here), matching the engine's
-    shared smoothing denominator."""
+    shared smoothing denominator.
+
+    ``n_buckets=B`` twins the paper's fixed hashed feature space
+    (`dsir_log_weights(n_buckets=B)`): the feature key is the portable
+    char-fold hash mod B, smoothing V = B, and 'novel' means the
+    bucket carries zero target mass. The engine packs per-bucket
+    ratios into one broadcast array and scores row-locally; scoring
+    per exploded instance here is value-identical because equal
+    buckets share one micro-floored ratio."""
+    from flink_etl_spark.functions.hashing import duckdb_char_fold_hash
     from flink_etl_spark.operators.text import (
         duckdb_micro_floor_ratio as dmfr,
     )
 
+    if n_buckets is None:
+        key, v_expr, novel = (
+            "f", "(SELECT count(DISTINCT f) FROM dfeat)",
+            "CASE WHEN ct IS NULL THEN 1 ELSE 0 END",
+        )
+    else:
+        key = f"({duckdb_char_fold_hash('f')}) % {n_buckets}"
+        v_expr = str(n_buckets)
+        novel = "CASE WHEN coalesce(ct, 0) = 0 THEN 1 ELSE 0 END"
     return f"""
     WITH dtoks AS (
         SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents
     ),
-    dfeat AS (
+    dfeat0 AS (
         SELECT doc_id, tok AS f FROM dtoks, UNNEST(t) AS u(tok)
         UNION ALL
         SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS f
         FROM dtoks, UNNEST(range(1, len(t))) AS u(i)
         WHERE len(t) >= 2
     ),
+    dfeat AS (SELECT doc_id, {key} AS f FROM dfeat0),
     dct AS (SELECT f, count(*) AS ct FROM dfeat
             WHERE doc_id % 2 = 0 GROUP BY 1),
     dcq AS (SELECT f, count(*) AS cq FROM dfeat
             WHERE doc_id % 2 = 1 GROUP BY 1),
     dtot AS (
-        SELECT (SELECT count(DISTINCT f) FROM dfeat) AS v,
+        SELECT {v_expr} AS v,
                (SELECT count(*) FROM dfeat WHERE doc_id % 2 = 0) AS nt,
                (SELECT count(*) FROM dfeat WHERE doc_id % 2 = 1) AS nq
     ),
@@ -570,7 +589,7 @@ def _dsir_oracle() -> str:
                CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + v))
                            - ln((coalesce(cq, 0) + 1.0) / (nq + v)))
                           * 1000000.0) AS BIGINT) AS lr,
-               CASE WHEN ct IS NULL THEN 1 ELSE 0 END AS novel
+               {novel} AS novel
         FROM (SELECT * FROM dfeat WHERE doc_id % 2 = 1) d
         LEFT JOIN dct USING (f)
         LEFT JOIN dcq USING (f)
@@ -689,6 +708,19 @@ def _dsir_oracle() -> str:
            CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
            mean_tf_micro, rare_frac_micro
     FROM ({_dsir_oracle()}) dsir
+    UNION ALL
+    SELECT 'dsir_bucketed' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           mean_tf_micro, rare_frac_micro
+    FROM ({_dsir_oracle(n_buckets=512)}) dsirb
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +773,16 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       Gated hash_terms=False; production joins on xxhash64 feature
       ids. The Gumbel-top-k resampling half (`dsir_select_n`) is
       deterministic-tested in tests/test_prep.py.
+    * variant 'dsir_bucketed' (r10) — the paper's FIXED hashed feature
+      space (`n_buckets=512` here — small enough that bucket
+      collisions genuinely fire at sf0.01, so the coarsened counts and
+      the bucket-level novelty rule are what the oracle checks, not a
+      collision-free echo of dsir_logw): smoothing V = B, per-bucket
+      log ratios packed into ONE broadcast array, per-doc scoring a
+      zero-shuffle row-local fold (the 100 TB shape — the exact-id arm
+      shuffles the exploded feature stream through two
+      vocabulary-sized joins). Bucket hash pinned to the portable
+      char fold (production `hash_terms=True` buckets on xxhash64).
     """
     from flink_etl_spark.functions.hashing import shingles_expr, tokens_expr
     from flink_etl_spark.operators.prep import repetition_stats
@@ -871,6 +913,26 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_lr_micro").alias("mean_tf_micro"),
         F.col("novel_target_frac").alias("rare_frac_micro"),
     )
+    dsirb = dsir_log_weights(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        target_docs=docs.filter(F.col("doc_id") % 2 == 0),
+        hash_terms=False,
+        n_buckets=512,
+    ).select(
+        F.lit("dsir_bucketed").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        F.col("n_feats").alias("n_tokens"),
+        F.lit(None).cast("double").alias("dup_token_frac"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.lit(None).cast("long").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_char_frac"),
+        F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        F.col("mean_lr_micro").alias("mean_tf_micro"),
+        F.col("novel_target_frac").alias("rare_frac_micro"),
+    )
     blms = T.bigram_lm_scores(docs, hash_terms=False).select(
         F.lit("bigram_lm_self").alias("variant"),
         F.lit(None).cast("string").alias("bigram"),
@@ -889,7 +951,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.unionByName(rep).unionByName(ulm)
         .unionByName(ulmx).unionByName(blm).unionByName(blms)
-        .unionByName(dsir)
+        .unionByName(dsir).unionByName(dsirb)
     )
 
 

@@ -716,6 +716,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_terms: bool = True,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weights: features are the
     document's unigrams + bigrams (the paper's hashed n-gram features;
@@ -748,7 +749,29 @@ def dsir_log_weights(
     two count tables on the feature key and the 1-row totals
     broadcast. Empty text tokenizes to one empty-string token (the
     package-wide `tokens_expr` convention, same as the LM scorers), so
-    every document appears in the output."""
+    every document appears in the output.
+
+    ``n_buckets=B`` switches to the PAPER's hashed feature space (Xie
+    et al. 2023 hash n-grams into a fixed 10k-bucket vocabulary): each
+    feature maps to ``hash(f) % B``, the fit distributions live over
+    exactly B buckets (smoothing V = B — fixed, no corpus-wide
+    distinct count), and — the 100 TB point — PER-DOC SCORING IS
+    ZERO-SHUFFLE: the two count tables collapse to one B-length
+    log-ratio array packed into a single broadcast row, and every
+    document folds its own feature array against it map-side (no
+    explode of the scored corpus, no join on the feature key). The
+    exact-id form shuffles the entire exploded token+bigram stream of
+    the raw corpus through two vocabulary-sized joins; the bucketed
+    form exchanges nothing bigger than B-row partial counts.
+    Collision cost is the method's own design point (counts, not
+    texts, collide — the fit distributions just coarsen); measured
+    agreement vs the exact arm at sf0.1 is recorded in docs/SCALING.md
+    ("DSIR" section). B must fit a broadcast row: 8 bytes * B * 2
+    arrays (10k default in the paper; <= ~16M is safe)."""
+    if n_buckets is not None:
+        return _dsir_log_weights_bucketed(
+            docs, target_docs, id_col, text_col, hash_terms, n_buckets
+        )
     t = tokens_expr(text_col)
     feats = F.concat(t, shingles_expr(t, 2))
 
@@ -795,6 +818,147 @@ def dsir_log_weights(
             F.count("*").alias("n_feats"),
             F.sum("_lr").alias("logw_micro"),
             F.sum("_novel").alias("_n"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "logw_micro",
+            (F.col("logw_micro").cast("double") / F.col("n_feats")).alias(
+                "mean_lr_micro"
+            ),
+            micro_floor_ratio(F.col("_n"), F.col("n_feats")).alias(
+                "novel_target_frac"
+            ),
+        )
+    )
+
+
+def _dsir_log_weights_bucketed(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_terms: bool,
+    n_buckets: int,
+) -> DataFrame:
+    """The fixed-bucket DSIR arm (`dsir_log_weights(n_buckets=B)`) —
+    see its docstring for semantics. Shape:
+
+    1. FIT (the only exchanges): explode each corpus to feature
+       buckets, groupBy(bucket) count — map-side combined, <= B rows
+       per side. A `spark.range(B)` grid left-joins the two count
+       tables so EVERY bucket gets a row (absent buckets carry the
+       smoothing-only ratio ln((Nq+B)/(Nt+B))), and one aggregate
+       packs the dense per-bucket (log-ratio, target-unseen) pair
+       into TWO B-length arrays in ONE row. N_t/N_q fall out of the
+       same aggregate (sums over the count columns) — no second scan.
+    2. SCORE (zero shuffle): broadcast-cross the packed row onto the
+       raw corpus and fold each document's own feature array against
+       it row-locally (`aggregate` over element_at lookups). The
+       scored corpus never explodes and never joins.
+
+    Per the interpreted-HOF rule (repetition_stats docstring), the
+    token array, the feature array, and the bucket-index array are
+    each staged as their OWN projected column — inlining them
+    re-evaluates the tokenization per reference. Per-bucket log
+    ratios are micro-floored BEFORE the per-doc sum, so the sum is
+    order-independent and identical to flooring per instance (equal
+    buckets share one floored value)."""
+    from flink_etl_spark.functions.hashing import MERSENNE_P
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if n_buckets > 16_000_000:
+        raise ValueError(
+            f"n_buckets {n_buckets} exceeds the broadcast-row sanity cap "
+            "(2 arrays * 8 bytes * B must stay driver/executor-friendly); "
+            "use the exact-id arm past ~16M buckets"
+        )
+    B = n_buckets
+
+    def bucket_sql(var: str) -> str:
+        # non-negative in both engines: pmod for the 64-bit hash, and
+        # the char fold's accumulator already lives in [0, P)
+        if hash_terms:
+            return f"pmod(xxhash64({var}), {B})"
+        return (
+            f"(aggregate(transform(split({var}, ''), "
+            f"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}) % {B})"
+        )
+
+    def feats_frame(d: DataFrame, keep_id: bool) -> DataFrame:
+        toks = d.select(
+            *([F.col(id_col)] if keep_id else []),
+            tokens_expr(text_col).alias("_toks"),
+        )
+        return toks.select(
+            *([id_col] if keep_id else []),
+            F.concat(
+                F.col("_toks"), shingles_expr(F.col("_toks"), 2)
+            ).alias("_feats"),
+        )
+
+    def bucket_counts(d: DataFrame, out: str) -> DataFrame:
+        return (
+            feats_frame(d, False)
+            .select(F.explode("_feats").alias("_fs"))
+            .select(F.expr(bucket_sql("_fs")).alias("_b"))
+            .groupBy("_b")
+            .agg(F.count("*").alias(out))
+        )
+
+    spark = docs.sparkSession
+    grid = spark.range(B).select(F.col("id").alias("_b"))
+    per_bucket = (
+        grid.join(bucket_counts(target_docs, "_ct"), "_b", "left")
+        .join(bucket_counts(docs, "_cq"), "_b", "left")
+        .select(
+            "_b",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cq", F.lit(0)).alias("_cq"),
+        )
+    )
+    packed = (
+        per_bucket.agg(
+            F.sum("_ct").alias("_nt"),
+            F.sum("_cq").alias("_nq"),
+            F.array_sort(
+                F.collect_list(F.struct("_b", "_ct", "_cq"))
+            ).alias("_a"),
+        )
+        .select(
+            F.expr(
+                f"transform(_a, x -> CAST(floor("
+                f"(ln((x._ct + 1.0) / (_nt + {B})) - "
+                f"ln((x._cq + 1.0) / (_nq + {B}))) * 1000000.0) AS BIGINT))"
+            ).alias("_lrs"),
+            F.expr(
+                "transform(_a, x -> CAST(CASE WHEN x._ct = 0 THEN 1 "
+                "ELSE 0 END AS BIGINT))"
+            ).alias("_novs"),
+        )
+    )
+    return (
+        feats_frame(docs, True)
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_bidx",
+            F.expr(
+                f"transform(_feats, f -> CAST({bucket_sql('f')} AS INT) + 1)"
+            ),
+        )
+        .select(
+            id_col,
+            F.size("_feats").alias("n_feats"),
+            F.expr(
+                "aggregate(_bidx, CAST(0 AS BIGINT), "
+                "(acc, i) -> acc + element_at(_lrs, i))"
+            ).alias("logw_micro"),
+            F.expr(
+                "aggregate(_bidx, CAST(0 AS BIGINT), "
+                "(acc, i) -> acc + element_at(_novs, i))"
+            ).alias("_n"),
         )
         .select(
             id_col,

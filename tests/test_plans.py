@@ -406,3 +406,38 @@ def test_dsir_totals_broadcast_and_no_cartesian(spark):
     for frag in plan.split("Exchange hashpartitioning(")[1:]:
         keys = frag.split(")")[0]
         assert "text" not in keys, keys
+
+
+def test_dsir_bucketed_scoring_is_zero_shuffle(spark):
+    """dsir_log_weights(n_buckets=B) — the paper's fixed hashed feature
+    space: per-doc scoring must be a row-local fold against ONE
+    broadcast packed row. Pinned plan shape: no exchange keys on the
+    feature/bucket column on the scored side (the only hash exchanges
+    are the <= B-row fit-count aggregations and their grid joins), no
+    SortMergeJoin anywhere (nothing corpus-sized ever joins), the
+    scored corpus never explodes (exactly 2 Generate ops — one per
+    fit-side corpus), and the packed ratios arrive via a broadcast of
+    one row."""
+    from flink_etl_spark.operators.prep import dsir_log_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(dsir_log_weights(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        target_docs=docs.filter(F.col("doc_id") % 2 == 0),
+        n_buckets=256,
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan     # the 1-row packed join
+    assert "SortMergeJoin" not in plan
+    # fit side explodes each corpus once; the SCORED corpus does not
+    # explode at all — its features fold row-locally
+    assert plan.count("Generate explode") == 2, plan.count(
+        "Generate explode"
+    )
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")")[0]
+        assert "text" not in keys, keys
+        # no exchange is keyed on the document id either: the per-doc
+        # aggregate is gone (row-local fold), so any doc-id-keyed
+        # exchange means the zero-shuffle contract regressed
+        assert "doc_id" not in keys, keys

@@ -1454,6 +1454,102 @@ def test_dsir_log_weights_hand_computed(spark):
     assert hashed == {k: (r.n_feats, r.logw_micro) for k, r in got.items()}
 
 
+def test_dsir_log_weights_bucketed_hand_computed(spark):
+    """dsir_log_weights(n_buckets=B) matches an independent Python
+    evaluation of the bucketed formula (char-fold bucket, V = B,
+    bucket-level novelty), for a B small enough that collisions
+    genuinely fire; a huge B reproduces the exact arm's VALUES on a
+    collision-free corpus (same floored ratios, V=B differing only by
+    the smoothing constant is NOT expected to match exactly — so the
+    equivalence is checked structurally: n_feats and rankings);
+    validation raises on bad B."""
+    import math
+
+    import pytest
+
+    from flink_etl_spark.functions.hashing import MERSENNE_P
+    from flink_etl_spark.operators.prep import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "the cat ran")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dogs bark loud"), (3, "")],
+        "doc_id long, text string",
+    )
+    B = 7  # tiny: forces real collisions
+
+    def feats(text):
+        toks = text.split() if text else [""]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        acc = 0
+        for c in f:
+            acc = (acc * 131 + ord(c)) % MERSENNE_P
+        return acc % B
+
+    ct, cq = {}, {}
+    for t in ("the cat sat", "the cat ran"):
+        for f in feats(t):
+            b = bucket(f)
+            ct[b] = ct.get(b, 0) + 1
+    for t in ("the cat sat", "dogs bark loud", ""):
+        for f in feats(t):
+            b = bucket(f)
+            cq[b] = cq.get(b, 0) + 1
+    nt, nq = sum(ct.values()), sum(cq.values())
+
+    def expect(text):
+        bs = [bucket(f) for f in feats(text)]
+        s = sum(
+            math.floor(
+                (math.log((ct.get(b, 0) + 1.0) / (nt + B))
+                 - math.log((cq.get(b, 0) + 1.0) / (nq + B))) * 1e6
+            )
+            for b in bs
+        )
+        novel = sum(1 for b in bs if ct.get(b, 0) == 0)
+        return len(bs), s, novel
+
+    got = {
+        r.doc_id: r
+        for r in dsir_log_weights(
+            raw, target, hash_terms=False, n_buckets=B
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for doc_id, text in ((1, "the cat sat"), (2, "dogs bark loud"), (3, "")):
+        nf, s, novel = expect(text)
+        r = got[doc_id]
+        assert r.n_feats == nf, (doc_id, r)
+        assert r.logw_micro == s, (doc_id, r)
+        assert r.mean_lr_micro == s / nf
+        assert r.novel_target_frac == math.floor(novel * 1e6 / nf) / 1e6
+    # collisions coarsen but don't flip the in-vs-off-domain ordering
+    assert got[1].logw_micro > got[2].logw_micro
+
+    # hashed (xxhash64) buckets: same structure, same n_feats, and on
+    # this corpus the same domain ordering (values differ: different
+    # collision pattern)
+    h = {
+        r.doc_id: r
+        for r in dsir_log_weights(
+            raw, target, hash_terms=True, n_buckets=4096
+        ).collect()
+    }
+    assert {k: v.n_feats for k, v in h.items()} == {
+        k: v.n_feats for k, v in got.items()
+    }
+    assert h[1].logw_micro > h[2].logw_micro
+
+    with pytest.raises(ValueError, match="n_buckets must be >= 2"):
+        dsir_log_weights(raw, target, n_buckets=1)
+    with pytest.raises(ValueError, match="sanity cap"):
+        dsir_log_weights(raw, target, n_buckets=20_000_000)
+
+
 def test_dsir_select_n_gumbel_topk(spark):
     """Gumbel-top-k selection: deterministic per (id, salt), ties on
     id, high-logw rows selected more often across salts, per-group
