@@ -1139,12 +1139,33 @@ def _rank_and_rerank(
     R*k and ONLY the shortlist's raw vectors are fetched (id-keyed
     join) and rescored with exact cosine. `corpus` must be provided
     when rerank > 1 (the staged-index search takes it explicitly —
-    the index stores codes, not floats)."""
+    the index stores codes, not floats).
+
+    DUPLICATE-TOLERANT by design: a search that overlaps an ANN-index
+    compaction swap may see each staged row TWICE (the additive
+    move-new-then-delete-old swap — `compact_ann_index`'s reader
+    contract: duplicated rows, never missing ones). Ranking therefore
+    cuts the scored stream at 2*k*rerank with `row_number` FIRST —
+    keeping the WindowGroupLimit top-k pushdown on the big stream;
+    the doubled cut provably still contains the top k*rerank DISTINCT
+    candidates since each appears at most twice — then collapses
+    byte-identical duplicates and re-ranks the <= 2*k*rerank
+    survivors per query. Neither step adds an exchange (both the
+    dropDuplicates keys and the second window are clustered by the
+    first window's query_id partitioning); with no duplicates the
+    result is bit-identical to the plain row_number rank."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    top = (
+        scored.select("query_id", "neighbor_id", "cos_sim")
+        .withColumn("_r0", F.row_number().over(w))
+        .filter(F.col("_r0") <= 2 * k * rerank)
+        .drop("_r0")
+        .dropDuplicates(["query_id", "neighbor_id", "cos_sim"])
+    )
     ranked = (
-        scored.withColumn("rnk", F.row_number().over(w))
+        top.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k * rerank)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

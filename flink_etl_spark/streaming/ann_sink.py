@@ -28,11 +28,14 @@ carries the rebuild rule of thumb derived from it.
 
 File accretion is handled in-module: every append writes one parquet
 file set per touched partition, so `compact_ann_index` (signature-
-verified staged-swap rewrite, `compact_every=` sink cadence) bounds
-the per-cell file count the same way `compact_dedup_index` bounds the
-dedup index's directory count — see its docstring for the replay and
-crash-safety argument, and `tools/ann_soak.py` for the 50-batch
-crash/replay soak.
+verified staged rewrite promoted by an ADDITIVE move-new-then-
+delete-old swap — concurrent searches see duplicated rows, collapsed
+by the ranking, never missing ones; `compact_every=` sink cadence)
+bounds the per-cell file count the same way `compact_dedup_index`
+bounds the dedup index's directory count — see its docstring for the
+replay, reader, and crash-safety contracts, and `tools/ann_soak.py`
+for the 50-batch crash/replay soak plus the search-during-compaction
+phase.
 """
 
 from __future__ import annotations
@@ -67,29 +70,120 @@ def _ann_data_dirs(spark: SparkSession, index_path: str) -> list[str]:
     return sorted(dirs)
 
 
+#: roll-forward manifest for the additive compaction swap — written
+#: INSIDE the staging dir (underscore name: invisible to Spark's file
+#: listing) AFTER the staged rewrite is signature-verified, deleted
+#: with the staging dir as the swap's last step; its presence marks a
+#: swap in flight that `recover_ann_index` completes
+_PLAN_NAME = "_COMPACT_PLAN.json"
+
+
+def _data_file_names(fs, dirpath) -> list[str]:
+    """Sorted data-file names directly under a directory (hidden/commit
+    files excluded — the `partition_file_count` convention)."""
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(dirpath)
+        if not st.isDirectory()
+        and not st.getPath().getName().startswith((".", "_"))
+    )
+
+
+def _complete_additive_swap(
+    spark: SparkSession, d: str, plan: dict, on_moved=None
+) -> None:
+    """Run (or re-run — every step is idempotent) the additive swap a
+    `_COMPACT_PLAN.json` describes: move every staged data file into
+    the live directory (atomic per-file renames), THEN delete the
+    original files, THEN drop the staging dir with the plan. Readers
+    at any instant see at least the full row set — during the moves
+    the originals are all still live (new files are byte-identical
+    duplicates), during the deletes the staged set is already complete
+    — so a concurrent search never silently misses rows (the reader
+    contract `compact_ann_index` documents).
+
+    ``on_moved`` is a TEST SEAM: called once at the maximally
+    duplicated instant (all staged files live, no original deleted
+    yet) so probes can run a real search inside the window —
+    `tools/ann_soak.py` phase 3 exercises it on every swapped
+    directory."""
+    from flink_etl_spark.operators.merge import _hadoop_fs, _staging_path
+
+    fs, _ = _hadoop_fs(spark, d)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    sroot = _staging_path(d)
+    for name in plan["staged"]:
+        src, dst = Path(f"{sroot}/{name}"), Path(f"{d}/{name}")
+        if fs.exists(dst):
+            continue  # already moved (recovery re-run)
+        if not fs.exists(src):
+            raise IOError(
+                f"compaction recovery: staged file {name} of {d} is in "
+                f"the swap plan but exists in neither the staging dir "
+                "nor the target — plan and filesystem disagree; refusing "
+                "to delete originals"
+            )
+        if not fs.rename(src, dst):
+            raise IOError(f"compaction swap: rename {name} into {d} failed")
+    if on_moved is not None:
+        on_moved(d)
+    for name in plan["originals"]:
+        p = Path(f"{d}/{name}")
+        if fs.exists(p):
+            fs.delete(p, False)
+    _, sp = _hadoop_fs(spark, sroot)
+    if fs.exists(sp):
+        fs.delete(sp, True)
+
+
+def _recover_dir(spark: SparkSession, d: str) -> int:
+    """Heal one data directory: an in-flight additive swap (staging dir
+    carrying a `_COMPACT_PLAN.json`) rolls FORWARD; anything else
+    (stale plan-less staging, or the pre-r10 delete+rename layout's
+    missing-target crash) goes through `recover_snapshot`'s rules."""
+    from flink_etl_spark.operators.merge import (
+        _hadoop_fs,
+        _staging_path,
+        recover_snapshot,
+    )
+
+    from flink_etl_spark.operators.similarity import _read_json_sidecar
+
+    fs, sp = _hadoop_fs(spark, _staging_path(d))
+    if fs.exists(sp):
+        plan = _read_json_sidecar(spark, f"{_staging_path(d)}/{_PLAN_NAME}")
+        if plan is not None:
+            _complete_additive_swap(spark, d, plan)
+            return 1
+    return int(recover_snapshot(d, spark))
+
+
 def recover_ann_index(spark: SparkSession, index_path: str) -> int:
-    """Heal a crash inside `compact_ann_index`'s delete+rename window:
-    any data directory of the index that vanished mid-swap while its
-    staged replacement survived is promoted (and stale staging dirs
-    next to intact targets are swept). A search in the crash window
-    would silently MISS the swapped cell's rows — no error — so run
-    this after any unclean shutdown before trusting search results;
+    """Complete any compaction swap a crash left in flight. With the
+    r10 additive swap a crash window is never silent for readers —
+    they see duplicated rows (collapsed by the search ranking), not
+    missing ones — but the live directory holds up to 2x rows until
+    the swap's deletes finish, so run this after any unclean shutdown;
     `start_continuous_ann_index` runs it at attach time and
-    `compact_ann_index` runs it before compacting. Returns the number
-    of directories promoted."""
-    from flink_etl_spark.operators.merge import _hadoop_fs, recover_snapshot
+    `compact_ann_index` runs it before compacting. Swaps with a
+    `_COMPACT_PLAN.json` roll FORWARD (idempotent per-file moves +
+    deletes); plan-less staging remnants and pre-r10 delete+rename
+    crashes (whose window DID silently hide the mid-swap directory)
+    heal through `recover_snapshot`. Returns the number of directories
+    recovered."""
+    from flink_etl_spark.operators.merge import _hadoop_fs
 
     kind = ann_index_kind(spark, index_path)
     if kind == "pq":
-        return int(recover_snapshot(f"{index_path}/codes", spark))
+        return _recover_dir(spark, f"{index_path}/codes")
     recovered = 0
     fs, staging_root = _hadoop_fs(spark, f"{index_path}/cells/_staging")
     if fs.exists(staging_root):
         for st in fs.listStatus(staging_root):
             name = st.getPath().getName()
             if name.startswith("cell_id="):
-                recovered += int(
-                    recover_snapshot(f"{index_path}/cells/{name}", spark)
+                recovered += _recover_dir(
+                    spark, f"{index_path}/cells/{name}"
                 )
     return recovered
 
@@ -110,6 +204,7 @@ def compact_ann_index(
     spark: SparkSession,
     index_path: str,
     target_files: int | None = None,
+    on_moved=None,
 ) -> int:
     """Rewrite each accreted data directory of a staged ANN index to a
     bounded file count — the maintenance op that keeps the continuous
@@ -129,18 +224,35 @@ def compact_ann_index(
     not assumed but ASSERTED: each directory's replacement is written
     to the invisible `_staging/` sibling first, its (count,
     xor-of-row-hashes) signature is compared against the original, and
-    only a matching replacement is promoted (delete+rename). A
-    mismatch deletes the staged copy and raises with the directory
-    intact.
+    only a matching replacement is promoted. A mismatch deletes the
+    staged copy and raises with the directory intact.
 
-    Crash safety: a crash during the staging write leaves `_staging/`
-    junk next to an intact directory (swept by `recover_ann_index` /
-    the next compaction); a crash inside the delete+rename window
-    leaves the staged copy, which `recover_ann_index` promotes — run
-    it after any unclean shutdown (searches in that window silently
-    miss the one mid-swap directory). Run this BETWEEN micro-batches
-    (the sink's `compact_every=` cadence serializes it) or while the
-    stream is down.
+    READER CONTRACT (r10 — the swap is ADDITIVE): promotion first
+    MOVES every staged file into the live directory (atomic per-file
+    renames; the originals are still all present, so new files are
+    byte-identical duplicates), and only then deletes the originals.
+    At no instant is any row missing; a search overlapping the swap
+    sees each row AT MOST TWICE, and the shared search ranking
+    collapses duplicates by construction (`_rank_and_rerank` — cut at
+    2*k*rerank, dedup, re-rank; `tools/ann_soak.py` phase 3 drives a
+    search loop concurrent with compactions and asserts every result
+    identical to the quiesced index's). The residual exposure is
+    LOUD, not silent: a reader that listed files before a delete and
+    opens the deleted original fails with FAILED_READ_FILE (retry it)
+    — keep `spark.sql.files.ignoreMissingFiles` at its default
+    `false` for index readers, since `true` would turn exactly that
+    window into a silent row loss. Appends must NOT run concurrently
+    with compaction (the sink's `compact_every=` cadence serializes
+    them; external schedulers must too) — concurrent SEARCHES are the
+    supported case.
+
+    Crash safety: every swap writes a `_COMPACT_PLAN.json` roll-
+    forward manifest into the staging dir after the signature check;
+    a crash anywhere inside the swap leaves the plan, and
+    `recover_ann_index` (run here first, at sink attach, and after
+    any unclean shutdown) completes the move/delete idempotently. A
+    crash during the staging write itself leaves plan-less `_staging/`
+    junk next to an intact directory, which recovery sweeps.
 
     `target_files` bounds each directory's file count; the default
     sizes per directory from its bytes at ~128 MB/file (min 1).
@@ -151,9 +263,9 @@ def compact_ann_index(
     from flink_etl_spark.operators.merge import (
         _hadoop_fs,
         _staging_path,
-        promote_snapshot,
         stage_snapshot,
     )
+    from flink_etl_spark.operators.similarity import _write_json_sidecar
 
     if target_files is not None and target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
@@ -184,7 +296,30 @@ def compact_ann_index(
                 "original left intact, staged copy deleted — the append "
                 "replay contract requires an id-set-identical rewrite"
             )
-        promote_snapshot(spark, d)
+        # additive swap: record the roll-forward plan, then move the
+        # verified staged files IN before deleting the originals —
+        # concurrent readers see duplicated rows, never missing ones
+        fs, dp = _hadoop_fs(spark, d)
+        _, sp = _hadoop_fs(spark, _staging_path(d))
+        originals = _data_file_names(fs, dp)
+        staged_names = _data_file_names(fs, sp)
+        clash = set(originals) & set(staged_names)
+        if clash:
+            fs.delete(sp, True)
+            raise ValueError(
+                f"compact_ann_index: staged rewrite of {d} produced file "
+                f"names colliding with the originals ({sorted(clash)[:3]}"
+                "...) — refusing the additive swap; staged copy deleted"
+            )
+        _write_json_sidecar(
+            spark,
+            f"{_staging_path(d)}/{_PLAN_NAME}",
+            {"version": 1, "originals": originals, "staged": staged_names},
+        )
+        _complete_additive_swap(
+            spark, d, {"originals": originals, "staged": staged_names},
+            on_moved=on_moved,
+        )
         rewritten += 1
     return rewritten
 
@@ -212,11 +347,16 @@ def start_continuous_ann_index(
     N-th batch, bounding each cell partition's file count with no
     external scheduler — without it the sink accretes one file set per
     micro-batch per touched cell forever (mirror of the dedup sink's
-    cadence). Safe inside foreachBatch by construction: steps are
-    serialized, the rewrite is signature-verified id-set-identical (so
-    the appends' replay anti-join is unaffected), and a replayed
-    batch's re-run of the compaction is a cheap skip (directories are
-    already at their file-count target)."""
+    cadence). Safe inside foreachBatch by construction for the WRITE
+    side: steps are serialized, the rewrite is signature-verified
+    id-set-identical (so the appends' replay anti-join is unaffected),
+    and a replayed batch's re-run of the compaction is a cheap skip
+    (directories are already at their file-count target). Safe for
+    CONCURRENT EXTERNAL SEARCHES too (r10): the swap is additive
+    (move-new-then-delete-old), so a search overlapping it sees
+    duplicated rows — collapsed by the search ranking — never missing
+    ones; the worst case is a loud FAILED_READ_FILE retry, per
+    `compact_ann_index`'s reader contract."""
     if kind not in ("ivfpq", "pq"):
         raise ValueError(f"kind must be 'ivfpq' or 'pq', got {kind!r}")
     if compact_every is not None and compact_every < 1:

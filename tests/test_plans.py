@@ -385,6 +385,22 @@ def test_staged_ann_indexes_partition_prune_on_probe(spark, tmp_path):
     ):
         assert "dynamicpruningexpression(" in line, line
 
+    # r10 duplicate-tolerant ranking (_rank_and_rerank): the compaction
+    # reader contract adds a dropDuplicates + re-rank, and BOTH must
+    # ride the first window's query_id clustering — exactly one
+    # query_id exchange, no exchange keyed on neighbor_id/cos_sim, and
+    # the WindowGroupLimit top-k pushdown still fires on the scored
+    # stream (the 2x-slack row_number cut keeps it)
+    plan = _executed(S.ivfpq_search_index(spark, idx2, qs, k=5, nprobe=2))
+    assert "WindowGroupLimit" in plan
+    qid_exchanges = 0
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")")[0]
+        assert "neighbor_id" not in keys, keys
+        assert "cos_sim" not in keys, keys
+        qid_exchanges += int("query_id" in keys)
+    assert qid_exchanges == 1, plan
+
 
 def test_dsir_totals_broadcast_and_no_cartesian(spark):
     """DSIR log weights: the V/N_t/N_q totals reach the scored feature

@@ -806,6 +806,152 @@ def test_recover_ann_index_heals_crash_window(spark, tmp_path):
     assert read_cells() == before
 
 
+def _hrow(r):
+    """Row -> hashable tuple (list cells -> tuples)."""
+    return tuple(tuple(x) if isinstance(x, list) else x for x in r)
+
+
+def _mid_swap(spark, d, n_moves=None):
+    """Drive the additive swap to a chosen crash point: stage a 1-file
+    rewrite of `d`, write the roll-forward plan, then move `n_moves`
+    staged files into the live dir (None = all). Returns the plan."""
+    from flink_etl_spark.operators.merge import (
+        _hadoop_fs,
+        _staging_path,
+        stage_snapshot,
+    )
+    from flink_etl_spark.operators.similarity import _write_json_sidecar
+    from flink_etl_spark.streaming.ann_sink import (
+        _PLAN_NAME,
+        _data_file_names,
+    )
+
+    df = spark.read.parquet(d)
+    stage_snapshot(df.repartition(1), d)
+    fs, dp = _hadoop_fs(spark, d)
+    _, sp = _hadoop_fs(spark, _staging_path(d))
+    plan = {
+        "version": 1,
+        "originals": _data_file_names(fs, dp),
+        "staged": _data_file_names(fs, sp),
+    }
+    _write_json_sidecar(spark, f"{_staging_path(d)}/{_PLAN_NAME}", plan)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    for name in plan["staged"][:n_moves]:
+        assert fs.rename(
+            Path(f"{_staging_path(d)}/{name}"), Path(f"{d}/{name}")
+        )
+    return plan
+
+
+def test_ann_search_is_correct_during_additive_compaction_swap(
+    spark, tmp_path
+):
+    """The r10 reader contract: at EVERY point inside the additive
+    swap (staged files moved in, originals not yet deleted) the live
+    directory holds duplicated — never missing — rows, and both staged
+    searches return results byte-identical to the quiesced index's
+    (the ranking collapses duplicates). Covers IVF-PQ and flat PQ."""
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import _ann_data_dirs
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 8")
+
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(embs, idx, n_cells=4, m=8, n_codes=16)
+    search = lambda: sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=2).collect()))
+    search_rr = lambda: sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=3, nprobe=2, rerank=2, corpus=embs).collect()))
+    quiesced, quiesced_rr = search(), search_rr()
+    victim = _ann_data_dirs(spark, idx)[0]
+    base_rows = sorted(
+        map(_hrow, spark.read.parquet(victim).collect())
+    )
+    _mid_swap(spark, victim)  # all staged files in, originals intact
+    mid_rows = sorted(map(_hrow, spark.read.parquet(victim).collect()))
+    assert len(mid_rows) == 2 * len(base_rows)        # duplicated...
+    assert sorted(set(mid_rows)) == base_rows          # ...never missing
+    assert search() == quiesced                        # ranking collapses
+    # the rerank shortlist sees the same duplicates through the same
+    # ranking — exact rescoring still matches the quiesced result
+    assert search_rr() == quiesced_rr
+    from flink_etl_spark.streaming.ann_sink import recover_ann_index
+
+    assert recover_ann_index(spark, idx) == 1
+    assert sorted(
+        map(_hrow, spark.read.parquet(victim).collect())
+    ) == base_rows
+    assert search() == quiesced
+
+    pq = str(tmp_path / "pq")
+    similarity.pq_build_index(embs, pq, m=8, n_codes=16)
+    psearch = lambda **kw: sorted(map(tuple, similarity.pq_search_index(
+        spark, pq, qs, k=5, **kw).collect()))
+    pquiesced = psearch()
+    pquiesced_rr = psearch(rerank=2, corpus=embs)
+    _mid_swap(spark, f"{pq}/codes")
+    assert psearch() == pquiesced
+    assert psearch(rerank=2, corpus=embs) == pquiesced_rr
+    assert recover_ann_index(spark, pq) == 1
+    assert psearch() == pquiesced
+
+
+def test_recover_ann_index_rolls_additive_swap_forward(spark, tmp_path):
+    """Crashes at every stage of the additive swap roll FORWARD: plan
+    written but nothing moved; half the files moved; everything moved
+    but originals not deleted. Each recovery leaves the row set
+    byte-identical, the staging dir gone, and a repeated recovery a
+    no-op. A plan referencing a staged file that exists nowhere
+    refuses to delete originals."""
+    import pytest
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.maintenance import partition_file_count
+    from flink_etl_spark.operators.merge import _hadoop_fs, _staging_path
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import (
+        _PLAN_NAME,
+        _ann_data_dirs,
+        recover_ann_index,
+    )
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(
+        embs.filter("vec_id < 300"), idx, n_cells=4, m=8, n_codes=16
+    )
+    similarity.ivfpq_append_index(spark, embs.filter("vec_id >= 300"), idx)
+    victim = _ann_data_dirs(spark, idx)[0]
+    rows = lambda: sorted(map(_hrow, spark.read.parquet(victim).collect()))
+    before = rows()
+
+    for crash_point in (0, 1, None):  # none moved / one moved / all moved
+        _mid_swap(spark, victim, n_moves=crash_point)
+        assert sorted(set(rows())) == before  # never missing mid-crash
+        assert recover_ann_index(spark, idx) == 1
+        assert rows() == before
+        assert partition_file_count(spark, victim) == 1
+        fs, sp = _hadoop_fs(spark, _staging_path(victim))
+        assert not fs.exists(sp)
+        assert recover_ann_index(spark, idx) == 0  # idempotent
+
+    # corrupt plan: staged file in neither staging nor target -> raise,
+    # originals survive
+    plan = _mid_swap(spark, victim, n_moves=0)
+    fs, _ = _hadoop_fs(spark, victim)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(f"{_staging_path(victim)}/{plan['staged'][0]}"), False)
+    with pytest.raises(Exception, match="neither"):
+        recover_ann_index(spark, idx)
+    assert sorted(set(rows())) == before
+    # heal by dropping the broken staging dir; the index is intact
+    fs.delete(Path(_staging_path(victim)), True)
+    assert rows() == before
+
+
 def test_continuous_ann_sink_compact_every_cadence(spark, tmp_path):
     """The sink's compact_every= runs the compaction inline: after
     draining N micro-batches the cell file counts are bounded, and the

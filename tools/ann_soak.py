@@ -45,7 +45,18 @@ checkpoint is untouched (this probe's phase 2 passes its
 byte-identical assertions THROUGH two such stops) — the error is
 post-decision noise on a thread that is terminating either way.
 
-Usage: python tools/ann_soak.py [1|2|all]   (default all; each phase
+Phase 3 pins the r10 READER CONTRACT — searches concurrent with
+compaction: a searcher thread loops the staged search while
+`compact_ann_index` folds a heavily accreted index, plus an
+instrumented search at the maximally duplicated instant of EVERY
+swapped directory (the `on_moved` seam: all staged files live,
+originals not yet deleted). Every completed search must be
+byte-identical to the quiesced index's result (the ranking collapses
+the duplicated rows); the only tolerated failure is the documented
+LOUD class — a FILE_NOT_EXIST on an original deleted after the
+reader's listing (retried). Zero silent row loss, zero mismatches.
+
+Usage: python tools/ann_soak.py [1|2|3|all]   (default all; each phase
 fits a ~5 min budget alone — run them separately on a slow host)
 """
 
@@ -95,8 +106,8 @@ def make_vec(rng: random.Random) -> list[float]:
 
 def main() -> None:
     phase = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if phase not in ("1", "2", "all"):
-        raise SystemExit(f"usage: ann_soak.py [1|2|all], got {phase!r}")
+    if phase not in ("1", "2", "3", "all"):
+        raise SystemExit(f"usage: ann_soak.py [1|2|3|all], got {phase!r}")
     spark = get_spark(app_name="ann-soak")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="ann_soak_")
@@ -279,6 +290,74 @@ def main() -> None:
           "rows_identical_oneshot": True,
           "search_identical": True,
           "wall_sec": round(time.perf_counter() - t1, 1),
+      }
+
+    # ------------------------------------------------------------------
+    # phase 3: searches CONCURRENT with compaction (the r10 reader
+    # contract) — a searcher thread races the real compact_ann_index
+    # over a heavily accreted index, plus one instrumented search at
+    # the maximally duplicated instant of every swapped directory
+    # ------------------------------------------------------------------
+    if phase in ("3", "all"):
+      import threading
+
+      t2 = time.perf_counter()
+      idx4 = f"{root}/conc_idx"
+      ivfpq_build_index(boot, idx4, n_cells=4, m=8, n_codes=16)
+      for rows in batches[:20]:
+          ivfpq_append_index(
+              spark, spark.createDataFrame(rows, schema), idx4
+          )
+      ref = search(idx4)          # quiesced reference
+      rows_before = cells(idx4)
+
+      mid_checks = []
+
+      def on_moved(d):
+          # the window where the directory holds 2x rows: a real
+          # search must still return the quiesced result
+          mid_checks.append(search(idx4) == ref)
+
+      stop = threading.Event()
+      conc = {"ok": 0, "mismatch": 0, "read_retries": 0}
+
+      def searcher():
+          while not stop.is_set():
+              try:
+                  r = search(idx4)
+              except Exception as e:  # noqa: BLE001 - classified below
+                  msg = str(e)
+                  # the documented LOUD failure class only: an original
+                  # deleted after this reader's file listing
+                  assert (
+                      "FILE_NOT_EXIST" in msg
+                      or "FileNotFoundException" in msg
+                      or "does not exist" in msg
+                  ), f"unexpected concurrent-search failure: {msg[:500]}"
+                  conc["read_retries"] += 1
+                  continue
+              conc["ok" if r == ref else "mismatch"] += 1
+
+      th = threading.Thread(target=searcher, daemon=True)
+      th.start()
+      folded = compact_ann_index(
+          spark, idx4, target_files=TARGET_FILES, on_moved=on_moved
+      )
+      stop.set()
+      th.join(120)
+      assert folded >= 1, "phase 3 compaction had nothing to fold"
+      assert len(mid_checks) == folded and all(mid_checks), mid_checks
+      assert conc["mismatch"] == 0, conc
+      assert conc["ok"] >= 1, conc
+      assert cells(idx4) == rows_before, "phase 3 changed the row set"
+      assert max_files(idx4) == TARGET_FILES
+      out["concurrent_phase"] = {
+          "folds": folded,
+          "mid_swap_searches_identical": len(mid_checks),
+          "concurrent_searches_ok": conc["ok"],
+          "concurrent_read_retries": conc["read_retries"],
+          "mismatches": conc["mismatch"],
+          "wall_sec": round(time.perf_counter() - t2, 1),
       }
 
     print(json.dumps(out))
