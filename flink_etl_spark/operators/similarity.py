@@ -277,6 +277,7 @@ def split_hot_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rounds: int = 4,
+    census_sample: float = 1.0,
 ) -> DataFrame:
     """Rebalance a coarse quantizer by SPLITTING every cell holding
     more than ``max_cell_frac`` of the corpus: the hot centroid is
@@ -307,7 +308,25 @@ def split_hot_cells(
     transparent: search and appends read the centroid table from the
     index and never assume contiguous cell ids. The scale-relevant
     probe cost is what the split removes — probing a cell that holds
-    40% of a 100 TB corpus scans 40% of it."""
+    40% of a 100 TB corpus scans 40% of it.
+
+    ``census_sample=s`` (0 < s <= 1, default 1 = full) runs every
+    census round on a DETERMINISTIC hash-sampled slice
+    (`pmod(xxhash64(id), 1e6) < s*1e6`) instead of the full corpus —
+    the 100 TB lever: each round otherwise costs one FULL assignment
+    scan before the build even starts (up to max_rounds of them), and
+    a cell holding >max_cell_frac of the corpus holds ~the same
+    fraction of any hash sample (binomial error ~ 1/sqrt(s*n*frac) —
+    at 1% of 1e9 rows a 10% cell is estimated within +-0.03%).
+    Sub-seeds then come from the sampled slice's members (hash-ordered
+    within the sample), so the split is deterministic for a fixed
+    (corpus, s) but yields different — equally valid — sub-centroids
+    than the full census. Measured: tools/skew_probe.py --sample
+    (same hot set found, same final skew bound, census scans read
+    1/s fewer rows; docs/SCALING.md "IVF cell skew"). An over-small
+    sample on a tiny corpus can census 0 rows — the loop then exits
+    without splitting; size s to keep >= ~100 sampled members per
+    suspected hot cell."""
     import math
 
     if not (0 < max_cell_frac <= 1):
@@ -316,8 +335,19 @@ def split_hot_cells(
         )
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if not (0 < census_sample <= 1):
+        raise ValueError(
+            f"census_sample must be in (0, 1], got {census_sample}"
+        )
+    src = embs
+    if census_sample < 1.0:
+        thresh = max(1, int(round(census_sample * 1_000_000)))
+        src = embs.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < F.lit(thresh)
+        )
     for _ in range(max_rounds):
-        asgn = ivf_assign(embs, cents, 1, id_col, vec_col)
+        asgn = ivf_assign(src, cents, 1, id_col, vec_col)
         census = cell_census(asgn)
         total = sum(n for _, n in census)
         if total == 0:
@@ -1009,6 +1039,125 @@ def _pq_assign_subs(
     )
 
 
+def pq_recon_error(
+    embs: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean PQ reconstruction error of a frame against codebooks: for
+    each (l2-normalized) vector, the sum over subspaces of the squared
+    L2 distance to its NEAREST codeword — the ADC distance of the
+    vector to its own codes. This is the flat-PQ analogue of
+    `mean_centroid_sim`: a production-monitorable quantizer-fit signal
+    needing NO ground truth and no centroids (flat PQ has none) —
+    frozen codebooks reconstruct a drifted batch worse, so the error
+    RISES monotonically as the distribution leaves the build-time
+    corpus (decay curve: `tools/drift_probe.py --flat`, table in
+    docs/SCALING.md). Zero shuffle: the packed codebook broadcasts as
+    one row, the per-subspace min-distance is a row-local array_min,
+    and one avg aggregates the batch. Returns 0.0 for an empty frame
+    (and legitimately ~0.0 when every vector was a codebook seed)."""
+    from flink_etl_spark.functions.vectors import l2_normalize
+
+    packed = _pq_packed(codebooks)
+    d_sub = _guarded_dsub("_nv", m)
+    staged = (
+        embs.select(l2_normalize(vec_col).alias("_nv"))
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_subs",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("_nv"), s * d_sub + 1, d_sub),
+            ),
+        )
+    )
+    dists = F.transform(
+        F.col("_subs"),
+        lambda sv, s: F.array_min(
+            F.transform(
+                F.element_at(F.col("_cb"), s + 1),
+                lambda cw: F.round(_l2sq(sv, cw), 6),
+            )
+        ),
+    )
+    row = (
+        staged.select(
+            F.aggregate(dists, F.lit(0.0), lambda a, x: a + x).alias("_e")
+        )
+        .agg(F.avg("_e").alias("e"))
+        .first()
+    )
+    return round(row["e"], 6) if row and row["e"] is not None else 0.0
+
+
+def pq_drift_check(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    rebuild_above: float = 2.0,
+) -> dict:
+    """Quantizer-drift check for a batch about to be appended to a
+    staged FLAT-PQ index — the centroid-less counterpart of
+    `ann_drift_check` (flat PQ has no coarse centroids, so the
+    similarity-based monitor cannot apply; README documents the gap
+    this closes): encodes the batch against the index's frozen
+    codebooks and compares its mean reconstruction error
+    (`pq_recon_error`) with the BUILD-TIME baseline recorded in
+    `_PQ_META.json`. Returns ``{"batch_err", "baseline_err", "ratio",
+    "rebuild_recommended"}`` and warns when the ratio EXCEEDS
+    ``rebuild_above`` (errors rise under drift — the inverse sense of
+    the IVF-PQ similarity ratio). The default 2.0 comes from the
+    measured curve (`tools/drift_probe.py --flat`): recall is flat
+    until the error roughly doubles and sags beyond it.
+
+    A baseline that is missing (pre-r10 index), zero (every build
+    vector was a seed — nothing to reconstruct imperfectly), or
+    negative (corrupt sidecar) is UN-CHECKABLE: warns monitor-off and
+    returns ratio 1.0, never a rebuild flag off bad math (the
+    `ann_drift_check` baseline guard, mirrored)."""
+    meta = _pq_index_meta(spark, index_path)
+    guarded = _dim_guarded(batch, vec_col, int(meta["dim"]), "drift check")
+    cbs = spark.read.parquet(f"{index_path}/codebooks")
+    batch_err = pq_recon_error(guarded, cbs, int(meta["m"]), vec_col)
+    baseline = meta.get("mean_recon_err")
+    checkable = baseline is not None and baseline > 0
+    if baseline is not None and baseline <= 0:
+        import warnings
+
+        warnings.warn(
+            f"PQ index at {index_path}: recorded baseline mean_recon_err "
+            f"{baseline} is <= 0 — the drift ratio is undefined there; "
+            "rebuild the index over a corpus larger than n_codes to "
+            "record a usable baseline. Returning ratio 1.0 with the "
+            "monitor OFF",
+            UserWarning,
+            stacklevel=2,
+        )
+    ratio = round(batch_err / baseline, 4) if checkable else 1.0
+    out = {
+        "batch_err": batch_err,
+        "baseline_err": baseline,
+        "ratio": ratio,
+        "rebuild_recommended": checkable and ratio > rebuild_above,
+    }
+    if out["rebuild_recommended"]:
+        import warnings
+
+        warnings.warn(
+            f"PQ index at {index_path}: appended-batch mean reconstruction "
+            f"error {batch_err} is {ratio:.1f}x the build-time baseline "
+            f"{baseline} (> {rebuild_above:.1f}x) — the codebooks have "
+            "drifted; rebuild the index (pq_build_index to a new path, "
+            "refine_iters>=1) and cut searches over",
+            UserWarning,
+            stacklevel=2,
+        )
+    return out
+
+
 def pq_encode(
     embs: DataFrame,
     codebooks: DataFrame,
@@ -1231,6 +1380,14 @@ def pq_build_index(
     _write_json_sidecar(spark, f"{index_path}/_PQ_META.json", {
         "version": _PQ_META_VERSION,
         "m": m, "n_codes": n_codes, "dim": dim_row["d"],
+        # drift-monitor baseline: the build corpus's own mean ADC
+        # reconstruction error under the just-derived codebooks, read
+        # back from the STAGED parquet so the baseline measures exactly
+        # what searches will use (pq_drift_check compares appended
+        # batches against it)
+        "mean_recon_err": pq_recon_error(
+            embs, spark.read.parquet(f"{index_path}/codebooks"), m, vec_col
+        ),
     })
 
 
@@ -1605,6 +1762,7 @@ def ivfpq_build_index(
     n_vecs: int | None = None,
     max_cell_frac: float | None = None,
     warn_cell_frac: float = 0.25,
+    census_sample: float = 1.0,
 ) -> None:
     """Stage the IVF-PQ index: `centroids/` + `codebooks/` parquet and
     `cells/` parquet PARTITIONED BY cell_id holding (id, codes) — m
@@ -1638,8 +1796,11 @@ def ivfpq_build_index(
     centroids replaced by deterministic sub-seeds from their own
     members, one extra assignment scan); searches and appends are
     transparent to the split — they read the centroid table from the
-    index and never assume contiguous ids. Measured on a
-    half-in-one-cluster corpus in `tools/skew_probe.py`
+    index and never assume contiguous ids. At 100 TB pass
+    `census_sample=` too (hash-sampled census rounds — see
+    `split_hot_cells`; the splitting scans otherwise cost up to
+    max_rounds FULL corpus passes before the build starts). Measured
+    on a half-in-one-cluster corpus in `tools/skew_probe.py`
     (docs/SCALING.md)."""
     from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
 
@@ -1656,6 +1817,7 @@ def ivfpq_build_index(
             embs,
             ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters),
             max_cell_frac, id_col, vec_col,
+            census_sample=census_sample,
         )
     cents, _, cbs, codes = _ivfpq_parts(
         embs, n_cells, m, n_codes, id_col, vec_col, cell_refine_iters,
@@ -1910,6 +2072,7 @@ def ivfpq_rebuild_index(
     cell_refine_iters: int = 2,
     max_cell_frac: float | None = None,
     warn_cell_frac: float = 0.25,
+    census_sample: float = 1.0,
 ) -> None:
     """Periodic rebuild of a staged IVF-PQ index — the operational
     answer to quantizer drift (`tools/drift_probe.py` measures the
@@ -1993,6 +2156,7 @@ def ivfpq_rebuild_index(
         id_col=id_col, vec_col=vec_col,
         cell_refine_iters=cell_refine_iters,
         max_cell_frac=max_cell_frac, warn_cell_frac=warn_cell_frac,
+        census_sample=census_sample,
     )
 
 

@@ -2153,6 +2153,38 @@ def test_ivfpq_cell_skew_census_warning_and_split(spark, tmp_path):
     with pytest.raises(ValueError, match="max_cell_frac"):
         split_hot_cells(embs, spark.read.parquet(f"{idx}/centroids"), 0.0)
 
+    # r10 sampled census: a hash-sampled census-driven split still
+    # lands under the cap (the sample sees the same hot cells — a
+    # >25% cell holds ~that fraction of any hash slice), the build is
+    # deterministic for a fixed (corpus, sample), and bad fractions
+    # raise. 0.5 sample on 400 rows keeps >= ~100 members of the hot
+    # cell in the census.
+    idx4 = str(tmp_path / "split_sampled")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        similarity.ivfpq_build_index(
+            embs, idx4, n_cells=4, m=8, n_codes=16,
+            max_cell_frac=0.25, warn_cell_frac=0.4, census_sample=0.5,
+        )
+    meta4 = _ivfpq_meta(spark, idx4)
+    assert meta4["max_cell_frac_observed"] <= 0.4
+    idx5 = str(tmp_path / "split_sampled2")
+    similarity.ivfpq_build_index(
+        embs, idx5, n_cells=4, m=8, n_codes=16,
+        max_cell_frac=0.25, warn_cell_frac=0.4, census_sample=0.5,
+    )
+    assert read(idx4) == read(idx5)
+    with pytest.raises(ValueError, match="census_sample"):
+        split_hot_cells(
+            embs, spark.read.parquet(f"{idx}/centroids"), 0.25,
+            census_sample=0.0,
+        )
+    with pytest.raises(ValueError, match="census_sample"):
+        split_hot_cells(
+            embs, spark.read.parquet(f"{idx}/centroids"), 0.25,
+            census_sample=1.5,
+        )
+
 def test_ivfpq_rebuild_index_equals_fresh_build(spark, tmp_path):
     """ivfpq_rebuild_index: parameters default from the OLD sidecar
     (resolved n_cells, m, n_codes), the result is byte-identical to a
@@ -2276,6 +2308,87 @@ def test_ann_drift_check_flags_drifted_batches(spark, tmp_path):
         assert res["ratio"] == 1.0
         assert not res["rebuild_recommended"]
     _write_json_sidecar(spark, f"{idx}/_IVFPQ_META.json", meta)
+
+def test_pq_drift_check_reconstruction_error_signal(spark, tmp_path):
+    """Flat-PQ drift monitor (r10): pq_build_index records the build
+    corpus's mean ADC reconstruction error in the sidecar; a
+    same-distribution batch checks in near ratio 1, a drifted batch's
+    error rises past the threshold and warns; baseline <= 0 and
+    legacy (absent) baselines are monitor-off, never a flag off bad
+    math."""
+    import random
+
+    import pytest
+
+    from flink_etl_spark.operators.similarity import (
+        _pq_index_meta,
+        _write_json_sidecar,
+        pq_drift_check,
+        pq_recon_error,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+
+    def cluster_row(i, shift=0.0):
+        v = [round(0.5 + shift + rng.gauss(0, 0.2), 4)] + [
+            round(rng.gauss(0, 0.2), 4) for _ in range(dim - 1)
+        ]
+        return (i, v)
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(
+        [cluster_row(i) for i in range(400)], schema
+    )
+    idx = str(tmp_path / "pq")
+    similarity.pq_build_index(base, idx, m=8, n_codes=16)
+    meta = _pq_index_meta(spark, idx)
+    assert meta["mean_recon_err"] > 0
+
+    same = spark.createDataFrame(
+        [cluster_row(1000 + i) for i in range(100)], schema
+    )
+    ok = pq_drift_check(spark, idx, same)
+    assert not ok["rebuild_recommended"]
+    assert 0.5 < ok["ratio"] < 2.0
+
+    drifted = spark.createDataFrame(
+        [cluster_row(2000 + i, shift=-3.0) for i in range(100)], schema
+    )
+    with pytest.warns(UserWarning, match="codebooks have drifted"):
+        bad = pq_drift_check(spark, idx, drifted)
+    assert bad["rebuild_recommended"]
+    assert bad["ratio"] > ok["ratio"]
+
+    # the raw signal is monotone in the drift magnitude
+    cbs = spark.read.parquet(f"{idx}/codebooks")
+    errs = [
+        pq_recon_error(
+            spark.createDataFrame(
+                [cluster_row(9000 + i, shift=-s) for i in range(100)],
+                schema,
+            ),
+            cbs, 8,
+        )
+        for s in (0.0, 1.0, 3.0)
+    ]
+    assert errs[0] < errs[1] < errs[2]
+
+    # un-checkable baselines: zero/negative warn monitor-off; a legacy
+    # sidecar without the field is silent ratio 1.0
+    for bad_baseline in (0.0, -1.0):
+        _write_json_sidecar(
+            spark, f"{idx}/_PQ_META.json",
+            {**meta, "mean_recon_err": bad_baseline},
+        )
+        with pytest.warns(UserWarning, match="monitor OFF"):
+            res = pq_drift_check(spark, idx, drifted)
+        assert res["ratio"] == 1.0 and not res["rebuild_recommended"]
+    legacy = {k: v for k, v in meta.items() if k != "mean_recon_err"}
+    _write_json_sidecar(spark, f"{idx}/_PQ_META.json", legacy)
+    res = pq_drift_check(spark, idx, drifted)
+    assert res["ratio"] == 1.0 and not res["rebuild_recommended"]
+    _write_json_sidecar(spark, f"{idx}/_PQ_META.json", meta)
 
 def test_semdedup_zero_norm_centroid_duel_is_deterministic(spark):
     """Regression (hypothesis find, r9): when the smallest-id seed is a

@@ -28,7 +28,17 @@ are re-measured — the recovery number (measured: recall 0.30 -> 1.00;
 a bare rebuild recovers NOTHING because id-ordered seed picks never
 see the late-arriving mode — see docs/SCALING.md "Quantizer drift").
 
-Prints one JSON line. Usage: python tools/drift_probe.py
+`--flat` runs the FLAT-PQ arm instead: flat PQ has no centroids, so
+the similarity monitor cannot apply — its production signal is the
+mean ADC reconstruction error of the appended batch against the
+frozen codebooks (`pq_recon_error`, baseline recorded in
+`_PQ_META.json` at build; `pq_drift_check` compares). Per drift
+magnitude the probe reports the error ratio and ADC recall@5
+(rerank=1 — exact rescoring would hide the codebook decay that IS
+flat PQ's failure mode), deriving the ratio threshold where recall
+sags (the `pq_drift_check(rebuild_above=)` default).
+
+Prints one JSON line. Usage: python tools/drift_probe.py [--flat]
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F  # noqa: E402
 
 from flink_etl_spark.operators.similarity import (  # noqa: E402
+    _pq_index_meta,
     cosine_topk,
     ivf_assign,
     ivfpq_append_index,
@@ -53,6 +64,10 @@ from flink_etl_spark.operators.similarity import (  # noqa: E402
     ivfpq_rebuild_index,
     ivfpq_search_index,
     mean_centroid_sim,
+    pq_append_index,
+    pq_build_index,
+    pq_recon_error,
+    pq_search_index,
 )
 from flink_etl_spark.session import get_spark  # noqa: E402
 
@@ -227,5 +242,67 @@ def main() -> None:
     spark.stop()
 
 
+def flat_main() -> None:
+    """Flat-PQ decay curve: reconstruction-error ratio vs ADC recall
+    under the same drifted-cluster generator as the IVF-PQ arm."""
+    spark = get_spark(app_name="drift-probe-flat")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="drift_probe_flat_")
+    rng = random.Random(23)
+    centers, dirs = make_clusters(rng)
+    schema = "vec_id long, embedding array<float>"
+    base_rows = draw(rng, centers, dirs, N_BASE, 0, 0.0)
+    base = spark.createDataFrame(base_rows, schema).persist()
+    base.count()
+    base_idx = f"{root}/base_pq"
+    t0 = time.perf_counter()
+    pq_build_index(base, base_idx, m=8, n_codes=32)
+    build_s = round(time.perf_counter() - t0, 1)
+    baseline_err = _pq_index_meta(spark, base_idx)["mean_recon_err"]
+
+    out = {
+        "kind": "pq_flat",
+        "n_base": N_BASE, "n_batch": N_BATCH, "dim": DIM,
+        "clusters": N_CLUSTERS, "sigma": SIGMA, "k": K,
+        "build_sec": build_s,
+        "baseline_mean_recon_err": baseline_err,
+        "curve": [],
+    }
+    cbs = spark.read.parquet(f"{base_idx}/codebooks").persist()
+    cbs.count()
+    for d in DRIFTS:
+        batch_rows = draw(
+            rng, centers, dirs, N_BATCH, 1_000_000 + int(d * 10) * N_BATCH, d
+        )
+        batch = spark.createDataFrame(batch_rows, schema)
+        idx = f"{root}/drift_{d}"
+        shutil.copytree(base_idx, idx)
+        appended = pq_append_index(spark, batch, idx)
+        assert appended == N_BATCH
+        union = base.unionByName(batch).persist()
+        union.count()
+        qs = spark.createDataFrame(batch_rows[:32], schema)
+        truth = cosine_topk(union, qs, k=K).persist()
+        truth.count()
+        # rerank=1 on purpose: the exact rescore would hide codebook
+        # decay, and ADC resolution IS flat PQ's failure mode
+        res = pq_search_index(spark, idx, qs, k=K, rerank=1)
+        err = pq_recon_error(batch, cbs, 8)
+        out["curve"].append({
+            "drift_sigma": d,
+            "batch_mean_recon_err": err,
+            "err_ratio": round(err / baseline_err, 3),
+            "adc_recall_at_5": recall(res, truth),
+        })
+        truth.unpersist()
+        union.unpersist()
+    print(json.dumps(out))
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--flat" in sys.argv[1:]:
+        flat_main()
+    else:
+        main()

@@ -133,6 +133,11 @@ def main() -> None:
         # the extreme the split exists for
         ("n16_baseline", 16, {}),
         ("n16_split", 16, {"max_cell_frac": 0.1}),
+        # r10: the same split driven by a 5% hash-sampled census —
+        # the 100 TB arm (full-census splitting costs up to max_rounds
+        # FULL assignment scans before the build starts)
+        ("n16_split_sampled", 16,
+         {"max_cell_frac": 0.1, "census_sample": 0.05}),
     ):
         idx = f"{root}/{tag}"
         t0 = time.perf_counter()
@@ -181,6 +186,38 @@ def main() -> None:
             "adc_recall_at_5": recall_at_k(spark, res, truth),
         }
         res.unpersist()
+    # r10 sampled-census agreement: the hot set a 5% hash sample finds
+    # on the BASELINE quantizer must be the hot set the full census
+    # finds, at a fraction of the scan (the split arms above then show
+    # the sampled split reaches the same final skew bound)
+    from flink_etl_spark.operators.similarity import cell_census, ivf_assign
+
+    cents16 = spark.read.parquet(f"{root}/n16_baseline/centroids")
+
+    def census(df):
+        t0 = time.perf_counter()
+        c = cell_census(ivf_assign(df, cents16, 1))
+        return c, time.perf_counter() - t0
+
+    full, full_s = census(embs)
+    sample_frame = embs.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)) < F.lit(50_000)
+    )
+    samp, samp_s = census(sample_frame)
+
+    def hot(c):
+        tot = sum(x for _, x in c)
+        return sorted(cid for cid, x in c if x > 0.1 * tot)
+
+    out["sampled_census"] = {
+        "sample": 0.05,
+        "sampled_rows": sample_frame.count(),
+        "hot_set_full": hot(full),
+        "hot_set_sampled": hot(samp),
+        "hot_set_identical": hot(full) == hot(samp),
+        "full_census_sec": round(full_s, 2),
+        "sampled_census_sec": round(samp_s, 2),
+    }
     print(json.dumps(out))
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
