@@ -415,6 +415,8 @@ _IVFPQ_SQL = f"""
     SELECT 'pq' AS variant, p.* FROM ({_PQ_SQL}) p
     UNION ALL
     SELECT 'ivfpq' AS variant, i.* FROM ({_IVFPQ_SQL}) i
+    UNION ALL
+    SELECT 'ivfpq_lifecycle' AS variant, l.* FROM ({_IVFPQ_SQL}) l
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,7 +451,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       `_IVFPQ_META.json` sidecar; `ivfpq_search_index` derives m from
       the sidecar and partition-prunes) — the one-shot `ivfpq_topk`
       is pinned identical by unit test. Full value oracle: the
-      residual encode + per-cell ADC replicated as DuckDB CTEs."""
+      residual encode + per-cell ADC replicated as DuckDB CTEs.
+    * variant 'ivfpq_lifecycle' (r10) — the MAINTAINED index end to
+      end: build on the smaller-id half of the corpus, append the
+      rest (frozen quantizers), re-append the same batch (the
+      foreachBatch replay — anti-joined to zero), then
+      `compact_ann_index` (signature-verified additive swap) and
+      search. The oracle is the SAME full-corpus IVF-PQ SQL as
+      'ivfpq': every quantizer seed (8 smallest-id cells, 16
+      smallest-id residuals) lives in the build half, so
+      build(A)+append(B) == build(A+B) exactly (the r8 unit-test
+      property, now driver-gated THROUGH a replay and a compaction —
+      the batch-expressible form of tools/ann_soak.py's invariant)."""
     from flink_etl_spark.catalog import process_workdir
 
     embs = _t(spark, sf_dir, "embeddings")
@@ -476,7 +489,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = S.ivfpq_search_index(
         spark, ivfpq_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
     ).select(F.lit("ivfpq").alias("variant"), "*")
-    return mem.unionByName(staged).unionByName(pq).unionByName(ivfpq)
+    # the maintained-index lifecycle: build(A) + append(B) + replayed
+    # append (no-op) + compaction, searched against the full-corpus
+    # oracle — seeds all live in A (smallest ids), so the frozen-
+    # quantizer append chain converges to the one-shot build exactly
+    from flink_etl_spark.streaming.ann_sink import compact_ann_index
+
+    life_idx = (
+        f"{process_workdir('ivfpq_lifecycle')}/"
+        f"{sf_dir.strip('/').replace('/', '_')}"
+    )
+    thr = embs.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    S.ivfpq_build_index(
+        embs.filter(F.col("vec_id") <= thr), life_idx,
+        n_cells=_IVFPQ_CELLS, m=_PQ_M, n_codes=_PQ_CODES,
+    )
+    late = embs.filter(F.col("vec_id") > thr)
+    S.ivfpq_append_index(spark, late, life_idx)
+    S.ivfpq_append_index(spark, late, life_idx)  # replay: appends 0
+    compact_ann_index(spark, life_idx, target_files=1)
+    lifecycle = S.ivfpq_search_index(
+        spark, life_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
+    ).select(F.lit("ivfpq_lifecycle").alias("variant"), "*")
+    return (
+        mem.unionByName(staged).unionByName(pq).unionByName(ivfpq)
+        .unionByName(lifecycle)
+    )
 
 
 @query(
