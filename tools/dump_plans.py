@@ -194,6 +194,31 @@ COMMENTARY: dict[str, str] = {
         "corpus scan; only matching (id, gram) pairs plus one row per "
         "doc enter the aggregate's exchange."
     ),
+    "dsir_select": (
+        "DSIR exact-id arm: both corpora explode once to 64-bit "
+        "feature ids; the scored stream LEFT-joins the two "
+        "count tables on the feature key (hash exchanges carry "
+        "(xxhash64, count) pairs, never text — plan-pinned) and the "
+        "V/N totals arrive as a 1-row broadcast "
+        "(BroadcastNestedLoopJoin). The per-doc aggregate and the "
+        "per-source Gumbel-top-256 compile to partial-agg + "
+        "WindowGroupLimit. The feature-key joins are corpus-token-"
+        "scale — the documented cost the bucketed entry below "
+        "removes; keep this arm where selections must replay against "
+        "an unhashed oracle."
+    ),
+    "dsir_select_bucketed": (
+        "DSIR fixed-bucket arm (n_buckets=10k, the paper's hashed "
+        "feature space): the fit counts aggregate to <= B rows per "
+        "side, pack into ONE broadcast row of two B-length arrays, "
+        "and per-doc scoring is a row-local fold over the document's "
+        "own feature array — the scored corpus never explodes and "
+        "never joins (no SortMergeJoin, no doc_id- or feature-keyed "
+        "exchange; plan-pinned). The only corpus-sized work is the "
+        "scan itself. This is the 100 TB production arm "
+        "(tools/dsir_probe.py: 1.6x faster at 10x, exponent 0.11 vs "
+        "0.33, Spearman 0.984 weight agreement vs exact ids)."
+    ),
 }
 
 
