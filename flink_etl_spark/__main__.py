@@ -219,6 +219,26 @@ def cmd_ann_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_drift(args: argparse.Namespace) -> int:
+    import json
+
+    from flink_etl_spark.operators import similarity as S
+
+    spark = _spark("flink-etl-spark-ann-drift")
+    batch = spark.read.parquet(args.path)
+    if _index_kind(spark, args.index) == "ivfpq":
+        out = S.ann_drift_check(
+            spark, args.index, batch,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+    else:
+        out = S.pq_drift_check(spark, args.index, batch,
+                               vec_col=args.vec_col)
+    print(json.dumps(out))
+    # exit 2 on a rebuild recommendation so schedulers can branch on it
+    return 2 if out["rebuild_recommended"] else 0
+
+
 def cmd_ann_search(args: argparse.Namespace) -> int:
     from flink_etl_spark.operators import similarity as S
 
@@ -358,6 +378,18 @@ def build_parser() -> argparse.ArgumentParser:
                      help="files per directory (default: sized from bytes "
                           "at ~128MB/file)")
     anc.set_defaults(fn=cmd_ann_compact)
+
+    andr = sub.add_parser(
+        "ann-drift",
+        help="quantizer-drift check of a batch against a staged index's "
+             "build-time baseline (kind derived from the sidecar: ivfpq "
+             "compares mean centroid similarity, flat pq compares mean "
+             "ADC reconstruction error); prints JSON and exits 2 when a "
+             "rebuild is recommended",
+    )
+    andr.add_argument("--path", required=True, help="batch parquet dir")
+    _ann_common(andr)
+    andr.set_defaults(fn=cmd_ann_drift)
 
     ans = sub.add_parser(
         "ann-search",

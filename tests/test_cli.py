@@ -314,3 +314,55 @@ def test_cli_ann_compact_bounds_files(spark, tmp_path):
     )
     assert sorted(map(tuple, similarity.ivfpq_search_index(
         spark, idx, qs, k=5).collect())) == before
+
+def test_cli_ann_drift_dispatches_and_exit_codes(spark, tmp_path):
+    """ann-drift: dispatches on the sidecar kind (ivfpq -> centroid
+    similarity, flat pq -> reconstruction error), prints JSON, exits 0
+    on a healthy batch and 2 on a rebuild recommendation (the
+    scheduler branch)."""
+    import json
+    import random
+    import warnings
+
+    from flink_etl_spark.operators import similarity
+
+    # generator params mirror test_ann_drift_check_flags_drifted_batches
+    # (seed 5 / 500 base rows): proven to land the same-distribution
+    # batch inside the healthy ratio band for both monitors
+    rng = random.Random(5)
+    dim = 16
+
+    def cluster_row(i, shift=0.0):
+        v = [round(0.5 + shift + rng.gauss(0, 0.2), 4)] + [
+            round(rng.gauss(0, 0.2), 4) for _ in range(dim - 1)
+        ]
+        return (i, v)
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame([cluster_row(i) for i in range(500)], schema)
+    same = tmp_path / "same"
+    spark.createDataFrame(
+        [cluster_row(1000 + i) for i in range(100)], schema
+    ).write.parquet(str(same))
+    drifted = tmp_path / "drifted"
+    spark.createDataFrame(
+        [cluster_row(2000 + i, shift=-3.0) for i in range(100)], schema
+    ).write.parquet(str(drifted))
+
+    for kind, build in (
+        ("ivfpq", lambda p: similarity.ivfpq_build_index(
+            base, p, n_cells=8, m=8, n_codes=16)),
+        ("pq", lambda p: similarity.pq_build_index(
+            base, p, m=8, n_codes=16)),
+    ):
+        idx = str(tmp_path / f"idx_{kind}")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            build(idx)
+            assert main(
+                ["ann-drift", "--path", str(same), "--index", idx]
+            ) == 0
+            rc = main(
+                ["ann-drift", "--path", str(drifted), "--index", idx]
+            )
+        assert rc == 2, f"{kind}: drifted batch should exit 2"
