@@ -1460,6 +1460,65 @@ def _allowed_semi(codes: DataFrame, allowed: DataFrame | None,
     )
 
 
+def pq_rebuild_index(
+    spark,
+    old_path: str,
+    new_path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+) -> None:
+    """Periodic rebuild of a staged FLAT-PQ index — the response to a
+    `pq_drift_check` alert (its reconstruction-error ratio passing
+    `rebuild_above`), symmetric to `ivfpq_rebuild_index`: m and
+    n_codes default from the OLD sidecar, the result is byte-identical
+    to `pq_build_index(corpus, new_path, <same params>)` (pinned by
+    test), and the new sidecar records a FRESH `mean_recon_err`
+    baseline so the monitor re-arms. `refine_iters` defaults to 2 for
+    the same measured reason as the IVF-PQ rebuild: seed codebooks are
+    the smallest-id rows, so a drift-accreted mode with large ids
+    never seeds — only Lloyd refinement moves codewords toward it;
+    passing 0 warns. Always a NEW path (cut searches over, then delete
+    the old dir — an in-place rebuild would race readers and break the
+    append replay contract mid-write)."""
+    meta = _read_json_sidecar(spark, f"{old_path}/_PQ_META.json")
+    if meta is None:
+        raise ValueError(
+            f"no _PQ_META.json at {old_path} — not a PQ index; use "
+            "pq_build_index for a first build"
+        )
+    if meta.get("version") != _PQ_META_VERSION:
+        raise ValueError(
+            f"PQ index at {old_path} has format version "
+            f"{meta.get('version')!r}, this build writes "
+            f"{_PQ_META_VERSION} — parameters cannot be trusted; pass "
+            "them to pq_build_index explicitly"
+        )
+    if old_path.rstrip("/") == new_path.rstrip("/"):
+        raise ValueError(
+            "rebuild must target a NEW path (searches keep reading the "
+            "old index until cutover; an in-place rebuild races them)"
+        )
+    if refine_iters == 0:
+        import warnings
+
+        warnings.warn(
+            "pq_rebuild_index(refine_iters=0): a rebuild without Lloyd "
+            "refinement cannot move codewords toward a drift-accreted "
+            "mode (seeds are the smallest ids — the same measured "
+            "finding as the IVF-PQ rebuild, tools/drift_probe.py); keep "
+            "the default unless this is a layout-only rebuild",
+            UserWarning,
+            stacklevel=2,
+        )
+    pq_build_index(
+        corpus, new_path,
+        m=int(meta["m"]), n_codes=int(meta["n_codes"]),
+        id_col=id_col, vec_col=vec_col, refine_iters=refine_iters,
+    )
+
+
 def pq_search_index(
     spark,
     index_path: str,

@@ -333,6 +333,7 @@ def start_continuous_ann_index(
     vec_col: str = "embedding",
     available_now: bool = False,
     compact_every: int | None = None,
+    drift_check_every: int | None = None,
 ) -> StreamingQuery:
     """Attach continuous index append as a foreachBatch sink on a
     streaming embedding DataFrame. ``kind`` selects the staged layout:
@@ -356,12 +357,30 @@ def start_continuous_ann_index(
     (move-new-then-delete-old), so a search overlapping it sees
     duplicated rows — collapsed by the search ranking — never missing
     ones; the worst case is a loud FAILED_READ_FILE retry, per
-    `compact_ann_index`'s reader contract."""
+    `compact_ann_index`'s reader contract.
+
+    ``drift_check_every=N`` runs the kind-appropriate quantizer-drift
+    check (`ann_drift_check` for ivfpq, `pq_drift_check` for flat pq)
+    on every N-th micro-batch BEFORE appending it — the operational
+    loop closed: the sink is where batches flow, so the monitor rides
+    it, warning (UserWarning in driver logs) with
+    rebuild_recommended when the batch reads drifted against the
+    build-time sidecar baseline. Cost: one broadcast
+    assignment/encode pass over the sampled batch, nothing over the
+    index. The sink never ACTS on the flag (a rebuild targets a new
+    path and needs a cutover the stream cannot do mid-flight) — wire
+    the warning into alerting, then run `ivfpq_rebuild_index` /
+    `pq_rebuild_index` and re-attach."""
     if kind not in ("ivfpq", "pq"):
         raise ValueError(f"kind must be 'ivfpq' or 'pq', got {kind!r}")
     if compact_every is not None and compact_every < 1:
         raise ValueError(
             f"compact_every must be >= 1 or None, got {compact_every}"
+        )
+    if drift_check_every is not None and drift_check_every < 1:
+        raise ValueError(
+            f"drift_check_every must be >= 1 or None, got "
+            f"{drift_check_every}"
         )
     spark = embs.sparkSession
     # fail fast: a missing/incompatible index raises HERE, not inside
@@ -384,6 +403,21 @@ def start_continuous_ann_index(
     def _step(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if drift_check_every and batch_id % drift_check_every == 0:
+            from flink_etl_spark.operators.similarity import (
+                ann_drift_check,
+                pq_drift_check,
+            )
+
+            if kind == "ivfpq":
+                ann_drift_check(
+                    batch.sparkSession, index_path, batch,
+                    id_col=id_col, vec_col=vec_col,
+                )
+            else:
+                pq_drift_check(
+                    batch.sparkSession, index_path, batch, vec_col=vec_col
+                )
         append(
             batch.sparkSession, batch, index_path,
             id_col=id_col, vec_col=vec_col,

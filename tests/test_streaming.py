@@ -1016,3 +1016,104 @@ def test_continuous_ann_sink_compact_every_cadence(spark, tmp_path):
             spark.readStream.schema(schema).parquet(str(src)),
             idx, str(tmp_path / "ck2"), compact_every=0,
         )
+
+def test_pq_rebuild_index_and_sink_drift_cadence(spark, tmp_path):
+    """pq_rebuild_index: params default from the old sidecar, result
+    byte-identical to a fresh build, sidecar baseline re-armed,
+    in-place/sidecar-less raise, refine=0 warns. And the continuous
+    sink's drift_check_every= runs the kind-appropriate check inside
+    foreachBatch: a drifted stream raises the drift UserWarning from
+    the micro-batch thread."""
+    import random
+    import warnings
+
+    import pytest
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.similarity import (
+        _read_json_sidecar,
+        pq_rebuild_index,
+    )
+    from flink_etl_spark.streaming.ann_sink import (
+        start_continuous_ann_index,
+    )
+
+    rng = random.Random(5)
+    dim = 16
+
+    def cluster_row(i, shift=0.0):
+        v = [round(0.5 + shift + rng.gauss(0, 0.2), 4)] + [
+            round(rng.gauss(0, 0.2), 4) for _ in range(dim - 1)
+        ]
+        return (i, v)
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(
+        [cluster_row(i) for i in range(400)], schema
+    )
+    union_rows = [cluster_row(1000 + i, shift=-3.0) for i in range(100)]
+    union = base.unionByName(spark.createDataFrame(union_rows, schema))
+
+    old = str(tmp_path / "old")
+    similarity.pq_build_index(base, old, m=8, n_codes=16)
+    similarity.pq_append_index(
+        spark, spark.createDataFrame(union_rows, schema), old
+    )
+
+    new = str(tmp_path / "new")
+    pq_rebuild_index(spark, old, new, union)
+    fresh = str(tmp_path / "fresh")
+    similarity.pq_build_index(union, fresh, m=8, n_codes=16,
+                              refine_iters=2)
+    codes = lambda p: sorted(
+        (r[0], bytes(r[1]))
+        for r in spark.read.parquet(f"{p}/codes").collect()
+    )
+    assert codes(new) == codes(fresh)
+    # the rebuilt sidecar re-arms the drift baseline on the NEW corpus
+    assert _read_json_sidecar(spark, f"{new}/_PQ_META.json")[
+        "mean_recon_err"
+    ] == _read_json_sidecar(spark, f"{fresh}/_PQ_META.json")[
+        "mean_recon_err"
+    ]
+
+    with pytest.warns(UserWarning, match="without Lloyd refinement"):
+        pq_rebuild_index(
+            spark, old, str(tmp_path / "norefine"), union, refine_iters=0
+        )
+    with pytest.raises(ValueError, match="NEW path"):
+        pq_rebuild_index(spark, old, old + "/", union)
+    with pytest.raises(ValueError, match="no _PQ_META"):
+        pq_rebuild_index(
+            spark, str(tmp_path / "nope"), str(tmp_path / "x"), union
+        )
+
+    # sink drift cadence: stream DRIFTED batches into the base index
+    # with drift_check_every=1 — the check must warn from foreachBatch
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(union_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "_stage"))
+    import os
+    part = next(
+        p for p in os.listdir(src / "_stage") if p.endswith(".parquet")
+    )
+    os.rename(src / "_stage" / part, src / "b0.parquet")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_continuous_ann_index(
+            stream, old, str(tmp_path / "ck"), kind="pq",
+            available_now=True, drift_check_every=1,
+        )
+        q.awaitTermination(180)
+    msgs = [str(w.message) for w in caught]
+    assert any("drifted" in m for m in msgs), msgs
+
+    with pytest.raises(ValueError, match="drift_check_every"):
+        start_continuous_ann_index(
+            spark.readStream.schema(schema).parquet(str(src)),
+            old, str(tmp_path / "ck2"), kind="pq", drift_check_every=0,
+        )
