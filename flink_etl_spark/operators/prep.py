@@ -864,8 +864,16 @@ def _dsir_log_weights_bucketed(
     ratios are micro-floored BEFORE the per-doc sum, so the sum is
     order-independent and identical to flooring per instance (equal
     buckets share one floored value)."""
-    from flink_etl_spark.functions.hashing import MERSENNE_P
+    _dsir_validate_buckets(n_buckets)
+    bsql = _dsir_bucket_sql(hash_terms, n_buckets)
+    per_bucket = _dsir_per_bucket(
+        docs, target_docs, text_col, bsql, n_buckets
+    )
+    packed = _dsir_pack(per_bucket, n_buckets)
+    return _dsir_score(docs, packed, bsql, id_col, text_col)
 
+
+def _dsir_validate_buckets(n_buckets: int) -> None:
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if n_buckets > 16_000_000:
@@ -874,43 +882,69 @@ def _dsir_log_weights_bucketed(
             "(2 arrays * 8 bytes * B must stay driver/executor-friendly); "
             "use the exact-id arm past ~16M buckets"
         )
-    B = n_buckets
+
+
+def _dsir_bucket_sql(hash_terms: bool, n_buckets: int):
+    """SQL-text bucket expression builder (takes the variable name so
+    it can be inlined in a lambda). Non-negative in both engines: pmod
+    for the 64-bit hash, and the char fold's accumulator already lives
+    in [0, P)."""
+    from flink_etl_spark.functions.hashing import MERSENNE_P
 
     def bucket_sql(var: str) -> str:
-        # non-negative in both engines: pmod for the 64-bit hash, and
-        # the char fold's accumulator already lives in [0, P)
         if hash_terms:
-            return f"pmod(xxhash64({var}), {B})"
+            return f"pmod(xxhash64({var}), {n_buckets})"
         return (
             f"(aggregate(transform(split({var}, ''), "
             f"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
-            f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}) % {B})"
+            f"(acc, c) -> (acc * 131 + c) % {MERSENNE_P}) % {n_buckets})"
         )
 
-    def feats_frame(d: DataFrame, keep_id: bool) -> DataFrame:
-        toks = d.select(
-            *([F.col(id_col)] if keep_id else []),
-            tokens_expr(text_col).alias("_toks"),
-        )
-        return toks.select(
-            *([id_col] if keep_id else []),
-            F.concat(
-                F.col("_toks"), shingles_expr(F.col("_toks"), 2)
-            ).alias("_feats"),
-        )
+    return bucket_sql
+
+
+def _dsir_feats_frame(
+    d: DataFrame, id_col: str, text_col: str, keep_id: bool
+) -> DataFrame:
+    """(id?, _feats): unigrams + bigram shingles, token array staged as
+    its own projection per the interpreted-HOF rule."""
+    toks = d.select(
+        *([F.col(id_col)] if keep_id else []),
+        tokens_expr(text_col).alias("_toks"),
+    )
+    return toks.select(
+        *([id_col] if keep_id else []),
+        F.concat(
+            F.col("_toks"), shingles_expr(F.col("_toks"), 2)
+        ).alias("_feats"),
+    )
+
+
+def _dsir_per_bucket(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str,
+    bucket_sql,
+    n_buckets: int,
+) -> DataFrame:
+    """The DSIR fit: dense (_b, _ct, _cq) — one row per bucket 0..B-1
+    (a spark.range grid left-joins the two map-side-combined count
+    aggregates, so absent buckets carry zeros). <= B rows; this is the
+    frame `dsir_stage_fit` persists."""
 
     def bucket_counts(d: DataFrame, out: str) -> DataFrame:
         return (
-            feats_frame(d, False)
+            _dsir_feats_frame(d, "", text_col, False)
             .select(F.explode("_feats").alias("_fs"))
             .select(F.expr(bucket_sql("_fs")).alias("_b"))
             .groupBy("_b")
             .agg(F.count("*").alias(out))
         )
 
-    spark = docs.sparkSession
-    grid = spark.range(B).select(F.col("id").alias("_b"))
-    per_bucket = (
+    grid = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("_b")
+    )
+    return (
         grid.join(bucket_counts(target_docs, "_ct"), "_b", "left")
         .join(bucket_counts(docs, "_cq"), "_b", "left")
         .select(
@@ -919,7 +953,17 @@ def _dsir_log_weights_bucketed(
             F.coalesce("_cq", F.lit(0)).alias("_cq"),
         )
     )
-    packed = (
+
+
+def _dsir_pack(per_bucket: DataFrame, n_buckets: int) -> DataFrame:
+    """ONE broadcastable row: _lrs[b+1] = micro-floored log importance
+    ratio of bucket b, _novs[b+1] = 1 when the bucket carries zero
+    target mass. N_t/N_q fall out of the same aggregate — no second
+    scan. Ratios are micro-floored PER BUCKET before any per-doc sum,
+    which equals flooring per instance (equal buckets share one
+    floored value)."""
+    B = n_buckets
+    return (
         per_bucket.agg(
             F.sum("_ct").alias("_nt"),
             F.sum("_cq").alias("_nq"),
@@ -939,8 +983,16 @@ def _dsir_log_weights_bucketed(
             ).alias("_novs"),
         )
     )
+
+
+def _dsir_score(
+    docs: DataFrame, packed: DataFrame, bucket_sql, id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Zero-shuffle per-doc scoring: broadcast-cross the packed row and
+    fold each document's own feature array row-locally."""
     return (
-        feats_frame(docs, True)
+        _dsir_feats_frame(docs, id_col, text_col, True)
         .crossJoin(F.broadcast(packed))
         .withColumn(
             "_bidx",
@@ -972,6 +1024,86 @@ def _dsir_log_weights_bucketed(
             ),
         )
     )
+
+
+#: staged-fit format version (`_DSIR_META.json`)
+_DSIR_META_VERSION = 1
+
+
+def dsir_stage_fit(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    fit_path: str,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    hash_terms: bool = True,
+) -> None:
+    """Stage the bucketed DSIR FIT once so scoring runs reuse it — the
+    minhash staged-profile pattern applied to data selection: the fit
+    (two corpus tokenization passes + the <= B-row count aggregates)
+    is the expensive half, and a 100 TB pipeline scores many shards /
+    days against ONE fit. Writes `<fit_path>/counts` (the dense
+    per-bucket (_b, _ct, _cq) frame — counts, not ratios, so future
+    re-smoothing stays possible) plus a `_DSIR_META.json` sidecar
+    pinning {version, n_buckets, hash_terms}; `dsir_log_weights_staged`
+    derives its parameters from the sidecar and raises on drift (the
+    `_PROFILE_META.json` contract — a mismatched bucket space would
+    silently score garbage).
+
+    The raw-corpus distribution q is frozen at fit time (the DSIR
+    paper fits q on the full raw corpus once); re-stage the fit when
+    the raw distribution moves materially — the staged scoring of the
+    SAME corpora is value-identical to
+    `dsir_log_weights(raw, target, n_buckets=B)` (pinned by test)."""
+    from flink_etl_spark.operators.similarity import _write_json_sidecar
+
+    _dsir_validate_buckets(n_buckets)
+    bsql = _dsir_bucket_sql(hash_terms, n_buckets)
+    per_bucket = _dsir_per_bucket(
+        raw_docs, target_docs, text_col, bsql, n_buckets
+    )
+    per_bucket.write.mode("overwrite").parquet(f"{fit_path}/counts")
+    _write_json_sidecar(
+        raw_docs.sparkSession, f"{fit_path}/_DSIR_META.json",
+        {
+            "version": _DSIR_META_VERSION,
+            "n_buckets": n_buckets,
+            "hash_terms": hash_terms,
+        },
+    )
+
+
+def dsir_log_weights_staged(
+    docs: DataFrame,
+    fit_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a fit staged by `dsir_stage_fit` —
+    same output contract as `dsir_log_weights(n_buckets=B)` (n_feats,
+    logw_micro, mean_lr_micro, novel_target_frac), same zero-shuffle
+    shape (the <= B-row counts read, packed into one broadcast row,
+    folded row-locally), with n_buckets and the bucket hash derived
+    from the sidecar. Feed the result to `dsir_select_n` as usual."""
+    from flink_etl_spark.operators.similarity import _read_json_sidecar
+
+    spark = docs.sparkSession
+    meta = _read_json_sidecar(spark, f"{fit_path}/_DSIR_META.json")
+    if meta is None:
+        raise ValueError(
+            f"no _DSIR_META.json at {fit_path} — not a staged DSIR fit; "
+            "run dsir_stage_fit first"
+        )
+    if meta.get("version") != _DSIR_META_VERSION:
+        raise ValueError(
+            f"staged DSIR fit at {fit_path} has format version "
+            f"{meta.get('version')!r}, this reader expects "
+            f"{_DSIR_META_VERSION} — re-stage the fit"
+        )
+    bsql = _dsir_bucket_sql(bool(meta["hash_terms"]), int(meta["n_buckets"]))
+    counts = spark.read.parquet(f"{fit_path}/counts")
+    packed = _dsir_pack(counts, int(meta["n_buckets"]))
+    return _dsir_score(docs, packed, bsql, id_col, text_col)
 
 
 def dsir_select_n(

@@ -1598,3 +1598,54 @@ def test_dsir_select_n_gumbel_topk(spark):
 
     with pytest.raises(ValueError, match="n must"):
         dsir_select_n(df, 0)
+
+
+def test_dsir_staged_fit_equals_in_memory_and_validates(spark, tmp_path):
+    """dsir_stage_fit + dsir_log_weights_staged: scoring the same
+    corpora against the staged fit is value-identical to the
+    in-memory bucketed arm; parameters derive from the sidecar;
+    missing/drifted sidecars raise; and scoring a NEW shard reuses
+    the frozen fit (the fit-once/score-many contract)."""
+    import pytest
+
+    from flink_etl_spark.operators.prep import (
+        dsir_log_weights,
+        dsir_log_weights_staged,
+        dsir_stage_fit,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    raw = docs.filter("doc_id % 2 = 1")
+    target = docs.filter("doc_id % 2 = 0")
+    fit = str(tmp_path / "fit")
+    dsir_stage_fit(target, raw, fit, n_buckets=512, hash_terms=True)
+
+    staged = sorted(
+        map(tuple, dsir_log_weights_staged(raw, fit).collect())
+    )
+    mem = sorted(
+        map(tuple, dsir_log_weights(raw, target, n_buckets=512).collect())
+    )
+    assert staged == mem
+
+    # a new shard scores against the FROZEN fit (q from stage time):
+    # every output doc present, values deterministic across two reads
+    shard = docs.filter("doc_id % 4 = 3")
+    s1 = sorted(map(tuple, dsir_log_weights_staged(shard, fit).collect()))
+    s2 = sorted(map(tuple, dsir_log_weights_staged(shard, fit).collect()))
+    assert s1 == s2
+    assert len(s1) == shard.count()
+
+    with pytest.raises(ValueError, match="no _DSIR_META"):
+        dsir_log_weights_staged(raw, str(tmp_path / "nope"))
+    from flink_etl_spark.operators.similarity import _write_json_sidecar
+
+    _write_json_sidecar(
+        spark, f"{fit}/_DSIR_META.json",
+        {"version": 99, "n_buckets": 512, "hash_terms": True},
+    )
+    with pytest.raises(ValueError, match="format version"):
+        dsir_log_weights_staged(raw, fit)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_stage_fit(target, raw, str(tmp_path / "f2"), n_buckets=1)
