@@ -219,6 +219,45 @@ def cmd_ann_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dsir_fit(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators.prep import dsir_stage_fit
+
+    spark = _spark("flink-etl-spark-dsir-fit")
+    dsir_stage_fit(
+        spark.read.parquet(args.target),
+        spark.read.parquet(args.raw),
+        args.fit,
+        n_buckets=args.buckets,
+        text_col=args.text_col,
+    )
+    print(f"staged DSIR fit at {args.fit} ({args.buckets} buckets)")
+    return 0
+
+
+def cmd_dsir_score(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators.prep import (
+        dsir_log_weights_staged,
+        dsir_select_n,
+    )
+
+    spark = _spark("flink-etl-spark-dsir-score")
+    out = dsir_log_weights_staged(
+        spark.read.parquet(args.docs), args.fit,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    if args.select is not None:
+        out = dsir_select_n(
+            out, n=args.select, salt=args.salt, id_col=args.id_col
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    what = (
+        f"Gumbel-top-{args.select} selection"
+        if args.select is not None else "log weights"
+    )
+    print(f"wrote DSIR {what} to {args.out}")
+    return 0
+
+
 def cmd_ann_drift(args: argparse.Namespace) -> int:
     import json
 
@@ -378,6 +417,37 @@ def build_parser() -> argparse.ArgumentParser:
                      help="files per directory (default: sized from bytes "
                           "at ~128MB/file)")
     anc.set_defaults(fn=cmd_ann_compact)
+
+    dsf = sub.add_parser(
+        "dsir-fit",
+        help="stage a DSIR bucketed fit once (target + raw corpus "
+             "parquet -> per-bucket counts + meta sidecar) for "
+             "fit-once/score-many selection",
+    )
+    dsf.add_argument("--target", required=True,
+                     help="target-corpus parquet dir")
+    dsf.add_argument("--raw", required=True, help="raw-corpus parquet dir")
+    dsf.add_argument("--fit", required=True, help="fit output dir")
+    dsf.add_argument("--buckets", type=int, default=10_000,
+                     help="hashed feature space size (the paper's 10k)")
+    dsf.add_argument("--text-col", default="text")
+    dsf.set_defaults(fn=cmd_dsir_fit)
+
+    dss = sub.add_parser(
+        "dsir-score",
+        help="score a document shard against a staged DSIR fit "
+             "(parameters derive from the fit's sidecar); --select N "
+             "additionally draws the Gumbel-top-N sample without "
+             "replacement",
+    )
+    dss.add_argument("--docs", required=True, help="shard parquet dir")
+    dss.add_argument("--fit", required=True, help="staged fit dir")
+    dss.add_argument("--out", required=True, help="result parquet dir")
+    dss.add_argument("--select", type=int, default=None)
+    dss.add_argument("--salt", type=int, default=0)
+    dss.add_argument("--id-col", default="doc_id")
+    dss.add_argument("--text-col", default="text")
+    dss.set_defaults(fn=cmd_dsir_score)
 
     andr = sub.add_parser(
         "ann-drift",

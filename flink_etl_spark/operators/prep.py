@@ -1054,7 +1054,13 @@ def dsir_stage_fit(
     paper fits q on the full raw corpus once); re-stage the fit when
     the raw distribution moves materially — the staged scoring of the
     SAME corpora is value-identical to
-    `dsir_log_weights(raw, target, n_buckets=B)` (pinned by test)."""
+    `dsir_log_weights(raw, target, n_buckets=B)` (pinned by test).
+
+    Crash note: the counts overwrite and the sidecar write are two
+    steps; a crash between them leaves new counts under an old
+    sidecar (or a half-written fit). A staged fit is a cheap derived
+    artifact with no replay contract — after any crashed stage, just
+    re-run `dsir_stage_fit` (idempotent overwrite) before scoring."""
     from flink_etl_spark.operators.similarity import _write_json_sidecar
 
     _dsir_validate_buckets(n_buckets)

@@ -366,3 +366,47 @@ def test_cli_ann_drift_dispatches_and_exit_codes(spark, tmp_path):
                 ["ann-drift", "--path", str(drifted), "--index", idx]
             )
         assert rc == 2, f"{kind}: drifted batch should exit 2"
+
+def test_cli_dsir_fit_and_score(spark, tmp_path):
+    """dsir-fit stages the bucketed fit; dsir-score scores a shard
+    against it (and --select N draws the Gumbel sample) — both equal
+    to the library calls."""
+    from flink_etl_spark.operators.prep import (
+        dsir_log_weights_staged,
+        dsir_select_n,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tdir, rdir = tmp_path / "target", tmp_path / "raw"
+    docs.filter("doc_id % 2 = 0").write.parquet(str(tdir))
+    docs.filter("doc_id % 2 = 1").write.parquet(str(rdir))
+    fit = str(tmp_path / "fit")
+    assert main([
+        "dsir-fit", "--target", str(tdir), "--raw", str(rdir),
+        "--fit", fit, "--buckets", "512",
+    ]) == 0
+
+    out = str(tmp_path / "scored")
+    assert main([
+        "dsir-score", "--docs", str(rdir), "--fit", fit, "--out", out,
+    ]) == 0
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, dsir_log_weights_staged(
+        spark.read.parquet(str(rdir)), fit
+    ).collect()))
+    assert got == want and len(got) > 0
+
+    sel = str(tmp_path / "selected")
+    assert main([
+        "dsir-score", "--docs", str(rdir), "--fit", fit, "--out", sel,
+        "--select", "16", "--salt", "1",
+    ]) == 0
+    got_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(sel).collect()
+    )
+    want_ids = sorted(r["doc_id"] for r in dsir_select_n(
+        dsir_log_weights_staged(spark.read.parquet(str(rdir)), fit),
+        n=16, salt=1,
+    ).collect())
+    assert got_ids == want_ids and len(got_ids) == 16
