@@ -2434,3 +2434,46 @@ def test_semdedup_zero_norm_centroid_duel_is_deterministic(spark):
         loser = p.csim_a if p.drop_id == p.id_a else p.csim_b
         winner = p.csim_b if p.drop_id == p.id_a else p.csim_a
         assert loser >= winner
+
+def test_rank_and_rerank_duplicate_tolerance_randomized(spark):
+    """Property (seeded draws): for ANY scored frame, duplicating an
+    arbitrary subset of rows once (the compaction reader contract's
+    worst case — each row seen at most twice) leaves _rank_and_rerank's
+    output BYTE-IDENTICAL, including at tie pile-ups and at the cut
+    boundary; with no duplicates the result equals the plain
+    row_number rank it replaced."""
+    import random
+
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.similarity import _rank_and_rerank
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = []
+        for q in range(4):
+            for nb in range(rng.randint(5, 25)):
+                # coarse grid -> plenty of exact ties
+                sim = round(rng.choice([0.1, 0.3, 0.5, 0.7, 0.9]), 6)
+                rows.append((q, nb, sim))
+        schema = "query_id long, neighbor_id long, cos_sim double"
+        base = spark.createDataFrame(rows, schema)
+        k = rng.randint(1, 6)
+        clean = sorted(map(tuple, _rank_and_rerank(
+            base, k, 1, None, None, "vec_id", "embedding").collect()))
+
+        # reference: the plain row_number rank (pre-r10 semantics)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        plain = sorted(map(tuple, base.withColumn(
+            "rnk", F.row_number().over(w)
+        ).filter(F.col("rnk") <= k).collect()))
+        assert clean == plain, f"seed {seed}: no-dup result drifted"
+
+        dup_rows = rows + [r for r in rows if rng.random() < 0.5]
+        duped = spark.createDataFrame(dup_rows, schema)
+        with_dups = sorted(map(tuple, _rank_and_rerank(
+            duped, k, 1, None, None, "vec_id", "embedding").collect()))
+        assert with_dups == clean, f"seed {seed}: duplicates leaked"

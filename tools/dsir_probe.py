@@ -75,7 +75,7 @@ def ladder_point(spark, sf_dir: str, label: str) -> dict:
     return out
 
 
-def agreement(spark) -> dict:
+def agreement(spark, n_buckets: int = N_BUCKETS) -> dict:
     """Collision impact of the fixed bucket space at sf0.1: per-doc
     weight deltas and rank/selection agreement vs the exact-id arm
     (both production xxhash64)."""
@@ -87,7 +87,7 @@ def agreement(spark) -> dict:
     bk = {
         r["doc_id"]: r
         for r in dsir_log_weights(
-            raw, target, n_buckets=N_BUCKETS
+            raw, target, n_buckets=n_buckets
         ).collect()
     }
     assert set(ex) == set(bk)
@@ -119,10 +119,10 @@ def agreement(spark) -> dict:
         for r in dsir_select_n(dw, n=256, salt=0).select("doc_id").collect()
     }
     s_ex = sel(dsir_log_weights(raw, target))
-    s_bk = sel(dsir_log_weights(raw, target, n_buckets=N_BUCKETS))
+    s_bk = sel(dsir_log_weights(raw, target, n_buckets=n_buckets))
     return {
         "n_docs": n,
-        "n_buckets": N_BUCKETS,
+        "n_buckets": n_buckets,
         "mean_abs_delta_mean_lr_micro": round(sum(deltas) / n, 1),
         "max_abs_delta_mean_lr_micro": round(max(deltas), 1),
         "spearman_logw": round(spearman, 4),
@@ -151,5 +151,19 @@ def main(with_replica: bool = True) -> None:
               flush=True)
 
 
+def sweep() -> None:
+    """Collision-impact curve over the bucket-space size: how fast the
+    selection converges to the exact-id arm as B grows (the knob a
+    deployment actually turns). One line per B at sf0.1."""
+    spark = get_spark(app_name="dsir-probe-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    for b in (1_000, 10_000, 100_000):
+        print(json.dumps({"sweep": agreement(spark, n_buckets=b)}),
+              flush=True)
+
+
 if __name__ == "__main__":
-    main("--no-replica" not in sys.argv[1:])
+    if "--sweep" in sys.argv[1:]:
+        sweep()
+    else:
+        main("--no-replica" not in sys.argv[1:])
