@@ -15,7 +15,8 @@ space (Xie et al. 2023's own design point) gives up for removing it.
 Results are spliced into docs/SCALING.md by hand (see the "DSIR"
 section there).
 
-Usage: python tools/dsir_probe.py [--no-replica]
+Usage: python tools/dsir_probe.py [--no-replica] [--replicas N]
+       python tools/dsir_probe.py --sweep
 """
 
 from __future__ import annotations
@@ -131,19 +132,19 @@ def agreement(spark, n_buckets: int = N_BUCKETS) -> dict:
     }
 
 
-def main(with_replica: bool = True) -> None:
+def main(with_replica: bool = True, replicas: int = REPLICAS) -> None:
     spark = get_spark(app_name="dsir-probe")
     spark.sparkContext.setLogLevel("ERROR")
     points = [(SF, "sf0.1")]
     if with_replica:
         from tools.replicate_testdata import build_replica
 
-        rep = tempfile.mkdtemp(prefix="dsir10x_")
+        rep = tempfile.mkdtemp(prefix=f"dsir{replicas}x_")
         t0 = time.perf_counter()
-        build_replica(spark, SF, rep, REPLICAS)
-        print(f"built {REPLICAS}x replica in {time.perf_counter() - t0:.0f}s",
+        build_replica(spark, SF, rep, replicas)
+        print(f"built {replicas}x replica in {time.perf_counter() - t0:.0f}s",
               flush=True)
-        points.append((rep, f"sf0.1x{REPLICAS}"))
+        points.append((rep, f"sf0.1x{replicas}"))
 
     print(json.dumps({"agreement": agreement(spark)}), flush=True)
     for sf_dir, label in points:
@@ -166,4 +167,7 @@ if __name__ == "__main__":
     if "--sweep" in sys.argv[1:]:
         sweep()
     else:
-        main("--no-replica" not in sys.argv[1:])
+        reps = REPLICAS
+        if "--replicas" in sys.argv[1:]:
+            reps = int(sys.argv[sys.argv.index("--replicas") + 1])
+        main("--no-replica" not in sys.argv[1:], replicas=reps)
