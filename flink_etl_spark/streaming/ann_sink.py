@@ -125,12 +125,25 @@ def _complete_additive_swap(
             )
         if not fs.rename(src, dst):
             raise IOError(f"compaction swap: rename {name} into {d} failed")
+        # ChecksumFileSystem (file://) keeps a hidden `.{name}.crc`
+        # sidecar per data file — carry it along so the moved file
+        # keeps checksum protection (HDFS/S3 have none; exists-guarded)
+        crc_src = Path(f"{sroot}/.{name}.crc")
+        crc_dst = Path(f"{d}/.{name}.crc")
+        if fs.exists(crc_src) and not fs.exists(crc_dst):
+            fs.rename(crc_src, crc_dst)
     if on_moved is not None:
         on_moved(d)
     for name in plan["originals"]:
         p = Path(f"{d}/{name}")
         if fs.exists(p):
             fs.delete(p, False)
+        # and the original's checksum sidecar: the pre-r10 whole-dir
+        # delete removed these implicitly; leaving them would leak one
+        # hidden file per original per compaction on local filesystems
+        crc = Path(f"{d}/.{name}.crc")
+        if fs.exists(crc):
+            fs.delete(crc, False)
     _, sp = _hadoop_fs(spark, sroot)
     if fs.exists(sp):
         fs.delete(sp, True)

@@ -1117,3 +1117,46 @@ def test_pq_rebuild_index_and_sink_drift_cadence(spark, tmp_path):
             spark.readStream.schema(schema).parquet(str(src)),
             old, str(tmp_path / "ck2"), kind="pq", drift_check_every=0,
         )
+
+def test_additive_swap_does_not_leak_checksum_sidecars(spark, tmp_path):
+    """On a ChecksumFileSystem (file://), the additive swap must carry
+    each moved file's hidden .crc along and delete the deleted
+    originals' .crc sidecars — the pre-r10 whole-dir delete removed
+    them implicitly, and leaking one hidden file per original per
+    compaction re-creates the small-file problem invisibly."""
+    import os
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import (
+        _ann_data_dirs,
+        compact_ann_index,
+    )
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(
+        embs.filter("vec_id < 200"), idx, n_cells=4, m=8, n_codes=16
+    )
+    for lo in (200, 300, 400):
+        similarity.ivfpq_append_index(
+            spark, embs.filter(f"vec_id >= {lo} and vec_id < {lo + 100}"),
+            idx,
+        )
+    assert compact_ann_index(spark, idx, target_files=1) >= 1
+    # another append + compaction cycle: the leak (if any) accretes
+    similarity.ivfpq_append_index(spark, embs.filter("vec_id >= 500"), idx)
+    compact_ann_index(spark, idx, target_files=1)
+
+    for d in _ann_data_dirs(spark, idx):
+        names = set(os.listdir(d))
+        data = {n for n in names if not n.startswith((".", "_"))}
+        orphans = {
+            n for n in names
+            if n.startswith(".") and n.endswith(".crc")
+            and n[1:-4] not in data and n[1:-4] not in ("_SUCCESS",)
+        }
+        assert not orphans, (d, sorted(orphans))
+        # and every moved data file kept its checksum protection
+        missing = {n for n in data if f".{n}.crc" not in names}
+        assert not missing, (d, sorted(missing))
