@@ -114,20 +114,23 @@ def _complete_additive_swap(
     sroot = _staging_path(d)
     for name in plan["staged"]:
         src, dst = Path(f"{sroot}/{name}"), Path(f"{d}/{name}")
-        if fs.exists(dst):
-            continue  # already moved (recovery re-run)
-        if not fs.exists(src):
-            raise IOError(
-                f"compaction recovery: staged file {name} of {d} is in "
-                f"the swap plan but exists in neither the staging dir "
-                "nor the target — plan and filesystem disagree; refusing "
-                "to delete originals"
-            )
-        if not fs.rename(src, dst):
-            raise IOError(f"compaction swap: rename {name} into {d} failed")
+        if not fs.exists(dst):
+            if not fs.exists(src):
+                raise IOError(
+                    f"compaction recovery: staged file {name} of {d} is "
+                    f"in the swap plan but exists in neither the staging "
+                    "dir nor the target — plan and filesystem disagree; "
+                    "refusing to delete originals"
+                )
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"compaction swap: rename {name} into {d} failed"
+                )
         # ChecksumFileSystem (file://) keeps a hidden `.{name}.crc`
         # sidecar per data file — carry it along so the moved file
-        # keeps checksum protection (HDFS/S3 have none; exists-guarded)
+        # keeps checksum protection (HDFS/S3 have none). OUTSIDE the
+        # already-moved guard: a crash between a data move and its crc
+        # move must still carry the crc on the recovery re-run
         crc_src = Path(f"{sroot}/.{name}.crc")
         crc_dst = Path(f"{d}/.{name}.crc")
         if fs.exists(crc_src) and not fs.exists(crc_dst):
