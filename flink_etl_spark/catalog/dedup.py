@@ -1236,21 +1236,43 @@ def _clusters_oracle() -> str:
         SELECT node, node FROM nodes
         UNION
         SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    cc AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src
     )
-    SELECT src AS doc_id, min(dst) AS cluster_id
-    FROM reach GROUP BY src
+    SELECT 'propagation' AS variant, doc_id, cluster_id FROM cc
+    UNION ALL
+    SELECT 'star' AS variant, doc_id, cluster_id FROM cc
     """
 
 
 @query("dedup_duplicate_clusters", _clusters_oracle())
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS from near-dup pairs: connected components via
-    iterative min-label propagation (a genuinely ITERATIVE distributed
-    algorithm — driver loop over shuffle joins, Pregel-style). The
-    oracle computes the same components with a recursive-CTE transitive
-    closure: two entirely different fixpoint formulations must agree."""
+    """Duplicate CLUSTERS from near-dup pairs: connected components,
+    BOTH arms driver-gated against the same transitive closure:
+
+    * variant 'propagation' — iterative min-label propagation (a
+      genuinely ITERATIVE distributed algorithm: driver loop over
+      shuffle joins, Pregel-style); O(diameter) rounds, the cheap arm
+      for the near-clique shapes real near-dup clusters have.
+    * variant 'star' (r11) — large-star/small-star alternation
+      (Kiveris et al. 2014): O(log n) rounds regardless of cluster
+      diameter, the scale arm a template-chain of near-dups cannot
+      outrun. Both loops now RAISE if they exhaust max_iters without
+      converging (the r10-verdict silent-wrong-answer fix).
+
+    The oracle computes the same components with a recursive-CTE
+    transitive closure: three entirely different fixpoint
+    formulations must agree, value for value."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_near_dups(
         docs, threshold=0.8, n_hashes=16, bands=8, hash_fn="charfold"
     ).select("doc_a", "doc_b")
-    return D.duplicate_clusters(pairs)
+    prop = D.duplicate_clusters(pairs).select(
+        F.lit("propagation").alias("variant"), "doc_id", "cluster_id"
+    )
+    star = D.duplicate_clusters(pairs, algorithm="star").select(
+        F.lit("star").alias("variant"), "doc_id", "cluster_id"
+    )
+    return prop.unionByName(star)

@@ -635,34 +635,199 @@ def embedding_near_dups(
     )
 
 
+def _signal_nonconverged(what: str, max_iters: int, on_nonconverged: str):
+    """Loud exit for an iterative fixpoint loop that ran out of rounds.
+
+    The silent alternative is the one failure mode in this module whose
+    OUTPUT is wrong with no error: a propagation loop that stops early
+    returns labels that are not the connected components, and a
+    small-SF correctness gate (near-clique clusters, 2-3 rounds) can
+    never catch it. `"raise"` (the default) turns it into a hard
+    error; `"warn"` keeps the legacy return-anyway behavior but emits
+    a UserWarning so a scheduler log still shows it."""
+    msg = (
+        f"{what} did not converge within max_iters={max_iters}: the "
+        "returned labels are NOT the connected components (some chain "
+        "of near-dup pairs is longer than the rounds allowed). Raise "
+        "max_iters, or use algorithm='star' (large-star/small-star, "
+        "O(log n) rounds) whose round count cannot be outrun by "
+        "cluster diameter."
+    )
+    if on_nonconverged == "warn":
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    else:
+        raise RuntimeError(msg)
+
+
+def _star_components(
+    edges: DataFrame, max_iters: int, on_nonconverged: str
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the scale arm of `duplicate_clusters`: converges in
+    O(log n) rounds REGARDLESS of cluster diameter, where min-label
+    propagation needs O(diameter) rounds and an adversarial chain
+    (template-chain near-dups in crawl data) can outrun any fixed
+    bound.
+
+    Each round rewrites the edge set twice:
+    * large-star: every node u attaches its LARGER neighbors to
+      m = min(neighbors(u) + [u]) — long chains fold toward their
+      minimum in halving steps;
+    * small-star: every node u (keyed as the larger endpoint of each
+      edge) attaches its smaller neighbors AND itself to the minimum
+      smaller neighbor — stars flatten to depth 1.
+
+    The fixpoint is a star forest with every component's minimum id at
+    the center; labels fall straight out of the edges. Convergence is
+    detected by an order-independent (count, xor-of-edge-hashes)
+    signature — one tiny aggregate per round, no data to the driver.
+    Input `edges` must be the canonical undirected pair set: columns
+    (a, b) with a < b, distinct, no self loops."""
+    from flink_etl_spark.streaming.ann_sink import _dir_signature
+
+    edges = edges.localCheckpoint(eager=True)
+    sig = _dir_signature(edges)
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric adjacency: m(u) = min(Γ(u), u)
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmin = sym.groupBy("a").agg(F.min("b").alias("_nmin"))
+        large = (
+            sym.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("a"),
+                F.least(F.col("_nmin"), F.col("a")).alias("b"),
+            )
+        )
+        e1 = (
+            large.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star keyed on the larger endpoint: every smaller
+        # neighbor, and the node itself, attaches to the minimum
+        # smaller neighbor
+        smin = e1.groupBy("a").agg(F.min("b").alias("_nmin"))
+        small = (
+            e1.join(smin, "a")
+            .select(F.col("b").alias("a"), F.col("_nmin").alias("b"))
+            .union(smin.select(F.col("a"), F.col("_nmin").alias("b")))
+        )
+        nxt = (
+            small.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        ).localCheckpoint(eager=True)
+        nxt_sig = _dir_signature(nxt)
+        prev = edges
+        edges = nxt
+        prev.unpersist()
+        if nxt_sig == sig:
+            converged = True
+            break
+        sig = nxt_sig
+    if not converged:
+        _signal_nonconverged(
+            "duplicate_clusters(algorithm='star')", max_iters, on_nonconverged
+        )
+    # fixpoint edges are (leaf, component-min) stars; centers label
+    # themselves. Isolated nodes (self-pair inputs) are handled by the
+    # caller's left join against the full node set. The groupBy-min is
+    # a no-op at a true fixpoint (each leaf has exactly one edge) but
+    # guarantees one row per node on the on_nonconverged="warn"
+    # degraded path, where a leaf may still carry two candidate labels.
+    return (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .union(
+            edges.select(F.col("b").alias("node"), F.col("b").alias("label"))
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iters: int = 20,
+    algorithm: str = "propagation",
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document in a
     pair gets the MINIMUM reachable doc id as its cluster_id — the
     canonical "pick one canonical doc per duplicate group" step after
     any pairwise dedup (minhash/simhash/cosine all emit pairs).
 
-    Iterative min-label propagation (the Pregel/GraphX pattern on plain
-    DataFrames): each round joins labels across edges and keeps the
-    elementwise min; converges in O(cluster diameter) rounds — near-dup
-    clusters are near-cliques, so 2-3 rounds in practice, `max_iters`
-    bounds adversarial chains. Each round is one shuffle join + one
-    aggregate; the driver only checks a convergence COUNT per round
-    (no data is collected).
+    Two arms, identical outputs (equivalence-tested on random graphs):
 
-    Each generation of labels is `localCheckpoint`ed (eager) and the
-    previous generation unpersisted: without the lineage cut, the
-    logical plan doubles per round and at real corpus scale planning
-    time + recomputation explode long before the data does. The edge
-    table is persisted once — it is reused by every round's join.
-    (On a real cluster with executor churn, swap localCheckpoint for a
-    reliable `checkpoint()` to an HDFS dir — localCheckpoint blocks die
-    with their executor; the loop structure is unchanged.)
+    * ``algorithm="propagation"`` (default) — iterative min-label
+      propagation (the Pregel/GraphX pattern on plain DataFrames):
+      each round joins labels across edges and keeps the elementwise
+      min; converges in O(cluster diameter) rounds — near-dup clusters
+      are near-cliques, so 2-3 rounds in practice. One shuffle join +
+      one aggregate per round; the cheapest arm when diameters are
+      small and known.
+    * ``algorithm="star"`` — large-star/small-star alternation
+      (Kiveris et al. 2014): O(log n) rounds regardless of diameter.
+      The scale arm: at 100 TB the cluster shapes are whatever the
+      crawl contains, and a template-chain of near-dups can make the
+      diameter arbitrarily large; star's round bound cannot be outrun.
+
+    `max_iters` bounds either loop; exhausting it WITHOUT convergence
+    raises by default (``on_nonconverged="warn"`` downgrades to a
+    RuntimeWarning and returns the non-converged labels) — the silent
+    legacy behavior returned labels that are not the components, an
+    answer-corrupting failure no small-SF gate can catch.
+
+    Each generation is `localCheckpoint`ed (eager) and the previous
+    generation unpersisted: without the lineage cut, the logical plan
+    doubles per round and at real corpus scale planning time +
+    recomputation explode long before the data does. (On a real
+    cluster with executor churn, swap localCheckpoint for a reliable
+    `checkpoint()` to an HDFS dir — localCheckpoint blocks die with
+    their executor; the loop structure is unchanged.)
     """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+        )
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            "on_nonconverged must be 'raise' or 'warn', got "
+            f"{on_nonconverged!r}"
+        )
+    if algorithm == "star":
+        nodes = (
+            pairs.select(F.col(id_a).alias("node"))
+            .union(pairs.select(F.col(id_b).alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        canon = (
+            pairs.select(
+                F.greatest(id_a, id_b).alias("a"),
+                F.least(id_a, id_b).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        labels = _star_components(canon, max_iters, on_nonconverged)
+        # left join: isolated nodes (self-pair inputs) label themselves
+        return nodes.join(labels, "node", "left").select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -676,6 +841,7 @@ def duplicate_clusters(
     # each round is a leaf scan of checkpointed blocks, constant-size
     # across iterations (asserted in tests/test_extensions.py).
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -703,8 +869,15 @@ def duplicate_clusters(
         labels = updated
         prev.unpersist()
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        _signal_nonconverged(
+            "duplicate_clusters(algorithm='propagation')",
+            max_iters,
+            on_nonconverged,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
