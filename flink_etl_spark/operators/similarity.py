@@ -1460,6 +1460,47 @@ def _allowed_semi(codes: DataFrame, allowed: DataFrame | None,
     )
 
 
+def _is_missing_file_error(exc: Exception) -> bool:
+    """True iff the failure is the compaction window's loud read race:
+    a file listed when the plan was built was deleted before the scan
+    opened it (Spark error class FAILED_READ_FILE wrapping a
+    FileNotFoundException). Anything else is a real error — never
+    retried."""
+    s = str(exc)
+    return "FAILED_READ_FILE" in s or "FileNotFoundException" in s
+
+
+def _materialize_with_retry(build, retries: int, _on_built=None):
+    """Execute `build()` (a plan factory over a staged on-disk index)
+    eagerly, re-planning on the missing-file race `compact_ann_index`
+    documents: a reader that listed files before the swap's delete
+    step opens a deleted original and fails LOUDLY with
+    FAILED_READ_FILE. The file set is stable once the swap completes,
+    so one re-plan from a fresh listing suffices; `retries` bounds it.
+
+    Materialization is `localCheckpoint(eager=True)` — a top-k search
+    result is bounded (n_queries x k rows) by construction, and the
+    checkpoint both forces execution (so the retry actually catches
+    the race here, not in the caller's action) and pins the result
+    against further index mutation.
+
+    `_on_built` is a TEST SEAM: called after each attempt's plan is
+    built (file listing taken) and before it executes, with the
+    attempt number — tests use it to complete a compaction swap inside
+    exactly that window."""
+    attempt = 0
+    while True:
+        df = build()
+        if _on_built is not None:
+            _on_built(attempt)
+        try:
+            return df.localCheckpoint(eager=True)
+        except Exception as exc:  # re-plan only on the documented race
+            if attempt >= retries or not _is_missing_file_error(exc):
+                raise
+            attempt += 1
+
+
 def pq_rebuild_index(
     spark,
     old_path: str,
@@ -1529,6 +1570,8 @@ def pq_search_index(
     rerank: int = 1,
     corpus: DataFrame | None = None,
     allowed: DataFrame | None = None,
+    retry_missing_files: int = 0,
+    _on_built=None,
 ) -> DataFrame:
     """Search a staged flat PQ index (`pq_build_index`): ADC over the
     staged byte codes, parameters DERIVED from the `_PQ_META.json`
@@ -1536,21 +1579,39 @@ def pq_search_index(
     `pq_topk` with the same codebooks/codes by construction; `rerank`
     needs `corpus` (the index holds codes, not floats). `allowed` (a
     frame carrying `id_col`) restricts neighbors filter-then-rank —
-    top-k among the allowed set."""
+    top-k among the allowed set.
+
+    ``retry_missing_files=N`` (r11) absorbs the compaction window's
+    loud read race without hand-rolled caller retries: a search
+    overlapping `compact_ann_index`'s additive swap can list an
+    original file the swap then deletes, failing with
+    FAILED_READ_FILE; with N > 0 the result is materialized eagerly
+    (bounded: n_queries x k rows) and the plan rebuilt from a fresh
+    listing up to N times on exactly that failure — the file set is
+    stable once the swap completes, so N=1 suffices. Other errors
+    never retry. Default 0 keeps the plan lazy."""
     if rerank < 1:
         raise ValueError(f"rerank must be >= 1, got {rerank}")
     meta = _pq_index_meta(spark, index_path)
     m = int(meta["m"])
     guarded = _dim_guarded(queries, vec_col, int(meta["dim"]), "PQ: query")
-    cbs = spark.read.parquet(f"{index_path}/codebooks")
-    codes = _allowed_semi(
-        spark.read.parquet(f"{index_path}/codes"), allowed, id_col
-    )
-    return pq_topk(
-        corpus, guarded, k=k, m=m, n_codes=int(meta["n_codes"]),
-        id_col=id_col, vec_col=vec_col, codebooks=cbs, codes=codes,
-        rerank=rerank,
-    )
+
+    def build() -> DataFrame:
+        cbs = spark.read.parquet(f"{index_path}/codebooks")
+        codes = _allowed_semi(
+            spark.read.parquet(f"{index_path}/codes"), allowed, id_col
+        )
+        return pq_topk(
+            corpus, guarded, k=k, m=m, n_codes=int(meta["n_codes"]),
+            id_col=id_col, vec_col=vec_col, codebooks=cbs, codes=codes,
+            rerank=rerank,
+        )
+
+    if retry_missing_files > 0:
+        return _materialize_with_retry(
+            build, retry_missing_files, _on_built=_on_built
+        )
+    return build()
 
 
 # ---------------------------------------------------------------------------
@@ -2231,6 +2292,8 @@ def ivfpq_search_index(
     rerank: int = 1,
     corpus: DataFrame | None = None,
     allowed: DataFrame | None = None,
+    retry_missing_files: int = 0,
+    _on_built=None,
 ) -> DataFrame:
     """Search a staged IVF-PQ index: queries assign against the staged
     centroids and the candidate join reads only the probed `cell_id=`
@@ -2246,7 +2309,13 @@ def ivfpq_search_index(
     mis-slice subvectors against the staged codewords and return
     silently wrong rankings). Query vectors are also guarded
     expression-side against the staged `dim` — a wrong-dimension
-    query batch raises instead of zip-padding nulls into the ADC."""
+    query batch raises instead of zip-padding nulls into the ADC.
+
+    ``retry_missing_files=N`` (r11) absorbs the compaction window's
+    loud read race: see `pq_search_index` — same contract (eager
+    bounded materialization, fresh-listing re-plan on FAILED_READ_FILE
+    only, N=1 suffices because the file set is stable after the swap
+    completes)."""
     from flink_etl_spark.functions.vectors import l2_normalize  # noqa: F401
 
     if rerank < 1:
@@ -2272,19 +2341,27 @@ def ivfpq_search_index(
             "the sidecar) or rebuild the index"
         )
     m = meta["m"]
-    cents = spark.read.parquet(f"{index_path}/centroids")
-    cbs = spark.read.parquet(f"{index_path}/codebooks")
-    codes = _allowed_semi(
-        spark.read.parquet(f"{index_path}/cells").withColumn(
-            "cell_id", F.col("cell_id").cast("int")
-        ),
-        allowed, id_col,
-    )
-    cents_n = cents.select(
-        "cell_id", l2_normalize("centroid").alias("_cnv")
-    )
     guarded = _dim_guarded(queries, vec_col, int(meta["dim"]), "IVF-PQ: query")
-    return _ivfpq_score(
-        codes, cents, cents_n, cbs, guarded, k, nprobe, m, id_col,
-        vec_col, rerank, corpus,
-    )
+
+    def build() -> DataFrame:
+        cents = spark.read.parquet(f"{index_path}/centroids")
+        cbs = spark.read.parquet(f"{index_path}/codebooks")
+        codes = _allowed_semi(
+            spark.read.parquet(f"{index_path}/cells").withColumn(
+                "cell_id", F.col("cell_id").cast("int")
+            ),
+            allowed, id_col,
+        )
+        cents_n = cents.select(
+            "cell_id", l2_normalize("centroid").alias("_cnv")
+        )
+        return _ivfpq_score(
+            codes, cents, cents_n, cbs, guarded, k, nprobe, m, id_col,
+            vec_col, rerank, corpus,
+        )
+
+    if retry_missing_files > 0:
+        return _materialize_with_retry(
+            build, retry_missing_files, _on_built=_on_built
+        )
+    return build()

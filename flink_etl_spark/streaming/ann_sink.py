@@ -109,6 +109,20 @@ def _complete_additive_swap(
     directory."""
     from flink_etl_spark.operators.merge import _hadoop_fs, _staging_path
 
+    # Disjointness is a hard precondition: the loop below skips a move
+    # when the destination exists and then unconditionally deletes every
+    # `originals` name — a staged name colliding with an original would
+    # delete the file the "skipped" move was supposed to protect. The
+    # compact-time writer refuses to emit such a plan, but this function
+    # also executes plans READ FROM DISK during crash recovery, so the
+    # invariant is re-checked at the only place that acts on it.
+    clash = set(plan["staged"]) & set(plan["originals"])
+    if clash:
+        raise ValueError(
+            f"compaction swap plan for {d} lists {sorted(clash)[:3]}... as "
+            "both staged and original — executing it could delete data; "
+            "refusing (inspect the staging dir's _COMPACT_PLAN.json)"
+        )
     fs, _ = _hadoop_fs(spark, d)
     Path = spark._jvm.org.apache.hadoop.fs.Path
     sroot = _staging_path(d)

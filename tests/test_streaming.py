@@ -952,6 +952,137 @@ def test_recover_ann_index_rolls_additive_swap_forward(spark, tmp_path):
     assert rows() == before
 
 
+def test_additive_swap_refuses_colliding_plan(spark, tmp_path):
+    """r10 verdict item 3: a plan listing the same file name as both
+    staged and original could delete data (the move is skipped when
+    the destination exists, then every original name is deleted).
+    Spark's UUID part names make a real collision cryptographically
+    unlikely; the swap executor now makes it impossible — a forged
+    colliding plan is refused before any file is touched, at both
+    entry points (direct recovery and the attach-time heal)."""
+    import pytest
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.operators.merge import _staging_path
+    from flink_etl_spark.operators.similarity import _write_json_sidecar
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import (
+        _PLAN_NAME,
+        _ann_data_dirs,
+        recover_ann_index,
+    )
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(embs, idx, n_cells=4, m=8, n_codes=16)
+    victim = _ann_data_dirs(spark, idx)[0]
+    rows = lambda: sorted(map(_hrow, spark.read.parquet(victim).collect()))
+    before = rows()
+
+    plan = _mid_swap(spark, victim, n_moves=0)
+    forged = {
+        "version": 1,
+        "originals": plan["originals"],
+        # claim an ORIGINAL is also staged: the skip-then-delete
+        # sequence would destroy it if the plan were executed
+        "staged": plan["staged"] + [plan["originals"][0]],
+    }
+    _write_json_sidecar(
+        spark, f"{_staging_path(victim)}/{_PLAN_NAME}", forged
+    )
+    with pytest.raises(ValueError, match="both staged and original"):
+        recover_ann_index(spark, idx)
+    assert rows() == before  # nothing moved, nothing deleted
+
+
+def _delete_originals(spark, d, plan):
+    """Complete the additive swap's DELETE step by hand — the window a
+    reader whose listing predates it fails loudly inside."""
+    from flink_etl_spark.operators.merge import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, d)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    for name in plan["originals"]:
+        fs.delete(Path(f"{d}/{name}"), False)
+
+
+def test_search_retry_absorbs_compaction_delete_window(spark, tmp_path):
+    """r10 verdict item 2: `retry_missing_files=1` absorbs the
+    compaction window's loud read race without a hand-rolled caller
+    retry. The test kills the read deterministically: the swap's
+    staged files are moved in (`_mid_swap`), the search plan is built
+    (file listing taken — the `_on_built` seam fires), THEN the
+    originals are deleted, so attempt 0 opens a deleted file and fails
+    with FAILED_READ_FILE; the re-planned attempt 1 must return rows
+    byte-identical to the quiesced index's. Covers IVF-PQ and flat
+    PQ. Without the option the same race must still raise (the loud
+    contract is unchanged)."""
+    import pytest
+
+    from flink_etl_spark.operators import similarity
+    from flink_etl_spark.sources.tables import load_table
+    from flink_etl_spark.streaming.ann_sink import _ann_data_dirs
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = embs.filter("vec_id < 8")
+
+    # --- IVF-PQ: nprobe == n_cells so the victim cell is always read
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(embs, idx, n_cells=4, m=8, n_codes=16)
+    quiesced = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=4).collect()))
+    victim = _ann_data_dirs(spark, idx)[0]
+    plan = _mid_swap(spark, victim)  # staged moved in, originals live
+    attempts = []
+
+    def kill_first_read(attempt):
+        attempts.append(attempt)
+        if attempt == 0:
+            _delete_originals(spark, victim, plan)
+
+    got = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=4,
+        retry_missing_files=1, _on_built=kill_first_read,
+    ).collect()))
+    assert attempts == [0, 1]  # the race fired AND was absorbed once
+    assert got == quiesced
+
+    # healthy index: no retry, result identical, plan listed once
+    # (the callback's delete of the already-deleted originals is a
+    # no-op — the swap completed above)
+    attempts.clear()
+    again = sorted(map(tuple, similarity.ivfpq_search_index(
+        spark, idx, qs, k=5, nprobe=4,
+        retry_missing_files=1, _on_built=kill_first_read,
+    ).collect()))
+    assert attempts == [0]  # single attempt, no re-plan
+    assert again == quiesced
+
+    # --- flat PQ, and the loud default: retry OFF must still raise
+    pq = str(tmp_path / "pq")
+    similarity.pq_build_index(embs, pq, m=8, n_codes=16)
+    pquiesced = sorted(map(tuple, similarity.pq_search_index(
+        spark, pq, qs, k=5).collect()))
+    pplan = _mid_swap(spark, f"{pq}/codes")
+    stale = similarity.pq_search_index(spark, pq, qs, k=5)  # lazy listing
+    attempts.clear()
+
+    def pq_kill(attempt):
+        attempts.append(attempt)
+        if attempt == 0:
+            _delete_originals(spark, f"{pq}/codes", pplan)
+
+    pgot = sorted(map(tuple, similarity.pq_search_index(
+        spark, pq, qs, k=5, retry_missing_files=1, _on_built=pq_kill,
+    ).collect()))
+    assert attempts == [0, 1]
+    assert pgot == pquiesced
+    # the pre-deletion lazy plan fails loudly — retry never silently
+    # becomes the default
+    with pytest.raises(Exception, match="FAILED_READ_FILE|FileNotFound"):
+        stale.collect()
+
+
 def test_continuous_ann_sink_compact_every_cadence(spark, tmp_path):
     """The sink's compact_every= runs the compaction inline: after
     draining N micro-batches the cell file counts are bounded, and the

@@ -319,10 +319,30 @@ def main() -> None:
           mid_checks.append(search(idx4) == ref)
 
       stop = threading.Event()
-      conc = {"ok": 0, "mismatch": 0, "read_retries": 0}
+      conc = {"ok": 0, "mismatch": 0, "read_retries": 0,
+              "retried_ok": 0, "retried_mismatch": 0}
 
       def searcher():
+          # alternate the two caller shapes the reader contract
+          # supports: bare (hand-rolled retry on the documented loud
+          # failure) and retry_missing_files=1 (r11 — the in-operator
+          # re-plan; its RETRIED result must equal the quiesced ref)
+          use_retry = False
           while not stop.is_set():
+              use_retry = not use_retry
+              if use_retry:
+                  attempts = []
+                  r = sorted(map(tuple, ivfpq_search_index(
+                      spark, idx4, qs, k=5, nprobe=2,
+                      retry_missing_files=1,
+                      _on_built=lambda a: attempts.append(a),
+                  ).collect()))
+                  if len(attempts) > 1:  # the race fired and was retried
+                      conc[
+                          "retried_ok" if r == ref else "retried_mismatch"
+                      ] += 1
+                  conc["ok" if r == ref else "mismatch"] += 1
+                  continue
               try:
                   r = search(idx4)
               except Exception as e:  # noqa: BLE001 - classified below
@@ -348,6 +368,7 @@ def main() -> None:
       assert folded >= 1, "phase 3 compaction had nothing to fold"
       assert len(mid_checks) == folded and all(mid_checks), mid_checks
       assert conc["mismatch"] == 0, conc
+      assert conc["retried_mismatch"] == 0, conc
       assert conc["ok"] >= 1, conc
       assert cells(idx4) == rows_before, "phase 3 changed the row set"
       assert max_files(idx4) == TARGET_FILES
@@ -356,6 +377,8 @@ def main() -> None:
           "mid_swap_searches_identical": len(mid_checks),
           "concurrent_searches_ok": conc["ok"],
           "concurrent_read_retries": conc["read_retries"],
+          "in_operator_retries_ok": conc["retried_ok"],
+          "in_operator_retry_mismatches": conc["retried_mismatch"],
           "mismatches": conc["mismatch"],
           "wall_sec": round(time.perf_counter() - t2, 1),
       }
