@@ -274,8 +274,13 @@ def cmd_ann_drift(args: argparse.Namespace) -> int:
         out = S.pq_drift_check(spark, args.index, batch,
                                vec_col=args.vec_col)
     print(json.dumps(out))
-    # exit 2 on a rebuild recommendation so schedulers can branch on it
-    return 2 if out["rebuild_recommended"] else 0
+    # exit 2 on a rebuild recommendation, 3 when the monitor is OFF
+    # (missing/zero/negative baseline — "un-checkable" is not
+    # "healthy", and a scheduler branching on exit codes must see the
+    # difference; ADVICE r10), 0 only when genuinely checked healthy
+    if out["rebuild_recommended"]:
+        return 2
+    return 0 if out["checkable"] else 3
 
 
 def cmd_ann_search(args: argparse.Namespace) -> int:
@@ -455,7 +460,9 @@ def build_parser() -> argparse.ArgumentParser:
              "build-time baseline (kind derived from the sidecar: ivfpq "
              "compares mean centroid similarity, flat pq compares mean "
              "ADC reconstruction error); prints JSON and exits 2 when a "
-             "rebuild is recommended",
+             "rebuild is recommended, 3 when the index has no usable "
+             "baseline (monitor off — not the same as healthy), 0 only "
+             "when checked and healthy",
     )
     andr.add_argument("--path", required=True, help="batch parquet dir")
     _ann_common(andr)

@@ -417,6 +417,8 @@ _IVFPQ_SQL = f"""
     SELECT 'ivfpq' AS variant, i.* FROM ({_IVFPQ_SQL}) i
     UNION ALL
     SELECT 'ivfpq_lifecycle' AS variant, l.* FROM ({_IVFPQ_SQL}) l
+    UNION ALL
+    SELECT 'ivfpq_rebuilt' AS variant, r.* FROM ({_IVFPQ_SQL}) r
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +464,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       smallest-id residuals) lives in the build half, so
       build(A)+append(B) == build(A+B) exactly (the r8 unit-test
       property, now driver-gated THROUGH a replay and a compaction —
-      the batch-expressible form of tools/ann_soak.py's invariant)."""
+      the batch-expressible form of tools/ann_soak.py's invariant).
+    * variant 'ivfpq_rebuilt' (r11) — `ivfpq_rebuild_index` chained
+      off the lifecycle index (parameters from its sidecar, full
+      corpus, refine=0 so the oracle's seed replication applies) and
+      searched: the complete maintenance loop — build, append,
+      replay, compact, REBUILD — is now gate-covered end to end."""
     from flink_etl_spark.catalog import process_workdir
 
     embs = _t(spark, sf_dir, "embeddings")
@@ -511,9 +518,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle = S.ivfpq_search_index(
         spark, life_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
     ).select(F.lit("ivfpq_lifecycle").alias("variant"), "*")
+    # r11: chain the maintained-index gate through the REBUILD — the
+    # last maintenance op that was unit-tested (byte-identical to
+    # fresh) but never driver-gated. Parameters derive from the
+    # lifecycle index's sidecar; cell_refine_iters=0 deliberately
+    # (the oracle replicates the seed recipe exactly — a refined
+    # quantizer is oracle-inexpressible; the refine!=0 production
+    # default is probe-validated instead), so the operator warning
+    # for the layout-only arm is expected and suppressed here.
+    import warnings
+
+    rebuilt_idx = (
+        f"{process_workdir('ivfpq_rebuilt')}/"
+        f"{sf_dir.strip('/').replace('/', '_')}"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        S.ivfpq_rebuild_index(
+            spark, life_idx, rebuilt_idx, corpus=embs, cell_refine_iters=0
+        )
+    rebuilt = S.ivfpq_search_index(
+        spark, rebuilt_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
+    ).select(F.lit("ivfpq_rebuilt").alias("variant"), "*")
     return (
         mem.unionByName(staged).unionByName(pq).unionByName(ivfpq)
-        .unionByName(lifecycle)
+        .unionByName(lifecycle).unionByName(rebuilt)
     )
 
 

@@ -721,6 +721,19 @@ def _dsir_oracle(n_buckets: int | None = None) -> str:
            CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
            mean_tf_micro, rare_frac_micro
     FROM ({_dsir_oracle(n_buckets=512)}) dsirb
+    UNION ALL
+    SELECT 'dsir_staged' AS variant,
+           CAST(NULL AS VARCHAR) AS bigram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           doc_id, n_tokens,
+           CAST(NULL AS DOUBLE) AS dup_token_frac,
+           CAST(NULL AS VARCHAR) AS top_bigram,
+           CAST(NULL AS BIGINT) AS top_bigram_count,
+           CAST(NULL AS DOUBLE) AS top_bigram_char_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_char_frac,
+           mean_tf_micro, rare_frac_micro
+    FROM ({_dsir_oracle(n_buckets=512)}) dsirs
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,6 +946,40 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_lr_micro").alias("mean_tf_micro"),
         F.col("novel_target_frac").alias("rare_frac_micro"),
     )
+    # the staged fit-once/score-many path (r11, gating dsir_stage_fit /
+    # dsir_log_weights_staged — the shape a 100 TB deployment actually
+    # runs): fit persisted to parquet + sidecar, scoring derives its
+    # parameters from the sidecar. Value-identical to the inline
+    # bucketed arm by contract, so it shares dsirb's oracle.
+    from flink_etl_spark.catalog import process_workdir
+    from flink_etl_spark.operators.prep import (
+        dsir_log_weights_staged,
+        dsir_stage_fit,
+    )
+
+    fit_path = f"{process_workdir('dsir_fit')}/fit"
+    dsir_stage_fit(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        fit_path, n_buckets=512, hash_terms=False,
+    )
+    dsirs = dsir_log_weights_staged(
+        docs.filter(F.col("doc_id") % 2 == 1), fit_path
+    ).select(
+        F.lit("dsir_staged").alias("variant"),
+        F.lit(None).cast("string").alias("bigram"),
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        "doc_id",
+        F.col("n_feats").alias("n_tokens"),
+        F.lit(None).cast("double").alias("dup_token_frac"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.lit(None).cast("long").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_char_frac"),
+        F.lit(None).cast("double").alias("dup_trigram_char_frac"),
+        F.col("mean_lr_micro").alias("mean_tf_micro"),
+        F.col("novel_target_frac").alias("rare_frac_micro"),
+    )
     blms = T.bigram_lm_scores(docs, hash_terms=False).select(
         F.lit("bigram_lm_self").alias("variant"),
         F.lit(None).cast("string").alias("bigram"),
@@ -951,7 +998,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.unionByName(rep).unionByName(ulm)
         .unionByName(ulmx).unionByName(blm).unionByName(blms)
-        .unionByName(dsir).unionByName(dsirb)
+        .unionByName(dsir).unionByName(dsirb).unionByName(dsirs)
     )
 
 

@@ -351,6 +351,20 @@ def split_hot_cells(
         census = cell_census(asgn)
         total = sum(n for _, n in census)
         if total == 0:
+            if census_sample < 1.0:
+                # an over-small sample silently disabling skew
+                # protection is the documented failure mode — make it
+                # a runtime signal, not just a docstring note (ADVICE)
+                import warnings
+
+                warnings.warn(
+                    f"split_hot_cells: census_sample={census_sample} "
+                    "sampled 0 vectors — skew splitting is a no-op this "
+                    "build; raise the sample rate (or pass 1.0) if the "
+                    "corpus is small enough that the sample can miss it",
+                    UserWarning,
+                    stacklevel=2,
+                )
             return cents
         cap = max_cell_frac * total
         hot = [(c, n) for c, n in census if n > cap]
@@ -1098,6 +1112,8 @@ def pq_drift_check(
     batch: DataFrame,
     vec_col: str = "embedding",
     rebuild_above: float = 2.0,
+    meta: dict | None = None,
+    codebooks: DataFrame | None = None,
 ) -> dict:
     """Quantizer-drift check for a batch about to be appended to a
     staged FLAT-PQ index — the centroid-less counterpart of
@@ -1117,10 +1133,19 @@ def pq_drift_check(
     vector was a seed — nothing to reconstruct imperfectly), or
     negative (corrupt sidecar) is UN-CHECKABLE: warns monitor-off and
     returns ratio 1.0, never a rebuild flag off bad math (the
-    `ann_drift_check` baseline guard, mirrored)."""
-    meta = _pq_index_meta(spark, index_path)
+    `ann_drift_check` baseline guard, mirrored).
+
+    ``meta`` / ``codebooks`` inject the frozen inputs for cadence
+    callers — same contract as `ann_drift_check` (read once at
+    attach; a rebuild is a new path + re-attach, so never stale)."""
+    if meta is None:
+        meta = _pq_index_meta(spark, index_path)
     guarded = _dim_guarded(batch, vec_col, int(meta["dim"]), "drift check")
-    cbs = spark.read.parquet(f"{index_path}/codebooks")
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else spark.read.parquet(f"{index_path}/codebooks")
+    )
     batch_err = pq_recon_error(guarded, cbs, int(meta["m"]), vec_col)
     baseline = meta.get("mean_recon_err")
     checkable = baseline is not None and baseline > 0
@@ -1141,6 +1166,9 @@ def pq_drift_check(
         "batch_err": batch_err,
         "baseline_err": baseline,
         "ratio": ratio,
+        # False = monitor OFF (missing/zero/negative baseline), so a
+        # scheduler can tell "healthy" from "un-checkable" (ADVICE r10)
+        "checkable": checkable,
         "rebuild_recommended": checkable and ratio > rebuild_above,
     }
     if out["rebuild_recommended"]:
@@ -1353,6 +1381,7 @@ def pq_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    baseline_sample: float = 0.05,
 ) -> None:
     """Stage a FLAT PQ index: `codebooks/` + `codes/` parquet (m
     one-byte codes per vector) plus a `_PQ_META.json` sidecar pinning
@@ -1361,7 +1390,23 @@ def pq_build_index(
     prescribes (flat = every query batch ADC-scans all codes; use
     `ivfpq_build_index` when you also want cell pruning). Search
     derives its parameters from the sidecar, closing the same
-    silent-mis-rank foot-gun the IVF-PQ sidecar closes."""
+    silent-mis-rank foot-gun the IVF-PQ sidecar closes.
+
+    ``baseline_sample`` (r11, ADVICE) bounds the drift-baseline pass:
+    the `mean_recon_err` the sidecar records used to be a SECOND full
+    pass over the build corpus (per-row m*n_codes distance evals,
+    roughly doubling build cost at 100 TB); a mean over a
+    deterministic hash sample (the `census_sample` pattern from
+    `split_hot_cells`) is an equally valid drift baseline. Guarded
+    against small corpora: if the sample holds fewer than 1024
+    vectors the full corpus is used (the sampled mean would carry
+    more sampling error than the drift it monitors; the fallback is
+    recorded as `baseline_sample_effective` in the sidecar).
+    `pq_rebuild_index` reuses the sidecar's requested value."""
+    if not (0 < baseline_sample <= 1):
+        raise ValueError(
+            f"baseline_sample must be in (0, 1], got {baseline_sample}"
+        )
     spark = embs.sparkSession
     dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
@@ -1377,6 +1422,16 @@ def pq_build_index(
     codes = pq_encode(embs, cbs, m=m, id_col=id_col, vec_col=vec_col)
     cbs.write.mode("overwrite").parquet(f"{index_path}/codebooks")
     codes.write.mode("overwrite").parquet(f"{index_path}/codes")
+    base, eff = embs, baseline_sample
+    if baseline_sample < 1.0:
+        thresh = max(1, int(round(baseline_sample * 1_000_000)))
+        base = embs.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < F.lit(thresh)
+        )
+        # bounded early-stop probe, never a full count
+        if base.limit(1024).count() < 1024:
+            base, eff = embs, 1.0
     _write_json_sidecar(spark, f"{index_path}/_PQ_META.json", {
         "version": _PQ_META_VERSION,
         "m": m, "n_codes": n_codes, "dim": dim_row["d"],
@@ -1386,8 +1441,10 @@ def pq_build_index(
         # what searches will use (pq_drift_check compares appended
         # batches against it)
         "mean_recon_err": pq_recon_error(
-            embs, spark.read.parquet(f"{index_path}/codebooks"), m, vec_col
+            base, spark.read.parquet(f"{index_path}/codebooks"), m, vec_col
         ),
+        "baseline_sample": baseline_sample,
+        "baseline_sample_effective": eff,
     })
 
 
@@ -1557,6 +1614,7 @@ def pq_rebuild_index(
         corpus, new_path,
         m=int(meta["m"]), n_codes=int(meta["n_codes"]),
         id_col=id_col, vec_col=vec_col, refine_iters=refine_iters,
+        baseline_sample=float(meta.get("baseline_sample", 0.05)),
     )
 
 
@@ -2115,11 +2173,20 @@ def ann_drift_check(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rebuild_below: float = 0.95,
+    meta: dict | None = None,
+    centroids: DataFrame | None = None,
 ) -> dict:
     """Quantizer-drift check for a batch about to be appended to a
     staged IVF-PQ index: assigns the batch with the index's frozen
     centroids and compares its mean centroid similarity against the
-    BUILD-TIME baseline recorded in the sidecar. Returns
+    BUILD-TIME baseline recorded in the sidecar.
+
+    ``meta`` / ``centroids`` (r11, ADVICE) inject the frozen inputs so
+    a caller checking on a cadence (the continuous sink's
+    `drift_check_every`) reads the sidecar and centroid parquet ONCE
+    instead of per check — both are frozen between rebuilds, and a
+    rebuild targets a new path with a re-attach, so the cache can
+    never go stale while the caller holds it. Returns
     ``{"batch_sim", "baseline_sim", "ratio", "rebuild_recommended"}``
     and warns when the ratio falls below ``rebuild_below`` (default
     0.95 — the ~5% drop where the measured curve shows recall sagging
@@ -2132,13 +2199,18 @@ def ann_drift_check(
     batch, or sampled inside a streaming sink. Indexes built before
     the baseline field existed return ratio 1.0 with a baseline of
     None (re-record by rebuilding)."""
-    meta = _ivfpq_meta(spark, index_path)
+    if meta is None:
+        meta = _ivfpq_meta(spark, index_path)
     if meta is None:
         raise ValueError(
             f"no _IVFPQ_META.json at {index_path} — not an IVF-PQ index"
         )
     guarded = _dim_guarded(batch, vec_col, int(meta["dim"]), "drift check")
-    cents = spark.read.parquet(f"{index_path}/centroids")
+    cents = (
+        centroids
+        if centroids is not None
+        else spark.read.parquet(f"{index_path}/centroids")
+    )
     batch_sim = mean_centroid_sim(guarded, cents, id_col, vec_col)
     baseline = meta.get("mean_centroid_sim")
     # a baseline <= 0 is un-checkable, not "missing": 0.0 would divide
@@ -2164,6 +2236,9 @@ def ann_drift_check(
         "batch_sim": batch_sim,
         "baseline_sim": baseline,
         "ratio": ratio,
+        # False = monitor OFF (missing/zero/negative baseline), so a
+        # scheduler can tell "healthy" from "un-checkable" (ADVICE r10)
+        "checkable": checkable,
         "rebuild_recommended": checkable and ratio < rebuild_below,
     }
     if out["rebuild_recommended"]:

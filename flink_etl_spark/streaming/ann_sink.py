@@ -430,6 +430,27 @@ def start_continuous_ann_index(
     # promote it before the first append scans the index
     recover_ann_index(spark, index_path)
 
+    # cache the drift check's frozen inputs ONCE at attach (ADVICE
+    # r10: for small drift_check_every the sidecar + centroids/
+    # codebooks parquet were re-read every N-th batch). Both are
+    # frozen for the sink's lifetime: appends never touch them,
+    # inline compaction rewrites codes only, and a rebuild targets a
+    # NEW path with a re-attach. The rows are bounded by design
+    # (n_cells centroids / m*n_codes codewords), so a driver-side
+    # copy re-localized per check is cheap and session-correct inside
+    # foreachBatch (the batch session can be a clone of the attach
+    # session).
+    drift_meta = drift_rows = drift_schema = None
+    if drift_check_every:
+        if kind == "ivfpq":
+            drift_meta = _ivfpq_meta(spark, index_path)
+            ref = spark.read.parquet(f"{index_path}/centroids")
+        else:
+            drift_meta = _pq_index_meta(spark, index_path)
+            ref = spark.read.parquet(f"{index_path}/codebooks")
+        drift_schema = ref.schema
+        drift_rows = ref.collect()
+
     def _step(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -439,14 +460,19 @@ def start_continuous_ann_index(
                 pq_drift_check,
             )
 
+            ref = batch.sparkSession.createDataFrame(
+                drift_rows, drift_schema
+            )
             if kind == "ivfpq":
                 ann_drift_check(
                     batch.sparkSession, index_path, batch,
                     id_col=id_col, vec_col=vec_col,
+                    meta=drift_meta, centroids=ref,
                 )
             else:
                 pq_drift_check(
-                    batch.sparkSession, index_path, batch, vec_col=vec_col
+                    batch.sparkSession, index_path, batch, vec_col=vec_col,
+                    meta=drift_meta, codebooks=ref,
                 )
         append(
             batch.sparkSession, batch, index_path,

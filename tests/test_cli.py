@@ -367,6 +367,27 @@ def test_cli_ann_drift_dispatches_and_exit_codes(spark, tmp_path):
             )
         assert rc == 2, f"{kind}: drifted batch should exit 2"
 
+    # exit 3 = monitor OFF (un-checkable baseline), distinct from both
+    # healthy (0) and rebuild (2) so a scheduler branching on exit
+    # codes never reads "couldn't check" as "healthy" (ADVICE r10)
+    from flink_etl_spark.operators.similarity import (
+        _ivfpq_meta,
+        _write_json_sidecar,
+    )
+
+    idx = str(tmp_path / "idx_ivfpq")
+    meta = _ivfpq_meta(spark, idx)
+    _write_json_sidecar(
+        spark, f"{idx}/_IVFPQ_META.json",
+        {**meta, "mean_centroid_sim": 0.0},
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert main(
+            ["ann-drift", "--path", str(drifted), "--index", idx]
+        ) == 3
+    _write_json_sidecar(spark, f"{idx}/_IVFPQ_META.json", meta)
+
 def test_cli_dsir_fit_and_score(spark, tmp_path):
     """dsir-fit stages the bucketed fit; dsir-score scores a shard
     against it (and --select N draws the Gumbel sample) — both equal

@@ -2375,6 +2375,7 @@ def test_ann_drift_check_flags_drifted_batches(spark, tmp_path):
     )
     ok = ann_drift_check(spark, idx, same)
     assert ok["baseline_sim"] is not None
+    assert ok["checkable"]  # r11: healthy is distinguishable from OFF
     assert not ok["rebuild_recommended"]
     assert ok["ratio"] > 0.95
 
@@ -2409,6 +2410,7 @@ def test_ann_drift_check_flags_drifted_batches(spark, tmp_path):
         with pytest.warns(UserWarning, match="monitor OFF"):
             res = ann_drift_check(spark, idx, drifted)
         assert res["ratio"] == 1.0
+        assert not res["checkable"]  # monitor OFF, visibly
         assert not res["rebuild_recommended"]
     _write_json_sidecar(spark, f"{idx}/_IVFPQ_META.json", meta)
 
@@ -2452,6 +2454,7 @@ def test_pq_drift_check_reconstruction_error_signal(spark, tmp_path):
         [cluster_row(1000 + i) for i in range(100)], schema
     )
     ok = pq_drift_check(spark, idx, same)
+    assert ok["checkable"]
     assert not ok["rebuild_recommended"]
     assert 0.5 < ok["ratio"] < 2.0
 
@@ -2487,11 +2490,97 @@ def test_pq_drift_check_reconstruction_error_signal(spark, tmp_path):
         with pytest.warns(UserWarning, match="monitor OFF"):
             res = pq_drift_check(spark, idx, drifted)
         assert res["ratio"] == 1.0 and not res["rebuild_recommended"]
+        assert not res["checkable"]
     legacy = {k: v for k, v in meta.items() if k != "mean_recon_err"}
     _write_json_sidecar(spark, f"{idx}/_PQ_META.json", legacy)
     res = pq_drift_check(spark, idx, drifted)
     assert res["ratio"] == 1.0 and not res["rebuild_recommended"]
+    assert not res["checkable"]
     _write_json_sidecar(spark, f"{idx}/_PQ_META.json", meta)
+
+def test_pq_build_baseline_sample_bounds_the_second_pass(spark, tmp_path):
+    """ADVICE r11: the drift baseline used to be a second FULL pass
+    over the build corpus. Now it runs over a deterministic hash
+    sample (default 5%): on a corpus large enough the sidecar records
+    the sampled rate, the sampled mean tracks the exact mean, and
+    pq_rebuild_index reuses the requested rate; on a small corpus the
+    1024-vector floor falls back to the full pass (recorded as
+    effective 1.0)."""
+    import random
+
+    from flink_etl_spark.operators.similarity import (
+        _pq_index_meta,
+        pq_build_index,
+        pq_rebuild_index,
+        pq_recon_error,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    schema = "vec_id long, embedding array<float>"
+    big = spark.createDataFrame(
+        [(i, [round(rng.gauss(0, 1), 4) for _ in range(dim)])
+         for i in range(25_000)],
+        schema,
+    )
+    idx = str(tmp_path / "big")
+    pq_build_index(big, idx, m=4, n_codes=16)
+    meta = _pq_index_meta(spark, idx)
+    assert meta["baseline_sample"] == 0.05
+    assert meta["baseline_sample_effective"] == 0.05  # 25k * 5% >= 1024
+    exact = pq_recon_error(
+        big, spark.read.parquet(f"{idx}/codebooks"), 4
+    )
+    assert exact > 0
+    # the sampled mean is a valid baseline: within 10% of exact here
+    assert abs(meta["mean_recon_err"] - exact) / exact < 0.10
+
+    # rebuild reuses the requested rate from the sidecar
+    new = str(tmp_path / "rebuilt")
+    pq_rebuild_index(spark, idx, new, big)
+    assert _pq_index_meta(spark, new)["baseline_sample"] == 0.05
+
+    # small corpus: the sample would hold < 1024 vectors -> full pass
+    small = big.filter("vec_id < 500")
+    idx2 = str(tmp_path / "small")
+    pq_build_index(small, idx2, m=4, n_codes=16)
+    meta2 = _pq_index_meta(spark, idx2)
+    assert meta2["baseline_sample"] == 0.05
+    assert meta2["baseline_sample_effective"] == 1.0
+    assert meta2["mean_recon_err"] == pq_recon_error(
+        small, spark.read.parquet(f"{idx2}/codebooks"), 4
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="baseline_sample"):
+        pq_build_index(small, idx2, m=4, n_codes=16, baseline_sample=0)
+
+
+def test_split_hot_cells_warns_on_empty_sampled_census(spark):
+    """ADVICE r11: census_sample small enough to sample ZERO vectors
+    silently disabled skew protection — now it warns (still returns
+    the centroids unchanged)."""
+    import pytest
+
+    from flink_etl_spark.operators.similarity import (
+        ivf_centroids,
+        split_hot_cells,
+    )
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids(embs, 2)
+    with pytest.warns(UserWarning, match="sampled 0 vectors"):
+        out = split_hot_cells(
+            embs, cents, max_cell_frac=0.01, census_sample=1e-6
+        )
+    assert sorted(r["cell_id"] for r in out.collect()) == sorted(
+        r["cell_id"] for r in cents.collect()
+    )
+
 
 def test_semdedup_zero_norm_centroid_duel_is_deterministic(spark):
     """Regression (hypothesis find, r9): when the smallest-id seed is a

@@ -19,7 +19,21 @@ Methodology matches tools/scale_probe.py: join-consistent replicas
 best-of-2 cold-cache noop-sink runs, auto knobs throughout (no hand
 tuning at any scale).
 
-Usage: python tools/tail_probe.py [point ...]   (default: 10 30 100)
+r11 adds `--query join_multiway`: the one scale transition the r10
+verdict adjudicated by ARGUMENT rather than measurement —
+`join_multiway_region_revenue`'s 543x shuffle-byte jump at the 10x
+rung is a one-time broadcast->shuffle strategy transition (the reduced
+orders side crosses the broadcast threshold), claimed linear past it.
+This arm measures the 10x -> 30x step on join-consistent replicas of
+the JOIN tables (customer/orders/lineitem; dims single-copy) and
+reports actual shuffle bytes (statusStore deltas, the
+tools/shuffle_probe.py method) plus wall: the claim holds iff the
+post-transition byte ratio is ~3x for the 3x step and the wall
+exponent is <= 1.
+
+Usage: python tools/tail_probe.py [--query join_multiway] [point ...]
+       (default query: the dedup pair at points 10 30 100;
+        join_multiway defaults to points 10 30)
 Results are recorded in docs/SCALING.md (tail probe section).
 """
 
@@ -32,6 +46,65 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_join_multiway(points_list: list[int] | None = None) -> None:
+    from flink_etl_spark import queries as Q
+    from flink_etl_spark.session import get_spark
+    from tools.replicate_testdata import build_replica
+    from tools.shuffle_probe import _fmt_bytes, _shuffle_totals
+
+    if not points_list:
+        points_list = [10, 30]
+    points_list = sorted(points_list)
+
+    spark = get_spark(
+        app_name="tail-probe-join",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    fn = Q.queries()["join_multiway_region_revenue"]
+
+    points: dict[int, str] = {}
+    for n in points_list:
+        out = tempfile.mkdtemp(prefix=f"sf01x{n}_join_")
+        t0 = time.perf_counter()
+        build_replica(
+            spark, src, out,
+            n, tables=("region", "nation", "customer", "orders", "lineitem"),
+        )
+        print(f"built {n}x join-table replica in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        points[n] = out
+
+    bts, walls = {}, {}
+    for n, d in points.items():
+        spark.catalog.clearCache()
+        b0, _ = _shuffle_totals(sc)
+        t0 = time.perf_counter()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        w = time.perf_counter() - t0
+        b1, _ = _shuffle_totals(sc)
+        bts[n] = b1 - b0  # single run: shuffle volume is deterministic
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        walls[n] = min(w, time.perf_counter() - t0)  # wall best-of-2
+        print(f"  join_multiway @ {n}x: {walls[n]:.2f}s, "
+              f"shuffle {_fmt_bytes(bts[n])}", flush=True)
+    for a, b in zip(points_list, points_list[1:]):
+        step = b / a
+        byte_ratio = bts[b] / bts[a] if bts[a] else float("inf")
+        exp = math.log(walls[b] / walls[a]) / math.log(step)
+        print(
+            f"  join_multiway {a}x->{b}x ({step:.0f}x step): "
+            f"byte ratio {byte_ratio:.2f} "
+            f"(linear would be {step:.0f}), wall exp {exp:.2f}",
+            flush=True,
+        )
+    spark.stop()
 
 
 def main(points_list: list[int] | None = None) -> None:
@@ -90,4 +163,13 @@ def main(points_list: list[int] | None = None) -> None:
 
 
 if __name__ == "__main__":
-    main([int(a) for a in sys.argv[1:]])
+    argv = sys.argv[1:]
+    if "--query" in argv:
+        i = argv.index("--query")
+        qname = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        if qname != "join_multiway":
+            raise SystemExit(f"unknown --query {qname!r}")
+        run_join_multiway([int(a) for a in argv])
+    else:
+        main([int(a) for a in argv])
