@@ -662,7 +662,10 @@ def _signal_nonconverged(what: str, max_iters: int, on_nonconverged: str):
 
 
 def _star_components(
-    edges: DataFrame, max_iters: int, on_nonconverged: str
+    edges: DataFrame,
+    max_iters: int,
+    on_nonconverged: str,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -691,7 +694,9 @@ def _star_components(
     edges = edges.localCheckpoint(eager=True)
     sig = _dir_signature(edges)
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # large-star over the symmetric adjacency: m(u) = min(Γ(u), u)
         sym = edges.union(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -736,6 +741,8 @@ def _star_components(
             converged = True
             break
         sig = nxt_sig
+    if _stats is not None:
+        _stats.update({"rounds": rounds, "converged": converged})
     if not converged:
         _signal_nonconverged(
             "duplicate_clusters(algorithm='star')", max_iters, on_nonconverged
@@ -763,6 +770,7 @@ def duplicate_clusters(
     max_iters: int = 20,
     algorithm: str = "propagation",
     on_nonconverged: str = "raise",
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document in a
     pair gets the MINIMUM reachable doc id as its cluster_id — the
@@ -797,6 +805,10 @@ def duplicate_clusters(
     cluster with executor churn, swap localCheckpoint for a reliable
     `checkpoint()` to an HDFS dir — localCheckpoint blocks die with
     their executor; the loop structure is unchanged.)
+
+    ``_stats`` is a PROBE SEAM: pass a dict to receive
+    {"rounds", "converged"} — `tools/cluster_probe.py` uses it to
+    measure the round-count gap between the arms.
     """
     if algorithm not in ("propagation", "star"):
         raise ValueError(
@@ -822,7 +834,9 @@ def duplicate_clusters(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        labels = _star_components(canon, max_iters, on_nonconverged)
+        labels = _star_components(
+            canon, max_iters, on_nonconverged, _stats=_stats
+        )
         # left join: isolated nodes (self-pair inputs) label themselves
         return nodes.join(labels, "node", "left").select(
             F.col("node").alias("doc_id"),
@@ -842,7 +856,9 @@ def duplicate_clusters(
     # across iterations (asserted in tests/test_extensions.py).
     labels = labels.localCheckpoint(eager=True)
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
@@ -872,6 +888,8 @@ def duplicate_clusters(
             converged = True
             break
     edges.unpersist()
+    if _stats is not None:
+        _stats.update({"rounds": rounds, "converged": converged})
     if not converged:
         _signal_nonconverged(
             "duplicate_clusters(algorithm='propagation')",

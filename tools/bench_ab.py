@@ -14,6 +14,14 @@ per-query BEST across each tree's runs plus the A/B ratio.
 
 Usage:
     python tools/bench_ab.py TREE_A TREE_B [--runs 4] [--sf-dir DIR]
+                             [--full]
+
+--full (r11) widens the panel from the r1-r3 comparable subset to the
+ENTIRE headline set of each tree (every bench.HEADLINE entry,
+NON_COMPARABLE included) — the r10 verdict's gap: twelve entries,
+including the three heaviest, had never had an interleaved
+adjudication. Entries are matched by name across trees, so a query
+one tree lacks simply has no ratio.
 
 Each run is a fresh subprocess (fresh JVM) with sys.path pinned to the
 tree, so the two trees' packages never share a process. Output: one
@@ -33,7 +41,7 @@ import sys
 #: comparable subset, per-query best-of-2 (bench.py's own policy)
 _RUNNER = r"""
 import json, os, sys, time
-tree, sf_dir = sys.argv[1], sys.argv[2]
+tree, sf_dir, full = sys.argv[1], sys.argv[2], sys.argv[3] == "full"
 sys.path.insert(0, tree)
 os.chdir(tree)
 import bench
@@ -47,7 +55,7 @@ catalog["agg_pricing_summary"](spark, sf_dir).write.format("noop").mode(
 timings = {}
 for entry in bench.HEADLINE:
     name, fn = entry if isinstance(entry, tuple) else (entry, catalog[entry])
-    if name in bench.NON_COMPARABLE:
+    if not full and name in bench.NON_COMPARABLE:
         continue
     best = float("inf")
     for _ in range(2):
@@ -61,9 +69,10 @@ spark.stop()
 """
 
 
-def run_tree(tree: str, sf_dir: str) -> dict[str, float]:
+def run_tree(tree: str, sf_dir: str, full: bool = False) -> dict[str, float]:
     out = subprocess.run(
-        [sys.executable, "-c", _RUNNER, tree, sf_dir],
+        [sys.executable, "-c", _RUNNER, tree, sf_dir,
+         "full" if full else "subset"],
         capture_output=True, text=True, check=True,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
     )
@@ -82,6 +91,9 @@ def main() -> None:
                     help="runs per tree (interleaved)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--full", action="store_true",
+                    help="run every HEADLINE entry, not just the "
+                         "r1-r3 comparable subset")
     args = ap.parse_args()
 
     # both orderings: ABBA BAAB blocks, truncated to runs per tree
@@ -89,7 +101,7 @@ def main() -> None:
     runs: dict[str, list[dict[str, float]]] = {"A": [], "B": []}
     trees = {"A": args.tree_a, "B": args.tree_b}
     for i, side in enumerate(pattern):
-        t = run_tree(trees[side], args.sf_dir)
+        t = run_tree(trees[side], args.sf_dir, full=args.full)
         runs[side].append(t)
         print(f"# run {i + 1}/{len(pattern)} [{side}] "
               f"total={round(sum(t.values()), 2)}", file=sys.stderr)
@@ -107,7 +119,7 @@ def main() -> None:
     total_b = round(sum(q["b"] for q in per_query.values() if q["b"]), 3)
     print(json.dumps({
         "tree_a": args.tree_a, "tree_b": args.tree_b,
-        "sf_dir": args.sf_dir, "pattern": pattern,
+        "sf_dir": args.sf_dir, "pattern": pattern, "full": args.full,
         "per_query": per_query,
         "total_a": total_a, "total_b": total_b,
         "ratio_b_over_a": round(total_b / total_a, 3) if total_a else None,
