@@ -1016,6 +1016,69 @@ def _semdedup_inc_oracle() -> str:
     """
 
 
+def _decontam_sem_oracle() -> str:
+    """DuckDB twin of `semantic_contamination_pairs(method='signlsh')`
+    over the vec_id % 7 split (benchmark = multiples of 7, corpus =
+    the rest): planes are the 4 smallest BENCHMARK ids; the benchmark
+    emits its own bucket plus one lowest-|margin| flip probe; each
+    corpus vector carries its own bucket only; candidates are
+    bucket == probe, verified at cosine >= 0.35. 'decontam_kept' is
+    the removal composition (corpus ids with NO verified match)."""
+    return f"""
+    WITH dbench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+    dcorp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 != 0),
+    dplanes AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
+               embedding AS plane
+        FROM dbench ORDER BY vec_id LIMIT 4
+    ),
+    dbbuck AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN {duckdb_dot('e.embedding', 'p.plane')} > 0
+                             THEN 1 << p.plane_id ELSE 0 END) AS BIGINT) AS bucket
+        FROM dbench e CROSS JOIN dplanes p
+        GROUP BY e.vec_id
+    ),
+    dbflip AS (
+        SELECT vec_id, plane_id AS flip_p
+        FROM (SELECT e.vec_id, p.plane_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(abs({duckdb_dot('e.embedding', 'p.plane')}), 6),
+                                  p.plane_id) AS r
+              FROM dbench e CROSS JOIN dplanes p) t
+        WHERE r = 1
+    ),
+    dbprobes AS (
+        SELECT vec_id, bucket AS probe FROM dbbuck
+        UNION
+        SELECT f.vec_id, xor(b.bucket, CAST(1 << f.flip_p AS BIGINT))
+        FROM dbflip f JOIN dbbuck b ON b.vec_id = f.vec_id
+    ),
+    dcbuck AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN {duckdb_dot('e.embedding', 'p.plane')} > 0
+                             THEN 1 << p.plane_id ELSE 0 END) AS BIGINT) AS bucket
+        FROM dcorp e CROSS JOIN dplanes p
+        GROUP BY e.vec_id
+    ),
+    dpairs AS (
+        SELECT c.vec_id AS id_a, p.vec_id AS id_b,
+               round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+        FROM dcbuck c
+        JOIN dbprobes p ON c.bucket = p.probe
+        JOIN embeddings ea ON ea.vec_id = c.vec_id
+        JOIN embeddings eb ON eb.vec_id = p.vec_id
+        WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    )
+    SELECT 'decontam_sem' AS variant, id_a, id_b, cos_sim FROM dpairs
+    UNION ALL
+    SELECT 'decontam_kept' AS variant, vec_id AS id_a,
+           CAST(-1 AS BIGINT) AS id_b, CAST(0.0 AS DOUBLE) AS cos_sim
+    FROM dcorp WHERE vec_id NOT IN (SELECT id_a FROM dpairs)
+    """
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
@@ -1113,6 +1176,9 @@ def _semdedup_inc_oracle() -> str:
     UNION ALL
     SELECT variant, id_a, id_b, cos_sim
     FROM ({_semdedup_inc_oracle()}) inc
+    UNION ALL
+    SELECT variant, id_a, id_b, cos_sim
+    FROM ({_decontam_sem_oracle()}) dsem
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,7 +1211,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       cell_id= partitioned layout), then the % 5 = 0 batch dedups
       against the partition-pruned index plus itself; staged-staged
       pairs are never re-emitted, and rounded duel ties drop the batch
-      side against staged. The drop arm mirrors 'semdedup_drop'."""
+      side against staged. The drop arm mirrors 'semdedup_drop';
+    * variant 'decontam_sem' / 'decontam_kept' (r11) — EMBEDDING-space
+      benchmark decontamination (dedup.semantic_contamination_pairs /
+      semantic_decontaminate): vec_id multiples of 7 play the eval
+      benchmark, the rest the training corpus. The benchmark side is
+      broadcast end to end (planes, packed plane row, probe postings)
+      and the corpus computes its sign-LSH bucket in a row-local fold —
+      ZERO corpus exchanges (plan-pinned in tests/test_plans.py), the
+      asymmetric scale shape the symmetric LSH self-join can't give.
+      'decontam_sem' gates the contamination report (pairs at
+      cosine >= 0.35 through one flip probe), 'decontam_kept' the
+      removal composition (kept corpus ids; id_b=-1, cos_sim=0.0)."""
     from flink_etl_spark.catalog import process_workdir
     from flink_etl_spark.operators.dedup import semdedup_incremental
     from flink_etl_spark.operators.similarity import ivf_build_index
@@ -1211,6 +1288,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_csim").alias("cos_sim"),
         )
     )
+    corp = embs.filter("vec_id % 7 != 0")
+    bench = embs.filter("vec_id % 7 = 0")
+    dec = D.semantic_contamination_pairs(
+        corp, bench, 0.35, method="signlsh", n_planes=4, n_probe=1,
+        max_bench_rows=None,
+    ).select(F.lit("decontam_sem").alias("variant"), "id_a", "id_b", "cos_sim")
+    dec_kept = D.semantic_decontaminate(
+        corp, bench, 0.35, method="signlsh", n_planes=4, n_probe=1,
+        max_bench_rows=None,
+    ).select(
+        F.lit("decontam_kept").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(0.0).alias("cos_sim"),
+    )
     return (
         exact.unionByName(lsh)
         .unionByName(sd)
@@ -1218,6 +1310,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(two_level)
         .unionByName(inc)
         .unionByName(inc_drops)
+        .unionByName(dec)
+        .unionByName(dec_kept)
     )
 
 

@@ -1050,6 +1050,72 @@ _BM25_SQL = f"""
 """
 
 
+def _nb_classifier_oracle(n_buckets: int = 512) -> str:
+    """DuckDB twin of `prep.nb_classifier_scores(hash_terms=False,
+    n_buckets=B)` fit on even doc_ids labeled (lang = 'en'), scoring
+    odd doc_ids: char-fold-hashed unigram+bigram buckets, add-one
+    class log-likelihood ratios micro-floored per feature INSTANCE
+    (value-identical to the engine's per-bucket flooring — equal
+    buckets share one floored value), plus the micro-floored class
+    prior ln(D_pos/D_neg)."""
+    from flink_etl_spark.functions.hashing import duckdb_char_fold_hash
+
+    B = n_buckets
+    key = f"({duckdb_char_fold_hash('f')}) % {B}"
+    return f"""
+    WITH ntoks AS (
+        SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS t
+        FROM documents
+    ),
+    nfeat0 AS (
+        SELECT doc_id, lang, tok AS f FROM ntoks, UNNEST(t) AS u(tok)
+        UNION ALL
+        SELECT doc_id, lang, concat_ws(' ', t[i], t[i+1]) AS f
+        FROM ntoks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    nfeat AS (SELECT doc_id, lang, {key} AS f FROM nfeat0),
+    npos AS (SELECT f, count(*) AS cp FROM nfeat
+             WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY 1),
+    nneg AS (SELECT f, count(*) AS cn FROM nfeat
+             WHERE doc_id % 2 = 0 AND lang != 'en' GROUP BY 1),
+    ntot AS (
+        SELECT
+            (SELECT count(*) FROM nfeat
+             WHERE doc_id % 2 = 0 AND lang = 'en') AS np,
+            (SELECT count(*) FROM nfeat
+             WHERE doc_id % 2 = 0 AND lang != 'en') AS nn,
+            CAST(floor((ln(CAST((SELECT count(*) FROM documents
+                                 WHERE doc_id % 2 = 0 AND lang = 'en')
+                                AS DOUBLE))
+                        - ln(CAST((SELECT count(*) FROM documents
+                                   WHERE doc_id % 2 = 0 AND lang != 'en')
+                                  AS DOUBLE))) * 1000000.0)
+                 AS BIGINT) AS prior
+    ),
+    nscored AS (
+        SELECT d.doc_id,
+               CAST(floor((ln((coalesce(cp, 0) + 1.0) / (np + {B}))
+                           - ln((coalesce(cn, 0) + 1.0) / (nn + {B})))
+                          * 1000000.0) AS BIGINT) AS lo
+        FROM (SELECT * FROM nfeat WHERE doc_id % 2 = 1) d
+        LEFT JOIN npos USING (f)
+        LEFT JOIN nneg USING (f)
+        CROSS JOIN ntot
+    ),
+    nagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               (SELECT prior FROM ntot) + sum(lo) AS logodds
+        FROM nscored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN logodds > 0 THEN 'pos' ELSE 'neg' END AS cls,
+           n_feats, logodds,
+           CAST(logodds AS DOUBLE) / n_feats AS mean_lo
+    FROM nagg
+    """
+
+
 @query(
     "text_tfidf_topk",
     f"""
@@ -1078,6 +1144,11 @@ _BM25_SQL = f"""
            CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
            m.score, m.rnk
     FROM ({_BM25_SQL}) m
+    UNION ALL
+    SELECT 'nb_classifier' AS variant, CAST(NULL AS BIGINT) AS query_id,
+           c.doc_id, c.cls AS term, c.n_feats AS tf, c.logodds AS df,
+           c.mean_lo AS score, CAST(NULL AS BIGINT) AS rnk
+    FROM ({_nb_classifier_oracle()}) c
     """,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,7 +1164,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       one-pass tf table — the corpus never joins itself; per-term
       weights are micro-floored to integers before the sum so the
       aggregate is order-independent (the full-precision oracle
-      contract; see the operator docstring)."""
+      contract; see the operator docstring).
+    * variant 'nb_classifier' (r11) — SUPERVISED hashed-n-gram Naive
+      Bayes quality classifier (prep.nb_classifier_scores, the
+      closed-form stand-in for the fastText/logistic quality filters):
+      fit on even doc_ids labeled (lang = 'en'), scoring odd doc_ids;
+      B=512 char-fold buckets so collisions FIRE at sf0.01; term
+      carries the predicted class, tf the feature count, df the
+      micro-integer log-odds (prior included), score the
+      length-normalized mean log-odds."""
     docs = _t(spark, sf_dir, "documents")
     tfidf = T.tfidf_top_terms(docs, k=3).select(
         F.lit("tfidf").alias("variant"),
@@ -1123,4 +1202,24 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rnk",
     )
-    return tfidf.unionByName(bm25)
+    from flink_etl_spark.operators.prep import nb_classifier_scores
+
+    labeled = docs.filter("doc_id % 2 = 0").withColumn(
+        "label", F.expr("lang = 'en'")
+    )
+    nb = nb_classifier_scores(
+        docs.filter("doc_id % 2 = 1"), labeled,
+        n_buckets=512, hash_terms=False,
+    ).select(
+        F.lit("nb_classifier").alias("variant"),
+        F.lit(None).cast("long").alias("query_id"),
+        "doc_id",
+        F.when(F.col("predicted"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("term"),
+        F.col("n_feats").cast("long").alias("tf"),
+        F.col("logodds_micro").alias("df"),
+        F.col("mean_lo_micro").alias("score"),
+        F.lit(None).cast("int").alias("rnk"),
+    )
+    return tfidf.unionByName(bm25).unionByName(nb)

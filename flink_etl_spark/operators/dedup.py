@@ -983,6 +983,170 @@ def embedding_near_dups_lsh(
     )
 
 
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    method: str = "signlsh",
+    n_planes: int = 4,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    max_bench_rows: int | None = 1_000_000,
+    force: bool = False,
+) -> DataFrame:
+    """EMBEDDING-space benchmark contamination report: every
+    (corpus_id, bench_id, cos_sim) pair with cosine >= threshold — the
+    semantic counterpart of the n-gram `prep.decontaminate` (GPT-3/C4
+    style). N-gram overlap misses paraphrased or translated benchmark
+    leakage; embedding similarity is the standard second filter
+    (the "fuzzy" decontamination pass in recent model reports).
+
+    Asymmetric by design: `benchmark` is the SMALL side (eval suites
+    are 1e3-1e6 rows) and `corpus` the 100 TB side, so everything
+    benchmark-shaped is broadcast and THE CORPUS NEVER SHUFFLES —
+    the defining scale difference from the symmetric
+    `embedding_near_dups_lsh` self-join (whose candidate generation
+    exchanges corpus-side posting lists):
+
+    * ``method="exact"`` — corpus x broadcast(benchmark) verify-all:
+      one broadcast nested-loop pass, exact recall, per-row cost
+      m cosines. Right when the benchmark is small enough that m
+      dot products per corpus row beats bucketing overhead.
+    * ``method="signlsh"`` (default) — hyperplanes drawn from the
+      BENCHMARK side (deterministic smallest-id rule, `hyperplanes`);
+      the benchmark emits its own bucket plus `n_probe` multi-probe
+      flips (lowest-|margin| bits) into a broadcast posting list;
+      each corpus row computes its OWN bucket row-locally against a
+      single packed broadcast row of plane vectors (no groupBy — the
+      bucket is a fold over the row's embedding, the same
+      packed-broadcast trick as bucketed DSIR) and broadcast-joins
+      the postings on bucket equality. Verification is
+      candidates-only. Recall < 1 by design (a pair split by a
+      confidently-crossed hyperplane is missed); recall knobs are
+      n_planes down / n_probe up, measured in docs/SCALING.md.
+
+    A (corpus, bench) pair can match at most ONE posting — a bench
+    vector's own bucket and its flip probes are pairwise distinct
+    values and the corpus row has one bucket — so the output needs no
+    distinct and the corpus side stays exchange-free end to end
+    (plan-pinned in tests/test_plans.py).
+
+    `max_bench_rows` guards the broadcast (the benchmark must fit in
+    executor memory; past ~1M x dim floats use the symmetric LSH
+    self-join instead); `force=True` downgrades the raise to a
+    RuntimeWarning."""
+    from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
+    from flink_etl_spark.operators.similarity import (
+        hyperplanes,
+        signlsh_bucket_margins,
+    )
+
+    if method not in ("exact", "signlsh"):
+        raise ValueError(f"method must be 'exact' or 'signlsh', got {method!r}")
+    bench_id_col = bench_id_col or id_col
+    bench_vec_col = bench_vec_col or vec_col
+    if max_bench_rows is not None:
+        m = benchmark.count()
+        if m > max_bench_rows:
+            msg = (
+                f"semantic_contamination_pairs broadcasts the benchmark side; "
+                f"it has {m:,} rows (> max_bench_rows={max_bench_rows:,}). A "
+                "benchmark this large should go through the symmetric "
+                "embedding_near_dups_lsh self-join (or raise max_bench_rows / "
+                "pass force=True if the executors can hold the broadcast)."
+            )
+            if not force:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+
+    c = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("id_b"), F.col(bench_vec_col).alias("vb"),
+        norm(bench_vec_col).alias("nb"),
+    )
+    cos = F.round(
+        safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6
+    ).alias("cos_sim")
+    if method == "exact":
+        return (
+            c.join(F.broadcast(b))
+            .select("id_a", "id_b", cos)
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    if not 0 <= n_probe < n_planes:
+        # an out-of-range margins[j] would null the probe bucket and
+        # silently drop recall — same guard as embedding_near_dups_lsh
+        raise ValueError(f"n_probe must be in [0, {n_planes}), got {n_probe}")
+    planes = hyperplanes(benchmark, n_planes, bench_id_col, bench_vec_col)
+    qm = signlsh_bucket_margins(benchmark, planes, bench_id_col, bench_vec_col)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"bucket ^ shiftleft(CAST(1 AS BIGINT), margins[{j}].p)")
+            for j in range(n_probe)
+        ],
+    )
+    postings = qm.select(
+        F.col(bench_id_col).alias("id_b"),
+        F.explode(probe_buckets).alias("_probe"),
+    ).join(b, "id_b")
+    # ONE packed broadcast row of plane vectors: each corpus row folds
+    # its own bucket locally — no corpus groupBy, no corpus exchange
+    packed = planes.agg(
+        F.array_sort(F.collect_list(F.struct("plane_id", "plane"))).alias("_a")
+    ).select(F.expr("transform(_a, s -> s.plane)").alias("_planes"))
+    cb = c.crossJoin(F.broadcast(packed))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(
+            dot("va", F.element_at("_planes", i + 1)) > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    cb = cb.select("id_a", "va", "na", bucket.alias("_bucket"))
+    return (
+        cb.join(F.broadcast(postings), cb["_bucket"] == postings["_probe"])
+        .select("id_a", "id_b", cos)
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    broadcast_flagged: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """The removal composition over `semantic_contamination_pairs`:
+    corpus rows whose embedding matches NO benchmark vector at
+    cosine >= threshold (the rows safe to train on). All keyword
+    arguments pass through to the pair stage.
+
+    The flagged-id set is contamination-sized (tiny relative to the
+    corpus when the pipeline is healthy), so the anti-join broadcasts
+    it by default; `broadcast_flagged=False` drops the hint for a
+    pathologically contaminated corpus where the flagged set itself
+    is too big to broadcast."""
+    pairs = semantic_contamination_pairs(
+        corpus, benchmark, threshold, id_col=id_col, **kwargs
+    )
+    flagged = pairs.select(F.col("id_a").alias("_flagged")).distinct()
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    return corpus.join(
+        flagged, corpus[id_col] == flagged["_flagged"], "left_anti"
+    )
+
+
 #: staged-profile format version; 2 = token-combined xxhash64 term-ids
 #: (profiles staged by the shingle-STRING-hash v1 have a different
 #: shset type and must be rebuilt)

@@ -1164,6 +1164,120 @@ def dsir_select_n(
     return scored.orderBy(F.col(key_col).desc(), F.col(id_col)).limit(n)
 
 
+def nb_classifier_scores(
+    docs: DataFrame,
+    labeled_docs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_terms: bool = True,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """SUPERVISED document quality classifier — hashed-bag-of-n-grams
+    multinomial Naive Bayes, the closed-form stand-in for the
+    fastText/logistic quality filters the GPT-3 / LLaMA / CCNet
+    pipelines run (a linear scorer over hashed unigram+bigram
+    features; NB's weights need ONE counting pass instead of SGD
+    epochs, which is what makes the fit a pair of map-side-combined
+    aggregates at 100 TB).
+
+    ``labeled_docs`` carries a BOOLEAN ``label_col`` (True = positive
+    class, e.g. "looks like wiki/books"); ``docs`` is the corpus to
+    score. Per bucket b the fit is the add-one-smoothed class
+    log-likelihood ratio — EXACTLY the bucketed-DSIR per-bucket
+    machinery with (target, raw) := (positive, negative), and the
+    implementation reuses it verbatim (`_dsir_per_bucket`/
+    `_dsir_pack`) —
+
+        lo(b) = ln((C_pos(b)+1)/(N_pos+B)) - ln((C_neg(b)+1)/(N_neg+B))
+
+    plus the class prior ln(D_pos/D_neg), both micro-floored to
+    integers (the order-independent summed-float contract). DSIR is
+    the UNSUPERVISED importance-ratio twin of this scorer; the
+    supervised arm differs by the labeled fit corpus, the prior term,
+    and the decision rule, and is the piece a pipeline needs when it
+    has curated positive examples rather than a target distribution.
+
+    Output per scored document: ``n_feats``, ``logodds_micro``
+    (BIGINT: prior_micro + sum of per-instance bucket log-odds — the
+    document's NB log P(pos|d)/P(neg|d) in 1e-6 units),
+    ``mean_lo_micro`` (exact division by n_feats — the
+    length-normalized score to threshold on, CCNet-style), and
+    ``predicted`` (logodds_micro > 0, the argmax-class rule).
+
+    Scale shape (inherited from bucketed DSIR, plan-pinned there):
+    the fit is two explode+groupBy(bucket) aggregates over the
+    LABELED corpus only (the small side — a quality classifier's
+    labels are a curated sample) packed into ONE broadcast row;
+    scoring the 100 TB corpus is a zero-shuffle row-local fold.
+    Labels must be non-null booleans and both classes non-empty —
+    validated with one bounded 1-row aggregate (an empty class makes
+    the prior undefined; a null label would otherwise silently count
+    as negative)."""
+    _dsir_validate_buckets(n_buckets)
+    lbl = F.col(label_col)
+    guard = labeled_docs.agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("_dpos"),
+        F.sum(F.when(~lbl, 1).otherwise(0)).alias("_dneg"),
+        F.sum(F.when(lbl.isNull(), 1).otherwise(0)).alias("_dnull"),
+    ).collect()[0]
+    if guard["_dnull"]:
+        raise ValueError(
+            f"labeled_docs has {guard['_dnull']} NULL {label_col!r} rows — "
+            "nulls would silently count as negative; filter or fill them"
+        )
+    if not guard["_dpos"] or not guard["_dneg"]:
+        raise ValueError(
+            f"both classes must be non-empty, got pos={guard['_dpos']} "
+            f"neg={guard['_dneg']} (the class prior ln(D_pos/D_neg) is "
+            "undefined for an empty class)"
+        )
+    bsql = _dsir_bucket_sql(hash_terms, n_buckets)
+    pos = labeled_docs.filter(lbl)
+    neg = labeled_docs.filter(~lbl)
+    per_bucket = _dsir_per_bucket(neg, pos, text_col, bsql, n_buckets)
+    packed = _dsir_pack(per_bucket, n_buckets).crossJoin(
+        labeled_docs.agg(
+            F.expr(
+                f"CAST(floor((ln(CAST(sum(CASE WHEN {label_col} THEN 1 "
+                f"ELSE 0 END) AS DOUBLE)) - ln(CAST(sum(CASE WHEN NOT "
+                f"{label_col} THEN 1 ELSE 0 END) AS DOUBLE))) * 1000000.0) "
+                "AS BIGINT)"
+            ).alias("_prior")
+        )
+    )
+    feats = _dsir_feats_frame(docs, id_col, text_col, True)
+    return (
+        feats.crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_bidx",
+            F.expr(
+                f"transform(_feats, f -> CAST({bsql('f')} AS INT) + 1)"
+            ),
+        )
+        .select(
+            id_col,
+            F.size("_feats").alias("n_feats"),
+            (
+                F.col("_prior")
+                + F.expr(
+                    "aggregate(_bidx, CAST(0 AS BIGINT), "
+                    "(acc, i) -> acc + element_at(_lrs, i))"
+                )
+            ).alias("logodds_micro"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "logodds_micro",
+            (
+                F.col("logodds_micro").cast("double") / F.col("n_feats")
+            ).alias("mean_lo_micro"),
+            (F.col("logodds_micro") > 0).alias("predicted"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic mixture sampling (per-source training-mix weights)
 # ---------------------------------------------------------------------------

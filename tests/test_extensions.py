@@ -2669,3 +2669,149 @@ def test_rank_and_rerank_duplicate_tolerance_randomized(spark):
         with_dups = sorted(map(tuple, _rank_and_rerank(
             duped, k, 1, None, None, "vec_id", "embedding").collect()))
         assert with_dups == clean, f"seed {seed}: duplicates leaked"
+
+
+def test_semantic_contamination_signlsh_subset_of_exact(spark):
+    """The sign-LSH contamination report must be a SUBSET of the exact
+    broadcast verify-all (identical cosines on the pairs it finds),
+    and the removal composition must drop exactly the flagged ids."""
+    from flink_etl_spark.operators.dedup import (
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus = embs.filter("vec_id % 7 != 0")
+    bench = embs.filter("vec_id % 7 = 0")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_contamination_pairs(
+            corpus, bench, 0.35, method="exact"
+        ).collect()
+    }
+    lsh_rows = semantic_contamination_pairs(
+        corpus, bench, 0.35, method="signlsh", n_planes=4, n_probe=1
+    ).collect()
+    lsh = {(r.id_a, r.id_b): r.cos_sim for r in lsh_rows}
+    assert len(lsh_rows) == len(lsh), "a pair matched more than one probe"
+    assert set(lsh) <= set(exact) and len(lsh) > 0
+    assert all(lsh[k] == exact[k] for k in lsh)
+    kept = semantic_decontaminate(
+        corpus, bench, 0.35, method="signlsh", n_planes=4, n_probe=1
+    )
+    flagged = {k[0] for k in lsh}
+    kept_ids = {r.vec_id for r in kept.collect()}
+    corpus_ids = {r.vec_id for r in corpus.collect()}
+    assert kept_ids == corpus_ids - flagged
+
+
+def test_semantic_decontaminate_catches_planted_copies(spark):
+    """Exact copies of benchmark vectors planted in the corpus must be
+    flagged at a near-dup threshold by BOTH methods (identical vectors
+    agree with every hyperplane, so sign-LSH recall on true copies is
+    1), and clean rows must survive."""
+    from flink_etl_spark.operators.dedup import semantic_decontaminate
+
+    bench_vecs = [
+        (100, [1.0, 0.2, -0.5, 0.8]),
+        (101, [-0.3, 0.9, 0.1, -0.2]),
+        (102, [0.5, -0.7, 0.6, 0.1]),
+        (103, [0.2, 0.1, 0.9, -0.6]),
+    ]
+    corpus_vecs = [
+        (1, [1.0, 0.2, -0.5, 0.8]),     # copy of 100 -> flagged
+        (2, [-0.3, 0.9, 0.1, -0.2]),    # copy of 101 -> flagged
+        (3, [-1.0, -0.2, 0.5, -0.8]),   # antipode of 100 -> kept
+        (4, [0.8, -0.1, -0.3, 0.05]),   # unrelated -> kept
+    ]
+    bench = spark.createDataFrame(bench_vecs, ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(corpus_vecs, ["vec_id", "embedding"])
+    for method in ("exact", "signlsh"):
+        kept = {
+            r.vec_id
+            for r in semantic_decontaminate(
+                corpus, bench, 0.99, method=method, n_planes=3, n_probe=1
+            ).collect()
+        }
+        assert kept == {3, 4}, f"{method}: kept {kept}"
+
+
+def test_semantic_contamination_probe_zero_matches_bucket_reference(spark):
+    """The corpus side's row-local packed-plane bucket fold must agree
+    with the groupBy-based `signlsh_buckets` assignment: with
+    n_probe=0 the pair set equals a reference built from two
+    signlsh_buckets joins."""
+    from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
+    from flink_etl_spark.operators.dedup import semantic_contamination_pairs
+    from flink_etl_spark.operators.similarity import (
+        hyperplanes,
+        signlsh_buckets,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus = embs.filter("vec_id % 7 != 0")
+    bench = embs.filter("vec_id % 7 = 0")
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in semantic_contamination_pairs(
+            corpus, bench, 0.35, method="signlsh", n_planes=4, n_probe=0
+        ).collect()
+    }
+    planes = hyperplanes(bench, 4)
+    cb = signlsh_buckets(corpus, planes).withColumnRenamed("vec_id", "id_a")
+    bb = signlsh_buckets(bench, planes).withColumnRenamed("vec_id", "id_b")
+    ca = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        norm("embedding").alias("na"),
+    )
+    be = bench.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        norm("embedding").alias("nb"),
+    )
+    ref = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cb.join(bb, "bucket")
+        .join(ca, "id_a")
+        .join(be, "id_b")
+        .withColumn(
+            "cos_sim",
+            F.round(safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+
+
+def test_semantic_contamination_guards(spark):
+    """Benchmark bigger than max_bench_rows raises (broadcast safety),
+    force=True downgrades to RuntimeWarning, bad method / n_probe
+    raise."""
+    import warnings
+
+    import pytest
+
+    from flink_etl_spark.operators.dedup import semantic_contamination_pairs
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_contamination_pairs(embs, embs, 0.9, max_bench_rows=5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_contamination_pairs(
+            embs, embs, 0.9, max_bench_rows=5, force=True
+        )
+        assert any(issubclass(x.category, RuntimeWarning) for x in w)
+    with pytest.raises(ValueError, match="method"):
+        semantic_contamination_pairs(embs, embs, 0.9, method="ivf")
+    with pytest.raises(ValueError, match="n_probe"):
+        semantic_contamination_pairs(
+            embs, embs, 0.9, method="signlsh", n_planes=4, n_probe=4,
+            max_bench_rows=None,
+        )

@@ -457,3 +457,64 @@ def test_dsir_bucketed_scoring_is_zero_shuffle(spark):
         # aggregate is gone (row-local fold), so any doc-id-keyed
         # exchange means the zero-shuffle contract regressed
         assert "doc_id" not in keys, keys
+
+
+def test_semantic_decontam_corpus_side_never_shuffles(spark):
+    """semantic_contamination_pairs(method='signlsh'): the corpus reaches
+    the candidate join through a row-local bucket fold and a broadcast
+    hash join — no corpus-side exchange. Every hash-partitioning
+    exchange in the plan must sit under the postings BUILD side (the
+    benchmark's groupBy aggregations); the streamed corpus branch,
+    printed before the build-side BroadcastExchange, must contain
+    none."""
+    from flink_etl_spark.operators.dedup import semantic_contamination_pairs
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF, "embeddings")
+    pairs = semantic_contamination_pairs(
+        embs.filter("vec_id % 7 != 0"),
+        embs.filter("vec_id % 7 = 0"),
+        0.35,
+        method="signlsh",
+        n_planes=4,
+        n_probe=1,
+        max_bench_rows=None,
+    )
+    plan = _executed(pairs)
+    # 2 BHJ: the candidate join itself + the postings-to-bench-vectors
+    # join INSIDE the broadcast build side
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # the build side (postings) is the LAST branch under the BHJ: split
+    # at its BroadcastExchange — the streamed corpus segment before it
+    # must be exchange-free
+    streamed = plan.split("BroadcastExchange HashedRelation")[0]
+    assert "Exchange hashpartitioning" not in streamed, streamed
+
+
+def test_nb_classifier_scoring_is_zero_shuffle(spark):
+    """nb_classifier_scores — the supervised twin of bucketed DSIR:
+    the fit aggregates only the LABELED corpus (2 explodes, <= B-row
+    count exchanges), the prior is one 1-row aggregate, and scoring
+    the corpus is a row-local fold against one broadcast packed row —
+    no corpus-side exchange, no SortMergeJoin, no doc_id- or
+    text-keyed exchange anywhere."""
+    from flink_etl_spark.operators.prep import nb_classifier_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.expr("lang = 'en'")
+    )
+    plan = _executed(nb_classifier_scores(
+        docs.filter(F.col("doc_id") % 2 == 1), labeled, n_buckets=256
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") == 2, plan.count(
+        "Generate explode"
+    )
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")")[0]
+        assert "text" not in keys, keys
+        assert "doc_id" not in keys, keys

@@ -1649,3 +1649,73 @@ def test_dsir_staged_fit_equals_in_memory_and_validates(spark, tmp_path):
         dsir_log_weights_staged(raw, fit)
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_stage_fit(target, raw, str(tmp_path / "f2"), n_buckets=1)
+
+
+def test_nb_classifier_learns_planted_vocabulary(spark):
+    """Two disjoint planted vocabularies: the classifier must predict
+    held-out documents of each class correctly, and swapping the
+    labels must negate every log-odds score up to flooring (the
+    smoothed ratio and the prior are antisymmetric, but each
+    micro-FLOORED term may sit 1 unit off the negation when the true
+    value is off the 1e-6 grid — bound: n_feats + 1 terms)."""
+    from flink_etl_spark.operators.prep import nb_classifier_scores
+
+    pos_words = ["apple", "banana", "cherry", "plum"]
+    neg_words = ["rock", "stone", "gravel", "sand"]
+    rows = []
+    for i in range(12):
+        w = pos_words if i % 2 == 0 else neg_words
+        text = " ".join(w[(i + j) % 4] for j in range(6))
+        rows.append((i, text, i % 2 == 0))
+    labeled = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    held = spark.createDataFrame(
+        [
+            (100, "apple cherry banana plum apple"),
+            (101, "stone rock sand gravel rock"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in nb_classifier_scores(
+            held, labeled, n_buckets=64, hash_terms=True
+        ).collect()
+    }
+    assert out[100].predicted and out[100].logodds_micro > 0
+    assert not out[101].predicted and out[101].logodds_micro < 0
+    flipped = labeled.withColumn("label", ~F.col("label"))
+    swapped = {
+        r.doc_id: r
+        for r in nb_classifier_scores(
+            held, flipped, n_buckets=64, hash_terms=True
+        ).collect()
+    }
+    for d in (100, 101):
+        drift = abs(swapped[d].logodds_micro + out[d].logodds_micro)
+        assert drift <= out[d].n_feats + 1, drift
+        assert swapped[d].predicted != out[d].predicted
+
+
+def test_nb_classifier_guards(spark):
+    """Null labels and empty classes must raise loudly — a null label
+    would silently count as negative, an empty class makes the prior
+    undefined."""
+    import pytest
+
+    from flink_etl_spark.operators.prep import nb_classifier_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    with_null = spark.createDataFrame(
+        [(1, "a b", True), (2, "c d", None)],
+        "doc_id long, text string, label boolean",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        nb_classifier_scores(docs, with_null)
+    one_class = spark.createDataFrame(
+        [(1, "a b", True), (2, "c d", True)],
+        "doc_id long, text string, label boolean",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        nb_classifier_scores(docs, one_class)
