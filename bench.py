@@ -253,6 +253,48 @@ def _bench_dsir(spark, sf_dir):
     return dsir_select_n(dw, n=256, salt=0, group_cols=("source",))
 
 
+def _bench_semantic_decontam(spark, sf_dir):
+    """Semantic benchmark decontamination (r11): embeddings with
+    vec_id % 7 == 0 play the eval benchmark, the rest the training
+    corpus; sign-LSH method at a realistic near-dup threshold — the
+    corpus side computes its bucket in a row-local fold against one
+    packed broadcast plane row and broadcast-joins the benchmark's
+    probe postings, so the CORPUS NEVER SHUFFLES (plan-pinned).
+    Tracked from r11 on (not in comparable_11)."""
+    from flink_etl_spark.operators.dedup import semantic_decontaminate
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        embs.filter("vec_id % 7 != 0"),
+        embs.filter("vec_id % 7 = 0"),
+        threshold=0.8,
+        method="signlsh",
+        n_planes=8,
+        n_probe=2,
+        max_bench_rows=None,
+    )
+
+
+def _bench_nb_classifier(spark, sf_dir):
+    """Supervised hashed-n-gram Naive Bayes quality classifier (r11):
+    fit on the even-doc_id half labeled (lang = 'en'), score the odd
+    half — production knobs (xxhash64 buckets, the DSIR paper's 10k
+    vocabulary). Fit is one counting pass over the labeled half;
+    scoring is the zero-shuffle packed-broadcast fold. Tracked from
+    r11 on (not in comparable_11)."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.prep import nb_classifier_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.expr("lang = 'en'")
+    )
+    return nb_classifier_scores(
+        docs.filter(F.col("doc_id") % 2 == 1), labeled, n_buckets=10_000
+    )
+
+
 #: headline set — one per operator family (CDC, ingest, agg, join,
 #: temporal join, window, near-dup, ANN, text, composite pipeline).
 #: `text_doc_profile` replaces r2's `text_quality_score` (the quality
@@ -283,6 +325,8 @@ HEADLINE = [
     ("bm25_topk", _bench_bm25),
     ("dsir_select", _bench_dsir),
     ("dsir_select_bucketed", _bench_dsir_bucketed),
+    ("semantic_decontam", _bench_semantic_decontam),
+    ("nb_classifier", _bench_nb_classifier),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -299,6 +343,8 @@ NON_COMPARABLE = {
     "bm25_topk",
     "dsir_select",
     "dsir_select_bucketed",
+    "semantic_decontam",
+    "nb_classifier",
 }
 
 

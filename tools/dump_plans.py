@@ -219,6 +219,29 @@ COMMENTARY: dict[str, str] = {
         "(tools/dsir_probe.py: 1.6x faster at 10x, exponent 0.11 vs "
         "0.33, Spearman 0.984 weight agreement vs exact ids)."
     ),
+    "semantic_decontam": (
+        "Embedding-space benchmark decontamination (r11): the corpus "
+        "scan computes its sign-LSH bucket in a row-local fold over "
+        "ONE packed broadcast plane row, broadcast-joins the "
+        "benchmark's probe postings, verifies cosine on candidates "
+        "only, and anti-joins the broadcast flagged-id set — the "
+        "corpus path has ZERO exchanges (every Exchange in this tree "
+        "is a benchmark-side plane/probe/flag aggregation; "
+        "plan-pinned, and measured byte-exact flat across a 30x "
+        "corpus step in tools/decontam_probe.py). The benchmark is "
+        "the bounded side by definition — eval suites do not grow "
+        "with the crawl."
+    ),
+    "nb_classifier": (
+        "Supervised hashed-n-gram Naive Bayes quality classifier "
+        "(r11): the fit explodes only the LABELED corpus (two <= "
+        "B-row count aggregations + a 1-row prior aggregate), packs "
+        "log-odds into one broadcast row, and the scored corpus "
+        "folds its own feature array row-locally — same zero-shuffle "
+        "scoring contract as the bucketed DSIR arm it reuses "
+        "(plan-pinned: no SortMergeJoin, no doc_id/text-keyed "
+        "exchange, the scored corpus never explodes)."
+    ),
 }
 
 
