@@ -1081,23 +1081,9 @@ def semantic_contamination_pairs(
             .select("id_a", "id_b", cos)
             .filter(F.col("cos_sim") >= threshold)
         )
-    if not 0 <= n_probe < n_planes:
-        # an out-of-range margins[j] would null the probe bucket and
-        # silently drop recall — same guard as embedding_near_dups_lsh
-        raise ValueError(f"n_probe must be in [0, {n_planes}), got {n_probe}")
-    planes = hyperplanes(benchmark, n_planes, bench_id_col, bench_vec_col)
-    qm = signlsh_bucket_margins(benchmark, planes, bench_id_col, bench_vec_col)
-    probe_buckets = F.array(
-        F.col("bucket"),
-        *[
-            F.expr(f"bucket ^ shiftleft(CAST(1 AS BIGINT), margins[{j}].p)")
-            for j in range(n_probe)
-        ],
+    planes, postings = _signlsh_bench_side(
+        benchmark, b, n_planes, n_probe, bench_id_col, bench_vec_col
     )
-    postings = qm.select(
-        F.col(bench_id_col).alias("id_b"),
-        F.explode(probe_buckets).alias("_probe"),
-    ).join(b, "id_b")
     # ONE packed broadcast row of plane vectors: each corpus row folds
     # its own bucket locally — no corpus groupBy, no corpus exchange
     packed = planes.agg(
@@ -1115,6 +1101,133 @@ def semantic_contamination_pairs(
         cb.join(F.broadcast(postings), cb["_bucket"] == postings["_probe"])
         .select("id_a", "id_b", cos)
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _signlsh_bench_side(
+    benchmark: DataFrame,
+    b: DataFrame,
+    n_planes: int,
+    n_probe: int,
+    bench_id_col: str,
+    bench_vec_col: str,
+):
+    """The benchmark-shaped half of sign-LSH decontamination, shared by
+    the batch and streaming arms: (planes, postings) where `planes` is
+    the deterministic hyperplane set drawn from the benchmark and
+    `postings` the broadcastable (id_b, _probe, vb, nb) posting list —
+    each benchmark vector under its own bucket plus `n_probe`
+    lowest-|margin| flip probes. Validates n_probe range and that the
+    benchmark actually has n_planes vectors (a short plane set would
+    throw ANSI INVALID_ARRAY_INDEX deep inside the corpus-side fold —
+    raise the real cause up front; the count is one tiny TakeOrdered
+    over the benchmark)."""
+    from flink_etl_spark.operators.similarity import (
+        hyperplanes,
+        signlsh_bucket_margins,
+    )
+
+    if not 0 <= n_probe < n_planes:
+        # an out-of-range margins[j] would null the probe bucket and
+        # silently drop recall — same guard as embedding_near_dups_lsh
+        raise ValueError(f"n_probe must be in [0, {n_planes}), got {n_probe}")
+    planes = hyperplanes(benchmark, n_planes, bench_id_col, bench_vec_col)
+    n_real = planes.count()
+    if n_real < n_planes:
+        raise ValueError(
+            f"benchmark has only {n_real} vectors but n_planes={n_planes}; "
+            "pass n_planes <= the benchmark size (or method='exact' for a "
+            "benchmark this small)"
+        )
+    qm = signlsh_bucket_margins(benchmark, planes, bench_id_col, bench_vec_col)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"bucket ^ shiftleft(CAST(1 AS BIGINT), margins[{j}].p)")
+            for j in range(n_probe)
+        ],
+    )
+    postings = qm.select(
+        F.col(bench_id_col).alias("id_b"),
+        F.explode(probe_buckets).alias("_probe"),
+    ).join(b, "id_b")
+    return planes, postings
+
+
+def semantic_decontaminate_stream(
+    corpus_stream: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """STREAMING semantic decontamination: scrub an embedding stream
+    against a fixed benchmark as rows arrive — the continuous form of
+    `semantic_decontaminate(method="signlsh")`, and unlike the
+    continuous substring/ANN sinks it needs NO index accretion, NO
+    foreachBatch, and NO state store: the benchmark never grows with
+    the stream, so the whole operator is one STATELESS stream-static
+    LEFT ANTI join (Spark supports stream-static anti joins with an
+    arbitrary deterministic condition when the static side is on the
+    right). Rows flow through append-mode with per-batch latency; a
+    crash replay re-filters the redelivered rows identically (pure
+    function of the row and the frozen benchmark).
+
+    The stream side's bucket is folded row-locally against the plane
+    vectors INLINED AS LITERALS — a bounded driver fetch of n_planes
+    rows at plan-build time (the centroid-fetch convention) — because
+    a stream cannot cross-join the packed 1-row frame the batch arm
+    broadcasts. The anti-join condition is bucket-equality AND
+    verified cosine, so a row is dropped iff some benchmark posting
+    matches its bucket at cos >= threshold: exactly the batch arm's
+    kept set (stream==batch pinned by test).
+
+    Returns the KEPT stream with the input schema. The benchmark must
+    be a BATCH DataFrame (the static side)."""
+    from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
+
+    bench_id_col = bench_id_col or id_col
+    bench_vec_col = bench_vec_col or vec_col
+    if corpus_stream.isStreaming is False:
+        raise ValueError(
+            "corpus_stream must be a streaming DataFrame; use "
+            "semantic_decontaminate for batch corpora"
+        )
+    if benchmark.isStreaming:
+        raise ValueError("benchmark must be a batch DataFrame (static side)")
+    b = benchmark.select(
+        F.col(bench_id_col).alias("id_b"), F.col(bench_vec_col).alias("vb"),
+        norm(bench_vec_col).alias("nb"),
+    )
+    planes_df, postings = _signlsh_bench_side(
+        benchmark, b, n_planes, n_probe, bench_id_col, bench_vec_col
+    )
+    # bounded driver fetch: n_planes rows, inlined as double literals so
+    # the stream side needs no join to compute its bucket
+    plane_rows = sorted(
+        planes_df.collect(), key=lambda r: r["plane_id"]
+    )
+    bucket = F.lit(0).cast("long")
+    for i, r in enumerate(plane_rows):
+        lit_plane = F.array(*[F.lit(float(x)) for x in r["plane"]])
+        bucket = bucket + F.when(
+            dot(vec_col, lit_plane) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    enriched = corpus_stream.withColumn("_bucket", bucket).withColumn(
+        "_na", norm(vec_col)
+    )
+    cond = (enriched["_bucket"] == postings["_probe"]) & (
+        F.round(
+            safe_cosine(dot(vec_col, "vb"), F.col("_na"), F.col("nb")), 6
+        )
+        >= threshold
+    )
+    return enriched.join(F.broadcast(postings), cond, "left_anti").drop(
+        "_bucket", "_na"
     )
 
 

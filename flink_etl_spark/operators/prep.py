@@ -1239,9 +1239,9 @@ def nb_classifier_scores(
     packed = _dsir_pack(per_bucket, n_buckets).crossJoin(
         labeled_docs.agg(
             F.expr(
-                f"CAST(floor((ln(CAST(sum(CASE WHEN {label_col} THEN 1 "
+                f"CAST(floor((ln(CAST(sum(CASE WHEN `{label_col}` THEN 1 "
                 f"ELSE 0 END) AS DOUBLE)) - ln(CAST(sum(CASE WHEN NOT "
-                f"{label_col} THEN 1 ELSE 0 END) AS DOUBLE))) * 1000000.0) "
+                f"`{label_col}` THEN 1 ELSE 0 END) AS DOUBLE))) * 1000000.0) "
                 "AS BIGINT)"
             ).alias("_prior")
         )

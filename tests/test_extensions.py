@@ -2815,3 +2815,74 @@ def test_semantic_contamination_guards(spark):
             embs, embs, 0.9, method="signlsh", n_planes=4, n_probe=4,
             max_bench_rows=None,
         )
+    # benchmark smaller than n_planes: a short packed plane array would
+    # throw ANSI INVALID_ARRAY_INDEX mid-scan — must raise the real
+    # cause up front
+    tiny = embs.filter("vec_id < 3")
+    with pytest.raises(ValueError, match="n_planes"):
+        semantic_contamination_pairs(
+            embs, tiny, 0.9, method="signlsh", n_planes=4, n_probe=1,
+            max_bench_rows=None,
+        )
+
+
+def test_semantic_contamination_randomized_plane_counts(spark):
+    """The row-local packed-plane bucket fold must agree with the
+    signlsh_buckets reference for every plane count (the element_at
+    indexing is hand-built per plane — an off-by-one would mis-bucket
+    silently), across random vector sets and dims."""
+    import random
+
+    from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
+    from flink_etl_spark.operators.dedup import semantic_contamination_pairs
+    from flink_etl_spark.operators.similarity import (
+        hyperplanes,
+        signlsh_buckets,
+    )
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        dim = rng.choice([3, 8, 17])
+        n_planes = rng.choice([2, 5, 9])
+        bench_rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n_planes + rng.randint(0, 4))
+        ]
+        corp_rows = [
+            (100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(30)
+        ]
+        bench = spark.createDataFrame(bench_rows, ["vec_id", "embedding"])
+        corp = spark.createDataFrame(corp_rows, ["vec_id", "embedding"])
+        got = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in semantic_contamination_pairs(
+                corp, bench, -1.0, method="signlsh",
+                n_planes=n_planes, n_probe=0, max_bench_rows=None,
+            ).collect()
+        }
+        planes = hyperplanes(bench, n_planes)
+        cb = signlsh_buckets(corp, planes).withColumnRenamed("vec_id", "id_a")
+        bb = signlsh_buckets(bench, planes).withColumnRenamed("vec_id", "id_b")
+        ca = corp.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+            norm("embedding").alias("na"),
+        )
+        be = bench.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+            norm("embedding").alias("nb"),
+        )
+        ref = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in cb.join(bb, "bucket")
+            .join(ca, "id_a")
+            .join(be, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round(
+                    safe_cosine(dot("va", "vb"), F.col("na"), F.col("nb")), 6
+                ).alias("cos_sim"),
+            )
+            .collect()
+        }
+        assert got == ref, f"seed {seed} (dim {dim}, planes {n_planes})"

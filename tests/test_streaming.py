@@ -1291,3 +1291,55 @@ def test_additive_swap_does_not_leak_checksum_sidecars(spark, tmp_path):
         # and every moved data file kept its checksum protection
         missing = {n for n in data if f".{n}.crc" not in names}
         assert not missing, (d, sorted(missing))
+
+
+def test_semantic_decontaminate_stream_equals_batch(spark, tmp_path):
+    """The stateless stream-static anti-join decontamination must keep
+    exactly the batch arm's kept set: a streamed embedding corpus
+    (multiple micro-batches) scrubbed against a fixed benchmark equals
+    semantic_decontaminate(method='signlsh') on the same corpus, and
+    drops at least the benchmark's verbatim copies."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.dedup import (
+        semantic_decontaminate,
+        semantic_decontaminate_stream,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    bench = embs.filter("vec_id % 7 = 0")
+    src = str(tmp_path / "emb_stream")
+    # corpus INCLUDES the benchmark rows (verbatim leakage); several
+    # files so availableNow drains in more than one micro-batch
+    embs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    kept_stream = semantic_decontaminate_stream(
+        stream, bench, threshold=0.5, n_planes=4, n_probe=1
+    )
+    q = (
+        kept_stream.writeStream.format("memory").queryName("sem_dec_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id
+        for r in spark.sql("SELECT vec_id FROM sem_dec_stream").collect()
+    }
+    expected = {
+        r.vec_id
+        for r in semantic_decontaminate(
+            embs, bench, threshold=0.5, method="signlsh",
+            n_planes=4, n_probe=1, max_bench_rows=None,
+        ).collect()
+    }
+    assert got == expected
+    bench_ids = {r.vec_id for r in bench.collect()}
+    # every verbatim copy is dropped (cos 1.0 with itself, same bucket)
+    assert not (got & bench_ids)
+    assert len(got) > 0
