@@ -283,6 +283,23 @@ def cmd_ann_drift(args: argparse.Namespace) -> int:
     return 0 if out["checkable"] else 3
 
 
+def cmd_text_drift(args: argparse.Namespace) -> int:
+    import json
+
+    from flink_etl_spark.operators.prep import staged_fit_drift_check
+
+    spark = _spark("flink-etl-spark-text-drift")
+    out = staged_fit_drift_check(
+        spark.read.parquet(args.path), args.fit,
+        text_col=args.text_col, warn_above=args.warn_above,
+    )
+    print(json.dumps(out))
+    # mirror ann-drift's scheduler contract: 2 = re-stage the fit,
+    # 0 = checked healthy (a staged fit always has a usable baseline —
+    # its own counts — so there is no monitor-off exit here)
+    return 2 if out["refit_recommended"] else 0
+
+
 def cmd_ann_search(args: argparse.Namespace) -> int:
     from flink_etl_spark.operators import similarity as S
 
@@ -467,6 +484,19 @@ def build_parser() -> argparse.ArgumentParser:
     andr.add_argument("--path", required=True, help="batch parquet dir")
     _ann_common(andr)
     andr.set_defaults(fn=cmd_ann_drift)
+
+    tdr = sub.add_parser(
+        "text-drift",
+        help="text-distribution drift check of a document batch against "
+             "a staged DSIR or NB fit (total-variation distance over the "
+             "fit's own bucket space + novel-mass fraction); prints JSON "
+             "and exits 2 when a re-stage is recommended, 0 when healthy",
+    )
+    tdr.add_argument("--path", required=True, help="batch parquet dir")
+    tdr.add_argument("--fit", required=True, help="staged fit dir")
+    tdr.add_argument("--text-col", default="text")
+    tdr.add_argument("--warn-above", type=float, default=0.2)
+    tdr.set_defaults(fn=cmd_text_drift)
 
     ans = sub.add_parser(
         "ann-search",

@@ -1149,6 +1149,11 @@ def _nb_classifier_oracle(n_buckets: int = 512) -> str:
            c.doc_id, c.cls AS term, c.n_feats AS tf, c.logodds AS df,
            c.mean_lo AS score, CAST(NULL AS BIGINT) AS rnk
     FROM ({_nb_classifier_oracle()}) c
+    UNION ALL
+    SELECT 'nb_staged' AS variant, CAST(NULL AS BIGINT) AS query_id,
+           s.doc_id, s.cls AS term, s.n_feats AS tf, s.logodds AS df,
+           s.mean_lo AS score, CAST(NULL AS BIGINT) AS rnk
+    FROM ({_nb_classifier_oracle()}) s
     """,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,7 +1177,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       B=512 char-fold buckets so collisions FIRE at sf0.01; term
       carries the predicted class, tf the feature count, df the
       micro-integer log-odds (prior included), score the
-      length-normalized mean log-odds."""
+      length-normalized mean log-odds.
+    * variant 'nb_staged' (r11) — the same classifier through the
+      STAGED fit (prep.nb_stage_fit -> counts parquet + _NB_META.json
+      sidecar -> nb_classifier_scores_staged): fit-once/score-many,
+      the deployment shape; value-identical to the inline arm by
+      contract, so it shares the same oracle."""
     docs = _t(spark, sf_dir, "documents")
     tfidf = T.tfidf_top_terms(docs, k=3).select(
         F.lit("tfidf").alias("variant"),
@@ -1222,4 +1232,34 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_lo_micro").alias("score"),
         F.lit(None).cast("int").alias("rnk"),
     )
-    return tfidf.unionByName(bm25).unionByName(nb)
+    # staged fit-once/score-many arm (r11): persisted counts + sidecar,
+    # parameters sidecar-derived — one staging per (process, sf_dir),
+    # same contract as the dsir_staged / minhash staged arms
+    from flink_etl_spark.catalog import process_workdir
+    from flink_etl_spark.operators.prep import (
+        nb_classifier_scores_staged,
+        nb_stage_fit,
+    )
+
+    fit_path = (
+        f"{process_workdir('nb_fit')}/"
+        f"{sf_dir.strip('/').replace('/', '_')}"
+    )
+    nb_stage_fit(labeled, fit_path, n_buckets=512, hash_terms=False)
+    nb_staged = nb_classifier_scores_staged(
+        docs.filter("doc_id % 2 = 1"), fit_path
+    ).select(
+        F.lit("nb_staged").alias("variant"),
+        F.lit(None).cast("long").alias("query_id"),
+        "doc_id",
+        F.when(F.col("predicted"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("term"),
+        F.col("n_feats").cast("long").alias("tf"),
+        F.col("logodds_micro").alias("df"),
+        F.col("mean_lo_micro").alias("score"),
+        F.lit(None).cast("int").alias("rnk"),
+    )
+    return (
+        tfidf.unionByName(bm25).unionByName(nb).unionByName(nb_staged)
+    )

@@ -1246,6 +1246,16 @@ def nb_classifier_scores(
             ).alias("_prior")
         )
     )
+    return _nb_score(docs, packed, bsql, id_col, text_col)
+
+
+def _nb_score(
+    docs: DataFrame, packed: DataFrame, bsql, id_col: str, text_col: str
+) -> DataFrame:
+    """Zero-shuffle NB scoring (shared by the inline and staged arms):
+    broadcast-cross the packed (log-odds arrays + prior) row and fold
+    each document's own feature array row-locally — the `_dsir_score`
+    shape plus the prior and the decision rule."""
     feats = _dsir_feats_frame(docs, id_col, text_col, True)
     return (
         feats.crossJoin(F.broadcast(packed))
@@ -1276,6 +1286,229 @@ def nb_classifier_scores(
             (F.col("logodds_micro") > 0).alias("predicted"),
         )
     )
+
+
+#: staged NB-classifier fit format version (`_NB_META.json`)
+_NB_META_VERSION = 1
+
+
+def nb_stage_fit(
+    labeled_docs: DataFrame,
+    fit_path: str,
+    label_col: str = "label",
+    text_col: str = "text",
+    hash_terms: bool = True,
+    n_buckets: int = 10_000,
+) -> None:
+    """Stage the NB classifier FIT once so scoring runs reuse it — the
+    `dsir_stage_fit` pattern for the supervised scorer: a quality
+    classifier is fit on a curated labeled sample and then scores
+    every shard of a 100 TB corpus, so the fit artifact must outlive
+    the fitting job. Writes `<fit_path>/counts` (the dense per-bucket
+    (_b, _ct, _cq) frame — _ct = positive-class instance counts,
+    _cq = negative; counts, not log-odds, so re-smoothing stays
+    possible) plus a `_NB_META.json` sidecar pinning {version,
+    n_buckets, hash_terms, d_pos, d_neg} (the class DOC counts the
+    prior needs). Same label validation as `nb_classifier_scores`
+    (null labels raise, both classes must be non-empty)."""
+    from flink_etl_spark.operators.similarity import _write_json_sidecar
+
+    _dsir_validate_buckets(n_buckets)
+    lbl = F.col(label_col)
+    guard = labeled_docs.agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("_dpos"),
+        F.sum(F.when(~lbl, 1).otherwise(0)).alias("_dneg"),
+        F.sum(F.when(lbl.isNull(), 1).otherwise(0)).alias("_dnull"),
+    ).collect()[0]
+    if guard["_dnull"]:
+        raise ValueError(
+            f"labeled_docs has {guard['_dnull']} NULL {label_col!r} rows — "
+            "nulls would silently count as negative; filter or fill them"
+        )
+    if not guard["_dpos"] or not guard["_dneg"]:
+        raise ValueError(
+            f"both classes must be non-empty, got pos={guard['_dpos']} "
+            f"neg={guard['_dneg']}"
+        )
+    bsql = _dsir_bucket_sql(hash_terms, n_buckets)
+    per_bucket = _dsir_per_bucket(
+        labeled_docs.filter(~lbl), labeled_docs.filter(lbl),
+        text_col, bsql, n_buckets,
+    )
+    per_bucket.write.mode("overwrite").parquet(f"{fit_path}/counts")
+    _write_json_sidecar(
+        labeled_docs.sparkSession, f"{fit_path}/_NB_META.json",
+        {
+            "version": _NB_META_VERSION,
+            "n_buckets": n_buckets,
+            "hash_terms": hash_terms,
+            "d_pos": int(guard["_dpos"]),
+            "d_neg": int(guard["_dneg"]),
+        },
+    )
+
+
+def nb_classifier_scores_staged(
+    docs: DataFrame,
+    fit_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a fit staged by `nb_stage_fit` — same
+    output contract as `nb_classifier_scores` (n_feats, logodds_micro,
+    mean_lo_micro, predicted; value-identical by test), same
+    zero-shuffle scoring shape; n_buckets / bucket hash / class doc
+    counts derive from the sidecar. The prior is rebuilt from the
+    sidecar's integer doc counts with the same ln expression the
+    inline arm uses (JVM ln on both paths — no recorded float crosses
+    the boundary)."""
+    from flink_etl_spark.operators.similarity import _read_json_sidecar
+
+    spark = docs.sparkSession
+    meta = _read_json_sidecar(spark, f"{fit_path}/_NB_META.json")
+    if meta is None:
+        raise ValueError(
+            f"no _NB_META.json at {fit_path} — not a staged NB fit; run "
+            "nb_stage_fit first"
+        )
+    if meta.get("version") != _NB_META_VERSION:
+        raise ValueError(
+            f"staged NB fit at {fit_path} has format version "
+            f"{meta.get('version')!r}, this reader expects "
+            f"{_NB_META_VERSION} — re-stage the fit"
+        )
+    n_buckets = int(meta["n_buckets"])
+    bsql = _dsir_bucket_sql(bool(meta["hash_terms"]), n_buckets)
+    counts = spark.read.parquet(f"{fit_path}/counts")
+    packed = _dsir_pack(counts, n_buckets).withColumn(
+        "_prior",
+        F.expr(
+            f"CAST(floor((ln(CAST({int(meta['d_pos'])} AS DOUBLE)) - "
+            f"ln(CAST({int(meta['d_neg'])} AS DOUBLE))) * 1000000.0) "
+            "AS BIGINT)"
+        ),
+    )
+    return _nb_score(docs, packed, bsql, id_col, text_col)
+
+
+def staged_fit_drift_check(
+    batch: DataFrame,
+    fit_path: str,
+    text_col: str = "text",
+    warn_above: float = 0.2,
+) -> dict:
+    """TEXT-distribution drift monitor over a staged fit — the text
+    family's counterpart of the ANN `ann_drift_check`/`pq_drift_check`
+    loop: a DSIR fit freezes the raw-corpus distribution q and an NB
+    fit freezes the labeled class mixture, and both score garbage
+    silently once the live corpus stops resembling what they were fit
+    on. This check compares an incoming batch's hashed-bucket feature
+    distribution against the staged fit's (DSIR: the RAW side — what
+    corpus batches should look like; NB: the pooled labeled corpus)
+    by TOTAL VARIATION distance,
+
+        tv = 0.5 * sum_b |p_batch(b) - p_fit(b)|    in [0, 1],
+
+    over the fit's OWN bucket space (sidecar-derived — the comparison
+    cannot silently run in a mismatched feature space), plus the
+    batch's novel-mass fraction (instances landing in buckets the fit
+    never saw — the leading indicator for new vocabularies). One
+    batch tokenization + a <= B-row join + a 1-row aggregate; no
+    ground truth, no second corpus pass.
+
+    Calibration (measured at sf0.1, 25k docs, B=10k — table in
+    SCALING.md "Staged-fit text drift"): a held-out slice of the SAME
+    corpus reads tv = 0.026 (the sampling noise floor), a full
+    vocabulary shift (upper-cased text) 0.946, a HALF-shifted batch
+    0.485 — tv tracks the drifted fraction, so `warn_above=0.2` (8x
+    the noise floor) flags a ~25%-shifted batch while never alarming
+    on held-out data. KNOWN BLIND SPOT, measured: order-only
+    perturbations (reversed token order: tv 0.027) barely move a
+    bag-of-features distribution — pair this check with
+    `bigram_lm_scores`' novel-bigram fraction when word ORDER drift
+    matters. Warns and sets `drift_detected` above the threshold;
+    `refit_recommended` mirrors the ANN monitors' dict contract."""
+    from flink_etl_spark.operators.similarity import _read_json_sidecar
+
+    spark = batch.sparkSession
+    meta = None
+    for sidecar in ("_DSIR_META.json", "_NB_META.json"):
+        meta = _read_json_sidecar(spark, f"{fit_path}/{sidecar}")
+        if meta is not None:
+            kind = sidecar
+            break
+    if meta is None:
+        raise ValueError(
+            f"no staged-fit sidecar at {fit_path} (expected _DSIR_META.json "
+            "or _NB_META.json)"
+        )
+    n_buckets = int(meta["n_buckets"])
+    bsql = _dsir_bucket_sql(bool(meta["hash_terms"]), n_buckets)
+    counts = spark.read.parquet(f"{fit_path}/counts")
+    # DSIR: q = the raw corpus (_cq). NB: the pooled labeled corpus.
+    fit_count = (
+        F.col("_cq") if kind == "_DSIR_META.json"
+        else F.col("_ct") + F.col("_cq")
+    )
+    bcounts = (
+        _dsir_feats_frame(batch, "", text_col, False)
+        .select(F.explode("_feats").alias("_fs"))
+        .select(F.expr(bsql("_fs")).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count("*").alias("_cb"))
+    )
+    row = (
+        counts.select("_b", fit_count.alias("_cf"))
+        .join(bcounts, "_b", "left")
+        .select(
+            "_cf",
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        )
+        .agg(
+            F.sum("_cf").alias("_nf"),
+            F.sum("_cb").alias("_nb"),
+            # sum of |p - q| needs the totals first; carry the parts
+            F.sum(F.when(F.col("_cf") == 0, F.col("_cb")).otherwise(0))
+            .alias("_novel"),
+            F.array_sort(
+                F.collect_list(F.struct("_cf", "_cb"))
+            ).alias("_a"),
+        )
+        .select(
+            "_nf", "_nb", "_novel",
+            F.expr(
+                "aggregate(_a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + "
+                "abs(x._cf / CAST(_nf AS DOUBLE) - "
+                "x._cb / CAST(_nb AS DOUBLE)))"
+            ).alias("_l1"),
+        )
+        .collect()[0]
+    )
+    if not row["_nb"]:
+        raise ValueError("drift check batch has no feature instances")
+    tv = 0.5 * row["_l1"]
+    novel_frac = row["_novel"] / row["_nb"]
+    out = {
+        "kind": "dsir" if kind == "_DSIR_META.json" else "nb",
+        "tv": tv,
+        "novel_frac": novel_frac,
+        "warn_above": warn_above,
+        "batch_instances": int(row["_nb"]),
+        "drift_detected": tv > warn_above,
+        "refit_recommended": tv > warn_above,
+    }
+    if out["drift_detected"]:
+        import warnings
+
+        warnings.warn(
+            f"staged fit at {fit_path}: batch total-variation distance "
+            f"{tv:.3f} exceeds warn_above={warn_above} (novel mass "
+            f"{novel_frac:.3f}) — the fit no longer matches the live "
+            "corpus; re-stage it (dsir_stage_fit / nb_stage_fit)",
+            UserWarning,
+            stacklevel=2,
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

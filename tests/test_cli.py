@@ -431,3 +431,36 @@ def test_cli_dsir_fit_and_score(spark, tmp_path):
         n=16, salt=1,
     ).collect())
     assert got_ids == want_ids and len(got_ids) == 16
+
+
+def test_cli_text_drift_exit_codes(spark, tmp_path):
+    """text-drift: prints the drift-check JSON, exits 0 on a held-out
+    batch of the fit corpus and 2 on a vocabulary-shifted batch (the
+    re-stage scheduler branch)."""
+    import json
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.prep import nb_stage_fit
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    labeled = docs.filter("doc_id % 2 = 0").withColumn(
+        "label", F.expr("lang = 'en'")
+    )
+    fit = str(tmp_path / "fit")
+    nb_stage_fit(labeled, fit, n_buckets=512)
+    held = tmp_path / "held"
+    docs.filter("doc_id % 2 = 1").write.parquet(str(held))
+    shifted = tmp_path / "shifted"
+    docs.filter("doc_id % 2 = 1").withColumn(
+        "text", F.upper("text")
+    ).write.parquet(str(shifted))
+
+    rc = main(["text-drift", "--path", str(held), "--fit", fit])
+    assert rc == 0
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rc = main(["text-drift", "--path", str(shifted), "--fit", fit])
+    assert rc == 2

@@ -1719,3 +1719,93 @@ def test_nb_classifier_guards(spark):
     )
     with pytest.raises(ValueError, match="non-empty"):
         nb_classifier_scores(docs, one_class)
+
+
+def test_nb_staged_fit_matches_inline_and_guards(spark, tmp_path):
+    """nb_stage_fit -> nb_classifier_scores_staged must be
+    value-identical to the inline fit (same labeled corpus, same
+    knobs), and the sidecar contract must raise on a missing or
+    version-drifted fit."""
+    import json
+
+    import pytest
+
+    from flink_etl_spark.operators.prep import (
+        nb_classifier_scores,
+        nb_classifier_scores_staged,
+        nb_stage_fit,
+    )
+
+    rows = [
+        (i, "apple banana cherry" if i % 2 == 0 else "rock stone sand",
+         i % 2 == 0)
+        for i in range(10)
+    ]
+    labeled = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    held = spark.createDataFrame(
+        [(100, "apple banana plum"), (101, "gravel rock dust")],
+        ["doc_id", "text"],
+    )
+    fit = str(tmp_path / "nbfit")
+    nb_stage_fit(labeled, fit, n_buckets=64)
+    inline = sorted(map(tuple, nb_classifier_scores(
+        held, labeled, n_buckets=64).collect()))
+    staged = sorted(map(tuple, nb_classifier_scores_staged(
+        held, fit).collect()))
+    assert inline == staged and len(staged) == 2
+
+    with pytest.raises(ValueError, match="_NB_META"):
+        nb_classifier_scores_staged(held, str(tmp_path / "nope"))
+    meta_file = tmp_path / "nbfit" / "_NB_META.json"
+    m = json.loads(meta_file.read_text())
+    m["version"] = 99
+    meta_file.write_text(json.dumps(m))
+    # drop the Hadoop checksum sidecar the original write left — the
+    # forged content would otherwise fail the CRC, not the version check
+    (tmp_path / "nbfit" / "._NB_META.json.crc").unlink(missing_ok=True)
+    with pytest.raises(ValueError, match="format version"):
+        nb_classifier_scores_staged(held, fit)
+
+
+def test_staged_fit_drift_check_flags_vocab_shift(spark, tmp_path):
+    """staged_fit_drift_check: a held-out slice of the fit corpus sits
+    at the noise floor; a vocabulary-shifted batch warns with
+    drift_detected and high novel mass; an empty batch raises; a
+    non-fit path raises."""
+    import warnings
+
+    import pytest
+
+    from flink_etl_spark.operators.prep import (
+        nb_stage_fit,
+        staged_fit_drift_check,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    labeled = docs.filter("doc_id % 2 = 0").withColumn(
+        "label", F.expr("lang = 'en'")
+    )
+    held = docs.filter("doc_id % 2 = 1")
+    fit = str(tmp_path / "nbfit")
+    nb_stage_fit(labeled, fit, n_buckets=512)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ok = staged_fit_drift_check(held, fit)
+        assert not any("re-stage" in str(x.message) for x in w)
+    assert ok["kind"] == "nb" and not ok["drift_detected"]
+    assert ok["tv"] < 0.2 and ok["novel_frac"] < 0.05
+
+    shifted = held.withColumn("text", F.upper("text"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bad = staged_fit_drift_check(shifted, fit)
+        assert any("re-stage" in str(x.message) for x in w)
+    assert bad["drift_detected"] and bad["refit_recommended"]
+    # novel mass is collision-damped at B=512 (most buckets carry SOME
+    # fit mass), so it reads lower than the B=10k calibration — tv is
+    # the robust signal; novel_frac just has to move off zero
+    assert bad["tv"] > 0.5 and bad["novel_frac"] > 0.1
+
+    with pytest.raises(ValueError, match="sidecar"):
+        staged_fit_drift_check(held, str(tmp_path / "nope"))
