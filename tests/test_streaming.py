@@ -1343,3 +1343,43 @@ def test_semantic_decontaminate_stream_equals_batch(spark, tmp_path):
     # every verbatim copy is dropped (cos 1.0 with itself, same bucket)
     assert not (got & bench_ids)
     assert len(got) > 0
+
+
+def test_nb_classifier_scores_stream_equals_batch(spark, tmp_path):
+    """The NB scoring fold is stateless (packed broadcast row +
+    row-local fold), so it applies to a document STREAM unchanged —
+    continuous quality filtering with no state store. Streamed scores
+    must equal the batch staged scorer's."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.prep import (
+        nb_classifier_scores_staged,
+        nb_stage_fit,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    labeled = docs.filter("doc_id % 2 = 0").withColumn(
+        "label", F.expr("lang = 'en'")
+    )
+    fit = str(tmp_path / "fit")
+    nb_stage_fit(labeled, fit, n_buckets=512)
+    score_docs = docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_stream")
+    score_docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(score_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    scored = nb_classifier_scores_staged(stream, fit)
+    q = (
+        scored.writeStream.format("memory").queryName("nb_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM nb_stream").collect()))
+    expected = sorted(map(tuple, nb_classifier_scores_staged(
+        score_docs, fit).collect()))
+    assert got == expected and len(got) > 0
