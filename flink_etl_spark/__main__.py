@@ -283,6 +283,37 @@ def cmd_ann_drift(args: argparse.Namespace) -> int:
     return 0 if out["checkable"] else 3
 
 
+def cmd_sem_decontam(args: argparse.Namespace) -> int:
+    import json
+
+    from flink_etl_spark.operators.dedup import (
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+
+    spark = _spark("flink-etl-spark-sem-decontam")
+    corpus = spark.read.parquet(args.corpus)
+    bench = spark.read.parquet(args.benchmark)
+    kw = dict(
+        method=args.method, id_col=args.id_col, vec_col=args.vec_col,
+    )
+    if args.method == "signlsh":
+        kw.update(n_planes=args.n_planes, n_probe=args.n_probe)
+    kept = semantic_decontaminate(corpus, bench, args.threshold, **kw)
+    kept.write.mode("overwrite").parquet(args.out)
+    if args.report:
+        semantic_contamination_pairs(
+            corpus, bench, args.threshold, **kw
+        ).write.mode("overwrite").parquet(args.report)
+    n_in, n_out = corpus.count(), spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "corpus_rows": n_in, "kept_rows": n_out,
+        "flagged_rows": n_in - n_out, "threshold": args.threshold,
+        "method": args.method,
+    }))
+    return 0
+
+
 def cmd_text_drift(args: argparse.Namespace) -> int:
     import json
 
@@ -484,6 +515,29 @@ def build_parser() -> argparse.ArgumentParser:
     andr.add_argument("--path", required=True, help="batch parquet dir")
     _ann_common(andr)
     andr.set_defaults(fn=cmd_ann_drift)
+
+    sdc = sub.add_parser(
+        "sem-decontam",
+        help="embedding-space benchmark decontamination: write the kept "
+             "corpus (rows with no benchmark match at cosine >= "
+             "threshold) and optionally the contamination-pair report; "
+             "the benchmark side broadcasts, the corpus never shuffles "
+             "under --method signlsh",
+    )
+    sdc.add_argument("--corpus", required=True, help="corpus parquet dir")
+    sdc.add_argument("--benchmark", required=True,
+                     help="benchmark/eval parquet dir (the small side)")
+    sdc.add_argument("--out", required=True, help="kept-corpus parquet dir")
+    sdc.add_argument("--report", default=None,
+                     help="optional contamination-pairs parquet dir")
+    sdc.add_argument("--threshold", type=float, default=0.9)
+    sdc.add_argument("--method", choices=("signlsh", "exact"),
+                     default="signlsh")
+    sdc.add_argument("--n-planes", type=int, default=8)
+    sdc.add_argument("--n-probe", type=int, default=1)
+    sdc.add_argument("--id-col", default="vec_id")
+    sdc.add_argument("--vec-col", default="embedding")
+    sdc.set_defaults(fn=cmd_sem_decontam)
 
     tdr = sub.add_parser(
         "text-drift",

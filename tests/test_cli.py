@@ -464,3 +464,35 @@ def test_cli_text_drift_exit_codes(spark, tmp_path):
         warnings.simplefilter("ignore")
         rc = main(["text-drift", "--path", str(shifted), "--fit", fit])
     assert rc == 2
+
+
+def test_cli_sem_decontam_writes_kept_and_report(spark, tmp_path):
+    """sem-decontam: writes the kept corpus and the contamination-pair
+    report; kept + flagged partition the corpus, and a verbatim
+    benchmark copy planted in the corpus is dropped."""
+    import json
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus_dir = tmp_path / "corpus"
+    bench_dir = tmp_path / "bench"
+    # corpus includes the benchmark slice -> verbatim leakage
+    embs.select("vec_id", "embedding").write.parquet(str(corpus_dir))
+    embs.filter("vec_id % 7 = 0").select("vec_id", "embedding").write.parquet(
+        str(bench_dir)
+    )
+    out = tmp_path / "kept"
+    report = tmp_path / "report"
+    rc = main([
+        "sem-decontam", "--corpus", str(corpus_dir),
+        "--benchmark", str(bench_dir), "--out", str(out),
+        "--report", str(report), "--threshold", "0.9",
+        "--method", "signlsh", "--n-planes", "4", "--n-probe", "1",
+    ])
+    assert rc == 0
+    kept = {r.vec_id for r in spark.read.parquet(str(out)).collect()}
+    pairs = spark.read.parquet(str(report))
+    flagged = {r.id_a for r in pairs.select("id_a").distinct().collect()}
+    all_ids = {r.vec_id for r in embs.collect()}
+    bench_ids = {r.vec_id for r in embs.filter("vec_id % 7 = 0").collect()}
+    assert kept | flagged == all_ids and not (kept & flagged)
+    assert bench_ids <= flagged  # every verbatim copy dropped
