@@ -299,6 +299,8 @@ def cmd_sem_decontam(args: argparse.Namespace) -> int:
     )
     if args.method == "signlsh":
         kw.update(n_planes=args.n_planes, n_probe=args.n_probe)
+    elif args.method == "ivf":
+        kw.update(n_cells=args.n_cells, nprobe=args.nprobe)
     kept = semantic_decontaminate(corpus, bench, args.threshold, **kw)
     kept.write.mode("overwrite").parquet(args.out)
     if args.report:
@@ -531,10 +533,14 @@ def build_parser() -> argparse.ArgumentParser:
     sdc.add_argument("--report", default=None,
                      help="optional contamination-pairs parquet dir")
     sdc.add_argument("--threshold", type=float, default=0.9)
-    sdc.add_argument("--method", choices=("signlsh", "exact"),
+    sdc.add_argument("--method", choices=("signlsh", "ivf", "exact"),
                      default="signlsh")
     sdc.add_argument("--n-planes", type=int, default=8)
     sdc.add_argument("--n-probe", type=int, default=1)
+    sdc.add_argument("--n-cells", type=int, default=16,
+                     help="ivf method: benchmark-derived cell count")
+    sdc.add_argument("--nprobe", type=int, default=2,
+                     help="ivf method: bench-side probe cells (recall dial)")
     sdc.add_argument("--id-col", default="vec_id")
     sdc.add_argument("--vec-col", default="embedding")
     sdc.set_defaults(fn=cmd_sem_decontam)

@@ -1076,6 +1076,44 @@ def _decontam_sem_oracle() -> str:
     SELECT 'decontam_kept' AS variant, vec_id AS id_a,
            CAST(-1 AS BIGINT) AS id_b, CAST(0.0 AS DOUBLE) AS cos_sim
     FROM dcorp WHERE vec_id NOT IN (SELECT id_a FROM dpairs)
+    UNION ALL
+    SELECT 'decontam_ivf' AS variant, id_a, id_b, cos_sim FROM (
+        WITH dcents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+                   embedding AS cent
+            FROM (SELECT * FROM embeddings WHERE vec_id % 7 = 0)
+            ORDER BY vec_id LIMIT 8
+        ),
+        dbasgn AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({duckdb_cosine('e.embedding', 'c.cent')}, 6)
+                                    DESC, c.cell_id) AS r
+                FROM (SELECT * FROM embeddings WHERE vec_id % 7 = 0) e
+                CROSS JOIN dcents c) t
+            WHERE r <= 2
+        ),
+        dcasgn AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({duckdb_cosine('e.embedding', 'c.cent')}, 6)
+                                    DESC, c.cell_id) AS r
+                FROM (SELECT * FROM embeddings WHERE vec_id % 7 != 0) e
+                CROSS JOIN dcents c) t
+            WHERE r = 1
+        )
+        SELECT c.vec_id AS id_a, p.vec_id AS id_b,
+               round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+        FROM dcasgn c
+        JOIN dbasgn p ON c.cell_id = p.cell_id
+        JOIN embeddings ea ON ea.vec_id = c.vec_id
+        JOIN embeddings eb ON eb.vec_id = p.vec_id
+        WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    )
     """
 
 
@@ -1222,7 +1260,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       asymmetric scale shape the symmetric LSH self-join can't give.
       'decontam_sem' gates the contamination report (pairs at
       cosine >= 0.35 through one flip probe), 'decontam_kept' the
-      removal composition (kept corpus ids; id_b=-1, cos_sim=0.0)."""
+      removal composition (kept corpus ids; id_b=-1, cos_sim=0.0);
+      'decontam_ivf' gates the IVF-quantizer method (8 benchmark-
+      derived cells, nprobe=2 bench-side posting, corpus top-1 cell
+      by a row-local packed-centroid argmax) — the tunable-recall arm
+      for weak-similarity thresholds."""
     from flink_etl_spark.catalog import process_workdir
     from flink_etl_spark.operators.dedup import semdedup_incremental
     from flink_etl_spark.operators.similarity import ivf_build_index
@@ -1303,6 +1345,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("id_b"),
         F.lit(0.0).alias("cos_sim"),
     )
+    dec_ivf = D.semantic_contamination_pairs(
+        corp, bench, 0.35, method="ivf", n_cells=8, nprobe=2,
+        max_bench_rows=None,
+    ).select(F.lit("decontam_ivf").alias("variant"), "id_a", "id_b", "cos_sim")
     return (
         exact.unionByName(lsh)
         .unionByName(sd)
@@ -1312,6 +1358,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(inc_drops)
         .unionByName(dec)
         .unionByName(dec_kept)
+        .unionByName(dec_ivf)
     )
 
 

@@ -990,6 +990,8 @@ def semantic_contamination_pairs(
     method: str = "signlsh",
     n_planes: int = 4,
     n_probe: int = 1,
+    n_cells: int = 16,
+    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bench_id_col: str | None = None,
@@ -1027,6 +1029,20 @@ def semantic_contamination_pairs(
       candidates-only. Recall < 1 by design (a pair split by a
       confidently-crossed hyperplane is missed); recall knobs are
       n_planes down / n_probe up, measured in docs/SCALING.md.
+    * ``method="ivf"`` — same asymmetric shape with an IVF coarse
+      quantizer instead of sign bits: `n_cells` centroids drawn from
+      the benchmark (`ivf_centroids`), the benchmark posts each of
+      its vectors under its `nprobe` nearest cells (`ivf_assign` —
+      window over the SMALL side only), and each corpus row computes
+      its own top-1 cell by a row-local argmax over a packed
+      broadcast centroid row (rounded cosine, ties to the smallest
+      cell_id — the `ivf_assign` tie rule; a zero-norm corpus vector
+      has all-NULL similarities, no cell, and is correctly never
+      flagged since its cosine to anything is NULL). The recall dial
+      the sign buckets lack: `nprobe` raises recall smoothly in the
+      WEAK-similarity band (thresholds < 0.5) where hyperplane
+      splits dominate — measured in docs/SCALING.md; cost is
+      n_cells cosines per corpus row instead of n_planes dots.
 
     A (corpus, bench) pair can match at most ONE posting — a bench
     vector's own bucket and its flip probes are pairwise distinct
@@ -1044,8 +1060,10 @@ def semantic_contamination_pairs(
         signlsh_bucket_margins,
     )
 
-    if method not in ("exact", "signlsh"):
-        raise ValueError(f"method must be 'exact' or 'signlsh', got {method!r}")
+    if method not in ("exact", "signlsh", "ivf"):
+        raise ValueError(
+            f"method must be 'exact', 'signlsh' or 'ivf', got {method!r}"
+        )
     bench_id_col = bench_id_col or id_col
     bench_vec_col = bench_vec_col or vec_col
     if max_bench_rows is not None:
@@ -1078,6 +1096,69 @@ def semantic_contamination_pairs(
     if method == "exact":
         return (
             c.join(F.broadcast(b))
+            .select("id_a", "id_b", cos)
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    if method == "ivf":
+        from flink_etl_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+        )
+
+        if not 1 <= nprobe <= n_cells:
+            raise ValueError(
+                f"nprobe must be in [1, {n_cells}], got {nprobe}"
+            )
+        cents = ivf_centroids(benchmark, n_cells, bench_id_col, bench_vec_col)
+        n_real = cents.count()
+        if n_real < n_cells:
+            raise ValueError(
+                f"benchmark has only {n_real} vectors but n_cells="
+                f"{n_cells}; pass n_cells <= the benchmark size (or "
+                "method='exact' for a benchmark this small)"
+            )
+        postings = (
+            ivf_assign(benchmark, cents, nprobe, bench_id_col, bench_vec_col)
+            .select(F.col(bench_id_col).alias("id_b"), "cell_id")
+            .join(b, "id_b")
+        )
+        packed = cents.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("cell_id", "centroid", "centroid_norm")
+                )
+            ).alias("_a")
+        ).select(
+            F.expr("transform(_a, s -> s.centroid)").alias("_cents"),
+            F.expr("transform(_a, s -> s.centroid_norm)").alias("_cnorms"),
+        )
+        sims = F.array(
+            *[
+                F.round(
+                    safe_cosine(
+                        dot("va", F.element_at("_cents", i + 1)),
+                        F.col("na"),
+                        F.element_at("_cnorms", i + 1),
+                    ),
+                    6,
+                )
+                for i in range(n_cells)
+            ]
+        )
+        # stage _sims as its own projection (the interpreted-HOF rule):
+        # array_max and array_position both reference it
+        cc = (
+            c.crossJoin(F.broadcast(packed))
+            .withColumn("_sims", sims)
+            .select(
+                "id_a", "va", "na",
+                (
+                    F.array_position("_sims", F.array_max("_sims")) - 1
+                ).cast("int").alias("_cell"),
+            )
+        )
+        return (
+            cc.join(F.broadcast(postings), cc["_cell"] == postings["cell_id"])
             .select("id_a", "id_b", cos)
             .filter(F.col("cos_sim") >= threshold)
         )

@@ -2886,3 +2886,57 @@ def test_semantic_contamination_randomized_plane_counts(spark):
             .collect()
         }
         assert got == ref, f"seed {seed} (dim {dim}, planes {n_planes})"
+
+
+def test_semantic_contamination_ivf_method(spark):
+    """The IVF decontamination method: subset-of-exact with identical
+    cosines, recall monotone in nprobe, nprobe=n_cells reaching the
+    all-cells census for the bench side, verbatim copies always found
+    (own cell == own cell), and knob guards raise."""
+    import pytest
+
+    from flink_etl_spark.operators.dedup import semantic_contamination_pairs
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    bench = embs.filter("vec_id % 7 = 0")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_contamination_pairs(
+            embs, bench, 0.35, method="exact"
+        ).collect()
+    }
+    last = -1
+    for npb in (1, 4, 16):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in semantic_contamination_pairs(
+                embs, bench, 0.35, method="ivf", n_cells=16, nprobe=npb,
+                max_bench_rows=None,
+            ).collect()
+        }
+        assert set(got) <= set(exact)
+        assert all(got[k] == exact[k] for k in got)
+        assert len(got) >= last
+        last = len(got)
+    # verbatim copies (corpus includes the bench slice) at a near-dup
+    # threshold: found even at nprobe=1
+    got1 = {
+        (r.id_a, r.id_b)
+        for r in semantic_contamination_pairs(
+            embs, bench, 0.9, method="ivf", n_cells=16, nprobe=1,
+            max_bench_rows=None,
+        ).collect()
+    }
+    assert {(r.vec_id, r.vec_id) for r in bench.collect()} <= got1
+
+    with pytest.raises(ValueError, match="nprobe"):
+        semantic_contamination_pairs(
+            embs, bench, 0.9, method="ivf", n_cells=4, nprobe=5,
+            max_bench_rows=None,
+        )
+    with pytest.raises(ValueError, match="n_cells"):
+        semantic_contamination_pairs(
+            embs, embs.filter("vec_id < 3"), 0.9, method="ivf",
+            n_cells=8, nprobe=1, max_bench_rows=None,
+        )

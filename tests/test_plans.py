@@ -518,3 +518,27 @@ def test_nb_classifier_scoring_is_zero_shuffle(spark):
         keys = frag.split(")")[0]
         assert "text" not in keys, keys
         assert "doc_id" not in keys, keys
+
+
+def test_semantic_decontam_ivf_corpus_side_never_shuffles(spark):
+    """The IVF decontamination method keeps the same asymmetric shape:
+    the corpus computes its top-1 cell by a row-local packed-centroid
+    argmax and broadcast-joins the bench postings — no corpus-side
+    exchange (the window in ivf_assign runs over the BENCHMARK only)."""
+    from flink_etl_spark.operators.dedup import semantic_contamination_pairs
+    from flink_etl_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF, "embeddings")
+    pairs = semantic_contamination_pairs(
+        embs.filter("vec_id % 7 != 0"),
+        embs.filter("vec_id % 7 = 0"),
+        0.35,
+        method="ivf",
+        n_cells=8,
+        nprobe=2,
+        max_bench_rows=None,
+    )
+    plan = _executed(pairs)
+    assert "SortMergeJoin" not in plan
+    streamed = plan.split("BroadcastExchange HashedRelation")[0]
+    assert "Exchange hashpartitioning" not in streamed, streamed

@@ -118,8 +118,9 @@ def run_recall() -> None:
     embs = load_table(spark, BASE, "embeddings")
     corpus = embs  # the benchmark slice leaks verbatim into the corpus
     bench = embs.filter("vec_id % 7 = 0")
-    print("threshold | exact_pairs | recall(p=0) | recall(p=1) | "
-          "recall(p=2) | flagged-id recall(p=2)", flush=True)
+    print("threshold | exact_pairs | lsh(p=0) | lsh(p=1) | lsh(p=2) | "
+          "flagged-id lsh(p=2) | ivf(np=1) | ivf(np=4) | ivf(np=8)",
+          flush=True)
     for t in (0.35, 0.4, 0.5, 0.9):
         exact = set(
             (r.id_a, r.id_b)
@@ -143,6 +144,15 @@ def run_recall() -> None:
             if p == 2:
                 got_ids = {a for a, _ in got}
                 cols.append(f"{len(got_ids) / len(exact_ids):11.3f}")
+        for npb in (1, 4, 8):
+            got = set(
+                (r.id_a, r.id_b)
+                for r in _pairs(spark, corpus, bench, "ivf",
+                                threshold=t, n_cells=16,
+                                nprobe=npb).collect()
+            )
+            assert got <= exact, "ivf emitted a non-exact pair"
+            cols.append(f"{len(got) / len(exact):11.3f}")
         print(" | ".join(cols), flush=True)
     spark.stop()
 
