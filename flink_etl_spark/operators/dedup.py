@@ -1239,8 +1239,11 @@ def semantic_decontaminate_stream(
     corpus_stream: DataFrame,
     benchmark: DataFrame,
     threshold: float,
+    method: str = "signlsh",
     n_planes: int = 8,
     n_probe: int = 1,
+    n_cells: int = 16,
+    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bench_id_col: str | None = None,
@@ -1248,24 +1251,28 @@ def semantic_decontaminate_stream(
 ) -> DataFrame:
     """STREAMING semantic decontamination: scrub an embedding stream
     against a fixed benchmark as rows arrive — the continuous form of
-    `semantic_decontaminate(method="signlsh")`, and unlike the
-    continuous substring/ANN sinks it needs NO index accretion, NO
-    foreachBatch, and NO state store: the benchmark never grows with
-    the stream, so the whole operator is one STATELESS stream-static
-    LEFT ANTI join (Spark supports stream-static anti joins with an
-    arbitrary deterministic condition when the static side is on the
-    right). Rows flow through append-mode with per-batch latency; a
-    crash replay re-filters the redelivered rows identically (pure
-    function of the row and the frozen benchmark).
+    `semantic_decontaminate`, and unlike the continuous substring/ANN
+    sinks it needs NO index accretion, NO foreachBatch, and NO state
+    store: the benchmark never grows with the stream, so the whole
+    operator is one STATELESS stream-static LEFT ANTI join (Spark
+    supports stream-static anti joins with an arbitrary deterministic
+    condition when the static side is on the right). Rows flow through
+    append-mode with per-batch latency; a crash replay re-filters the
+    redelivered rows identically (pure function of the row and the
+    frozen benchmark). Both bucketed methods are supported —
+    ``method="signlsh"`` (cheapest at real thresholds) and
+    ``method="ivf"`` (the weak-band `nprobe` recall dial; see the
+    batch operator's docstring).
 
-    The stream side's bucket is folded row-locally against the plane
-    vectors INLINED AS LITERALS — a bounded driver fetch of n_planes
-    rows at plan-build time (the centroid-fetch convention) — because
-    a stream cannot cross-join the packed 1-row frame the batch arm
-    broadcasts. The anti-join condition is bucket-equality AND
-    verified cosine, so a row is dropped iff some benchmark posting
-    matches its bucket at cos >= threshold: exactly the batch arm's
-    kept set (stream==batch pinned by test).
+    The stream side's bucket/cell is folded row-locally against the
+    plane (or centroid) vectors INLINED AS LITERALS — a bounded
+    driver fetch of n_planes / n_cells rows at plan-build time (the
+    centroid-fetch convention) — because a stream cannot cross-join
+    the packed 1-row frame the batch arm broadcasts. The anti-join
+    condition is bucket/cell-equality AND verified cosine, so a row
+    is dropped iff some benchmark posting matches at cos >=
+    threshold: exactly the batch arm's kept set (stream==batch pinned
+    by test for both methods).
 
     Returns the KEPT stream with the input schema. The benchmark must
     be a BATCH DataFrame (the static side)."""
@@ -1273,6 +1280,10 @@ def semantic_decontaminate_stream(
 
     bench_id_col = bench_id_col or id_col
     bench_vec_col = bench_vec_col or vec_col
+    if method not in ("signlsh", "ivf"):
+        raise ValueError(
+            f"method must be 'signlsh' or 'ivf', got {method!r}"
+        )
     if corpus_stream.isStreaming is False:
         raise ValueError(
             "corpus_stream must be a streaming DataFrame; use "
@@ -1284,23 +1295,79 @@ def semantic_decontaminate_stream(
         F.col(bench_id_col).alias("id_b"), F.col(bench_vec_col).alias("vb"),
         norm(bench_vec_col).alias("nb"),
     )
-    planes_df, postings = _signlsh_bench_side(
-        benchmark, b, n_planes, n_probe, bench_id_col, bench_vec_col
-    )
-    # bounded driver fetch: n_planes rows, inlined as double literals so
-    # the stream side needs no join to compute its bucket
-    plane_rows = sorted(
-        planes_df.collect(), key=lambda r: r["plane_id"]
-    )
-    bucket = F.lit(0).cast("long")
-    for i, r in enumerate(plane_rows):
-        lit_plane = F.array(*[F.lit(float(x)) for x in r["plane"]])
-        bucket = bucket + F.when(
-            dot(vec_col, lit_plane) > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    enriched = corpus_stream.withColumn("_bucket", bucket).withColumn(
-        "_na", norm(vec_col)
-    )
+    if method == "ivf":
+        from flink_etl_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+        )
+
+        if not 1 <= nprobe <= n_cells:
+            raise ValueError(
+                f"nprobe must be in [1, {n_cells}], got {nprobe}"
+            )
+        cents = ivf_centroids(
+            benchmark, n_cells, bench_id_col, bench_vec_col
+        )
+        # bounded driver fetch: n_cells rows, inlined as literals
+        cent_rows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+        if len(cent_rows) < n_cells:
+            raise ValueError(
+                f"benchmark has only {len(cent_rows)} vectors but "
+                f"n_cells={n_cells}; pass n_cells <= the benchmark size"
+            )
+        postings = (
+            ivf_assign(benchmark, cents, nprobe, bench_id_col, bench_vec_col)
+            .select(
+                F.col(bench_id_col).alias("id_b"),
+                F.col("cell_id").cast("long").alias("_probe"),
+            )
+            .join(b, "id_b")
+        )
+        na = norm(vec_col)
+        sims = F.array(
+            *[
+                F.round(
+                    safe_cosine(
+                        dot(vec_col, F.array(
+                            *[F.lit(float(x)) for x in r["centroid"]]
+                        )),
+                        na,
+                        F.lit(float(r["centroid_norm"])),
+                    ),
+                    6,
+                )
+                for r in cent_rows
+            ]
+        )
+        enriched = (
+            corpus_stream.withColumn("_sims", sims)
+            .withColumn(
+                "_bucket",
+                (
+                    F.array_position("_sims", F.array_max("_sims")) - 1
+                ).cast("long"),
+            )
+            .withColumn("_na", norm(vec_col))
+            .drop("_sims")
+        )
+    else:
+        planes_df, postings = _signlsh_bench_side(
+            benchmark, b, n_planes, n_probe, bench_id_col, bench_vec_col
+        )
+        # bounded driver fetch: n_planes rows, inlined as double
+        # literals so the stream side needs no join for its bucket
+        plane_rows = sorted(
+            planes_df.collect(), key=lambda r: r["plane_id"]
+        )
+        bucket = F.lit(0).cast("long")
+        for i, r in enumerate(plane_rows):
+            lit_plane = F.array(*[F.lit(float(x)) for x in r["plane"]])
+            bucket = bucket + F.when(
+                dot(vec_col, lit_plane) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        enriched = corpus_stream.withColumn("_bucket", bucket).withColumn(
+            "_na", norm(vec_col)
+        )
     cond = (enriched["_bucket"] == postings["_probe"]) & (
         F.round(
             safe_cosine(dot(vec_col, "vb"), F.col("_na"), F.col("nb")), 6

@@ -1314,35 +1314,40 @@ def test_semantic_decontaminate_stream_equals_batch(spark, tmp_path):
     # files so availableNow drains in more than one micro-batch
     embs.repartition(4).write.parquet(src)
 
-    stream = (
-        spark.readStream.schema(embs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    kept_stream = semantic_decontaminate_stream(
-        stream, bench, threshold=0.5, n_planes=4, n_probe=1
-    )
-    q = (
-        kept_stream.writeStream.format("memory").queryName("sem_dec_stream")
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
-    got = {
-        r.vec_id
-        for r in spark.sql("SELECT vec_id FROM sem_dec_stream").collect()
-    }
-    expected = {
-        r.vec_id
-        for r in semantic_decontaminate(
-            embs, bench, threshold=0.5, method="signlsh",
-            n_planes=4, n_probe=1, max_bench_rows=None,
-        ).collect()
-    }
-    assert got == expected
-    bench_ids = {r.vec_id for r in bench.collect()}
-    # every verbatim copy is dropped (cos 1.0 with itself, same bucket)
-    assert not (got & bench_ids)
-    assert len(got) > 0
+    for method, kw in (
+        ("signlsh", {"n_planes": 4, "n_probe": 1}),
+        ("ivf", {"n_cells": 8, "nprobe": 2}),
+    ):
+        stream = (
+            spark.readStream.schema(embs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        kept_stream = semantic_decontaminate_stream(
+            stream, bench, threshold=0.5, method=method, **kw
+        )
+        name = f"sem_dec_stream_{method}"
+        q = (
+            kept_stream.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.vec_id
+            for r in spark.sql(f"SELECT vec_id FROM {name}").collect()
+        }
+        expected = {
+            r.vec_id
+            for r in semantic_decontaminate(
+                embs, bench, threshold=0.5, method=method,
+                max_bench_rows=None, **kw,
+            ).collect()
+        }
+        assert got == expected, method
+        bench_ids = {r.vec_id for r in bench.collect()}
+        # every verbatim copy is dropped (cos 1.0, same bucket/cell)
+        assert not (got & bench_ids), method
+        assert len(got) > 0, method
 
 
 def test_nb_classifier_scores_stream_equals_batch(spark, tmp_path):
