@@ -157,11 +157,94 @@ def run_recall() -> None:
     spark.stop()
 
 
+def run_recall_synth() -> None:
+    """Second-distribution recall: a SYNTHETIC anisotropic Gaussian
+    corpus with paraphrases PLANTED at controlled true cosine —
+    v' = c*v + sqrt(1-c^2)*u_perp — so recall is measured per true
+    similarity band rather than against whatever pairs the testdata
+    happens to contain. Each band's threshold is set just under the
+    band (c - 0.05): a planted pair is recalled iff its method bucket
+    agrees AND the verified cosine clears the threshold, so the number
+    reported is pure CANDIDATE-GENERATION recall per band."""
+    import random
+
+    from flink_etl_spark.session import get_spark
+
+    rng = random.Random(7)
+    dim = 32
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    def gauss_vec():
+        # anisotropic: the first 4 dims carry 4x the variance
+        return unit([
+            rng.gauss(0, 4.0 if i < 4 else 1.0) for i in range(dim)
+        ])
+
+    def mix(v, c):
+        u = gauss_vec()
+        d = sum(a * b for a, b in zip(u, v))
+        perp = [a - d * b for a, b in zip(u, v)]
+        pn = sum(x * x for x in perp) ** 0.5
+        perp = [x / pn for x in perp]
+        s = (1 - c * c) ** 0.5
+        return [c * a + s * b for a, b in zip(v, perp)]
+
+    spark = get_spark(app_name="decontam-recall-synth")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_rows = [(i, gauss_vec()) for i in range(400)]
+    corpus_rows = [(10_000 + i, gauss_vec()) for i in range(4000)]
+    bands = [0.95, 0.9, 0.8, 0.7, 0.6, 0.5]
+    planted = {}  # (band) -> set of corpus ids
+    nxt = 100_000
+    for c in bands:
+        ids = set()
+        for i in range(0, 400, 2):  # 200 plants per band
+            planted_vec = mix(bench_rows[i][1], c)
+            corpus_rows.append((nxt, planted_vec))
+            ids.add(nxt)
+            nxt += 1
+        planted[c] = ids
+    schema = "vec_id long, embedding array<float>"
+    bench = spark.createDataFrame(bench_rows, schema)
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    arms = [
+        ("signlsh p=0", "signlsh", {"n_planes": 8, "n_probe": 0}),
+        ("signlsh p=2", "signlsh", {"n_planes": 8, "n_probe": 2}),
+        ("ivf np=1", "ivf", {"n_cells": 16, "nprobe": 1}),
+        ("ivf np=4", "ivf", {"n_cells": 16, "nprobe": 4}),
+    ]
+    print("true-cos band | " + " | ".join(a[0] for a in arms), flush=True)
+    for c in bands:
+        thr = c - 0.05
+        cols = [f"{c:13}"]
+        for _, method, kw in arms:
+            got = {
+                r.id_a
+                for r in _pairs(spark, corpus, bench, method,
+                                threshold=thr, **kw).collect()
+            }
+            # exclude chance near-dups among the base corpus: measure
+            # ONLY the planted ids of this band
+            hit = len(got & planted[c]) / len(planted[c])
+            cols.append(f"{hit:11.3f}")
+        print(" | ".join(cols), flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
-    mode = args[0] if args and args[0] in ("ladder", "recall", "all") else "all"
+    mode = (
+        args[0]
+        if args and args[0] in ("ladder", "recall", "recall_synth", "all")
+        else "all"
+    )
     pts = [int(a) for a in args[1:] if a.isdigit()]
     if mode in ("recall", "all"):
         run_recall()
+    if mode == "recall_synth":
+        run_recall_synth()
     if mode in ("ladder", "all"):
         run_ladder(pts or None)
