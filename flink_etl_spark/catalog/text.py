@@ -1116,6 +1116,74 @@ def _nb_classifier_oracle(n_buckets: int = 512) -> str:
     """
 
 
+def _nb_multi_oracle(n_buckets: int = 512) -> str:
+    """DuckDB twin of `prep.nb_classifier_scores_multi(hash_terms=
+    False, n_buckets=B)` fit on even doc_ids with lang as the class,
+    scoring odd doc_ids: per-class add-one log likelihoods
+    micro-floored per instance + micro-floored doc-count priors;
+    prediction = argmax (ties -> lexicographically smallest lang, the
+    engine's sorted-class-index rule); margin = best minus second-best
+    VALUE."""
+    from flink_etl_spark.functions.hashing import duckdb_char_fold_hash
+
+    B = n_buckets
+    key = f"({duckdb_char_fold_hash('f')}) % {B}"
+    return f"""
+    WITH qtoks AS (
+        SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS t
+        FROM documents
+    ),
+    qfeat0 AS (
+        SELECT doc_id, lang, tok AS f FROM qtoks, UNNEST(t) AS u(tok)
+        UNION ALL
+        SELECT doc_id, lang, concat_ws(' ', t[i], t[i+1]) AS f
+        FROM qtoks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    qfeat AS (SELECT doc_id, lang, {key} AS f FROM qfeat0),
+    qcls AS (SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0),
+    qcnt AS (SELECT lang, f, count(*) AS c FROM qfeat
+             WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    qtot AS (SELECT lang, count(*) AS n FROM qfeat
+             WHERE doc_id % 2 = 0 GROUP BY 1),
+    qprior AS (
+        SELECT d.lang,
+               CAST(floor((ln(CAST(d.dk AS DOUBLE))
+                           - ln(CAST(t.dt AS DOUBLE))) * 1000000.0)
+                    AS BIGINT) AS pr
+        FROM (SELECT lang, count(*) AS dk FROM documents
+              WHERE doc_id % 2 = 0 GROUP BY 1) d
+        CROSS JOIN (SELECT count(*) AS dt FROM documents
+                    WHERE doc_id % 2 = 0) t
+    ),
+    qsc AS (
+        SELECT d.doc_id, cl.lang,
+               CAST(count(*) AS BIGINT) AS nf,
+               sum(CAST(floor(ln((coalesce(qcnt.c, 0) + 1.0)
+                                 / (qtot.n + {B})) * 1000000.0)
+                        AS BIGINT)) AS s
+        FROM (SELECT * FROM qfeat WHERE doc_id % 2 = 1) d
+        CROSS JOIN qcls cl
+        LEFT JOIN qcnt ON qcnt.lang = cl.lang AND qcnt.f = d.f
+        JOIN qtot ON qtot.lang = cl.lang
+        GROUP BY 1, 2
+    ),
+    qfin AS (
+        SELECT doc_id, lang, nf, pr + s AS score
+        FROM qsc JOIN qprior USING (lang)
+    ),
+    qrank AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM qfin
+    )
+    SELECT b.doc_id, b.lang AS predicted, b.nf AS n_feats,
+           b.score AS best_lp, b.score - s2.score AS margin
+    FROM qrank b JOIN qrank s2
+      ON s2.doc_id = b.doc_id AND b.rn = 1 AND s2.rn = 2
+    """
+
+
 @query(
     "text_tfidf_topk",
     f"""
@@ -1154,6 +1222,12 @@ def _nb_classifier_oracle(n_buckets: int = 512) -> str:
            s.doc_id, s.cls AS term, s.n_feats AS tf, s.logodds AS df,
            s.mean_lo AS score, CAST(NULL AS BIGINT) AS rnk
     FROM ({_nb_classifier_oracle()}) s
+    UNION ALL
+    SELECT 'nb_lang' AS variant, CAST(NULL AS BIGINT) AS query_id,
+           m.doc_id, m.predicted AS term, m.n_feats AS tf,
+           m.best_lp AS df, CAST(m.margin AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS rnk
+    FROM ({_nb_multi_oracle()}) m
     """,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1182,7 +1256,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       STAGED fit (prep.nb_stage_fit -> counts parquet + _NB_META.json
       sidecar -> nb_classifier_scores_staged): fit-once/score-many,
       the deployment shape; value-identical to the inline arm by
-      contract, so it shares the same oracle."""
+      contract, so it shares the same oracle.
+    * variant 'nb_lang' (r11) — the MULTI-CLASS form
+      (prep.nb_classifier_scores_multi): supervised language-ID over
+      the 5 lang classes, fit on even doc_ids, scoring odd; term
+      carries the argmax class, df the winning score, score the
+      best-minus-second-best margin (the confidence signal)."""
     docs = _t(spark, sf_dir, "documents")
     tfidf = T.tfidf_top_terms(docs, k=3).select(
         F.lit("tfidf").alias("variant"),
@@ -1260,6 +1339,22 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_lo_micro").alias("score"),
         F.lit(None).cast("int").alias("rnk"),
     )
+    from flink_etl_spark.operators.prep import nb_classifier_scores_multi
+
+    nb_multi = nb_classifier_scores_multi(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+        label_col="lang", n_buckets=512, hash_terms=False,
+    ).select(
+        F.lit("nb_lang").alias("variant"),
+        F.lit(None).cast("long").alias("query_id"),
+        "doc_id",
+        F.col("predicted").alias("term"),
+        F.col("n_feats").cast("long").alias("tf"),
+        F.col("best_lp_micro").alias("df"),
+        F.col("margin_micro").cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rnk"),
+    )
     return (
         tfidf.unionByName(bm25).unionByName(nb).unionByName(nb_staged)
+        .unionByName(nb_multi)
     )

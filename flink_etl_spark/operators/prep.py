@@ -1288,6 +1288,182 @@ def _nb_score(
     )
 
 
+def nb_classifier_scores_multi(
+    docs: DataFrame,
+    labeled_docs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_terms: bool = True,
+    n_buckets: int = 10_000,
+    max_classes: int = 64,
+) -> DataFrame:
+    """MULTI-CLASS hashed-n-gram Naive Bayes — the K-way form of
+    `nb_classifier_scores` (supervised language-ID / domain-ID /
+    topic routing over a labeled sample). Per class k the fit is the
+    add-one-smoothed per-bucket log likelihood ln((C_k(b)+1)/(N_k+B))
+    plus the class prior ln(D_k/D_total), all micro-floored; a
+    document's class score is the prior plus the sum over its own
+    feature instances, and the prediction is the argmax (ties to the
+    lexicographically smallest class — classes are sorted once).
+
+    Shape: the fit is ONE groupBy(label, bucket) count over the
+    LABELED corpus (<= K*B rows) joined to a K x B dense grid, packed
+    into a single broadcast row (one flattened K*B log-prob array +
+    a K-length prior array, indexed class_idx*B + bucket + 1);
+    scoring folds each document's staged bucket-index array ONCE PER
+    CLASS row-locally — K * n_feats adds per row, zero corpus
+    exchanges (`max_classes` bounds both the broadcast and the
+    per-row cost; the class list itself is a bounded <= K-row
+    driver fetch). Output per scored document:
+
+    * ``predicted`` — the argmax class label;
+    * ``best_lp_micro`` — the winning class's score (prior + summed
+      per-instance log-probs, 1e-6 units);
+    * ``margin_micro`` — best minus second-best score (the
+      confidence signal: route low-margin docs to review);
+    * ``n_feats`` — feature instances.
+
+    Labels must be non-null (raise) with at least 2 distinct values;
+    every distinct value is a class (so classes are non-empty by
+    construction)."""
+    _dsir_validate_buckets(n_buckets)
+    lbl = F.col(label_col)
+    nulls = labeled_docs.filter(lbl.isNull()).limit(1).count()
+    if nulls:
+        raise ValueError(
+            f"labeled_docs has NULL {label_col!r} rows — a null label "
+            "has no class; filter or fill them"
+        )
+    classes = sorted(
+        r[0]
+        for r in labeled_docs.select(label_col).distinct().collect()
+    )
+    if len(classes) < 2:
+        raise ValueError(
+            f"need at least 2 classes, got {classes!r}"
+        )
+    if len(classes) > max_classes:
+        raise ValueError(
+            f"{len(classes)} classes exceeds max_classes={max_classes} "
+            "(bounds the packed broadcast and the per-row fold cost); "
+            "raise it deliberately if the label space is real"
+        )
+    K, B = len(classes), n_buckets
+    bsql = _dsir_bucket_sql(hash_terms, n_buckets)
+    spark = docs.sparkSession
+
+    # fit: one groupBy(class_idx, bucket) count, densified on a K x B
+    # grid so absent (class, bucket) cells carry the smoothing-only
+    # log-prob of THEIR class (N_k differs per class)
+    cls_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(classes)], ["_k", "_cls"]
+    )
+    feats = (
+        _dsir_feats_frame(labeled_docs, label_col, text_col, True)
+        .select(F.col(label_col).alias("_cls"), F.explode("_feats").alias("_fs"))
+        .select("_cls", F.expr(bsql("_fs")).alias("_b"))
+    )
+    # the count table (<= K*B rows) feeds BOTH the dense grid and the
+    # per-class totals; without the eager localCheckpoint Spark
+    # re-plans the subtree per consumer and the labeled corpus
+    # explodes TWICE (plan-pinned: exactly one explode per fit). The
+    # fit is already eager (class list + null guard collect above), so
+    # the checkpoint adds no laziness surprise; on a real cluster with
+    # executor churn swap for checkpoint() like duplicate_clusters.
+    counts = (
+        feats.groupBy("_cls", "_b")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.groupBy("_cls").agg(F.sum("_c").alias("_n"))
+    grid = spark.range(B).select(F.col("id").alias("_b")).crossJoin(
+        F.broadcast(cls_df)
+    )
+    dense = (
+        grid.join(F.broadcast(counts), ["_cls", "_b"], "left")
+        .join(F.broadcast(totals), "_cls")
+        .select(
+            "_k", "_b",
+            F.floor(
+                F.log(
+                    (F.coalesce("_c", F.lit(0)) + F.lit(1.0))
+                    / (F.col("_n") + F.lit(float(B)))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("_lp"),
+        )
+    )
+    priors = labeled_docs.agg(
+        *[
+            F.sum(F.when(lbl == F.lit(c), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_d{i}")
+            for i, c in enumerate(classes)
+        ],
+        F.count("*").cast("long").alias("_dt"),
+    ).select(
+        F.array(
+            *[
+                F.floor(
+                    (
+                        F.log(F.col(f"_d{i}").cast("double"))
+                        - F.log(F.col("_dt").cast("double"))
+                    )
+                    * F.lit(1_000_000.0)
+                ).cast("long")
+                for i in range(K)
+            ]
+        ).alias("_priors")
+    )
+    packed = (
+        dense.agg(
+            F.array_sort(
+                F.collect_list(F.struct("_k", "_b", "_lp"))
+            ).alias("_a")
+        )
+        .select(F.expr("transform(_a, x -> x._lp)").alias("_lps"))
+        .crossJoin(priors)
+    )
+    scored = (
+        _dsir_feats_frame(docs, id_col, text_col, True)
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_bidx",
+            F.expr(
+                f"transform(_feats, f -> CAST({bsql('f')} AS INT) + 1)"
+            ),
+        )
+        .withColumn(
+            "_scores",
+            F.array(
+                *[
+                    F.element_at("_priors", k + 1)
+                    + F.expr(
+                        f"aggregate(_bidx, CAST(0 AS BIGINT), "
+                        f"(acc, i) -> acc + element_at(_lps, {k * B} + i))"
+                    )
+                    for k in range(K)
+                ]
+            ),
+        )
+    )
+    cls_lit = F.array(*[F.lit(c) for c in classes])
+    best2 = F.slice(F.reverse(F.array_sort("_scores")), 1, 2)
+    return scored.select(
+        id_col,
+        F.size("_feats").alias("n_feats"),
+        F.element_at(
+            cls_lit,
+            F.array_position("_scores", F.array_max("_scores")).cast("int"),
+        ).alias("predicted"),
+        F.array_max("_scores").alias("best_lp_micro"),
+        (F.element_at(best2, 1) - F.element_at(best2, 2)).alias(
+            "margin_micro"
+        ),
+    )
+
+
 #: staged NB-classifier fit format version (`_NB_META.json`)
 _NB_META_VERSION = 1
 

@@ -542,3 +542,31 @@ def test_semantic_decontam_ivf_corpus_side_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     streamed = plan.split("BroadcastExchange HashedRelation")[0]
     assert "Exchange hashpartitioning" not in streamed, streamed
+
+
+def test_nb_multi_scoring_is_zero_shuffle(spark):
+    """Multi-class NB keeps the zero-shuffle scoring contract: the fit
+    exchanges at most K*B count rows (labeled side only), the packed
+    row broadcasts, and the scored corpus folds its bucket-index array
+    once per class row-locally — no SortMergeJoin, no doc_id/text-keyed
+    exchange, the scored corpus never explodes."""
+    from flink_etl_spark.operators.prep import nb_classifier_scores_multi
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(nb_classifier_scores_multi(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        label_col="lang", n_buckets=128,
+    ))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the labeled fit's one explode happened inside the eager count
+    # checkpoint (a leaf here); the SCORED corpus never explodes — its
+    # features fold row-locally
+    assert plan.count("Generate explode") == 0, plan.count(
+        "Generate explode"
+    )
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")")[0]
+        assert "text" not in keys, keys
+        assert "doc_id" not in keys, keys

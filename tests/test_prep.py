@@ -1809,3 +1809,82 @@ def test_staged_fit_drift_check_flags_vocab_shift(spark, tmp_path):
 
     with pytest.raises(ValueError, match="sidecar"):
         staged_fit_drift_check(held, str(tmp_path / "nope"))
+
+
+def test_nb_multi_class_learns_and_guards(spark):
+    """Multi-class NB: three planted disjoint vocabularies predict
+    held-out docs exactly with positive margins; ties and guards
+    behave (null labels raise, a single class raises, max_classes
+    raises; a two-class multi run agrees with the binary classifier's
+    argmax on clearly separated data)."""
+    import pytest
+
+    from flink_etl_spark.operators.prep import (
+        nb_classifier_scores,
+        nb_classifier_scores_multi,
+    )
+
+    vocab = {
+        "aa": ["red blue green", "blue green red"],
+        "bb": ["one two three", "two three one"],
+        "cc": ["dog cat bird", "cat bird dog"],
+    }
+    data, i = [], 0
+    for lang, texts in vocab.items():
+        for t in texts * 3:
+            data.append((i, t, lang))
+            i += 1
+    lab = spark.createDataFrame(data, ["doc_id", "text", "lang"])
+    held = spark.createDataFrame(
+        [
+            (100, "green red blue"),
+            (101, "three one two"),
+            (102, "bird dog cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in nb_classifier_scores_multi(
+            held, lab, label_col="lang", n_buckets=64
+        ).collect()
+    }
+    assert {d: r.predicted for d, r in out.items()} == {
+        100: "aa", 101: "bb", 102: "cc"
+    }
+    assert all(r.margin_micro > 0 for r in out.values())
+
+    # two-class multi agrees with the binary argmax on separated data
+    two = lab.filter(F.col("lang") != "cc")
+    multi2 = {
+        r.doc_id: r.predicted
+        for r in nb_classifier_scores_multi(
+            held.filter("doc_id < 102"), two, label_col="lang",
+            n_buckets=64,
+        ).collect()
+    }
+    binary = {
+        r.doc_id: "aa" if r.predicted else "bb"
+        for r in nb_classifier_scores(
+            held.filter("doc_id < 102"),
+            two.withColumn("label", F.col("lang") == "aa"),
+            n_buckets=64,
+        ).collect()
+    }
+    assert multi2 == binary
+
+    with_null = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None)],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        nb_classifier_scores_multi(held, with_null, label_col="lang")
+    one_cls = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x")], ["doc_id", "text", "lang"]
+    )
+    with pytest.raises(ValueError, match="2 classes"):
+        nb_classifier_scores_multi(held, one_cls, label_col="lang")
+    with pytest.raises(ValueError, match="max_classes"):
+        nb_classifier_scores_multi(
+            held, lab, label_col="lang", max_classes=2
+        )
