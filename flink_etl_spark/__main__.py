@@ -291,22 +291,39 @@ def cmd_sem_decontam(args: argparse.Namespace) -> int:
         semantic_decontaminate,
     )
 
+    import pyspark.sql.functions as F
+
     spark = _spark("flink-etl-spark-sem-decontam")
     corpus = spark.read.parquet(args.corpus)
     bench = spark.read.parquet(args.benchmark)
     kw = dict(
         method=args.method, id_col=args.id_col, vec_col=args.vec_col,
+        max_bench_rows=args.max_bench_rows, force=args.force,
     )
     if args.method == "signlsh":
         kw.update(n_planes=args.n_planes, n_probe=args.n_probe)
     elif args.method == "ivf":
         kw.update(n_cells=args.n_cells, nprobe=args.nprobe)
-    kept = semantic_decontaminate(corpus, bench, args.threshold, **kw)
-    kept.write.mode("overwrite").parquet(args.out)
     if args.report:
+        # ONE contamination pass: write the pair report, then derive
+        # the kept corpus by anti-joining the WRITTEN report — running
+        # semantic_decontaminate as well would re-verify the whole
+        # corpus a second time
         semantic_contamination_pairs(
             corpus, bench, args.threshold, **kw
         ).write.mode("overwrite").parquet(args.report)
+        flagged = F.broadcast(
+            spark.read.parquet(args.report)
+            .select(F.col("id_a").alias("_flagged"))
+            .distinct()
+        )
+        kept = corpus.join(
+            flagged, corpus[args.id_col] == flagged["_flagged"],
+            "left_anti",
+        )
+    else:
+        kept = semantic_decontaminate(corpus, bench, args.threshold, **kw)
+    kept.write.mode("overwrite").parquet(args.out)
     n_in, n_out = corpus.count(), spark.read.parquet(args.out).count()
     print(json.dumps({
         "corpus_rows": n_in, "kept_rows": n_out,
@@ -543,6 +560,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="ivf method: bench-side probe cells (recall dial)")
     sdc.add_argument("--id-col", default="vec_id")
     sdc.add_argument("--vec-col", default="embedding")
+    sdc.add_argument("--max-bench-rows", type=int, default=1_000_000,
+                     help="broadcast-safety cap on the benchmark size")
+    sdc.add_argument("--force", action="store_true",
+                     help="downgrade the benchmark-size raise to a warning")
     sdc.set_defaults(fn=cmd_sem_decontam)
 
     tdr = sub.add_parser(

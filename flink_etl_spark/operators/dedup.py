@@ -1055,10 +1055,6 @@ def semantic_contamination_pairs(
     self-join instead); `force=True` downgrades the raise to a
     RuntimeWarning."""
     from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
-    from flink_etl_spark.operators.similarity import (
-        hyperplanes,
-        signlsh_bucket_margins,
-    )
 
     if method not in ("exact", "signlsh", "ivf"):
         raise ValueError(
@@ -1240,7 +1236,11 @@ def semantic_decontaminate_stream(
     benchmark: DataFrame,
     threshold: float,
     method: str = "signlsh",
-    n_planes: int = 8,
+    # knob DEFAULTS deliberately equal the batch operator's: a backlog
+    # scrubbed with batch defaults and a live stream scrubbed with
+    # stream defaults must keep the SAME set (different plane counts
+    # would silently diverge in recall across the two halves)
+    n_planes: int = 4,
     n_probe: int = 1,
     n_cells: int = 16,
     nprobe: int = 2,

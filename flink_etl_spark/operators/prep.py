@@ -1216,6 +1216,28 @@ def nb_classifier_scores(
     as negative)."""
     _dsir_validate_buckets(n_buckets)
     lbl = F.col(label_col)
+    d_pos, d_neg = _nb_validate_labels(labeled_docs, label_col)
+    bsql = _dsir_bucket_sql(hash_terms, n_buckets)
+    pos = labeled_docs.filter(lbl)
+    neg = labeled_docs.filter(~lbl)
+    per_bucket = _dsir_per_bucket(neg, pos, text_col, bsql, n_buckets)
+    packed = _dsir_pack(per_bucket, n_buckets).withColumn(
+        "_prior", _nb_prior_expr(d_pos, d_neg)
+    )
+    return _nb_score(docs, packed, bsql, id_col, text_col)
+
+
+def _nb_validate_labels(
+    labeled_docs: DataFrame, label_col: str
+) -> tuple[int, int]:
+    """Shared label guard for the NB fit paths: ONE bounded 1-row
+    aggregate over the labeled corpus; null labels raise (they would
+    silently count as negative), an empty class raises (the prior is
+    undefined). Returns the integer class doc counts — the prior is
+    then built from these same ints (`_nb_prior_expr`), so the guard
+    pass is also the prior pass and the labeled corpus is never
+    scanned twice for bookkeeping."""
+    lbl = F.col(label_col)
     guard = labeled_docs.agg(
         F.sum(F.when(lbl, 1).otherwise(0)).alias("_dpos"),
         F.sum(F.when(~lbl, 1).otherwise(0)).alias("_dneg"),
@@ -1232,21 +1254,18 @@ def nb_classifier_scores(
             f"neg={guard['_dneg']} (the class prior ln(D_pos/D_neg) is "
             "undefined for an empty class)"
         )
-    bsql = _dsir_bucket_sql(hash_terms, n_buckets)
-    pos = labeled_docs.filter(lbl)
-    neg = labeled_docs.filter(~lbl)
-    per_bucket = _dsir_per_bucket(neg, pos, text_col, bsql, n_buckets)
-    packed = _dsir_pack(per_bucket, n_buckets).crossJoin(
-        labeled_docs.agg(
-            F.expr(
-                f"CAST(floor((ln(CAST(sum(CASE WHEN `{label_col}` THEN 1 "
-                f"ELSE 0 END) AS DOUBLE)) - ln(CAST(sum(CASE WHEN NOT "
-                f"`{label_col}` THEN 1 ELSE 0 END) AS DOUBLE))) * 1000000.0) "
-                "AS BIGINT)"
-            ).alias("_prior")
-        )
+    return int(guard["_dpos"]), int(guard["_dneg"])
+
+
+def _nb_prior_expr(d_pos: int, d_neg: int):
+    """Micro-floored class prior ln(D_pos/D_neg) from INTEGER doc
+    counts (the guard's, or the staged sidecar's) — the same JVM ln
+    evaluates on every path, so inline, staged, and oracle agree; no
+    recorded float ever crosses a boundary."""
+    return F.expr(
+        f"CAST(floor((ln(CAST({d_pos} AS DOUBLE)) - "
+        f"ln(CAST({d_neg} AS DOUBLE))) * 1000000.0) AS BIGINT)"
     )
-    return _nb_score(docs, packed, bsql, id_col, text_col)
 
 
 def _nb_score(
@@ -1491,21 +1510,7 @@ def nb_stage_fit(
 
     _dsir_validate_buckets(n_buckets)
     lbl = F.col(label_col)
-    guard = labeled_docs.agg(
-        F.sum(F.when(lbl, 1).otherwise(0)).alias("_dpos"),
-        F.sum(F.when(~lbl, 1).otherwise(0)).alias("_dneg"),
-        F.sum(F.when(lbl.isNull(), 1).otherwise(0)).alias("_dnull"),
-    ).collect()[0]
-    if guard["_dnull"]:
-        raise ValueError(
-            f"labeled_docs has {guard['_dnull']} NULL {label_col!r} rows — "
-            "nulls would silently count as negative; filter or fill them"
-        )
-    if not guard["_dpos"] or not guard["_dneg"]:
-        raise ValueError(
-            f"both classes must be non-empty, got pos={guard['_dpos']} "
-            f"neg={guard['_dneg']}"
-        )
+    d_pos, d_neg = _nb_validate_labels(labeled_docs, label_col)
     bsql = _dsir_bucket_sql(hash_terms, n_buckets)
     per_bucket = _dsir_per_bucket(
         labeled_docs.filter(~lbl), labeled_docs.filter(lbl),
@@ -1518,8 +1523,8 @@ def nb_stage_fit(
             "version": _NB_META_VERSION,
             "n_buckets": n_buckets,
             "hash_terms": hash_terms,
-            "d_pos": int(guard["_dpos"]),
-            "d_neg": int(guard["_dneg"]),
+            "d_pos": d_pos,
+            "d_neg": d_neg,
         },
     )
 
@@ -1557,12 +1562,7 @@ def nb_classifier_scores_staged(
     bsql = _dsir_bucket_sql(bool(meta["hash_terms"]), n_buckets)
     counts = spark.read.parquet(f"{fit_path}/counts")
     packed = _dsir_pack(counts, n_buckets).withColumn(
-        "_prior",
-        F.expr(
-            f"CAST(floor((ln(CAST({int(meta['d_pos'])} AS DOUBLE)) - "
-            f"ln(CAST({int(meta['d_neg'])} AS DOUBLE))) * 1000000.0) "
-            "AS BIGINT)"
-        ),
+        "_prior", _nb_prior_expr(int(meta["d_pos"]), int(meta["d_neg"]))
     )
     return _nb_score(docs, packed, bsql, id_col, text_col)
 
@@ -1617,6 +1617,19 @@ def staged_fit_drift_check(
         raise ValueError(
             f"no staged-fit sidecar at {fit_path} (expected _DSIR_META.json "
             "or _NB_META.json)"
+        )
+    # version-validate like the scorers do: a format bump that changes
+    # the counts layout or bucket hashing must refuse here too — the
+    # component whose JOB is to say "re-stage the fit" must never
+    # compute TV against a misread counts frame and report healthy
+    expect = (
+        _DSIR_META_VERSION if kind == "_DSIR_META.json" else _NB_META_VERSION
+    )
+    if meta.get("version") != expect:
+        raise ValueError(
+            f"staged fit at {fit_path} has format version "
+            f"{meta.get('version')!r}, this drift check expects {expect} — "
+            "re-stage the fit"
         )
     n_buckets = int(meta["n_buckets"])
     bsql = _dsir_bucket_sql(bool(meta["hash_terms"]), n_buckets)

@@ -2808,8 +2808,8 @@ def test_semantic_contamination_guards(spark):
             embs, embs, 0.9, max_bench_rows=5, force=True
         )
         assert any(issubclass(x.category, RuntimeWarning) for x in w)
-    with pytest.raises(ValueError, match="method"):
-        semantic_contamination_pairs(embs, embs, 0.9, method="ivf")
+    with pytest.raises(ValueError, match="must be 'exact'"):
+        semantic_contamination_pairs(embs, embs, 0.9, method="bogus")
     with pytest.raises(ValueError, match="n_probe"):
         semantic_contamination_pairs(
             embs, embs, 0.9, method="signlsh", n_planes=4, n_probe=4,

@@ -1765,6 +1765,13 @@ def test_nb_staged_fit_matches_inline_and_guards(spark, tmp_path):
     (tmp_path / "nbfit" / "._NB_META.json.crc").unlink(missing_ok=True)
     with pytest.raises(ValueError, match="format version"):
         nb_classifier_scores_staged(held, fit)
+    # the drift MONITOR must refuse a version-drifted fit too — it is
+    # the component whose job is to say "re-stage", so it must never
+    # compute against a misread counts frame and report healthy
+    from flink_etl_spark.operators.prep import staged_fit_drift_check
+
+    with pytest.raises(ValueError, match="format version"):
+        staged_fit_drift_check(held, fit)
 
 
 def test_staged_fit_drift_check_flags_vocab_shift(spark, tmp_path):

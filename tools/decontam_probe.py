@@ -25,8 +25,12 @@ operator's 100 TB story (results recorded in docs/SCALING.md
    verbatim-copy recall is 1.0 by construction) and with probes. The
    table is the tuning guidance for the knobs the operator exposes.
 
-Usage: python tools/decontam_probe.py [ladder|recall|all] [point ...]
-       (default: all, ladder points 10 30)
+Usage: python tools/decontam_probe.py [ladder|recall|recall_synth|all]
+       [point ...]
+       (default: all = recall + ladder, ladder points 10 30;
+        recall_synth — the planted-paraphrase second-distribution
+        table — runs only when named: it is a different corpus, not a
+        rerun of the standard suite)
 """
 
 from __future__ import annotations
@@ -236,11 +240,11 @@ def run_recall_synth() -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    mode = (
-        args[0]
-        if args and args[0] in ("ladder", "recall", "recall_synth", "all")
-        else "all"
-    )
+    modes = ("ladder", "recall", "recall_synth", "all")
+    mode = args[0] if args else "all"
+    if mode not in modes:
+        # a typo must not silently launch the full multi-replica suite
+        raise SystemExit(f"unknown mode {mode!r}; expected one of {modes}")
     pts = [int(a) for a in args[1:] if a.isdigit()]
     if mode in ("recall", "all"):
         run_recall()
