@@ -84,6 +84,7 @@ def run_ladder(points_list: list[int] | None = None) -> None:
 
     for method, kw in (
         ("signlsh", {"n_planes": PLANES, "n_probe": PROBE}),
+        ("ivf", {"n_cells": 16, "nprobe": 4}),
         ("exact", {}),
     ):
         walls, bts = {}, {}
