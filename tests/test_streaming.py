@@ -1388,3 +1388,43 @@ def test_nb_classifier_scores_stream_equals_batch(spark, tmp_path):
     expected = sorted(map(tuple, nb_classifier_scores_staged(
         score_docs, fit).collect()))
     assert got == expected and len(got) > 0
+
+
+def test_dsir_staged_scores_stream_equals_batch(spark, tmp_path):
+    """The staged DSIR scorer shares the NB scorer's stateless
+    packed-broadcast shape, so it too applies to a document STREAM
+    unchanged — continuous importance-weight scoring against a frozen
+    fit. Streamed weights must equal the batch staged scorer's."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.prep import (
+        dsir_log_weights_staged,
+        dsir_stage_fit,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    fit = str(tmp_path / "fit")
+    dsir_stage_fit(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+        fit, n_buckets=512,
+    )
+    score_docs = docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_stream")
+    score_docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(score_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    scored = dsir_log_weights_staged(stream, fit)
+    q = (
+        scored.writeStream.format("memory").queryName("dsir_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM dsir_stream").collect()))
+    expected = sorted(map(tuple, dsir_log_weights_staged(
+        score_docs, fit).collect()))
+    assert got == expected and len(got) > 0
