@@ -685,14 +685,17 @@ def _star_components(
 
     The fixpoint is a star forest with every component's minimum id at
     the center; labels fall straight out of the edges. Convergence is
-    detected by an order-independent (count, xor-of-edge-hashes)
-    signature — one tiny aggregate per round, no data to the driver.
+    detected EXACTLY: equal edge counts plus an empty
+    new-minus-old anti-join (both canonical distinct sets, so
+    count-equality + containment is set equality) — two tiny
+    aggregates per round, no data to the driver, and no hash-collision
+    caveat (the earlier xor-of-edge-hashes signature had a ~2^-64
+    per-round chance of declaring convergence one round early with
+    wrong labels; exact costs the same).
     Input `edges` must be the canonical undirected pair set: columns
     (a, b) with a < b, distinct, no self loops."""
-    from flink_etl_spark.streaming.ann_sink import _dir_signature
-
     edges = edges.localCheckpoint(eager=True)
-    sig = _dir_signature(edges)
+    n_edges = edges.count()
     converged = False
     rounds = 0
     for _ in range(max_iters):
@@ -733,14 +736,19 @@ def _star_components(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         ).localCheckpoint(eager=True)
-        nxt_sig = _dir_signature(nxt)
+        n_nxt = nxt.count()
+        same = (
+            n_nxt == n_edges
+            and nxt.join(edges, ["a", "b"], "left_anti").limit(1).count()
+            == 0
+        )
         prev = edges
         edges = nxt
+        n_edges = n_nxt
         prev.unpersist()
-        if nxt_sig == sig:
+        if same:
             converged = True
             break
-        sig = nxt_sig
     if _stats is not None:
         _stats.update({"rounds": rounds, "converged": converged})
     if not converged:
@@ -1062,21 +1070,9 @@ def semantic_contamination_pairs(
         )
     bench_id_col = bench_id_col or id_col
     bench_vec_col = bench_vec_col or vec_col
-    if max_bench_rows is not None:
-        m = benchmark.count()
-        if m > max_bench_rows:
-            msg = (
-                f"semantic_contamination_pairs broadcasts the benchmark side; "
-                f"it has {m:,} rows (> max_bench_rows={max_bench_rows:,}). A "
-                "benchmark this large should go through the symmetric "
-                "embedding_near_dups_lsh self-join (or raise max_bench_rows / "
-                "pass force=True if the executors can hold the broadcast)."
-            )
-            if not force:
-                raise ValueError(msg)
-            import warnings
-
-            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    _guard_bench_broadcast(
+        benchmark, max_bench_rows, force, "semantic_contamination_pairs"
+    )
 
     c = corpus.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -1181,6 +1177,37 @@ def semantic_contamination_pairs(
     )
 
 
+def _guard_bench_broadcast(
+    benchmark: DataFrame,
+    max_bench_rows: int | None,
+    force: bool,
+    op: str,
+) -> None:
+    """Shared broadcast-safety guard for the asymmetric decontamination
+    family: every arm (batch and streaming) broadcasts the whole
+    benchmark posting list into every executor, so an oversized
+    benchmark must fail with the family's actionable error instead of
+    silently shipping gigabytes per task. `force=True` downgrades the
+    raise to a RuntimeWarning for operators who sized their executors
+    deliberately."""
+    if max_bench_rows is None:
+        return
+    m = benchmark.count()
+    if m > max_bench_rows:
+        msg = (
+            f"{op} broadcasts the benchmark side; "
+            f"it has {m:,} rows (> max_bench_rows={max_bench_rows:,}). A "
+            "benchmark this large should go through the symmetric "
+            "embedding_near_dups_lsh self-join (or raise max_bench_rows / "
+            "pass force=True if the executors can hold the broadcast)."
+        )
+        if not force:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 def _signlsh_bench_side(
     benchmark: DataFrame,
     b: DataFrame,
@@ -1248,6 +1275,8 @@ def semantic_decontaminate_stream(
     vec_col: str = "embedding",
     bench_id_col: str | None = None,
     bench_vec_col: str | None = None,
+    max_bench_rows: int | None = 1_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """STREAMING semantic decontamination: scrub an embedding stream
     against a fixed benchmark as rows arrive — the continuous form of
@@ -1275,7 +1304,10 @@ def semantic_decontaminate_stream(
     by test for both methods).
 
     Returns the KEPT stream with the input schema. The benchmark must
-    be a BATCH DataFrame (the static side)."""
+    be a BATCH DataFrame (the static side), and it is size-guarded by
+    the family's `max_bench_rows` broadcast contract (`force=True`
+    downgrades the raise to a RuntimeWarning), exactly like
+    `semantic_contamination_pairs`."""
     from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
 
     bench_id_col = bench_id_col or id_col
@@ -1291,6 +1323,11 @@ def semantic_decontaminate_stream(
         )
     if benchmark.isStreaming:
         raise ValueError("benchmark must be a batch DataFrame (static side)")
+    # same broadcast-safety contract as the batch arm: the static-side
+    # posting list ships to every executor of every micro-batch
+    _guard_bench_broadcast(
+        benchmark, max_bench_rows, force, "semantic_decontaminate_stream"
+    )
     b = benchmark.select(
         F.col(bench_id_col).alias("id_b"), F.col(bench_vec_col).alias("vb"),
         norm(bench_vec_col).alias("nb"),

@@ -1354,9 +1354,15 @@ def nb_classifier_scores_multi(
             f"labeled_docs has NULL {label_col!r} rows — a null label "
             "has no class; filter or fill them"
         )
+    # the distinct is LIMITed before collect so a mistaken
+    # high-cardinality label_col (doc_id) raises after fetching at
+    # most max_classes + 1 rows, never the full label space
     classes = sorted(
         r[0]
-        for r in labeled_docs.select(label_col).distinct().collect()
+        for r in labeled_docs.select(label_col)
+        .distinct()
+        .limit(max_classes + 1)
+        .collect()
     )
     if len(classes) < 2:
         raise ValueError(
@@ -1364,7 +1370,7 @@ def nb_classifier_scores_multi(
         )
     if len(classes) > max_classes:
         raise ValueError(
-            f"{len(classes)} classes exceeds max_classes={max_classes} "
+            f"label space exceeds max_classes={max_classes} "
             "(bounds the packed broadcast and the per-row fold cost); "
             "raise it deliberately if the label space is real"
         )
@@ -1396,6 +1402,21 @@ def nb_classifier_scores_multi(
         .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("_cls").agg(F.sum("_c").alias("_n"))
+    # every class must have >= 1 feature instance: the dense grid's
+    # inner join with totals would silently DROP a zero-feature class
+    # (every doc of that class NULL/empty text), shrinking the packed
+    # _lps array to (K-1)*B and shifting every later class's log-prob
+    # region — the binary arm raises on an empty class, so does this
+    # one (the check is a <= K-row count over the tiny totals frame)
+    if totals.count() < K:
+        present = {r["_cls"] for r in totals.collect()}
+        missing = [c for c in classes if c not in present]
+        raise ValueError(
+            f"classes {missing!r} have zero feature instances (every "
+            f"document's {text_col!r} is NULL or tokenizes to nothing) — "
+            "a class with no features cannot be fit; drop those rows or "
+            "fix the text column"
+        )
     grid = spark.range(B).select(F.col("id").alias("_b")).crossJoin(
         F.broadcast(cls_df)
     )
@@ -1665,16 +1686,25 @@ def staged_fit_drift_check(
         )
         .select(
             "_nf", "_nb", "_novel",
+            # nullif-protected denominators: an empty batch (_nb = 0)
+            # or a degenerate zero-mass fit (_nf = 0) must reach the
+            # explicit raises below as a NULL _l1, not divide by zero
+            # inside the aggregate or surface as a TypeError on None
             F.expr(
                 "aggregate(_a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + "
-                "abs(x._cf / CAST(_nf AS DOUBLE) - "
-                "x._cb / CAST(_nb AS DOUBLE)))"
+                "abs(x._cf / nullif(CAST(_nf AS DOUBLE), 0.0D) - "
+                "x._cb / nullif(CAST(_nb AS DOUBLE), 0.0D)))"
             ).alias("_l1"),
         )
         .collect()[0]
     )
     if not row["_nb"]:
         raise ValueError("drift check batch has no feature instances")
+    if not row["_nf"]:
+        raise ValueError(
+            f"staged fit at {fit_path} has zero feature mass — it cannot "
+            "anchor a drift comparison; re-stage it on a non-empty corpus"
+        )
     tv = 0.5 * row["_l1"]
     novel_frac = row["_novel"] / row["_nb"]
     out = {

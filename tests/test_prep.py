@@ -1814,6 +1814,15 @@ def test_staged_fit_drift_check_flags_vocab_shift(spark, tmp_path):
     # the robust signal; novel_frac just has to move off zero
     assert bad["tv"] > 0.5 and bad["novel_frac"] > 0.1
 
+    # an empty batch (zero feature instances) raises instead of
+    # dividing by zero inside the TV aggregate
+    with pytest.raises(ValueError, match="no feature instances"):
+        staged_fit_drift_check(held.filter("doc_id < 0"), fit)
+    with pytest.raises(ValueError, match="no feature instances"):
+        staged_fit_drift_check(
+            held.withColumn("text", F.lit(None).cast("string")), fit
+        )
+
     with pytest.raises(ValueError, match="sidecar"):
         staged_fit_drift_check(held, str(tmp_path / "nope"))
 
@@ -1894,4 +1903,37 @@ def test_nb_multi_class_learns_and_guards(spark):
     with pytest.raises(ValueError, match="max_classes"):
         nb_classifier_scores_multi(
             held, lab, label_col="lang", max_classes=2
+        )
+    # a class whose every doc tokenizes to nothing would silently
+    # shrink the packed log-prob array and shift later classes'
+    # regions — it must raise instead
+    zero_feat = lab.union(
+        spark.createDataFrame(
+            [(900, None, "zz"), (901, None, "zz")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    with pytest.raises(ValueError, match="zero feature instances"):
+        nb_classifier_scores_multi(
+            held, zero_feat, label_col="lang", n_buckets=64
+        ).collect()
+
+
+def test_nb_multi_label_fetch_is_bounded(spark):
+    """A mistaken high-cardinality label_col (e.g. doc_id) must raise
+    after a LIMITed distinct fetch, not pull every distinct label to
+    the driver first: with 10k distinct labels and max_classes=16 the
+    guard fires fast and the plan carries the limit."""
+    import pytest
+
+    from flink_etl_spark.operators.prep import nb_classifier_scores_multi
+
+    big = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("some text").alias("text"),
+        F.col("id").cast("string").alias("lang"),
+    )
+    with pytest.raises(ValueError, match="max_classes"):
+        nb_classifier_scores_multi(
+            big.limit(5), big, label_col="lang", max_classes=16
         )

@@ -1349,6 +1349,29 @@ def test_semantic_decontaminate_stream_equals_batch(spark, tmp_path):
         assert not (got & bench_ids), method
         assert len(got) > 0, method
 
+    # the streaming arm enforces the family's broadcast-safety
+    # contract: an oversized benchmark raises at plan-build time (not
+    # after the stream starts), and force=True downgrades to a warning
+    import warnings
+
+    import pytest
+
+    stream = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_decontaminate_stream(
+            stream, bench, threshold=0.5, max_bench_rows=3
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_decontaminate_stream(
+            stream, bench, threshold=0.5, max_bench_rows=3, force=True
+        )
+    assert any("max_bench_rows" in str(x.message) for x in w)
+
 
 def test_nb_classifier_scores_stream_equals_batch(spark, tmp_path):
     """The NB scoring fold is stateless (packed broadcast row +
