@@ -196,6 +196,125 @@ def _chunks_oracle_arm() -> str:
     """
 
 
+#: BPE-fit gate knobs: 8 merge rounds (enough to exercise
+#: merged-symbol-joins-next-round chains on the synthetic corpus; the
+#: oracle unrolls the loop as 8 chained CTE stages) over every
+#: document; the encode arm tokenizes the doc_id % 13 = 5 slice
+_BPE_MERGES_R = 8
+_BPE_SLICE = "doc_id % 13 = 5"
+
+_BPE_PAD = """
+           CAST(NULL AS BIGINT) AS bpe_rank,
+           CAST(NULL AS VARCHAR) AS bpe_left,
+           CAST(NULL AS VARCHAR) AS bpe_right,
+           CAST(NULL AS BIGINT) AS bpe_pair_count,
+           CAST(NULL AS BIGINT) AS bpe_n_tokens,
+           CAST(NULL AS VARCHAR) AS bpe_tokens_str
+"""
+
+#: DuckDB twins of operators/text's sep-encoding primitives (see
+#: `_bpe_seq_expr` for why double-separator encoding makes greedy BPE
+#: merge application equal to one non-overlapping string replace)
+_BPE_S2 = "chr(31) || chr(31)"
+
+
+def _bpe_enc_sql(col: str) -> str:
+    return (
+        f"{_BPE_S2} || regexp_replace({col}, '(.)', "
+        f"'\\1' || {_BPE_S2}, 'gs')"
+    )
+
+
+def _bpe_fit_ctes(n: int) -> str:
+    """The BPE fit loop unrolled as chained CTE stages — DuckDB cannot
+    aggregate over a recursive reference, but the round count is a
+    fixed literal, so round r's argmax (m{r}) and merged word table
+    (w{r}) are plain CTEs reading w{r-1}. Identical total order to
+    `bpe_fit` (count DESC, left, right — UTF-8 byte collation on both
+    engines). If the corpus runs out of pairs, m{r}/w{r} go empty and
+    every later stage stays empty — exactly the operator's early
+    stop.
+
+    Every w{r}/m{r} is MATERIALIZED: DuckDB inlines CTEs by default,
+    and each stage is referenced by 2+ consumers, so an un-hinted
+    chain re-derives w0 exponentially (2^R scans — measured 18.6 s at
+    R=8/sf0.01 vs ~1 s materialized)."""
+    parts = [
+        rf"""
+    w0 AS MATERIALIZED (
+        SELECT {_bpe_enc_sql('tok')} AS seq, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                     '\w+|[^\w\s]')) AS tok
+              FROM documents) toks
+        WHERE NOT contains(tok, chr(31))
+        GROUP BY tok
+    )"""
+    ]
+    for r in range(1, n + 1):
+        parts.append(
+            f"""
+    p{r} AS (
+        SELECT u.pr.l AS l, u.pr.r AS r, SUM(cnt) AS c
+        FROM (SELECT list_filter(string_split(seq, {_BPE_S2}),
+                                 x -> x <> '') AS s, cnt
+              FROM w{r - 1}) t,
+             UNNEST(list_transform(range(1, len(s)),
+                    i -> {{'l': s[i], 'r': s[i + 1]}})) AS u(pr)
+        GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1),
+    w{r} AS MATERIALIZED (
+        SELECT replace(seq, chr(31) || l || {_BPE_S2} || r || chr(31),
+                       chr(31) || l || r || chr(31)) AS seq, cnt
+        FROM w{r - 1}, m{r}
+    )"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_merges_oracle_arm(n: int) -> str:
+    return "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS bpe_rank, l AS bpe_left, "
+        f"r AS bpe_right, c AS bpe_pair_count FROM m{r}"
+        for r in range(1, n + 1)
+    )
+
+
+def _bpe_tokens_oracle_arm(n: int) -> str:
+    """Encode the gate slice with the fit CTEs' merge table: the doc
+    sep-string gets the n replaces in rank order as scalar subqueries.
+    An empty m{r} (corpus exhausted) coalesces pattern AND replacement
+    to the same sentinel, making that replace an identity — matching
+    the operator's shorter merge list."""
+    doc_seq = (
+        r"coalesce(list_aggregate(list_transform("
+        r"list_filter(regexp_extract_all(coalesce(text, ''), "
+        r"'\w+|[^\w\s]'), x -> NOT contains(x, chr(31))), "
+        f"x -> {_bpe_enc_sql('x')}), 'string_agg', ''), '')"
+    )
+    applied = doc_seq
+    for r in range(1, n + 1):
+        pat = (
+            f"coalesce((SELECT chr(31) || l || {_BPE_S2} || r || chr(31) "
+            f"FROM m{r}), chr(1))"
+        )
+        rep = (
+            f"coalesce((SELECT chr(31) || l || r || chr(31) "
+            f"FROM m{r}), chr(1))"
+        )
+        applied = f"replace({applied}, {pat}, {rep})"
+    return f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS bpe_n_tokens,
+           array_to_string(toks, ' ') AS bpe_tokens_str
+    FROM (SELECT doc_id,
+                 list_filter(string_split({applied}, {_BPE_S2}),
+                             x -> x <> '') AS toks
+          FROM documents WHERE {_BPE_SLICE}) e
+    """
+
+
 @query(
     "text_bpe_pretokens",
     rf"""
@@ -203,7 +322,8 @@ def _chunks_oracle_arm() -> str:
         SELECT doc_id,
                regexp_extract_all(text, '\w+|[^\w\s]') AS toks
         FROM documents
-    )
+    ),
+    {_bpe_fit_ctes(_BPE_MERGES_R)}
     SELECT 'pretokens' AS variant,
            doc_id,
            len(toks) AS n_pretokens,
@@ -220,7 +340,8 @@ def _chunks_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_ipv4,
            CAST(NULL AS VARCHAR) AS redacted,
            {_CHUNK_PAD},
-           {_NORM_PAD}
+           {_NORM_PAD},
+           {_BPE_PAD}
     FROM t
     UNION ALL
     SELECT 'pii_redact' AS variant,
@@ -231,7 +352,8 @@ def _chunks_oracle_arm() -> str:
            CAST(NULL AS DOUBLE) AS avg_pretoken_len,
            n_email, n_phone, n_ipv4, redacted,
            {_CHUNK_PAD},
-           {_NORM_PAD}
+           {_NORM_PAD},
+           {_BPE_PAD}
     FROM ({_pii_oracle_arm()}) pii
     UNION ALL
     SELECT 'chunks' AS variant,
@@ -245,7 +367,8 @@ def _chunks_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_ipv4,
            CAST(NULL AS VARCHAR) AS redacted,
            chunk_idx, chunk_start, n_chunk_chars, chunk_text,
-           {_NORM_PAD}
+           {_NORM_PAD},
+           {_BPE_PAD}
     FROM ({_chunks_oracle_arm()}) ch
     UNION ALL
     SELECT 'normalize' AS variant,
@@ -259,8 +382,45 @@ def _chunks_oracle_arm() -> str:
            CAST(NULL AS BIGINT) AS n_ipv4,
            CAST(NULL AS VARCHAR) AS redacted,
            {_CHUNK_PAD},
-           norm_text, n_norm_chars
+           norm_text, n_norm_chars,
+           {_BPE_PAD}
     FROM ({_normalize_oracle_arm()}) nm
+    UNION ALL
+    SELECT 'bpe_merges' AS variant,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_pretokens,
+           CAST(NULL AS BIGINT) AS n_word,
+           CAST(NULL AS BIGINT) AS n_punct,
+           CAST(NULL AS DOUBLE) AS avg_pretoken_len,
+           CAST(NULL AS BIGINT) AS n_email,
+           CAST(NULL AS BIGINT) AS n_phone,
+           CAST(NULL AS BIGINT) AS n_ipv4,
+           CAST(NULL AS VARCHAR) AS redacted,
+           {_CHUNK_PAD},
+           {_NORM_PAD},
+           bpe_rank, bpe_left, bpe_right, bpe_pair_count,
+           CAST(NULL AS BIGINT) AS bpe_n_tokens,
+           CAST(NULL AS VARCHAR) AS bpe_tokens_str
+    FROM ({_bpe_merges_oracle_arm(_BPE_MERGES_R)}) bm
+    UNION ALL
+    SELECT 'bpe_tokens' AS variant,
+           doc_id,
+           CAST(NULL AS BIGINT) AS n_pretokens,
+           CAST(NULL AS BIGINT) AS n_word,
+           CAST(NULL AS BIGINT) AS n_punct,
+           CAST(NULL AS DOUBLE) AS avg_pretoken_len,
+           CAST(NULL AS BIGINT) AS n_email,
+           CAST(NULL AS BIGINT) AS n_phone,
+           CAST(NULL AS BIGINT) AS n_ipv4,
+           CAST(NULL AS VARCHAR) AS redacted,
+           {_CHUNK_PAD},
+           {_NORM_PAD},
+           CAST(NULL AS BIGINT) AS bpe_rank,
+           CAST(NULL AS VARCHAR) AS bpe_left,
+           CAST(NULL AS VARCHAR) AS bpe_right,
+           CAST(NULL AS BIGINT) AS bpe_pair_count,
+           bpe_n_tokens, bpe_tokens_str
+    FROM ({_bpe_tokens_oracle_arm(_BPE_MERGES_R)}) bt
     """,
 )
 def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +449,15 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       over deterministically planted messy text (`_MESSY_DERIVE` — the
       synthetic corpus is already clean); every normalized string is
       value-gated against DuckDB running the identical chain.
+    * variant 'bpe_merges' (r12) — distributed BPE tokenizer
+      vocabulary training (operators/text.bpe_fit, Sennrich et al.
+      2016): 8 merge rounds over the corpus, every (rank, left, right,
+      pair_count) row value-gated against DuckDB replaying the fit as
+      8 unrolled CTE stages with the identical argmax total order.
+    * variant 'bpe_tokens' (r12) — BPE encoding of the doc_id % 13 = 5
+      slice under the fitted merge table (operators/text.bpe_encode,
+      inline literal-replace plan); the full subword token stream of
+      every sliced document is value-gated.
     """
     from flink_etl_spark.operators.prep import chunk_documents, pii_redact
     from flink_etl_spark.operators.text import normalize_text
@@ -303,6 +472,14 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     _norm_pad = [
         F.lit(None).cast("string").alias("norm_text"),
         F.lit(None).cast("long").alias("n_norm_chars"),
+    ]
+    _bpe_pad = [
+        F.lit(None).cast("long").alias("bpe_rank"),
+        F.lit(None).cast("string").alias("bpe_left"),
+        F.lit(None).cast("string").alias("bpe_right"),
+        F.lit(None).cast("long").alias("bpe_pair_count"),
+        F.lit(None).cast("long").alias("bpe_n_tokens"),
+        F.lit(None).cast("string").alias("bpe_tokens_str"),
     ]
     toks = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
     words = F.filter(F.col("_t"), lambda x: x.rlike("^\\w+$"))
@@ -322,6 +499,7 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("redacted"),
         *_chunk_pad,
         *_norm_pad,
+        *_bpe_pad,
     )
     planted = docs.select("doc_id", F.expr(_PII_DERIVE).alias("pii_text"))
     pii = pii_redact(
@@ -340,6 +518,7 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "redacted",
         *_chunk_pad,
         *_norm_pad,
+        *_bpe_pad,
     )
     chunks = chunk_documents(
         docs.filter("doc_id % 7 = 0"),
@@ -362,6 +541,7 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_chars",
         "chunk_text",
         *_norm_pad,
+        *_bpe_pad,
     )
     messy = docs.select("doc_id", F.expr(_MESSY_DERIVE).alias("messy"))
     norm = normalize_text(messy, text_col="messy").select(
@@ -378,9 +558,48 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_chunk_pad,
         "norm_text",
         F.length("norm_text").cast("long").alias("n_norm_chars"),
+        *_bpe_pad,
+    )
+    _scalar_pad = [
+        F.lit(None).cast("long").alias("n_pretokens"),
+        F.lit(None).cast("long").alias("n_word"),
+        F.lit(None).cast("long").alias("n_punct"),
+        F.lit(None).cast("double").alias("avg_pretoken_len"),
+        F.lit(None).cast("long").alias("n_email"),
+        F.lit(None).cast("long").alias("n_phone"),
+        F.lit(None).cast("long").alias("n_ipv4"),
+        F.lit(None).cast("string").alias("redacted"),
+    ]
+    fit = T.bpe_fit(docs, _BPE_MERGES_R, vocab_partitions=1)
+    merges_arm = fit.select(
+        F.lit("bpe_merges").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        *_scalar_pad,
+        *_chunk_pad,
+        *_norm_pad,
+        F.col("rank").alias("bpe_rank"),
+        F.col("left").alias("bpe_left"),
+        F.col("right").alias("bpe_right"),
+        F.col("pair_count").alias("bpe_pair_count"),
+        F.lit(None).cast("long").alias("bpe_n_tokens"),
+        F.lit(None).cast("string").alias("bpe_tokens_str"),
+    )
+    tokens_arm = T.bpe_encode(docs.filter(_BPE_SLICE), fit).select(
+        F.lit("bpe_tokens").alias("variant"),
+        "doc_id",
+        *_scalar_pad,
+        *_chunk_pad,
+        *_norm_pad,
+        F.lit(None).cast("long").alias("bpe_rank"),
+        F.lit(None).cast("string").alias("bpe_left"),
+        F.lit(None).cast("string").alias("bpe_right"),
+        F.lit(None).cast("long").alias("bpe_pair_count"),
+        F.col("n_tokens").cast("long").alias("bpe_n_tokens"),
+        F.array_join("tokens", " ").alias("bpe_tokens_str"),
     )
     return (
         pretokens.unionByName(pii).unionByName(chunks).unionByName(norm)
+        .unionByName(merges_arm).unionByName(tokens_arm)
     )
 
 

@@ -678,3 +678,263 @@ def unigram_lm_scores(
         mean_logp.alias("logprob_per_token"),
         F.exp(-mean_logp).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer vocabulary training (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+#: BPE symbol-sequence separator (U+001F UNIT SEPARATOR — a control
+#: char the `\w+|[^\w\s]` pre-tokenizer emits only as a lone
+#: punctuation token, which the fit/encode paths filter out).
+BPE_SEP = "\x1f"
+_BPE_SEP2 = BPE_SEP * 2
+
+#: the GPT-2-family pre-tokenizer reduced to its regex core — MUST stay
+#: byte-identical to the `text_bpe_pretokens` gate's pattern (word runs
+#: and single punctuation marks; ASCII \w in both Java and RE2)
+BPE_PRETOKEN_RE = r"\w+|[^\w\s]"
+#: the same pattern escaped for a Spark SQL string literal (the SQL
+#: parser consumes one level of backslash)
+_BPE_PRETOKEN_SQL = BPE_PRETOKEN_RE.replace("\\", "\\\\")
+
+
+def _bpe_seq_expr(tok) -> Column:
+    """Sep-encode one pre-token's character sequence: ``"ab"`` becomes
+    ``"§§a§§b§§"`` (with ``§`` = U+001F). Every symbol is bounded by
+    the double separator on BOTH sides, which makes greedy
+    left-to-right BPE merge application equal to a single SQL
+    ``replace(seq, '§l§§r§', '§lr§')``: the single-separator pattern
+    margins guarantee a match only where ``l`` is an entire symbol and
+    ``r`` is an entire symbol, and consecutive occurrences never share
+    pattern characters (each match consumes one inner separator of
+    each boundary pair) so non-overlapping scan order IS the BPE scan
+    order. Identical expression exists in DuckDB (the oracle)."""
+    return F.concat(
+        F.lit(_BPE_SEP2),
+        F.regexp_replace(tok, "(?s)(.)", "$1" + _BPE_SEP2),
+    )
+
+
+def _bpe_syms(seq) -> Column:
+    """Decode a sep-string back to its symbol array."""
+    return F.filter(F.split(seq, _BPE_SEP2), lambda x: x != "")
+
+
+def bpe_word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The distinct pre-token count table a BPE fit iterates over —
+    Sennrich et al. (2016)'s key scale move: the merge loop never
+    touches the corpus again, only its VOCABULARY (distinct pre-tokens
+    with counts, bounded by Heaps' law at millions of rows where the
+    corpus is billions). One corpus-wide token-keyed aggregate; output
+    columns (seq, cnt) where seq is the sep-encoded character
+    sequence. Pre-tokens containing the separator char itself (a lone
+    U+001F punctuation token) are dropped on both engines."""
+    tok = F.explode(
+        F.expr(
+            f"regexp_extract_all(coalesce({text_col}, ''), "
+            f"'{_BPE_PRETOKEN_SQL}', 0)"
+        )
+    ).alias("_tok")
+    return (
+        docs.select(tok)
+        .filter(~F.col("_tok").contains(BPE_SEP))
+        .groupBy("_tok")
+        .agg(F.count("*").alias("cnt"))
+        .select(_bpe_seq_expr(F.col("_tok")).alias("seq"), "cnt")
+    )
+
+
+def bpe_fit(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    vocab_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed BPE tokenizer vocabulary training (Sennrich,
+    Haddow & Birch 2016, "Neural Machine Translation of Rare Words
+    with Subword Units") — the iterated merge-pair loop over the
+    distinct pre-token count table:
+
+    each round (1) counts adjacent symbol pairs weighted by word
+    frequency, (2) takes the argmax pair under a TOTAL order
+    (count DESC, left ASC, right ASC — deterministic across engines:
+    UTF-8 byte collation on both), (3) applies the merge row-locally
+    as one literal string replace (see `_bpe_seq_expr` for why replace
+    IS greedy BPE application). Returns the merge table: one row per
+    rank with columns (rank, left, right, pair_count) — ranks are
+    1-based and stop early if the corpus runs out of pairs.
+
+    100 TB shape: the corpus is touched ONCE (`bpe_word_counts`'
+    token-keyed aggregate); every round after that runs on the
+    vocabulary-sized table and exchanges only (pair, count) rows —
+    the same bounded-round + tiny-aggregate machinery as
+    `_star_components`' convergence loop — plus a 1-row argmax driver
+    fetch per round. `localCheckpoint` caps the lineage per round
+    exactly like the star loop (swap for `checkpoint()` on a real
+    cluster with executor churn).
+
+    `vocab_partitions` repartitions the word-count table once before
+    the loop: the per-round cost is R * (stages * partition count) in
+    task-scheduling overhead, so a SMALL corpus (tests, the gate)
+    should pin 1 while a 100 TB fit leaves it None (inherit the
+    token-aggregate's parallelism).
+
+    Reference parity: no tokenizer surface in the reference
+    (jiamx/flink-etl); extends SURVEY.md §2.12's text family with the
+    one classic LLM-data-prep fit the engine lacked."""
+    if not 1 <= n_merges <= 50_000:
+        raise ValueError(
+            f"n_merges must be in [1, 50000], got {n_merges} (merge "
+            "tables beyond vocabulary scale are a misconfiguration)"
+        )
+    spark = docs.sparkSession
+    words = bpe_word_counts(docs, text_col)
+    if vocab_partitions is not None:
+        if vocab_partitions < 1:
+            raise ValueError(
+                f"vocab_partitions must be >= 1, got {vocab_partitions}"
+            )
+        words = words.coalesce(vocab_partitions)
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts = (
+            words.select(_bpe_syms(F.col("seq")).alias("_s"), "cnt")
+            .filter(F.size("_s") >= 2)
+            .select(
+                F.expr(
+                    "explode(transform(sequence(1, size(_s) - 1), "
+                    "i -> struct(element_at(_s, i) AS l, "
+                    "element_at(_s, i + 1) AS r)))"
+                ).alias("_p"),
+                "cnt",
+            )
+            .select("_p.l", "_p.r", "cnt")
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pair_counts.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((rank, l, r, int(c)))
+        pat = BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP
+        rep = BPE_SEP + l + r + BPE_SEP
+        words = words.select(
+            F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"),
+            "cnt",
+        )
+        # re-anchor the lineage every few rounds, not every round: a
+        # handful of nested literal replaces recompute for free on a
+        # vocab-sized table, while an eager checkpoint is a whole
+        # extra job per round (measured 2x the loop wall at R=8)
+        if rank % 16 == 0:
+            words = words.localCheckpoint(eager=True)
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank bigint, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "inline",
+) -> DataFrame:
+    """Tokenize documents with a fitted BPE merge table: pre-tokenize,
+    sep-encode each pre-token, apply the merges IN RANK ORDER (each a
+    literal string replace — `_bpe_seq_expr`; word boundaries are four
+    consecutive separators, which no two-separator pair pattern can
+    cross, so the whole document encodes as one string), and split
+    back to the subword token stream. Output: (id_col, tokens
+    array<string>, n_tokens).
+
+    The merge table is the tokenizer artifact — a bounded driver fetch
+    (<= n_merges rows, the vocabulary), never corpus-scaled. Two
+    plans:
+
+    * ``method="inline"`` (default) — the merges compile into a chain
+      of R literal replaces over each document: ZERO corpus shuffles,
+      right for the merge-table sizes this fit targets (R up to a few
+      thousand; expression-tree depth is the practical bound).
+    * ``method="vocab"`` — encode each DISTINCT pre-token once (the R
+      replaces run over the vocabulary-sized table), broadcast the
+      pre-token -> subwords map, and reassemble each document's stream
+      by position (posexplode + broadcast join + one doc-keyed
+      aggregate). Right at production merge-table scale (R ~ 32k,
+      where an inline chain is impossible): the replace cost is paid
+      per VOCAB ENTRY, not per corpus token, at the price of one
+      corpus-sized shuffle of (doc, pos, subwords) rows. Both methods
+      are value-identical by test."""
+    if method not in ("inline", "vocab"):
+        raise ValueError(f"method must be 'inline' or 'vocab', got {method!r}")
+    if isinstance(merges, DataFrame):
+        rows = [
+            (r["rank"], r["left"], r["right"])
+            for r in merges.select("rank", "left", "right")
+            .orderBy("rank")
+            .collect()
+        ]
+    else:
+        rows = [(r[0], r[1], r[2]) for r in sorted(merges)]
+    pre = F.filter(
+        F.expr(
+            f"regexp_extract_all(coalesce({text_col}, ''), "
+            f"'{_BPE_PRETOKEN_SQL}', 0)"
+        ),
+        lambda x: ~x.contains(BPE_SEP),
+    )
+
+    def apply_merges(col: Column) -> Column:
+        for _, l, r in rows:
+            col = F.replace(
+                col,
+                F.lit(BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP),
+                F.lit(BPE_SEP + l + r + BPE_SEP),
+            )
+        return col
+
+    if method == "inline":
+        seq = F.aggregate(
+            pre,
+            F.lit(""),
+            lambda acc, x: F.concat(acc, _bpe_seq_expr(x)),
+        )
+        toks = _bpe_syms(apply_merges(seq))
+        return docs.select(
+            F.col(id_col),
+            toks.alias("tokens"),
+            F.size(toks).alias("n_tokens"),
+        )
+    # vocab: R replaces run once per distinct pre-token, then a
+    # broadcast map rebuilds each document's stream in position order
+    vocab = (
+        docs.select(F.explode(pre).alias("_tok"))
+        .distinct()
+        .select(
+            "_tok", _bpe_syms(apply_merges(_bpe_seq_expr(F.col("_tok")))).alias("_sub")
+        )
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode_outer(pre).alias("_pos", "_tok")
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_pos, _sub))), "
+                    "x -> coalesce(x._sub, array()))"
+                )
+            ).alias("tokens")
+        )
+        .select(
+            id_col, "tokens", F.size("tokens").alias("n_tokens")
+        )
+    )

@@ -2940,3 +2940,130 @@ def test_semantic_contamination_ivf_method(spark):
             embs, embs.filter("vec_id < 3"), 0.9, method="ivf",
             n_cells=8, nprobe=1, max_bench_rows=None,
         )
+
+
+# bpe_fit / bpe_encode
+
+
+def _ref_bpe_fit(texts, n_merges):
+    """Pure-Python reference BPE (Sennrich et al. 2016): fit on word
+    counts, argmax by (count DESC, left ASC, right ASC)."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for tok in re.findall(r"\w+|[^\w\s]", t or ""):
+            words[tuple(tok)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, cnt in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        new = Counter()
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += cnt
+        words = new
+    return merges
+
+
+def _ref_bpe_encode(text, merges):
+    import re
+
+    toks = []
+    for tok in re.findall(r"\w+|[^\w\s]", text or ""):
+        syms = list(tok)
+        for _, l, r, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_fit_matches_reference_implementation(spark):
+    """The distributed merge loop (pair counts over the sep-encoded
+    word table, literal-replace application) reproduces a classical
+    in-memory BPE fit exactly — merges, ranks, and pair counts — on a
+    corpus engineered to exercise ties, overlapping merges (aaaa), and
+    merged-symbol-joins-next-round chains."""
+    from flink_etl_spark.operators import text
+
+    texts = [
+        "low lower lowest low low",
+        "aaaa aaa banana bandana",
+        "the the the them theme",
+        "ab ab abc abcd, abcd!",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in text.bpe_fit(docs, 12).orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe_fit(texts, 12)
+
+
+def test_bpe_encode_matches_reference_and_methods_agree(spark):
+    """Both encode plans (inline literal-replace chain; vocab-join)
+    reproduce the reference greedy rank-order application, including
+    docs that are empty, whitespace-only, or contain the separator
+    char itself."""
+    from flink_etl_spark.operators import text
+
+    fit_texts = ["low lower lowest", "ab ab abc abcd", "aaaa aaa"]
+    fit_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fit_texts)], ["doc_id", "text"]
+    )
+    merges_df = text.bpe_fit(fit_docs, 8)
+    merges = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    enc_texts = [
+        "lowest ability", "", "   ", "abcd abab \x1f low",
+        "unseen words only",
+    ]
+    enc = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(enc_texts)], ["doc_id", "text"]
+    )
+    for method in ("inline", "vocab"):
+        got = {
+            r["doc_id"]: list(r["tokens"])
+            for r in text.bpe_encode(enc, merges_df, method=method).collect()
+        }
+        for i, t in enumerate(enc_texts):
+            expect = _ref_bpe_encode(t.replace("\x1f", " "), merges)
+            assert got[i] == expect, (method, i, got[i], expect)
+
+
+def test_bpe_fit_guards_and_early_stop(spark):
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_merges"):
+        text.bpe_fit(docs, 0)
+    # single-char words have no pairs: the loop stops with an empty
+    # merge table instead of spinning max rounds
+    assert text.bpe_fit(docs, 5).count() == 0
+    with pytest.raises(ValueError, match="method"):
+        text.bpe_encode(docs, [], method="rdd")

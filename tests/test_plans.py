@@ -570,3 +570,64 @@ def test_nb_multi_scoring_is_zero_shuffle(spark):
         keys = frag.split(")")[0]
         assert "text" not in keys, keys
         assert "doc_id" not in keys, keys
+
+
+def test_bpe_encode_inline_is_zero_shuffle(spark):
+    """bpe_encode(method='inline') is the corpus-sized half of the BPE
+    pair: the merge table compiles into literal replaces, so the plan
+    must be a pure projection — ZERO exchanges of any kind, no join,
+    no Generate. This is the shape that lets a 100 TB tokenization run
+    map-side only."""
+    from flink_etl_spark.operators.text import bpe_encode, bpe_fit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = bpe_fit(docs.limit(200), 4, vocab_partitions=1)
+    plan = _executed(bpe_encode(docs, merges, method="inline"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
+
+
+def test_bpe_fit_round_exchanges_pairs_not_words(spark):
+    """One BPE fit round (the exact expressions `bpe_fit` loops over):
+    the only hash exchange aggregates (left, right) symbol-pair keys —
+    the sep-encoded word strings never leave their partition, so a
+    round's shuffle volume is bounded by the DISTINCT PAIR count, not
+    the vocabulary. The vocab method's reassembly join must broadcast
+    the vocab side."""
+    from flink_etl_spark.operators.text import (
+        _bpe_syms,
+        bpe_encode,
+        bpe_fit,
+        bpe_word_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = bpe_word_counts(docs, "text")
+    pair_counts = (
+        words.select(_bpe_syms(F.col("seq")).alias("_s"), "cnt")
+        .filter(F.size("_s") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(_s) - 1), "
+                "i -> struct(element_at(_s, i) AS l, "
+                "element_at(_s, i + 1) AS r)))"
+            ).alias("_p"),
+            "cnt",
+        )
+        .select("_p.l", "_p.r", "cnt")
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    plan = _executed(pair_counts)
+    frags = plan.split("Exchange hashpartitioning(")[1:]
+    assert frags, "expected the pair aggregate's exchange"
+    for frag in frags:
+        keys = frag.split(")")[0]
+        assert "seq" not in keys and "text" not in keys, keys
+        assert ("l#" in keys and "r#" in keys) or "_tok" in keys, keys
+
+    merges = bpe_fit(docs.limit(200), 4, vocab_partitions=1)
+    vplan = _executed(bpe_encode(docs, merges, method="vocab"))
+    assert "BroadcastHashJoin" in vplan
+    assert "SortMergeJoin" not in vplan
