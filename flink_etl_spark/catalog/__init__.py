@@ -21,6 +21,12 @@ Determinism rules (so order-insensitive value-hash comparison works):
   or the exact_decimal helpers
 * every window/rank has a total ordering (explicit tie-breakers)
 * column names aliased identically in Spark and SQL
+* a NULLABLE integer column must stay within 2^53: union-variant pads
+  make a BIGINT column nullable, nullable int64 becomes float64 in
+  pandas, and the engines' int64->float64 conversions disagree beyond
+  2^53 (Spark/Arrow rounds to nearest, DuckDB's .df() truncates —
+  observed as a 4-ulp phash mismatch). Full-width hashes travel as
+  decimal VARCHAR in gates (`media_decode_features` ahash/dhash)
 """
 
 from __future__ import annotations

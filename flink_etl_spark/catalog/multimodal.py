@@ -9,9 +9,124 @@ from flink_etl_spark.catalog import _t, query
 from flink_etl_spark.operators import multimodal as M
 
 
+#: perceptual-hash gate knobs: planted near-dup payloads (one-byte
+#: substitution at char 18 of the doc_id % 17 = 3 slice, planted id =
+#: doc_id + 1000000 — the synthetic corpus has no organic pairs within
+#: Hamming 8, measured) and the pair budget
+_PHASH_SLICE = "doc_id % 17 = 3"
+_PHASH_PLANT_OFFSET = 1_000_000
+_PHASH_MAX_HAMMING = 8
+_PHASH_DERIVE = (
+    "concat(substr(coalesce(text, ''), 1, 17), 'Q', "
+    "substr(coalesce(text, ''), 19))"
+)
+
+#: ahash/dhash travel as DECIMAL STRINGS in the gate: the union pads
+#: make them nullable, a nullable int64 becomes float64 in pandas, and
+#: the engines' int64->float64 conversions disagree beyond 2^53 (Spark
+#: via Arrow rounds to nearest, DuckDB's .df() truncates — observed a
+#: 4-ulp mismatch on a real corpus hash). Exact decimal text sidesteps
+#: the float path entirely.
+_MEDIA_PAD_NEW = """
+           CAST(NULL AS VARCHAR) AS ahash,
+           CAST(NULL AS VARCHAR) AS dhash,
+           CAST(NULL AS BIGINT) AS pair_b,
+           CAST(NULL AS BIGINT) AS hamming
+"""
+
+_MEDIA_PAD_DECODE = """
+           CAST(NULL AS VARCHAR) AS mime,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS head_hex,
+           CAST(NULL AS VARCHAR) AS tail_hex,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS f_len,
+           CAST(NULL AS DOUBLE) AS f_mean,
+           CAST(NULL AS DOUBLE) AS f_var,
+           CAST(NULL AS BIGINT) AS f_max,
+           CAST(NULL AS BIGINT) AS f_min,
+           CAST(NULL AS BIGINT) AS f_first,
+           CAST(NULL AS BIGINT) AS f_last,
+           CAST(NULL AS BIGINT) AS f_mod
+"""
+
+
+def _phash_oracle_ctes() -> str:
+    """DuckDB twin of `media_perceptual_hashes` over the planted
+    universe: 64 equal byte spans per payload (ASCII text, so
+    ord(char) == byte exactly as the decode arm already relies on),
+    integer cross-multiplied mean comparisons, sign-safe 64-bit
+    packing (the two-step subtraction — DuckDB BIGINT arithmetic
+    errors on overflow, so bit 63 cannot be shifted in directly)."""
+    return f"""
+    pm AS (
+        SELECT doc_id AS media_id, coalesce(text, '') AS txt
+        FROM documents
+        UNION ALL
+        SELECT doc_id + {_PHASH_PLANT_OFFSET}, {_PHASH_DERIVE}
+        FROM documents WHERE {_PHASH_SLICE}
+    ),
+    pn AS (SELECT media_id, txt, length(txt) AS n FROM pm),
+    pb AS (
+        SELECT media_id, n, i,
+               CAST(ord(substr(txt, CAST(i AS INT), 1)) AS BIGINT) AS v
+        FROM pn, UNNEST(range(1, n + 1)) AS u(i)
+    ),
+    pspan AS (
+        -- byte (i-1, 0-based) belongs to span j = ((i-1)*64 + 63) // n,
+        -- the CONJUGATE of the operator's span ranges
+        -- [j*n//64, (j+1)*n//64): the naive (i-1)*64 // n partitions
+        -- differently whenever 64 does not divide n (property-checked
+        -- for all n in tests)
+        SELECT media_id, ((i - 1) * 64 + 63) // n AS j,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM pb GROUP BY 1, 2
+    ),
+    ptot AS (
+        SELECT media_id, CAST(coalesce(SUM(v), 0) AS BIGINT) AS t
+        FROM pn LEFT JOIN pb USING (media_id) GROUP BY media_id
+    ),
+    pgrid AS (
+        -- the lateral unnest is materialized in a subquery first:
+        -- DuckDB rejects a LEFT JOIN whose condition correlates with
+        -- an unnest in the same FROM list
+        SELECT gg.media_id, gg.n, gg.j,
+               coalesce(pspan.s, 0) AS s,
+               ((gg.j + 1) * gg.n) // 64 - (gg.j * gg.n) // 64 AS c
+        FROM (SELECT media_id, n, j
+              FROM pn, UNNEST(range(0, 64)) AS g(j)) gg
+        LEFT JOIN pspan
+          ON pspan.media_id = gg.media_id AND pspan.j = gg.j
+    ),
+    pbits AS (
+        SELECT pgrid.media_id, j, s, c, n, t,
+               (s * n > t * c) AS abit,
+               (s * lead(c) OVER w > lead(s) OVER w * c) AS dbit
+        FROM pgrid JOIN ptot ON ptot.media_id = pgrid.media_id
+        WINDOW w AS (PARTITION BY pgrid.media_id ORDER BY j)
+    ),
+    ph AS (
+        SELECT media_id,
+               CASE WHEN bool_or(abit AND j = 63)
+                    THEN (SUM(CASE WHEN abit AND j < 63
+                              THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                              ELSE 0 END) - 9223372036854775807) - 1
+                    ELSE SUM(CASE WHEN abit AND j < 63
+                             THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                             ELSE 0 END)
+               END AS ahash,
+               SUM(CASE WHEN coalesce(dbit, FALSE) AND j < 63
+                   THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                   ELSE 0 END) AS dhash
+        FROM pbits GROUP BY media_id
+    )
+    """
+
+
 @query(
     "media_decode_features",
-    """
+    f"""
     WITH m AS (
         -- coalesce: the decoder treats a NULL payload as empty, and an
         -- empty/NULL doc must still emit its zero-feature row (the b
@@ -40,8 +155,10 @@ from flink_etl_spark.operators import multimodal as M
                max(CASE WHEN i = 1 THEN v END) AS vfirst,
                max(CASE WHEN i = n THEN v END) AS vlast
         FROM b GROUP BY media_id
-    )
-    SELECT m.media_id,
+    ),
+    {_phash_oracle_ctes().strip().lstrip()}
+    SELECT 'decode' AS variant,
+           m.media_id,
            'text/plain' AS mime,
            m.n AS n_bytes,
            meta.head_hex AS head_hex,
@@ -55,29 +172,83 @@ from flink_etl_spark.operators import multimodal as M
            coalesce(a.vmin, 0) AS f_min,
            coalesce(a.vfirst, 0) AS f_first,
            coalesce(a.vlast, 0) AS f_last,
-           coalesce(a.total, 0) % 997 AS f_mod
+           coalesce(a.total, 0) % 997 AS f_mod,
+           {_MEDIA_PAD_NEW}
     FROM m
     LEFT JOIN a ON a.media_id = m.media_id
     JOIN meta ON meta.media_id = m.media_id
+    UNION ALL
+    SELECT 'phash' AS variant,
+           media_id,
+           {_MEDIA_PAD_DECODE},
+           CAST(ahash AS VARCHAR) AS ahash, CAST(dhash AS VARCHAR) AS dhash,
+           CAST(NULL AS BIGINT) AS pair_b,
+           CAST(NULL AS BIGINT) AS hamming
+    FROM ph
+    UNION ALL
+    SELECT 'phash_pairs' AS variant,
+           x.media_id,
+           {_MEDIA_PAD_DECODE},
+           CAST(NULL AS VARCHAR) AS ahash,
+           CAST(NULL AS VARCHAR) AS dhash,
+           y.media_id AS pair_b,
+           bit_count(xor(x.ahash, y.ahash)) AS hamming
+    FROM ph x, ph y
+    WHERE x.media_id < y.media_id
+      AND bit_count(xor(x.ahash, y.ahash)) <= {_PHASH_MAX_HAMMING}
     """,
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode with the deterministic fake codec
-    (real codecs absent from this container — SURVEY.md §2.12). The fake
-    decode is pure byte math over an ASCII payload, so the oracle
-    replicates it with ord()/unnest byte aggregation; the 8-dim feature
-    array is SCALARIZED to f_* columns so the driver's canonicalizer
-    never sees a list column (r1 gate was red on exactly that).
+    """Multimodal decode + perceptual-hash dedup, union-tagged:
 
-    head_hex/tail_hex come from the JVM-only binary TRIAGE operator
-    (`media_metadata` — byte sizes + hex fingerprint slices, the cheap
-    pass that runs before any decode; former standalone gate
-    `media_metadata`, folded here via a media_id join)."""
+    * variant 'decode' — Arrow-batched mapInPandas decode with the
+      deterministic fake codec (real codecs absent from this container
+      — SURVEY.md §2.12). The fake decode is pure byte math over an
+      ASCII payload, so the oracle replicates it with ord()/unnest
+      byte aggregation; the 8-dim feature array is SCALARIZED to f_*
+      columns so the driver's canonicalizer never sees a list column
+      (r1 gate was red on exactly that). head_hex/tail_hex come from
+      the JVM-only binary TRIAGE operator (`media_metadata`).
+    * variant 'phash' (r12) — aHash/dHash perceptual hashes
+      (operators/multimodal.media_perceptual_hashes: 64 byte spans,
+      integer cross-multiplied mean bits, sign-safe packing) over the
+      corpus PLUS planted one-byte-substituted near-dup payloads
+      (`_PHASH_DERIVE` — the synthetic corpus has no organic pairs
+      within Hamming {_PHASH_MAX_HAMMING}, measured); every 64-bit
+      value gated.
+    * variant 'phash_pairs' (r12) — the banded Hamming near-dup join
+      (media_phash_near_dups -> dedup.hamming_banded_pairs) over the
+      same planted universe vs DuckDB's brute-force XOR-popcount —
+      pinning that the pigeonhole candidate generation is EXACT.
+    """
     docs = _t(spark, sf_dir, "documents")
     media = M.make_media_table(docs)
     meta = M.media_metadata(media).select("media_id", "head_hex", "tail_hex")
     dec = M.decode_media(media, fake=True)
-    return dec.join(meta, "media_id").select(
+    new_pad = [
+        F.lit(None).cast("string").alias("ahash"),
+        F.lit(None).cast("string").alias("dhash"),
+        F.lit(None).cast("long").alias("pair_b"),
+        F.lit(None).cast("long").alias("hamming"),
+    ]
+    decode_pad = [
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("head_hex"),
+        F.lit(None).cast("string").alias("tail_hex"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("f_len"),
+        F.lit(None).cast("double").alias("f_mean"),
+        F.lit(None).cast("double").alias("f_var"),
+        F.lit(None).cast("long").alias("f_max"),
+        F.lit(None).cast("long").alias("f_min"),
+        F.lit(None).cast("long").alias("f_first"),
+        F.lit(None).cast("long").alias("f_last"),
+        F.lit(None).cast("long").alias("f_mod"),
+    ]
+    decode_arm = dec.join(meta, "media_id").select(
+        F.lit("decode").alias("variant"),
         "media_id",
         "mime",
         "n_bytes",
@@ -93,7 +264,34 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[5].cast("long").alias("f_first"),
         F.col("features")[6].cast("long").alias("f_last"),
         F.col("features")[7].cast("long").alias("f_mod"),
+        *new_pad,
     )
+    planted = docs.filter(_PHASH_SLICE).select(
+        (F.col("doc_id") + F.lit(_PHASH_PLANT_OFFSET)).alias("media_id"),
+        F.encode(F.expr(_PHASH_DERIVE), "utf-8").alias("payload"),
+    )
+    universe = media.select("media_id", "payload").unionByName(planted)
+    phash_arm = M.media_perceptual_hashes(universe).select(
+        F.lit("phash").alias("variant"),
+        "media_id",
+        *decode_pad,
+        F.col("ahash").cast("string").alias("ahash"),
+        F.col("dhash").cast("string").alias("dhash"),
+        F.lit(None).cast("long").alias("pair_b"),
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    pairs_arm = M.media_phash_near_dups(
+        universe, max_hamming=_PHASH_MAX_HAMMING
+    ).select(
+        F.lit("phash_pairs").alias("variant"),
+        F.col("id_a").alias("media_id"),
+        *decode_pad,
+        F.lit(None).cast("string").alias("ahash"),
+        F.lit(None).cast("string").alias("dhash"),
+        F.col("id_b").cast("long").alias("pair_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+    return decode_arm.unionByName(phash_arm).unionByName(pairs_arm)
 
 
 @query(

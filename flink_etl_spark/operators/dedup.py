@@ -1790,11 +1790,44 @@ def simhash_near_dups(
     from flink_etl_spark.operators.knobs import resolve_knob, simhash_auto_bits
 
     bits = resolve_knob(bits, simhash_auto_bits, docs, n_docs, max_hamming)
+    sigs = simhash_signatures(docs, bits, id_col, text_col, hash_fn=hash_fn)
+    return hamming_banded_pairs(
+        sigs, bits, max_hamming, id_col=id_col, sig_col="simhash",
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT Hamming-distance pair join over any (id, signature)
+    frame — the pigeonhole band machinery `simhash_near_dups` is built
+    on, factored out so every bit-signature family (SimHash, the media
+    perceptual hashes) shares one candidate generator: split the
+    signature into (max_hamming + 1) chunks, self-join on chunk
+    equality (lossless — a pair within the distance budget must agree
+    on at least one whole chunk), verify with bit_count(XOR). Output
+    (doc_a, doc_b, hamming). Supports the full signed 64-bit width
+    (`bits=64`) a 64-block perceptual hash occupies: the masked
+    shiftright chunks are sign-safe as long as every chunk is narrower
+    than the word, which max_hamming >= 1 guarantees. `max_bucket` is
+    the skew cap documented on `simhash_near_dups`."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     chunks = max_hamming + 1
     if bits // chunks == 0:
         raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")
     cb = bits // chunks
-    sigs = simhash_signatures(docs, bits, id_col, text_col, hash_fn=hash_fn)
+    if bits == 64 and chunks == 1:
+        raise ValueError(
+            "bits=64 with max_hamming=0 is an exact-equality join on the "
+            "full signature — group by the signature instead"
+        )
     chunk_structs = []
     for j in range(chunks):
         lo = j * cb
@@ -1803,15 +1836,15 @@ def simhash_near_dups(
             F.struct(
                 F.lit(j).alias("chunk_id"),
                 (
-                    F.shiftright(F.col("simhash"), lo)
+                    F.shiftright(F.col(sig_col), lo)
                     .bitwiseAND(F.lit((1 << width) - 1))
                 ).alias("chunk_val"),
             )
         )
     banded = sigs.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("c")
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*chunk_structs)).alias("c")
     ).select(
-        id_col, "simhash", F.col("c.chunk_id").alias("chunk_id"),
+        id_col, sig_col, F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.chunk_val").alias("chunk_val"),
     )
     if max_bucket is not None:
@@ -1837,7 +1870,7 @@ def simhash_near_dups(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
             ).alias("hamming"),
         )
         .distinct()

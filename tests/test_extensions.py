@@ -3067,3 +3067,115 @@ def test_bpe_fit_guards_and_early_stop(spark):
     assert text.bpe_fit(docs, 5).count() == 0
     with pytest.raises(ValueError, match="method"):
         text.bpe_encode(docs, [], method="rdd")
+
+
+# media perceptual hashes
+
+
+def _ref_phashes(payload: bytes) -> tuple[int, int]:
+    """Pure-Python reference aHash/dHash: 64 equal spans, integer
+    cross-multiplied mean comparisons, signed-64 packing."""
+    n = len(payload)
+    B = 64
+    spans = [
+        (
+            sum(payload[(j * n) // B:((j + 1) * n) // B]),
+            ((j + 1) * n) // B - (j * n) // B,
+        )
+        for j in range(B)
+    ]
+    total = sum(payload)
+    a = 0
+    for j, (s, c) in enumerate(spans):
+        if s * n > total * c:
+            a |= 1 << j
+    if a >= 1 << 63:
+        a -= 1 << 64
+    d = 0
+    for j in range(B - 1):
+        if spans[j][0] * spans[j + 1][1] > spans[j + 1][0] * spans[j][1]:
+            d |= 1 << j
+    return a, d
+
+
+def test_media_perceptual_hashes_match_reference(spark):
+    """ahash/dhash equal the reference on payloads exercising the edge
+    shapes: shorter than 64 bytes (empty spans), exactly 64, longer,
+    empty, NULL, constant bytes (all-false bits), and a high-byte
+    payload that sets the ahash sign bit."""
+    payloads = [
+        b"",
+        None,
+        b"abc",
+        bytes(range(64)),
+        b"the quick brown fox jumps over the lazy dog " * 7,
+        b"\x00" * 100,
+        b"\x01" * 63 + b"\xff" * 64,  # hot tail -> sign bit set
+    ]
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: (r.ahash, r.dhash)
+        for r in multimodal.media_perceptual_hashes(media).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _ref_phashes(p or b""), (i, got[i])
+    # the sign-bit case actually went negative (packing is sign-safe)
+    assert got[6][0] < 0
+
+
+def test_media_phash_near_dups_exact_vs_bruteforce(spark):
+    """The banded Hamming join over ahash is EXACT: pairs equal the
+    brute-force XOR-popcount filter, near-dup payloads (single-byte
+    substitution) land within the budget, and unrelated payloads do
+    not pair."""
+    import itertools
+
+    base = [
+        b"the quick brown fox jumps over the lazy dog " * 5,
+        b"pack my box with five dozen liquor jugs!!!! " * 5,
+        bytes(range(200)),
+    ]
+    rows = [(i, p) for i, p in enumerate(base)]
+    # single-byte substitutions of each base payload
+    for i, p in enumerate(base):
+        rows.append((100 + i, p[:17] + b"Q" + p[18:]))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.media_phash_near_dups(
+            media, max_hamming=8
+        ).collect()
+    }
+    hs = {
+        r.media_id: r.ahash
+        for r in multimodal.media_perceptual_hashes(media).collect()
+    }
+    expect = set()
+    for a, b in itertools.combinations(sorted(hs), 2):
+        h = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 8:
+            expect.add((a, b, h))
+    assert got == expect
+    # every planted substitution pairs with its original
+    assert all(any(p == (i, 100 + i, h) for (p0, p1, h) in got
+                   for p in [(p0, p1)]) or (i, 100 + i) in
+               {(x, y) for x, y, _ in got} for i in range(len(base)))
+    with pytest.raises(ValueError, match="hash_col"):
+        multimodal.media_phash_near_dups(media, hash_col="phash")
+
+
+def test_phash_conjugate_block_formula():
+    """The oracle assigns byte b (0-based) to span ((b*64 + 63) // n) —
+    pure arithmetic twin of the operator's span ranges
+    [j*n//64, (j+1)*n//64). Property-check the conjugacy for every
+    n up to 4x the span count and a few big primes."""
+    for n in list(range(1, 257)) + [997, 4093, 65537]:
+        spans = {}
+        for j in range(64):
+            for b in range((j * n) // 64, ((j + 1) * n) // 64):
+                spans[b] = j
+        for b in range(n):
+            assert spans[b] == (b * 64 + 63) // n, (n, b)
