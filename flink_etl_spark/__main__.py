@@ -342,6 +342,7 @@ def cmd_text_drift(args: argparse.Namespace) -> int:
     out = staged_fit_drift_check(
         spark.read.parquet(args.path), args.fit,
         text_col=args.text_col, warn_above=args.warn_above,
+        bigram_warn_above=args.bigram_warn_above,
     )
     print(json.dumps(out))
     # mirror ann-drift's scheduler contract: 2 = re-stage the fit,
@@ -577,6 +578,13 @@ def build_parser() -> argparse.ArgumentParser:
     tdr.add_argument("--fit", required=True, help="staged fit dir")
     tdr.add_argument("--text-col", default="text")
     tdr.add_argument("--warn-above", type=float, default=0.2)
+    tdr.add_argument(
+        "--bigram-warn-above", type=float, default=0.5,
+        help="threshold for the exact-bigram novelty companion signal "
+             "(fires on word-order/phrasal drift the bucket TV is "
+             "blind to; skipped for pre-r12 fits without the bigrams "
+             "sidecar table)",
+    )
     tdr.set_defaults(fn=cmd_text_drift)
 
     ans = sub.add_parser(

@@ -1030,6 +1030,20 @@ def _dsir_score(
 _DSIR_META_VERSION = 1
 
 
+def _bigram_hash_frame(d: DataFrame, text_col: str) -> DataFrame:
+    """(_h): xxhash64 of each bigram-shingle OCCURRENCE of a corpus —
+    the exact-identity side channel the bucket histograms cannot
+    carry: when distinct features far exceed the bucket count, a
+    hashed-bucket histogram converges to uniform and stops seeing
+    WHICH features arrive (the measured order-drift blind spot), while
+    an anti-join on exact 8-byte bigram hashes still does. Staged
+    projection per the interpreted-HOF rule."""
+    toks = d.select(tokens_expr(text_col).alias("_toks"))
+    return toks.select(
+        F.explode(shingles_expr(F.col("_toks"), 2)).alias("_s")
+    ).select(F.xxhash64("_s").alias("_h"))
+
+
 def dsir_stage_fit(
     target_docs: DataFrame,
     raw_docs: DataFrame,
@@ -1069,12 +1083,19 @@ def dsir_stage_fit(
         raw_docs, target_docs, text_col, bsql, n_buckets
     )
     per_bucket.write.mode("overwrite").parquet(f"{fit_path}/counts")
+    # distinct bigram hashes of the raw corpus (vocabulary-sized by
+    # Heaps' law): the drift monitor's order-sensitive companion
+    # signal — see staged_fit_drift_check's bigram_novel_frac
+    _bigram_hash_frame(raw_docs, text_col).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{fit_path}/bigrams")
     _write_json_sidecar(
         raw_docs.sparkSession, f"{fit_path}/_DSIR_META.json",
         {
             "version": _DSIR_META_VERSION,
             "n_buckets": n_buckets,
             "hash_terms": hash_terms,
+            "bigrams": True,
         },
     )
 
@@ -1538,6 +1559,9 @@ def nb_stage_fit(
         text_col, bsql, n_buckets,
     )
     per_bucket.write.mode("overwrite").parquet(f"{fit_path}/counts")
+    _bigram_hash_frame(labeled_docs, text_col).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{fit_path}/bigrams")
     _write_json_sidecar(
         labeled_docs.sparkSession, f"{fit_path}/_NB_META.json",
         {
@@ -1546,6 +1570,7 @@ def nb_stage_fit(
             "hash_terms": hash_terms,
             "d_pos": d_pos,
             "d_neg": d_neg,
+            "bigrams": True,
         },
     )
 
@@ -1593,6 +1618,7 @@ def staged_fit_drift_check(
     fit_path: str,
     text_col: str = "text",
     warn_above: float = 0.2,
+    bigram_warn_above: float = 0.5,
 ) -> dict:
     """TEXT-distribution drift monitor over a staged fit — the text
     family's counterpart of the ANN `ann_drift_check`/`pq_drift_check`
@@ -1621,10 +1647,24 @@ def staged_fit_drift_check(
     the noise floor) flags a ~25%-shifted batch while never alarming
     on held-out data. KNOWN BLIND SPOT, measured: order-only
     perturbations (reversed token order: tv 0.027) barely move a
-    bag-of-features distribution — pair this check with
-    `bigram_lm_scores`' novel-bigram fraction when word ORDER drift
-    matters. Warns and sets `drift_detected` above the threshold;
-    `refit_recommended` mirrors the ANN monitors' dict contract."""
+    bag-of-features distribution, and hashed-bucket histograms
+    converge to uniform once distinct features far exceed B, so they
+    stop seeing WHICH features arrive at all. The r12 companion
+    signal closes this: fits staged with the `bigrams` sidecar table
+    also report ``bigram_novel_frac`` — the occurrence-weighted
+    fraction of the batch's bigrams whose EXACT hash the fit never
+    saw (one anti-join on 8-byte keys against the vocabulary-sized
+    fit table; `bigram_warn_above` is its own threshold, and a batch
+    with no bigrams reads 0.0 — absence of evidence is not drift).
+    Order-only drift flips bigram identities wholesale, so it fires
+    this signal even where tv is blind — CAVEAT: only on corpora with
+    real word-order structure; this repo's synthetic word-salad
+    testdata SATURATES its tiny bigram space (912 of 961 possible at
+    sf0.01), so both signals read it as order-free, which it is.
+    Pre-r12 fits (no `bigrams` in the sidecar) report None and skip
+    the signal. Warns and sets `drift_detected` above either
+    threshold; `refit_recommended` mirrors the ANN monitors' dict
+    contract."""
     from flink_etl_spark.operators.similarity import _read_json_sidecar
 
     spark = batch.sparkSession
@@ -1707,23 +1747,58 @@ def staged_fit_drift_check(
         )
     tv = 0.5 * row["_l1"]
     novel_frac = row["_novel"] / row["_nb"]
+    bigram_novel_frac = None
+    if meta.get("bigrams"):
+        fitb = spark.read.parquet(f"{fit_path}/bigrams").withColumn(
+            "_seen", F.lit(1)
+        )
+        brow = (
+            _bigram_hash_frame(batch, text_col)
+            .join(fitb, "_h", "left")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(
+                    F.when(F.col("_seen").isNull(), 1).otherwise(0)
+                ).alias("_nov"),
+            )
+            .collect()[0]
+        )
+        bigram_novel_frac = (
+            brow["_nov"] / brow["_n"] if brow["_n"] else 0.0
+        )
+    bigram_drift = (
+        bigram_novel_frac is not None
+        and bigram_novel_frac > bigram_warn_above
+    )
+    drift = tv > warn_above or bigram_drift
     out = {
         "kind": "dsir" if kind == "_DSIR_META.json" else "nb",
         "tv": tv,
         "novel_frac": novel_frac,
+        "bigram_novel_frac": bigram_novel_frac,
         "warn_above": warn_above,
+        "bigram_warn_above": bigram_warn_above,
         "batch_instances": int(row["_nb"]),
-        "drift_detected": tv > warn_above,
-        "refit_recommended": tv > warn_above,
+        "drift_detected": drift,
+        "refit_recommended": drift,
     }
     if out["drift_detected"]:
         import warnings
 
+        detail = (
+            f"batch total-variation distance {tv:.3f} "
+            f"(warn_above={warn_above}, novel mass {novel_frac:.3f})"
+        )
+        if bigram_drift:
+            detail += (
+                f"; novel-bigram fraction {bigram_novel_frac:.3f} exceeds "
+                f"bigram_warn_above={bigram_warn_above} (word-order or "
+                "phrasal drift)"
+            )
         warnings.warn(
-            f"staged fit at {fit_path}: batch total-variation distance "
-            f"{tv:.3f} exceeds warn_above={warn_above} (novel mass "
-            f"{novel_frac:.3f}) — the fit no longer matches the live "
-            "corpus; re-stage it (dsir_stage_fit / nb_stage_fit)",
+            f"staged fit at {fit_path}: {detail} — the fit no longer "
+            "matches the live corpus; re-stage it (dsir_stage_fit / "
+            "nb_stage_fit)",
             UserWarning,
             stacklevel=2,
         )

@@ -1937,3 +1937,72 @@ def test_nb_multi_label_fetch_is_bounded(spark):
         nb_classifier_scores_multi(
             big.limit(5), big, label_col="lang", max_classes=16
         )
+
+
+def test_staged_fit_drift_bigram_novelty_catches_order_drift(spark, tmp_path):
+    """The exact-bigram novelty companion signal fires on word-ORDER
+    drift the bucket TV is blind to — calibrated on a corpus with real
+    order structure (each bigram occurs in ONE direction: cyclic
+    w_i w_{i+1} chains): a held-out same-structure batch reads ~0
+    novelty and stays healthy; a token-order-REVERSED batch flips
+    every bigram identity, fires bigram drift while tv stays under its
+    threshold, and recommends a re-stage. A pre-r12 fit (no bigrams
+    sidecar) reports None and never fires the signal."""
+    import json
+    import warnings
+
+    from flink_etl_spark.operators.prep import (
+        nb_stage_fit,
+        staged_fit_drift_check,
+    )
+
+    # 2000 distinct direction-unique bigrams >> 512 buckets: the
+    # washout regime where the bucket histogram converges to uniform
+    # and tv goes blind to feature identity (start stride 7 < run
+    # length 29 covers every cycle bigram, so held-out novelty is 0)
+    words = [f"w{i:04d}" for i in range(2000)]
+
+    def doc(start: int, n: int) -> str:
+        return " ".join(words[(start + k) % 2000] for k in range(n))
+
+    rows = [(i, doc((i * 7) % 2000, 30), i % 2 == 0) for i in range(300)]
+    labeled = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    held = spark.createDataFrame(
+        [(1000 + i, doc((i * 13) % 2000, 25)) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    fit = str(tmp_path / "fit")
+    # 64 buckets: deep in the washout regime (2000 >> 64) AND a low
+    # tv sampling-noise floor (~sqrt(B/N)) for the held-out batch
+    nb_stage_fit(labeled, fit, n_buckets=64)
+
+    ok = staged_fit_drift_check(held, fit)
+    assert ok["bigram_novel_frac"] == 0.0 and not ok["drift_detected"]
+
+    reversed_batch = held.withColumn(
+        "text", F.expr("array_join(reverse(split(text, ' ')), ' ')")
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bad = staged_fit_drift_check(reversed_batch, fit)
+        assert any("word-order" in str(x.message) for x in w)
+    # every reversed bigram is unseen; the bucket tv stays blind in
+    # the washout regime (unigram mass unchanged, hashed bigrams
+    # near-uniform in either direction)
+    assert bad["bigram_novel_frac"] > 0.95
+    assert bad["tv"] <= bad["warn_above"], bad["tv"]
+    assert bad["drift_detected"] and bad["refit_recommended"]
+
+    # a zero-bigram batch (single-token docs) is not drift
+    single = spark.createDataFrame([(1, "w0000")], ["doc_id", "text"])
+    assert staged_fit_drift_check(single, fit)["bigram_novel_frac"] == 0.0
+
+    # pre-r12 fit compat: strip the bigrams flag from the sidecar
+    meta_file = tmp_path / "fit" / "_NB_META.json"
+    m = json.loads(meta_file.read_text())
+    del m["bigrams"]
+    meta_file.write_text(json.dumps(m))
+    (tmp_path / "fit" / "._NB_META.json.crc").unlink(missing_ok=True)
+    legacy = staged_fit_drift_check(reversed_batch, fit)
+    assert legacy["bigram_novel_frac"] is None
+    assert not legacy["drift_detected"]
