@@ -295,6 +295,36 @@ def _bench_nb_classifier(spark, sf_dir):
     )
 
 
+def _bench_bpe_fit(spark, sf_dir):
+    """Distributed BPE tokenizer vocabulary training (r12, Sennrich et
+    al. 2016): 16 merge rounds over the corpus's distinct pre-token
+    count table — the corpus is tokenized and aggregated ONCE, then
+    every round exchanges only (symbol-pair, count) rows plus a 1-row
+    argmax driver fetch. The fit loop is eager, so the timed section
+    IS the fit; the returned merge table is vocabulary-sized. Tracked
+    from r12 on (not in comparable_11)."""
+    from flink_etl_spark.operators.text import bpe_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fit(docs, 16)
+
+
+def _bench_phash_pairs(spark, sf_dir):
+    """Perceptual-hash media near-dup pairs (r12): aHash every payload
+    (pure-JVM 64-span byte pooling, zero shuffle) and run the banded
+    Hamming pigeonhole join at max_hamming=8 — the multimodal column's
+    entry into the dedup family. Tracked from r12 on (not in
+    comparable_11)."""
+    from flink_etl_spark.operators.multimodal import (
+        make_media_table,
+        media_phash_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = make_media_table(docs).select("media_id", "payload")
+    return media_phash_near_dups(media, max_hamming=8)
+
+
 #: headline set — one per operator family (CDC, ingest, agg, join,
 #: temporal join, window, near-dup, ANN, text, composite pipeline).
 #: `text_doc_profile` replaces r2's `text_quality_score` (the quality
@@ -327,6 +357,8 @@ HEADLINE = [
     ("dsir_select_bucketed", _bench_dsir_bucketed),
     ("semantic_decontam", _bench_semantic_decontam),
     ("nb_classifier", _bench_nb_classifier),
+    ("bpe_fit", _bench_bpe_fit),
+    ("media_phash_pairs", _bench_phash_pairs),
 ]
 
 #: entries added after r3 — excluded from the r1-r3-comparable total
@@ -345,6 +377,8 @@ NON_COMPARABLE = {
     "dsir_select_bucketed",
     "semantic_decontam",
     "nb_classifier",
+    "bpe_fit",
+    "media_phash_pairs",
 }
 
 
