@@ -333,6 +333,31 @@ def cmd_sem_decontam(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_bpe_fit(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators.text import bpe_stage_fit
+
+    spark = _spark("flink-etl-spark-bpe-fit")
+    bpe_stage_fit(
+        spark.read.parquet(args.docs), args.fit, args.merges,
+        text_col=args.text_col, vocab_partitions=args.vocab_partitions,
+    )
+    print(f"staged BPE fit at {args.fit} ({args.merges} merges)")
+    return 0
+
+
+def cmd_bpe_encode(args: argparse.Namespace) -> int:
+    from flink_etl_spark.operators.text import bpe_encode_staged
+
+    spark = _spark("flink-etl-spark-bpe-encode")
+    out = bpe_encode_staged(
+        spark.read.parquet(args.docs), args.fit,
+        id_col=args.id_col, text_col=args.text_col, method=args.method,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote BPE tokens to {args.out}")
+    return 0
+
+
 def cmd_text_drift(args: argparse.Namespace) -> int:
     import json
 
@@ -566,6 +591,39 @@ def build_parser() -> argparse.ArgumentParser:
     sdc.add_argument("--force", action="store_true",
                      help="downgrade the benchmark-size raise to a warning")
     sdc.set_defaults(fn=cmd_sem_decontam)
+
+    bpf = sub.add_parser(
+        "bpe-fit",
+        help="stage a BPE tokenizer fit once (Sennrich merge-pair "
+             "loop over the corpus's distinct pre-token counts -> "
+             "merge table + meta sidecar) for fit-once/encode-many "
+             "tokenization",
+    )
+    bpf.add_argument("--docs", required=True, help="corpus parquet dir")
+    bpf.add_argument("--fit", required=True, help="fit output dir")
+    bpf.add_argument("--merges", type=int, required=True,
+                     help="merge rounds (vocabulary size - base symbols)")
+    bpf.add_argument("--text-col", default="text")
+    bpf.add_argument("--vocab-partitions", type=int, default=None,
+                     help="repartition the word-count table before the "
+                          "loop (pin 1 for small corpora; leave unset "
+                          "at scale)")
+    bpf.set_defaults(fn=cmd_bpe_fit)
+
+    bpe = sub.add_parser(
+        "bpe-encode",
+        help="tokenize a document shard with a staged BPE fit "
+             "(sidecar-validated merge table; inline zero-shuffle "
+             "plan or the vocab-join plan for large merge tables)",
+    )
+    bpe.add_argument("--docs", required=True, help="shard parquet dir")
+    bpe.add_argument("--fit", required=True, help="staged fit dir")
+    bpe.add_argument("--out", required=True, help="result parquet dir")
+    bpe.add_argument("--method", choices=["inline", "vocab"],
+                     default="inline")
+    bpe.add_argument("--id-col", default="doc_id")
+    bpe.add_argument("--text-col", default="text")
+    bpe.set_defaults(fn=cmd_bpe_encode)
 
     tdr = sub.add_parser(
         "text-drift",

@@ -938,3 +938,92 @@ def bpe_encode(
             id_col, "tokens", F.size("tokens").alias("n_tokens")
         )
     )
+
+
+#: staged BPE tokenizer artifact format version (`_BPE_META.json`)
+_BPE_META_VERSION = 1
+
+
+def bpe_stage_fit(
+    docs: DataFrame,
+    fit_path: str,
+    n_merges: int,
+    text_col: str = "text",
+    vocab_partitions: int | None = None,
+) -> None:
+    """Stage a BPE tokenizer fit once so encode runs reuse it — the
+    `dsir_stage_fit` pattern applied to the tokenizer: a vocabulary is
+    fit on a representative sample and then tokenizes every shard of a
+    100 TB corpus (and the SAME artifact must tokenize eval and
+    serving data byte-identically forever after), so the merge table
+    must outlive the fitting job. Writes `<fit_path>/merges` (the
+    (rank, left, right, pair_count) table — the artifact itself) plus
+    a `_BPE_META.json` sidecar pinning {version, n_merges,
+    pretoken_re, n_fitted} so a reader can refuse a mismatched or
+    truncated artifact. `n_fitted` may be < n_merges when the corpus
+    ran out of pairs (the fit's documented early stop)."""
+    from flink_etl_spark.operators.similarity import _write_json_sidecar
+
+    merges = bpe_fit(
+        docs, n_merges, text_col=text_col, vocab_partitions=vocab_partitions
+    )
+    merges.write.mode("overwrite").parquet(f"{fit_path}/merges")
+    _write_json_sidecar(
+        docs.sparkSession, f"{fit_path}/_BPE_META.json",
+        {
+            "version": _BPE_META_VERSION,
+            "n_merges": n_merges,
+            "pretoken_re": BPE_PRETOKEN_RE,
+            "n_fitted": merges.count(),
+        },
+    )
+
+
+def bpe_encode_staged(
+    docs: DataFrame,
+    fit_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "inline",
+) -> DataFrame:
+    """Tokenize documents with a merge table staged by `bpe_stage_fit`
+    — same output contract as `bpe_encode` (tokens, n_tokens;
+    value-identical by test), with the artifact validated through the
+    sidecar before a single row is read: a missing sidecar, a format
+    bump, a changed pre-tokenizer regex, or a merges table whose row
+    count disagrees with `n_fitted` (a half-written overwrite) all
+    raise instead of silently tokenizing with the wrong vocabulary —
+    the tokenizer is the one artifact where silent drift corrupts
+    EVERY downstream token id."""
+    from flink_etl_spark.operators.similarity import _read_json_sidecar
+
+    spark = docs.sparkSession
+    meta = _read_json_sidecar(spark, f"{fit_path}/_BPE_META.json")
+    if meta is None:
+        raise ValueError(
+            f"no _BPE_META.json at {fit_path} — not a staged BPE fit; "
+            "run bpe_stage_fit first"
+        )
+    if meta.get("version") != _BPE_META_VERSION:
+        raise ValueError(
+            f"staged BPE fit at {fit_path} has format version "
+            f"{meta.get('version')!r}, this reader expects "
+            f"{_BPE_META_VERSION} — re-stage the fit"
+        )
+    if meta.get("pretoken_re") != BPE_PRETOKEN_RE:
+        raise ValueError(
+            f"staged BPE fit at {fit_path} was fitted with pre-tokenizer "
+            f"{meta.get('pretoken_re')!r} but this build uses "
+            f"{BPE_PRETOKEN_RE!r} — token boundaries would differ; "
+            "re-stage the fit"
+        )
+    merges = spark.read.parquet(f"{fit_path}/merges")
+    n = merges.count()
+    if n != int(meta.get("n_fitted", -1)):
+        raise ValueError(
+            f"staged BPE fit at {fit_path} has {n} merges but the sidecar "
+            f"pins n_fitted={meta.get('n_fitted')!r} — half-written or "
+            "tampered artifact; re-stage the fit"
+        )
+    return bpe_encode(docs, merges, id_col=id_col, text_col=text_col,
+                      method=method)

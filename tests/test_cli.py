@@ -496,3 +496,40 @@ def test_cli_sem_decontam_writes_kept_and_report(spark, tmp_path):
     bench_ids = {r.vec_id for r in embs.filter("vec_id % 7 = 0").collect()}
     assert kept | flagged == all_ids and not (kept & flagged)
     assert bench_ids <= flagged  # every verbatim copy dropped
+
+
+def test_cli_bpe_fit_and_encode(spark, tmp_path):
+    """bpe-fit stages the merge table + sidecar; bpe-encode tokenizes a
+    shard against it, matching the library inline path."""
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "ab ab abc abcd", "aaaa aaa"]
+        )],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+    fit = tmp_path / "fit"
+    rc = main([
+        "bpe-fit", "--docs", str(src), "--fit", str(fit),
+        "--merges", "6", "--vocab-partitions", "1",
+    ])
+    assert rc == 0
+    assert (fit / "_BPE_META.json").exists()
+    out = tmp_path / "tokens"
+    rc = main([
+        "bpe-encode", "--docs", str(src), "--fit", str(fit),
+        "--out", str(out), "--method", "vocab",
+    ])
+    assert rc == 0
+    got = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    expect = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+        for r in text.bpe_encode(docs, text.bpe_fit(docs, 6)).collect()
+    )
+    assert got == expect and len(got) == 3

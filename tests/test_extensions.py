@@ -3179,3 +3179,60 @@ def test_phash_conjugate_block_formula():
                 spans[b] = j
         for b in range(n):
             assert spans[b] == (b * 64 + 63) // n, (n, b)
+
+
+def test_bpe_staged_fit_encode_lifecycle(spark, tmp_path):
+    """bpe_stage_fit -> bpe_encode_staged equals the inline fit+encode
+    byte-for-byte; the sidecar refuses a missing fit, a version bump,
+    a pre-tokenizer mismatch, and a merges table whose row count
+    disagrees with n_fitted (half-written artifact)."""
+    import json
+
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "ab ab abc abcd", "aaaa aaa", "newest news"]
+        )],
+        ["doc_id", "text"],
+    )
+    fit = str(tmp_path / "bpe")
+    text.bpe_stage_fit(docs, fit, 6, vocab_partitions=1)
+
+    inline = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in text.bpe_encode(docs, text.bpe_fit(docs, 6)).collect()
+    )
+    for method in ("inline", "vocab"):
+        staged = sorted(
+            (r["doc_id"], tuple(r["tokens"]))
+            for r in text.bpe_encode_staged(
+                docs, fit, method=method
+            ).collect()
+        )
+        assert staged == inline, method
+
+    with pytest.raises(ValueError, match="_BPE_META"):
+        text.bpe_encode_staged(docs, str(tmp_path / "nope"))
+
+    meta_file = tmp_path / "bpe" / "_BPE_META.json"
+    m = json.loads(meta_file.read_text())
+    m["version"] = 99
+    meta_file.write_text(json.dumps(m))
+    (tmp_path / "bpe" / "._BPE_META.json.crc").unlink(missing_ok=True)
+    with pytest.raises(ValueError, match="format version"):
+        text.bpe_encode_staged(docs, fit)
+
+    m["version"] = 1
+    m["pretoken_re"] = r"\S+"
+    meta_file.write_text(json.dumps(m))
+    (tmp_path / "bpe" / "._BPE_META.json.crc").unlink(missing_ok=True)
+    with pytest.raises(ValueError, match="pre-tokenizer"):
+        text.bpe_encode_staged(docs, fit)
+
+    m["pretoken_re"] = text.BPE_PRETOKEN_RE
+    m["n_fitted"] = 99
+    meta_file.write_text(json.dumps(m))
+    (tmp_path / "bpe" / "._BPE_META.json.crc").unlink(missing_ok=True)
+    with pytest.raises(ValueError, match="n_fitted"):
+        text.bpe_encode_staged(docs, fit)
