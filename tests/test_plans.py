@@ -631,3 +631,28 @@ def test_bpe_fit_round_exchanges_pairs_not_words(spark):
     vplan = _executed(bpe_encode(docs, merges, method="vocab"))
     assert "BroadcastHashJoin" in vplan
     assert "SortMergeJoin" not in vplan
+
+
+def test_phash_pairs_exchange_carries_hashes_not_payloads(spark):
+    """media_phash_near_dups: the band join's exchanges carry
+    (chunk_id, chunk_val, 8-byte hash, id) rows — the payload column
+    must never appear in an exchange key set or survive past the
+    signature projection (the 100 TB contract: media blobs stay in
+    their scan)."""
+    from flink_etl_spark.operators.multimodal import (
+        make_media_table,
+        media_phash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = make_media_table(docs).select("media_id", "payload")
+    plan = _executed(media_phash_near_dups(media, max_hamming=8))
+    assert "SortMergeJoin" not in plan
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")")[0]
+        assert "payload" not in keys, keys
+    # the join itself runs over the persisted signature relation (the
+    # payload-bearing projection exists only INSIDE the cached
+    # relation's build plan, re-printed by explain): both join inputs
+    # are in-memory scans of (id, hash) rows
+    assert plan.count("InMemoryTableScan [media_id") >= 2, plan
