@@ -107,18 +107,24 @@ def _phash_oracle_ctes() -> str:
         WINDOW w AS (PARTITION BY pgrid.media_id ORDER BY j)
     ),
     ph AS (
+        -- both hashes CAST back to BIGINT: DuckDB's SUM(BIGINT)
+        -- promotes to HUGEINT, and xor over mixed-sign HUGEINTs
+        -- sign-extends to 128 bits, so bit_count would read
+        -- true_hamming + 64 and the pairs filter would silently DROP
+        -- every mixed-sign near-dup pair the Spark operator emits
+        -- (verified: 66 vs 2 on a Hamming-2 mixed-sign pair)
         SELECT media_id,
-               CASE WHEN bool_or(abit AND j = 63)
+               CAST(CASE WHEN bool_or(abit AND j = 63)
                     THEN (SUM(CASE WHEN abit AND j < 63
                               THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
                               ELSE 0 END) - 9223372036854775807) - 1
                     ELSE SUM(CASE WHEN abit AND j < 63
                              THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
                              ELSE 0 END)
-               END AS ahash,
-               SUM(CASE WHEN coalesce(dbit, FALSE) AND j < 63
+               END AS BIGINT) AS ahash,
+               CAST(SUM(CASE WHEN coalesce(dbit, FALSE) AND j < 63
                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-                   ELSE 0 END) AS dhash
+                   ELSE 0 END) AS BIGINT) AS dhash
         FROM pbits GROUP BY media_id
     )
     """
@@ -271,7 +277,13 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.expr(_PHASH_DERIVE), "utf-8").alias("payload"),
     )
     universe = media.select("media_id", "payload").unionByName(planted)
-    phash_arm = M.media_perceptual_hashes(universe).select(
+    # ONE persisted signature derivation feeds both arms — the span
+    # fold is the expensive no-CSE expression media_phash_near_dups'
+    # docstring documents; deriving it per-arm doubles the gate's cost
+    from flink_etl_spark.operators.dedup import hamming_banded_pairs
+
+    sigs = M.media_perceptual_hashes(universe).persist()
+    phash_arm = sigs.select(
         F.lit("phash").alias("variant"),
         "media_id",
         *decode_pad,
@@ -280,9 +292,9 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("pair_b"),
         F.lit(None).cast("long").alias("hamming"),
     )
-    pairs_arm = M.media_phash_near_dups(
-        universe, max_hamming=_PHASH_MAX_HAMMING
-    ).select(
+    pairs_arm = hamming_banded_pairs(
+        sigs, 64, _PHASH_MAX_HAMMING, id_col="media_id", sig_col="ahash"
+    ).withColumnsRenamed({"doc_a": "id_a", "doc_b": "id_b"}).select(
         F.lit("phash_pairs").alias("variant"),
         F.col("id_a").alias("media_id"),
         *decode_pad,

@@ -254,7 +254,7 @@ def _bpe_fit_ctes(n: int) -> str:
         parts.append(
             f"""
     p{r} AS (
-        SELECT u.pr.l AS l, u.pr.r AS r, SUM(cnt) AS c
+        SELECT u.pr.l AS l, u.pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c
         FROM (SELECT list_filter(string_split(seq, {_BPE_S2}),
                                  x -> x <> '') AS s, cnt
               FROM w{r - 1}) t,

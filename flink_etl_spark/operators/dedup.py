@@ -1819,6 +1819,10 @@ def hamming_banded_pairs(
     the skew cap documented on `simhash_near_dups`."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if max_hamming < 0:
+        # -1 would divide by zero below; <= -2 would band NOTHING and
+        # read as "no duplicates found" — a sign bug must be loud
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     chunks = max_hamming + 1
     if bits // chunks == 0:
         raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")

@@ -799,6 +799,7 @@ def bpe_fit(
             )
         words = words.coalesce(vocab_partitions)
     words = words.localCheckpoint(eager=True)
+    anchor = words
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pair_counts = (
@@ -830,10 +831,15 @@ def bpe_fit(
         # re-anchor the lineage every few rounds, not every round: a
         # handful of nested literal replaces recompute for free on a
         # vocab-sized table, while an eager checkpoint is a whole
-        # extra job per round (measured 2x the loop wall at R=8)
+        # extra job per round (measured 2x the loop wall at R=8).
+        # Each re-anchor releases the PREVIOUS anchor's cached blocks
+        # — without that, a 50k-merge fit accumulates thousands of
+        # vocab-table copies in executor storage for the session
         if rank % 16 == 0:
             words = words.localCheckpoint(eager=True)
-    words.unpersist()
+            anchor.unpersist()
+            anchor = words
+    anchor.unpersist()
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )

@@ -3236,3 +3236,48 @@ def test_bpe_staged_fit_encode_lifecycle(spark, tmp_path):
     (tmp_path / "bpe" / "._BPE_META.json.crc").unlink(missing_ok=True)
     with pytest.raises(ValueError, match="n_fitted"):
         text.bpe_encode_staged(docs, fit)
+
+
+def test_phash_oracle_hash_type_is_bigint():
+    """Regression for the HUGEINT xor trap: DuckDB's SUM(BIGINT)
+    promotes to HUGEINT, where xor over a mixed-sign pair
+    sign-extends to 128 bits and bit_count reads true_hamming + 64 —
+    silently DROPPING every mixed-sign near-dup pair from the oracle's
+    <= 8 filter. The ph CTE must emit BIGINT hashes; pin the type and
+    document the underlying engine behavior."""
+    import duckdb
+
+    from flink_etl_spark.catalog.multimodal import _phash_oracle_ctes
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'hello world test'), (1, 'hello world text')) t(doc_id, text)"
+    )
+    t = con.execute(
+        f"WITH {_phash_oracle_ctes().strip()} "
+        "SELECT typeof(ahash), typeof(dhash) FROM ph LIMIT 1"
+    ).fetchone()
+    assert t == ("BIGINT", "BIGINT"), t
+    # the trap itself: a Hamming-2 mixed-sign pair reads 2 as BIGINT
+    # and 66 as HUGEINT
+    a, b = -(1 << 63) | 5, 4  # differ in bits 0 and 63
+    good = con.execute(
+        "SELECT bit_count(xor(CAST(? AS BIGINT), CAST(? AS BIGINT)))",
+        [a, b],
+    ).fetchone()[0]
+    bad = con.execute(
+        "SELECT bit_count(xor(CAST(? AS HUGEINT), CAST(? AS HUGEINT)))",
+        [a, b],
+    ).fetchone()[0]
+    assert good == 2 and bad == 66, (good, bad)
+
+
+def test_hamming_banded_pairs_rejects_negative_budget(spark):
+    from flink_etl_spark.operators.dedup import hamming_banded_pairs
+
+    sigs = spark.createDataFrame([(1, 5), (2, 4)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_banded_pairs(sigs, 16, -1)
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_banded_pairs(sigs, 16, -2)
