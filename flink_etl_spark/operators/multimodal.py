@@ -396,8 +396,19 @@ def media_phash_near_dups(
     100 TB shape: candidates come from chunk-bucket equality (shuffle
     keys are (chunk_id, 6-8 bit chunk_val, 8-byte hash) — payloads
     never leave the scan), verification is one XOR popcount, and
-    `max_bucket` caps mass-duplicate buckets exactly as documented on
-    `simhash_near_dups`.
+    `max_bucket` caps hot buckets exactly as documented on
+    `simhash_near_dups`. SET `max_bucket` AT CORPUS SCALE: perceptual
+    hash bits on a homogeneous corpus are CORRELATED (every bit is a
+    span-mean vs buffer-mean comparison, and similar media share mean
+    structure), so chunk buckets go hot and the exact pigeonhole
+    join's candidate volume grows super-linearly no matter how wide
+    the chunks — measured on a 90x corpus: shuffle 1.0 GiB uncapped at
+    max_hamming=8 (byte ratio 64.6 on the 30x->90x step; still 26x at
+    max_hamming=2's 21-bit chunks) vs 1.6 MiB with max_bucket=256
+    (linear, full numbers in docs/SCALING.md). The cap's recall
+    semantics are the simhash ones: a true pair is lost only if every
+    chunk the two hashes agree on sits in an oversized bucket — the
+    mass-near-duplicate case exact/digest dedup owns.
 
     The signature frame is PERSISTED before the band join (the
     `unigram_lm_scores` tf-table pattern): the hash expression nests

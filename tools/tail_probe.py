@@ -107,6 +107,78 @@ def run_join_multiway(points_list: list[int] | None = None) -> None:
     spark.stop()
 
 
+def run_media_phash(points_list: list[int] | None = None) -> None:
+    """Measure media_phash_pairs PAST the broadcast->shuffle strategy
+    transition (the r12 shuffle table's 1017x byte ratio on tiny
+    absolutes): at 10x the banded signature side already exceeds the
+    broadcast threshold, so the 10x->30x step reads the post-transition
+    growth — bytes should scale ~linearly with documents and the wall
+    exponent stay well under 1."""
+    from flink_etl_spark.operators.multimodal import (
+        make_media_table,
+        media_phash_near_dups,
+    )
+    from flink_etl_spark.session import get_spark
+    from flink_etl_spark.sources.tables import load_table
+    from tools.replicate_testdata import build_replica
+    from tools.shuffle_probe import _fmt_bytes, _shuffle_totals
+
+    if not points_list:
+        points_list = [10, 30]
+    points_list = sorted(points_list)
+
+    spark = get_spark(
+        app_name="tail-probe-phash",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+
+    points: dict[int, str] = {}
+    for n in points_list:
+        out = tempfile.mkdtemp(prefix=f"sf01x{n}_phash_")
+        t0 = time.perf_counter()
+        build_replica(spark, src, out, n, tables=("documents",))
+        print(f"built {n}x documents replica in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        points[n] = out
+
+    def run(d):
+        docs = load_table(spark, d, "documents")
+        media = make_media_table(docs).select("media_id", "payload")
+        media_phash_near_dups(media, max_hamming=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    bts, walls = {}, {}
+    for n, d in points.items():
+        spark.catalog.clearCache()
+        b0, _ = _shuffle_totals(sc)
+        t0 = time.perf_counter()
+        run(d)
+        w = time.perf_counter() - t0
+        b1, _ = _shuffle_totals(sc)
+        bts[n] = b1 - b0
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run(d)
+        walls[n] = min(w, time.perf_counter() - t0)
+        print(f"  media_phash_pairs @ {n}x: {walls[n]:.2f}s, "
+              f"shuffle {_fmt_bytes(bts[n])}", flush=True)
+    for a, b in zip(points_list, points_list[1:]):
+        step = b / a
+        byte_ratio = bts[b] / bts[a] if bts[a] else float("inf")
+        exp = math.log(walls[b] / walls[a]) / math.log(step)
+        print(
+            f"  media_phash_pairs {a}x->{b}x ({step:.0f}x step): "
+            f"byte ratio {byte_ratio:.2f} "
+            f"(linear would be {step:.0f}), wall exp {exp:.2f}",
+            flush=True,
+        )
+    spark.stop()
+
+
 def main(points_list: list[int] | None = None) -> None:
     from flink_etl_spark.operators.dedup import semdedup
     from flink_etl_spark.operators.prep import decontaminate
@@ -168,8 +240,11 @@ if __name__ == "__main__":
         i = argv.index("--query")
         qname = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-        if qname != "join_multiway":
+        if qname == "join_multiway":
+            run_join_multiway([int(a) for a in argv])
+        elif qname == "media_phash":
+            run_media_phash([int(a) for a in argv])
+        else:
             raise SystemExit(f"unknown --query {qname!r}")
-        run_join_multiway([int(a) for a in argv])
     else:
         main([int(a) for a in argv])
