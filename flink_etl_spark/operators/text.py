@@ -865,18 +865,25 @@ def bpe_encode(
     plans:
 
     * ``method="inline"`` (default) — the merges compile into a chain
-      of R literal replaces over each document: ZERO corpus shuffles,
-      right for the merge-table sizes this fit targets (R up to a few
-      thousand; expression-tree depth is the practical bound).
-    * ``method="vocab"`` — encode each DISTINCT pre-token once (the R
-      replaces run over the vocabulary-sized table), broadcast the
-      pre-token -> subwords map, and reassemble each document's stream
-      by position (posexplode + broadcast join + one doc-keyed
-      aggregate). Right at production merge-table scale (R ~ 32k,
-      where an inline chain is impossible): the replace cost is paid
-      per VOCAB ENTRY, not per corpus token, at the price of one
-      corpus-sized shuffle of (doc, pos, subwords) rows. Both methods
-      are value-identical by test."""
+      of R literal replaces over each document: ZERO corpus shuffles.
+      HARD-CAPPED at 128 merges: a single Column tree a
+      few hundred replaces deep overflows Spark's parser stack
+      (FAILED_TO_PARSE_TOO_COMPLEX, measured at R=300) — past the cap
+      the operator raises and names the vocab plan.
+    * ``method="vocab"`` — encode each DISTINCT pre-token once,
+      broadcast the pre-token -> subwords map, and reassemble each
+      document's stream by position (posexplode + broadcast join +
+      one doc-keyed aggregate). The production plan for real merge
+      tables (R ~ 32k): the replaces run over the VOCABULARY-sized
+      frame in staged chunks of 64 (each chunk its own
+      projection, so no Column tree ever exceeds the parser bound)
+      with a lineage-anchoring localCheckpoint every
+      2 chunks (the cadence bounds the depth Catalyst recurses over —
+      CollapseProject re-inlines single-use projections, so staging
+      alone does not) — vocab-sized materializations,
+      never corpus-sized. Costs one corpus shuffle of
+      (doc, pos, subwords) rows. Both methods are value-identical by
+      test (including past the inline cap)."""
     if method not in ("inline", "vocab"):
         raise ValueError(f"method must be 'inline' or 'vocab', got {method!r}")
     if isinstance(merges, DataFrame):
@@ -896,8 +903,8 @@ def bpe_encode(
         lambda x: ~x.contains(BPE_SEP),
     )
 
-    def apply_merges(col: Column) -> Column:
-        for _, l, r in rows:
+    def apply_chunk(col: Column, chunk) -> Column:
+        for _, l, r in chunk:
             col = F.replace(
                 col,
                 F.lit(BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP),
@@ -906,26 +913,49 @@ def bpe_encode(
         return col
 
     if method == "inline":
+        if len(rows) > _BPE_INLINE_MAX:
+            raise ValueError(
+                f"method='inline' compiles {len(rows)} merges into one "
+                f"expression tree, past the parser bound "
+                f"(max {_BPE_INLINE_MAX}, FAILED_TO_PARSE_TOO_COMPLEX "
+                "beyond it) — use method='vocab', which applies the "
+                "merges in staged chunks over the vocabulary frame"
+            )
         seq = F.aggregate(
             pre,
             F.lit(""),
             lambda acc, x: F.concat(acc, _bpe_seq_expr(x)),
         )
-        toks = _bpe_syms(apply_merges(seq))
+        toks = _bpe_syms(apply_chunk(seq, rows))
         return docs.select(
             F.col(id_col),
             toks.alias("tokens"),
             F.size(toks).alias("n_tokens"),
         )
-    # vocab: R replaces run once per distinct pre-token, then a
-    # broadcast map rebuilds each document's stream in position order
+    # vocab: the replaces run once per distinct pre-token, in staged
+    # CHUNKS (one projection per chunk keeps every Column tree under
+    # the parser bound; a periodic localCheckpoint caps lineage —
+    # vocab-sized, never corpus-sized), then a broadcast map rebuilds
+    # each document's stream in position order
     vocab = (
         docs.select(F.explode(pre).alias("_tok"))
         .distinct()
-        .select(
-            "_tok", _bpe_syms(apply_merges(_bpe_seq_expr(F.col("_tok")))).alias("_sub")
-        )
+        .select("_tok", _bpe_seq_expr(F.col("_tok")).alias("_seq"))
     )
+    anchor = None
+    for i in range(0, len(rows), _BPE_APPLY_CHUNK):
+        vocab = vocab.select(
+            "_tok",
+            apply_chunk(F.col("_seq"), rows[i:i + _BPE_APPLY_CHUNK]).alias(
+                "_seq"
+            ),
+        )
+        if (i // _BPE_APPLY_CHUNK + 1) % _BPE_APPLY_ANCHOR_EVERY == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+            if anchor is not None:
+                anchor.unpersist()
+            anchor = vocab
+    vocab = vocab.select("_tok", _bpe_syms(F.col("_seq")).alias("_sub"))
     exploded = docs.select(
         F.col(id_col), F.posexplode_outer(pre).alias("_pos", "_tok")
     )
@@ -945,6 +975,20 @@ def bpe_encode(
         )
     )
 
+
+#: inline-encode merge cap — one Column tree a few hundred replaces
+#: deep overflows Spark's parser stack (measured: fine at 100 merges,
+#: FAILED_TO_PARSE_TOO_COMPLEX at 300)
+_BPE_INLINE_MAX = 128
+#: vocab-plan staging: merges applied per projection, and projections
+#: between lineage-anchoring checkpoints of the vocab frame. The
+#: anchor cadence bounds the COLLAPSED depth Catalyst recurses over
+#: (CollapseProject inlines single-use aliases, so projections alone
+#: don't cap depth): 2 x 64 = 128 replaces between anchors — the
+#: measured-safe region (512 deep overflowed the JVM stack in the
+#: optimizer at checkpoint time)
+_BPE_APPLY_CHUNK = 64
+_BPE_APPLY_ANCHOR_EVERY = 2
 
 #: staged BPE tokenizer artifact format version (`_BPE_META.json`)
 _BPE_META_VERSION = 1

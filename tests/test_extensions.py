@@ -3281,3 +3281,37 @@ def test_hamming_banded_pairs_rejects_negative_budget(spark):
         hamming_banded_pairs(sigs, 16, -1)
     with pytest.raises(ValueError, match="max_hamming"):
         hamming_banded_pairs(sigs, 16, -2)
+
+
+def test_bpe_encode_depth_bounds(spark):
+    """The inline plan raises past its parser-bound merge cap (one
+    Column tree a few hundred replaces deep overflows Spark's parser
+    stack), and the vocab plan — staged chunks + anchored lineage —
+    encodes correctly with a merge table far past it (real merges
+    padded with never-matching synthetic ones, so the token stream
+    must equal the real-merges-only inline encode)."""
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "ab ab abc abcd")],
+        ["doc_id", "text"],
+    )
+    real = [
+        (r["rank"], r["left"], r["right"], 0)
+        for r in text.bpe_fit(docs, 6, vocab_partitions=1).collect()
+    ]
+    pad = [
+        (i, f"zq{i}", f"xj{i}", 0)
+        for i in range(len(real) + 1, 400 + 1)
+    ]
+    with pytest.raises(ValueError, match="parser bound"):
+        text.bpe_encode(docs, real + pad, method="inline")
+    expect = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in text.bpe_encode(docs, real, method="inline").collect()
+    )
+    got = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in text.bpe_encode(docs, real + pad, method="vocab").collect()
+    )
+    assert got == expect
