@@ -620,7 +620,10 @@ def build_parser() -> argparse.ArgumentParser:
     bpe.add_argument("--fit", required=True, help="staged fit dir")
     bpe.add_argument("--out", required=True, help="result parquet dir")
     bpe.add_argument("--method", choices=["inline", "vocab"],
-                     default="inline")
+                     default=None,
+                     help="default picks by artifact size: inline "
+                          "(zero-shuffle) under the parser-bound cap, "
+                          "the chunk-staged vocab plan past it")
     bpe.add_argument("--id-col", default="doc_id")
     bpe.add_argument("--text-col", default="text")
     bpe.set_defaults(fn=cmd_bpe_encode)

@@ -1034,7 +1034,7 @@ def bpe_encode_staged(
     fit_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    method: str = "inline",
+    method: str | None = None,
 ) -> DataFrame:
     """Tokenize documents with a merge table staged by `bpe_stage_fit`
     — same output contract as `bpe_encode` (tokens, n_tokens;
@@ -1044,7 +1044,12 @@ def bpe_encode_staged(
     count disagrees with `n_fitted` (a half-written overwrite) all
     raise instead of silently tokenizing with the wrong vocabulary —
     the tokenizer is the one artifact where silent drift corrupts
-    EVERY downstream token id."""
+    EVERY downstream token id.
+
+    ``method=None`` (default) picks the plan from the artifact itself:
+    inline (zero-shuffle) while the merge table fits the parser-bound
+    cap, the chunk-staged vocab plan past it — so a caller never hits
+    the inline cap by loading a production-sized artifact."""
     from flink_etl_spark.operators.similarity import _read_json_sidecar
 
     spark = docs.sparkSession
@@ -1075,5 +1080,7 @@ def bpe_encode_staged(
             f"pins n_fitted={meta.get('n_fitted')!r} — half-written or "
             "tampered artifact; re-stage the fit"
         )
+    if method is None:
+        method = "inline" if n <= _BPE_INLINE_MAX else "vocab"
     return bpe_encode(docs, merges, id_col=id_col, text_col=text_col,
                       method=method)

@@ -3315,3 +3315,48 @@ def test_bpe_encode_depth_bounds(spark):
         for r in text.bpe_encode(docs, real + pad, method="vocab").collect()
     )
     assert got == expect
+
+
+def test_bpe_encode_staged_auto_method_survives_large_artifacts(spark, tmp_path):
+    """method=None picks the plan from the artifact size: a staged
+    merge table past the inline parser cap encodes through the vocab
+    plan instead of raising — loading a production-sized tokenizer
+    must never hit the inline cap by default."""
+    import json
+
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "ab ab abc abcd")],
+        ["doc_id", "text"],
+    )
+    fit = str(tmp_path / "bpe")
+    text.bpe_stage_fit(docs, fit, 6, vocab_partitions=1)
+    # inflate the artifact past the inline cap with never-matching
+    # merges, keeping the sidecar consistent (real rows materialized
+    # BEFORE the same-path overwrite)
+    real_rows = [
+        tuple(r) for r in spark.read.parquet(f"{fit}/merges").collect()
+    ]
+    inflated = real_rows + [
+        (i, f"zq{i}", f"xj{i}", 0) for i in range(100, 400)
+    ]
+    spark.createDataFrame(
+        inflated,
+        "rank bigint, left string, right string, pair_count bigint",
+    ).write.mode("overwrite").parquet(f"{fit}/merges")
+    meta_file = tmp_path / "bpe" / "_BPE_META.json"
+    m = json.loads(meta_file.read_text())
+    m["n_fitted"] = len(inflated)
+    meta_file.write_text(json.dumps(m))
+    (tmp_path / "bpe" / "._BPE_META.json.crc").unlink(missing_ok=True)
+
+    got = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in text.bpe_encode_staged(docs, fit).collect()
+    )
+    expect = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in text.bpe_encode(docs, text.bpe_fit(docs, 6)).collect()
+    )
+    assert got == expect
