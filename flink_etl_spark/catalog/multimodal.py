@@ -151,11 +151,18 @@ def _phash_oracle_ctes() -> str:
         FROM m, UNNEST(range(1, n + 1)) AS u(i)
     ),
     a AS (
+        -- mean/var from EXACT integer moments, same IEEE op order as
+        -- the decoder (sum/n, ssq/n - mean*mean, floor-to-6): avg()/
+        -- var_pop() + round() was a half-edge + accumulation-order
+        -- lottery (Python half-even vs DuckDB half-away diverged on
+        -- 6 power-of-two-length docs at sf0.1)
         SELECT media_id,
                any_value(n) AS n,
                CAST(sum(v) AS BIGINT) AS total,
-               avg(v) AS mean,
-               var_pop(v) AS var,
+               CAST(sum(v) AS DOUBLE) / any_value(n) AS mean,
+               CAST(sum(v * v) AS DOUBLE) / any_value(n)
+                 - (CAST(sum(v) AS DOUBLE) / any_value(n))
+                   * (CAST(sum(v) AS DOUBLE) / any_value(n)) AS var,
                max(v) AS vmax,
                min(v) AS vmin,
                max(CASE WHEN i = 1 THEN v END) AS vfirst,
@@ -172,8 +179,8 @@ def _phash_oracle_ctes() -> str:
            (m.n % 640) + 1 AS width,
            (m.n % 480) + 1 AS height,
            m.n AS f_len,
-           coalesce(round(a.mean, 6), 0.0) AS f_mean,
-           coalesce(round(a.var, 6), 0.0) AS f_var,
+           coalesce(floor(a.mean * 1000000.0) / 1000000.0, 0.0) AS f_mean,
+           coalesce(floor(a.var * 1000000.0) / 1000000.0, 0.0) AS f_var,
            coalesce(a.vmax, 0) AS f_max,
            coalesce(a.vmin, 0) AS f_min,
            coalesce(a.vfirst, 0) AS f_first,
@@ -263,8 +270,9 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.col("features")[0].cast("long").alias("f_len"),
-        F.round(F.col("features")[1], 6).alias("f_mean"),
-        F.round(F.col("features")[2], 6).alias("f_var"),
+        # features[1]/[2] are already floor-6 canonical in the decoder
+        F.col("features")[1].alias("f_mean"),
+        F.col("features")[2].alias("f_var"),
         F.col("features")[3].cast("long").alias("f_max"),
         F.col("features")[4].cast("long").alias("f_min"),
         F.col("features")[5].cast("long").alias("f_first"),

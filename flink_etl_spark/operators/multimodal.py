@@ -97,16 +97,26 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
         import pandas as pd
 
         def fake_features(payload: bytes) -> list[float]:
+            # mean/var come from EXACT integer moments with a pinned
+            # IEEE op order and FLOOR-to-6-decimals (never round():
+            # Python rounds half-to-even, DuckDB half-away, and a
+            # power-of-two payload length lands the mean exactly on a
+            # 7th-decimal half — observed as a real 6-doc divergence
+            # at sf0.1; floor has no half-edge, and the oracle runs
+            # the identical double sequence on the same exact ints)
+            import math
+
             if not payload:
                 return [0.0] * 8
             n = len(payload)
             total = sum(payload)
+            ssq = sum(b * b for b in payload)
             mean = total / n
-            var = sum((b - mean) ** 2 for b in payload) / n
+            var = ssq / n - mean * mean
             return [
                 float(n),
-                round(mean, 6),
-                round(var, 6),
+                math.floor(mean * 1e6) / 1e6,
+                math.floor(var * 1e6) / 1e6,
                 float(max(payload)),
                 float(min(payload)),
                 float(payload[0]),
