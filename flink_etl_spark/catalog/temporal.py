@@ -228,19 +228,61 @@ def salted_join_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grouped_linear_fit_per_user",
     """
-    SELECT user_id,
-           count(*) AS n,
-           round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,
-           round(regr_intercept(value, epoch(ts) / 86400.0), 6) AS intercept
-    FROM events
-    GROUP BY user_id
+    -- exact-integer-moment twin of per_group_linear_fit: the same
+    -- shifted-microsecond / 6-decimal-grid integer sums (HUGEINT,
+    -- order-independent), then the operator's EXACT pinned double op
+    -- sequence. regr_slope/regr_intercept + round() was a last-ulp
+    -- lottery: differently-ordered float accumulations flipped the
+    -- 6th decimal on 9 of 1500 groups at sf0.1, and Python rounds
+    -- half-even where SQL rounds half-away. Micro-floor has no edge.
+    WITH pts AS (
+        SELECT user_id,
+               epoch_us(ts)
+                 - MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS xp,
+               MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS x0,
+               CAST(round(value * 1000000.0, 0) AS BIGINT) AS y6
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS dn,
+               CAST(SUM(xp) AS DOUBLE) AS dsx,
+               CAST(SUM(y6) AS DOUBLE) AS dsy,
+               CAST(SUM(CAST(xp AS HUGEINT) * y6) AS DOUBLE) AS dsxy,
+               CAST(SUM(CAST(xp AS HUGEINT) * xp) AS DOUBLE) AS dsxx,
+               CAST(MIN(x0) AS DOUBLE) AS dx0
+        FROM pts GROUP BY user_id
+    ),
+    fitted AS (
+        SELECT user_id,
+               dn * dsxy - dsx * dsy AS d_num,
+               dn * dsxx - dsx * dsx AS d_den,
+               dx0, dsx, dsy, dn
+        FROM agg
+    ),
+    cnt AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT cnt.user_id,
+           cnt.n,
+           CASE WHEN f.d_den IS NULL OR f.d_den = 0.0 THEN NULL
+                ELSE floor(f.d_num * 86400.0 / f.d_den * 1000000.0)
+                     / 1000000.0
+           END AS slope,
+           CASE WHEN f.d_den IS NULL OR f.d_den = 0.0 THEN NULL
+                ELSE floor((f.dsy / f.dn / 1000000.0
+                            - (f.d_num / f.d_den)
+                              * ((f.dx0 + f.dsx / f.dn)
+                                 / 86400000000.0)) * 1000000.0)
+                     / 1000000.0
+           END AS intercept
+    FROM cnt LEFT JOIN fitted f ON f.user_id = cnt.user_id
     """,
 )
 def grouped_linear_fit_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map gate: per-user least-squares trend of
-    value over time (pandas closed form) must match SQL's
-    regr_slope/regr_intercept — a custom Python operator checked by a
-    SQL aggregate."""
+    value over time (exact-integer-moment closed form, micro-floored)
+    must match DuckDB running the identical pinned double sequence —
+    a custom Python operator checked value-exactly by SQL."""
     from flink_etl_spark.operators.grouped import per_group_linear_fit
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")

@@ -34,12 +34,25 @@ def per_group_linear_fit(
 
     x is DAYS since the unix epoch so the slope is in value-per-day
     units (epoch seconds would push slopes below float-rounding
-    visibility). The closed form (centered covariance / variance) is
-    the same formula SQL's regr_slope/regr_intercept use, so a SQL
-    engine can oracle-check this operator exactly."""
+    visibility).
+
+    CROSS-ENGINE EXACTNESS (r12): the moments are accumulated as
+    EXACT Python integers (epoch-microsecond x shifted by the group
+    minimum; value scaled to its 6-decimal integer grid) — order-
+    independent and overflow-free — and only then converted to doubles
+    for ONE PINNED IEEE op sequence the DuckDB oracle replicates
+    verbatim (SQL CAST(HUGEINT AS DOUBLE) is correctly rounded like
+    Python's float(int) — verified). The previous pandas float
+    accumulation + round(x, 6) was a last-ulp lottery: two engines'
+    differently-ordered float sums flip the 6th decimal whenever the
+    true value sits near a rounding boundary (9 of 1500 groups at
+    sf0.1), and Python rounds half-even where SQL rounds half-away.
+    Final values are micro-FLOORED (no half-edge exists)."""
 
     def fit(pdf):
         # self-contained closure (executor sys.path — see stateful.py)
+        import math
+
         import pandas as pd
 
         # SQL regr_* excludes pairs where EITHER side is null; pandas
@@ -47,21 +60,34 @@ def per_group_linear_fit(
         # corrupting the moments — drop the pairs up front. n stays
         # count(*) over ALL rows, matching the oracle's count(*)
         clean = pdf[[ts_col, value_col]].dropna()
-        x = clean[ts_col].astype("datetime64[us]").astype("int64") / 86_400_000_000.0
-        y = clean[value_col].astype("float64")
-        mx, my = x.mean(), y.mean()
-        var = ((x - mx) ** 2).sum()
-        if var == 0.0:
-            # degenerate fit (single point / constant x): NULL, matching
-            # SQL regr_slope semantics (not NaN — engines hash these
-            # differently)
-            slope = None
-            intercept = None
-        else:
-            raw_slope = ((x - mx) * (y - my)).sum() / var
-            slope = round(raw_slope, 6)
-            # intercept from the UNROUNDED slope — regr_intercept does
-            intercept = round(my - raw_slope * mx, 6)
+        xs = clean[ts_col].astype("datetime64[us]").astype("int64").tolist()
+        # value is 6-decimal-exact by contract: *1e6 lands within an
+        # ulp of its integer, so round() recovers it exactly (never on
+        # a half, so the rounding mode cannot matter here)
+        ys = [int(round(v * 1e6)) for v in clean[value_col].tolist()]
+        slope = intercept = None
+        if xs:
+            x0 = min(xs)
+            xp = [x - x0 for x in xs]
+            k = len(xp)
+            sx = sum(xp)
+            sy = sum(ys)
+            sxy = sum(a * b for a, b in zip(xp, ys))
+            sxx = sum(a * a for a in xp)
+            dn, dsx, dsy, dsxy, dsxx, dx0 = (
+                float(k), float(sx), float(sy), float(sxy), float(sxx),
+                float(x0),
+            )
+            d_num = dn * dsxy - dsx * dsy
+            d_den = dn * dsxx - dsx * dsx
+            if d_den != 0.0:
+                # y6-per-us -> natural-y-per-day is x86400e6 / 1e6
+                slope = math.floor(d_num * 86400.0 / d_den * 1e6) / 1e6
+                meanx_day = (dx0 + dsx / dn) / 86400000000.0
+                meany = dsy / dn / 1000000.0
+                intercept = math.floor(
+                    (meany - (d_num / d_den) * meanx_day) * 1e6
+                ) / 1e6
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
