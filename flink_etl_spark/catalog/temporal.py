@@ -269,8 +269,10 @@ def salted_join_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / 1000000.0
            END AS slope,
            CASE WHEN f.d_den IS NULL OR f.d_den = 0.0 THEN NULL
+                -- per-DAY slope times mean-x-in-DAYS (the 86400
+                -- factor must appear here exactly as in the slope)
                 ELSE floor((f.dsy / f.dn / 1000000.0
-                            - (f.d_num / f.d_den)
+                            - (f.d_num * 86400.0 / f.d_den)
                               * ((f.dx0 + f.dsx / f.dn)
                                  / 86400000000.0)) * 1000000.0)
                      / 1000000.0

@@ -81,12 +81,19 @@ def per_group_linear_fit(
             d_num = dn * dsxy - dsx * dsy
             d_den = dn * dsxx - dsx * dsx
             if d_den != 0.0:
-                # y6-per-us -> natural-y-per-day is x86400e6 / 1e6
-                slope = math.floor(d_num * 86400.0 / d_den * 1e6) / 1e6
+                # y6-per-us -> natural-y-per-day is x86400e6 / 1e6;
+                # the UNITS must match in the intercept too: the
+                # subtracted term is (per-DAY slope) x (mean x in
+                # DAYS) — dropping the 86400 here once shrank the
+                # term 86400x and collapsed intercept to ~mean(y)
+                # (caught by review with a hand-computed example,
+                # now pinned by test)
+                slope_day = d_num * 86400.0 / d_den
+                slope = math.floor(slope_day * 1e6) / 1e6
                 meanx_day = (dx0 + dsx / dn) / 86400000000.0
                 meany = dsy / dn / 1000000.0
                 intercept = math.floor(
-                    (meany - (d_num / d_den) * meanx_day) * 1e6
+                    (meany - slope_day * meanx_day) * 1e6
                 ) / 1e6
         return pd.DataFrame(
             {

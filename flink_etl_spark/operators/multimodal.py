@@ -94,6 +94,8 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
         # not have the repo on sys.path when the engine is driven from an
         # external harness, and cloudpickle serializes module-level
         # references by name, not value.
+        import math
+
         import pandas as pd
 
         def fake_features(payload: bytes) -> list[float]:
@@ -104,8 +106,6 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int | None = N
             # 7th-decimal half — observed as a real 6-doc divergence
             # at sf0.1; floor has no half-edge, and the oracle runs
             # the identical double sequence on the same exact ints)
-            import math
-
             if not payload:
                 return [0.0] * 8
             n = len(payload)

@@ -832,14 +832,16 @@ def bpe_fit(
         # handful of nested literal replaces recompute for free on a
         # vocab-sized table, while an eager checkpoint is a whole
         # extra job per round (measured 2x the loop wall at R=8).
-        # Each re-anchor releases the PREVIOUS anchor's cached blocks
-        # — without that, a 50k-merge fit accumulates thousands of
-        # vocab-table copies in executor storage for the session
+        # Each re-anchor DROPS the reference to the previous anchor:
+        # localCheckpoint blocks live at the RDD layer (Dataset
+        # .unpersist cannot free them), so release is by the
+        # ContextCleaner once GC collects the dropped Dataset — the
+        # reference discipline here is what makes that possible for a
+        # 50k-merge fit instead of pinning every vocab copy
         if rank % 16 == 0:
             words = words.localCheckpoint(eager=True)
-            anchor.unpersist()
             anchor = words
-    anchor.unpersist()
+    del anchor
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )
@@ -942,7 +944,6 @@ def bpe_encode(
         .distinct()
         .select("_tok", _bpe_seq_expr(F.col("_tok")).alias("_seq"))
     )
-    anchor = None
     for i in range(0, len(rows), _BPE_APPLY_CHUNK):
         vocab = vocab.select(
             "_tok",
@@ -950,11 +951,11 @@ def bpe_encode(
                 "_seq"
             ),
         )
+        # see bpe_fit's anchor note: rebinding drops the prior
+        # anchor's only reference so the ContextCleaner can free its
+        # RDD blocks after GC (Dataset.unpersist cannot)
         if (i // _BPE_APPLY_CHUNK + 1) % _BPE_APPLY_ANCHOR_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=True)
-            if anchor is not None:
-                anchor.unpersist()
-            anchor = vocab
     vocab = vocab.select("_tok", _bpe_syms(F.col("_seq")).alias("_sub"))
     exploded = docs.select(
         F.col(id_col), F.posexplode_outer(pre).alias("_pos", "_tok")

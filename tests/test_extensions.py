@@ -3360,3 +3360,28 @@ def test_bpe_encode_staged_auto_method_survives_large_artifacts(spark, tmp_path)
         for r in text.bpe_encode(docs, text.bpe_fit(docs, 6)).collect()
     )
     assert got == expect
+
+
+def test_grouped_linear_fit_hand_computed_intercept(spark):
+    """Pin the fit SEMANTICS against an independently computed
+    least-squares line — the operator and its oracle share one pinned
+    formula, so only an external value can catch a units bug in both
+    at once (review caught exactly that: the intercept's slope term
+    missing the per-day 86400 factor, collapsing intercept to
+    ~mean(y) while the mirrored oracle kept the gate green)."""
+    import datetime
+
+    from flink_etl_spark.operators.grouped import per_group_linear_fit
+
+    # points (day 100, 5), (day 101, 7), (day 102, 9):
+    # slope = 2 per day, intercept = 7 - 2*101 = -195
+    rows = [
+        (1, datetime.datetime(1970, 1, 1)
+         + datetime.timedelta(days=100 + i), 5.0 + 2.0 * i)
+        for i in range(3)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = per_group_linear_fit(ev).collect()[0]
+    assert r["n"] == 3
+    assert abs(r["slope"] - 2.0) < 1e-6
+    assert abs(r["intercept"] - (-195.0)) < 1e-6

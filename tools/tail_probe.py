@@ -31,7 +31,8 @@ tools/shuffle_probe.py method) plus wall: the claim holds iff the
 post-transition byte ratio is ~3x for the 3x step and the wall
 exponent is <= 1.
 
-Usage: python tools/tail_probe.py [--query join_multiway] [point ...]
+Usage: python tools/tail_probe.py [--query join_multiway|media_phash]
+       [point ...]
        (default query: the dedup pair at points 10 30 100;
         join_multiway defaults to points 10 30)
 Results are recorded in docs/SCALING.md (tail probe section).
@@ -108,12 +109,15 @@ def run_join_multiway(points_list: list[int] | None = None) -> None:
 
 
 def run_media_phash(points_list: list[int] | None = None) -> None:
-    """Measure media_phash_pairs PAST the broadcast->shuffle strategy
-    transition (the r12 shuffle table's 1017x byte ratio on tiny
-    absolutes): at 10x the banded signature side already exceeds the
-    broadcast threshold, so the 10x->30x step reads the post-transition
-    growth — bytes should scale ~linearly with documents and the wall
-    exponent stay well under 1."""
+    """Measure media_phash_pairs' UNCAPPED candidate growth across the
+    replica ladder. Expected readings (recorded in docs/SCALING.md):
+    the 10x point is still part-broadcast, the 10x->30x step reads
+    ~8x bytes for 3x (transition completing), and 30x->90x reads
+    ~65x — the hot-bucket blowup from correlated perceptual-hash
+    bits that `max_bucket` exists to cap (1.0 GiB -> 1.6 MiB at 90x
+    with max_bucket=256). A large ratio from this probe is the
+    DOCUMENTED uncapped behavior, not a regression; re-run with the
+    capped arm before concluding anything changed."""
     from flink_etl_spark.operators.multimodal import (
         make_media_table,
         media_phash_near_dups,
