@@ -27,6 +27,20 @@ Determinism rules (so order-insensitive value-hash comparison works):
   2^53 (Spark/Arrow rounds to nearest, DuckDB's .df() truncates —
   observed as a 4-ulp phash mismatch). Full-width hashes travel as
   decimal VARCHAR in gates (`media_decode_features` ahash/dhash)
+* PINNED-SEQUENCE arms need an INDEPENDENT value test: when a gate's
+  oracle replicates the operator's exact formula (pinned IEEE op
+  order, mirrored constants), the driver's hash match only proves the
+  two engines AGREE — both stay green on a wrong shared formula (the
+  r12 grouped-fit intercept dropped a per-day 86400 factor and every
+  gate stayed green). RULE: no mirrored-formula arm ships without at
+  least one test whose expected values are derived OUTSIDE the shared
+  formula (hand computation, exact rational arithmetic, a pure-Python
+  reference implementation, a published example). Current anchors:
+  grouped fit (`test_grouped_linear_fit_hand_computed_intercept`),
+  decoder mean/var
+  (`test_media_decode_feature_values_independently_derived`), BM25 /
+  A-ES / DSIR / BPE / phash / DCT-phash reference tests in
+  tests/test_extensions.py and tests/test_prep.py
 """
 
 from __future__ import annotations

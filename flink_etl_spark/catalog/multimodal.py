@@ -285,12 +285,14 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.expr(_PHASH_DERIVE), "utf-8").alias("payload"),
     )
     universe = media.select("media_id", "payload").unionByName(planted)
-    # ONE persisted signature derivation feeds both arms — the span
+    # ONE materialized signature derivation feeds both arms — the span
     # fold is the expensive no-CSE expression media_phash_near_dups'
     # docstring documents; deriving it per-arm doubles the gate's cost
+    # (localCheckpoint, not persist: blocks are ContextCleaner-freed
+    # when this gate's result is dropped instead of leaking per call)
     from flink_etl_spark.operators.dedup import hamming_banded_pairs
 
-    sigs = M.media_perceptual_hashes(universe).persist()
+    sigs = M.media_perceptual_hashes(universe).localCheckpoint(eager=True)
     phash_arm = sigs.select(
         F.lit("phash").alias("variant"),
         "media_id",

@@ -302,6 +302,15 @@ def resize_media(
 #: decode's "pixel buffer" IS the payload byte sequence)
 PHASH_BLOCKS = 64
 
+#: int64-exactness bound on payload size for the perceptual hashes:
+#: the bit votes are integer cross-multiplications whose largest
+#: product is total * span_len <= (255 * n) * (n / 64 + 1); at
+#: n = 1.5e9 that is ~8.97e18, just inside the 9.22e18 int64 range —
+#: beyond it Spark (non-ANSI) WRAPS silently and the hash bits go
+#: quietly wrong, so the operator raises instead (a 1.5 GB single
+#: payload is out of contract for an 8x8 signature anyway)
+_PHASH_MAX_BYTES = 1_500_000_000
+
 
 def media_perceptual_hashes(
     media: DataFrame,
@@ -327,7 +336,10 @@ def media_perceptual_hashes(
     (s_j * n > total * c_j), never float means — bit-exact across
     engines, no rounding lottery. Byte values come off `hex()` +
     `conv()` (Spark exposes no binary-to-byte-array primitive); empty
-    and NULL payloads hash to 0/0.
+    and NULL payloads hash to 0/0. Payloads beyond `_PHASH_MAX_BYTES`
+    (1.5 GB) RAISE: past that the cross-multiplications exceed int64
+    and Spark's non-ANSI arithmetic would wrap into silently-wrong
+    bits (the DuckDB oracle promotes to HUGEINT and would diverge).
 
     Near-dup pairs: feed the output to `media_phash_near_dups`."""
     B = PHASH_BLOCKS
@@ -344,12 +356,24 @@ def media_perceptual_hashes(
       CAST(((j + 1) * _n) div {B} AS INT)
         - CAST((j * _n) div {B} AS INT) AS c))
     """
+    n_raw = F.coalesce(F.length(payload_col).cast("long"), F.lit(0).cast("long"))
+    n_guarded = F.when(n_raw <= _PHASH_MAX_BYTES, n_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("media_perceptual_hashes: payload of "),
+                n_raw.cast("string"),
+                F.lit(
+                    f" bytes exceeds the int64-exact bound "
+                    f"({_PHASH_MAX_BYTES}); larger blobs would wrap the "
+                    "integer bit votes silently — downsample first"
+                ),
+            )
+        ).cast("long")
+    )
     return (
         media.select(
             F.col(id_col),
-            F.coalesce(
-                F.length(payload_col).cast("long"), F.lit(0).cast("long")
-            ).alias("_n"),
+            n_guarded.alias("_n"),
             F.hex(F.coalesce(F.col(payload_col), F.lit(b""))).alias("_hx"),
         )
         .withColumn(
@@ -420,20 +444,26 @@ def media_phash_near_dups(
     chunk the two hashes agree on sits in an oversized bucket — the
     mass-near-duplicate case exact/digest dedup owns.
 
-    The signature frame is PERSISTED before the band join (the
-    `unigram_lm_scores` tf-table pattern): the hash expression nests
-    element_at chains under aggregate lambdas, where codegen gets no
-    common-subexpression elimination — unmaterialized, the self-join's
-    two banded sides re-derive the span table per chunk reference and
-    per element-lambda step, a multiplicative re-evaluation measured
-    as a multi-minute hang on 530 rows (vs 2.6 s materialized). The
-    cached rows are (id, 2x int64) — vocabulary-of-hashes sized, never
-    payload sized."""
+    The signature frame is MATERIALIZED (localCheckpoint) before the
+    band join: the hash expression nests element_at chains under
+    aggregate lambdas, where codegen gets no common-subexpression
+    elimination — unmaterialized, the self-join's two banded sides
+    re-derive the span table per chunk reference and per
+    element-lambda step, a multiplicative re-evaluation measured as a
+    multi-minute hang on 530 rows (vs 2.6 s materialized). The
+    materialized rows are (id, small ints) — vocabulary-of-hashes
+    sized, never payload sized — and live at the RDD layer, where the
+    ContextCleaner reclaims them once the RETURNED frame is dropped
+    (the bpe_fit anchor discipline; a session-lifetime persist() here
+    leaked one signature cache per call because Dataset.unpersist
+    cannot free blocks a returned plan still references)."""
     from flink_etl_spark.operators.dedup import hamming_banded_pairs
 
     if hash_col not in ("ahash", "dhash"):
         raise ValueError(f"hash_col must be 'ahash' or 'dhash', got {hash_col!r}")
-    sigs = media_perceptual_hashes(media, id_col, payload_col).persist()
+    sigs = media_perceptual_hashes(media, id_col, payload_col).localCheckpoint(
+        eager=True
+    )
     bits = 64 if hash_col == "ahash" else 63
     return hamming_banded_pairs(
         sigs, bits, max_hamming, id_col=id_col, sig_col=hash_col,

@@ -797,7 +797,10 @@ def bpe_fit(
             raise ValueError(
                 f"vocab_partitions must be >= 1, got {vocab_partitions}"
             )
-        words = words.coalesce(vocab_partitions)
+        # repartition, not coalesce: the knob's contract is "set the
+        # loop's parallelism", and coalesce silently no-ops when asked
+        # for MORE partitions than the token aggregate produced
+        words = words.repartition(vocab_partitions)
     words = words.localCheckpoint(eager=True)
     anchor = words
     merges: list[tuple[int, str, str, int]] = []
@@ -853,6 +856,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "inline",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Tokenize documents with a fitted BPE merge table: pre-tokenize,
     sep-encode each pre-token, apply the merges IN RANK ORDER (each a
@@ -885,7 +889,17 @@ def bpe_encode(
       alone does not) — vocab-sized materializations,
       never corpus-sized. Costs one corpus shuffle of
       (doc, pos, subwords) rows. Both methods are value-identical by
-      test (including past the inline cap)."""
+      test (including past the inline cap).
+
+    ``broadcast_vocab`` (vocab plan only): ``None`` (default) counts
+    the encoded vocabulary once (it is localCheckpoint-materialized
+    anyway, so the count is on stored rows, not a recompute) and
+    broadcasts it while it is under `_BPE_BROADCAST_MAX_VOCAB` rows —
+    past that a Heaps'-law pre-token vocabulary (tens of millions of
+    rows x subword arrays) can exceed the driver/broadcast budget, so
+    the reassembly degrades to a plain shuffle join on `_tok` (one
+    extra vocab-sized exchange, corpus side still exchanged once).
+    ``True``/``False`` pin the strategy."""
     if method not in ("inline", "vocab"):
         raise ValueError(f"method must be 'inline' or 'vocab', got {method!r}")
     if isinstance(merges, DataFrame):
@@ -957,11 +971,19 @@ def bpe_encode(
         if (i // _BPE_APPLY_CHUNK + 1) % _BPE_APPLY_ANCHOR_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=True)
     vocab = vocab.select("_tok", _bpe_syms(F.col("_seq")).alias("_sub"))
+    # materialize the finished pre-token -> subwords map once: the
+    # broadcast-safety count below then reads stored blocks instead of
+    # re-running the corpus distinct, and the join consumes the same
+    # blocks (lineage is already anchor-capped; this is the final one)
+    vocab = vocab.localCheckpoint(eager=True)
+    if broadcast_vocab is None:
+        broadcast_vocab = vocab.count() <= _BPE_BROADCAST_MAX_VOCAB
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
     exploded = docs.select(
         F.col(id_col), F.posexplode_outer(pre).alias("_pos", "_tok")
     )
     return (
-        exploded.join(F.broadcast(vocab), "_tok", "left")
+        exploded.join(vocab_side, "_tok", "left")
         .groupBy(id_col)
         .agg(
             F.flatten(
@@ -990,6 +1012,14 @@ _BPE_INLINE_MAX = 128
 #: optimizer at checkpoint time)
 _BPE_APPLY_CHUNK = 64
 _BPE_APPLY_ANCHOR_EVERY = 2
+
+#: vocab-plan broadcast bound (distinct pre-tokens): at ~100+ bytes
+#: per (pre-token, subword array) row, 4M rows is a few hundred MB —
+#: the edge of a comfortable executor broadcast. A Heaps'-law
+#: vocabulary on a 100 TB corpus can reach tens of millions of rows,
+#: where the reassembly must degrade to a plain shuffle join instead
+#: of failing the driver (`bpe_encode(broadcast_vocab=...)`)
+_BPE_BROADCAST_MAX_VOCAB = 4_000_000
 
 #: staged BPE tokenizer artifact format version (`_BPE_META.json`)
 _BPE_META_VERSION = 1
@@ -1036,6 +1066,7 @@ def bpe_encode_staged(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str | None = None,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Tokenize documents with a merge table staged by `bpe_stage_fit`
     — same output contract as `bpe_encode` (tokens, n_tokens;
@@ -1084,4 +1115,4 @@ def bpe_encode_staged(
     if method is None:
         method = "inline" if n <= _BPE_INLINE_MAX else "vocab"
     return bpe_encode(docs, merges, id_col=id_col, text_col=text_col,
-                      method=method)
+                      method=method, broadcast_vocab=broadcast_vocab)

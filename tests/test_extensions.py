@@ -3385,3 +3385,138 @@ def test_grouped_linear_fit_hand_computed_intercept(spark):
     assert r["n"] == 3
     assert abs(r["slope"] - 2.0) < 1e-6
     assert abs(r["intercept"] - (-195.0)) < 1e-6
+
+
+# r13: ADVICE closures + the independent-value rule from the r12
+# intercept-units lesson (every pinned-sequence gate needs at least
+# one INDEPENDENTLY derived expected value)
+
+
+def test_media_decode_feature_values_independently_derived(spark):
+    """The fake decoder's mean/var gate arm mirrors one pinned formula
+    into the DuckDB oracle, so cross-engine agreement alone cannot
+    catch a wrong formula on both sides (the r12 intercept-units
+    class). Pin the VALUES against exact rational arithmetic
+    (fractions.Fraction), independent of the operator's sum/ssq IEEE
+    sequence; fixtures are checked to sit off the floor-6 grid edge so
+    the rational and IEEE floors provably agree."""
+    import math
+    from fractions import Fraction
+
+    payloads = [
+        b"hello world",
+        bytes(range(7, 120, 3)),
+        b"\xff" * 5 + b"\x00" * 3,
+        b"a",
+    ]
+    media = spark.createDataFrame(
+        [(i, "text/plain", p) for i, p in enumerate(payloads)],
+        "media_id long, mime string, payload binary",
+    )
+    got = {
+        r.media_id: r.features
+        for r in multimodal.decode_media(media, fake=True).collect()
+    }
+    for i, p in enumerate(payloads):
+        n = len(p)
+        total = sum(p)
+        ssq = sum(b * b for b in p)
+        mean_q = Fraction(total, n)
+        var_q = Fraction(ssq, n) - mean_q * mean_q
+        for q in (mean_q, var_q):
+            # fixture sanity: either the exact value is a dyadic
+            # rational (small power-of-two denominator -> the double
+            # is EXACT, so floors agree even on the 1e-6 grid) or it
+            # sits off the grid edge, so floor(exact) == floor(IEEE)
+            # is guaranteed and the expected value is truly
+            # independent of the operator's rounding path
+            dyadic = q.denominator & (q.denominator - 1) == 0
+            assert dyadic or q * 10**6 != math.floor(q * 10**6)
+        exp_mean = math.floor(mean_q * 10**6) / 1e6
+        exp_var = math.floor(var_q * 10**6) / 1e6
+        assert got[i][1] == exp_mean, (i, got[i][1], exp_mean)
+        assert got[i][2] == exp_var, (i, got[i][2], exp_var)
+        assert got[i][0] == float(n)
+        assert got[i][3] == float(max(p)) and got[i][4] == float(min(p))
+        assert got[i][7] == float(total % 997)
+
+
+def test_phash_payload_size_guard_raises(spark, monkeypatch):
+    """Payloads past the int64-exactness bound RAISE instead of
+    silently wrapping the integer bit votes (non-ANSI Spark wraps;
+    the DuckDB oracle promotes to HUGEINT — the two would diverge
+    exactly when it matters). Bound shrunk via monkeypatch: nobody
+    allocates 1.5 GB in a unit test."""
+    monkeypatch.setattr(multimodal, "_PHASH_MAX_BYTES", 8)
+    media = spark.createDataFrame(
+        [(1, b"0123456789abcdef")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="int64-exact bound"):
+        multimodal.media_perceptual_hashes(media).collect()
+    # at the bound (not past it) the hash still computes
+    ok = spark.createDataFrame(
+        [(1, b"01234567")], "media_id long, payload binary"
+    )
+    assert multimodal.media_perceptual_hashes(ok).count() == 1
+
+
+def test_bpe_encode_vocab_broadcast_guard(spark, monkeypatch):
+    """ADVICE r12: the vocab reassembly join must not broadcast a
+    Heaps'-law-sized pre-token map. broadcast_vocab=False pins the
+    plain shuffle join (no broadcast hint in the optimized plan) with
+    value-identical output; the None default degrades on its own once
+    the counted vocabulary passes `_BPE_BROADCAST_MAX_VOCAB`."""
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "ab ab abc abcd")],
+        ["doc_id", "text"],
+    )
+    merges = text.bpe_fit(docs, 6, vocab_partitions=1)
+    base = sorted(
+        (r["doc_id"], tuple(r["tokens"]))
+        for r in text.bpe_encode(docs, merges, method="vocab").collect()
+    )
+
+    def hint(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    pinned = text.bpe_encode(
+        docs, merges, method="vocab", broadcast_vocab=False
+    )
+    assert "strategy=broadcast" not in hint(pinned)
+    assert base == sorted(
+        (r["doc_id"], tuple(r["tokens"])) for r in pinned.collect()
+    )
+    # default path: tiny vocab -> broadcast hint present
+    assert "strategy=broadcast" in hint(
+        text.bpe_encode(docs, merges, method="vocab")
+    )
+    # auto-degrade: shrink the bound so the counted vocab exceeds it
+    monkeypatch.setattr(text, "_BPE_BROADCAST_MAX_VOCAB", 1)
+    auto = text.bpe_encode(docs, merges, method="vocab")
+    assert "strategy=broadcast" not in hint(auto)
+    assert base == sorted(
+        (r["doc_id"], tuple(r["tokens"])) for r in auto.collect()
+    )
+
+
+def test_bpe_fit_vocab_partitions_can_increase(spark):
+    """ADVICE r12: the knob is now a real repartition — asking for
+    MORE partitions than the token aggregate produced takes effect
+    instead of silently no-opping (coalesce can only shrink), and the
+    fit stays value-identical."""
+    from flink_etl_spark.operators import text
+
+    texts = ["low lower lowest", "ab ab abc abcd"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).coalesce(1)
+    wide = text.bpe_word_counts(docs).repartition(64)
+    assert wide.rdd.getNumPartitions() == 64
+    got = [
+        tuple(r)
+        for r in text.bpe_fit(docs, 6, vocab_partitions=64)
+        .orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe_fit(texts, 6)

@@ -651,8 +651,10 @@ def test_phash_pairs_exchange_carries_hashes_not_payloads(spark):
     for frag in plan.split("Exchange hashpartitioning(")[1:]:
         keys = frag.split(")")[0]
         assert "payload" not in keys, keys
-    # the join itself runs over the persisted signature relation (the
-    # payload-bearing projection exists only INSIDE the cached
-    # relation's build plan, re-printed by explain): both join inputs
-    # are in-memory scans of (id, hash) rows
-    assert plan.count("InMemoryTableScan [media_id") >= 2, plan
+    # the join itself runs over the MATERIALIZED signature relation
+    # (localCheckpoint — the payload-bearing projection ran once at
+    # checkpoint time and is gone from this plan): both join inputs
+    # are RDD scans of (id, hash) rows, and the payload column never
+    # appears anywhere in the executed join plan at all
+    assert plan.count("Scan ExistingRDD[media_id") >= 2, plan
+    assert "payload" not in plan, plan

@@ -2006,3 +2006,66 @@ def test_staged_fit_drift_bigram_novelty_catches_order_drift(spark, tmp_path):
     legacy = staged_fit_drift_check(reversed_batch, fit)
     assert legacy["bigram_novel_frac"] is None
     assert not legacy["drift_detected"]
+
+
+def test_nb_classifier_scores_hand_computed(spark):
+    """Independent absolute-value check of the full NB score (r13, the
+    pinned-sequence rule): prior + per-instance smoothed log-odds
+    computed in plain Python math over a collision-free fixture, and
+    the operator's micro-floored sum must land within the flooring
+    tolerance (one micro-unit per floored term) of that value. The
+    planted-vocabulary test pins behavior and antisymmetry; THIS pins
+    the formula's absolute output, which a shared-formula oracle
+    cannot (the r12 intercept-units class)."""
+    import math
+
+    from flink_etl_spark.operators.prep import nb_classifier_scores
+
+    B = 10_007
+    pos_texts = ["apple banana", "apple cherry"]
+    neg_texts = ["rock stone gravel"]
+    score_text = "apple banana rock"
+
+    def feats(t):
+        toks = t.split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):  # fixture-sanity only: prove no bucket collisions
+        acc = 0
+        for ch in f:
+            acc = (acc * 131 + ord(ch)) % 2_147_483_647
+        return acc % B
+
+    vocab = {f for t in pos_texts + neg_texts + [score_text] for f in feats(t)}
+    assert len({bucket(f) for f in vocab}) == len(vocab), "collision in fixture"
+
+    c_pos, c_neg = {}, {}
+    for t in pos_texts:
+        for f in feats(t):
+            c_pos[f] = c_pos.get(f, 0) + 1
+    for t in neg_texts:
+        for f in feats(t):
+            c_neg[f] = c_neg.get(f, 0) + 1
+    n_pos = sum(c_pos.values())
+    n_neg = sum(c_neg.values())
+    expected = math.log(len(pos_texts) / len(neg_texts)) + sum(
+        math.log((c_pos.get(f, 0) + 1) / (n_pos + B))
+        - math.log((c_neg.get(f, 0) + 1) / (n_neg + B))
+        for f in feats(score_text)
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, t, True) for i, t in enumerate(pos_texts)]
+        + [(100 + i, t, False) for i, t in enumerate(neg_texts)],
+        ["doc_id", "text", "label"],
+    )
+    docs = spark.createDataFrame([(0, score_text)], ["doc_id", "text"])
+    r = nb_classifier_scores(
+        docs, labeled, hash_terms=False, n_buckets=B
+    ).collect()[0]
+    n_terms = r.n_feats + 1  # each instance term + the prior is floored
+    assert abs(r.logodds_micro / 1e6 - expected) <= n_terms * 1e-6, (
+        r.logodds_micro / 1e6,
+        expected,
+    )
+    assert r.predicted == (expected > 0)
