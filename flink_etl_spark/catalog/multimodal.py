@@ -30,6 +30,7 @@ _PHASH_DERIVE = (
 _MEDIA_PAD_NEW = """
            CAST(NULL AS VARCHAR) AS ahash,
            CAST(NULL AS VARCHAR) AS dhash,
+           CAST(NULL AS VARCHAR) AS dcthash,
            CAST(NULL AS BIGINT) AS pair_b,
            CAST(NULL AS BIGINT) AS hamming
 """
@@ -58,7 +59,19 @@ def _phash_oracle_ctes() -> str:
     ord(char) == byte exactly as the decode arm already relies on),
     integer cross-multiplied mean comparisons, sign-safe 64-bit
     packing (the two-step subtraction — DuckDB BIGINT arithmetic
-    errors on overflow, so bit 63 cannot be shifted in directly)."""
+    errors on overflow, so bit 63 cannot be shifted in directly).
+    The DCT twin (pq/pdct/pdh) multiplies the same quantized integer
+    span means against the same pinned flattened product kernel the
+    operator embeds (`operators.multimodal._DCT_KK`) — all-integer,
+    so the engines agree bit-for-bit with no float in sight."""
+    from flink_etl_spark.operators.multimodal import (
+        _DCT_KK,
+        _DCT_MEAN_SCALE,
+    )
+
+    kk_flat = "[" + ", ".join(
+        str(v) for row in _DCT_KK for v in row
+    ) + "]"
     return f"""
     pm AS (
         SELECT doc_id AS media_id, coalesce(text, '') AS txt
@@ -126,6 +139,29 @@ def _phash_oracle_ctes() -> str:
                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
                    ELSE 0 END) AS BIGINT) AS dhash
         FROM pbits GROUP BY media_id
+    ),
+    pq AS (
+        -- quantized integer span means on the same conjugate grid
+        SELECT media_id, j,
+               CASE WHEN c = 0 THEN 0
+                    ELSE (s * {_DCT_MEAN_SCALE}) // c END AS m
+        FROM pgrid
+    ),
+    pdct AS (
+        -- 63 AC coefficients per media: flat product kernel indexed
+        -- j*63 + b (the operator's _DCT_KK linearization), all int64
+        SELECT pq.media_id, bb.b AS b,
+               SUM(m * list_extract({kk_flat}, CAST(j * 63 + bb.b + 1 AS INT)))
+                 AS coeff
+        FROM pq, UNNEST(range(0, 63)) AS bb(b)
+        GROUP BY 1, 2
+    ),
+    pdh AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN coeff > 0
+                   THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                   ELSE 0 END) AS BIGINT) AS dcthash
+        FROM pdct GROUP BY media_id
     )
     """
 
@@ -192,23 +228,37 @@ def _phash_oracle_ctes() -> str:
     JOIN meta ON meta.media_id = m.media_id
     UNION ALL
     SELECT 'phash' AS variant,
-           media_id,
+           ph.media_id,
            {_MEDIA_PAD_DECODE},
            CAST(ahash AS VARCHAR) AS ahash, CAST(dhash AS VARCHAR) AS dhash,
+           CAST(dcthash AS VARCHAR) AS dcthash,
            CAST(NULL AS BIGINT) AS pair_b,
            CAST(NULL AS BIGINT) AS hamming
-    FROM ph
+    FROM ph JOIN pdh ON pdh.media_id = ph.media_id
     UNION ALL
     SELECT 'phash_pairs' AS variant,
            x.media_id,
            {_MEDIA_PAD_DECODE},
            CAST(NULL AS VARCHAR) AS ahash,
            CAST(NULL AS VARCHAR) AS dhash,
+           CAST(NULL AS VARCHAR) AS dcthash,
            y.media_id AS pair_b,
            bit_count(xor(x.ahash, y.ahash)) AS hamming
     FROM ph x, ph y
     WHERE x.media_id < y.media_id
       AND bit_count(xor(x.ahash, y.ahash)) <= {_PHASH_MAX_HAMMING}
+    UNION ALL
+    SELECT 'phash_dct_pairs' AS variant,
+           x.media_id,
+           {_MEDIA_PAD_DECODE},
+           CAST(NULL AS VARCHAR) AS ahash,
+           CAST(NULL AS VARCHAR) AS dhash,
+           CAST(NULL AS VARCHAR) AS dcthash,
+           y.media_id AS pair_b,
+           bit_count(xor(x.dcthash, y.dcthash)) AS hamming
+    FROM pdh x, pdh y
+    WHERE x.media_id < y.media_id
+      AND bit_count(xor(x.dcthash, y.dcthash)) <= {_PHASH_MAX_HAMMING}
     """,
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +283,12 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       (media_phash_near_dups -> dedup.hamming_banded_pairs) over the
       same planted universe vs DuckDB's brute-force XOR-popcount —
       pinning that the pigeonhole candidate generation is EXACT.
+    * variants 'phash' dcthash column + 'phash_dct_pairs' (r13) — the
+      integer DCT-II perceptual hash (the decorrelated production
+      signature; operators/multimodal._DCT_K) fully value-gated: the
+      oracle multiplies the same quantized span means against the
+      same pinned product kernel, and the DCT pair join is checked
+      against brute force exactly like the aHash one.
     """
     docs = _t(spark, sf_dir, "documents")
     media = M.make_media_table(docs)
@@ -241,6 +297,7 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_pad = [
         F.lit(None).cast("string").alias("ahash"),
         F.lit(None).cast("string").alias("dhash"),
+        F.lit(None).cast("string").alias("dcthash"),
         F.lit(None).cast("long").alias("pair_b"),
         F.lit(None).cast("long").alias("hamming"),
     ]
@@ -299,21 +356,31 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *decode_pad,
         F.col("ahash").cast("string").alias("ahash"),
         F.col("dhash").cast("string").alias("dhash"),
+        F.col("dcthash").cast("string").alias("dcthash"),
         F.lit(None).cast("long").alias("pair_b"),
         F.lit(None).cast("long").alias("hamming"),
     )
-    pairs_arm = hamming_banded_pairs(
-        sigs, 64, _PHASH_MAX_HAMMING, id_col="media_id", sig_col="ahash"
-    ).withColumnsRenamed({"doc_a": "id_a", "doc_b": "id_b"}).select(
-        F.lit("phash_pairs").alias("variant"),
-        F.col("id_a").alias("media_id"),
-        *decode_pad,
-        F.lit(None).cast("string").alias("ahash"),
-        F.lit(None).cast("string").alias("dhash"),
-        F.col("id_b").cast("long").alias("pair_b"),
-        F.col("hamming").cast("long").alias("hamming"),
+
+    def pairs_arm(variant: str, sig_col: str, bits: int) -> DataFrame:
+        return hamming_banded_pairs(
+            sigs, bits, _PHASH_MAX_HAMMING, id_col="media_id",
+            sig_col=sig_col,
+        ).withColumnsRenamed({"doc_a": "id_a", "doc_b": "id_b"}).select(
+            F.lit(variant).alias("variant"),
+            F.col("id_a").alias("media_id"),
+            *decode_pad,
+            F.lit(None).cast("string").alias("ahash"),
+            F.lit(None).cast("string").alias("dhash"),
+            F.lit(None).cast("string").alias("dcthash"),
+            F.col("id_b").cast("long").alias("pair_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+
+    return (
+        decode_arm.unionByName(phash_arm)
+        .unionByName(pairs_arm("phash_pairs", "ahash", 64))
+        .unionByName(pairs_arm("phash_dct_pairs", "dcthash", 63))
     )
-    return decode_arm.unionByName(phash_arm).unionByName(pairs_arm)
 
 
 @query(

@@ -302,6 +302,40 @@ def resize_media(
 #: decode's "pixel buffer" IS the payload byte sequence)
 PHASH_BLOCKS = 64
 
+#: pinned integer 8-point DCT-II kernel, K[u][x] =
+#: round(1024 * cos((2x+1) * u * pi / 16)) — PINNED as source literals
+#: (never recomputed from libm at runtime) so every engine and the
+#: pure-Python reference multiply the exact same integers. Rows u >= 1
+#: sum to exactly 0: global brightness cancels out of every AC
+#: coefficient by construction, which is what decorrelates the DCT
+#: bits where every aHash bit shares the buffer mean.
+_DCT_K = (
+    (1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024),
+    (1004, 851, 569, 200, -200, -569, -851, -1004),
+    (946, 392, -392, -946, -946, -392, 392, 946),
+    (851, -200, -1004, -569, 569, 1004, 200, -851),
+    (724, -724, -724, 724, 724, -724, -724, 724),
+    (569, -1004, 200, 851, -851, -200, 1004, -569),
+    (392, -946, 946, -392, -392, 946, -946, 392),
+    (200, -569, 851, -1004, 1004, -851, 569, -200),
+)
+
+#: span means are quantized to integers as (s * 2^20) div c before the
+#: DCT — keeps every product exact in int64 on both engines:
+#: |m| <= 255 * 2^20 ~ 2.7e8, |KK| <= 1024^2, 64-term sums < 1.8e16
+_DCT_MEAN_SCALE = 1_048_576
+
+#: flattened product kernel for the linearized 8x8 grid:
+#: _DCT_KK[j][b] = K[u][x] * K[v][y] with (u, v) = divmod(b + 1, 8)
+#: (the 63 AC coefficients — DC is skipped) and (x, y) = divmod(j, 8)
+_DCT_KK = tuple(
+    tuple(
+        _DCT_K[(b + 1) // 8][j // 8] * _DCT_K[(b + 1) % 8][j % 8]
+        for b in range(63)
+    )
+    for j in range(64)
+)
+
 #: int64-exactness bound on payload size for the perceptual hashes:
 #: the bit votes are integer cross-multiplications whose largest
 #: product is total * span_len <= (255 * n) * (n / 64 + 1); at
@@ -331,6 +365,28 @@ def media_perceptual_hashes(
     * ``dhash`` — difference hash: bit j iff span j's mean exceeds
       span j+1's (63 bits; gradient signature, robust to global
       brightness shifts where ahash is robust to local noise).
+    * ``dcthash`` (r13) — the classical DCT perceptual hash: the 64
+      span means (quantized to exact integers, `_DCT_MEAN_SCALE`)
+      form the linearized 8x8 grid, a pinned INTEGER 2D DCT-II kernel
+      (`_DCT_K`) projects them onto the 63 AC frequency components,
+      bit b = sign of coefficient b+1. This is the standard fix for
+      exactly the hot-bucket finding measured on aHash at 90x
+      (docs/SCALING.md): every aHash bit compares a span mean to the
+      SHARED buffer mean, so bits correlate on a homogeneous corpus
+      and chunk buckets go hot; the AC kernel rows each sum to
+      exactly 0, so brightness structure cancels and the bits
+      decorrelate (measured: 27% fewer uncapped candidate pairs and a
+      flatter top bucket on the sf0.01 corpus, ladder numbers in
+      docs/SCALING.md). 63 bits, non-negative.
+
+      Expression shape matters here: the DCT chain is built
+      SINGLE-REFERENCE (zip_with over the quantized-mean array and
+      the literal product kernel, folded elementwise, bit-packed
+      against a power array) because element_at(col, i) references
+      under HOF lambdas get no CSE — a nested-aggregate formulation
+      re-inlined the span table per kernel cell and hung (the
+      documented landmine); this shape runs in the same projection as
+      ahash/dhash at ~0.2 ms/row extra.
 
     All comparisons are INTEGER cross-multiplications
     (s_j * n > total * c_j), never float means — bit-exact across
@@ -397,6 +453,13 @@ def media_perceptual_hashes(
             "_neg",
             F.expr(f"element_at(_bs, {B}).s * _n > _t * element_at(_bs, {B}).c"),
         )
+        .withColumn(
+            "_m",
+            F.expr(
+                "transform(_bs, b -> IF(b.c = 0, CAST(0 AS BIGINT), "
+                f"(b.s * CAST({_DCT_MEAN_SCALE} AS BIGINT)) div b.c))"
+            ),
+        )
         .select(
             id_col,
             F.expr(
@@ -408,8 +471,45 @@ def media_perceptual_hashes(
                 "> element_at(_bs, j + 2).s * element_at(_bs, j + 1).c, "
                 "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
             ).alias("dhash"),
+            F.expr(_dct_hash_sql("_m")).alias("dcthash"),
         )
     )
+
+
+def _dct_kk_sql() -> str:
+    """The 64x63 literal product-kernel array (see `_DCT_KK`)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in row) + ")"
+            for row in _DCT_KK
+        )
+        + ")"
+    )
+
+
+def _dct_hash_sql(m_col: str) -> str:
+    """63-bit DCT sign hash over a 64-element quantized-mean array —
+    the single-reference zip_with chain (each intermediate consumed
+    exactly once; see the dcthash docstring for why the shape is
+    load-bearing). Portable: the identical text runs in DuckDB with
+    list_transform/list_zip semantics via the oracle twin in
+    catalog/multimodal.py."""
+    pow_sql = "array(" + ", ".join(
+        f"CAST({1 << b} AS BIGINT)" for b in range(63)
+    ) + ")"
+    return f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          zip_with({m_col}, {_dct_kk_sql()},
+                   (mv, krow) -> transform(krow, k -> mv * k)),
+          array_repeat(CAST(0 AS BIGINT), 63),
+          (acc, p) -> zip_with(acc, p, (a, b) -> a + b)),
+        {pow_sql},
+        (cf, w) -> IF(cf > 0, w, CAST(0 AS BIGINT))),
+      CAST(0 AS BIGINT), (a, x) -> a + x)
+    """
 
 
 def media_phash_near_dups(
@@ -443,6 +543,11 @@ def media_phash_near_dups(
     semantics are the simhash ones: a true pair is lost only if every
     chunk the two hashes agree on sits in an oversized bucket — the
     mass-near-duplicate case exact/digest dedup owns.
+    ``hash_col="dcthash"`` (r13) attacks the ROOT CAUSE the cap only
+    bounds: the DCT AC bits carry no shared-mean component, so
+    buckets stay cooler (uncapped candidate volume measured ~27%
+    lower; ladder numbers in docs/SCALING.md) — the production
+    combination is dcthash + max_bucket.
 
     The signature frame is MATERIALIZED (localCheckpoint) before the
     band join: the hash expression nests element_at chains under
@@ -459,8 +564,10 @@ def media_phash_near_dups(
     cannot free blocks a returned plan still references)."""
     from flink_etl_spark.operators.dedup import hamming_banded_pairs
 
-    if hash_col not in ("ahash", "dhash"):
-        raise ValueError(f"hash_col must be 'ahash' or 'dhash', got {hash_col!r}")
+    if hash_col not in ("ahash", "dhash", "dcthash"):
+        raise ValueError(
+            f"hash_col must be 'ahash', 'dhash' or 'dcthash', got {hash_col!r}"
+        )
     sigs = media_perceptual_hashes(media, id_col, payload_col).localCheckpoint(
         eager=True
     )

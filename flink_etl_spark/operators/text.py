@@ -747,11 +747,153 @@ def bpe_word_counts(
     )
 
 
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """One fit round's pair-count aggregate over the sep-encoded word
+    table: explode adjacent symbol pairs weighted by word frequency,
+    sum per (l, r). The only exchange carries (pair, count) rows
+    (plan-pinned in tests/test_plans.py)."""
+    return (
+        words.select(_bpe_syms(F.col("seq")).alias("_s"), "cnt")
+        .filter(F.size("_s") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(_s) - 1), "
+                "i -> struct(element_at(_s, i) AS l, "
+                "element_at(_s, i + 1) AS r)))"
+            ).alias("_p"),
+            "cnt",
+        )
+        .select("_p.l", "_p.r", "cnt")
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _bpe_truncate_batch(
+    words: DataFrame, pair_counts: DataFrame, accepted: list
+) -> list:
+    """Exactness guard for a tentative merge batch (see
+    `bpe_fit(batch_merges=...)`): sequential BPE re-ranks after every
+    merge, and the only pairs whose rank can RISE past a later batch
+    member are (a) pairs containing a batch merge's NEW symbol and
+    (b) pre-existing pairs that UNIFY with them when the merged string
+    collides with an existing symbol. Both are bounded from the
+    CURRENT table with two vocabulary-sized aggregates:
+
+    * max_grp(M_j): max count over the neighbor-pair groups
+      (prev, M_j) / (M_j, next) the occurrences of merge j's pattern
+      would create, grouped by the CURRENT neighbor names
+      (overlapping occurrences overcount — fine, upper bound);
+    * max_side(M_j): the larger of the two SIDE TOTALS (all left-
+      neighbor mass, all right-neighbor mass) — renames by earlier
+      batch merges can only re-label positions within a side, so no
+      post-rename group can exceed its side's total;
+    * ex_max(M_j): max count of any CURRENT pair containing the
+      merged string M_j as a symbol (nonzero only when M_j already
+      exists — new pairs then UNIFY with it);
+    * slack_j = sum of earlier batch counts — the rename-mass bound
+      that applies to the name-grouped max_grp.
+
+    Any pair whose rank can rise past batch position j is therefore
+    bounded by UB_j = min(max_grp + slack, max_side) + ex_max. Batch
+    member i survives only when its count STRICTLY exceeds every
+    earlier member's UB_j — then no created/boosted pair can outrank
+    it at its sequential position (ties lose to the strict
+    inequality), so the truncated batch equals the
+    one-merge-per-round sequence EXACTLY."""
+    spark = words.sparkSession
+    acc_rows = [(r["l"], r["r"], r["l"] + r["r"]) for r in accepted]
+    acc_df = F.broadcast(
+        spark.createDataFrame(acc_rows, "l string, r string, m string")
+    )
+    quads = (
+        words.select(_bpe_syms(F.col("seq")).alias("_s"), "cnt")
+        .filter(F.size("_s") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(_s) - 1), i -> struct("
+                "IF(i >= 2, element_at(_s, i - 1), NULL) AS prev, "
+                "element_at(_s, i) AS l, element_at(_s, i + 1) AS r, "
+                "IF(i + 2 <= size(_s), element_at(_s, i + 2), NULL) AS nxt)))"
+            ).alias("_q"),
+            "cnt",
+        )
+        .select("_q.prev", "_q.l", "_q.r", "_q.nxt", "cnt")
+        .join(acc_df, ["l", "r"])
+    )
+    per_group = (
+        quads.select(
+            "m",
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("prev").isNotNull(),
+                        F.struct(
+                            F.lit("L").alias("side"),
+                            F.col("prev").alias("nb"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("nxt").isNotNull(),
+                        F.struct(
+                            F.lit("R").alias("side"),
+                            F.col("nxt").alias("nb"),
+                        ),
+                    ),
+                )
+            ).alias("_np"),
+            "cnt",
+        )
+        .filter(F.col("_np").isNotNull())
+        .groupBy("m", "_np")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    summary = (
+        per_group.groupBy("m", F.col("_np.side").alias("side"))
+        .agg(F.max("c").alias("grp"), F.sum("c").alias("tot"))
+        .groupBy("m")
+        .agg(
+            F.max("grp").alias("max_grp"),
+            F.max("tot").alias("max_side"),
+        )
+    )
+    mdf = spark.createDataFrame([(m,) for _, _, m in acc_rows], "m string")
+    existing = (
+        pair_counts.join(
+            F.broadcast(mdf),
+            (pair_counts["l"] == mdf["m"]) | (pair_counts["r"] == mdf["m"]),
+        )
+        .groupBy("m")
+        .agg(F.max("c").alias("max_ex"))
+    )
+    news = {
+        r["m"]: (int(r["max_grp"]), int(r["max_side"]))
+        for r in summary.collect()
+    }
+    ex_max = {r["m"]: int(r["max_ex"]) for r in existing.collect()}
+    out = []
+    ub = 0
+    slack = 0
+    for i, row in enumerate(accepted):
+        if i > 0 and not row["c"] > ub:
+            break
+        out.append(row)
+        mj = row["l"] + row["r"]
+        max_grp, max_side = news.get(mj, (0, 0))
+        ub = max(
+            ub, min(max_grp + slack, max_side) + ex_max.get(mj, 0)
+        )
+        slack += int(row["c"])
+    return out
+
+
 def bpe_fit(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     vocab_partitions: int | None = None,
+    batch_merges: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BPE tokenizer vocabulary training (Sennrich,
     Haddow & Birch 2016, "Neural Machine Translation of Rare Words
@@ -782,6 +924,23 @@ def bpe_fit(
     should pin 1 while a 100 TB fit leaves it None (inherit the
     token-aggregate's parallelism).
 
+    ``batch_merges=B`` (r13) attacks the one scale cost cluster size
+    cannot reduce — R strictly-sequential driver rounds (~32k
+    round-trips for a production vocabulary): each round collects the
+    top-B candidates, keeps the maximal PREFIX whose symbol sets are
+    pairwise disjoint (and touch no symbol a batch member creates —
+    those counts shift mid-batch), verifies with one extra
+    vocabulary-sized aggregate that no pair a batch member CREATES
+    can outrank a later member (`_bpe_truncate_batch` — the guard
+    that makes the result EXACTLY the B=1 sequence, not an
+    approximation), and applies the survivors as one chained replace.
+    Rounds shrink by the average surviving batch size; B=1 is the
+    classical loop, byte-identical output for any B by construction
+    (and property-tested).
+
+    ``stats`` (optional dict) receives {"rounds", "n_merges"} — the
+    driver-round count the batching exists to cut.
+
     Reference parity: no tokenizer surface in the reference
     (jiamx/flink-etl); extends SURVEY.md §2.12's text family with the
     one classic LLM-data-prep fit the engine lacked."""
@@ -789,6 +948,10 @@ def bpe_fit(
         raise ValueError(
             f"n_merges must be in [1, 50000], got {n_merges} (merge "
             "tables beyond vocabulary scale are a misconfiguration)"
+        )
+    if not 1 <= batch_merges <= 1024:
+        raise ValueError(
+            f"batch_merges must be in [1, 1024], got {batch_merges}"
         )
     spark = docs.sparkSession
     words = bpe_word_counts(docs, text_col)
@@ -804,47 +967,70 @@ def bpe_fit(
     words = words.localCheckpoint(eager=True)
     anchor = words
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        pair_counts = (
-            words.select(_bpe_syms(F.col("seq")).alias("_s"), "cnt")
-            .filter(F.size("_s") >= 2)
-            .select(
-                F.expr(
-                    "explode(transform(sequence(1, size(_s) - 1), "
-                    "i -> struct(element_at(_s, i) AS l, "
-                    "element_at(_s, i + 1) AS r)))"
-                ).alias("_p"),
-                "cnt",
-            )
-            .select("_p.l", "_p.r", "cnt")
-            .groupBy("l", "r")
-            .agg(F.sum("cnt").alias("c"))
-        )
-        top = pair_counts.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+    rounds = 0
+    applied_since_anchor = 0
+    while len(merges) < n_merges:
+        rounds += 1
+        pair_counts = _bpe_pair_counts(words)
+        want = min(batch_merges, n_merges - len(merges))
+        top = pair_counts.orderBy(F.desc("c"), "l", "r").limit(want).collect()
         if not top:
             break
-        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
-        merges.append((rank, l, r, int(c)))
-        pat = BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP
-        rep = BPE_SEP + l + r + BPE_SEP
-        words = words.select(
-            F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"),
-            "cnt",
-        )
-        # re-anchor the lineage every few rounds, not every round: a
-        # handful of nested literal replaces recompute for free on a
-        # vocab-sized table, while an eager checkpoint is a whole
-        # extra job per round (measured 2x the loop wall at R=8).
-        # Each re-anchor DROPS the reference to the previous anchor:
-        # localCheckpoint blocks live at the RDD layer (Dataset
-        # .unpersist cannot free them), so release is by the
+        accepted = [top[0]]
+        if len(top) > 1:
+            # maximal PREFIX of the ranking whose merges cannot touch
+            # each other's counts: symbol sets pairwise disjoint, no
+            # symbol equal to a batch-created or batch-duplicated
+            # merged string (prefix, not skip-and-continue: a skipped
+            # conflicting pair keeps a REDUCED count that could still
+            # outrank later members, which no bound from the current
+            # table can exclude)
+            taken = {top[0]["l"], top[0]["r"]}
+            merged_strs = {top[0]["l"] + top[0]["r"]}
+            for cand in top[1:]:
+                cm = cand["l"] + cand["r"]
+                if (
+                    cand["l"] in taken
+                    or cand["r"] in taken
+                    or cand["l"] in merged_strs
+                    or cand["r"] in merged_strs
+                    or cm in merged_strs
+                ):
+                    break
+                accepted.append(cand)
+                taken |= {cand["l"], cand["r"]}
+                merged_strs.add(cm)
+            if len(accepted) > 1:
+                accepted = _bpe_truncate_batch(words, pair_counts, accepted)
+        col = F.col("seq")
+        for row in accepted:
+            l, r, c = row["l"], row["r"], row["c"]
+            merges.append((len(merges) + 1, l, r, int(c)))
+            col = F.replace(
+                col,
+                F.lit(BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP),
+                F.lit(BPE_SEP + l + r + BPE_SEP),
+            )
+        words = words.select(col.alias("seq"), "cnt")
+        # re-anchor the lineage every ~16 applied merges, not every
+        # round: a handful of nested literal replaces recompute for
+        # free on a vocab-sized table, while an eager checkpoint is a
+        # whole extra job per round (measured 2x the loop wall at
+        # R=8). Each re-anchor DROPS the reference to the previous
+        # anchor: localCheckpoint blocks live at the RDD layer
+        # (Dataset.unpersist cannot free them), so release is by the
         # ContextCleaner once GC collects the dropped Dataset — the
         # reference discipline here is what makes that possible for a
         # 50k-merge fit instead of pinning every vocab copy
-        if rank % 16 == 0:
+        applied_since_anchor += len(accepted)
+        if applied_since_anchor >= 16:
             words = words.localCheckpoint(eager=True)
             anchor = words
+            applied_since_anchor = 0
     del anchor
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_merges"] = len(merges)
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )

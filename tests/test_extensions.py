@@ -3520,3 +3520,198 @@ def test_bpe_fit_vocab_partitions_can_increase(spark):
         .orderBy("rank").collect()
     ]
     assert got == _ref_bpe_fit(texts, 6)
+
+
+def test_bpe_fit_batched_equals_sequential(spark):
+    """batch_merges is EXACT by construction (`_bpe_truncate_batch`):
+    for every batch size the merge table — ranks, pairs, AND recorded
+    counts — must be byte-identical to the classical
+    one-merge-per-round loop, on corpora engineered for ties,
+    overlapping merges, interacting candidates, and whole-word
+    symbols (where the side-total bound must NOT truncate)."""
+    from flink_etl_spark.operators import text
+
+    corpora = [
+        # ties + overlapping (aaaa) + chained merges
+        ["low lower lowest low low", "aaaa aaa banana bandana",
+         "the the the them theme", "ab ab abc abcd, abcd!"],
+        # disjoint whole-word pairs: a batch should sweep them all
+        ["ab cd ef gh ij kl", "ab cd ef gh", "mn op qr"],
+        # heavy interaction: candidates share symbols constantly
+        ["aa ab ba bb aaa bbb abab baba", "a b ab ba"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        ref = _ref_bpe_fit(texts, 12)
+        for B in (2, 8, 64):
+            st: dict = {}
+            got = [
+                (r["rank"], r["left"], r["right"], r["pair_count"])
+                for r in text.bpe_fit(
+                    docs, 12, vocab_partitions=1, batch_merges=B, stats=st
+                ).orderBy("rank").collect()
+            ]
+            assert got == ref, (texts, B, got, ref)
+            assert st["n_merges"] == len(ref)
+
+
+def test_bpe_fit_batched_reduces_rounds(spark):
+    """The point of the batch: disjoint frequent pairs are swept in
+    one round, so the driver-round count drops well below n_merges
+    (corpus of whole-word pairs over disjoint alphabets: 9 merges in
+    <= 3 rounds at B=8)."""
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "ab cd ef gh ij kl"), (1, "ab cd ef gh"), (2, "mn op qr")],
+        ["doc_id", "text"],
+    )
+    st: dict = {}
+    text.bpe_fit(docs, 12, vocab_partitions=1, batch_merges=8, stats=st)
+    assert st["n_merges"] == 9
+    assert st["rounds"] <= 3, st
+    with pytest.raises(ValueError, match="batch_merges"):
+        text.bpe_fit(docs, 4, batch_merges=0)
+
+
+# (the batched-fit hypothesis property lives in
+# tests/test_property_prep.py with the other hypothesis suites)
+
+
+# r13: DCT perceptual hash
+
+
+def _ref_dcthash(payload: bytes) -> int:
+    """Pure-Python reference DCT hash, written from the definition
+    (quantized integer span means -> pinned integer 2D DCT-II kernel
+    -> AC-coefficient sign bits) independently of the operator's
+    zip_with chain and of the oracle's flat-kernel SQL."""
+    from flink_etl_spark.operators.multimodal import (
+        _DCT_K,
+        _DCT_MEAN_SCALE,
+    )
+
+    n = len(payload)
+    m = []
+    for j in range(64):
+        lo, hi = (j * n) // 64, ((j + 1) * n) // 64
+        c = hi - lo
+        m.append(0 if c == 0 else (sum(payload[lo:hi]) * _DCT_MEAN_SCALE) // c)
+    h = 0
+    for b in range(63):
+        u, v = (b + 1) // 8, (b + 1) % 8
+        coeff = sum(
+            m[8 * x + y] * _DCT_K[u][x] * _DCT_K[v][y]
+            for x in range(8)
+            for y in range(8)
+        )
+        if coeff > 0:
+            h |= 1 << b
+    return h
+
+
+def test_media_dct_hash_matches_reference(spark):
+    """dcthash equals the pure-Python definition on the edge shapes
+    (short/empty/NULL payloads, constant bytes -> 0, sign-exercising
+    high bytes), is non-negative (63 bits), and a single-byte
+    substitution stays within a small Hamming distance while an
+    unrelated payload does not."""
+    payloads = [
+        b"",
+        None,
+        b"abc",
+        bytes(range(64)),
+        b"the quick brown fox jumps over the lazy dog " * 7,
+        b"\x00" * 100,
+        b"\x01" * 63 + b"\xff" * 64,
+    ]
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: r.dcthash
+        for r in multimodal.media_perceptual_hashes(media).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _ref_dcthash(p or b""), (i, got[i])
+        assert got[i] >= 0
+    # constant bytes: every span mean equals the DC level, all AC
+    # coefficients are exactly 0 (kernel rows sum to 0) -> hash 0
+    assert got[5] == 0
+    base = payloads[4]
+    near = _ref_dcthash(base[:17] + b"Q" + base[18:])
+    far = _ref_dcthash(b"pack my box with five dozen liquor jugs!! " * 7)
+    assert bin(got[4] ^ near).count("1") <= 8
+    assert bin(got[4] ^ far).count("1") > 8
+
+
+def test_media_dct_near_dups_exact_vs_bruteforce(spark):
+    """The banded Hamming join over dcthash (63 bits) is EXACT vs the
+    brute-force XOR-popcount filter on the same planted-substitution
+    corpus the ahash twin uses."""
+    import itertools
+
+    base = [
+        b"the quick brown fox jumps over the lazy dog " * 5,
+        b"pack my box with five dozen liquor jugs!!!! " * 5,
+        bytes(range(200)),
+    ]
+    rows = [(i, p) for i, p in enumerate(base)]
+    for i, p in enumerate(base):
+        rows.append((100 + i, p[:17] + b"Q" + p[18:]))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.media_phash_near_dups(
+            media, max_hamming=8, hash_col="dcthash"
+        ).collect()
+    }
+    hs = {
+        r.media_id: r.dcthash
+        for r in multimodal.media_perceptual_hashes(media).collect()
+    }
+    expect = set()
+    for a, b in itertools.combinations(sorted(hs), 2):
+        h = bin(hs[a] ^ hs[b]).count("1")
+        if h <= 8:
+            expect.add((a, b, h))
+    assert got == expect
+    # the text payloads pair with their substitutions; the ramp
+    # (bytes(range(200))) legitimately does NOT — a 64-unit byte spike
+    # in a 3-byte span is a large quantized-mean change that flips >8
+    # AC signs (the DCT trades that sensitivity for decorrelation)
+    assert {(0, 100), (1, 101)} <= {(a, b) for a, b, _ in got}
+
+
+def test_dct_oracle_matches_reference():
+    """The DuckDB oracle twin (pq/pdct/pdh CTEs) reproduces the
+    pure-Python reference hash value-for-value — the third,
+    independent corner of the operator/oracle/reference triangle
+    (per the pinned-sequence rule in catalog/__init__)."""
+    import duckdb
+
+    from flink_etl_spark.catalog.multimodal import _phash_oracle_ctes
+
+    texts = [
+        (0, "hello world test"),
+        (1, "the quick brown fox jumps over the lazy dog " * 7),
+        (2, ""),
+        (3, "x"),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in texts)
+        + ") t(doc_id, text)"
+    )
+    rows = con.execute(
+        f"WITH {_phash_oracle_ctes().strip()} "
+        "SELECT media_id, dcthash, typeof(dcthash) FROM pdh "
+        "WHERE media_id < 1000000 ORDER BY media_id"
+    ).fetchall()
+    assert [t for _, _, t in rows] == ["BIGINT"] * len(texts)
+    for mid, dct, _ in rows:
+        assert dct == _ref_dcthash(dict(texts)[mid].encode()), mid

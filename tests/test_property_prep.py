@@ -453,3 +453,36 @@ def test_substring_dedup_winnow_matches_python_model(spark, rows, k, w):
         ).collect()
     }
     assert got == _py_substring_dedup(rows, k, w)
+
+
+_bpe_corpora = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1, max_size=6,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(word_lists=_bpe_corpora, B=st.sampled_from([2, 5]))
+def test_bpe_fit_batched_property(spark, word_lists, B):
+    """Property (r13): on ADVERSARIALLY small alphabets (maximum
+    candidate interaction — the regime where a wrong batch-truncation
+    bound shows up as a rank swap) the batched fit equals the
+    pure-Python classical reference exactly, counts included."""
+    from flink_etl_spark.operators import text
+    from tests.test_extensions import _ref_bpe_fit
+
+    texts = [" ".join(ws) for ws in word_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in text.bpe_fit(
+            docs, 6, vocab_partitions=1, batch_merges=B
+        ).orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe_fit(texts, 6)

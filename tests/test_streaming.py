@@ -1451,3 +1451,45 @@ def test_dsir_staged_scores_stream_equals_batch(spark, tmp_path):
     expected = sorted(map(tuple, dsir_log_weights_staged(
         score_docs, fit).collect()))
     assert got == expected and len(got) > 0
+
+
+def test_bpe_encode_staged_stream_equals_batch(spark, tmp_path):
+    """The inline BPE encode plan is a stateless row-local projection
+    (zero shuffle, plan-pinned in tests/test_plans.py), so a staged
+    tokenizer artifact applies to a document STREAM unchanged —
+    continuous tokenization against a frozen vocabulary, the same
+    claim shape as the staged NB/DSIR scorers above. Streamed token
+    rows must equal the batch arm's exactly."""
+    from flink_etl_spark.operators.text import (
+        bpe_encode_staged,
+        bpe_stage_fit,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    fit = str(tmp_path / "bpe_fit")
+    bpe_stage_fit(docs.filter("doc_id % 2 = 0"), fit, 24, vocab_partitions=1)
+    enc_docs = docs.filter("doc_id % 2 = 1")
+    src = str(tmp_path / "docs_stream")
+    enc_docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(enc_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    toks = bpe_encode_staged(stream, fit)
+    q = (
+        toks.writeStream.format("memory").queryName("bpe_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+        for r in spark.sql("SELECT * FROM bpe_stream").collect()
+    )
+    expected = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode_staged(enc_docs, fit).collect()
+    )
+    assert got == expected and len(got) > 0

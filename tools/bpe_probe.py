@@ -1,0 +1,119 @@
+"""BPE scale probes (r13): measured evidence for docs/SCALING.md.
+
+Two measurements, both on sf0.01 documents:
+
+* ``fit [R] [B ...]`` — batched merge selection (`bpe_fit
+  batch_merges=B`) vs the classical B=1 loop at a production-ish
+  vocabulary. The raw corpus has only 31 distinct pre-tokens (~107
+  possible merges), so the probe widens it Heaps-style by suffixing
+  every token with doc_id % 211 (~6.5k distinct pre-tokens, ~50k merge
+  capacity) — the fit itself is untouched. Reports rounds + wall per
+  batch size; correctness of batching is pinned separately
+  (test_bpe_fit_batched_* + the hypothesis property).
+
+* ``encode [R ...]`` — the vocab-plan encode wall at real merge-table
+  sizes (default 32768 — the r12 verdict asked for a MEASURED row to
+  replace the ~85 s extrapolation from R=8192). Merge tables are the
+  real fitted merges padded with never-matching pairs (the
+  test_bpe_encode_depth_bounds fixture pattern): the replace-chain cost
+  is per merge REGARDLESS of whether it matches, so padding measures
+  the true per-merge cost without needing a 32k-capacity corpus.
+
+Usage: python tools/bpe_probe.py fit 1024 1 16 64
+       python tools/bpe_probe.py encode 8192 32768
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from flink_etl_spark.session import get_spark  # noqa: E402
+from flink_etl_spark.operators import text as T  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _wide_docs(spark):
+    """Heaps-widened corpus: suffix every token with doc_id % 211."""
+    return _docs(spark).select(
+        "doc_id",
+        F.expr(
+            "regexp_replace(coalesce(text, ''), '(\\\\w+)', "
+            "concat('$1', CAST(doc_id % 211 AS STRING)))"
+        ).alias("text"),
+    )
+
+
+def run_fit(r: int, batches: list[int]) -> None:
+    spark = get_spark(app_name="bpe-probe-fit")
+    docs = _wide_docs(spark).localCheckpoint(eager=True)
+    n_tok = docs.select(
+        F.explode(F.expr(
+            f"regexp_extract_all(coalesce(text, ''), '{T._BPE_PRETOKEN_SQL}', 0)"
+        )).alias("t")
+    ).distinct().count()
+    print(f"widened corpus: {n_tok} distinct pre-tokens, R={r}")
+    base = None
+    for b in batches:
+        st: dict = {}
+        t0 = time.time()
+        merges = T.bpe_fit(docs, r, batch_merges=b, stats=st)
+        rows = [
+            (x["rank"], x["left"], x["right"], x["pair_count"])
+            for x in merges.orderBy("rank").collect()
+        ]
+        wall = time.time() - t0
+        if base is None:
+            base = rows
+        tag = "" if rows == base else "  !! MERGE TABLE DIVERGED !!"
+        print(
+            f"  B={b:>4}: rounds={st['rounds']:>5} merges={st['n_merges']}"
+            f" wall={wall:7.1f}s"
+            f" rounds/merge={st['rounds'] / max(st['n_merges'], 1):.2f}{tag}",
+            flush=True,
+        )
+
+
+def run_encode(sizes: list[int]) -> None:
+    spark = get_spark(app_name="bpe-probe-encode")
+    docs = _docs(spark).localCheckpoint(eager=True)
+    real = [
+        (x["rank"], x["left"], x["right"], 0)
+        for x in T.bpe_fit(docs, 64, vocab_partitions=1)
+        .orderBy("rank").collect()
+    ]
+    for r in sizes:
+        pad = [(i, f"zq{i}", f"xj{i}", 0) for i in range(100, 100 + r - len(real))]
+        merges = real + pad
+        t0 = time.time()
+        out = T.bpe_encode(docs, merges, method="vocab")
+        n = out.agg(F.sum("n_tokens")).collect()[0][0]
+        wall = time.time() - t0
+        print(
+            f"  R={r:>6}: wall={wall:7.1f}s  tokens={n}"
+            f"  s/1k-merges={wall / (r / 1000):.2f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if not args or args[0] not in ("fit", "encode"):
+        print(__doc__)
+        sys.exit(2)
+    if args[0] == "fit":
+        r = int(args[1]) if len(args) > 1 else 1024
+        batches = [int(a) for a in args[2:]] or [1, 16, 64]
+        run_fit(r, batches)
+    else:
+        sizes = [int(a) for a in args[1:]] or [32768]
+        run_encode(sizes)
