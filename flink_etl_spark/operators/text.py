@@ -770,7 +770,10 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 
 def _bpe_truncate_batch(
-    words: DataFrame, pair_counts: DataFrame, accepted: list
+    words: DataFrame,
+    pair_counts: DataFrame,
+    accepted: list,
+    known_products: set | None = None,
 ) -> list:
     """Exactness guard for a tentative merge batch (see
     `bpe_fit(batch_merges=...)`): sequential BPE re-ranks after every
@@ -857,20 +860,33 @@ def _bpe_truncate_batch(
             F.max("tot").alias("max_side"),
         )
     )
-    mdf = spark.createDataFrame([(m,) for _, _, m in acc_rows], "m string")
-    existing = (
-        pair_counts.join(
-            F.broadcast(mdf),
-            (pair_counts["l"] == mdf["m"]) | (pair_counts["r"] == mdf["m"]),
-        )
-        .groupBy("m")
-        .agg(F.max("c").alias("max_ex"))
-    )
     news = {
         r["m"]: (int(r["max_grp"]), int(r["max_side"]))
         for r in summary.collect()
     }
-    ex_max = {r["m"]: int(r["max_ex"]) for r in existing.collect()}
+    # ex_max is nonzero only when a merged string equals an EXISTING
+    # symbol — and a multi-char symbol exists iff it is the product of
+    # an earlier merge, which the DRIVER already knows exactly
+    # (original symbols are single characters; `known_products` is the
+    # fit's merge list so far). The extra vocabulary scan is therefore
+    # skipped entirely on the overwhelmingly common no-collision round.
+    colliding = [
+        m for _, _, m in acc_rows
+        if known_products is None or m in known_products
+    ]
+    ex_max: dict[str, int] = {}
+    if colliding:
+        mdf = spark.createDataFrame([(m,) for m in colliding], "m string")
+        existing = (
+            pair_counts.join(
+                F.broadcast(mdf),
+                (pair_counts["l"] == mdf["m"])
+                | (pair_counts["r"] == mdf["m"]),
+            )
+            .groupBy("m")
+            .agg(F.max("c").alias("max_ex"))
+        )
+        ex_max = {r["m"]: int(r["max_ex"]) for r in existing.collect()}
     out = []
     ub = 0
     slack = 0
@@ -967,7 +983,10 @@ def bpe_fit(
     words = words.localCheckpoint(eager=True)
     anchor = words
     merges: list[tuple[int, str, str, int]] = []
+    products: set[str] = set()
     rounds = 0
+    prefix_stops = 0
+    ub_stops = 0
     applied_since_anchor = 0
     while len(merges) < n_merges:
         rounds += 1
@@ -1000,12 +1019,20 @@ def bpe_fit(
                 accepted.append(cand)
                 taken |= {cand["l"], cand["r"]}
                 merged_strs.add(cm)
+            if len(accepted) < len(top):
+                prefix_stops += 1
             if len(accepted) > 1:
-                accepted = _bpe_truncate_batch(words, pair_counts, accepted)
+                before = len(accepted)
+                accepted = _bpe_truncate_batch(
+                    words, pair_counts, accepted, known_products=products
+                )
+                if len(accepted) < before:
+                    ub_stops += 1
         col = F.col("seq")
         for row in accepted:
             l, r, c = row["l"], row["r"], row["c"]
             merges.append((len(merges) + 1, l, r, int(c)))
+            products.add(l + r)
             col = F.replace(
                 col,
                 F.lit(BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP),
@@ -1031,6 +1058,8 @@ def bpe_fit(
     if stats is not None:
         stats["rounds"] = rounds
         stats["n_merges"] = len(merges)
+        stats["prefix_stops"] = prefix_stops
+        stats["ub_stops"] = ub_stops
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )

@@ -78,7 +78,9 @@ def run_fit(r: int, batches: list[int]) -> None:
         print(
             f"  B={b:>4}: rounds={st['rounds']:>5} merges={st['n_merges']}"
             f" wall={wall:7.1f}s"
-            f" rounds/merge={st['rounds'] / max(st['n_merges'], 1):.2f}{tag}",
+            f" rounds/merge={st['rounds'] / max(st['n_merges'], 1):.2f}"
+            f" prefix_stops={st.get('prefix_stops')}"
+            f" ub_stops={st.get('ub_stops')}{tag}",
             flush=True,
         )
 

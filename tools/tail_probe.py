@@ -238,6 +238,130 @@ def main(points_list: list[int] | None = None) -> None:
     spark.stop()
 
 
+def run_media_phash_recall(points_list: list[int] | None = None) -> None:
+    """r13: measure what the `max_bucket` cap actually COSTS (and what
+    the DCT hash buys) instead of arguing it. Per ladder point, plant
+    one-byte-substituted near-dups (the gate's derivation, negative
+    ids) into the replica corpus, then for each signature
+    (ahash / dcthash) x cap (None / 256):
+
+      recall   = planted pairs found / planted pairs whose TRUE
+                 Hamming distance is within the budget (truth from a
+                 direct planted-vs-original hash join, not the band
+                 machinery under test)
+      + wall, shuffle bytes, and per-signature chunk-bucket occupancy
+        (max bucket, #buckets over the cap) — the decorrelation
+        evidence for the DCT arm.
+
+    Results recorded in docs/SCALING.md (phash ladder section)."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.catalog.multimodal import _PHASH_DERIVE
+    from flink_etl_spark.operators.dedup import hamming_banded_pairs
+    from flink_etl_spark.operators.multimodal import (
+        make_media_table,
+        media_perceptual_hashes,
+    )
+    from flink_etl_spark.session import get_spark
+    from flink_etl_spark.sources.tables import load_table
+    from tools.replicate_testdata import build_replica
+    from tools.shuffle_probe import _fmt_bytes, _shuffle_totals
+
+    if not points_list:
+        points_list = [10, 30, 90]
+    points_list = sorted(points_list)
+    spark = get_spark(
+        app_name="tail-probe-phash-recall",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+
+    for n in points_list:
+        out = tempfile.mkdtemp(prefix=f"sf01x{n}_phrec_")
+        build_replica(spark, src, out, n, tables=("documents",))
+        docs = load_table(spark, out, "documents")
+        media = make_media_table(docs).select("media_id", "payload")
+        planted = docs.filter("doc_id % 17 = 3").select(
+            (-F.col("doc_id") - 1).alias("media_id"),
+            F.encode(F.expr(_PHASH_DERIVE), "utf-8").alias("payload"),
+        )
+        universe = media.unionByName(planted)
+        sigs = media_perceptual_hashes(universe).localCheckpoint(eager=True)
+        n_media = sigs.count()
+        print(f"\n=== {n}x: {n_media} media ({n_media - docs.count()} "
+              "planted) ===", flush=True)
+        for hash_col, bits in (("ahash", 64), ("dcthash", 63)):
+            truth = (
+                sigs.alias("p")
+                .filter("media_id < 0")
+                .join(
+                    sigs.alias("o"),
+                    F.expr("o.media_id = -p.media_id - 1"),
+                )
+                .select(
+                    F.expr(
+                        f"bit_count(p.{hash_col} ^ o.{hash_col})"
+                    ).alias("h")
+                )
+            )
+            n_true = truth.filter("h <= 8").count()
+            # chunk-bucket occupancy (k=8 banding): the decorrelation
+            # evidence — how hot do the band buckets actually run
+            cb = bits // 9
+            occ = (
+                sigs.select(
+                    F.explode(
+                        F.array(*[
+                            F.struct(
+                                F.lit(j).alias("cid"),
+                                F.shiftright(F.col(hash_col), j * cb)
+                                .bitwiseAND(F.lit(
+                                    (1 << ((bits - j * cb) if j == 8 else cb))
+                                    - 1
+                                )).alias("cv"),
+                            )
+                            for j in range(9)
+                        ])
+                    ).alias("c")
+                )
+                .groupBy("c").count()
+            )
+            stats = occ.agg(
+                F.max("count").alias("mx"),
+                F.sum(F.when(F.col("count") > 256, 1).otherwise(0))
+                .alias("over"),
+                F.count("*").alias("nb"),
+            ).collect()[0]
+            print(
+                f"  {hash_col}: true planted pairs<=8: {n_true}; "
+                f"buckets={stats['nb']} max_occ={stats['mx']} "
+                f"over256={stats['over']}",
+                flush=True,
+            )
+            for cap in (None, 256):
+                spark.catalog.clearCache()
+                b0, _ = _shuffle_totals(sc)
+                t0 = time.perf_counter()
+                pairs = hamming_banded_pairs(
+                    sigs, bits, 8, id_col="media_id", sig_col=hash_col,
+                    max_bucket=cap,
+                ).localCheckpoint(eager=True)
+                wall = time.perf_counter() - t0
+                b1, _ = _shuffle_totals(sc)
+                found = pairs.count()
+                hit = pairs.filter("doc_a = -doc_b - 1").count()
+                rec = hit / n_true if n_true else float("nan")
+                print(
+                    f"    cap={str(cap):>4}: wall={wall:6.1f}s "
+                    f"shuffle={_fmt_bytes(b1 - b0):>10} pairs={found:>8} "
+                    f"planted_found={hit} recall={rec:.4f}",
+                    flush=True,
+                )
+    spark.stop()
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--query" in argv:
@@ -248,6 +372,8 @@ if __name__ == "__main__":
             run_join_multiway([int(a) for a in argv])
         elif qname == "media_phash":
             run_media_phash([int(a) for a in argv])
+        elif qname == "media_phash_recall":
+            run_media_phash_recall([int(a) for a in argv])
         else:
             raise SystemExit(f"unknown --query {qname!r}")
     else:
