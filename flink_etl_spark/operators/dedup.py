@@ -1785,8 +1785,11 @@ def simhash_near_dups(
     With the cap the result is no longer provably lossless: a true
     pair is lost only if EVERY chunk the two docs agree on sits in an
     oversized bucket — the degenerate mass-duplicate case exact dedup
-    owns. Default None keeps the lossless behavior the oracle gate
-    pins."""
+    owns. VALIDITY BOUND (r13, measured on the phash twin): the cap
+    skims skew only while n << max_bucket * 2^(bits div
+    (max_hamming+1)); once the MEAN bucket load passes the cap,
+    recall collapses and `hamming_banded_pairs` warns. Default None
+    keeps the lossless behavior the oracle gate pins."""
     from flink_etl_spark.operators.knobs import resolve_knob, simhash_auto_bits
 
     bits = resolve_knob(bits, simhash_auto_bits, docs, n_docs, max_hamming)
@@ -1852,11 +1855,41 @@ def hamming_banded_pairs(
         F.col("c.chunk_val").alias("chunk_val"),
     )
     if max_bucket is not None:
-        oversized = (
-            banded.groupBy("chunk_id", "chunk_val")
-            .agg(F.count("*").alias("_occ"))
-            .filter(F.col("_occ") > max_bucket)
-            .select("chunk_id", "chunk_val")
+        occ = banded.groupBy("chunk_id", "chunk_val").agg(
+            F.count("*").alias("_occ")
+        )
+        # VALIDITY check, not just a cap (r13, measured in the phash
+        # recall ladder, docs/SCALING.md): the cap is a SKEW skimmer —
+        # it preserves recall only while the corpus is small enough
+        # that a TYPICAL bucket stays under it (n << max_bucket *
+        # 2^chunk_bits). Once the MEAN bucket load passes the cap,
+        # the anti-join drops the BULK of the corpus and recall
+        # silently collapses (measured: 0.67 at 53k rows, 0.01 at
+        # 476k rows for 7-bit chunks with max_bucket=256 — and a
+        # better-decorrelated signature makes it WORSE, because
+        # uniform spreading pushes every bucket over the cap). Warn
+        # loudly instead of letting that pass as "deduped clean".
+        tot = occ.agg(
+            F.count("*").alias("nb"),
+            F.sum(F.when(F.col("_occ") > max_bucket, 1).otherwise(0))
+            .alias("nover"),
+        ).collect()[0]
+        if tot["nb"] and tot["nover"] / tot["nb"] > 0.2:
+            import warnings
+
+            warnings.warn(
+                f"hamming_banded_pairs(max_bucket={max_bucket}): "
+                f"{tot['nover']} of {tot['nb']} occupied chunk buckets "
+                "exceed the cap — the corpus is past the cap's skew "
+                "regime (n ~> max_bucket * 2^chunk_bits) and recall "
+                "will collapse, not degrade. Lower max_hamming (wider "
+                "chunks), group exact-equal signatures first, raise "
+                "max_bucket, or run uncapped.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        oversized = occ.filter(F.col("_occ") > max_bucket).select(
+            "chunk_id", "chunk_val"
         )
         banded = banded.join(
             F.broadcast(oversized), ["chunk_id", "chunk_val"], "left_anti"

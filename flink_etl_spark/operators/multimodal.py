@@ -531,23 +531,34 @@ def media_phash_near_dups(
     keys are (chunk_id, 6-8 bit chunk_val, 8-byte hash) — payloads
     never leave the scan), verification is one XOR popcount, and
     `max_bucket` caps hot buckets exactly as documented on
-    `simhash_near_dups`. SET `max_bucket` AT CORPUS SCALE: perceptual
-    hash bits on a homogeneous corpus are CORRELATED (every bit is a
-    span-mean vs buffer-mean comparison, and similar media share mean
-    structure), so chunk buckets go hot and the exact pigeonhole
-    join's candidate volume grows super-linearly no matter how wide
-    the chunks — measured on a 90x corpus: shuffle 1.0 GiB uncapped at
-    max_hamming=8 (byte ratio 64.6 on the 30x->90x step; still 26x at
-    max_hamming=2's 21-bit chunks) vs 1.6 MiB with max_bucket=256
-    (linear, full numbers in docs/SCALING.md). The cap's recall
-    semantics are the simhash ones: a true pair is lost only if every
-    chunk the two hashes agree on sits in an oversized bucket — the
-    mass-near-duplicate case exact/digest dedup owns.
-    ``hash_col="dcthash"`` (r13) attacks the ROOT CAUSE the cap only
-    bounds: the DCT AC bits carry no shared-mean component, so
-    buckets stay cooler (uncapped candidate volume measured ~27%
-    lower; ladder numbers in docs/SCALING.md) — the production
-    combination is dcthash + max_bucket.
+    `simhash_near_dups`. Perceptual hash bits on a homogeneous corpus
+    are CORRELATED (every aHash bit is a span-mean vs buffer-mean
+    comparison, and similar media share mean structure), so chunk
+    buckets go hot and the exact pigeonhole join's candidate volume
+    grows super-linearly — measured on a 90x corpus: 1.0-1.1 GiB
+    shuffle uncapped at max_hamming=8.
+
+    DEPLOYMENT RULE (r13 — the r12 rule corrected by MEASURED recall,
+    `tools/tail_probe.py --query media_phash_recall`, table in
+    docs/SCALING.md): `max_bucket` is a SKEW skimmer, valid ONLY
+    while the corpus is small relative to the banding's capacity,
+    n << max_bucket * 2^(bits div (max_hamming+1)). At max_hamming=8
+    a 64-bit signature yields 7-bit chunks (128 values), so
+    max_bucket=256 holds ~33k media — past that the MEAN bucket
+    exceeds the cap and recall COLLAPSES rather than degrades
+    (measured planted-pair recall: 0.67 at 53k, 0.11 at 159k, 0.0094
+    at 476k — and the better-decorrelated dcthash is WORSE under an
+    overloaded cap, 0.39/0.0/0.0, because uniform spreading pushes
+    every bucket over it; `hamming_banded_pairs` now warns loudly in
+    this regime). At corpus scale the honest options are: (a) run
+    UNCAPPED — recall is exactly 1.0 by construction, and
+    ``hash_col="dcthash"`` cuts the cost 2.4x (456 MiB / 12.2 s vs
+    1.1 GiB / 26.9 s at 90x) while also halving the statistical
+    mean-structure collision pairs aHash emits; (b) lower
+    max_hamming so chunks widen (max_hamming=3 -> 16-bit chunks hold
+    ~16M media at cap 256); (c) collapse exact-equal signatures first
+    (group-by hash — the mass-duplicate regime) and band the distinct
+    hashes.
 
     The signature frame is MATERIALIZED (localCheckpoint) before the
     band join: the hash expression nests element_at chains under

@@ -954,8 +954,9 @@ def bpe_fit(
     classical loop, byte-identical output for any B by construction
     (and property-tested).
 
-    ``stats`` (optional dict) receives {"rounds", "n_merges"} — the
-    driver-round count the batching exists to cut.
+    ``stats`` (optional dict) receives {"rounds", "n_merges",
+    "prefix_stops", "ub_stops"} — the driver-round count the batching
+    exists to cut, plus which acceptance rule limited batch size.
 
     Reference parity: no tokenizer surface in the reference
     (jiamx/flink-etl); extends SURVEY.md §2.12's text family with the

@@ -3715,3 +3715,28 @@ def test_dct_oracle_matches_reference():
     assert [t for _, _, t in rows] == ["BIGINT"] * len(texts)
     for mid, dct, _ in rows:
         assert dct == _ref_dcthash(dict(texts)[mid].encode()), mid
+
+
+def test_hamming_banded_pairs_warns_past_cap_regime(spark):
+    """The max_bucket cap must WARN when the corpus has outgrown the
+    cap's skew regime (most occupied buckets over the cap — measured
+    in the r13 recall ladder as the silent-recall-collapse regime),
+    and stay silent when the cap only skims genuine skew."""
+    import warnings
+
+    from flink_etl_spark.operators.dedup import hamming_banded_pairs
+
+    # 64 identical signatures: every occupied bucket holds 64 > 4
+    hot = spark.createDataFrame(
+        [(i, 5) for i in range(64)], "doc_id long, simhash long"
+    )
+    with pytest.warns(RuntimeWarning, match="skew regime"):
+        hamming_banded_pairs(hot, 16, 1, max_bucket=4)
+    # spread signatures, one hot value: cap skims it silently
+    spread = spark.createDataFrame(
+        [(i, i) for i in range(64)] + [(1000 + i, 7) for i in range(64)],
+        "doc_id long, simhash long",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        hamming_banded_pairs(spread, 16, 1, max_bucket=70)
