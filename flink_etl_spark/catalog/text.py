@@ -403,6 +403,23 @@ def _bpe_tokens_oracle_arm(n: int) -> str:
            CAST(NULL AS VARCHAR) AS bpe_tokens_str
     FROM ({_bpe_merges_oracle_arm(_BPE_MERGES_R)}) bm
     UNION ALL
+    SELECT 'bpe_merges_batched' AS variant,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_pretokens,
+           CAST(NULL AS BIGINT) AS n_word,
+           CAST(NULL AS BIGINT) AS n_punct,
+           CAST(NULL AS DOUBLE) AS avg_pretoken_len,
+           CAST(NULL AS BIGINT) AS n_email,
+           CAST(NULL AS BIGINT) AS n_phone,
+           CAST(NULL AS BIGINT) AS n_ipv4,
+           CAST(NULL AS VARCHAR) AS redacted,
+           {_CHUNK_PAD},
+           {_NORM_PAD},
+           bpe_rank, bpe_left, bpe_right, bpe_pair_count,
+           CAST(NULL AS BIGINT) AS bpe_n_tokens,
+           CAST(NULL AS VARCHAR) AS bpe_tokens_str
+    FROM ({_bpe_merges_oracle_arm(_BPE_MERGES_R)}) bmb
+    UNION ALL
     SELECT 'bpe_tokens' AS variant,
            doc_id,
            CAST(NULL AS BIGINT) AS n_pretokens,
@@ -454,6 +471,12 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       2016): 8 merge rounds over the corpus, every (rank, left, right,
       pair_count) row value-gated against DuckDB replaying the fit as
       8 unrolled CTE stages with the identical argmax total order.
+    * variant 'bpe_merges_batched' (r13) — the SAME fit through the
+      batched merge selection (bpe_fit(batch_merges=8) —
+      disjoint-prefix + created-pair bound): exact equality to the
+      one-merge-per-round sequence is its contract, so it gates
+      against the same unrolled-CTE oracle, rank for rank, count for
+      count.
     * variant 'bpe_tokens' (r12) — BPE encoding of the doc_id % 13 = 5
       slice under the fitted merge table (operators/text.bpe_encode,
       inline literal-replace plan); the full subword token stream of
@@ -571,18 +594,28 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("redacted"),
     ]
     fit = T.bpe_fit(docs, _BPE_MERGES_R, vocab_partitions=1)
-    merges_arm = fit.select(
-        F.lit("bpe_merges").alias("variant"),
-        F.lit(None).cast("long").alias("doc_id"),
-        *_scalar_pad,
-        *_chunk_pad,
-        *_norm_pad,
-        F.col("rank").alias("bpe_rank"),
-        F.col("left").alias("bpe_left"),
-        F.col("right").alias("bpe_right"),
-        F.col("pair_count").alias("bpe_pair_count"),
-        F.lit(None).cast("long").alias("bpe_n_tokens"),
-        F.lit(None).cast("string").alias("bpe_tokens_str"),
+
+    def merges_variant(tag: str, fit_df) -> DataFrame:
+        return fit_df.select(
+            F.lit(tag).alias("variant"),
+            F.lit(None).cast("long").alias("doc_id"),
+            *_scalar_pad,
+            *_chunk_pad,
+            *_norm_pad,
+            F.col("rank").alias("bpe_rank"),
+            F.col("left").alias("bpe_left"),
+            F.col("right").alias("bpe_right"),
+            F.col("pair_count").alias("bpe_pair_count"),
+            F.lit(None).cast("long").alias("bpe_n_tokens"),
+            F.lit(None).cast("string").alias("bpe_tokens_str"),
+        )
+
+    merges_arm = merges_variant("bpe_merges", fit)
+    # r13: the batched selection is driver-gated against the SAME
+    # unrolled-CTE oracle — exact equality to B=1 is its contract
+    batched_arm = merges_variant(
+        "bpe_merges_batched",
+        T.bpe_fit(docs, _BPE_MERGES_R, vocab_partitions=1, batch_merges=8),
     )
     tokens_arm = T.bpe_encode(docs.filter(_BPE_SLICE), fit).select(
         F.lit("bpe_tokens").alias("variant"),
@@ -599,7 +632,8 @@ def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pretokens.unionByName(pii).unionByName(chunks).unionByName(norm)
-        .unionByName(merges_arm).unionByName(tokens_arm)
+        .unionByName(merges_arm).unionByName(batched_arm)
+        .unionByName(tokens_arm)
     )
 
 
