@@ -1363,6 +1363,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clusters_oracle() -> str:
+    from flink_etl_spark.catalog.multimodal import _phash_oracle_ctes
+
     return f"""
     WITH RECURSIVE pairs AS (
         SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
@@ -1381,10 +1383,35 @@ def _clusters_oracle() -> str:
     cc AS (
         SELECT src AS doc_id, min(dst) AS cluster_id
         FROM reach GROUP BY src
-    )
+    ),
+    {_phash_oracle_ctes().strip()},
+    pedges AS (
+        -- SIGNATURE-level near-dup graph (distinct DCT hash values):
+        -- the oracle twin of media_phash_dup_clusters' collapse-first
+        -- design — equal hashes are one node, closure runs over values
+        SELECT DISTINCT x.dcthash AS a, y.dcthash AS b
+        FROM pdh x, pdh y
+        WHERE x.dcthash <> y.dcthash
+          AND bit_count(xor(x.dcthash, y.dcthash)) <= 8
+    ),
+    pnodes AS (SELECT DISTINCT dcthash AS node FROM pdh),
+    preach(src, dst) AS (
+        SELECT node, node FROM pnodes
+        UNION
+        SELECT r.src, e.b FROM preach r JOIN pedges e ON e.a = r.dst
+    ),
+    pcc AS (SELECT src, min(dst) AS comp FROM preach GROUP BY src),
+    plab AS (
+        SELECT pdh.media_id, pcc.comp
+        FROM pdh JOIN pcc ON pcc.src = pdh.dcthash
+    ),
+    pcl AS (SELECT comp, min(media_id) AS cluster_id FROM plab GROUP BY comp)
     SELECT 'propagation' AS variant, doc_id, cluster_id FROM cc
     UNION ALL
     SELECT 'star' AS variant, doc_id, cluster_id FROM cc
+    UNION ALL
+    SELECT 'phash_dct' AS variant, plab.media_id AS doc_id, pcl.cluster_id
+    FROM plab JOIN pcl USING (comp)
     """
 
 
@@ -1403,9 +1430,23 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       outrun. Both loops now RAISE if they exhaust max_iters without
       converging (the r10-verdict silent-wrong-answer fix).
 
+    * variant 'phash_dct' (r13) — the recall ladder's scale path as
+      an operator: `media_phash_dup_clusters` over the planted media
+      universe (collapse exact-equal DCT signatures, band the
+      DISTINCT values, components over the SIGNATURE graph, min
+      media_id per cluster). The oracle runs the same collapse-first
+      closure recursively over the DCT-hash CTEs.
+
     The oracle computes the same components with a recursive-CTE
-    transitive closure: three entirely different fixpoint
-    formulations must agree, value for value."""
+    transitive closure: the fixpoint formulations must agree, value
+    for value."""
+    from flink_etl_spark.catalog.multimodal import (
+        _PHASH_DERIVE,
+        _PHASH_PLANT_OFFSET,
+        _PHASH_SLICE,
+    )
+    from flink_etl_spark.operators import multimodal as M
+
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_near_dups(
         docs, threshold=0.8, n_hashes=16, bands=8, hash_fn="charfold"
@@ -1416,4 +1457,16 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = D.duplicate_clusters(pairs, algorithm="star").select(
         F.lit("star").alias("variant"), "doc_id", "cluster_id"
     )
-    return prop.unionByName(star)
+    media = M.make_media_table(docs).select("media_id", "payload")
+    planted = docs.filter(_PHASH_SLICE).select(
+        (F.col("doc_id") + F.lit(_PHASH_PLANT_OFFSET)).alias("media_id"),
+        F.encode(F.expr(_PHASH_DERIVE), "utf-8").alias("payload"),
+    )
+    phash = M.media_phash_dup_clusters(
+        media.unionByName(planted), max_hamming=8, hash_col="dcthash"
+    ).select(
+        F.lit("phash_dct").alias("variant"),
+        F.col("media_id").alias("doc_id"),
+        "cluster_id",
+    )
+    return prop.unionByName(star).unionByName(phash)

@@ -3740,3 +3740,56 @@ def test_hamming_banded_pairs_warns_past_cap_regime(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         hamming_banded_pairs(spread, 16, 1, max_bucket=70)
+
+
+def test_media_phash_dup_clusters_matches_transitive_closure(spark):
+    """The collapse-first cluster operator equals a pure-Python
+    transitive closure over the brute-force signature graph (equal
+    hashes are Hamming-0 pairs, so collapsing them cannot change
+    components), with cluster_id = min media_id of the cluster and
+    every input row labeled — including exact-duplicate payloads and
+    media whose hash pairs with nothing."""
+    base = [
+        b"the quick brown fox jumps over the lazy dog " * 5,
+        b"pack my box with five dozen liquor jugs!!!! " * 5,
+        bytes(range(200)),
+    ]
+    rows = [(i, p) for i, p in enumerate(base)]
+    for i, p in enumerate(base):
+        rows.append((100 + i, p[:17] + b"Q" + p[18:]))  # near-dups
+        rows.append((200 + i, p))  # exact duplicates (hash collapse)
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: r.cluster_id
+        for r in multimodal.media_phash_dup_clusters(
+            media, max_hamming=8, hash_col="dcthash"
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    # pure-Python reference: union-find over brute-force hash pairs
+    hs = {i: _ref_dcthash(dict(rows)[i]) for i, _ in rows}
+    parent = {i: i for i in hs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a in hs:
+        for b in hs:
+            if a < b and bin(hs[a] ^ hs[b]).count("1") <= 8:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for i in hs:
+        comps.setdefault(find(i), []).append(i)
+    expect = {}
+    for members in comps.values():
+        rep = min(members)
+        for m in members:
+            expect[m] = rep
+    assert got == expect
+    # exact duplicates share a cluster with their original
+    for i in range(3):
+        assert got[i] == got[200 + i]

@@ -362,6 +362,64 @@ def run_media_phash_recall(points_list: list[int] | None = None) -> None:
     spark.stop()
 
 
+def run_media_phash_clusters(points_list: list[int] | None = None) -> None:
+    """r13: the collapse-first cluster operator vs the raw pair join
+    at ladder scale — the claim under test is that clustering cost is
+    bound by DISTINCT signatures, not corpus size (the pair join's
+    90x rung: 1.1 GiB shuffle / 26.9 s for ahash, 456 MiB / 12.2 s
+    for dcthash). Reports distinct-signature count, wall, shuffle
+    bytes for media_phash_dup_clusters(hash_col='dcthash')."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.multimodal import (
+        make_media_table,
+        media_perceptual_hashes,
+        media_phash_dup_clusters,
+    )
+    from flink_etl_spark.session import get_spark
+    from flink_etl_spark.sources.tables import load_table
+    from tools.replicate_testdata import build_replica
+    from tools.shuffle_probe import _fmt_bytes, _shuffle_totals
+
+    if not points_list:
+        points_list = [10, 30, 90]
+    spark = get_spark(
+        app_name="tail-probe-phash-clusters",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    for n in sorted(points_list):
+        out = tempfile.mkdtemp(prefix=f"sf01x{n}_phcl_")
+        build_replica(spark, src, out, n, tables=("documents",))
+        docs = load_table(spark, out, "documents")
+        media = make_media_table(docs).select(
+            "media_id", "payload"
+        ).localCheckpoint(eager=True)
+        n_media = media.count()
+        nd = (
+            media_perceptual_hashes(media)
+            .select("dcthash").distinct().count()
+        )
+        spark.catalog.clearCache()
+        b0, _ = _shuffle_totals(sc)
+        t0 = time.perf_counter()
+        clusters = media_phash_dup_clusters(
+            media, max_hamming=8, hash_col="dcthash"
+        )
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        wall = time.perf_counter() - t0
+        b1, _ = _shuffle_totals(sc)
+        print(
+            f"  {n}x: media={n_media} distinct_sigs={nd} "
+            f"clusters={n_clusters} wall={wall:.1f}s "
+            f"shuffle={_fmt_bytes(b1 - b0)}",
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--query" in argv:
@@ -374,6 +432,8 @@ if __name__ == "__main__":
             run_media_phash([int(a) for a in argv])
         elif qname == "media_phash_recall":
             run_media_phash_recall([int(a) for a in argv])
+        elif qname == "media_phash_clusters":
+            run_media_phash_clusters([int(a) for a in argv])
         else:
             raise SystemExit(f"unknown --query {qname!r}")
     else:
