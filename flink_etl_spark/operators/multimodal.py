@@ -642,10 +642,16 @@ def media_phash_dup_clusters(
             f"hash_col must be 'ahash', 'dhash' or 'dcthash', got {hash_col!r}"
         )
     bits = 64 if hash_col == "ahash" else 63
+    # checkpoint BEFORE pruning to one hash column: dropping the other
+    # hashes removes the multi-use column structure that stops
+    # Catalyst collapsing the span-table aliases, and the collapsed
+    # single-reference chain re-derives the O(n) byte transform per
+    # span slice (measured 22 s vs 2 s on the sf0.01 gate corpus —
+    # the same landmine the dcthash docstring documents)
     sigs = (
         media_perceptual_hashes(media, id_col, payload_col)
-        .select(id_col, hash_col)
         .localCheckpoint(eager=True)
+        .select(id_col, hash_col)
     )
     dsig = (
         sigs.select(hash_col).distinct()
