@@ -1819,7 +1819,17 @@ def hamming_banded_pairs(
     (`bits=64`) a 64-block perceptual hash occupies: the masked
     shiftright chunks are sign-safe as long as every chunk is narrower
     than the word, which max_hamming >= 1 guarantees. `max_bucket` is
-    the skew cap documented on `simhash_near_dups`."""
+    the skew cap documented on `simhash_near_dups`.
+
+    PARALLELISM CAVEAT (r13, measured): the self-join's work is
+    ~sum(bucket_occupancy^2) candidate probes — orders of magnitude
+    larger than the input byte size AQE plans by. If the input frame
+    arrives AQE-coalesced (or checkpointed) into few partitions, the
+    whole probe runs on few cores: a 132k-row signature frame frozen
+    at ONE partition ran its 1.5B-probe join as a single task (462 s
+    vs 1.5 s repartitioned). Repartition small signature frames to
+    the session's shuffle parallelism before calling (see
+    `media_phash_dup_clusters`)."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     if max_hamming < 0:

@@ -653,8 +653,19 @@ def media_phash_dup_clusters(
         .localCheckpoint(eager=True)
         .select(id_col, hash_col)
     )
+    # repartition the distinct signatures before banding: AQE sizes
+    # the distinct's output by BYTES (a few MB of hashes -> coalesced
+    # to ONE partition), but the band self-join fans every row out
+    # 9x and probes ~sum(bucket^2) candidate pairs — work AQE cannot
+    # see. Measured at the 30x rung: the coalesced frame ran the
+    # entire 1.5B-probe join as a single task (462 s); repartitioned,
+    # 1.5 s. The shuffle cost is one pass over (hash) rows — nothing.
+    n_part = int(
+        media.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     dsig = (
         sigs.select(hash_col).distinct()
+        .repartition(n_part)
         .select(
             F.col(hash_col).alias("_sig_id"), F.col(hash_col).alias("_sig")
         )
