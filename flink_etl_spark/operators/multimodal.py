@@ -670,10 +670,14 @@ def media_phash_dup_clusters(
             F.col(hash_col).alias("_sig_id"), F.col(hash_col).alias("_sig")
         )
     )
+    # materialize the pair frame ONCE: duplicate_clusters reads its
+    # input through two independent consumers (nodes + canonical
+    # edges), and an unmaterialized band join re-runs its full probe
+    # volume per consumer (measured ~3x the 90x rung wall)
     sig_pairs = hamming_banded_pairs(
         dsig, bits, max_hamming, id_col="_sig_id", sig_col="_sig",
         max_bucket=max_bucket,
-    )
+    ).localCheckpoint(eager=True)
     comp = duplicate_clusters(
         sig_pairs, algorithm=algorithm, max_iters=max_iters
     ).select(
