@@ -350,6 +350,7 @@ def media_perceptual_hashes(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    include_dct: bool = True,
 ) -> DataFrame:
     """Per-media perceptual hashes over the payload byte buffer — the
     standard image near-dup signatures, computed as PURE JVM
@@ -386,7 +387,10 @@ def media_perceptual_hashes(
       under HOF lambdas get no CSE — a nested-aggregate formulation
       re-inlined the span table per kernel cell and hung (the
       documented landmine); this shape runs in the same projection as
-      ahash/dhash at ~0.2 ms/row extra.
+      ahash/dhash at ~0.2 ms/row extra. ``include_dct=False`` skips
+      it (measured +52% on the sf0.1 ahash pair bench when computed
+      unused) — the pair/cluster operators request it only when
+      ``hash_col="dcthash"``.
 
     All comparisons are INTEGER cross-multiplications
     (s_j * n > total * c_j), never float means — bit-exact across
@@ -471,7 +475,16 @@ def media_perceptual_hashes(
                 "> element_at(_bs, j + 2).s * element_at(_bs, j + 1).c, "
                 "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
             ).alias("dhash"),
-            F.expr(_dct_hash_sql("_m")).alias("dcthash"),
+            # the DCT is the one hash with real per-row cost (64x63
+            # integer kernel fold, measured +52% on the ahash pair
+            # bench); include_dct=False skips it for ahash/dhash-only
+            # callers while keeping the multi-use ahash/dhash
+            # structure that prevents the collapse landmine
+            *(
+                [F.expr(_dct_hash_sql("_m")).alias("dcthash")]
+                if include_dct
+                else []
+            ),
         )
     )
 
@@ -579,9 +592,9 @@ def media_phash_near_dups(
         raise ValueError(
             f"hash_col must be 'ahash', 'dhash' or 'dcthash', got {hash_col!r}"
         )
-    sigs = media_perceptual_hashes(media, id_col, payload_col).localCheckpoint(
-        eager=True
-    )
+    sigs = media_perceptual_hashes(
+        media, id_col, payload_col, include_dct=(hash_col == "dcthash")
+    ).localCheckpoint(eager=True)
     bits = 64 if hash_col == "ahash" else 63
     return hamming_banded_pairs(
         sigs, bits, max_hamming, id_col=id_col, sig_col=hash_col,
@@ -649,7 +662,10 @@ def media_phash_dup_clusters(
     # span slice (measured 22 s vs 2 s on the sf0.01 gate corpus —
     # the same landmine the dcthash docstring documents)
     sigs = (
-        media_perceptual_hashes(media, id_col, payload_col)
+        media_perceptual_hashes(
+            media, id_col, payload_col,
+            include_dct=(hash_col == "dcthash"),
+        )
         .localCheckpoint(eager=True)
         .select(id_col, hash_col)
     )
