@@ -340,6 +340,7 @@ def cmd_bpe_fit(args: argparse.Namespace) -> int:
     bpe_stage_fit(
         spark.read.parquet(args.docs), args.fit, args.merges,
         text_col=args.text_col, vocab_partitions=args.vocab_partitions,
+        batch_merges=args.batch_merges,
     )
     print(f"staged BPE fit at {args.fit} ({args.merges} merges)")
     return 0
@@ -608,6 +609,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="repartition the word-count table before the "
                           "loop (pin 1 for small corpora; leave unset "
                           "at scale)")
+    bpf.add_argument("--batch-merges", type=int, default=1,
+                     help="select up to B non-interacting merges per "
+                          "driver round (EXACTLY equal to B=1 output; "
+                          "cuts sequential rounds at cluster scale)")
     bpf.set_defaults(fn=cmd_bpe_fit)
 
     bpe = sub.add_parser(

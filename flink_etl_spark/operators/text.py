@@ -1247,6 +1247,7 @@ def bpe_stage_fit(
     n_merges: int,
     text_col: str = "text",
     vocab_partitions: int | None = None,
+    batch_merges: int = 1,
 ) -> None:
     """Stage a BPE tokenizer fit once so encode runs reuse it — the
     `dsir_stage_fit` pattern applied to the tokenizer: a vocabulary is
@@ -1262,7 +1263,8 @@ def bpe_stage_fit(
     from flink_etl_spark.operators.similarity import _write_json_sidecar
 
     merges = bpe_fit(
-        docs, n_merges, text_col=text_col, vocab_partitions=vocab_partitions
+        docs, n_merges, text_col=text_col, vocab_partitions=vocab_partitions,
+        batch_merges=batch_merges,
     )
     merges.write.mode("overwrite").parquet(f"{fit_path}/merges")
     _write_json_sidecar(
