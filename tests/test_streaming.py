@@ -1493,3 +1493,41 @@ def test_bpe_encode_staged_stream_equals_batch(spark, tmp_path):
         for r in bpe_encode_staged(enc_docs, fit).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_media_perceptual_hashes_stream_equals_batch(spark, tmp_path):
+    """The perceptual-hash signatures (ahash/dhash/dcthash) are one
+    stateless projection, so continuous media fingerprinting on a
+    STREAM is the same operator unchanged — the r13 DCT arm included.
+    Streamed hashes must equal the batch hashes exactly."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.multimodal import (
+        make_media_table,
+        media_perceptual_hashes,
+    )
+    from flink_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = make_media_table(docs).select("media_id", "payload")
+    src = str(tmp_path / "media_stream")
+    media.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        media_perceptual_hashes(stream)
+        .writeStream.format("memory").queryName("phash_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM phash_stream").collect())
+    )
+    expected = sorted(
+        map(tuple, media_perceptual_hashes(media).collect())
+    )
+    assert got == expected and len(got) > 0
