@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from flink_etl_spark.operators.text import micro_floor_ratio
+from flink_etl_spark.session import anchor
 from flink_etl_spark.functions.hashing import (
     MERSENNE_P,
     MINHASH_COEFFS,
@@ -694,7 +695,7 @@ def _star_components(
     wrong labels; exact costs the same).
     Input `edges` must be the canonical undirected pair set: columns
     (a, b) with a < b, distinct, no self loops."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = anchor(edges)
     n_edges = edges.count()
     converged = False
     rounds = 0
@@ -735,7 +736,8 @@ def _star_components(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-        ).localCheckpoint(eager=True)
+        )
+        nxt = anchor(nxt)
         n_nxt = nxt.count()
         same = (
             n_nxt == n_edges
@@ -806,13 +808,15 @@ def duplicate_clusters(
     legacy behavior returned labels that are not the components, an
     answer-corrupting failure no small-SF gate can catch.
 
-    Each generation is `localCheckpoint`ed (eager) and the previous
-    generation unpersisted: without the lineage cut, the logical plan
-    doubles per round and at real corpus scale planning time +
-    recomputation explode long before the data does. (On a real
-    cluster with executor churn, swap localCheckpoint for a reliable
-    `checkpoint()` to an HDFS dir — localCheckpoint blocks die with
-    their executor; the loop structure is unchanged.)
+    Each generation is anchored (`session.anchor`, eager) and the
+    previous generation unpersisted: without the lineage cut, the
+    logical plan doubles per round and at real corpus scale planning
+    time + recomputation explode long before the data does. On a real
+    cluster with executor churn set
+    ``spark.flinkEtlSpark.reliableCheckpoint=true`` (plus a
+    `setCheckpointDir`) — the anchors then use reliable
+    `checkpoint()`, which survives executor loss; localCheckpoint
+    blocks die with their executor. The loop structure is unchanged.
 
     ``_stats`` is a PROBE SEAM: pass a dict to receive
     {"rounds", "converged"} — `tools/cluster_probe.py` uses it to
@@ -832,8 +836,8 @@ def duplicate_clusters(
             pairs.select(F.col(id_a).alias("node"))
             .union(pairs.select(F.col(id_b).alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        nodes = anchor(nodes)
         canon = (
             pairs.select(
                 F.greatest(id_a, id_b).alias("a"),
@@ -862,7 +866,7 @@ def duplicate_clusters(
     # eager=True materializes now and truncates lineage; the plan fed to
     # each round is a leaf scan of checkpointed blocks, constant-size
     # across iterations (asserted in tests/test_extensions.py).
-    labels = labels.localCheckpoint(eager=True)
+    labels = anchor(labels)
     converged = False
     rounds = 0
     for _ in range(max_iters):
@@ -880,7 +884,8 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = anchor(updated)
         # convergence: any label still above a neighbor's label?
         changed = (
             updated.alias("u")
@@ -1865,8 +1870,18 @@ def hamming_banded_pairs(
         F.col("c.chunk_val").alias("chunk_val"),
     )
     if max_bucket is not None:
-        occ = banded.groupBy("chunk_id", "chunk_val").agg(
-            F.count("*").alias("_occ")
+        # MATERIALIZE the occupancy aggregate once (r14, ADVICE): the
+        # warning stats below collect it eagerly and the executed plan
+        # filters it again for the oversized anti-join — unmaterialized,
+        # the banded explode+groupBy runs TWICE, doubling candidate-
+        # generation cost in exactly the capped corpus-scale regime the
+        # cap targets. localCheckpoint (not persist) so the blocks are
+        # ContextCleaner-freed once the returned plan drops its
+        # reference, per the bpe_fit anchor discipline.
+        occ = (
+            banded.groupBy("chunk_id", "chunk_val")
+            .agg(F.count("*").alias("_occ"))
+            .localCheckpoint(eager=True)
         )
         # VALIDITY check, not just a cap (r13, measured in the phash
         # recall ladder, docs/SCALING.md): the cap is a SKEW skimmer —

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from flink_etl_spark.session import anchor
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -585,16 +586,26 @@ def media_phash_near_dups(
     ContextCleaner reclaims them once the RETURNED frame is dropped
     (the bpe_fit anchor discipline; a session-lifetime persist() here
     leaked one signature cache per call because Dataset.unpersist
-    cannot free blocks a returned plan still references)."""
+    cannot free blocks a returned plan still references). The anchor
+    is `session.anchor`: localCheckpoint by default — which trades
+    away fault tolerance (blocks die with a lost executor and the job
+    FAILS instead of recomputing) and runs one Spark job at
+    DataFrame-construction time — so real-cluster deployments with
+    executor churn should set
+    ``spark.flinkEtlSpark.reliableCheckpoint=true`` plus a
+    `setCheckpointDir` to get reliable `checkpoint()` anchors
+    instead."""
     from flink_etl_spark.operators.dedup import hamming_banded_pairs
 
     if hash_col not in ("ahash", "dhash", "dcthash"):
         raise ValueError(
             f"hash_col must be 'ahash', 'dhash' or 'dcthash', got {hash_col!r}"
         )
-    sigs = media_perceptual_hashes(
-        media, id_col, payload_col, include_dct=(hash_col == "dcthash")
-    ).localCheckpoint(eager=True)
+    sigs = anchor(
+        media_perceptual_hashes(
+            media, id_col, payload_col, include_dct=(hash_col == "dcthash")
+        )
+    )
     bits = 64 if hash_col == "ahash" else 63
     return hamming_banded_pairs(
         sigs, bits, max_hamming, id_col=id_col, sig_col=hash_col,
@@ -661,14 +672,12 @@ def media_phash_dup_clusters(
     # single-reference chain re-derives the O(n) byte transform per
     # span slice (measured 22 s vs 2 s on the sf0.01 gate corpus —
     # the same landmine the dcthash docstring documents)
-    sigs = (
+    sigs = anchor(
         media_perceptual_hashes(
             media, id_col, payload_col,
             include_dct=(hash_col == "dcthash"),
         )
-        .localCheckpoint(eager=True)
-        .select(id_col, hash_col)
-    )
+    ).select(id_col, hash_col)
     # repartition the distinct signatures before banding: AQE sizes
     # the distinct's output by BYTES (a few MB of hashes -> coalesced
     # to ONE partition), but the band self-join fans every row out
@@ -693,7 +702,8 @@ def media_phash_dup_clusters(
     sig_pairs = hamming_banded_pairs(
         dsig, bits, max_hamming, id_col="_sig_id", sig_col="_sig",
         max_bucket=max_bucket,
-    ).localCheckpoint(eager=True)
+    )
+    sig_pairs = anchor(sig_pairs)
     comp = duplicate_clusters(
         sig_pairs, algorithm=algorithm, max_iters=max_iters
     ).select(

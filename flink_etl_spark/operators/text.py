@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from flink_etl_spark.session import anchor
 
 from flink_etl_spark.functions.hashing import (
     MERSENNE_P,
@@ -771,7 +772,6 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 
 def _bpe_truncate_batch(
     words: DataFrame,
-    pair_counts: DataFrame,
     accepted: list,
     known_products: set | None = None,
 ) -> list:
@@ -791,20 +791,48 @@ def _bpe_truncate_batch(
       neighbor mass, all right-neighbor mass) — renames by earlier
       batch merges can only re-label positions within a side, so no
       post-rename group can exceed its side's total;
-    * ex_max(M_j): max count of any CURRENT pair containing the
-      merged string M_j as a symbol (nonzero only when M_j already
-      exists — new pairs then UNIFY with it);
     * slack_j = sum of earlier batch counts — the rename-mass bound
       that applies to the name-grouped max_grp.
 
     Any pair whose rank can rise past batch position j is therefore
-    bounded by UB_j = min(max_grp + slack, max_side) + ex_max. Batch
-    member i survives only when its count STRICTLY exceeds every
-    earlier member's UB_j — then no created/boosted pair can outrank
-    it at its sequential position (ties lose to the strict
-    inequality), so the truncated batch equals the
-    one-merge-per-round sequence EXACTLY."""
+    bounded by UB_j = min(max_grp + slack, max_side). Batch member i
+    survives only when its count STRICTLY exceeds every earlier
+    member's UB_j — then no created/boosted pair can outrank it at
+    its sequential position (ties lose to the strict inequality), so
+    the truncated batch equals the one-merge-per-round sequence
+    EXACTLY.
+
+    COLLISION RULE (r14, hardened per ADVICE): the created-pair bound
+    above assumes every batch merge mints a NEW symbol — when a
+    merged string M_i instead equals an EXISTING symbol
+    (`known_products`), merge i's created pairs UNIFY with
+    pre-existing pairs, and a single unified pair could in principle
+    accumulate mass from TWO different batch members, which no
+    per-member max covers. The r13 code bounded this case with an
+    extra vocabulary scan (`ex_max`: the max count of any current
+    pair containing M_i); that bound's soundness for MULTIPLE
+    colliding rounds was argued but not airtight. Collisions are rare
+    (the merged string must reproduce an earlier merge's product), so
+    the batch is now simply TRUNCATED at the first colliding member —
+    it may survive only as the batch's LAST element, where there is
+    no later member for its unification mass to outrank. Every member
+    the UB rule actually protects is then collision-free by
+    construction, the proof needs no ex_max term, and the extra
+    vocabulary scan is gone. ``known_products=None`` (unknown
+    vocabulary) conservatively treats EVERY member as potentially
+    colliding, i.e. batches degrade to size 1."""
     spark = words.sparkSession
+    # collision truncation FIRST (see docstring): keep members up to
+    # and INCLUDING the first whose merged string is an existing
+    # symbol — nothing after it remains for its unification mass to
+    # threaten, and everything before it mints new symbols only
+    for i, row in enumerate(accepted):
+        m = row["l"] + row["r"]
+        if known_products is None or m in known_products:
+            accepted = accepted[: i + 1]
+            break
+    if len(accepted) == 1:
+        return list(accepted)
     acc_rows = [(r["l"], r["r"], r["l"] + r["r"]) for r in accepted]
     acc_df = F.broadcast(
         spark.createDataFrame(acc_rows, "l string, r string, m string")
@@ -864,29 +892,6 @@ def _bpe_truncate_batch(
         r["m"]: (int(r["max_grp"]), int(r["max_side"]))
         for r in summary.collect()
     }
-    # ex_max is nonzero only when a merged string equals an EXISTING
-    # symbol — and a multi-char symbol exists iff it is the product of
-    # an earlier merge, which the DRIVER already knows exactly
-    # (original symbols are single characters; `known_products` is the
-    # fit's merge list so far). The extra vocabulary scan is therefore
-    # skipped entirely on the overwhelmingly common no-collision round.
-    colliding = [
-        m for _, _, m in acc_rows
-        if known_products is None or m in known_products
-    ]
-    ex_max: dict[str, int] = {}
-    if colliding:
-        mdf = spark.createDataFrame([(m,) for m in colliding], "m string")
-        existing = (
-            pair_counts.join(
-                F.broadcast(mdf),
-                (pair_counts["l"] == mdf["m"])
-                | (pair_counts["r"] == mdf["m"]),
-            )
-            .groupBy("m")
-            .agg(F.max("c").alias("max_ex"))
-        )
-        ex_max = {r["m"]: int(r["max_ex"]) for r in existing.collect()}
     out = []
     ub = 0
     slack = 0
@@ -896,9 +901,7 @@ def _bpe_truncate_batch(
         out.append(row)
         mj = row["l"] + row["r"]
         max_grp, max_side = news.get(mj, (0, 0))
-        ub = max(
-            ub, min(max_grp + slack, max_side) + ex_max.get(mj, 0)
-        )
+        ub = max(ub, min(max_grp + slack, max_side))
         slack += int(row["c"])
     return out
 
@@ -930,9 +933,10 @@ def bpe_fit(
     vocabulary-sized table and exchanges only (pair, count) rows —
     the same bounded-round + tiny-aggregate machinery as
     `_star_components`' convergence loop — plus a 1-row argmax driver
-    fetch per round. `localCheckpoint` caps the lineage per round
-    exactly like the star loop (swap for `checkpoint()` on a real
-    cluster with executor churn).
+    fetch per round. `session.anchor` caps the lineage per round
+    exactly like the star loop (localCheckpoint by default; set
+    ``spark.flinkEtlSpark.reliableCheckpoint=true`` + a checkpoint
+    dir on a real cluster with executor churn).
 
     `vocab_partitions` repartitions the word-count table once before
     the loop: the per-round cost is R * (stages * partition count) in
@@ -981,8 +985,8 @@ def bpe_fit(
         # loop's parallelism", and coalesce silently no-ops when asked
         # for MORE partitions than the token aggregate produced
         words = words.repartition(vocab_partitions)
-    words = words.localCheckpoint(eager=True)
-    anchor = words
+    words = anchor(words)
+    anchor_ref = words
     merges: list[tuple[int, str, str, int]] = []
     products: set[str] = set()
     rounds = 0
@@ -1025,7 +1029,7 @@ def bpe_fit(
             if len(accepted) > 1:
                 before = len(accepted)
                 accepted = _bpe_truncate_batch(
-                    words, pair_counts, accepted, known_products=products
+                    words, accepted, known_products=products
                 )
                 if len(accepted) < before:
                     ub_stops += 1
@@ -1052,10 +1056,10 @@ def bpe_fit(
         # 50k-merge fit instead of pinning every vocab copy
         applied_since_anchor += len(accepted)
         if applied_since_anchor >= 16:
-            words = words.localCheckpoint(eager=True)
-            anchor = words
+            words = anchor(words)
+            anchor_ref = words
             applied_since_anchor = 0
-    del anchor
+    del anchor_ref
     if stats is not None:
         stats["rounds"] = rounds
         stats["n_merges"] = len(merges)
@@ -1185,13 +1189,13 @@ def bpe_encode(
         # anchor's only reference so the ContextCleaner can free its
         # RDD blocks after GC (Dataset.unpersist cannot)
         if (i // _BPE_APPLY_CHUNK + 1) % _BPE_APPLY_ANCHOR_EVERY == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = anchor(vocab)
     vocab = vocab.select("_tok", _bpe_syms(F.col("_seq")).alias("_sub"))
     # materialize the finished pre-token -> subwords map once: the
     # broadcast-safety count below then reads stored blocks instead of
     # re-running the corpus distinct, and the join consumes the same
     # blocks (lineage is already anchor-capped; this is the final one)
-    vocab = vocab.localCheckpoint(eager=True)
+    vocab = anchor(vocab)
     if broadcast_vocab is None:
         broadcast_vocab = vocab.count() <= _BPE_BROADCAST_MAX_VOCAB
     vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab

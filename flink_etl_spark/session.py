@@ -116,6 +116,42 @@ def apply_runtime_confs(
     return spark
 
 
+# Conf key gating lineage anchors between fast executor-local
+# checkpoints and fault-tolerant reliable checkpoints (see `anchor`).
+RELIABLE_CHECKPOINT_CONF = "spark.flinkEtlSpark.reliableCheckpoint"
+
+
+def anchor(df, eager: bool = True):
+    """Materialize a DataFrame to cap lineage / stop re-evaluation.
+
+    Defaults to ``localCheckpoint`` — blocks live on executors, freed
+    by the ContextCleaner once the returned frame is dropped; the
+    right trade on local mode and on clusters without executor churn.
+    The cost it hides: localCheckpoint blocks DIE with a lost
+    executor, failing the job instead of recomputing, so long-running
+    cluster deployments of the iterative/self-join operators
+    (`media_phash_dup_clusters`, `duplicate_clusters`, `bpe_fit`)
+    should set the session conf
+    ``spark.flinkEtlSpark.reliableCheckpoint=true`` AND a checkpoint
+    directory (``spark.sparkContext.setCheckpointDir(hdfs_path)``) —
+    this helper then uses reliable ``checkpoint()``, which survives
+    executor loss at the price of one HDFS round-trip per anchor.
+    If the conf is set without a checkpoint dir, raises loudly
+    (Spark's own error names the fix) rather than silently degrading
+    the fault-tolerance the caller asked for."""
+    spark = df.sparkSession
+    try:
+        reliable = (
+            str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower()
+            == "true"
+        )
+    except Exception:
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 @contextmanager
 def dynamic_partition_overwrite(spark: SparkSession):
     """Pin `partitionOverwriteMode=dynamic` for the enclosed write and

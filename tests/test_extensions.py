@@ -3793,3 +3793,66 @@ def test_media_phash_dup_clusters_matches_transitive_closure(spark):
     # exact duplicates share a cluster with their original
     for i in range(3):
         assert got[i] == got[200 + i]
+
+
+# r14: ADVICE hardening — collision-free batch truncation, anchor conf
+
+
+def test_bpe_truncate_batch_collision_truncates(spark):
+    """The batch-exactness proof is collision-free by construction
+    (r14): a member whose merged string equals an EXISTING symbol may
+    survive only as the batch's LAST element (nothing after it for
+    its unification mass to outrank), and with an unknown vocabulary
+    (known_products=None) batches conservatively degrade to size 1."""
+    from flink_etl_spark.operators.text import (
+        _bpe_truncate_batch,
+        bpe_word_counts,
+    )
+
+    # corpus with none of the batch patterns: every bound is 0, so
+    # nothing BUT the collision rule can truncate
+    words = bpe_word_counts(
+        spark.createDataFrame([(0, "x y")], ["doc_id", "text"])
+    )
+    batch = [
+        {"l": "a", "r": "b", "c": 100},
+        {"l": "c", "r": "d", "c": 90},
+        {"l": "e", "r": "f", "c": 80},
+    ]
+    # no collisions: full batch survives
+    assert _bpe_truncate_batch(words, list(batch), set()) == batch
+    # middle member collides: kept as the LAST element
+    assert _bpe_truncate_batch(words, list(batch), {"cd"}) == batch[:2]
+    # first member collides: batch degrades to the exact argmax alone
+    assert _bpe_truncate_batch(words, list(batch), {"ab"}) == batch[:1]
+    # unknown vocabulary: conservative size-1 batch
+    assert _bpe_truncate_batch(words, list(batch), None) == batch[:1]
+
+
+def test_anchor_reliable_checkpoint_conf(spark, tmp_path):
+    """`session.anchor` is localCheckpoint by default and switches to
+    reliable checkpoint() when spark.flinkEtlSpark.reliableCheckpoint
+    is true — the executor-churn escape hatch the iterative operators
+    document (values unchanged either way)."""
+    import os
+
+    from flink_etl_spark.session import RELIABLE_CHECKPOINT_CONF, anchor
+
+    df = spark.range(10)
+    try:
+        # default: no files in the (unset-for-this-test) checkpoint dir
+        out = anchor(df)
+        assert [r.id for r in out.orderBy("id").collect()] == list(range(10))
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path))
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+        out = anchor(df)
+        assert [r.id for r in out.orderBy("id").collect()] == list(range(10))
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(tmp_path)
+            for f in files
+        ]
+        assert written, "reliable checkpoint wrote nothing"
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
