@@ -50,13 +50,30 @@ def _drain_to_memory(df: DataFrame, tag: str) -> DataFrame:
     if prev is not None:
         spark.catalog.dropTempView(prev)
     name = f"_{tag}_sink_{next(_SINK_SEQ)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Pin a small stateful parallelism for the drain (r14): every
+    # micro-batch spins up one state store PER shuffle partition PER
+    # stateful operator side, and at gate scale (sf0.01, ~60k rows)
+    # that fixed store setup/commit overhead dominates the wall —
+    # measured 20.2 s -> 13.1 s on interval_join_purchase_errors
+    # going 32 -> 8. Results are partition-count independent (the T5
+    # invariant, tested); this is gate-harness sizing, not operator
+    # semantics — production streams keep the session's parallelism.
+    # The conf is snapshotted into the query at START, so restoring
+    # it immediately after does not disturb the lazily-evaluated
+    # batch arms of the same gate.
+    key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(key)
+    spark.conf.set(key, str(min(int(prev_parts), 8)))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set(key, prev_parts)
     _await_drained(q)
     _LAST_SINK[tag] = name
     return spark.table(name)

@@ -1805,6 +1805,204 @@ def simhash_near_dups(
     )
 
 
+#: generalized-pigeonhole guardrail: banding at (n_chunks, q)
+#: replicates every signature C(n_chunks, q) times — cap the explode
+#: factor so a bad knob cannot quietly 10^4x the shuffle
+_MAX_BAND_COMBOS = 512
+#: sampled-census size for `auto_chunks` — large enough that bucket
+#: loads scale stably to the full corpus, small enough that one census
+#: aggregate per candidate width is a sub-second job
+_AUTO_CHUNK_SAMPLE = 32768
+#: relative cost of ONE banded row (explode + shuffle write/read +
+#: sort/hash insert on both self-join sides) measured in candidate-
+#: probe units (one hash-bucket pair comparison + XOR popcount).
+#: CALIBRATED r14 on local[32] (tools: /tmp-style micro-sweep recorded
+#: in docs/SCALING.md "generalized banding"): probes ~6 ns each
+#: (1.0G-probe q=1 join at 122k sigs: 6.1 s), banded rows ~1.1 us each
+#: (6.7M-row q=3 frame at 40.8k sigs: 8.3 s) — ratio ~180. The RATIO
+#: is what the model needs and it is structural (a probe is one
+#: in-memory compare; a banded row crosses an exchange twice and a
+#: sort), so order-of-magnitude stable across hosts; the crossover it
+#: predicts (q=2 pays past ~110k distinct uniform signatures) matched
+#: the measured sweep within the noise band.
+_BAND_ROW_COST = 180.0
+
+
+def _banded_frame(
+    sigs: DataFrame, bits: int, n_chunks: int, q: int,
+    id_col: str, sig_col: str,
+) -> DataFrame:
+    """(id, sig, chunk_id, chunk_val) band-key frame for the
+    GENERALIZED pigeonhole (Norouzi/Punjani/Fleet's multi-index
+    Hamming search, the q-of-c form): split the signature into
+    `n_chunks` disjoint chunks and emit one key per q-SUBSET of
+    chunks, the subset's chunk values packed into a single long
+    (disjoint bit ranges, total width < 64 whenever q < n_chunks, so
+    the pack is a bijection and equality on the packed long IS
+    equality on all q chunks).
+
+    Exactness: <= h differing bits touch <= h chunks, so with
+    n_chunks = h + q at least q chunks are untouched — and that
+    untouched q-subset is one of the C(n_chunks, q) keys emitted, so
+    every true pair shares at least one (chunk_id, chunk_val) key.
+    q = 1 degenerates to the classical one-chunk-agrees banding.
+    The payoff is CAPACITY: one key's value space grows from
+    2^chunk_bits to ~2^(q*chunk_bits), pulling the n^2/bucket-space
+    probe law (the r13 ladder's measured exponent 1.49) back toward
+    linear at a C(n_chunks, q)-factor replication cost — which is why
+    the choice is census-driven (`auto_chunks`), not hardcoded.
+
+    CODEGEN SHAPE (r14, measured): the obvious encoding — one
+    explode(array(<C(c,q) packed-value structs>)) — overflows janino's
+    64 KB method limit already at 45 combos ("Code grows beyond
+    64 KB"), dropping the ENTIRE band/probe stage to interpreted
+    evaluation (the 10x ladder rung ran 2x SLOWER than classical
+    despite 6x fewer probes). So for q > 1 the frame instead explodes
+    a combo-INDEX sequence and packs with q literal-array lookups:
+    chunk_val = sum_k element_at(_ch, sel_k[chunk_id]) * mult_k[
+    chunk_id] — expression size O(q + n_chunks), independent of the
+    combo count, and the disjoint-bit-range multiplies-and-adds are
+    exactly the shifts-and-ORs (no carries, no overflow: total packed
+    width < 64)."""
+    import itertools
+
+    cb = bits // n_chunks
+    widths = [cb] * (n_chunks - 1) + [bits - (n_chunks - 1) * cb]
+    vals = []
+    for j in range(n_chunks):
+        lo = j * cb
+        # shiftright is arithmetic (sign-filling) — the mask makes the
+        # extracted chunk sign-safe at any position incl. the top bits
+        vals.append(
+            F.shiftright(F.col(sig_col), lo)
+            .bitwiseAND(F.lit((1 << widths[j]) - 1))
+        )
+    if q == 1:
+        structs = [
+            F.struct(F.lit(j).alias("chunk_id"), vals[j].alias("chunk_val"))
+            for j in range(n_chunks)
+        ]
+        return sigs.select(
+            F.col(id_col), F.col(sig_col),
+            F.explode(F.array(*structs)).alias("c"),
+        ).select(
+            id_col, sig_col, F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_val").alias("chunk_val"),
+        )
+    combos = list(itertools.combinations(range(n_chunks), q))
+    # per-position literal tables: sel_k[i] = 1-based chunk index of
+    # the k-th member of combo i; mult_k[i] = 2^(sum of widths of the
+    # earlier members) — the pack offset as a multiplier (shiftleft
+    # takes only literal shift amounts)
+    sel_lits, mult_lits = [], []
+    for k in range(q):
+        sel_lits.append(
+            F.array(*[F.lit(combo[k] + 1) for combo in combos])
+        )
+        mult_lits.append(
+            F.array(*[
+                F.lit(1 << sum(widths[j] for j in combo[:k])).cast("long")
+                for combo in combos
+            ])
+        )
+    cid = F.col("chunk_id")
+    packed = None
+    for k in range(q):
+        term = (
+            F.element_at(F.col("_ch"), F.element_at(sel_lits[k], cid + 1))
+            * F.element_at(mult_lits[k], cid + 1)
+        )
+        packed = term if packed is None else packed + term
+    return sigs.select(
+        F.col(id_col), F.col(sig_col), F.array(*vals).alias("_ch"),
+        F.explode(F.sequence(F.lit(0), F.lit(len(combos) - 1))).alias(
+            "chunk_id"
+        ),
+    ).select(
+        id_col, sig_col, "chunk_id", packed.alias("chunk_val")
+    )
+
+
+def _auto_band_chunks(
+    sigs: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str,
+    sig_col: str,
+    _stats: dict | None = None,
+) -> int:
+    """Census-driven chunk-count selection for `hamming_banded_pairs`
+    (the engineered escape from the r13 capacity law): estimate, from
+    a deterministic row sample, the candidate-probe volume
+    sum(bucket^2) the self-join would run at each admissible
+    (n_chunks = max_hamming + q, q) and pick the q minimizing
+
+        cost(q) ~ n * C(n_chunks, q) * _BAND_ROW_COST   (banded rows)
+                + (n/s)^2 * sum(occ_s^2)                (probe volume)
+
+    in probe units — `_BAND_ROW_COST` is the measured ~180:1 ratio
+    between a shuffled banded row and an in-bucket probe; without it
+    the model buys capacity two octaves early (the first 10x ladder
+    run chose q=2 at 39k signatures and ran 2x SLOWER than classical).
+
+    Bucket loads scale linearly in corpus size, so the sampled census
+    (<= _AUTO_CHUNK_SAMPLE rows, hash-of-(id, sig) selection — no RNG,
+    stable across runs) estimates the full-corpus quadratic term with
+    the SIGNATURE CORRELATION included — the thing the uniform
+    n/2^bits formula gets wrong on perceptual hashes, where mean
+    structure concentrates buckets. One tiny aggregate per candidate;
+    the loop stops once replication dominates (probe term below the
+    build term — larger q only adds rows) or clearly past the minimum."""
+    from math import comb
+
+    base = max_hamming + 1
+    n = sigs.count()
+    if n <= 1:
+        return base
+    if n > _AUTO_CHUNK_SAMPLE:
+        k = -(-n // _AUTO_CHUNK_SAMPLE)
+        sample = sigs.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.col(sig_col)), F.lit(k)) == 0
+        ).localCheckpoint(eager=True)
+        s = sample.count()
+        if s < 2:
+            return base
+    else:
+        sample, s = sigs, n
+    scale = (float(n) / float(s)) ** 2
+    best_c, best_cost = base, None
+    trace = []
+    q = 1
+    while True:
+        c = max_hamming + q
+        if c > bits or comb(c, q) > _MAX_BAND_COMBOS:
+            break
+        combos = comb(c, q)
+        probes_s = (
+            _banded_frame(sample, bits, c, q, id_col, sig_col)
+            .groupBy("chunk_id", "chunk_val")
+            .agg(F.count("*").alias("_occ"))
+            .agg(F.sum(F.col("_occ") * F.col("_occ")))
+            .collect()[0][0]
+        ) or 0
+        build = float(n) * combos * _BAND_ROW_COST
+        probe = float(probes_s) * scale
+        cost = build + probe
+        trace.append((c, q, combos, int(probe), cost))
+        if best_cost is None or cost < best_cost:
+            best_c, best_cost = c, cost
+        elif cost > 1.5 * best_cost:
+            break  # replication now dominates; cost is rising for good
+        if probe <= build:
+            break  # probes already sub-build: more chunks only add rows
+        q += 1
+    if _stats is not None:
+        _stats["auto_trace"] = trace
+        _stats["n_sigs"] = n
+        _stats["census_rows"] = s
+    return best_c
+
+
 def hamming_banded_pairs(
     sigs: DataFrame,
     bits: int,
@@ -1812,19 +2010,34 @@ def hamming_banded_pairs(
     id_col: str = "doc_id",
     sig_col: str = "simhash",
     max_bucket: int | None = None,
+    n_chunks: int | None = None,
+    auto_chunks: bool = False,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """EXACT Hamming-distance pair join over any (id, signature)
     frame — the pigeonhole band machinery `simhash_near_dups` is built
     on, factored out so every bit-signature family (SimHash, the media
     perceptual hashes) shares one candidate generator: split the
-    signature into (max_hamming + 1) chunks, self-join on chunk
-    equality (lossless — a pair within the distance budget must agree
-    on at least one whole chunk), verify with bit_count(XOR). Output
-    (doc_a, doc_b, hamming). Supports the full signed 64-bit width
-    (`bits=64`) a 64-block perceptual hash occupies: the masked
-    shiftright chunks are sign-safe as long as every chunk is narrower
-    than the word, which max_hamming >= 1 guarantees. `max_bucket` is
-    the skew cap documented on `simhash_near_dups`.
+    signature into chunks, self-join on band-key equality (lossless —
+    see `_banded_frame` for the generalized q-of-c pigeonhole),
+    verify with bit_count(XOR). Output (doc_a, doc_b, hamming).
+    Supports the full signed 64-bit width (`bits=64`) a 64-block
+    perceptual hash occupies: the masked shiftright chunks are
+    sign-safe at every position. `max_bucket` is the skew cap
+    documented on `simhash_near_dups`.
+
+    CAPACITY (r14 — the engineered escape from the r13 ladder's
+    measured law): with the default `n_chunks = max_hamming + 1` the
+    total bucket space is ~(h+1) * 2^(bits div (h+1)) (~1.2k buckets
+    for 64-bit signatures at h=8), so once distinct signatures far
+    exceed it, probe volume grows ~n^2/buckets (measured exponent
+    1.49 on the 90x media ladder). `n_chunks = h + q` (q >= 2) bands
+    on q-chunk COMBINATIONS instead: recall stays exactly 1.0 by the
+    same pigeonhole, one key's value space grows to ~2^(q*chunk_bits),
+    at a C(n_chunks, q)-factor replication cost. `auto_chunks=True`
+    picks n_chunks from a sampled occupancy census of THIS corpus
+    (`_auto_band_chunks`) — small corpora keep q=1, saturated corpora
+    buy capacity with replication. Explicit `n_chunks` pins the choice.
 
     PARALLELISM CAVEAT (r13, measured): the self-join's work is
     ~sum(bucket_occupancy^2) candidate probes — orders of magnitude
@@ -1835,40 +2048,47 @@ def hamming_banded_pairs(
     vs 1.5 s repartitioned). Repartition small signature frames to
     the session's shuffle parallelism before calling (see
     `media_phash_dup_clusters`)."""
+    from math import comb
+
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     if max_hamming < 0:
         # -1 would divide by zero below; <= -2 would band NOTHING and
         # read as "no duplicates found" — a sign bug must be loud
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
-    chunks = max_hamming + 1
-    if bits // chunks == 0:
+    if bits // (max_hamming + 1) == 0:
         raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")
-    cb = bits // chunks
+    if auto_chunks and n_chunks is not None:
+        raise ValueError("n_chunks and auto_chunks are mutually exclusive")
+    if auto_chunks:
+        n_chunks = _auto_band_chunks(
+            sigs, bits, max_hamming, id_col, sig_col, _stats=_stats
+        )
+    chunks = n_chunks if n_chunks is not None else max_hamming + 1
+    q = chunks - max_hamming
+    if q < 1:
+        raise ValueError(
+            f"n_chunks={chunks} must be > max_hamming={max_hamming} "
+            "(the pigeonhole needs at least one untouched chunk)"
+        )
+    if chunks > bits:
+        raise ValueError(f"n_chunks={chunks} exceeds bits={bits}")
+    if comb(chunks, q) > _MAX_BAND_COMBOS:
+        raise ValueError(
+            f"n_chunks={chunks} at max_hamming={max_hamming} emits "
+            f"{comb(chunks, q)} band keys per signature "
+            f"(cap {_MAX_BAND_COMBOS})"
+        )
     if bits == 64 and chunks == 1:
         raise ValueError(
             "bits=64 with max_hamming=0 is an exact-equality join on the "
             "full signature — group by the signature instead"
         )
-    chunk_structs = []
-    for j in range(chunks):
-        lo = j * cb
-        width = (bits - lo) if j == chunks - 1 else cb
-        chunk_structs.append(
-            F.struct(
-                F.lit(j).alias("chunk_id"),
-                (
-                    F.shiftright(F.col(sig_col), lo)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                ).alias("chunk_val"),
-            )
-        )
-    banded = sigs.select(
-        F.col(id_col), F.col(sig_col), F.explode(F.array(*chunk_structs)).alias("c")
-    ).select(
-        id_col, sig_col, F.col("c.chunk_id").alias("chunk_id"),
-        F.col("c.chunk_val").alias("chunk_val"),
-    )
+    if _stats is not None:
+        _stats["n_chunks"] = chunks
+        _stats["q"] = q
+        _stats["combos"] = comb(chunks, q)
+    banded = _banded_frame(sigs, bits, chunks, q, id_col, sig_col)
     if max_bucket is not None:
         # MATERIALIZE the occupancy aggregate once (r14, ADVICE): the
         # warning stats below collect it eagerly and the executed plan

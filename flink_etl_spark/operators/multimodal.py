@@ -533,6 +533,8 @@ def media_phash_near_dups(
     id_col: str = "media_id",
     payload_col: str = "payload",
     max_bucket: int | None = None,
+    n_chunks: int | None = None,
+    auto_chunks: bool = False,
 ) -> DataFrame:
     """Perceptual-hash media near-dup pairs — connects the multimodal
     column to the dedup family: hash every payload
@@ -609,7 +611,7 @@ def media_phash_near_dups(
     bits = 64 if hash_col == "ahash" else 63
     return hamming_banded_pairs(
         sigs, bits, max_hamming, id_col=id_col, sig_col=hash_col,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, n_chunks=n_chunks, auto_chunks=auto_chunks,
     ).withColumnsRenamed({"doc_a": "id_a", "doc_b": "id_b"})
 
 
@@ -622,6 +624,9 @@ def media_phash_dup_clusters(
     max_bucket: int | None = None,
     algorithm: str = "star",
     max_iters: int = 20,
+    n_chunks: int | None = None,
+    auto_chunks: bool = True,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Media near-dup CLUSTERS at corpus scale — the r13 recall
     ladder's recommendation made an operator. The pair join above is
@@ -701,7 +706,8 @@ def media_phash_dup_clusters(
     # volume per consumer (measured ~3x the 90x rung wall)
     sig_pairs = hamming_banded_pairs(
         dsig, bits, max_hamming, id_col="_sig_id", sig_col="_sig",
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, n_chunks=n_chunks, auto_chunks=auto_chunks,
+        _stats=_stats,
     )
     sig_pairs = anchor(sig_pairs)
     comp = duplicate_clusters(

@@ -3856,3 +3856,140 @@ def test_anchor_reliable_checkpoint_conf(spark, tmp_path):
         assert written, "reliable checkpoint wrote nothing"
     finally:
         spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+
+
+# r14: generalized-pigeonhole banding (capacity-aware chunk selection)
+
+
+def test_hamming_banded_pairs_multichunk_equals_classical(spark):
+    """The q-of-c generalized pigeonhole (`n_chunks > max_hamming+1`)
+    must return EXACTLY the classical q=1 pair set — recall 1.0 by
+    construction at every admissible width, including `auto_chunks`
+    (whose census only picks the width, never the answer)."""
+    import random
+
+    from flink_etl_spark.operators.dedup import hamming_banded_pairs
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    rng = random.Random(20260816)
+    raw = [rng.getrandbits(64) for _ in range(400)]
+    sigs = [(i, signed(u)) for i, u in enumerate(raw)]
+    # planted near-dups: flip <= 8 bits of existing signatures
+    for j in range(60):
+        u = raw[j * 5]
+        for b in rng.sample(range(64), rng.randint(1, 8)):
+            u ^= 1 << b
+        sigs.append((1000 + j, signed(u)))
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    expect = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_banded_pairs(df, 64, 8).collect()
+    }
+    assert expect, "planted near-dups must produce pairs"
+    for nc in (10, 11, 12):
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in hamming_banded_pairs(df, 64, 8, n_chunks=nc).collect()
+        }
+        assert got == expect, nc
+    st: dict = {}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_banded_pairs(
+            df, 64, 8, auto_chunks=True, _stats=st
+        ).collect()
+    }
+    assert got == expect
+    assert st["n_chunks"] >= 9 and st["combos"] >= 1
+
+
+def test_hamming_banded_pairs_chunk_knob_validation(spark):
+    from flink_etl_spark.operators.dedup import hamming_banded_pairs
+
+    sigs = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole needs"):
+        hamming_banded_pairs(sigs, 64, 8, n_chunks=8)
+    with pytest.raises(ValueError, match="exceeds bits"):
+        hamming_banded_pairs(sigs, 16, 8, n_chunks=17)
+    with pytest.raises(ValueError, match="band keys"):
+        hamming_banded_pairs(sigs, 64, 8, n_chunks=30)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        hamming_banded_pairs(sigs, 64, 8, n_chunks=10, auto_chunks=True)
+
+
+def test_auto_band_chunks_census(spark):
+    """The census-driven width choice: a small corpus stays at the
+    classical q=1 (a banded row costs ~180 probes — replication
+    dominates until the probe term is deep into its quadratic), while
+    a corpus far past the default chunk space's capacity buys it with
+    q >= 2 — and the auto trace records the costs that justified it.
+    Thresholds per the r14 calibration (_BAND_ROW_COST): uniform
+    64-bit signatures at max_hamming=8 cross over near ~110k."""
+    from flink_etl_spark.operators.dedup import _auto_band_chunks
+
+    small = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("simhash")
+    )
+    assert _auto_band_chunks(small, 64, 8, "doc_id", "simhash") == 9
+
+    big = spark.range(400_000).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("simhash")
+    )
+    st: dict = {}
+    c = _auto_band_chunks(big, 64, 8, "doc_id", "simhash", _stats=st)
+    assert c >= 10, (c, st["auto_trace"])
+    # the chosen width's estimated cost is the trace minimum
+    costs = {row[0]: row[4] for row in st["auto_trace"]}
+    assert costs[c] == min(costs.values())
+
+
+def test_media_phash_dup_clusters_ahash_dhash_paths(spark):
+    """Every selectable hash_col of `media_phash_dup_clusters` is
+    pinned against the pure-Python transitive closure (r14 — the dct
+    path had this since r13; ahash/dhash were selectable but only
+    pair-tested): same collapse-first plan, components computed over
+    the respective signature graph, cluster_id = min media_id."""
+    base = [
+        b"the quick brown fox jumps over the lazy dog " * 5,
+        b"pack my box with five dozen liquor jugs!!!! " * 5,
+        bytes(range(200)),
+    ]
+    rows = [(i, p) for i, p in enumerate(base)]
+    for i, p in enumerate(base):
+        rows.append((100 + i, p[:17] + b"Q" + p[18:]))  # near-dups
+        rows.append((200 + i, p))  # exact duplicates (hash collapse)
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    for hash_col, pick in (("ahash", 0), ("dhash", 1)):
+        got = {
+            r.media_id: r.cluster_id
+            for r in multimodal.media_phash_dup_clusters(
+                media, max_hamming=8, hash_col=hash_col
+            ).collect()
+        }
+        assert len(got) == len(rows)
+        hs = {i: _ref_phashes(dict(rows)[i])[pick] for i, _ in rows}
+        parent = {i: i for i in hs}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for a in hs:
+            for b in hs:
+                ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+                if a < b and ham <= 8:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        expect = {}
+        comps: dict = {}
+        for i in hs:
+            comps.setdefault(find(i), []).append(i)
+        for members in comps.values():
+            rep = min(members)
+            for m in members:
+                expect[m] = rep
+        assert got == expect, hash_col

@@ -402,21 +402,32 @@ def run_media_phash_clusters(points_list: list[int] | None = None) -> None:
             media_perceptual_hashes(media)
             .select("dcthash").distinct().count()
         )
-        spark.catalog.clearCache()
-        b0, _ = _shuffle_totals(sc)
-        t0 = time.perf_counter()
-        clusters = media_phash_dup_clusters(
-            media, max_hamming=8, hash_col="dcthash"
-        )
-        n_clusters = clusters.select("cluster_id").distinct().count()
-        wall = time.perf_counter() - t0
-        b1, _ = _shuffle_totals(sc)
-        print(
-            f"  {n}x: media={n_media} distinct_sigs={nd} "
-            f"clusters={n_clusters} wall={wall:.1f}s "
-            f"shuffle={_fmt_bytes(b1 - b0)}",
-            flush=True,
-        )
+        # r14: interleaved arms — the classical q=1 banding (the r13
+        # rung, measured exponent 1.49 at 30x->90x) vs the census-
+        # driven generalized pigeonhole (auto_chunks). Same session,
+        # same replica, same counts; the auto arm also reports the
+        # width the census chose.
+        for arm, kw in (
+            ("classical", {"auto_chunks": False}),
+            ("auto", {"auto_chunks": True}),
+        ):
+            st: dict = {}
+            spark.catalog.clearCache()
+            b0, _ = _shuffle_totals(sc)
+            t0 = time.perf_counter()
+            clusters = media_phash_dup_clusters(
+                media, max_hamming=8, hash_col="dcthash", _stats=st, **kw
+            )
+            n_clusters = clusters.select("cluster_id").distinct().count()
+            wall = time.perf_counter() - t0
+            b1, _ = _shuffle_totals(sc)
+            print(
+                f"  {n}x [{arm}]: media={n_media} distinct_sigs={nd} "
+                f"clusters={n_clusters} wall={wall:.1f}s "
+                f"shuffle={_fmt_bytes(b1 - b0)} "
+                f"n_chunks={st.get('n_chunks')} combos={st.get('combos')}",
+                flush=True,
+            )
     spark.stop()
 
 
