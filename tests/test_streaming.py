@@ -4,6 +4,8 @@ partitioned output as the batch run."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from flink_etl_spark.config import SinkConfig
@@ -1531,3 +1533,169 @@ def test_media_perceptual_hashes_stream_equals_batch(spark, tmp_path):
         map(tuple, media_perceptual_hashes(media).collect())
     )
     assert got == expected and len(got) > 0
+
+
+# r14: continuous media near-dup dedup (signature-index sink)
+
+
+def _media_rows():
+    base = [
+        b"the quick brown fox jumps over the lazy dog " * 5,
+        b"pack my box with five dozen liquor jugs!!!! " * 5,
+        bytes(range(200)),
+    ]
+    return base
+
+
+def test_continuous_media_dedup_stream_scrubs_and_clusters(spark, tmp_path):
+    """Three single-file micro-batches through
+    start_continuous_media_dedup: within a batch the cluster
+    representative (min media_id) survives, later batches lose exact
+    and near duplicates of earlier-ingested media, fresh media ride
+    through, and the signature index accretes one partition per
+    batch."""
+    import os
+    import time as _time
+
+    from flink_etl_spark.streaming.media_sink import (
+        start_continuous_media_dedup,
+    )
+
+    base = _media_rows()
+    # dct-near fresh payload pair (measured _ref_dcthash hamming 2;
+    # bytes(range(200))'s substitution lands at 19 — too structured)
+    fresh = b"sphinx of black quartz judge my vow!!!!! " * 5
+    batches = [
+        # batch 0: two originals + an in-batch near-dup of base[0]
+        [(1, base[0]), (2, base[1]), (3, base[0][:17] + b"Q" + base[0][18:])],
+        # batch 1: exact copy of base[0] (drop), near-dup of base[1]
+        # (drop), fresh payload (keep)
+        [(10, base[0]), (11, base[1][:17] + b"Q" + base[1][18:]),
+         (12, fresh)],
+        # batch 2: near-dup of batch 1's FRESH payload (drop)
+        [(20, fresh[:17] + b"Q" + fresh[18:])],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            p for p in os.listdir(tmp_path / f"stage{i}")
+            if p.endswith(".parquet")
+        )
+        dst = src / f"b{i}.parquet"
+        os.rename(tmp_path / f"stage{i}" / part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        _time.sleep(0.01)
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_continuous_media_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_location=str(tmp_path / "ck"),
+        max_hamming=8,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    kept = {
+        r.media_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # 1 represents its in-batch near-dup 3; 10/11 duplicate batch 0;
+    # 12 is fresh; 20 near-duplicates 12
+    assert kept == {1, 2, 12}
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert {
+        r.batch_id for r in idx.select("batch_id").distinct().collect()
+    } == {"0", "1", "2"}
+    # index carries signatures only (8-byte longs), never payloads
+    assert idx.drop("batch_id").columns == ["sig"]
+
+
+def test_media_dedup_replay_is_idempotent(spark, tmp_path):
+    """Re-running a media batch step AFTER its own signatures were
+    staged keeps the batch's first occurrences (batch-id pruning
+    excludes its own directory) — identical output both times."""
+    from flink_etl_spark.streaming.media_sink import media_batch_step
+
+    base = _media_rows()
+    b0 = spark.createDataFrame(
+        [(1, base[0])], "media_id long, payload binary"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base[0]), (11, base[1])], "media_id long, payload binary"
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    media_batch_step(b0, 0, idx, out)
+    media_batch_step(b1, 1, idx, out)
+    first = sorted(
+        r.media_id
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    )
+    assert first == [11]  # 10 scrubbed against batch 0, 11 fresh
+    media_batch_step(b1, 1, idx, out)  # replay
+    second = sorted(
+        r.media_id
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    )
+    assert first == second
+
+
+def test_compact_media_index_preserves_scrub(spark, tmp_path):
+    """Folding index partitions must not change any later batch's
+    visible signature set: the scrub of batch N sees the identical
+    distinct signatures before and after compaction, and the folded
+    directories are replaced by one negative-id partition."""
+    from flink_etl_spark.streaming.dedup_sink import _list_index_partitions
+    from flink_etl_spark.streaming.media_sink import (
+        _sig_index_so_far,
+        compact_media_index,
+        media_batch_step,
+    )
+
+    base = _media_rows()
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    for i, payload in enumerate(base):
+        media_batch_step(
+            spark.createDataFrame(
+                [(i * 10, payload)], "media_id long, payload binary"
+            ),
+            i, idx, out,
+        )
+    before = {
+        r.sig for r in _sig_index_so_far(spark, idx, 3).collect()
+    }
+    folded = compact_media_index(spark, idx, horizon=2)
+    assert folded == 2
+    assert _list_index_partitions(spark, idx) == [-1, 2]
+    after = {
+        r.sig for r in _sig_index_so_far(spark, idx, 3).collect()
+    }
+    assert before == after
+    # compaction twice more is a no-op (single foldable dir)
+    assert compact_media_index(spark, idx, horizon=2) == 0
+
+
+def test_media_index_meta_mismatch_raises(spark, tmp_path):
+    """A signature index staged with one hash must refuse a step with
+    another — mismatched signatures never match, silently losing every
+    cross-batch hit."""
+    from flink_etl_spark.streaming.media_sink import media_batch_step
+
+    base = _media_rows()
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b = spark.createDataFrame([(1, base[0])], "media_id long, payload binary")
+    media_batch_step(b, 0, idx, out, hash_col="dcthash")
+    with pytest.raises(ValueError, match="incompatible"):
+        media_batch_step(b, 1, idx, out, hash_col="ahash")
+    with pytest.raises(ValueError, match="hash_col"):
+        media_batch_step(b, 1, idx, out, hash_col="md5")

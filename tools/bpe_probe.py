@@ -19,7 +19,7 @@ Two measurements, both on sf0.01 documents:
   is per merge REGARDLESS of whether it matches, so padding measures
   the true per-merge cost without needing a 32k-capacity corpus.
 
-Usage: python tools/bpe_probe.py fit 1024 1 16 64
+Usage: python tools/bpe_probe.py fit 1024 1 16 64 [--latency MS]
        python tools/bpe_probe.py encode 8192 32768
 """
 
@@ -53,7 +53,17 @@ def _wide_docs(spark):
     )
 
 
-def run_fit(r: int, batches: list[int]) -> None:
+def run_fit(r: int, batches: list[int], latency_s: float = 0.0) -> None:
+    """``latency_s`` (r14, the r13 verdict's ask) injects a per-ROUND
+    scheduling latency — the documented real-cluster stage-cycle cost
+    (driver round-trip + stage scheduling + executor wakeup, typically
+    200-500 ms on a busy 1000-executor cluster) that local[32] hides.
+    Injection point: one sleep per `_bpe_pair_counts` call, which the
+    fit loop issues exactly once per driver round. With latency the
+    batched fit's round reduction becomes wall time directly; without
+    it the probe reports the ANALYTIC crossover latency per batch
+    size, L* = (wall_B - wall_1) / (rounds_1 - rounds_B): a cluster
+    whose per-round cost exceeds L* wins by batching."""
     spark = get_spark(app_name="bpe-probe-fit")
     docs = _wide_docs(spark).localCheckpoint(eager=True)
     n_tok = docs.select(
@@ -61,28 +71,52 @@ def run_fit(r: int, batches: list[int]) -> None:
             f"regexp_extract_all(coalesce(text, ''), '{T._BPE_PRETOKEN_SQL}', 0)"
         )).alias("t")
     ).distinct().count()
-    print(f"widened corpus: {n_tok} distinct pre-tokens, R={r}")
+    print(
+        f"widened corpus: {n_tok} distinct pre-tokens, R={r}, "
+        f"injected per-round latency={latency_s * 1000:.0f}ms"
+    )
+    if latency_s > 0:
+        orig_pair_counts = T._bpe_pair_counts
+
+        def _laggy_pair_counts(words):
+            time.sleep(latency_s)
+            return orig_pair_counts(words)
+
+        T._bpe_pair_counts = _laggy_pair_counts
     base = None
-    for b in batches:
-        st: dict = {}
-        t0 = time.time()
-        merges = T.bpe_fit(docs, r, batch_merges=b, stats=st)
-        rows = [
-            (x["rank"], x["left"], x["right"], x["pair_count"])
-            for x in merges.orderBy("rank").collect()
-        ]
-        wall = time.time() - t0
-        if base is None:
-            base = rows
-        tag = "" if rows == base else "  !! MERGE TABLE DIVERGED !!"
-        print(
-            f"  B={b:>4}: rounds={st['rounds']:>5} merges={st['n_merges']}"
-            f" wall={wall:7.1f}s"
-            f" rounds/merge={st['rounds'] / max(st['n_merges'], 1):.2f}"
-            f" prefix_stops={st.get('prefix_stops')}"
-            f" ub_stops={st.get('ub_stops')}{tag}",
-            flush=True,
-        )
+    base_wall = base_rounds = None
+    try:
+        for b in batches:
+            st: dict = {}
+            t0 = time.time()
+            merges = T.bpe_fit(docs, r, batch_merges=b, stats=st)
+            rows = [
+                (x["rank"], x["left"], x["right"], x["pair_count"])
+                for x in merges.orderBy("rank").collect()
+            ]
+            wall = time.time() - t0
+            if base is None:
+                base = rows
+                base_wall, base_rounds = wall, st["rounds"]
+            tag = "" if rows == base else "  !! MERGE TABLE DIVERGED !!"
+            xover = ""
+            if (
+                latency_s == 0 and base_rounds is not None
+                and st["rounds"] < base_rounds
+            ):
+                lstar = (wall - base_wall) / (base_rounds - st["rounds"])
+                xover = f" crossover_latency={lstar * 1000:.0f}ms/round"
+            print(
+                f"  B={b:>4}: rounds={st['rounds']:>5} merges={st['n_merges']}"
+                f" wall={wall:7.1f}s"
+                f" rounds/merge={st['rounds'] / max(st['n_merges'], 1):.2f}"
+                f" prefix_stops={st.get('prefix_stops')}"
+                f" ub_stops={st.get('ub_stops')}{xover}{tag}",
+                flush=True,
+            )
+    finally:
+        if latency_s > 0:
+            T._bpe_pair_counts = orig_pair_counts
 
 
 def run_encode(sizes: list[int]) -> None:
@@ -113,9 +147,14 @@ if __name__ == "__main__":
         print(__doc__)
         sys.exit(2)
     if args[0] == "fit":
+        latency_s = 0.0
+        if "--latency" in args:
+            i = args.index("--latency")
+            latency_s = float(args[i + 1]) / 1000.0  # ms -> s
+            args = args[:i] + args[i + 2:]
         r = int(args[1]) if len(args) > 1 else 1024
         batches = [int(a) for a in args[2:]] or [1, 16, 64]
-        run_fit(r, batches)
+        run_fit(r, batches, latency_s=latency_s)
     else:
         sizes = [int(a) for a in args[1:]] or [32768]
         run_encode(sizes)
