@@ -454,6 +454,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       the sidecar and partition-prunes) — the one-shot `ivfpq_topk`
       is pinned identical by unit test. Full value oracle: the
       residual encode + per-cell ADC replicated as DuckDB CTEs.
+      Since r14 the arm searches the REBUILT index (trim note in the
+      body): byte-identical to a fresh full-corpus build by unit
+      test, verified against the same full-corpus oracle.
     * variant 'ivfpq_lifecycle' (r10) — the MAINTAINED index end to
       end: build on the smaller-id half of the corpus, append the
       rest (frozen quantizers), re-append the same batch (the
@@ -487,15 +490,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = S.pq_topk(
         embs, queries, k=5, m=_PQ_M, n_codes=_PQ_CODES
     ).select(F.lit("pq").alias("variant"), "*")
-    ivfpq_idx = (
-        f"{process_workdir('ivfpq_index')}/{sf_dir.strip('/').replace('/', '_')}"
-    )
-    S.ivfpq_build_index(
-        embs, ivfpq_idx, n_cells=_IVFPQ_CELLS, m=_PQ_M, n_codes=_PQ_CODES
-    )
-    ivfpq = S.ivfpq_search_index(
-        spark, ivfpq_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
-    ).select(F.lit("ivfpq").alias("variant"), "*")
     # the maintained-index lifecycle: build(A) + append(B) + replayed
     # append (no-op) + compaction, searched against the full-corpus
     # oracle — seeds all live in A (smallest ids), so the frozen-
@@ -540,6 +534,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt = S.ivfpq_search_index(
         spark, rebuilt_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
     ).select(F.lit("ivfpq_rebuilt").alias("variant"), "*")
+    # r14 gate-wall trim (the verify skill's 60 s budget): the 'ivfpq'
+    # variant searches the REBUILT index instead of running a separate
+    # full-corpus ivfpq_build_index — the rebuild derives the same
+    # seeds (8 smallest-id cells, 16 smallest-id residuals, refine=0)
+    # over the same full corpus and is pinned byte-identical to a
+    # fresh build by test_ivfpq_rebuild_index_equals_fresh_build, so the
+    # arm verifies the identical values against the same full-corpus
+    # oracle while the gate drops one redundant ~5 s build job.
+    # ivfpq_build_index itself stays driver-gated through the
+    # lifecycle's half-corpus build above.
+    ivfpq = S.ivfpq_search_index(
+        spark, rebuilt_idx, queries, k=5, nprobe=_IVFPQ_NPROBE
+    ).select(F.lit("ivfpq").alias("variant"), "*")
     return (
         mem.unionByName(staged).unionByName(pq).unionByName(ivfpq)
         .unionByName(lifecycle).unionByName(rebuilt)
