@@ -340,7 +340,7 @@ def cmd_bpe_fit(args: argparse.Namespace) -> int:
     bpe_stage_fit(
         spark.read.parquet(args.docs), args.fit, args.merges,
         text_col=args.text_col, vocab_partitions=args.vocab_partitions,
-        batch_merges=args.batch_merges,
+        batch_merges=args.batch_merges, batch_verify=args.batch_verify,
     )
     print(f"staged BPE fit at {args.fit} ({args.merges} merges)")
     return 0
@@ -613,6 +613,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="select up to B non-interacting merges per "
                           "driver round (EXACTLY equal to B=1 output; "
                           "cuts sequential rounds at cluster scale)")
+    bpf.add_argument("--batch-verify", choices=("lazy", "fused"),
+                     default="lazy",
+                     help="where the batch-exactness bounds run: "
+                          "'fused' folds them into the argmax action "
+                          "(one driver round-trip per round — the "
+                          "cluster deployment); 'lazy' fires a second "
+                          "job only on multi-member rounds")
     bpf.set_defaults(fn=cmd_bpe_fit)
 
     bpe = sub.add_parser(

@@ -770,10 +770,107 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_quads(words: DataFrame) -> DataFrame:
+    """(prev, l, r, nxt, cnt) rows — every adjacent symbol pair of
+    every word with its two outer neighbors (NULL at the word edges),
+    weighted by word count. The scan both verify paths bound batch
+    merges from."""
+    return (
+        words.select(_bpe_syms(F.col("seq")).alias("_s"), "cnt")
+        .filter(F.size("_s") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(_s) - 1), i -> struct("
+                "IF(i >= 2, element_at(_s, i - 1), NULL) AS prev, "
+                "element_at(_s, i) AS l, element_at(_s, i + 1) AS r, "
+                "IF(i + 2 <= size(_s), element_at(_s, i + 2), NULL) AS nxt)))"
+            ).alias("_q"),
+            "cnt",
+        )
+        .select("_q.prev", "_q.l", "_q.r", "_q.nxt", "cnt")
+    )
+
+
+def _bpe_neighbor_summary(quads: DataFrame, key: list) -> DataFrame:
+    """Per ``key``: max_grp (largest single neighbor-pair group the
+    pattern's occurrences would create, grouped by CURRENT neighbor
+    names) and max_side (larger of the two side totals). See
+    `_bpe_truncate_batch` for why these bound every created pair."""
+    per_group = (
+        quads.select(
+            *key,
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("prev").isNotNull(),
+                        F.struct(
+                            F.lit("L").alias("side"),
+                            F.col("prev").alias("nb"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("nxt").isNotNull(),
+                        F.struct(
+                            F.lit("R").alias("side"),
+                            F.col("nxt").alias("nb"),
+                        ),
+                    ),
+                )
+            ).alias("_np"),
+            "cnt",
+        )
+        .filter(F.col("_np").isNotNull())
+        .groupBy(*key, "_np")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    return (
+        per_group.groupBy(*key, F.col("_np.side").alias("side"))
+        .agg(F.max("c").alias("grp"), F.sum("c").alias("tot"))
+        .groupBy(*key)
+        .agg(
+            F.max("grp").alias("max_grp"),
+            F.max("tot").alias("max_side"),
+        )
+    )
+
+
+def _bpe_topk_with_bounds(
+    words: DataFrame, pair_counts: DataFrame, want: int
+) -> list:
+    """Fused batched-round candidate fetch (r14): the top-``want``
+    pair ranking AND each candidate's neighbor bounds in ONE Spark
+    action — one driver round-trip per round, where the lazy path
+    (`_bpe_truncate_batch`) issues a SECOND vocabulary-sized job on
+    every round whose prefix survives past one member (measured
+    verify_jobs=240 of 751 rounds at R=1024/B=16, clawing back 240 of
+    the 273 round-trips batching exists to save; the fused plan keeps
+    the full cut, 751 actions vs 1024).
+
+    Plan shape: sort-limit the pair counts, broadcast that ≤B-row
+    frame into the quad scan, left-join the bounds back onto the
+    ranking. The vocab-sized table is scanned thrice inside the one
+    action (twice for the two ranking references, once for quads) —
+    executor work a cluster parallelizes, traded for the round-trips
+    it cannot. Returns ranking-ordered Rows with nullable
+    max_grp/max_side (NULL when the candidate never occurs with a
+    neighbor — bounds (0, 0))."""
+    topk = pair_counts.orderBy(F.desc("c"), "l", "r").limit(want)
+    quads = _bpe_quads(words).join(
+        F.broadcast(topk.select("l", "r")), ["l", "r"]
+    )
+    summary = _bpe_neighbor_summary(quads, ["l", "r"])
+    return (
+        topk.join(summary, ["l", "r"], "left")
+        .orderBy(F.desc("c"), "l", "r")
+        .collect()
+    )
+
+
 def _bpe_truncate_batch(
     words: DataFrame,
     accepted: list,
     known_products: set | None = None,
+    stats: dict | None = None,
 ) -> list:
     """Exactness guard for a tentative merge batch (see
     `bpe_fit(batch_merges=...)`): sequential BPE re-ranks after every
@@ -833,65 +930,35 @@ def _bpe_truncate_batch(
             break
     if len(accepted) == 1:
         return list(accepted)
+    # past this point one vocabulary-sized Spark job runs — on a real
+    # cluster that is one EXTRA driver round-trip on top of the
+    # round's pair-count job, so the deployment arithmetic must count
+    # JOBS, not rounds (stats["verify_jobs"]; see bpe_fit's rule)
+    if stats is not None:
+        stats["verify_jobs"] = stats.get("verify_jobs", 0) + 1
     acc_rows = [(r["l"], r["r"], r["l"] + r["r"]) for r in accepted]
     acc_df = F.broadcast(
         spark.createDataFrame(acc_rows, "l string, r string, m string")
     )
-    quads = (
-        words.select(_bpe_syms(F.col("seq")).alias("_s"), "cnt")
-        .filter(F.size("_s") >= 2)
-        .select(
-            F.expr(
-                "explode(transform(sequence(1, size(_s) - 1), i -> struct("
-                "IF(i >= 2, element_at(_s, i - 1), NULL) AS prev, "
-                "element_at(_s, i) AS l, element_at(_s, i + 1) AS r, "
-                "IF(i + 2 <= size(_s), element_at(_s, i + 2), NULL) AS nxt)))"
-            ).alias("_q"),
-            "cnt",
-        )
-        .select("_q.prev", "_q.l", "_q.r", "_q.nxt", "cnt")
-        .join(acc_df, ["l", "r"])
-    )
-    per_group = (
-        quads.select(
-            "m",
-            F.explode(
-                F.array(
-                    F.when(
-                        F.col("prev").isNotNull(),
-                        F.struct(
-                            F.lit("L").alias("side"),
-                            F.col("prev").alias("nb"),
-                        ),
-                    ),
-                    F.when(
-                        F.col("nxt").isNotNull(),
-                        F.struct(
-                            F.lit("R").alias("side"),
-                            F.col("nxt").alias("nb"),
-                        ),
-                    ),
-                )
-            ).alias("_np"),
-            "cnt",
-        )
-        .filter(F.col("_np").isNotNull())
-        .groupBy("m", "_np")
-        .agg(F.sum("cnt").alias("c"))
-    )
-    summary = (
-        per_group.groupBy("m", F.col("_np.side").alias("side"))
-        .agg(F.max("c").alias("grp"), F.sum("c").alias("tot"))
-        .groupBy("m")
-        .agg(
-            F.max("grp").alias("max_grp"),
-            F.max("tot").alias("max_side"),
-        )
-    )
+    quads = _bpe_quads(words).join(acc_df, ["l", "r"])
+    summary = _bpe_neighbor_summary(quads, ["m"])
     news = {
         r["m"]: (int(r["max_grp"]), int(r["max_side"]))
         for r in summary.collect()
     }
+    return _bpe_ub_truncate(
+        accepted, lambda row: news.get(row["l"] + row["r"], (0, 0))
+    )
+
+
+def _bpe_ub_truncate(accepted: list, get_bounds) -> list:
+    """The driver-side upper-bound acceptance loop shared by the lazy
+    (`_bpe_truncate_batch`) and fused (`_bpe_topk_with_bounds`) verify
+    paths: member i survives only while its count STRICTLY exceeds the
+    running bound folded from every earlier member's
+    min(max_grp + slack, max_side). ``get_bounds(row)`` returns that
+    member's (max_grp, max_side) pair — (0, 0) when the scan saw no
+    occurrence of its pattern."""
     out = []
     ub = 0
     slack = 0
@@ -899,8 +966,7 @@ def _bpe_truncate_batch(
         if i > 0 and not row["c"] > ub:
             break
         out.append(row)
-        mj = row["l"] + row["r"]
-        max_grp, max_side = news.get(mj, (0, 0))
+        max_grp, max_side = get_bounds(row)
         ub = max(ub, min(max_grp + slack, max_side))
         slack += int(row["c"])
     return out
@@ -912,6 +978,7 @@ def bpe_fit(
     text_col: str = "text",
     vocab_partitions: int | None = None,
     batch_merges: int = 1,
+    batch_verify: str = "lazy",
     stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BPE tokenizer vocabulary training (Sennrich,
@@ -956,20 +1023,37 @@ def bpe_fit(
     approximation), and applies the survivors as one chained replace.
     Rounds shrink by the average surviving batch size; B=1 is the
     classical loop, byte-identical output for any B by construction
-    (and property-tested). DEPLOYMENT RULE (r14, measured —
-    docs/SCALING.md "Batched BPE", `tools/bpe_probe.py fit
-    [--latency MS]`): the break-even per-round scheduling latency is
-    L* = (wall_B - wall_1)/(rounds_1 - rounds_B), and with the
-    collision-free truncation it measures <= 0 locally (B=16: 751 vs
-    1024 rounds at equal wall) — so on ANY real cluster, where a
-    driver round costs a full stage-schedule cycle (~200-500 ms
-    busy), batching is a pure win: ~55-137 s saved per 1024 merges on
-    the probe corpus. Default stays B=1 only because the gate oracle
-    replays the classical loop; production fits should pass B=16.
+    (and property-tested).
+
+    ``batch_verify`` picks where the verify aggregates run. "lazy"
+    (default) fires the scan as a SECOND Spark action only on rounds
+    whose prefix survives past one member — but those rounds are
+    common (measured 240 of 751 at R=1024/B=16), so the lazy path's
+    real driver round-trips are rounds + verify_jobs = 991 of B=1's
+    1024. "fused" (r14) computes the bounds IN THE SAME ACTION as
+    the top-B argmax (`_bpe_topk_with_bounds`: sort-limit ->
+    broadcast into the quad scan -> left-join back), so every round
+    is exactly ONE round-trip and the full rounds cut (751 vs 1024,
+    27%) is real round-trips. DEPLOYMENT RULE (r14, corrected twice
+    by measurement — docs/SCALING.md "Batched BPE",
+    `tools/bpe_probe.py fit [--latency MS] [--fused]`): **the
+    classical B=1 loop is the default and the right choice on any
+    normal cluster.** Count driver ACTIONS, not rounds: batching's
+    verify work costs more compute than the actions it saves unless
+    one action costs more than the measured break-even — ~0.65 s for
+    fused B=16, ~5 s for lazy B=16 (four-arm same-session interleave,
+    R=1024) — above the documented 200-500 ms stage-cycle band. Use
+    batch_merges=16 + batch_verify="fused" only for extreme
+    driver-to-cluster latency (WAN notebook drivers, schedulers
+    queued at >= 0.7 s/action). The fit loop also pins AQE off for
+    classical/lazy rounds (measured 3.2x at the vocab_partitions=1
+    gate/test shape: 13.9 -> 4.4 s; fused keeps AQE — its 3-reference
+    round plan needs the exchange reuse, 333 vs 618 s at R=1024).
 
     ``stats`` (optional dict) receives {"rounds", "n_merges",
-    "prefix_stops", "ub_stops"} — the driver-round count the batching
-    exists to cut, plus which acceptance rule limited batch size.
+    "prefix_stops", "ub_stops", "verify_jobs"} — rounds plus
+    verify_jobs is the driver-action count the batching exists to
+    cut, and the stops say which acceptance rule limited batch size.
 
     Reference parity: no tokenizer surface in the reference
     (jiamx/flink-etl); extends SURVEY.md §2.12's text family with the
@@ -982,6 +1066,10 @@ def bpe_fit(
     if not 1 <= batch_merges <= 1024:
         raise ValueError(
             f"batch_merges must be in [1, 1024], got {batch_merges}"
+        )
+    if batch_verify not in ("lazy", "fused"):
+        raise ValueError(
+            f"batch_verify must be 'lazy' or 'fused', got {batch_verify!r}"
         )
     spark = docs.sparkSession
     words = bpe_word_counts(docs, text_col)
@@ -1001,79 +1089,130 @@ def bpe_fit(
     rounds = 0
     prefix_stops = 0
     ub_stops = 0
+    loop_stats: dict = {}
     applied_since_anchor = 0
-    while len(merges) < n_merges:
-        rounds += 1
-        pair_counts = _bpe_pair_counts(words)
-        want = min(batch_merges, n_merges - len(merges))
-        top = pair_counts.orderBy(F.desc("c"), "l", "r").limit(want).collect()
-        if not top:
-            break
-        accepted = [top[0]]
-        if len(top) > 1:
-            # maximal PREFIX of the ranking whose merges cannot touch
-            # each other's counts: symbol sets pairwise disjoint, no
-            # symbol equal to a batch-created or batch-duplicated
-            # merged string (prefix, not skip-and-continue: a skipped
-            # conflicting pair keeps a REDUCED count that could still
-            # outrank later members, which no bound from the current
-            # table can exclude)
-            taken = {top[0]["l"], top[0]["r"]}
-            merged_strs = {top[0]["l"] + top[0]["r"]}
-            for cand in top[1:]:
-                cm = cand["l"] + cand["r"]
-                if (
-                    cand["l"] in taken
-                    or cand["r"] in taken
-                    or cand["l"] in merged_strs
-                    or cand["r"] in merged_strs
-                    or cm in merged_strs
-                ):
-                    break
-                accepted.append(cand)
-                taken |= {cand["l"], cand["r"]}
-                merged_strs.add(cm)
-            if len(accepted) < len(top):
-                prefix_stops += 1
-            if len(accepted) > 1:
-                before = len(accepted)
-                accepted = _bpe_truncate_batch(
-                    words, accepted, known_products=products
+    # Pin AQE OFF for the merge loop (r14, measured): adaptive
+    # execution re-plans after every exchange, turning each round's
+    # ONE logical action into 2-6 scheduler jobs (B=1 at tiny vocab:
+    # 27 jobs/42 stages with AQE vs 13/15 without; loop wall 13.9 ->
+    # 4.4 s) — and a vocabulary-sized loop has nothing for AQE to
+    # adapt: no skew, no partition growth, sizes known after round 1.
+    # The CORPUS-sized word-count aggregate above already ran (the
+    # anchor is eager) under the session's AQE, where adaptivity
+    # belongs. Snapshot/restore mirrors _drain_to_memory's pattern.
+    # EXCEPT the fused verify path: its per-round plan references the
+    # pair-count aggregate three times, and AQE's exchange REUSE is
+    # what keeps that one computation — without it the fused round
+    # recomputes the aggregate per reference (same-session R=1024:
+    # fused 617.9 s AQE-off vs 333.1 s AQE-on, while B=1 is
+    # band-neutral at this depth and 3.2x FASTER pinned off at the
+    # gate/test shape vocab_partitions=1).
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _prev_aqe = spark.conf.get(_aqe_key)
+    if batch_verify != "fused":
+        spark.conf.set(_aqe_key, "false")
+    try:
+        while len(merges) < n_merges:
+            rounds += 1
+            pair_counts = _bpe_pair_counts(words)
+            want = min(batch_merges, n_merges - len(merges))
+            if batch_verify == "fused" and want > 1:
+                top = _bpe_topk_with_bounds(words, pair_counts, want)
+            else:
+                top = (
+                    pair_counts.orderBy(F.desc("c"), "l", "r")
+                    .limit(want).collect()
                 )
-                if len(accepted) < before:
-                    ub_stops += 1
-        col = F.col("seq")
-        for row in accepted:
-            l, r, c = row["l"], row["r"], row["c"]
-            merges.append((len(merges) + 1, l, r, int(c)))
-            products.add(l + r)
-            col = F.replace(
-                col,
-                F.lit(BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP),
-                F.lit(BPE_SEP + l + r + BPE_SEP),
-            )
-        words = words.select(col.alias("seq"), "cnt")
-        # re-anchor the lineage every ~16 applied merges, not every
-        # round: a handful of nested literal replaces recompute for
-        # free on a vocab-sized table, while an eager checkpoint is a
-        # whole extra job per round (measured 2x the loop wall at
-        # R=8). Each re-anchor DROPS the reference to the previous
-        # anchor: localCheckpoint blocks live at the RDD layer
-        # (Dataset.unpersist cannot free them), so release is by the
-        # ContextCleaner once GC collects the dropped Dataset — the
-        # reference discipline here is what makes that possible for a
-        # 50k-merge fit instead of pinning every vocab copy
-        applied_since_anchor += len(accepted)
-        if applied_since_anchor >= 16:
-            words = anchor(words)
-            anchor_ref = words
-            applied_since_anchor = 0
+            if not top:
+                break
+            accepted = [top[0]]
+            if len(top) > 1:
+                # maximal PREFIX of the ranking whose merges cannot touch
+                # each other's counts: symbol sets pairwise disjoint, no
+                # symbol equal to a batch-created or batch-duplicated
+                # merged string (prefix, not skip-and-continue: a skipped
+                # conflicting pair keeps a REDUCED count that could still
+                # outrank later members, which no bound from the current
+                # table can exclude)
+                taken = {top[0]["l"], top[0]["r"]}
+                merged_strs = {top[0]["l"] + top[0]["r"]}
+                for cand in top[1:]:
+                    cm = cand["l"] + cand["r"]
+                    if (
+                        cand["l"] in taken
+                        or cand["r"] in taken
+                        or cand["l"] in merged_strs
+                        or cand["r"] in merged_strs
+                        or cm in merged_strs
+                    ):
+                        break
+                    accepted.append(cand)
+                    taken |= {cand["l"], cand["r"]}
+                    merged_strs.add(cm)
+                if len(accepted) < len(top):
+                    prefix_stops += 1
+                if len(accepted) > 1:
+                    before = len(accepted)
+                    if batch_verify == "fused":
+                        # bounds were fetched with the ranking; only the
+                        # driver-side truncation rules remain. Collision
+                        # rule first (identical to the lazy path): the
+                        # first member whose merged string is an existing
+                        # symbol survives only as the batch's LAST element
+                        for i, row in enumerate(accepted):
+                            if row["l"] + row["r"] in products:
+                                accepted = accepted[: i + 1]
+                                break
+                        if len(accepted) > 1:
+                            accepted = _bpe_ub_truncate(
+                                accepted,
+                                lambda row: (
+                                    int(row["max_grp"] or 0),
+                                    int(row["max_side"] or 0),
+                                ),
+                            )
+                    else:
+                        accepted = _bpe_truncate_batch(
+                            words, accepted, known_products=products,
+                            stats=loop_stats,
+                        )
+                    if len(accepted) < before:
+                        ub_stops += 1
+            col = F.col("seq")
+            for row in accepted:
+                l, r, c = row["l"], row["r"], row["c"]
+                merges.append((len(merges) + 1, l, r, int(c)))
+                products.add(l + r)
+                col = F.replace(
+                    col,
+                    F.lit(BPE_SEP + l + _BPE_SEP2 + r + BPE_SEP),
+                    F.lit(BPE_SEP + l + r + BPE_SEP),
+                )
+            words = words.select(col.alias("seq"), "cnt")
+            # re-anchor the lineage every ~16 applied merges, not every
+            # round: a handful of nested literal replaces recompute for
+            # free on a vocab-sized table, while an eager checkpoint is a
+            # whole extra job per round (measured 2x the loop wall at
+            # R=8). Each re-anchor DROPS the reference to the previous
+            # anchor: localCheckpoint blocks live at the RDD layer
+            # (Dataset.unpersist cannot free them), so release is by the
+            # ContextCleaner once GC collects the dropped Dataset — the
+            # reference discipline here is what makes that possible for a
+            # 50k-merge fit instead of pinning every vocab copy
+            applied_since_anchor += len(accepted)
+            if applied_since_anchor >= 16:
+                words = anchor(words)
+                anchor_ref = words
+                applied_since_anchor = 0
+    finally:
+        spark.conf.set(_aqe_key, _prev_aqe)
     del anchor_ref
     if stats is not None:
         stats["rounds"] = rounds
         stats["n_merges"] = len(merges)
         stats["prefix_stops"] = prefix_stops
         stats["ub_stops"] = ub_stops
+        stats["verify_jobs"] = loop_stats.get("verify_jobs", 0)
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )
@@ -1261,6 +1400,7 @@ def bpe_stage_fit(
     text_col: str = "text",
     vocab_partitions: int | None = None,
     batch_merges: int = 1,
+    batch_verify: str = "lazy",
 ) -> None:
     """Stage a BPE tokenizer fit once so encode runs reuse it — the
     `dsir_stage_fit` pattern applied to the tokenizer: a vocabulary is
@@ -1277,7 +1417,7 @@ def bpe_stage_fit(
 
     merges = bpe_fit(
         docs, n_merges, text_col=text_col, vocab_partitions=vocab_partitions,
-        batch_merges=batch_merges,
+        batch_merges=batch_merges, batch_verify=batch_verify,
     )
     merges.write.mode("overwrite").parquet(f"{fit_path}/merges")
     _write_json_sidecar(

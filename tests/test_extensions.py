@@ -3546,15 +3546,27 @@ def test_bpe_fit_batched_equals_sequential(spark):
         )
         ref = _ref_bpe_fit(texts, 12)
         for B in (2, 8, 64):
-            st: dict = {}
-            got = [
-                (r["rank"], r["left"], r["right"], r["pair_count"])
-                for r in text.bpe_fit(
-                    docs, 12, vocab_partitions=1, batch_merges=B, stats=st
-                ).orderBy("rank").collect()
-            ]
-            assert got == ref, (texts, B, got, ref)
-            assert st["n_merges"] == len(ref)
+            rounds_by_mode = {}
+            for mode in ("lazy", "fused"):
+                st: dict = {}
+                got = [
+                    (r["rank"], r["left"], r["right"], r["pair_count"])
+                    for r in text.bpe_fit(
+                        docs, 12, vocab_partitions=1, batch_merges=B,
+                        batch_verify=mode, stats=st,
+                    ).orderBy("rank").collect()
+                ]
+                assert got == ref, (texts, B, mode, got, ref)
+                assert st["n_merges"] == len(ref)
+                rounds_by_mode[mode] = st["rounds"]
+                if mode == "fused":
+                    # the fused plan computes the bounds inside the
+                    # argmax action — no separate verify job ever runs
+                    assert st["verify_jobs"] == 0, st
+            # identical bounds -> identical truncation decisions:
+            # fused must not change the round structure, only where
+            # the verify aggregates execute
+            assert rounds_by_mode["fused"] == rounds_by_mode["lazy"]
 
 
 def test_bpe_fit_batched_reduces_rounds(spark):

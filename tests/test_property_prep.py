@@ -466,8 +466,11 @@ _bpe_corpora = st.lists(
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(word_lists=_bpe_corpora, B=st.sampled_from([2, 5]))
-def test_bpe_fit_batched_property(spark, word_lists, B):
+@given(
+    word_lists=_bpe_corpora, B=st.sampled_from([2, 5]),
+    mode=st.sampled_from(["lazy", "fused"]),
+)
+def test_bpe_fit_batched_property(spark, word_lists, B, mode):
     """Property (r13): on ADVERSARIALLY small alphabets (maximum
     candidate interaction — the regime where a wrong batch-truncation
     bound shows up as a rank swap) the batched fit equals the
@@ -482,7 +485,8 @@ def test_bpe_fit_batched_property(spark, word_lists, B):
     got = [
         (r["rank"], r["left"], r["right"], r["pair_count"])
         for r in text.bpe_fit(
-            docs, 6, vocab_partitions=1, batch_merges=B
+            docs, 6, vocab_partitions=1, batch_merges=B,
+            batch_verify=mode,
         ).orderBy("rank").collect()
     ]
     assert got == _ref_bpe_fit(texts, 6)

@@ -19,7 +19,8 @@ Two measurements, both on sf0.01 documents:
   is per merge REGARDLESS of whether it matches, so padding measures
   the true per-merge cost without needing a 32k-capacity corpus.
 
-Usage: python tools/bpe_probe.py fit 1024 1 16 64 [--latency MS]
+Usage: python tools/bpe_probe.py fit 1024 1 16 16f 64 [--latency MS] [--fused]
+       (a batch size suffixed 'f' runs that arm with batch_verify="fused")
        python tools/bpe_probe.py encode 8192 32768
 """
 
@@ -53,7 +54,10 @@ def _wide_docs(spark):
     )
 
 
-def run_fit(r: int, batches: list[int], latency_s: float = 0.0) -> None:
+def run_fit(
+    r: int, batches: list[int], latency_s: float = 0.0,
+    fused: bool = False,
+) -> None:
     """``latency_s`` (r14, the r13 verdict's ask) injects a per-ROUND
     scheduling latency — the documented real-cluster stage-cycle cost
     (driver round-trip + stage scheduling + executor wakeup, typically
@@ -77,37 +81,69 @@ def run_fit(r: int, batches: list[int], latency_s: float = 0.0) -> None:
     )
     if latency_s > 0:
         orig_pair_counts = T._bpe_pair_counts
+        orig_truncate = T._bpe_truncate_batch
 
         def _laggy_pair_counts(words):
             time.sleep(latency_s)
             return orig_pair_counts(words)
 
+        def _laggy_truncate(words, accepted, known_products=None,
+                            stats=None):
+            # the verify scan is a SECOND driver job on rounds where
+            # it fires — sleep once per actual job (the collision
+            # early-return issues none), detected via the stats
+            # counter the real function increments
+            before = (stats or {}).get("verify_jobs", 0)
+            out = orig_truncate(
+                words, accepted, known_products=known_products,
+                stats=stats,
+            )
+            if stats is not None and stats.get("verify_jobs", 0) > before:
+                time.sleep(latency_s)
+            return out
+
         T._bpe_pair_counts = _laggy_pair_counts
+        T._bpe_truncate_batch = _laggy_truncate
     base = None
     base_wall = base_rounds = None
     try:
-        for b in batches:
+        for spec in batches:
+            arm_fused = fused or str(spec).endswith("f")
+            b = int(str(spec).rstrip("f"))
             st: dict = {}
             t0 = time.time()
-            merges = T.bpe_fit(docs, r, batch_merges=b, stats=st)
+            merges = T.bpe_fit(
+                docs, r, batch_merges=b,
+                batch_verify="fused" if arm_fused else "lazy", stats=st,
+            )
             rows = [
                 (x["rank"], x["left"], x["right"], x["pair_count"])
                 for x in merges.orderBy("rank").collect()
             ]
             wall = time.time() - t0
+            jobs = st["rounds"] + st.get("verify_jobs", 0)
             if base is None:
                 base = rows
-                base_wall, base_rounds = wall, st["rounds"]
+                base_wall, base_rounds = wall, jobs
             tag = "" if rows == base else "  !! MERGE TABLE DIVERGED !!"
             xover = ""
-            if (
-                latency_s == 0 and base_rounds is not None
-                and st["rounds"] < base_rounds
-            ):
-                lstar = (wall - base_wall) / (base_rounds - st["rounds"])
-                xover = f" crossover_latency={lstar * 1000:.0f}ms/round"
+            if latency_s == 0 and base_rounds is not None and b > 1:
+                if jobs < base_rounds:
+                    # L* over driver JOBS (pair-count + verify), the
+                    # quantity a real cluster's round-trips price
+                    lstar = (wall - base_wall) / (base_rounds - jobs)
+                    xover = f" crossover_latency={lstar * 1000:.0f}ms/job"
+                else:
+                    xover = (
+                        f" jobs>=B1({base_rounds}) — batching never"
+                        " wins at this depth"
+                    )
             print(
-                f"  B={b:>4}: rounds={st['rounds']:>5} merges={st['n_merges']}"
+                f"  B={b:>4}{'f' if arm_fused else ' '}:"
+                f" rounds={st['rounds']:>5}"
+                f" verify_jobs={st.get('verify_jobs', 0)}"
+                f" jobs={jobs}"
+                f" merges={st['n_merges']}"
                 f" wall={wall:7.1f}s"
                 f" rounds/merge={st['rounds'] / max(st['n_merges'], 1):.2f}"
                 f" prefix_stops={st.get('prefix_stops')}"
@@ -117,6 +153,7 @@ def run_fit(r: int, batches: list[int], latency_s: float = 0.0) -> None:
     finally:
         if latency_s > 0:
             T._bpe_pair_counts = orig_pair_counts
+            T._bpe_truncate_batch = orig_truncate
 
 
 def run_encode(sizes: list[int]) -> None:
@@ -152,9 +189,12 @@ if __name__ == "__main__":
             i = args.index("--latency")
             latency_s = float(args[i + 1]) / 1000.0  # ms -> s
             args = args[:i] + args[i + 2:]
+        fused = "--fused" in args
+        if fused:
+            args.remove("--fused")
         r = int(args[1]) if len(args) > 1 else 1024
-        batches = [int(a) for a in args[2:]] or [1, 16, 64]
-        run_fit(r, batches, latency_s=latency_s)
+        batches = list(args[2:]) or [1, 16, 64]
+        run_fit(r, batches, latency_s=latency_s, fused=fused)
     else:
         sizes = [int(a) for a in args[1:]] or [32768]
         run_encode(sizes)
