@@ -3569,6 +3569,29 @@ def test_bpe_fit_batched_equals_sequential(spark):
             assert rounds_by_mode["fused"] == rounds_by_mode["lazy"]
 
 
+def test_bpe_fit_restores_aqe_conf(spark):
+    """The fit loop pins spark.sql.adaptive.enabled off for its
+    classical/lazy rounds (r14 — AQE re-plan jobs are pure overhead
+    on a size-constant vocab loop) and must restore the session's
+    value afterwards in every mode, including the fused path that
+    skips the pin."""
+    from flink_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd cd ef"), (1, "ab cd ef gh")], ["doc_id", "text"]
+    )
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    assert before == "true"  # the session default the pin must restore
+    for mode in ("lazy", "fused"):
+        text.bpe_fit(docs, 4, vocab_partitions=1, batch_merges=4,
+                     batch_verify=mode)
+        assert spark.conf.get(key) == before, mode
+    with pytest.raises(ValueError, match="batch_verify"):
+        text.bpe_fit(docs, 4, batch_verify="eager")
+    assert spark.conf.get(key) == before
+
+
 def test_bpe_fit_batched_reduces_rounds(spark):
     """The point of the batch: disjoint frequent pairs are swept in
     one round, so the driver-round count drops well below n_merges
