@@ -75,7 +75,11 @@ def _bench_ivf(spark, sf_dir):
 
     from flink_etl_spark.operators.similarity import ivf_topk
 
-    embs = load_table(spark, sf_dir, "embeddings")
+    # scan rescue (r14): with the zero-shuffle ivf_assign the corpus
+    # side no longer has ANY exchange, so the single-row-group bench
+    # scan would run the whole assignment+scoring on one task; the
+    # rescue is inert at scale (no-op past 256MB input)
+    embs = rescue_scan_parallelism(load_table(spark, sf_dir, "embeddings"))
     return ivf_topk(embs, embs.filter(F.expr("vec_id < 32")), k=5, n_cells=8, nprobe=2)
 
 
@@ -171,7 +175,9 @@ def _bench_ivfpq(spark, sf_dir):
 
     from flink_etl_spark.operators.similarity import ivfpq_topk
 
-    embs = load_table(spark, sf_dir, "embeddings")
+    # scan rescue (r14): same argument as _bench_ivf — the PQ encode
+    # fold is the dominant per-row cost and otherwise runs one-task
+    embs = rescue_scan_parallelism(load_table(spark, sf_dir, "embeddings"))
     return ivfpq_topk(
         embs, embs.filter(F.expr("vec_id < 32")),
         k=5, n_cells=8, nprobe=2, m=8, n_codes=16,
@@ -313,16 +319,43 @@ def _bench_phash_pairs(spark, sf_dir):
     """Perceptual-hash media near-dup pairs (r12): aHash every payload
     (pure-JVM 64-span byte pooling, zero shuffle) and run the banded
     Hamming pigeonhole join at max_hamming=8 — the multimodal column's
-    entry into the dedup family. Tracked from r12 on (not in
+    entry into the dedup family. Scan rescue (r14): the hash
+    projection is zero-exchange, so the single-row-group bench scan
+    serialized ~80% of the entry onto one task (measured 5.9 -> 1.1 s
+    with the rescue; inert at scale). Tracked from r12 on (not in
     comparable_11)."""
     from flink_etl_spark.operators.multimodal import (
         make_media_table,
         media_phash_near_dups,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rescue_scan_parallelism(load_table(spark, sf_dir, "documents"))
     media = make_media_table(docs).select("media_id", "payload")
     return media_phash_near_dups(media, max_hamming=8)
+
+
+def _bench_canal_ingest(spark, sf_dir):
+    """The canal_ingest_flatten gate chain with a scan-parallelism
+    rescue on the events scan (r14): the whole envelope->parse->
+    explode->flatten chain is one zero-exchange codegen span, so the
+    single-row-group bench scan ran the JSON round-trip on ONE task
+    (measured 2.9 -> 2.0 s rescued; inert at scale). Same operators,
+    same result — the catalog gate the driver verifies is unchanged."""
+    from flink_etl_spark.catalog.cdc import canal_ingest_flatten
+
+    events = rescue_scan_parallelism(load_table(spark, sf_dir, "events"))
+    return canal_ingest_flatten(spark, sf_dir, events=events)
+
+
+def _bench_doc_profile(spark, sf_dir):
+    """The text_doc_profile gate body (one-pass profile, drop text)
+    with the scan rescue (r14, measured 1.1 -> 0.8 s): the profile is
+    a single zero-exchange projection, single-task on the bench scan
+    otherwise."""
+    from flink_etl_spark.operators.text import doc_profile
+
+    docs = rescue_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    return doc_profile(docs).drop("text")
 
 
 #: headline set — one per operator family (CDC, ingest, agg, join,
@@ -333,7 +366,7 @@ def _bench_phash_pairs(spark, sf_dir):
 #: variants that would skew comparability with earlier rounds.
 HEADLINE = [
     "cdc_merge_day",
-    "canal_ingest_flatten",
+    ("canal_ingest_flatten", _bench_canal_ingest),
     "agg_pricing_summary",
     "join_multiway_region_revenue",
     "asof_join_purchase_click",
@@ -342,7 +375,7 @@ HEADLINE = [
     ("dedup_minhash_lsh_staged", _bench_minhash_staged),
     "knn_bruteforce_cosine",
     ("ann_ivf_topk", _bench_ivf),
-    "text_doc_profile",
+    ("text_doc_profile", _bench_doc_profile),
     ("pipeline_training_prep", _bench_pipeline),
     ("text_repetition_stats", _bench_repetition),
     ("decontaminate_ngrams", _bench_decontam),

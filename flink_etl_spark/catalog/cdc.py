@@ -190,7 +190,9 @@ def cdc_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_type <> 'error'
     """,
 )
-def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+def canal_ingest_flatten(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """The reference's whole streaming transform chain (F1,P1-P4,P7,K2;
     HdfsSink.java:55-125 + EventTimeBucketAssigner.java) run end-to-end:
     events are wrapped into Canal JSON envelopes ('error' events as DDL
@@ -200,8 +202,15 @@ def canal_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     `csv_faithful_lines`, folded in) computed in the same projection
     via `csv_line_expr`, null payload fields emitting the literal
     'null' token. The oracle computes the same result directly from
-    events, verifying the round-trip."""
-    events = _t(spark, sf_dir, "events")
+    events, verifying the round-trip.
+
+    `events` (r14) lets a caller substitute its own events frame (the
+    bench passes a scan-parallelism-rescued one — the whole chain is a
+    single zero-exchange codegen span, so the single-row-group bench
+    scan otherwise serializes the JSON round-trip onto one task);
+    results are identical, the driver gate path is unchanged."""
+    if events is None:
+        events = _t(spark, sf_dir, "events")
     raw = events.select(
         F.to_json(
             F.struct(

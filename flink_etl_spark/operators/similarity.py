@@ -228,32 +228,87 @@ def ivf_assign(
     never joins back to the corpus, keeping the whole IVF search at one
     scan per side. `keep_sim=True` also emits the rounded cosine to the
     assigned centroid as `centroid_sim` (semdedup's keep rule ranks
-    within-cluster duplicates by exactly this value)."""
+    within-cluster duplicates by exactly this value).
+
+    ZERO-SHUFFLE: the centroid table is packed into ONE broadcastable
+    row (structs sorted by cell_id) and each vector picks its nprobe
+    best cells in a row-local array expression — no per-(vector, cell)
+    join fan-out, no window, NO CORPUS EXCHANGE. The r1-r13 form was a
+    broadcast nested-loop join (n_cells rows per vector) followed by a
+    row_number window whose hash-by-id exchange shipped every corpus
+    VECTOR; at 100 TB that exchange was the whole cost of assignment.
+    Ordering is byte-equivalent to that window's
+    (_sim DESC NULLS LAST, cell_id ASC): the sort key is
+    coalesce(-sim, +inf) — negation is IEEE-exact (signed zeros
+    round-trip), a NULL sim (zero-norm vector; safe_cosine's guard)
+    maps to +inf and so still ranks LAST exactly as desc NULLS LAST
+    did, and the struct tie-break is cell_id ascending. The packed row
+    uses an O(1)-size HOF transform, not per-cell unrolled
+    expressions — auto-sized cell counts must not trip janino's 64 KB
+    method limit (the r14 banding landmine). Pinned against a
+    window-based reference implementation in
+    tests/test_extensions.py::test_ivf_assign_matches_window_reference."""
     # safe_cosine, not raw division: a zero-norm vector (in-domain)
     # raises DIVIDE_BY_ZERO under ANSI mode and ranks NaN-first
     # otherwise — found by the semdedup hypothesis suite
-    scored = embs.select(
+    packed = (
+        centroids.select("cell_id", "centroid", "centroid_norm")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell_id", "centroid", "centroid_norm"))
+            ).alias("_cents")
+        )
+    )
+    base = embs.select(
         F.col(id_col), F.col(vec_col), norm(vec_col).alias("vec_norm")
-    ).join(F.broadcast(centroids)).withColumn(
-        "_sim",
-        F.round(
-            safe_cosine(
-                dot(vec_col, "centroid"),
-                F.col("vec_norm"),
-                F.col("centroid_norm"),
-            ),
-            6,
+    ).crossJoin(F.broadcast(packed))
+    inf = F.lit(float("inf"))
+    cand = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.coalesce(
+                -F.round(
+                    safe_cosine(
+                        dot(vec_col, c.getField("centroid")),
+                        F.col("vec_norm"),
+                        c.getField("centroid_norm"),
+                    ),
+                    6,
+                ),
+                inf,
+            ).alias("_key"),
+            c.getField("cell_id").alias("cell_id"),
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
-    out = [F.col(id_col), F.col(vec_col), F.col("vec_norm"), F.col("cell_id")]
+    if nprobe == 1:
+        # array_min = the same (key, cell_id) ordering, no Generate
+        # node. The empty-centroid guard is size(_cents) — NOT
+        # _s.isNotNull(): predicate pushdown rewrites a filter on _s
+        # in terms of its defining expression, re-evaluating every
+        # per-centroid dot product a second time per row (measured
+        # +30% on the ivf bench entry; the CollapseProject staging
+        # rule from minhash_profile applies to FILTERS too)
+        picked = base.filter(F.size("_cents") > 0).withColumn(
+            "_s", F.array_min(cand)
+        )
+    else:
+        picked = base.withColumn(
+            "_s", F.explode(F.slice(F.array_sort(cand), 1, nprobe))
+        )
+    out = [
+        F.col(id_col), F.col(vec_col), F.col("vec_norm"),
+        F.col("_s.cell_id").alias("cell_id"),
+    ]
     if keep_sim:
-        out.append(F.col("_sim").alias("centroid_sim"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= nprobe)
-        .select(*out)
-    )
+        # -(-sim) restores the exact stored double (incl. -0.0); the
+        # +inf sentinel maps back to the NULL the old window emitted
+        out.append(
+            F.when(F.col("_s._key") != inf, -F.col("_s._key")).alias(
+                "centroid_sim"
+            )
+        )
+    return picked.select(*out)
 
 
 def cell_census(asgn: DataFrame) -> list[tuple[int, int]]:
@@ -519,9 +574,12 @@ def ivf_topk(
     centroid scan); explicit integers stay the deterministic oracle
     override."""
     from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
+    from flink_etl_spark.session import anchor
 
     n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters)
+    # anchored: the centroid pick is a corpus pass (TakeOrdered) that
+    # both the corpus and the query assignment would otherwise replay
+    cents = anchor(ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters))
     c = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -1694,11 +1752,22 @@ def _ivfpq_parts(
     """(cents, cents_norm, residual codebooks, cell-tagged codes) —
     the shared construction behind the one-shot and staged forms.
     `cents` overrides the centroid derivation (the hot-cell-split build
-    path passes its post-split quantizer)."""
+    path passes its post-split quantizer).
+
+    The two tiny derived frames are ANCHORED (`session.anchor` —
+    n_cells centroid rows, m*n_codes codebook rows): lazily they are
+    re-derived by every downstream reference, and each re-derivation
+    replays a full corpus pass (the one-shot `ivfpq_topk` plan ran 12
+    corpus scans / 16 exchanges / 17 windows at r13; anchored + the
+    zero-shuffle `ivf_assign` it is 3 corpus scans, 0 corpus
+    exchanges — plans/r14/ann_ivfpq_topk_{before,after}.txt)."""
     from flink_etl_spark.functions.vectors import l2_normalize
+    from flink_etl_spark.session import anchor
 
     if cents is None:
-        cents = ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters)
+        cents = anchor(
+            ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters)
+        )
     cents_n = cents.select(
         "cell_id", l2_normalize("centroid").alias("_cnv")
     )
@@ -1727,6 +1796,7 @@ def _ivfpq_parts(
             )
         ).alias("_e"),
     ).select(F.col("_e.sub_id"), "code_id", F.col("_e.codeword"))
+    cbs = anchor(cbs)
     codes = _pq_codes_on(res, cbs, m, [id_col, "cell_id"])
     return cents, cents_n, cbs, codes
 

@@ -4028,3 +4028,83 @@ def test_media_phash_dup_clusters_ahash_dhash_paths(spark):
             for m in members:
                 expect[m] = rep
         assert got == expect, hash_col
+
+
+def test_ivf_assign_matches_window_reference(spark):
+    """r14: `ivf_assign` is the zero-shuffle packed-broadcast top-nprobe
+    pick; this pins it row-for-row against the r1-r13 broadcast-join +
+    row_number window form (sim DESC NULLS LAST, cell_id ASC, rounded
+    sims, vec/vec_norm ride-along), including a zero-norm vector (NULL
+    sim must still assign — to the smallest cell — and keep_sim must
+    emit NULL, exactly as the window's NULLS LAST rank-1 did) and an
+    exact-duplicate pair (tie pressure through the rounded sims)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flink_etl_spark.functions.vectors import dot, norm, safe_cosine
+    from flink_etl_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    def window_ref(embs, centroids, nprobe, keep_sim):
+        scored = embs.select(
+            "vec_id", "embedding", norm("embedding").alias("vec_norm")
+        ).join(F.broadcast(centroids)).withColumn(
+            "_sim",
+            F.round(
+                safe_cosine(
+                    dot("embedding", "centroid"),
+                    F.col("vec_norm"), F.col("centroid_norm"),
+                ), 6,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("_sim").desc(), F.col("cell_id")
+        )
+        out = [F.col("vec_id"), F.col("embedding"), F.col("vec_norm"),
+               F.col("cell_id")]
+        if keep_sim:
+            out.append(F.col("_sim").alias("centroid_sim"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= nprobe).select(*out)
+        )
+
+    dim = 8
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(dim)])
+            for i in range(40)]
+    rows.append((100, [0.0] * dim))          # zero-norm: NULL sim
+    rows.append((101, rows[3][1]))           # exact duplicate: tie
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = ivf_centroids(embs, 6).localCheckpoint()
+
+    for nprobe in (1, 3):
+        for keep_sim in (False, True):
+            got = ivf_assign(embs, cents, nprobe, keep_sim=keep_sim)
+            ref = window_ref(embs, cents, nprobe, keep_sim)
+            cols = [c for c in got.columns if c != "embedding"]
+            assert got.count() == ref.count(), (nprobe, keep_sim)
+            assert got.select(*cols).exceptAll(ref.select(*cols)).count() == 0
+            assert ref.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+    z = ivf_assign(embs, cents, 1, keep_sim=True).filter("vec_id = 100")
+    zr = z.collect()[0]
+    assert zr["centroid_sim"] is None
+    assert zr["cell_id"] == 0
+
+
+def test_ivf_assign_is_zero_shuffle_on_corpus(spark):
+    """r14: the corpus side of an assignment must plan NO exchange and
+    NO window — the packed centroid row broadcasts and every vector
+    picks its cell row-locally (the 100 TB contract: assignment never
+    moves the corpus)."""
+    from flink_etl_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    embs = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 7) for j in range(8)]) for i in range(64)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = ivf_centroids(embs, 4).localCheckpoint()
+    plan = ivf_assign(embs, cents, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the only exchange allowed is the broadcast of the packed row
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -42,6 +42,7 @@ import sys
 _RUNNER = r"""
 import json, os, sys, time
 tree, sf_dir, full = sys.argv[1], sys.argv[2], sys.argv[3] == "full"
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else None
 sys.path.insert(0, tree)
 os.chdir(tree)
 import bench
@@ -55,7 +56,10 @@ catalog["agg_pricing_summary"](spark, sf_dir).write.format("noop").mode(
 timings = {}
 for entry in bench.HEADLINE:
     name, fn = entry if isinstance(entry, tuple) else (entry, catalog[entry])
-    if not full and name in bench.NON_COMPARABLE:
+    if only is not None:
+        if name not in only:
+            continue
+    elif not full and name in bench.NON_COMPARABLE:
         continue
     best = float("inf")
     for _ in range(2):
@@ -69,10 +73,11 @@ spark.stop()
 """
 
 
-def run_tree(tree: str, sf_dir: str, full: bool = False) -> dict[str, float]:
+def run_tree(tree: str, sf_dir: str, full: bool = False,
+             only: str = "") -> dict[str, float]:
     out = subprocess.run(
         [sys.executable, "-c", _RUNNER, tree, sf_dir,
-         "full" if full else "subset"],
+         "full" if full else "subset", only],
         capture_output=True, text=True, check=True,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
     )
@@ -94,6 +99,10 @@ def main() -> None:
     ap.add_argument("--full", action="store_true",
                     help="run every HEADLINE entry, not just the "
                          "r1-r3 comparable subset")
+    ap.add_argument("--only", default="",
+                    help="comma-separated entry names: restrict the "
+                         "panel to just these (fast iteration on the "
+                         "entries a change touches)")
     args = ap.parse_args()
 
     # both orderings: ABBA BAAB blocks, truncated to runs per tree
@@ -101,7 +110,8 @@ def main() -> None:
     runs: dict[str, list[dict[str, float]]] = {"A": [], "B": []}
     trees = {"A": args.tree_a, "B": args.tree_b}
     for i, side in enumerate(pattern):
-        t = run_tree(trees[side], args.sf_dir, full=args.full)
+        t = run_tree(trees[side], args.sf_dir, full=args.full,
+                     only=args.only)
         runs[side].append(t)
         print(f"# run {i + 1}/{len(pattern)} [{side}] "
               f"total={round(sum(t.values()), 2)}", file=sys.stderr)
