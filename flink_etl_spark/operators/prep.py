@@ -781,15 +781,29 @@ def dsir_log_weights(
         key = (F.xxhash64("_fs") if hash_terms else F.col("_fs")).alias("_f")
         return f.select(*([id_col] if with_id else []), key)
 
+    from flink_etl_spark.session import anchor
+
     tf_ = feat_frame(target_docs, False)
     qf_ = feat_frame(docs, False)
+    # ONE merged, ANCHORED count table (vocabulary-sized — the same
+    # artifact dsir_stage_fit persists) and every total derived from
+    # it instead of from the raw token streams: r13's totals frame
+    # re-tokenized BOTH corpora a second and third time (explode +
+    # union + countDistinct over every feature instance — the single
+    # biggest exchange in the plan) where _nt/_nq are just the count
+    # sums and V is literally the merged table's ROW COUNT, all exact
+    # bigint identities. The full-outer merge reuses the two count
+    # aggregates' hash-by-_f partitioning (no extra exchange), the
+    # scored stream joins ONE table instead of two, and the target/
+    # scored corpora tokenize once/twice (was 3x + 3x) — the bucketed
+    # arm's "no second scan" discipline applied to the exact arm.
     ct = tf_.groupBy("_f").agg(F.count("*").alias("_ct"))
     cq = qf_.groupBy("_f").agg(F.count("*").alias("_cq"))
-    totals = (
-        tf_.select("_f").unionAll(qf_.select("_f"))
-        .agg(F.countDistinct("_f").alias("_v"))
-        .crossJoin(tf_.agg(F.count("*").alias("_nt")))
-        .crossJoin(qf_.agg(F.count("*").alias("_nq")))
+    counts = anchor(ct.join(cq, "_f", "full_outer"))
+    totals = counts.agg(
+        F.sum(F.coalesce(F.col("_ct"), F.lit(0))).alias("_nt"),
+        F.sum(F.coalesce(F.col("_cq"), F.lit(0))).alias("_nq"),
+        F.count("*").alias("_v"),
     )
     lr = F.floor(
         (
@@ -807,8 +821,7 @@ def dsir_log_weights(
     novel = F.when(F.col("_ct").isNull(), F.lit(1)).otherwise(F.lit(0))
     scored = (
         feat_frame(docs, True)
-        .join(ct, "_f", "left")
-        .join(cq, "_f", "left")
+        .join(counts, "_f", "left")
         .join(F.broadcast(totals))
         .select(id_col, lr.alias("_lr"), novel.alias("_novel"))
     )
