@@ -347,11 +347,155 @@ _DCT_KK = tuple(
 _PHASH_MAX_BYTES = 1_500_000_000
 
 
+def _phash_arrow(
+    media: DataFrame, id_col: str, payload_col: str, include_dct: bool
+) -> DataFrame:
+    """Vectorized (numpy-per-batch) twin of the expression hashes —
+    §4.2 of the optimization playbook: the expression form walks the
+    payload per BYTE through interpreted HOF lambdas (~2 MB/s/core
+    measured); this form is vectorized ACROSS ROWS as well as within
+    them (one concatenated buffer + cumsum per chunk, the 65 span
+    bounds of every row as one 2D fancy-index, one int64 matmul for
+    all rows' DCT), so neither per-byte interpretation nor per-row
+    Python overhead survives — small-payload corpora were measured
+    loop-bound, not byte-bound. Bit-identical to the expression arm
+    by the same integer contracts (_PHASH_MAX_BYTES guard raises
+    before any product can leave int64; all divisions are
+    non-negative floor divisions, where numpy, SQL ``div`` and the
+    oracle agree). Pinned equal to the expression arm AND the
+    pure-Python reference in
+    tests/test_extensions.py::test_phash_arrow_engine_matches_expr.
+
+    Rows are sub-chunked to ~16 MB of payload per numpy pass so the
+    transient int64 cumsum (8x the byte count) stays bounded no
+    matter how the Arrow batch size is configured; a single payload
+    larger than the chunk bound still processes alone (same transient
+    the JVM expression form pays for its materialized span arrays).
+
+    The batch fn is SELF-CONTAINED (closes over plain ints/tuples
+    only, imports numpy inside) — executors under the external driver
+    do not have the repo on sys.path, so nested-closure pickling by
+    value is load-bearing (the stateful-closure rule)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = media.schema[id_col]
+    fields = [
+        StructField(id_field.name, id_field.dataType, id_field.nullable),
+        StructField("ahash", LongType()),
+        StructField("dhash", LongType()),
+    ]
+    if include_dct:
+        fields.append(StructField("dcthash", LongType()))
+    schema = StructType(fields)
+
+    kk_literal = _DCT_KK if include_dct else None
+    scale = _DCT_MEAN_SCALE
+    maxb = _PHASH_MAX_BYTES
+    want_dct = include_dct
+    idn = id_field.name
+    payn = payload_col
+
+    def hash_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        kk = np.array(kk_literal, dtype=np.int64) if want_dct else None
+        w63 = np.int64(1) << np.arange(63, dtype=np.int64)
+        j65 = np.arange(65, dtype=np.int64)
+        chunk_bytes = 16 * 1024 * 1024
+
+        def hash_rows(pays, n):
+            # one concatenated buffer for ALL rows of the chunk; every
+            # span sum is a difference of two cumsum reads, so the
+            # per-row base offset cancels and no per-row loop remains
+            off = np.concatenate(([np.int64(0)], np.cumsum(n)))
+            buf = np.frombuffer(b"".join(pays), dtype=np.uint8)
+            cs = np.concatenate(
+                ([np.int64(0)], np.cumsum(buf, dtype=np.int64))
+            )
+            # R x 65 absolute span bounds: off_i + (j * n_i) div 64.
+            # n_i = 0 rows collapse every bound to off_i -> all spans
+            # empty -> every comparison below is 0 > 0 -> hash 0,
+            # exactly the expression arm's empty/NULL contract.
+            bounds = off[:-1, None] + (j65[None, :] * n[:, None]) // 64
+            s = cs[bounds[:, 1:]] - cs[bounds[:, :-1]]
+            c = bounds[:, 1:] - bounds[:, :-1]
+            total = cs[off[1:]] - cs[off[:-1]]
+            abits = (s * n[:, None]) > (total[:, None] * c)
+            a = (abits[:, :63] * w63).sum(axis=1)
+            # bit 63 is the long's sign bit: same subtract-through
+            # int64 identity the per-row reference used, no overflow
+            # (a <= 2^63 - 1, so a - (2^63 - 1) - 1 >= -2^63)
+            a = np.where(abits[:, 63], (a - 9223372036854775807) - 1, a)
+            dbits = (s[:, :-1] * c[:, 1:]) > (s[:, 1:] * c[:, :-1])
+            d = (dbits * w63).sum(axis=1)
+            if not want_dct:
+                return a, d, None
+            m = np.where(
+                c > 0, (s * scale) // np.where(c > 0, c, np.int64(1)), 0
+            )
+            coef = m @ kk
+            return a, d, ((coef > 0) * w63).sum(axis=1)
+
+        for pdf in batches:
+            pays = [
+                b"" if p is None else bytes(p) for p in pdf[payn]
+            ]
+            n = np.fromiter(
+                (len(b) for b in pays), dtype=np.int64, count=len(pays)
+            )
+            if n.size and int(n.max()) > maxb:
+                bad = int(n.max())
+                raise ValueError(
+                    f"media_perceptual_hashes: payload of {bad} bytes "
+                    f"exceeds the int64-exact bound ({maxb}); larger "
+                    "blobs would wrap the integer bit votes silently "
+                    "— downsample first"
+                )
+            # split rows into ~chunk_bytes slices (>= 1 row each) so
+            # the int64 cumsum transient stays bounded
+            parts_a, parts_d, parts_c = [], [], []
+            lo = 0
+            while lo < n.size:
+                hi, acc = lo + 1, int(n[lo])
+                while hi < n.size and acc + int(n[hi]) <= chunk_bytes:
+                    acc += int(n[hi])
+                    hi += 1
+                a, d, cdc = hash_rows(pays[lo:hi], n[lo:hi])
+                parts_a.append(a)
+                parts_d.append(d)
+                if cdc is not None:
+                    parts_c.append(cdc)
+                lo = hi
+            empty = np.zeros(0, dtype=np.int64)
+            data = {
+                idn: pdf[idn],
+                "ahash": pd.Series(
+                    np.concatenate(parts_a or [empty]), dtype="int64"
+                ),
+                "dhash": pd.Series(
+                    np.concatenate(parts_d or [empty]), dtype="int64"
+                ),
+            }
+            if want_dct:
+                data["dcthash"] = pd.Series(
+                    np.concatenate(parts_c or [empty]), dtype="int64"
+                )
+            yield pd.DataFrame(data)
+
+    # pass ONLY the two columns the function needs (§4.1: opaque
+    # functions defeat column pruning — prune explicitly before)
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        hash_batches, schema
+    )
+
+
 def media_perceptual_hashes(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
     include_dct: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Per-media perceptual hashes over the payload byte buffer — the
     standard image near-dup signatures, computed as PURE JVM
@@ -402,7 +546,30 @@ def media_perceptual_hashes(
     and Spark's non-ANSI arithmetic would wrap into silently-wrong
     bits (the DuckDB oracle promotes to HUGEINT and would diverge).
 
-    Near-dup pairs: feed the output to `media_phash_near_dups`."""
+    Near-dup pairs: feed the output to `media_phash_near_dups`.
+
+    ``engine`` (r14): "expr" is the pure-JVM expression form below
+    (zero Python, the oracle-portable reference); "arrow" hands whole
+    Arrow batches to numpy (`_phash_arrow` — bit-identical by the same
+    integer contracts, pinned by test, ~10x per-byte on the measured
+    corpus because the expression form walks payloads per byte through
+    interpreted HOF lambdas); "auto" (default) picks arrow when numpy
+    imports on the driver, else expr. Both arms hash to identical
+    values, so every consumer (pairs, clusters, the streaming media
+    sink, the gates) is engine-agnostic."""
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(
+            f"engine must be 'auto', 'expr' or 'arrow', got {engine!r}"
+        )
+    if engine == "auto":
+        try:
+            import numpy  # noqa: F401
+
+            engine = "arrow"
+        except Exception:
+            engine = "expr"
+    if engine == "arrow":
+        return _phash_arrow(media, id_col, payload_col, include_dct)
     B = PHASH_BLOCKS
     byte_arr = (
         "transform(sequence(1, _n), i -> "

@@ -4108,3 +4108,60 @@ def test_ivf_assign_is_zero_shuffle_on_corpus(spark):
     # the only exchange allowed is the broadcast of the packed row
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_phash_arrow_engine_matches_expr(spark):
+    """r14: the vectorized Arrow/numpy hash engine must be
+    bit-identical to the pure-JVM expression engine (and hence to the
+    pure-Python reference already pinned above) on every edge shape:
+    empty, NULL, shorter than 64 bytes (empty spans), exactly 64,
+    longer, constant bytes, a sign-bit-setting high-byte payload, and
+    multi-KB payloads — for both include_dct arms."""
+    payloads = [
+        b"", None, b"abc", bytes(range(64)),
+        b"the quick brown fox jumps over the lazy dog " * 7,
+        b"\x00" * 100, b"\x01" * 63 + b"\xff" * 64,
+        bytes(range(256)) * 40, b"\xff" * 4096,
+    ]
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    for inc in (True, False):
+        e = {
+            r.media_id: tuple(r)[1:]
+            for r in multimodal.media_perceptual_hashes(
+                media, include_dct=inc, engine="expr"
+            ).collect()
+        }
+        a = {
+            r.media_id: tuple(r)[1:]
+            for r in multimodal.media_perceptual_hashes(
+                media, include_dct=inc, engine="arrow"
+            ).collect()
+        }
+        assert e == a, (inc, {k: (e[k], a[k]) for k in e if e[k] != a[k]})
+    # the reference triangle: arrow == pure-Python too (ahash/dhash)
+    got = {
+        r.media_id: (r.ahash, r.dhash)
+        for r in multimodal.media_perceptual_hashes(
+            media, include_dct=False, engine="arrow"
+        ).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _ref_phashes(p or b""), i
+
+
+def test_phash_engine_validation_and_auto(spark):
+    """engine must validate; auto resolves to a working arm (this
+    environment has numpy, so auto == arrow == expr values)."""
+    import pytest as _pytest
+
+    media = spark.createDataFrame(
+        [(0, b"hello world")], "media_id long, payload binary"
+    )
+    with _pytest.raises(ValueError, match="engine"):
+        multimodal.media_perceptual_hashes(media, engine="nope")
+    auto = multimodal.media_perceptual_hashes(media).collect()
+    expr = multimodal.media_perceptual_hashes(media, engine="expr").collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in expr]
