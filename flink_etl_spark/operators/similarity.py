@@ -501,8 +501,25 @@ def ivf_assign_two_level(
     rounded similarity to the FINAL (sub-)centroid, the value the
     SemDeDup duel ranks on.
 
+    ZERO CORPUS EXCHANGE (r14): the r5-r13 level-2 pick joined every
+    vector with its coarse cell's ~k2 seeds and ranked the fan-out
+    with a row_number window whose hash-by-id exchange shipped every
+    corpus VECTOR k2 times — at scale, that exchange was the whole
+    cost. Now the per-cell seed lists pack into ONE broadcastable
+    row (a `_l1 -> sorted seed structs` map) and each vector picks
+    its best sub-seed in a row-local array expression, the exact
+    packed-argmin treatment `ivf_assign` got. Ordering is
+    byte-equivalent to the old window's (`_sim DESC NULLS LAST,
+    _sub ASC`): sort key coalesce(-sim, +inf), struct tie-break on
+    `_sub` (IEEE-exact double negation; NULL sims from zero-norm
+    vectors map to +inf = rank-last). The only remaining exchange is
+    the seed pick itself — a WindowGroupLimit whose map-side limit
+    ships <= k1*k2 candidate rows per input partition, never the
+    corpus. Pinned row-for-row against a join+window reference in
+    tests/test_extensions.py::test_two_level_assign_matches_window_reference.
+
     The level-1 assignment is persisted (it feeds both the seed pick
-    and the scoring join); same cache contract as `ivf_assign`
+    and the scoring projection); same cache contract as `ivf_assign`
     consumers — clearCache between corpora."""
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
@@ -517,39 +534,72 @@ def ivf_assign_two_level(
         .persist()
     )
     w_seed = Window.partitionBy("_l1").orderBy(id_col)
-    seeds = (
+    packed = (
         a1.withColumn("_r", F.row_number().over(w_seed))
         .filter(F.col("_r") <= k2)
-        .select(
-            "_l1",
-            (F.col("_r") - 1).alias("_sub"),
-            F.col(vec_col).alias("_scent"),
-            F.col("vec_norm").alias("_snorm"),
+        .groupBy("_l1")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("_r") - 1).alias("_sub"),
+                        F.col(vec_col).alias("_scent"),
+                        F.col("vec_norm").alias("_snorm"),
+                    )
+                )
+            ).alias("_seeds")
+        )
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_l1", "_seeds"))
+            ).alias("_smap")
         )
     )
-    scored = a1.join(seeds, "_l1").withColumn(
-        "_sim",
-        F.round(
-            safe_cosine(
-                dot(vec_col, "_scent"), F.col("vec_norm"), F.col("_snorm")
-            ),
-            6,
+    inf = F.lit(float("inf"))
+    cand = F.transform(
+        F.col("_cand"),
+        lambda s: F.struct(
+            F.coalesce(
+                -F.round(
+                    safe_cosine(
+                        dot(vec_col, s.getField("_scent")),
+                        F.col("vec_norm"),
+                        s.getField("_snorm"),
+                    ),
+                    6,
+                ),
+                inf,
+            ).alias("_key"),
+            s.getField("_sub").alias("_sub"),
         ),
     )
-    w_pick = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("_sub")
+    # the size() filter (not a null-check on the picked struct)
+    # mirrors ivf_assign's pushdown landmine note and preserves the
+    # old INNER join's drop of vectors whose cell has no seeds (only
+    # possible for an empty map lookup); element_at is a cheap map
+    # probe, safe to re-evaluate in the pushed filter
+    scored = (
+        a1.crossJoin(F.broadcast(packed))
+        .withColumn("_cand", F.element_at("_smap", F.col("_l1")))
+        .filter(F.size("_cand") > 0)
+        .withColumn("_s", F.array_min(cand))
     )
     out = [
         F.col(id_col), F.col(vec_col), F.col("vec_norm"),
-        (F.col("_l1").cast("long") * F.lit(k2) + F.col("_sub")).alias("cell_id"),
+        (F.col("_l1").cast("long") * F.lit(k2) + F.col("_s._sub")).alias(
+            "cell_id"
+        ),
     ]
     if keep_sim:
-        out.append(F.col("_sim").alias("centroid_sim"))
-    return (
-        scored.withColumn("_r2", F.row_number().over(w_pick))
-        .filter(F.col("_r2") == 1)
-        .select(*out)
-    )
+        # -(-sim) restores the exact stored double (incl. -0.0); the
+        # +inf sentinel maps back to the NULL the old window emitted
+        out.append(
+            F.when(F.col("_s._key") != inf, -F.col("_s._key")).alias(
+                "centroid_sim"
+            )
+        )
+    return scored.select(*out)
 
 
 def ivf_topk(

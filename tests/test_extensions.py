@@ -4165,3 +4165,111 @@ def test_phash_engine_validation_and_auto(spark):
     auto = multimodal.media_perceptual_hashes(media).collect()
     expr = multimodal.media_perceptual_hashes(media, engine="expr").collect()
     assert [tuple(r) for r in auto] == [tuple(r) for r in expr]
+
+
+def test_two_level_assign_matches_window_reference(spark):
+    """r14: `ivf_assign_two_level`'s level-2 pick is the packed-
+    broadcast map argmin; this pins it row-for-row against the r5-r13
+    join + row_number window form (sim DESC NULLS LAST, _sub ASC,
+    rounded sims, final cell_id = l1*k2 + sub), including a zero-norm
+    vector (NULL sims to every seed must still assign — to sub 0 —
+    and keep_sim must emit NULL) and exact-duplicate tie pressure."""
+    import pyspark.sql.functions as F
+    from math import isqrt
+    from pyspark.sql import Window
+
+    from flink_etl_spark.functions.vectors import dot, safe_cosine
+    from flink_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        ivf_centroids,
+    )
+
+    def window_ref(embs, n_cells, keep_sim):
+        # byte-for-byte the r5-r13 implementation
+        k1 = max(1, isqrt(n_cells - 1) + 1 if n_cells > 1 else 1)
+        k2 = -(-n_cells // k1)
+        l1_cents = ivf_centroids(embs, k1)
+        a1 = ivf_assign(embs, l1_cents, 1).withColumnRenamed(
+            "cell_id", "_l1"
+        )
+        w_seed = Window.partitionBy("_l1").orderBy("vec_id")
+        seeds = (
+            a1.withColumn("_r", F.row_number().over(w_seed))
+            .filter(F.col("_r") <= k2)
+            .select(
+                "_l1",
+                (F.col("_r") - 1).alias("_sub"),
+                F.col("embedding").alias("_scent"),
+                F.col("vec_norm").alias("_snorm"),
+            )
+        )
+        scored = a1.join(seeds, "_l1").withColumn(
+            "_sim",
+            F.round(
+                safe_cosine(
+                    dot("embedding", "_scent"),
+                    F.col("vec_norm"),
+                    F.col("_snorm"),
+                ),
+                6,
+            ),
+        )
+        w_pick = Window.partitionBy("vec_id").orderBy(
+            F.col("_sim").desc(), F.col("_sub")
+        )
+        out = [
+            F.col("vec_id"), F.col("embedding"), F.col("vec_norm"),
+            (F.col("_l1").cast("long") * F.lit(k2) + F.col("_sub")).alias(
+                "cell_id"
+            ),
+        ]
+        if keep_sim:
+            out.append(F.col("_sim").alias("centroid_sim"))
+        return (
+            scored.withColumn("_r2", F.row_number().over(w_pick))
+            .filter(F.col("_r2") == 1)
+            .select(*out)
+        )
+
+    dim = 8
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(dim)])
+            for i in range(40)]
+    rows.append((100, [0.0] * dim))          # zero-norm: NULL sims
+    rows.append((101, rows[3][1]))           # exact duplicate: tie
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    for n_cells in (1, 7, 12):
+        for keep_sim in (False, True):
+            got = ivf_assign_two_level(embs, n_cells, keep_sim=keep_sim)
+            ref = window_ref(embs, n_cells, keep_sim)
+            cols = [c for c in got.columns if c != "embedding"]
+            assert got.count() == ref.count(), (n_cells, keep_sim)
+            assert got.select(*cols).exceptAll(ref.select(*cols)).count() == 0
+            assert ref.select(*cols).exceptAll(got.select(*cols)).count() == 0
+            spark.catalog.clearCache()
+
+    z = ivf_assign_two_level(embs, 12, keep_sim=True).filter("vec_id = 100")
+    zr = z.collect()[0]
+    assert zr["centroid_sim"] is None
+    spark.catalog.clearCache()
+
+
+def test_two_level_assign_no_corpus_exchange_by_id(spark):
+    """r14: the two-level plan's only hash exchange is the bounded
+    seed pick (by _l1, WindowGroupLimit-limited map-side); the r5-r13
+    hash-by-vec_id exchange that shipped every corpus vector k2 times
+    must be gone, along with its per-id window."""
+    from flink_etl_spark.operators.similarity import ivf_assign_two_level
+
+    embs = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 7) for j in range(8)]) for i in range(64)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plan = (
+        ivf_assign_two_level(embs, 9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    spark.catalog.clearCache()
+    assert "hashpartitioning(vec_id" not in plan
+    assert "WindowGroupLimit" in plan  # the seed pick stays bounded
