@@ -35,6 +35,29 @@ from flink_etl_spark.sources.tables import (  # noqa: E402
 )
 
 
+def warm_python_workers(spark) -> None:
+    """Spin up the per-core Python workers once before timing (r14):
+    two headline entries now carry vectorized Arrow stages
+    (`media_phash_pairs`' hash engine; `ann_ivfpq_topk`'s one-shot
+    corpus encode), and the FIRST Python stage of a session pays
+    ~2 s of one-time worker fork/import across local[32] — a session
+    cold-start cost, not query computation, exactly like the
+    JVM/codegen warm-up above (measured: the ivfpq entry's first run
+    4.6 s vs 3.8 s warm in an isolated session; at any real
+    deployment the workers amortize over the whole job). A no-op
+    mapInPandas over one int per core warms them; entry timings are
+    otherwise unchanged (same queries, same noop-sink best-of-2)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    spark.range(64, numPartitions=64).mapInPandas(
+        _ident, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+
 def _bench_minhash(spark, sf_dir):
     """Primary (one-shot) MinHash+LSH dedup — the same work benched in
     r1/r2. The catalog gate now unions the incremental variant in for
@@ -425,6 +448,7 @@ def main() -> None:
     catalog["agg_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    warm_python_workers(spark)
 
     # best of two runs per query: the second run re-executes the full
     # plan (noop sink, nothing cached) but sheds scheduler/JIT jitter,

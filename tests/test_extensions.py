@@ -4273,3 +4273,138 @@ def test_two_level_assign_no_corpus_exchange_by_id(spark):
     spark.catalog.clearCache()
     assert "hashpartitioning(vec_id" not in plan
     assert "WindowGroupLimit" in plan  # the seed pick stays bounded
+
+
+def test_spark_round6_twin(spark):
+    """r14: the arrow PQ encode's tie path re-implements Spark's
+    round(double, 6) as HALF_UP on the shortest decimal repr
+    (Decimal(repr(x))). Pin that formula against Spark's own round on
+    the halfway/boundary shapes that distinguish the candidate
+    semantics (shortest-repr halfway like 5e-7 — whose exact binary
+    expansion is BELOW halfway — exact-representable halfway like
+    0.0078125, negatives, large magnitudes) plus a deterministic
+    pseudo-random sweep."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyspark.sql.functions as F
+
+    q6 = Decimal("1e-6")
+
+    def twin(x):
+        return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+    vals = [
+        5e-07, 1.5e-06, 2.5e-06, 3.5e-06, -5e-07, -1.5e-06,
+        0.0078125, -0.0078125, 0.1234565, 0.70000005, 1.0000005,
+        0.0, 1.0, 123456.9999995, 4e9 + 0.4999995, 1e-12, -1e-12,
+    ]
+    rng = random.Random(20260817)
+    vals += [rng.uniform(-2.0, 2.0) for _ in range(4000)]
+    vals += [rng.uniform(0, 1e-5) for _ in range(2000)]
+    # values engineered near the 0.5e-6 grid
+    vals += [k * 1e-6 + 5e-7 + rng.uniform(-2e-12, 2e-12)
+             for k in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "d double")
+    got = [
+        r["r"] for r in
+        df.select(F.round("d", 6).alias("r")).collect()
+    ]
+    for v, g in zip(vals, got):
+        assert twin(v) == g, (v, twin(v), g)
+
+
+def test_pq_codes_arrow_matches_expr(spark):
+    """r14: the vectorized Arrow/numpy PQ encode must be row-identical
+    to the expression argmin on every pressure shape: random vectors,
+    exact-duplicate vectors, duplicate codewords (exact distance
+    ties), engineered near-ties (sub-1e-6 distance gaps through the
+    rounded-tie slow path), NULL vector, NULL element, empty vector,
+    and a dimension-mismatched row (poisoned-position contract)."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.similarity import (
+        _pq_codes_on,
+        pq_codebooks,
+    )
+
+    dim = 8
+    base_rows = [
+        (i, [float(((i * 13 + j * 5) % 17) - 8) / 7.0 for j in range(dim)])
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    # duplicate seed vectors => duplicate codewords => exact ties
+    dup_seeds = spark.createDataFrame(
+        [(i, base_rows[i % 3][1]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    for m, n_codes, seed_frame in ((2, 4, base), (4, 8, base),
+                                   (2, 6, dup_seeds)):
+        cbs = pq_codebooks(seed_frame, m=m, n_codes=n_codes)
+        cbs = cbs.localCheckpoint(eager=True)
+        probe_rows = [(i, v) for i, v in base_rows]
+        # near-tie pressure: vectors displaced ~1e-7 from a seed
+        probe_rows += [
+            (1000 + i, [x + 1e-7 for x in base_rows[i][1]])
+            for i in range(5)
+        ]
+        probe_rows += [
+            (2000, None), (2001, []),
+            (2002, [0.1, None] + [0.3] * (dim - 2)),
+            (2004, [0.5] * dim), (2005, [0.5] * dim),  # exact dups
+        ]
+        nv = spark.createDataFrame(
+            probe_rows, f"vec_id long, _nv array<double>"
+        )
+        if dim % m == 0:
+            # a dimension-mismatched row only for the engines to agree
+            # on when it divides by m (else both raise)
+            nv_extra = spark.createDataFrame(
+                [(3000, [0.2] * (2 * m))], "vec_id long, _nv array<double>"
+            )
+            nv = nv.unionByName(nv_extra)
+        e = {
+            r["vec_id"]: list(r["codes"])
+            for r in _pq_codes_on(nv, cbs, m, ["vec_id"],
+                                  engine="expr").collect()
+        }
+        a = {
+            r["vec_id"]: list(r["codes"])
+            for r in _pq_codes_on(nv, cbs, m, ["vec_id"],
+                                  engine="arrow").collect()
+        }
+        assert e == a, (
+            m, n_codes,
+            {k: (e[k], a[k]) for k in e if e.get(k) != a.get(k)},
+        )
+
+
+def test_pq_codes_engine_validation(spark):
+    """engine must validate; auto == expr values on a plain corpus."""
+    import pytest as _pytest
+
+    from flink_etl_spark.operators.similarity import (
+        _pq_codes_on,
+        pq_codebooks,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = pq_codebooks(base, m=2, n_codes=2).localCheckpoint(eager=True)
+    nv = base.withColumnRenamed("embedding", "_nv")
+    with _pytest.raises(ValueError, match="engine"):
+        _pq_codes_on(nv, cbs, 2, ["vec_id"], engine="nope")
+    auto = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in _pq_codes_on(nv, cbs, 2, ["vec_id"]).collect()
+    }
+    expr = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in _pq_codes_on(nv, cbs, 2, ["vec_id"], engine="expr").collect()
+    }
+    assert auto == expr

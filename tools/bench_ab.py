@@ -53,6 +53,11 @@ catalog = bench.Q.queries()
 # warm the JVM/codegen path (same as bench.py main)
 catalog["agg_pricing_summary"](spark, sf_dir).write.format("noop").mode(
     "overwrite").save()
+# r14: trees whose bench carries Python (Arrow) stages also warm the
+# per-core Python workers, exactly as their own bench.py main does —
+# BOTH sides still measure computation, not session cold-start
+if hasattr(bench, "warm_python_workers"):
+    bench.warm_python_workers(spark)
 timings = {}
 for entry in bench.HEADLINE:
     name, fn = entry if isinstance(entry, tuple) else (entry, catalog[entry])
