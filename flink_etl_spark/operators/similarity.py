@@ -211,6 +211,77 @@ def ivf_centroids(
     return cents
 
 
+def _local_frame(spark, rows, schema) -> DataFrame:
+    """Single-partition driver-local frame (one `Scan ExistingRDD`
+    task). The quantizer/codebook frames are a handful of rows; a
+    default `createDataFrame` parallelizes them across
+    defaultParallelism mostly-empty slices, and every downstream
+    broadcast build then schedules a core-count-wide job for 8 rows —
+    pure scheduler overhead (guide §5: the driver should do almost no
+    data work, and these rows already live on the driver)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
+def _seed_head(embs: DataFrame, n: int, id_col: str, vec_col: str):
+    """The n smallest-id (id, vector, norm) rows, collected — ONE
+    corpus TakeOrdered pass. Both deterministic seed picks of the IVF
+    family are 'n smallest ids by construction': `ivf_centroids`
+    (refine_iters=0) over the corpus, and `_pq_seeds` over the
+    residual frame — whose id set EQUALS the corpus's (assignment
+    drops no row when the centroid table is non-empty), so the PQ
+    seeds are exactly the residuals of the n_codes smallest-id
+    vectors. One shared head fetch therefore replaces what were two
+    eagerly-anchored full corpus passes (guide §2.4 / §5; the r14
+    verdict's anchor-job floor). Assumes the family's documented
+    unique-non-NULL-id contract (ADVICE r14)."""
+    return (
+        embs.select(
+            F.col(id_col), F.col(vec_col), norm(vec_col).alias("_hn")
+        )
+        .orderBy(id_col)
+        .limit(n)
+        .collect()
+    )
+
+
+def ivf_centroids_local(
+    embs: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    head=None,
+) -> DataFrame:
+    """`ivf_centroids(refine_iters=0)` as a driver-local frame.
+
+    Row-identical to the distributed derivation by construction: the
+    head fetch runs the SAME TakeOrdered + norm expressions in one
+    collect job (doubles round-trip collect/createDataFrame exactly,
+    float32 embeddings widen and narrow losslessly), and cell_id is
+    the id-order position exactly as the posexplode relabel assigned
+    it. What changes is the PLAN: the old `anchor(ivf_centroids(...))`
+    ran an eager localCheckpoint job per construction and left a
+    corpus-lineage frame that every consumer's broadcast re-walked;
+    this frame is a 1-task local scan. Pinned bit-for-bit in
+    tests/test_extensions.py::test_ivf_centroids_local_matches_distributed."""
+    from pyspark.sql import types as T
+
+    spark = embs.sparkSession
+    if head is None:
+        head = _seed_head(embs, n_cells, id_col, vec_col)
+    vec_f = embs.schema[vec_col]
+    schema = T.StructType(
+        [
+            T.StructField("cell_id", T.IntegerType(), False),
+            T.StructField("centroid", vec_f.dataType, True),
+            T.StructField("centroid_norm", T.DoubleType(), True),
+        ]
+    )
+    rows = [(i, r[1], r[2]) for i, r in enumerate(head[:n_cells])]
+    return _local_frame(spark, rows, schema)
+
+
 def ivf_assign(
     embs: DataFrame,
     centroids: DataFrame,
@@ -627,9 +698,17 @@ def ivf_topk(
     from flink_etl_spark.session import anchor
 
     n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
-    # anchored: the centroid pick is a corpus pass (TakeOrdered) that
-    # both the corpus and the query assignment would otherwise replay
-    cents = anchor(ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters))
+    # seed quantizer: ONE TakeOrdered collect into a driver-local
+    # frame (r15 — replaces the eagerly-anchored corpus plan whose
+    # localCheckpoint job was pure construction overhead; row-identical
+    # by the ivf_centroids_local pin). Refined quantizers still run
+    # the distributed Lloyd passes and keep the anchor.
+    if refine_iters == 0:
+        cents = ivf_centroids_local(corpus, n_cells, id_col, vec_col)
+    else:
+        cents = anchor(
+            ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters)
+        )
     c = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -2040,17 +2119,73 @@ def _ivfpq_parts(
     `cents` overrides the centroid derivation (the hot-cell-split build
     path passes its post-split quantizer).
 
-    The two tiny derived frames are ANCHORED (`session.anchor` —
-    n_cells centroid rows, m*n_codes codebook rows): lazily they are
-    re-derived by every downstream reference, and each re-derivation
-    replays a full corpus pass (the one-shot `ivfpq_topk` plan ran 12
-    corpus scans / 16 exchanges / 17 windows at r13; anchored + the
-    zero-shuffle `ivf_assign` it is 3 corpus scans, 0 corpus
-    exchanges — plans/r14/ann_ivfpq_topk_{before,after}.txt)."""
+    Construction (r15, the fused seed head): with an unrefined seed
+    quantizer, the centroid pick AND the PQ seed pick are both
+    'n smallest ids' over frames with the SAME id set (`_seed_head`),
+    so ONE corpus TakeOrdered collect feeds both as driver-local
+    frames, and the n_codes seed residuals are computed by the same
+    assignment/residual expressions over that tiny local frame. The
+    r14 shape anchored `cents` and `cbs` with two eager
+    localCheckpoint jobs, EACH a full corpus pass (the cbs anchor ran
+    corpus-wide assignment + residual just to TakeOrdered n_codes
+    rows) — at scale that was a whole wasted corpus pass per build,
+    locally ~2.5 s of the 3.4 s bench entry (the r14 verdict's
+    anchor-job floor). Now: 1 corpus pass (the head collect) + 1 tiny
+    local job; the one-shot `ivfpq_topk` plan keeps 2 corpus scans /
+    0 corpus exchanges (plans/r15/ann_ivfpq_topk_{before,after}.txt).
+    Row-identical by the `test_ivfpq_parts_fused_matches_anchored`
+    pin. Refined/overridden quantizers keep the anchored corpus
+    derivation (`cents=` passes the hot-cell-split table)."""
     from flink_etl_spark.functions.vectors import l2_normalize
     from flink_etl_spark.session import anchor
 
-    if cents is None:
+    spark = embs.sparkSession
+    seeds = None
+    if cents is None and cell_refine_iters == 0:
+        from pyspark.sql import types as T
+
+        head = _seed_head(embs, max(n_cells, n_codes), id_col, vec_col)
+        cents = ivf_centroids_local(embs, n_cells, id_col, vec_col, head=head)
+        cents_n = cents.select(
+            "cell_id", l2_normalize("centroid").alias("_cnv")
+        )
+        id_f, vec_f = embs.schema[id_col], embs.schema[vec_col]
+        hframe = _local_frame(
+            spark,
+            [(r[0], r[1]) for r in head[:n_codes]],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_f.dataType, id_f.nullable),
+                    T.StructField(vec_col, vec_f.dataType, vec_f.nullable),
+                ]
+            ),
+        )
+        res_h = (
+            ivf_assign(hframe, cents, 1, id_col, vec_col)
+            .join(F.broadcast(cents_n), "cell_id")
+            .select(
+                F.col(id_col),
+                F.zip_with(
+                    l2_normalize(vec_col), F.col("_cnv"), lambda x, y: x - y
+                ).alias("_nv"),
+            )
+        )
+        nv_f = res_h.schema["_nv"]
+        rows = res_h.collect()
+        # _pq_seeds relabels code_id by id order (NULLS FIRST, the
+        # orderBy default — unique-id contract as everywhere)
+        rows.sort(key=lambda r: (r[0] is not None, r[0]))
+        seeds = _local_frame(
+            spark,
+            [(i, r[1]) for i, r in enumerate(rows)],
+            T.StructType(
+                [
+                    T.StructField("code_id", T.IntegerType(), False),
+                    T.StructField("_nv", nv_f.dataType, nv_f.nullable),
+                ]
+            ),
+        )
+    elif cents is None:
         cents = anchor(
             ivf_centroids(embs, n_cells, id_col, vec_col, cell_refine_iters)
         )
@@ -2065,7 +2200,9 @@ def _ivfpq_parts(
             l2_normalize(vec_col), F.col("_cnv"), lambda x, y: x - y
         ).alias("_nv"),
     )
-    seeds = _pq_seeds(res.select(id_col, "_nv"), n_codes, id_col)
+    fused = seeds is not None
+    if seeds is None:
+        seeds = _pq_seeds(res.select(id_col, "_nv"), n_codes, id_col)
     subs = F.sequence(F.lit(0), F.lit(m - 1))
     d_sub = _guarded_dsub("_nv", m)
     cbs = seeds.select(
@@ -2082,7 +2219,12 @@ def _ivfpq_parts(
             )
         ).alias("_e"),
     ).select(F.col("_e.sub_id"), "code_id", F.col("_e.codeword"))
-    cbs = anchor(cbs)
+    # corpus-derived seeds (refined/overridden quantizer) anchor as
+    # before — lazily each downstream reference would replay a corpus
+    # pass; local-head seeds need no anchor (their whole lineage is a
+    # 1-task local scan, re-derivation costs nothing)
+    if not fused:
+        cbs = anchor(cbs)
     # the one corpus-scale encode pass: auto (arrow when numpy
     # imports) — cbs is anchored so the arrow arm's bounded codebook
     # collect replays nothing, and this call dominates a build at

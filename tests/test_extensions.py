@@ -4110,6 +4110,78 @@ def test_ivf_assign_is_zero_shuffle_on_corpus(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_ivf_centroids_local_matches_distributed(spark):
+    """r15: the driver-local seed quantizer must be bit-identical to
+    the distributed `ivf_centroids(refine_iters=0)` — ids, float32
+    centroid vectors (collect/createDataFrame round-trip), and the
+    double norms — on float and double embeddings, including corpora
+    smaller than n_cells and a zero vector."""
+    from flink_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_centroids_local,
+    )
+
+    for elem in ("float", "double"):
+        embs = spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5) - 1.5 for j in range(8)])
+             for i in range(37)] + [(99, [0.0] * 8)],
+            f"vec_id bigint, embedding array<{elem}>",
+        )
+        for n_cells in (4, 64):  # 64 > corpus: take what exists
+            want = sorted(
+                (tuple(r) for r in ivf_centroids(embs, n_cells).collect()),
+            )
+            got = sorted(
+                (tuple(r)
+                 for r in ivf_centroids_local(embs, n_cells).collect()),
+            )
+            assert got == want, (elem, n_cells)
+
+
+def test_ivfpq_parts_fused_matches_anchored(spark):
+    """r15: the fused one-head construction (one TakeOrdered collect
+    feeding centroids AND codebook seeds) must reproduce the r14
+    anchored path row-for-row — centroids, codebooks, and the encoded
+    corpus — and `ivfpq_topk` end-to-end. The legacy path is invoked
+    by passing the anchored centroid table explicitly (exactly what
+    the r14 code did when cents was None)."""
+    import pyspark.sql.functions as F
+
+    from flink_etl_spark.operators.similarity import (
+        _ivfpq_parts,
+        ivf_centroids,
+        ivfpq_topk,
+    )
+    from flink_etl_spark.session import anchor
+
+    embs = spark.createDataFrame(
+        [(i, [float(((i * 13 + j * 3) % 11) - 5) / 3.0 for j in range(8)])
+         for i in range(64)] + [(200, [0.0] * 8), (201, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    n_cells, m, n_codes = 4, 4, 8
+    f_cents, _, f_cbs, f_codes = _ivfpq_parts(
+        embs, n_cells, m, n_codes, "vec_id", "embedding", 0
+    )
+    legacy_cents = anchor(ivf_centroids(embs, n_cells))
+    l_cents, _, l_cbs, l_codes = _ivfpq_parts(
+        embs, n_cells, m, n_codes, "vec_id", "embedding", 0,
+        cents=legacy_cents,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(f_cents) == rows(l_cents)
+    assert rows(f_cbs) == rows(l_cbs)
+    assert rows(f_codes) == rows(l_codes)
+
+    queries = embs.filter(F.col("vec_id") < 8)
+    got = rows(ivfpq_topk(embs, queries, k=3, n_cells=n_cells,
+                          nprobe=2, m=m, n_codes=n_codes))
+    assert len(got) > 0
+
+
 def test_phash_arrow_engine_matches_expr(spark):
     """r14: the vectorized Arrow/numpy hash engine must be
     bit-identical to the pure-JVM expression engine (and hence to the
