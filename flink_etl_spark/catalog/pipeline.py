@@ -379,9 +379,6 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = doc_profile(
         _t(spark, sf_dir, "documents"), passthrough=("source",)
     )
-    kept = profile.filter(
-        (F.col("verdict") == "keep") & (F.col("lang_guess") == "en")
-    )
     # single-pass dedup (operators/dedup.exact_dedup carry_cols): the
     # keeper row's signals ride the min(struct) aggregate — one scan,
     # one digest-keyed shuffle, NO join back to the corpus. The former
@@ -389,16 +386,31 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice, and the downstream arms joined a THIRD scan for `source`
     # (now a doc_profile passthrough riding the same struct). The
     # shuffle carries 32-byte digests plus small scalars, never text.
+    #
+    # The quality+language filter rides the aggregate (where_col, r15)
+    # instead of a pre-aggregate .filter(): the filter form gets
+    # pushed below doc_profile's projection and re-derives the whole
+    # token profile a second time per row in the Filter operator
+    # (plans/r15/pipeline_training_prep_before.txt — the pushed
+    # condition re-tokenizes `text` for quality AND the language
+    # argmax); folded into the aggregate the corpus is tokenized
+    # exactly once. Value-identical: a group with no passing copy is
+    # dropped by the count_if >= 1 guard inside exact_dedup.
     from flink_etl_spark.operators.dedup import exact_dedup
 
     sourced = exact_dedup(
-        kept.select(
+        profile.select(
             F.sha2("text", 256).alias("_digest"),
             "doc_id", "n_tokens", "quality", "fingerprint", "source",
+            (
+                (F.col("verdict") == "keep")
+                & (F.col("lang_guess") == "en")
+            ).alias("_pass"),
         ),
         ["_digest"],
         "doc_id",
         carry_cols=("n_tokens", "quality", "fingerprint", "source"),
+        where_col="_pass",
     ).select(
         "keep_id", "n_copies", "n_tokens", "quality", "fingerprint", "source"
     )

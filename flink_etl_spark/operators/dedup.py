@@ -43,6 +43,7 @@ def exact_dedup(
     content_cols: list[str],
     id_col: str,
     carry_cols: Sequence[str] = (),
+    where_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup: one row per distinct content, keeping the smallest id
     (deterministic canonical choice) plus the duplicate count.
@@ -57,7 +58,48 @@ def exact_dedup(
     IS id ordering. This is the one-pass alternative to aggregating
     ids and joining back to the corpus for the keeper's attributes
     (two scans + a join; the single-scan rewrite measured ~25% faster
-    on the composite pipeline, catalog/pipeline.py)."""
+    on the composite pipeline, catalog/pipeline.py).
+
+    `where_col` (r15) names a BOOLEAN input column: only rows where it
+    is true participate (keeper pick, n_copies, group existence) —
+    value-identical to `df.filter(where_col)` first, by the pushdown
+    counting rules below. The point is the PLAN: a pre-aggregate
+    `.filter()` on expensive derived columns (quality/language signals
+    in catalog/pipeline.py) gets pushed below the projection that
+    defines them and re-evaluates the whole derivation once in the
+    Filter and again in the Project (guide §4.4's duplication, in pure
+    SQL form — measured 2x tokenization per row on the keepers arm).
+    Folding the predicate into the aggregate keeps ONE projection:
+    the filter becomes `count_if(where) >= 1` above the aggregate,
+    which nothing can push below the Project. NULL `where_col` counts
+    as false, exactly like `.filter()`."""
+    if where_col is not None:
+        pass_ = F.col(where_col).isNotNull() & F.col(where_col)
+        n_copies = F.count_if(pass_).alias("n_copies")
+        if not carry_cols:
+            out = df.groupBy(*content_cols).agg(
+                F.min(F.when(pass_, F.col(id_col))).alias("keep_id"),
+                n_copies,
+            )
+        else:
+            keeper = F.min(
+                F.when(
+                    pass_ & F.col(id_col).isNotNull(),
+                    F.struct(id_col, *carry_cols),
+                )
+            )
+            out = (
+                df.groupBy(*content_cols)
+                .agg(keeper.alias("_k"), n_copies)
+                .select(
+                    *content_cols,
+                    F.col(f"_k.{id_col}").alias("keep_id"),
+                    "n_copies",
+                    *[F.col(f"_k.{c}").alias(c) for c in carry_cols],
+                )
+            )
+        # groups with no passing row do not exist under filter-first
+        return out.filter(F.col("n_copies") >= 1)
     if not carry_cols:
         return df.groupBy(*content_cols).agg(
             F.min(id_col).alias("keep_id"),

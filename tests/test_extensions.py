@@ -1213,6 +1213,60 @@ def test_exact_dedup_carry_cols_skips_null_ids(spark):
     assert r.keep_id == 3 and r.source == "s3" and r.n_copies == 2
 
 
+def test_exact_dedup_where_col_matches_filter_first(spark):
+    """r15: folding the predicate into the aggregate (where_col) must
+    be value-identical to filtering first — keeper pick, n_copies,
+    carried attributes, group existence — including NULL predicate
+    rows (count as false, like .filter) and NULL-id passing rows
+    (count in n_copies, never win the pick)."""
+    from flink_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", "s1", True), (3, "x", "s3", True),
+            (2, "y", "s2", False),           # whole group filtered out
+            (None, "z", "s0", True), (7, "z", "s7", True),
+            (9, "w", "s9", None),            # NULL predicate == false
+            (4, "y", "s4", True),            # y survives via doc 4 only
+        ],
+        "doc_id long, text string, source string, ok boolean",
+    )
+
+    def key(rows):
+        return {r.text: (r.keep_id, r.n_copies) for r in rows}
+
+    def key_carry(rows):
+        return {
+            r.text: (r.keep_id, r.n_copies, r.source) for r in rows
+        }
+
+    filtered = df.filter("ok").drop("ok")
+    assert key(
+        exact_dedup(df, ["text"], "doc_id", where_col="ok").collect()
+    ) == key(exact_dedup(filtered, ["text"], "doc_id").collect())
+    assert key_carry(
+        exact_dedup(
+            df, ["text"], "doc_id", carry_cols=("source",),
+            where_col="ok",
+        ).collect()
+    ) == key_carry(
+        exact_dedup(filtered, ["text"], "doc_id",
+                    carry_cols=("source",)).collect()
+    )
+    # the expected values, spelled out
+    got = key_carry(
+        exact_dedup(
+            df, ["text"], "doc_id", carry_cols=("source",),
+            where_col="ok",
+        ).collect()
+    )
+    assert got == {
+        "x": (1, 2, "s1"),
+        "z": (7, 2, "s7"),   # NULL id counted, never the keeper
+        "y": (4, 1, "s4"),   # doc 2 failed the predicate
+    }
+
+
 def test_semdedup_incremental_dim_mismatch_raises(spark, tmp_path):
     import pytest
 

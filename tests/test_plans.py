@@ -161,6 +161,27 @@ def test_pipeline_dedup_shuffle_carries_digest_not_text(spark):
     assert all("text" not in line for line in digest_exchanges)
 
 
+def test_pipeline_keepers_filter_does_not_retokenize(spark):
+    """r15: the quality+language predicate rides the dedup aggregate
+    (exact_dedup where_col), so the keepers arm has NO Filter operator
+    that re-derives the token profile from raw text — the r14 shape
+    pushed the predicate below doc_profile's projection and tokenized
+    every row twice (once in the Filter, once in the Project)."""
+    plan = _executed(
+        Q.queries()["pipeline_training_prep"](spark, SF).filter(
+            "variant = 'keepers'"
+        )
+    )
+    retok_filters = [
+        line for line in plan.splitlines()
+        if line.lstrip().startswith(("Filter", "+- Filter", "*("))
+        and "Filter" in line and "split(text" in line
+    ]
+    assert not retok_filters, retok_filters
+    # the profile expressions still exist exactly once, in the Project
+    assert "split(text" in plan
+
+
 def test_knn_corpus_never_shuffles(spark):
     """Brute-force kNN: the query set broadcasts (BroadcastNestedLoop),
     the corpus is scanned in place — no hash/range repartition of the
