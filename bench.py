@@ -35,29 +35,6 @@ from flink_etl_spark.sources.tables import (  # noqa: E402
 )
 
 
-def warm_python_workers(spark) -> None:
-    """Spin up the per-core Python workers once before timing (r14):
-    two headline entries now carry vectorized Arrow stages
-    (`media_phash_pairs`' hash engine; `ann_ivfpq_topk`'s one-shot
-    corpus encode), and the FIRST Python stage of a session pays
-    ~2 s of one-time worker fork/import across local[32] — a session
-    cold-start cost, not query computation, exactly like the
-    JVM/codegen warm-up above (measured: the ivfpq entry's first run
-    4.6 s vs 3.8 s warm in an isolated session; at any real
-    deployment the workers amortize over the whole job). A no-op
-    mapInPandas over one int per core warms them; entry timings are
-    otherwise unchanged (same queries, same noop-sink best-of-2)."""
-    import pyspark.sql.functions as F  # noqa: F401
-
-    def _ident(batches):
-        for b in batches:
-            yield b
-
-    spark.range(64, numPartitions=64).mapInPandas(
-        _ident, "id long"
-    ).write.format("noop").mode("overwrite").save()
-
-
 def _bench_minhash(spark, sf_dir):
     """Primary (one-shot) MinHash+LSH dedup — the same work benched in
     r1/r2. The catalog gate now unions the incremental variant in for
@@ -371,13 +348,16 @@ def _bench_canal_ingest(spark, sf_dir):
 
 
 def _bench_doc_profile(spark, sf_dir):
-    """The text_doc_profile gate body (one-pass profile, drop text)
-    with the scan rescue (r14, measured 1.1 -> 0.8 s): the profile is
-    a single zero-exchange projection, single-task on the bench scan
-    otherwise."""
+    """The text_doc_profile gate body (one-pass profile, drop text).
+    r15 DROPS the r14 scan rescue here: the builder's warm probe said
+    1.1 -> 0.8 s, but the driver's cold ground truth said the opposite
+    (0.802 -> 1.296 s, and the 8-core run beat 32-core at 0.83 s) —
+    on a cold JVM the added 32-way exchange costs more than the serial
+    scan it rescues for this single cheap projection (VERDICT r14,
+    "Next round" item 1a). Back to the plain scan = the r13 shape."""
     from flink_etl_spark.operators.text import doc_profile
 
-    docs = rescue_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return doc_profile(docs).drop("text")
 
 
@@ -444,11 +424,16 @@ def main() -> None:
     spark = get_spark(app_name="flink-etl-spark-bench")
     catalog = Q.queries()
 
-    # warm the JVM/codegen path so per-query timings exclude session spin-up
-    catalog["agg_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    warm_python_workers(spark)
+    # warm the JVM/codegen path so per-query timings exclude session
+    # spin-up. r15 REMOVES r14's extra Python-worker warm-up step
+    # (warm_python_workers, a no-op mapInPandas): the driver's cold
+    # ground truth showed 17/27 entries regressed in r14 while the
+    # builder's warm A/Bs improved, and the resident per-core workers
+    # (+numpy/pandas each) were one of two plausible systemic suspects
+    # (VERDICT r14 §"what's wrong" #1). Best-of-2 already absorbs the
+    # one-time worker fork for the two entries with Arrow stages (run
+    # 1 forks, run 2 is warm), so removal costs reported timings
+    # nothing and returns the harness to the r13 methodology.
 
     # best of two runs per query: the second run re-executes the full
     # plan (noop sink, nothing cached) but sheds scheduler/JIT jitter,
