@@ -972,12 +972,31 @@ def _bpe_ub_truncate(accepted: list, get_bounds) -> list:
     return out
 
 
+#: `bpe_fit(batch_merges="auto")` probe: the first N classical rounds
+#: are timed (each is exactly ONE driver action, so the round wall IS
+#: the per-action cost), and the loop switches to batch_merges=16 +
+#: batch_verify="fused" for the remainder when the median exceeds the
+#: measured fused-B=16 break-even — L* ~ 0.65 s/action from the
+#: four-arm interleaved R=1024 crossover table (docs/SCALING.md
+#: "Batched BPE"; `tools/bpe_probe.py fit --latency` validated the
+#: arithmetic end to end at R=256/300 ms). 0.7 s is the documented
+#: "extreme driver-to-cluster latency" line, ABOVE the 200-500 ms
+#: stage-cycle band of a busy cluster — so local/normal clusters
+#: stay on the classical B=1 loop and only WAN-notebook/queued-
+#: scheduler deployments self-select batching. The merge table is
+#: byte-identical for any B by construction, so the switch can never
+#: change results — only round structure.
+_BPE_AUTO_PROBE_ROUNDS = 4
+_BPE_AUTO_LATENCY_SEC = 0.7
+_BPE_AUTO_BATCH = 16
+
+
 def bpe_fit(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     vocab_partitions: int | None = None,
-    batch_merges: int = 1,
+    batch_merges: int | str = 1,
     batch_verify: str = "lazy",
     stats: dict | None = None,
 ) -> DataFrame:
@@ -1045,7 +1064,23 @@ def bpe_fit(
     R=1024) — above the documented 200-500 ms stage-cycle band. Use
     batch_merges=16 + batch_verify="fused" only for extreme
     driver-to-cluster latency (WAN notebook drivers, schedulers
-    queued at >= 0.7 s/action). The fit loop also pins AQE off for
+    queued at >= 0.7 s/action).
+
+    ``batch_merges="auto"`` (r15) implements that rule as a measured
+    in-loop decision instead of a footnote: the first
+    `_BPE_AUTO_PROBE_ROUNDS` rounds run classical (each exactly one
+    driver action, so the round wall IS the per-action cost); if
+    their median exceeds `_BPE_AUTO_LATENCY_SEC` (0.7 s — the
+    crossover table above) the remainder runs batch_merges=16 +
+    batch_verify="fused" (overriding `batch_verify`, and AQE is
+    restored for the fused rounds' exchange reuse); otherwise the
+    loop stays classical. Output is byte-identical either way (the
+    B-invariance property), so the probe can only change round
+    structure, never the merge table. The decision lands in
+    ``stats``: {"auto_probe_sec", "auto_batch_merges",
+    "auto_switch_round" (None = stayed classical)}.
+
+    The fit loop also pins AQE off for
     classical/lazy rounds (measured 3.2x at the vocab_partitions=1
     gate/test shape: 13.9 -> 4.4 s; fused keeps AQE — its 3-reference
     round plan needs the exchange reuse, 333 vs 618 s at R=1024).
@@ -1063,9 +1098,13 @@ def bpe_fit(
             f"n_merges must be in [1, 50000], got {n_merges} (merge "
             "tables beyond vocabulary scale are a misconfiguration)"
         )
-    if not 1 <= batch_merges <= 1024:
+    auto_batch = batch_merges == "auto"
+    if not auto_batch and not (
+        isinstance(batch_merges, int) and 1 <= batch_merges <= 1024
+    ):
         raise ValueError(
-            f"batch_merges must be in [1, 1024], got {batch_merges}"
+            f"batch_merges must be 'auto' or in [1, 1024], got "
+            f"{batch_merges!r}"
         )
     if batch_verify not in ("lazy", "fused"):
         raise ValueError(
@@ -1109,14 +1148,24 @@ def bpe_fit(
     # gate/test shape vocab_partitions=1).
     _aqe_key = "spark.sql.adaptive.enabled"
     _prev_aqe = spark.conf.get(_aqe_key)
-    if batch_verify != "fused":
+    # auto starts classical (B=1): the probe rounds must measure the
+    # per-action cost on the arm the decision defaults to
+    b_cur: int = 1 if auto_batch else batch_merges
+    verify_cur = "lazy" if auto_batch else batch_verify
+    probe_walls: list[float] = []
+    auto_switch_round: int | None = None
+    auto_probe_sec: float | None = None
+    if verify_cur != "fused":
         spark.conf.set(_aqe_key, "false")
     try:
+        import time as _time
+
         while len(merges) < n_merges:
             rounds += 1
+            _t0 = _time.monotonic() if auto_batch else None
             pair_counts = _bpe_pair_counts(words)
-            want = min(batch_merges, n_merges - len(merges))
-            if batch_verify == "fused" and want > 1:
+            want = min(b_cur, n_merges - len(merges))
+            if verify_cur == "fused" and want > 1:
                 top = _bpe_topk_with_bounds(words, pair_counts, want)
             else:
                 top = (
@@ -1153,7 +1202,7 @@ def bpe_fit(
                     prefix_stops += 1
                 if len(accepted) > 1:
                     before = len(accepted)
-                    if batch_verify == "fused":
+                    if verify_cur == "fused":
                         # bounds were fetched with the ranking; only the
                         # driver-side truncation rules remain. Collision
                         # rule first (identical to the lazy path): the
@@ -1204,6 +1253,21 @@ def bpe_fit(
                 words = anchor(words)
                 anchor_ref = words
                 applied_since_anchor = 0
+            if _t0 is not None:
+                probe_walls.append(_time.monotonic() - _t0)
+                if len(probe_walls) >= _BPE_AUTO_PROBE_ROUNDS:
+                    # decide ONCE: median probe wall vs the measured
+                    # fused-B=16 break-even (module constants above)
+                    auto_probe_sec = sorted(probe_walls)[
+                        len(probe_walls) // 2
+                    ]
+                    if auto_probe_sec >= _BPE_AUTO_LATENCY_SEC:
+                        b_cur = _BPE_AUTO_BATCH
+                        verify_cur = "fused"
+                        auto_switch_round = rounds
+                        # fused rounds need AQE's exchange reuse
+                        spark.conf.set(_aqe_key, _prev_aqe)
+                    auto_batch = False
     finally:
         spark.conf.set(_aqe_key, _prev_aqe)
     del anchor_ref
@@ -1213,6 +1277,10 @@ def bpe_fit(
         stats["prefix_stops"] = prefix_stops
         stats["ub_stops"] = ub_stops
         stats["verify_jobs"] = loop_stats.get("verify_jobs", 0)
+        if batch_merges == "auto":
+            stats["auto_probe_sec"] = auto_probe_sec
+            stats["auto_batch_merges"] = b_cur
+            stats["auto_switch_round"] = auto_switch_round
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, pair_count bigint"
     )
@@ -1399,7 +1467,7 @@ def bpe_stage_fit(
     n_merges: int,
     text_col: str = "text",
     vocab_partitions: int | None = None,
-    batch_merges: int = 1,
+    batch_merges: int | str = 1,
     batch_verify: str = "lazy",
 ) -> None:
     """Stage a BPE tokenizer fit once so encode runs reuse it — the

@@ -3646,6 +3646,55 @@ def test_bpe_fit_restores_aqe_conf(spark):
     assert spark.conf.get(key) == before
 
 
+def test_bpe_fit_auto_batch_latency_rule(spark, monkeypatch):
+    """r15: batch_merges="auto" times the first probe rounds (each
+    one driver action) and switches to the fused B=16 arm only past
+    the measured ~0.65 s/action break-even. Local rounds are far
+    cheaper, so auto must stay classical here; forcing the threshold
+    to 0 must engage the switch at exactly the probe boundary — and
+    the merge table must be byte-identical in both regimes (the
+    B-invariance property), with the session AQE conf restored."""
+    from flink_etl_spark.operators import text
+
+    texts = ["low lower lowest low low", "aaaa aaa banana bandana",
+             "the the the them theme", "ab ab abc abcd, abcd!"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def fit(stats, **kw):
+        return [
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in text.bpe_fit(
+                docs, 12, vocab_partitions=1, stats=stats, **kw
+            ).orderBy("rank").collect()
+        ]
+
+    ref_st: dict = {}
+    ref = fit(ref_st, batch_merges=1)
+
+    # pin the threshold on BOTH arms: the decision must follow the
+    # measured probe against the constant, not this box's load
+    monkeypatch.setattr(text, "_BPE_AUTO_LATENCY_SEC", 1e9)
+    st: dict = {}
+    assert fit(st, batch_merges="auto") == ref
+    assert st["auto_batch_merges"] == 1
+    assert st["auto_switch_round"] is None
+    assert st["auto_probe_sec"] is not None
+    assert st["rounds"] == ref_st["rounds"]  # stayed classical
+
+    monkeypatch.setattr(text, "_BPE_AUTO_LATENCY_SEC", 0.0)
+    st2: dict = {}
+    assert fit(st2, batch_merges="auto") == ref
+    assert st2["auto_batch_merges"] == text._BPE_AUTO_BATCH
+    assert st2["auto_switch_round"] == text._BPE_AUTO_PROBE_ROUNDS
+    assert st2["rounds"] <= ref_st["rounds"]
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    with pytest.raises(ValueError, match="batch_merges"):
+        text.bpe_fit(docs, 4, batch_merges="bogus")
+
+
 def test_bpe_fit_batched_reduces_rounds(spark):
     """The point of the batch: disjoint frequent pairs are swept in
     one round, so the driver-round count drops well below n_merges
