@@ -565,8 +565,16 @@ def media_perceptual_hashes(
             f"engine must be 'auto', 'expr' or 'arrow', got {engine!r}"
         )
     if engine == "auto":
+        # probe the FULL driver-side stack the arrow arm needs
+        # (mapInPandas = numpy + pandas + pyarrow), not just numpy
+        # (ADVICE r14). The probe is driver-side only: local[*] shares
+        # the interpreter, but a cluster whose EXECUTORS lack these
+        # packages fails at task time — pin engine="expr" there, or
+        # ship the packages (the standard pyspark Arrow requirement).
         try:
             import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
 
             engine = "arrow"
         except Exception:

@@ -318,7 +318,20 @@ def ivf_assign(
     expressions — auto-sized cell counts must not trip janino's 64 KB
     method limit (the r14 banding landmine). Pinned against a
     window-based reference implementation in
-    tests/test_extensions.py::test_ivf_assign_matches_window_reference."""
+    tests/test_extensions.py::test_ivf_assign_matches_window_reference.
+
+    INPUT CONTRACT (ADVICE r14, applies to `ivf_assign_two_level` too):
+    ids must be UNIQUE per row — the old row_number window partitioned
+    by id, so duplicated ids collectively got nprobe assignments,
+    while the row-local form emits nprobe rows per PHYSICAL row; every
+    in-repo consumer (semdedup, the ANN indexes, decontamination) keys
+    on unique ids already. Embedding VALUES must be finite: NULL and
+    zero-norm vectors are in-domain (safe_cosine guards them to NULL
+    sim -> ranked last, byte-equal to the window form), but a NaN/Inf
+    component produces NaN similarities, which the old DESC window
+    ranked FIRST (Spark orders NaN greatest) and the ascending
+    -sim key ranks LAST — such rows are OUT OF CONTRACT and may pick
+    a different cell than the r13 window form did."""
     # safe_cosine, not raw division: a zero-norm vector (in-domain)
     # raises DIVIDE_BY_ZERO under ANSI mode and ranks NaN-first
     # otherwise — found by the semdedup hypothesis suite
@@ -591,7 +604,11 @@ def ivf_assign_two_level(
 
     The level-1 assignment is persisted (it feeds both the seed pick
     and the scoring projection); same cache contract as `ivf_assign`
-    consumers — clearCache between corpora."""
+    consumers — clearCache between corpora.
+
+    Same INPUT CONTRACT as `ivf_assign` (see there): unique ids per
+    row, finite embedding components (NULL/zero-norm in-domain;
+    NaN/Inf out of contract)."""
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     from math import isqrt
@@ -939,7 +956,20 @@ def ivf_build_index(
     from flink_etl_spark.operators.knobs import ivf_auto_cells, resolve_knob
 
     n_cells = resolve_knob(n_cells, ivf_auto_cells, corpus, n_vecs)
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters)
+    # seed quantizer as a driver-local frame (r15, same treatment as
+    # ivf_topk): the lazy corpus-derived table was consumed TWICE here
+    # (the centroids write + the assignment broadcast), i.e. two full
+    # corpus TakeOrdered passes at scale; the local frame costs one
+    # head collect, and both consumers read driver-local rows.
+    # Row-identical by the ivf_centroids_local pin.
+    if refine_iters == 0:
+        cents = ivf_centroids_local(corpus, n_cells, id_col, vec_col)
+    else:
+        from flink_etl_spark.session import anchor
+
+        cents = anchor(
+            ivf_centroids(corpus, n_cells, id_col, vec_col, refine_iters)
+        )
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     # centroid_sim rides along (free at build time): the incremental
     # SemDeDup consumer (dedup.semdedup_incremental) needs each staged
@@ -1305,8 +1335,36 @@ def _pq_codes_arrow(nv_frame: DataFrame, cb_vals, m: int,
     )
 
 
+#: size floor for `_pq_codes_on(engine="auto", size_hint_bytes=...)`:
+#: below this the arrow arm's fixed costs (bounded codebook collect,
+#: Python worker spin-up, Arrow transfer) exceed the whole expression
+#: cost. The measured crossover is "a few thousand rows per call"
+#: (deployment rule below) ~ 1 MiB of raw dim-64 float32 vectors;
+#: 8 MiB keeps a wide safety margin so the many tiny lifecycle
+#: re-encodes (hundreds of rows, KBs) stay on the expression arm and
+#: only genuinely batch-scale appends pay the arrow fixed costs.
+_PQ_ARROW_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan sizeInBytes estimate — file bytes for
+    parquet-backed frames, a row-width product for local relations —
+    or None when unavailable or when the planner fell back to its
+    'unknown' sentinel (defaultSizeInBytes ~ Long.MaxValue), so a
+    caller can distinguish 'small' from 'no idea'. Plan-only: never
+    runs a job."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    return est if 0 <= est < (1 << 60) else None
+
+
 def _pq_codes_on(nv_frame: DataFrame, codebooks: DataFrame, m: int,
-                 id_cols: list[str], engine: str = "expr") -> DataFrame:
+                 id_cols: list[str], engine: str = "expr",
+                 size_hint_bytes: int | None = None) -> DataFrame:
     """Encode a (…ids…, _nv) frame against codebooks: adds a `codes`
     ARRAY<TINYINT> column via the zero-shuffle packed-broadcast
     argmin; `id_cols` are carried through.
@@ -1315,7 +1373,12 @@ def _pq_codes_on(nv_frame: DataFrame, codebooks: DataFrame, m: int,
     argmin below (the oracle-portable reference); "arrow" vectorizes
     the distance matrices in numpy (`_pq_codes_arrow` — row-identical
     by the exact IEEE fold replay + the pinned round-HALF_UP twin for
-    ties); "auto" picks arrow when numpy imports on the driver.
+    ties); "auto" picks arrow when numpy imports on the driver AND
+    the input is at least `_PQ_ARROW_MIN_BYTES` by the caller's
+    ``size_hint_bytes`` (r15 — None means "caller asserts batch
+    scale", preserving the r14 corpus-encode behavior; pass the
+    plan-estimated `_plan_size_bytes` so tiny lifecycle re-encodes
+    stay on the expression arm per the crossover below).
 
     DEPLOYMENT RULE (measured, local[32]): arrow wins the
     corpus-encode regime and loses the tiny-job regime, so the
@@ -1339,12 +1402,23 @@ def _pq_codes_on(nv_frame: DataFrame, codebooks: DataFrame, m: int,
             f"engine must be 'auto', 'expr' or 'arrow', got {engine!r}"
         )
     if engine == "auto":
-        try:
-            import numpy  # noqa: F401
-
-            engine = "arrow"
-        except Exception:
+        if (
+            size_hint_bytes is not None
+            and size_hint_bytes < _PQ_ARROW_MIN_BYTES
+        ):
             engine = "expr"
+        else:
+            # full driver-side stack probe (mapInPandas = numpy +
+            # pandas + pyarrow, not just numpy — ADVICE r14); executors
+            # must carry the same packages on a real cluster
+            try:
+                import numpy  # noqa: F401
+                import pandas  # noqa: F401
+                import pyarrow  # noqa: F401
+
+                engine = "arrow"
+            except Exception:
+                engine = "expr"
     if engine == "arrow":
         rows = codebooks.select("sub_id", "code_id", "codeword").collect()
         by_sub: dict = {}
@@ -2606,7 +2680,19 @@ def ivfpq_append_index(
             l2_normalize(vec_col), F.col("_cnv"), lambda x, y: x - y
         ).alias("_nv"),
     )
-    codes = _pq_codes_on(res, cbs, m, [id_col, "cell_id"]).persist()
+    # size-aware engine pick (r15): the append batch is whatever the
+    # caller hands in — the lifecycle gates append hundreds of rows
+    # (KBs, where the arrow fixed costs dominate) while a production
+    # staged append reads a day's parquet (GBs, where the expression
+    # argmin interprets m*n_codes*d_sub lambda steps per row). The
+    # plan-estimated input size routes each regime to its measured
+    # winner; an unknown estimate stays on the expression arm (safe
+    # default — identical rows either way by the engine pins).
+    _est = _plan_size_bytes(guarded)
+    codes = _pq_codes_on(
+        res, cbs, m, [id_col, "cell_id"], engine="auto",
+        size_hint_bytes=_est if _est is not None else 0,
+    ).persist()
     fresh = None
     try:
         # replay convergence: drop ids already staged in the touched

@@ -4574,12 +4574,63 @@ def test_pq_codes_engine_validation(spark):
     nv = base.withColumnRenamed("embedding", "_nv")
     with _pytest.raises(ValueError, match="engine"):
         _pq_codes_on(nv, cbs, 2, ["vec_id"], engine="nope")
-    auto = {
-        (r["vec_id"], tuple(r["codes"]))
-        for r in _pq_codes_on(nv, cbs, 2, ["vec_id"]).collect()
-    }
-    expr = {
-        (r["vec_id"], tuple(r["codes"]))
-        for r in _pq_codes_on(nv, cbs, 2, ["vec_id"], engine="expr").collect()
-    }
-    assert auto == expr
+
+    def codes(**kw):
+        return {
+            (r["vec_id"], tuple(r["codes"]))
+            for r in _pq_codes_on(nv, cbs, 2, ["vec_id"], **kw).collect()
+        }
+
+    expr = codes(engine="expr")
+    # ADVICE r14: exercise the auto arm EXPLICITLY (the default is
+    # expr, so codes() alone would compare expr against itself) —
+    # no hint (batch-scale assertion -> arrow when numpy imports)
+    # and both sides of the r15 size hint
+    assert codes(engine="auto") == expr
+    assert codes(engine="auto", size_hint_bytes=1 << 30) == expr
+    assert codes(engine="auto", size_hint_bytes=1024) == expr
+
+
+def test_pq_codes_auto_size_hint_routes_engine(spark, monkeypatch):
+    """r15: engine='auto' with a size hint below _PQ_ARROW_MIN_BYTES
+    must stay on the expression arm (never touch numpy/Arrow), and at
+    or above it must take the arrow arm. Routed-ness is observed by
+    poisoning _pq_codes_arrow: the small-hint call must not reach it,
+    the large-hint call must."""
+    import pytest as _pytest
+
+    from flink_etl_spark.operators import similarity as S
+
+    base = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = S.pq_codebooks(base, m=2, n_codes=2).localCheckpoint(eager=True)
+    nv = base.withColumnRenamed("embedding", "_nv")
+
+    calls = []
+
+    real_arrow = S._pq_codes_arrow
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_arrow(*a, **kw)
+
+    monkeypatch.setattr(S, "_pq_codes_arrow", spy)
+    small = S._pq_codes_on(
+        nv, cbs, 2, ["vec_id"], engine="auto",
+        size_hint_bytes=S._PQ_ARROW_MIN_BYTES - 1,
+    ).collect()
+    assert not calls  # expression arm
+    big = S._pq_codes_on(
+        nv, cbs, 2, ["vec_id"], engine="auto",
+        size_hint_bytes=S._PQ_ARROW_MIN_BYTES,
+    ).collect()
+    numpy = _pytest.importorskip("numpy")  # noqa: F841
+    assert calls  # arrow arm engaged at/above the floor
+    k = lambda rows: {(r["vec_id"], tuple(r["codes"])) for r in rows}  # noqa: E731
+    assert k(small) == k(big)
+
+    # the plan-size helper: parquet/local frames give a real estimate
+    est = S._plan_size_bytes(nv)
+    assert est is None or est > 0
