@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from flink_etl_spark.__main__ import build_parser, main
@@ -181,6 +183,7 @@ def test_cli_dedup_stream_drains_and_scrubs(spark, tmp_path, monkeypatch):
     assert out[1] == para and out[2] == "pad"
 
 
+@pytest.mark.slow
 def test_cli_dedup_compact_folds_index(spark, tmp_path):
     """The dedup-compact subcommand folds pre-horizon index partitions
     through the same library op the streaming tests pin."""
@@ -205,6 +208,7 @@ def test_cli_dedup_compact_folds_index(spark, tmp_path):
     assert _list_index_partitions(spark, idx) == [-1, 2]
 
 
+@pytest.mark.slow
 def test_cli_ann_lifecycle(spark, tmp_path):
     """ann-build -> ann-append -> ann-search: the staged-index
     lifecycle end to end through the CLI; append converges on replay
@@ -286,6 +290,7 @@ def test_cli_ann_kind_ambiguity_raises(spark, tmp_path):
         main(["ann-append", "--path", str(batch),
               "--index", str(tmp_path / "not_an_index")])
 
+@pytest.mark.slow
 def test_cli_ann_compact_bounds_files(spark, tmp_path):
     """ann-compact rewrites accreted cell partitions to the file target
     through the CLI and preserves search results."""
@@ -315,6 +320,7 @@ def test_cli_ann_compact_bounds_files(spark, tmp_path):
     assert sorted(map(tuple, similarity.ivfpq_search_index(
         spark, idx, qs, k=5).collect())) == before
 
+@pytest.mark.slow
 def test_cli_ann_drift_dispatches_and_exit_codes(spark, tmp_path):
     """ann-drift: dispatches on the sidecar kind (ivfpq -> centroid
     similarity, flat pq -> reconstruction error), prints JSON, exits 0

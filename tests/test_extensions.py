@@ -96,6 +96,7 @@ def test_fingerprint_order_sensitive(spark):
     assert fps[1] == fps[3] != fps[2]
 
 
+@pytest.mark.slow
 def test_media_decode_plumbing(spark):
     docs = spark.createDataFrame([(1, "hello world"), (2, "")], ["doc_id", "text"])
     out = multimodal.decode_media(multimodal.make_media_table(docs), fake=True)
@@ -267,6 +268,7 @@ def test_duplicate_clusters_plan_stays_constant(spark):
     assert plan.count("Join") <= 1, plan
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_raises_on_nonconvergence(spark):
     """r10 verdict item 1: a chain of diameter > max_iters used to
     return non-component labels SILENTLY — the one answer-corrupting
@@ -325,6 +327,7 @@ def test_duplicate_clusters_star_converges_past_propagation_bound(spark):
     assert got8 == got
 
 
+@pytest.mark.slow
 def test_duplicate_clusters_star_equals_propagation_on_random_graphs(spark):
     """Equivalence of the two arms on random pair graphs: same nodes,
     same cluster assignment (both label every node with the component
@@ -533,6 +536,7 @@ def test_ivf_staged_index_partition_layout_and_equality(spark, tmp_path):
     assert staged == mem and len(staged) > 0
 
 
+@pytest.mark.slow
 def test_simhash_wide_signature_separates_corpus(spark):
     """63-bit signatures must keep exact dups identical while unrelated
     docs no longer collide the way a 16-bit signature does at corpus
@@ -1720,6 +1724,7 @@ def test_ivfpq_staged_equals_oneshot_and_sidecar(spark, tmp_path):
     assert explicit == one
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_exact_and_recall(spark):
     """rerank=R rescores the ADC shortlist with EXACT cosine: reranked
     survivors match brute-force cosine values, and recall vs the exact
@@ -1804,6 +1809,7 @@ def test_build_corpus_dim_guard_raises_on_mixed_dims(spark, tmp_path):
         similarity.pq_build_index(mixed, str(tmp_path / "i2"), m=4, n_codes=8)
 
 
+@pytest.mark.slow
 def test_ivfpq_auto_cells_knob(spark, tmp_path):
     """n_cells="auto" resolves through knobs.ivf_auto_cells at build
     time: the one-shot result equals the explicit-integer run and the
@@ -1937,6 +1943,7 @@ def test_edit_distance_pairs_verdicts_and_bounds(spark):
         dedup.edit_distance_pairs(docs, max_dist=-1)
 
 
+@pytest.mark.slow
 def test_staged_search_allowed_filter(spark, tmp_path):
     """`allowed=` on the staged searches is filter-THEN-rank: results
     contain only allow-listed neighbors, ranks are contiguous, and the
@@ -2222,6 +2229,7 @@ def test_bigram_lm_scores_hand_computed(spark):
         d: (r.mean_logp_micro, r.novel_bigram_frac) for d, r in got.items()
     }
 
+@pytest.mark.slow
 def test_ivfpq_cell_skew_census_warning_and_split(spark, tmp_path):
     """Cell-skew handling (r8 verdict item): a half-in-one-cluster
     corpus concentrates in one cell — the build censuses the written
@@ -2342,6 +2350,7 @@ def test_ivfpq_cell_skew_census_warning_and_split(spark, tmp_path):
             census_sample=1.5,
         )
 
+@pytest.mark.slow
 def test_ivfpq_rebuild_index_equals_fresh_build(spark, tmp_path):
     """ivfpq_rebuild_index: parameters default from the OLD sidecar
     (resolved n_cells, m, n_codes), the result is byte-identical to a
@@ -2552,6 +2561,7 @@ def test_pq_drift_check_reconstruction_error_signal(spark, tmp_path):
     assert not res["checkable"]
     _write_json_sidecar(spark, f"{idx}/_PQ_META.json", meta)
 
+@pytest.mark.slow
 def test_pq_build_baseline_sample_bounds_the_second_pass(spark, tmp_path):
     """ADVICE r11: the drift baseline used to be a second FULL pass
     over the build corpus. Now it runs over a deterministic hash
@@ -2880,6 +2890,7 @@ def test_semantic_contamination_guards(spark):
         )
 
 
+@pytest.mark.slow
 def test_semantic_contamination_randomized_plane_counts(spark):
     """The row-local packed-plane bucket fold must agree with the
     signlsh_buckets reference for every plane count (the element_at
@@ -3576,6 +3587,7 @@ def test_bpe_fit_vocab_partitions_can_increase(spark):
     assert got == _ref_bpe_fit(texts, 6)
 
 
+@pytest.mark.slow
 def test_bpe_fit_batched_equals_sequential(spark):
     """batch_merges is EXACT by construction (`_bpe_truncate_batch`):
     for every batch size the merge table — ranks, pairs, AND recorded

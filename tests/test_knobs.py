@@ -49,6 +49,7 @@ def test_simhash_auto_bits_margin_over_uniform_floor():
     assert ws == sorted(ws) and all(16 <= w <= 63 for w in ws)
 
 
+@pytest.mark.slow
 def test_simhash_max_bucket_caps_adversarial_clique(spark):
     """A 200-doc exact clique shares every chunk value, so its buckets
     go quadratic; max_bucket drops them while ordinary pairs (small
@@ -126,6 +127,7 @@ def test_simhash_auto_equals_explicit(spark):
     assert simhash_auto_bits(n) > 16  # corpus is already past the 16-bit floor
 
 
+@pytest.mark.slow
 def test_max_bucket_caps_adversarial_clique(spark):
     """A 200-doc exact clique makes every band bucket hold >=200 docs ->
     ~19900 candidate pairs per band unbounded. max_bucket drops those

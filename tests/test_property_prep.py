@@ -97,6 +97,7 @@ def test_pack_greedy_invariants(spark, rows, budget):
         alphabet="abc'x", min_size=0, max_size=4
     ),  # quote included: escaping must hold
 )
+@pytest.mark.slow
 def test_hash_split_partition_property(spark, keys, salt):
     """Every row gets exactly one label from the configured set, and
     the assignment is a pure function of (key, salt) — recomputing
@@ -111,6 +112,7 @@ def test_hash_split_partition_property(spark, keys, salt):
 
 @settings(**_PROP)
 @given(rows=_corpora)
+@pytest.mark.slow
 def test_pii_redact_idempotent(spark, rows):
     """Redaction is idempotent: the replacement tokens contain no
     redactable patterns, so a second pass is a no-op."""
@@ -169,6 +171,7 @@ def test_decontaminate_self_overlap(spark, rows, n):
         },
     ),
 )
+@pytest.mark.slow
 def test_mixture_sample_copy_count_invariants(spark, rows, salt, rates):
     """expand=True row counts == expand=False n_copies sums per key;
     n_copies in {floor(r), floor(r)+1}; NULL group takes the default;
@@ -223,6 +226,7 @@ def test_mixture_sample_copy_count_invariants(spark, rows, salt, rates):
     n_cells=st.sampled_from([1, 2, 4]),
     quantizer=st.sampled_from(["flat", "two_level"]),
 )
+@pytest.mark.slow
 def test_semdedup_invariants(spark, vecs, n_cells, quantizer):
     """Pairs are a subset of the exact all-pairs set with identical
     rounded scores; every duel's loser is the member closer to the
@@ -295,6 +299,7 @@ def _py_span_dedup(rows, k):
 
 @settings(**_PROP)
 @given(rows=_corpora, k=st.integers(min_value=1, max_value=5))
+@pytest.mark.slow
 def test_span_dedup_matches_python_model(spark, rows, k):
     # the model's tokenizer is plain split(' '); restrict inputs to
     # single-spaced texts (the strategy never produces double spaces)
@@ -319,6 +324,7 @@ def test_span_dedup_matches_python_model(spark, rows, k):
 @settings(**_PROP)
 @given(row=st.tuples(st.integers(min_value=0, max_value=10**6), _texts),
        k=st.integers(min_value=1, max_value=5))
+@pytest.mark.slow
 def test_span_dedup_single_doc_global_subsumes_within(spark, row, k):
     """On a single-document corpus the global scope has nothing
     earlier to dedup against beyond the document itself — it must
@@ -333,6 +339,7 @@ def test_span_dedup_single_doc_global_subsumes_within(spark, row, k):
 
 @settings(**_PROP)
 @given(rows=_corpora, extra=_corpora, k=st.integers(min_value=1, max_value=5))
+@pytest.mark.slow
 def test_span_dedup_append_stability(spark, rows, extra, k):
     """The docstring's append-stability claim: adding documents with
     strictly LARGER ids never changes any earlier document's keeper
@@ -421,6 +428,7 @@ def _py_substring_dedup(rows, k, w=1):
 
 @settings(**_PROP)
 @given(rows=_corpora, k=st.integers(min_value=1, max_value=4))
+@pytest.mark.slow
 def test_substring_dedup_matches_python_model(spark, rows, k):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     for key in ("digest", "hash64"):
@@ -439,6 +447,7 @@ def test_substring_dedup_matches_python_model(spark, rows, k):
     k=st.integers(min_value=2, max_value=4),
     w=st.integers(min_value=2, max_value=4),
 )
+@pytest.mark.slow
 def test_substring_dedup_winnow_matches_python_model(spark, rows, k, w):
     """The operator's row-local run-length selection rule must equal
     the ground-truth window-union winnowing definition end-to-end
@@ -470,6 +479,7 @@ _bpe_corpora = st.lists(
     word_lists=_bpe_corpora, B=st.sampled_from([2, 5]),
     mode=st.sampled_from(["lazy", "fused"]),
 )
+@pytest.mark.slow
 def test_bpe_fit_batched_property(spark, word_lists, B, mode):
     """Property (r13): on ADVERSARIALLY small alphabets (maximum
     candidate interaction — the regime where a wrong batch-truncation

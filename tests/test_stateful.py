@@ -685,6 +685,7 @@ def test_continuous_merge_keeps_newer_row_against_late_batch(spark, tmp_path):
     assert got == {3: "new", 4: "other"}
 
 
+@pytest.mark.slow
 def test_rollup_partition_col_rewrites_only_touched_partitions(
     spark, tmp_path
 ):
@@ -770,6 +771,7 @@ def test_rollup_partition_col_rewrites_only_touched_partitions(
     assert len(got) == 1 and got[0].sum_value == 7.0
 
 
+@pytest.mark.slow
 def test_rollup_partitioned_fallback_past_touched_cap(spark, tmp_path):
     """A micro-batch finalizing buckets across MORE partitions than
     max_touched_partitions must fall back to one root-level partitioned
@@ -949,6 +951,7 @@ def test_merge_batch_rejects_prio_column_and_skips_nested_maps(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_rollup_partitioned_upsert_recovers_half_swapped_partition(spark, tmp_path):
     """The partitioned rollup writes each touched partition through the
     recoverable staged swap: a crash that left a partition staged but

@@ -210,6 +210,7 @@ def test_stream_static_broadcast_join_equals_batch(spark, tmp_path):
     assert len(got) >= 1000
 
 
+@pytest.mark.slow
 def test_continuous_dedup_stream_scrubs_against_earlier_batches(
     spark, tmp_path
 ):
@@ -314,6 +315,7 @@ def test_continuous_dedup_replay_is_idempotent(spark, tmp_path):
     assert kept[10][3] == "pre"
 
 
+@pytest.mark.slow
 def test_compact_dedup_index_preserves_scrub_and_replay(spark, tmp_path):
     """Folding pre-horizon index partitions must change NOTHING
     semantically: a new batch scrubs to byte-identical output against
@@ -425,6 +427,7 @@ def test_compact_dedup_index_noop_cases(spark, tmp_path):
     assert _list_index_partitions(spark, idx) == [0, 1]
 
 
+@pytest.mark.slow
 def test_continuous_dedup_inline_compaction_matches_uncompacted(
     spark, tmp_path
 ):
@@ -507,6 +510,7 @@ def test_continuous_dedup_inline_compaction_matches_uncompacted(
         )
 
 
+@pytest.mark.slow
 def test_continuous_ann_index_append_matches_batch_build(spark, tmp_path):
     """streaming/ann_sink: an embedding stream appended micro-batch by
     micro-batch into a pre-built IVF-PQ index converges to the SAME
@@ -593,6 +597,7 @@ def test_continuous_ann_index_append_matches_batch_build(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_continuous_ann_index_pq_kind(spark, tmp_path):
     """The sink's kind='pq' branch: a streamed flat-PQ index converges
     to the one-shot build (bootstrap half holds the seed vectors)."""
@@ -633,6 +638,7 @@ def test_continuous_ann_index_pq_kind(spark, tmp_path):
     )
     assert read(idx) == read(full)
 
+@pytest.mark.slow
 def test_compact_ann_index_bounds_files_preserves_rows_and_replay(
     spark, tmp_path
 ):
@@ -846,6 +852,7 @@ def _mid_swap(spark, d, n_moves=None):
     return plan
 
 
+@pytest.mark.slow
 def test_ann_search_is_correct_during_additive_compaction_swap(
     spark, tmp_path
 ):
@@ -1008,6 +1015,7 @@ def _delete_originals(spark, d, plan):
         fs.delete(Path(f"{d}/{name}"), False)
 
 
+@pytest.mark.slow
 def test_search_retry_absorbs_compaction_delete_window(spark, tmp_path):
     """r10 verdict item 2: `retry_missing_files=1` absorbs the
     compaction window's loud read race without a hand-rolled caller
@@ -1085,6 +1093,7 @@ def test_search_retry_absorbs_compaction_delete_window(spark, tmp_path):
         stale.collect()
 
 
+@pytest.mark.slow
 def test_continuous_ann_sink_compact_every_cadence(spark, tmp_path):
     """The sink's compact_every= runs the compaction inline: after
     draining N micro-batches the cell file counts are bounded, and the
@@ -1150,6 +1159,7 @@ def test_continuous_ann_sink_compact_every_cadence(spark, tmp_path):
             idx, str(tmp_path / "ck2"), compact_every=0,
         )
 
+@pytest.mark.slow
 def test_pq_rebuild_index_and_sink_drift_cadence(spark, tmp_path):
     """pq_rebuild_index: params default from the old sidecar, result
     byte-identical to a fresh build, sidecar baseline re-armed,
@@ -1251,6 +1261,7 @@ def test_pq_rebuild_index_and_sink_drift_cadence(spark, tmp_path):
             old, str(tmp_path / "ck2"), kind="pq", drift_check_every=0,
         )
 
+@pytest.mark.slow
 def test_additive_swap_does_not_leak_checksum_sidecars(spark, tmp_path):
     """On a ChecksumFileSystem (file://), the additive swap must carry
     each moved file's hidden .crc along and delete the deleted
@@ -1547,6 +1558,7 @@ def _media_rows():
     return base
 
 
+@pytest.mark.slow
 def test_continuous_media_dedup_stream_scrubs_and_clusters(spark, tmp_path):
     """Three single-file micro-batches through
     start_continuous_media_dedup: within a batch the cluster
