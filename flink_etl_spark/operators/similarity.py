@@ -212,16 +212,76 @@ def ivf_centroids(
 
 
 def _local_frame(spark, rows, schema) -> DataFrame:
-    """Single-partition driver-local frame (one `Scan ExistingRDD`
-    task). The quantizer/codebook frames are a handful of rows; a
-    default `createDataFrame` parallelizes them across
-    defaultParallelism mostly-empty slices, and every downstream
-    broadcast build then schedules a core-count-wide job for 8 rows —
-    pure scheduler overhead (guide §5: the driver should do almost no
-    data work, and these rows already live on the driver)."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
+    """Driver-local frame as a pure LITERAL plan: `inline(<constant
+    array of structs>)` over a one-row LocalTableScan — JVM-only,
+    constant-folded, ZERO Python at execution. The obvious
+    alternatives both ship the rows through a Python-evaluated RDD
+    (`applySchemaToPythonRDD` -> `Scan ExistingRDD`): every
+    downstream reference then re-runs a pickled Python task — and the
+    quantizer/codebook frames here are referenced by MANY consumers
+    (assignment broadcasts, codebook lookups, searches), so that form
+    re-paid Python worker launches per job and measured ~1.1-1.15x
+    SLOWER end-to-end than the r14 anchored corpus frames it replaced
+    (interleaved A/B, this round). Literals are exact: collected
+    float32 values widen to Python doubles losslessly and the
+    double-literal -> float cast narrows back to the identical bits
+    (round-trip law); the bit-for-bit pins cover it."""
+    import math
+
+    from pyspark.sql import types as T
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def dbl_text(v: float) -> str:
+        # repr is the shortest round-trip decimal; Java parseDouble is
+        # correctly rounded, so CAST('<repr>' AS DOUBLE) is bit-exact.
+        # Non-finite values are out of the family's input contract but
+        # must not produce an unparseable literal.
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def lit_sql(v, dt) -> str:
+        if v is None:
+            return f"CAST(NULL AS {dt.simpleString()})"
+        if isinstance(dt, T.ArrayType):
+            if len(v) == 0:
+                return f"CAST(array() AS {dt.simpleString()})"
+            inner = ",".join(lit_sql(x, dt.elementType) for x in v)
+            return f"array({inner})"
+        if isinstance(dt, T.DoubleType):
+            return dbl_text(float(v))
+        if isinstance(dt, T.FloatType):
+            # collected float32 widened losslessly to double; the
+            # double -> float narrowing restores the identical bits
+            return f"CAST({dbl_text(float(v))} AS FLOAT)"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return f"CAST({int(v)} AS {dt.simpleString()})"
+        if isinstance(dt, T.StringType):
+            esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{esc}'"
+        raise TypeError(
+            f"_local_frame: unsupported literal type {dt.simpleString()}"
+        )
+
+    structs = ",".join(
+        "named_struct("
+        + ",".join(
+            f"'{f.name}',{lit_sql(v, f.dataType)}"
+            for v, f in zip(r, schema.fields)
+        )
+        + ")"
+        for r in rows
     )
+    # ONE parsed expression = ONE driver round-trip for the whole
+    # frame (an F.lit-per-value build costs thousands of py4j calls
+    # inside the timed construction path — measured 3-4x the whole
+    # entry); the parser constant-folds it into a single literal array
+    return spark.sql("VALUES (1)").selectExpr(f"inline(array({structs}))")
 
 
 def _seed_head(embs: DataFrame, n: int, id_col: str, vec_col: str):
@@ -280,6 +340,94 @@ def ivf_centroids_local(
     )
     rows = [(i, r[1], r[2]) for i, r in enumerate(head[:n_cells])]
     return _local_frame(spark, rows, schema)
+
+
+def _round6_twin(x: float) -> float:
+    """Driver-side twin of Spark's round(double, 6): HALF_UP on the
+    SHORTEST decimal representation (BigDecimal.valueOf semantics) —
+    the same rule `_pq_codes_arrow`'s executor-local `r6` applies,
+    pinned against Spark's own round in
+    tests/test_extensions.py::test_spark_round6_twin."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _head_seed_residuals(head, n_cells: int, n_codes: int):
+    """Pure-driver twin of (ivf_assign(nprobe=1) -> join cents_n ->
+    zip_with(l2_normalize(vec), cnv, x - y)) over the seed HEAD rows —
+    the PQ seed residual computation. The head is a handful of rows
+    already collected on the driver, so pushing 10^2 dot products
+    through a Spark job bought two driver round-trips (plan build +
+    collect, ~1.2 s of the bench entry) for work that takes
+    microseconds in-process.
+
+    Bit-exact replay of the column expressions, op for op:
+    * dot = sequential left fold acc + x*y in doubles (collected
+      float32 widens losslessly; Python floats ARE IEEE doubles and
+      CPython arithmetic is the same correctly-rounded hardware op)
+    * norm = sqrt(dot) (correctly rounded on both sides)
+    * assignment key = coalesce(-round(safe_cosine, 6), +inf) with
+      cell_id tie-break, `_round6_twin` for the HALF_UP rounding
+    * residual = zip_with(l2n(vec), l2n(centroid), x - y) including
+      zip_with's pad-with-NULL semantics for length mismatches and
+      NULL-element poisoning; NULL vectors yield NULL residuals
+    Pinned row-for-row against the legacy Spark derivation by
+    tests/test_extensions.py::test_ivfpq_parts_fused_matches_anchored
+    (which drives the anchored path explicitly), including NULL
+    vector, zero vector, NULL-element and short-row corpora."""
+    import math
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def l2n(v):
+        d = pydot(v, v)
+        n = math.sqrt(d) if d is not None else None
+        if n is None:
+            return [None] * len(v)
+        if n == 0.0:
+            return [float(x) for x in v]
+        return [float(x) / n for x in v]
+
+    cents = head[:n_cells]  # (id, vec, norm) rows in id order
+    out = []
+    for code_id, row in enumerate(head[:n_codes]):
+        vec, vn = row[1], row[2]
+        # pick the cell: min (key, cell_id), key = -round(sim, 6) or inf
+        best_key, best_cell = float("inf"), 0
+        for cell_id, crow in enumerate(cents):
+            cvec, cn = crow[1], crow[2]
+            key = float("inf")
+            if vec is not None and cvec is not None and vn is not None \
+                    and cn is not None:
+                denom = vn * cn
+                d = pydot(vec, cvec)
+                if denom != 0.0 and d is not None:
+                    key = -_round6_twin(d / denom)
+            if (key, cell_id) < (best_key, best_cell):
+                best_key, best_cell = key, cell_id
+        cvec = cents[best_cell][1]
+        if vec is None or cvec is None:
+            out.append((code_id, None))
+            continue
+        nv_a, nv_c = l2n(vec), l2n(cvec)
+        # zip_with pads the shorter side with NULL; NULL - y = NULL
+        width = max(len(nv_a), len(nv_c))
+        nv = [
+            (nv_a[j] - nv_c[j])
+            if j < len(nv_a) and j < len(nv_c)
+            and nv_a[j] is not None and nv_c[j] is not None
+            else None
+            for j in range(width)
+        ]
+        out.append((code_id, nv))
+    return out
 
 
 def ivf_assign(
@@ -2220,42 +2368,19 @@ def _ivfpq_parts(
 
         head = _seed_head(embs, max(n_cells, n_codes), id_col, vec_col)
         cents = ivf_centroids_local(embs, n_cells, id_col, vec_col, head=head)
-        cents_n = cents.select(
-            "cell_id", l2_normalize("centroid").alias("_cnv")
-        )
-        id_f, vec_f = embs.schema[id_col], embs.schema[vec_col]
-        hframe = _local_frame(
-            spark,
-            [(r[0], r[1]) for r in head[:n_codes]],
-            T.StructType(
-                [
-                    T.StructField(id_col, id_f.dataType, id_f.nullable),
-                    T.StructField(vec_col, vec_f.dataType, vec_f.nullable),
-                ]
-            ),
-        )
-        res_h = (
-            ivf_assign(hframe, cents, 1, id_col, vec_col)
-            .join(F.broadcast(cents_n), "cell_id")
-            .select(
-                F.col(id_col),
-                F.zip_with(
-                    l2_normalize(vec_col), F.col("_cnv"), lambda x, y: x - y
-                ).alias("_nv"),
-            )
-        )
-        nv_f = res_h.schema["_nv"]
-        rows = res_h.collect()
-        # _pq_seeds relabels code_id by id order (NULLS FIRST, the
-        # orderBy default — unique-id contract as everywhere)
-        rows.sort(key=lambda r: (r[0] is not None, r[0]))
+        # the head is already in id order (the _pq_seeds relabel
+        # order — unique-id contract as everywhere), so the seed
+        # residuals are computed in-process by the exact expression
+        # twin (`_head_seed_residuals`) — ZERO Spark jobs here
         seeds = _local_frame(
             spark,
-            [(i, r[1]) for i, r in enumerate(rows)],
+            _head_seed_residuals(head, n_cells, n_codes),
             T.StructType(
                 [
                     T.StructField("code_id", T.IntegerType(), False),
-                    T.StructField("_nv", nv_f.dataType, nv_f.nullable),
+                    T.StructField(
+                        "_nv", T.ArrayType(T.DoubleType(), True), True
+                    ),
                 ]
             ),
         )

@@ -4269,10 +4269,20 @@ def test_ivfpq_parts_fused_matches_anchored(spark):
     )
     from flink_etl_spark.session import anchor
 
+    rows = [
+        (i, [float(((i * 13 + j * 3) % 11) - 5) / 3.0 for j in range(8)])
+        for i in range(64)
+    ] + [(200, [0.0] * 8), (201, None)]
+    # degenerate rows INSIDE the seed head (ids 2, 3 land in both the
+    # centroid and codebook-seed slices): a NULL element and an
+    # all-NULL full-width vector — the r15 driver-side residual twin
+    # must reproduce the expression arm's NULL-poisoning exactly
+    # (short vectors are out of PQ's domain: both arms raise the
+    # dim-divisibility guard)
+    rows[2] = (2, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+    rows[3] = (3, [None] * 8)
     embs = spark.createDataFrame(
-        [(i, [float(((i * 13 + j * 3) % 11) - 5) / 3.0 for j in range(8)])
-         for i in range(64)] + [(200, [0.0] * 8), (201, None)],
-        "vec_id bigint, embedding array<float>",
+        rows, "vec_id bigint, embedding array<float>",
     )
     n_cells, m, n_codes = 4, 4, 8
     f_cents, _, f_cbs, f_codes = _ivfpq_parts(
